@@ -1,0 +1,20 @@
+"""Query catalog: every operator from SURVEY.md §2 exposed as a named query.
+
+Each module registers queries into :mod:`ooh_etl_spark.queries.registry`;
+importing this package populates the catalog. ``__spark_entry__.py``
+re-exports it to the driver.
+"""
+
+from ooh_etl_spark.queries.registry import QUERIES, get_queries, get_oracles
+
+# Import for side effect: each module registers its queries.
+from ooh_etl_spark.queries import flagship  # noqa: F401
+from ooh_etl_spark.queries import relational  # noqa: F401
+from ooh_etl_spark.queries import windows  # noqa: F401
+from ooh_etl_spark.queries import text  # noqa: F401
+from ooh_etl_spark.queries import dedup  # noqa: F401
+from ooh_etl_spark.queries import similarity  # noqa: F401
+from ooh_etl_spark.queries import streaming  # noqa: F401
+from ooh_etl_spark.queries import ooh_surface  # noqa: F401
+
+__all__ = ["QUERIES", "get_queries", "get_oracles"]

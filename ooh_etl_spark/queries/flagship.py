@@ -1,0 +1,84 @@
+"""Flagship query — the reference's pipeline shape on driver data.
+
+Mirrors the whole reference ETL stage-for-stage (SURVEY.md §3.1) on the
+``documents`` table:
+
+1. scan (S1/S2: ``index.js:186``, ``:136``)        → parquet scan
+2. nested parse → dict fold (E5: ``index.js:40-55``) → tokens → word-count
+   ``MapType`` column, built with higher-order functions (zero Python
+   boundary crossings — stays in WholeStageCodegen)
+3. EXISTS-over-map-keys filter (F1: ``index.js:177``)
+4. conditional projection (P2: ``index.js:146-148`` analog)
+5. formatted sink line (K1: ``index.js:178``)
+
+Scale notes: per-row map construction is embarrassingly parallel (narrow
+dependency, no shuffle); the filter prunes before projection thanks to
+Catalyst predicate reorder; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table
+
+LONG_KEY = 6  # F1 analog: the reference uses key-length > 26 (index.js:177)
+
+
+def word_count_map(col: F.Column) -> F.Column:
+    """word → occurrence-count map from a whitespace-tokenized string.
+
+    The generic "extract-fold" combinator of the reference
+    (``cdataParser``, ``index.js:40-55``) re-expressed set-oriented:
+    distinct tokens zipped with their counts via ``map_from_entries``.
+    """
+    tokens = F.split(col, r"\s+")
+    return F.map_from_entries(
+        F.transform(
+            F.array_distinct(tokens),
+            lambda t: F.struct(
+                t.alias("key"),
+                F.size(F.filter(tokens, lambda x: x == t)).alias("value"),
+            ),
+        )
+    )
+
+
+def flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = word_count_map(F.col("text"))
+    df = docs.withColumn("wc", wc)
+    # F1: EXISTS over map keys (index.js:177), null-safe per SURVEY §7.3.1
+    df = df.filter(F.exists(F.map_keys("wc"), lambda k: F.length(k) > LONG_KEY))
+    return df.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.size(F.map_keys("wc")).alias("n_distinct_words"),
+        F.size(F.filter(F.map_keys("wc"), lambda k: F.length(k) > LONG_KEY)).alias(
+            "n_long_words"
+        ),
+        # K1 formatted line (index.js:178)
+        F.format_string(
+            "Doc: %s Lang: %s Distinct: %s", F.col("doc_id"), F.col("lang"),
+            F.size(F.map_keys("wc")),
+        ).alias("line"),
+    )
+
+
+FLAGSHIP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split(text, ' ')) AS words
+  FROM documents
+)
+SELECT doc_id, lang,
+       len(words) AS n_distinct_words,
+       len(list_filter(words, w -> length(w) > {LONG_KEY})) AS n_long_words,
+       printf('Doc: %d Lang: %s Distinct: %d', doc_id, lang, len(words)) AS line
+FROM toks
+WHERE len(list_filter(words, w -> length(w) > {LONG_KEY})) > 0
+"""
+
+register("flagship_doc_scan", FLAGSHIP_ORACLE)(flagship_df)
