@@ -1,0 +1,65 @@
+"""Relational operators Spark lacks natively, built as compositions.
+
+The reference implements none of these (SURVEY.md §2 notes "joins: none");
+they are part of the §2.B mandated surface. Everything here is a
+composition of built-in DataFrame operators so Catalyst/AQE keep full
+visibility (join strategy selection, skew splitting, pushdown).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same key.
+
+    Implementation: equi-join on the key with the range predicate, then
+    keep the latest right row per left row via ``row_number``. The
+    equi-key keeps this a hash/sort-merge join (NOT a cartesian); the
+    window's partition key is the left row id, so the dedup shuffle is
+    on the same key distribution as the join output.
+
+    Scale notes (100 TB): per-key right-side history is re-scanned per
+    left row only within the joined pairs; for very deep histories
+    prefer bucketing both sides by the key so the join co-locates. Ties
+    on ``right_ts`` are broken arbitrarily — project tie-safe columns.
+    """
+    lk, rk = (on, on) if isinstance(on, str) else on
+    lid = "__asof_left_id"
+    lt = left.withColumn(lid, F.monotonically_increasing_id())
+    joined = lt.join(
+        right, (lt[lk] == right[rk]) & (lt[left_ts] >= right[right_ts]), how
+    )
+    w = Window.partitionBy(lid).orderBy(F.col(right_ts).desc())
+    return (
+        joined.withColumn("__asof_rn", F.row_number().over(w))
+        .filter(F.col("__asof_rn") == 1)
+        .drop("__asof_rn", lid)
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via ranking window; the canonical scalable
+    pattern (no per-group collect, single shuffle on the group key)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

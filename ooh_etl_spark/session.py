@@ -41,6 +41,9 @@ def get_spark(app_name: str = "ooh_etl_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert (tables.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
