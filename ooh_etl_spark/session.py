@@ -44,6 +44,9 @@ def get_spark(app_name: str = "ooh_etl_spark") -> SparkSession:
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert (tables.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # JS-object assignment overwrites duplicate keys (index.js:63-66);
+        # map_from_entries must mirror last-wins, not throw.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
