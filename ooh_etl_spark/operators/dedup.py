@@ -1,0 +1,161 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Mandated surface (BASELINE.json:6): exact, MinHash+LSH, SimHash, and
+n-gram-Jaccard near-dup. Scale stance:
+
+- exact dedup: one hash shuffle on the dedup key — optimal.
+- n-gram Jaccard: inverted-index self-join on shingles (shuffle of
+  (shingle, id) pairs) — never an all-pairs cross join.
+- MinHash LSH (spark.ml): band-bucket join; shuffles only
+  (band-hash, id) pairs. The 100 TB default.
+- SimHash: per-row signature + band join on 16-bit chunks; cheapest
+  candidate generation for hamming-distance near-dup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.functions.text import simhash64, tokenize, word_shingles
+
+
+def exact_dedup(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per duplicate group. Deterministic (unlike
+    ``dropDuplicates``, which keeps an arbitrary row), same cost: one
+    shuffle on the dedup key."""
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted index.
+
+    explode(shingles) → self-join on shingle with id_a < id_b → shared
+    counts → |A∩B| / (|A|+|B|-|A∩B|). The join key is the shingle, so
+    co-occurring docs meet without a cross join; hot shingles are the
+    skew risk (AQE skew-join splits them; at extreme scale drop
+    stop-shingles by document frequency first).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    jaccard_distance: float = 0.5,
+) -> DataFrame:
+    """Approximate near-dup pairs via spark.ml MinHashLSH over hashed
+    shingle sets (HashingTF → binary vectors). Candidate generation is
+    a band-bucket join — the 100 TB-scale replacement for the exact
+    inverted-index join when shingle frequency explodes."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(sh)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="sig", numHashTables=num_hashes, seed=42
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, jaccard_distance, "dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1 - F.col("dist"), 4).alias("jaccard_approx"),
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit banding generates candidates
+    (two docs within hamming distance 3 of each other share at least
+    one band by pigeonhole; wider distances trade recall for cost),
+    then exact hamming distance filters."""
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
+    )
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sig", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "sig", "bc.band", "bc.chunk")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

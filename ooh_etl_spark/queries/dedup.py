@@ -1,1 +1,80 @@
-"""Placeholder — populated in this round."""
+"""Deduplication queries (BASELINE.json:6): exact, n-gram Jaccard,
+MinHash LSH, SimHash. Exact + Jaccard are oracle-checked; the
+probabilistic ones (spark.ml hashing, xxhash64 signatures) have no
+DuckDB equivalent and use rows-only checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table
+
+_DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "q26_exact_dedup",
+    """
+    WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+    SELECT source, count(*) AS n_kept
+    FROM documents JOIN kept USING (doc_id)
+    GROUP BY source
+    """,
+)
+def q26_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs, key="text", id_col="doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+_DUCK_JACCARD = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(shared / (sa.sz + sb.sz - shared), 4) AS jaccard
+    FROM shared JOIN sz sa ON id_a = sa.doc_id
+                JOIN sz sb ON id_b = sb.doc_id
+    WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5
+"""
+
+
+@register("q27_jaccard_pairs", _DUCK_JACCARD)
+def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register("q28_minhash_pairs", None)  # spark.ml hashing → rows-only
+def q28_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", jaccard_distance=0.5)
+
+
+@register("q29_simhash_pairs", None)  # xxhash64 signatures → rows-only
+def q29_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=8)

@@ -1,1 +1,219 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis queries over ``documents`` (BASELINE.json:6 surface).
+
+All scoring is per-row expression work (shuffle-free until the final
+aggregate); the token explode for word counts / tf-idf is the one
+genuinely wide stage and shuffles only (token, id) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    quality_features,
+    quality_score,
+    tokenize,
+)
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table
+
+# DuckDB-side tokenizer identical to functions.text.tokenize.
+_DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "q20_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)                 AS n_tokens,
+           length(text)              AS n_chars,
+           len(list_distinct(toks))  AS n_distinct,
+           round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                 / len(toks), 4)     AS mean_token_len
+    FROM t
+    """,
+)
+def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / F.size(toks), 4
+        ).alias("mean_token_len"),
+    )
+
+
+@register(
+    "q21_word_counts",
+    f"""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def q21_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "q22_tfidf_top_term",
+    f"""
+    WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents WHERE doc_id < 200),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM d),
+         scored AS (
+           SELECT doc_id, term, round(tf * ln(n_docs / df), 4) AS tfidf
+           FROM tf JOIN idf USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+_DUCK_STOP = "['the','a','of','to','and','in','is']"
+
+# Averages are taken over integer basis points (round(x*10000)): the
+# per-doc ratios are 4-dp doubles whose float sums can straddle a
+# round-half boundary differently per engine; integer sums cannot.
+_DUCK_QUALITY = f"""
+    WITH t AS (
+      SELECT lang, text, {_DUCK_TOKS} AS toks,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+      FROM documents),
+         f AS (
+      SELECT lang,
+             len(toks) AS n_tokens,
+             round(len(list_filter(toks, x -> list_contains({_DUCK_STOP}, x)))
+                   / len(toks), 4) AS stop_ratio,
+             round(punct / length(text), 4) AS punct_ratio
+      FROM t),
+         bp AS (
+      SELECT lang, n_tokens,
+             CAST(round(stop_ratio * 10000, 0) AS BIGINT) AS stop_bp,
+             CAST(round((0.4 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * least(stop_ratio * 5, 1.0)
+                       + 0.3 * (1 - least(punct_ratio * 10, 1.0))) * 10000, 0)
+                  AS BIGINT) AS q_bp
+      FROM f)
+    SELECT lang,
+           round(avg(n_tokens), 2)          AS avg_tokens,
+           round(avg(stop_bp) / 10000, 4)   AS avg_stop_ratio,
+           round(avg(q_bp) / 10000, 4)      AS avg_quality
+    FROM bp
+    GROUP BY lang
+"""
+
+
+@register("q23_doc_quality", _DUCK_QUALITY)
+def q23_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["stopword_ratio"] * 10000, 0).cast("long").alias("stop_bp"),
+        F.round(quality_score(F.col("text"), rounded=False) * 10000, 0)
+        .cast("long")
+        .alias("q_bp"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.round(F.avg("stop_bp") / 10000, 4).alias("avg_stop_ratio"),
+        F.round(F.avg("q_bp") / 10000, 4).alias("avg_quality"),
+    )
+
+
+_DUCK_LANG_SCORES = {
+    "de": "['der','die','das','und','ist','nicht','ein']",
+    "en": "['the','a','of','to','and','in','is']",
+    "es": "['el','la','de','que','y','los','un']",
+    "fr": "['le','la','de','et','les','des','un']",
+    "zh": "['的','了','是','在','我','有','和']",
+}
+
+_DUCK_LANG_ID = f"""
+    WITH t AS (SELECT lang, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (SELECT lang,
+                      {', '.join(f"len(list_filter(toks, x -> list_contains({words}, x))) AS s_{code}"
+                                  for code, words in _DUCK_LANG_SCORES.items())}
+               FROM t),
+         p AS (SELECT lang,
+                      CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+                           WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                           WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                           WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                           WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                           ELSE 'zh' END AS predicted
+               FROM s)
+    SELECT lang, predicted, count(*) AS n FROM p GROUP BY lang, predicted
+"""
+
+
+@register("q24_lang_id", _DUCK_LANG_ID)
+def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q25_fingerprints",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique,
+           min(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS min_fp
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q25_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint_md5(F.col("text"))
+    return docs.select("source", fp.alias("fp")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.min("fp").alias("min_fp"),
+    )

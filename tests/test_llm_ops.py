@@ -1,0 +1,104 @@
+"""Unit tests for the LLM-pipeline operator families (text analysis,
+dedup, similarity, multimodal) beyond the oracle-differential checks."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.functions.text import (
+    lang_id,
+    simhash64,
+    word_shingles,
+)
+from ooh_etl_spark.operators.dedup import exact_dedup, jaccard_pairs, simhash_pairs
+from ooh_etl_spark.operators.multimodal import attach_payload, extract_features
+from ooh_etl_spark.operators.similarity import knn_brute_force
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_lang_id_on_real_samples(spark):
+    samples = {
+        "the cat sat on the mat and looked at the dog": "en",
+        "el perro corre por la calle y los gatos duermen": "es",
+        "der Hund und die Katze sind nicht hier": "de",
+        "le chat et le chien sont dans les jardins": "fr",
+        "xx yy zz qq ww": "unknown",
+    }
+    for text, expected in samples.items():
+        assert one(spark, lang_id(F.lit(text))) == expected, text
+
+
+def test_word_shingles_short_doc_fallback(spark):
+    assert one(spark, word_shingles(F.lit("a b"), 3)) == ["a b"]
+    assert one(spark, word_shingles(F.lit("a b c d"), 3)) == ["a b c", "b c d"]
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "zzz completely different qqq")],
+        "id long, text string",
+    )
+    rows = {r.id: r.sig for r in df.select("id", simhash64(F.col("text")).alias("sig")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "dup"), (2, "dup"), (9, "solo")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [2, 9]
+
+
+def test_jaccard_pairs_detects_near_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),  # 3/5-ish shingle overlap
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(df, "text", "doc_id", threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_simhash_pairs_near_dup_low_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "entirely unrelated words compose this other document here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df, "text", "doc_id", max_hamming=16).collect()}
+    assert (1, 2) in pairs
+
+
+def test_knn_self_excluded_and_cos_bounds(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    res = knn_brute_force(emb, emb.filter(F.col("vec_id") < 2), k=3).collect()
+    assert len(res) == 6
+    for r in res:
+        assert r.query_id != r.neighbor_id
+        assert -1.0001 <= r.cos_sim <= 1.0001
+        assert not math.isnan(r.cos_sim)
+
+
+def test_multimodal_feature_shape(spark):
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = extract_features(attach_payload(docs)).collect()
+    assert len(out) == 1
+    assert out[0].n_bytes == len(b"hello world")
+    assert len(out[0].features) == 8
+    # deterministic stub: same input → same features
+    out2 = extract_features(attach_payload(docs)).collect()
+    assert out[0].features == out2[0].features
