@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ooh_etl_spark.functions.text import simhash64, tokenize, word_shingles
+from ooh_etl_spark.functions.text import simhash64, word_shingles
+from ooh_etl_spark.tables import parallelize_rows
 
 
 def exact_dedup(df: DataFrame, key: str, id_col: str) -> DataFrame:
@@ -45,29 +46,47 @@ def jaccard_pairs(
     skew risk (AQE skew-join splits them; at extreme scale drop
     stop-shingles by document frequency first).
     """
-    sh = df.select(
+    # One evaluation of the (expensive) shingle expression: id, set
+    # size, and the exploded shingle come out of a single projection.
+    # A naive self-join re-evaluates it per plan branch (4-6x).
+    sh = parallelize_rows(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     )
-    sizes = sh.select("id", F.size("sh").alias("sz"))
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    inv = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
+    # Group the posting list per shingle and emit ordered pairs with a
+    # higher-order combination expansion — no join, two shuffles total
+    # (by shingle, then by pair), sizes carried through the rows.
+    members = (
+        inv.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda m, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda m2: F.struct(
+                            m.getField("id").alias("id_a"),
+                            m.getField("sz").alias("sz_a"),
+                            m2.getField("id").alias("id_b"),
+                            m2.getField("sz").alias("sz_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.sz_a", "p.id_b", "p.sz_b")
+    shared = pairs.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
     return (
-        shared.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
-                F.col("shared")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("shared")),
-                4,
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 4
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -89,7 +108,7 @@ def minhash_lsh_pairs(
     inverted-index join when shingle frequency explodes."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = df.select(
+    sh = parallelize_rows(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     )
     tf = HashingTF(
@@ -118,7 +137,7 @@ def simhash_pairs(
     (two docs within hamming distance 3 of each other share at least
     one band by pigeonhole; wider distances trade recall for cost),
     then exact hamming distance filters."""
-    sig = df.select(
+    sig = parallelize_rows(df).select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
     )
     bands = sig.select(

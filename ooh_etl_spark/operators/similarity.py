@@ -57,7 +57,11 @@ def knn_brute_force(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    from ooh_etl_spark.tables import parallelize_rows
+
+    c = parallelize_rows(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))

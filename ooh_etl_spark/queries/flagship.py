@@ -47,7 +47,9 @@ def word_count_map(col: F.Column) -> F.Column:
 
 
 def flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
     wc = word_count_map(F.col("text"))
     df = docs.withColumn("wc", wc)
     # F1: EXISTS over map keys (index.js:177), null-safe per SURVEY §7.3.1

@@ -29,5 +29,7 @@ def q32_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q32b_multimodal_features", None)  # stub decoder → rows-only
 def q32b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
     return extract_features(attach_payload(docs))

@@ -18,7 +18,12 @@ from ooh_etl_spark.functions.text import (
     tokenize,
 )
 from ooh_etl_spark.queries.registry import register
-from ooh_etl_spark.tables import load_table
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+
+def _docs(spark, sf_dir):
+    # text-heavy per-row work: spread the single-row-group scan (tables.parallelize_rows)
+    return parallelize_rows(load_table(spark, sf_dir, "documents"))
 
 # DuckDB-side tokenizer identical to functions.text.tokenize.
 _DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -38,7 +43,7 @@ _DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
     """,
 )
 def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = tokenize(F.col("text"))
     return docs.select(
         "doc_id",
@@ -62,7 +67,7 @@ def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -91,7 +96,7 @@ def q21_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -145,7 +150,7 @@ _DUCK_QUALITY = f"""
 
 @register("q23_doc_quality", _DUCK_QUALITY)
 def q23_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     feats = quality_features(F.col("text"))
     per_doc = docs.select(
         "lang",
@@ -190,7 +195,7 @@ _DUCK_LANG_ID = f"""
 
 @register("q24_lang_id", _DUCK_LANG_ID)
 def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select("lang", lang_id(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
@@ -210,7 +215,7 @@ def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q25_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     fp = fingerprint_md5(F.col("text"))
     return docs.select("source", fp.alias("fp")).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -53,6 +53,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_rows(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Spread rows across cores before CPU-heavy per-row expressions.
+
+    The driver fixtures are single-row-group parquet files, so the scan
+    yields ONE split and every downstream narrow expression runs
+    single-threaded. A round-robin repartition (cheap: the fixture is
+    MBs) restores parallelism. At production scale files carry many row
+    groups and scans parallelize naturally, but the repartition stays
+    correct — AQE coalesces it away when the input is already spread.
+    """
+    from ooh_etl_spark.session import default_parallelism
+
+    return df.repartition(partitions or default_parallelism())
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

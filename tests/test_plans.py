@@ -1,0 +1,92 @@
+"""Plan-quality audits: scale properties asserted as tests.
+
+Each assertion encodes a 100 TB design requirement from SURVEY.md §2.B:
+filters reach the parquet scan, column pruning holds, dimensions
+broadcast, no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+from ooh_etl_spark.plans.audit import (
+    has_broadcast_join,
+    has_cartesian,
+    physical_plan,
+    pushed_filters,
+    reads_only,
+)
+from ooh_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    return physical_plan(QUERIES[name].fn(spark, SF_DIR))
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert pushed_filters(plan), plan
+    assert reads_only(
+        plan,
+        {
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        },
+    ), plan
+
+
+def test_q03_broadcasts_dimension(spark):
+    plan = plan_of(spark, "q03_top_revenue_orders")
+    assert has_broadcast_join(plan), plan
+    assert not has_cartesian(plan), plan
+
+
+def test_q05_star_join_broadcasts_no_cartesian(spark):
+    plan = plan_of(spark, "q05_regional_revenue")
+    assert has_broadcast_join(plan), plan
+    assert not has_cartesian(plan), plan
+
+
+def test_q06_reads_three_columns_only(spark):
+    plan = plan_of(spark, "q06_forecast_revenue")
+    assert pushed_filters(plan), plan
+    assert reads_only(
+        plan, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    ), plan
+
+
+def test_q13_asof_is_not_cartesian(spark):
+    plan = plan_of(spark, "q13_asof_event_order")
+    assert not has_cartesian(plan), plan
+
+
+def test_q27_jaccard_has_no_join(spark):
+    # The inverted-index rewrite: pair generation is a grouped explode,
+    # not a self-join — the plan must contain no join at all.
+    plan = plan_of(spark, "q27_jaccard_pairs")
+    assert "Join" not in plan, plan
+
+
+def test_q30_knn_broadcasts_queries(spark):
+    plan = plan_of(spark, "q30_knn_cosine")
+    assert has_broadcast_join(plan), plan
+
+
+def test_flagship_single_scan_filter_before_shuffle(spark):
+    import re
+
+    plan = plan_of(spark, "flagship_doc_scan")
+    # One scan of documents ("(n) Scan parquet" appears once per node in
+    # the details section)...
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # ...and Catalyst pushed the EXISTS filter below the repartition
+    # exchange: rows are pruned before they are shuffled (the property
+    # that matters when the shuffle is petabytes wide). Plan nodes are
+    # numbered leaf-up, so pushed-down Filter gets a smaller id.
+    filter_id = int(re.search(r"\((\d+)\) Filter", plan).group(1))
+    exchange_id = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
+    assert filter_id < exchange_id, plan
