@@ -50,6 +50,32 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the left (skewed) side gets a random
+    salt in [0, salt); the right side is replicated ``salt`` times with
+    every salt value. The hot key's rows then spread across ``salt``
+    reducers instead of one straggler task.
+
+    AQE's skew-join split handles most cases automatically; explicit
+    salting remains the tool when a single key exceeds what one task
+    can hold even after splitting (the classic power-law key at 100 TB).
+    Replication multiplies the right side — use with a dimension-sized
+    right input.
+    """
+    lk = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    rk = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = lk.join(rk, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

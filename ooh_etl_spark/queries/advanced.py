@@ -1,0 +1,232 @@
+"""Second wave of relational coverage: grouping sets, percentiles,
+unpivot, outer/cross joins, date arithmetic, null-handling functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, register_views
+
+
+@register(
+    "q38_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q38_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets via the SQL surface (rollup/cube's
+    general form; same partial+final hash aggregation underneath)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q39_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5)  AS p50,
+           quantile_disc(l_extendedprice, 0.95) AS p95,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (values drawn from the data — the
+    continuous/interpolated form lands midpoints exactly on the .005
+    rounding lattice of 2-dp money, where engines round apart). The
+    approximate path for 100 TB is ``percentile_approx`` — see q39b."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_returnflag")
+    disc = lambda p: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)"
+    )
+    return grouped.agg(
+        disc(0.5).alias("p50"),
+        disc(0.95).alias("p95"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+
+
+@register("q39b_approx_percentiles", None)  # sketch-based → rows-only
+def q39b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+    )
+
+
+@register(
+    "q40_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def q40_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt). Spark's unpivot/stack is a narrow
+    per-row expansion — no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure", F.regexp_replace("measure", "^l_", "")
+    )
+
+
+@register(
+    "q41_full_outer_nations",
+    """
+    SELECT n_name, c_cnt, s_cnt FROM (
+      SELECT coalesce(cn.n_nationkey, sn.n_nationkey) AS nk,
+             coalesce(cn.c_cnt, 0) AS c_cnt, coalesce(sn.s_cnt, 0) AS s_cnt
+      FROM (SELECT c_nationkey AS n_nationkey, count(*) AS c_cnt
+            FROM customer GROUP BY 1) cn
+      FULL OUTER JOIN
+           (SELECT s_nationkey AS n_nationkey, count(*) AS s_cnt
+            FROM supplier GROUP BY 1) sn
+      USING (n_nationkey))
+    JOIN nation ON nk = n_nationkey
+    """,
+)
+def q41_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = cust.groupBy(F.col("c_nationkey").alias("n_nationkey")).agg(
+        F.count(F.lit(1)).alias("c_cnt")
+    )
+    sn = supp.groupBy(F.col("s_nationkey").alias("n_nationkey")).agg(
+        F.count(F.lit(1)).alias("s_cnt")
+    )
+    fo = cn.join(sn, "n_nationkey", "full_outer").select(
+        F.col("n_nationkey").alias("nk"),
+        F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+        F.coalesce("s_cnt", F.lit(0)).alias("s_cnt"),
+    )
+    return fo.join(
+        F.broadcast(nation), fo.nk == nation.n_nationkey
+    ).select("n_name", "c_cnt", "s_cnt")
+
+
+@register(
+    "q42_cross_join_regions",
+    """
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name <> b.r_name
+    """,
+)
+def q42_cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian on a tiny dimension (the only place a cross
+    join is ever acceptable)."""
+    region = load_table(spark, sf_dir, "region")
+    a = region.select(F.col("r_name").alias("from_region"))
+    b = region.select(F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("from_region") != F.col("to_region"))
+
+
+@register(
+    "q43_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL '3 months', '%Y-%m-%d')  AS plus_3m,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')              AS month_end,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01')    AS days_to_y2k,
+           dayofweek(o_orderdate) + 1                               AS dow,
+           week(o_orderdate)                                        AS wk
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def q43_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), "o_orderdate").alias(
+            "days_to_y2k"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("wk"),
+    )
+
+
+@register(
+    "q44_null_handling",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 0) END AS bal_pos,
+           ifnull(CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 0) END, -1)
+             AS bal_filled,
+           greatest(round(c_acctbal, 0), 5000.0) AS at_least_5k,
+           least(round(c_acctbal, 0), 5000.0)    AS at_most_5k
+    FROM customer
+    """,
+)
+def q44_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal_pos = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.round("c_acctbal", 0)
+    )
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        bal_pos.alias("bal_pos"),
+        F.coalesce(bal_pos, F.lit(-1)).alias("bal_filled"),
+        F.greatest(F.round("c_acctbal", 0), F.lit(5000.0)).alias("at_least_5k"),
+        F.least(F.round("c_acctbal", 0), F.lit(5000.0)).alias("at_most_5k"),
+    )
+
+
+@register(
+    "q45_array_functions",
+    """
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           list_sort(words)                              AS sorted_words,
+           list_reverse(list_sort(words))                AS rev_words,
+           array_to_string(list_sort(words), '-')        AS joined,
+           words[1]                                      AS first_word,
+           len(list_filter(words, w -> length(w) > 4))   AS n_long
+    FROM t
+    """,
+)
+def q45_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return part.select(
+        "p_partkey",
+        F.array_sort(words).alias("sorted_words"),
+        F.reverse(F.array_sort(words)).alias("rev_words"),
+        F.array_join(F.array_sort(words), "-").alias("joined"),
+        words.getItem(0).alias("first_word"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
+    )

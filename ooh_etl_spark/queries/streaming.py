@@ -147,10 +147,12 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
-def _run_to_completion(df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_completion(
+    df: DataFrame, spark: SparkSession, mode: str = "append"
+) -> DataFrame:
     name = "stream_out_" + uuid.uuid4().hex[:8]
     q = (
-        df.writeStream.outputMode("append")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -179,6 +181,16 @@ def q36_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_completion(agg, spark)
+
+
+@register("q46_stream_user_profiles", None)  # custom stateful op → rows-only
+def q46_stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user profiles with per-key bounded state."""
+    from ooh_etl_spark.streaming.stateful import running_user_profiles
+
+    ev = _event_stream(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    return _run_to_completion(running_user_profiles(ev), spark, mode="update")
 
 
 @register("q37_stream_dedup", None)  # stateful streaming → rows-only

@@ -1,0 +1,112 @@
+"""Round-trip tests for sinks, salted-join equivalence, stateful
+streaming, and approximate-aggregate accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.operators.relational import salted_join
+from ooh_etl_spark.plans.audit import physical_plan
+from ooh_etl_spark.sources.sinks import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from tests.conftest import SF_DIR
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = _orders(spark)
+    out = str(tmp_path / "orders_pq")
+    write_parquet(df, out)
+    back = read_parquet(spark, out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = _orders(spark).withColumn("status", F.col("o_orderstatus"))
+    out = str(tmp_path / "orders_part")
+    write_parquet(df, out, partition_by=["status"])
+    back = read_parquet(spark, out).filter(F.col("status") == "F")
+    # Partition pruning: only the status=F directory is scanned.
+    plan = physical_plan(back)
+    assert back.count() == df.filter(F.col("o_orderstatus") == "F").count()
+    assert "PartitionFilters: [isnotnull(status" in plan, plan
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _orders(spark).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    out = str(tmp_path / "orders_csv")
+    write_csv(df, out)
+    back = read_csv(
+        spark, out, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    assert back.count() == df.count()
+    assert back.agg(F.round(F.sum("o_totalprice"), 2)).collect() == df.agg(
+        F.round(F.sum("o_totalprice"), 2)
+    ).collect()
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = _orders(spark).select("o_orderkey", "o_orderpriority")
+    out = str(tmp_path / "orders_json")
+    write_json(df, out)
+    back = read_json(spark, out, "o_orderkey long, o_orderpriority string")
+    assert sorted(r.o_orderkey for r in back.collect()) == sorted(
+        r.o_orderkey for r in df.collect()
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    orders = _orders(spark).select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    plain = li.join(orders, "k").groupBy("o_orderpriority").count()
+    salted = salted_join(li, orders, "k", salt=4).groupBy("o_orderpriority").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_stateful_streaming_profiles_match_batch(spark):
+    from ooh_etl_spark.queries import QUERIES
+
+    out = QUERIES["q46_stream_user_profiles"].fn(spark, SF_DIR)
+    # Final state per user must equal the batch aggregate.
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in out.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+        ).collect()
+    }
+    from ooh_etl_spark.tables import load_table
+
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u][0] == expected[u][0], u
+        assert abs(got[u][1] - expected[u][1]) < 0.05, u
+
+
+def test_approx_count_distinct_accuracy(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
