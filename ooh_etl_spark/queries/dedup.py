@@ -68,6 +68,50 @@ def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
+_DUCK_CLUSTERS = f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         pairs AS (
+      SELECT id_a, id_b
+      FROM shared JOIN sz sa ON id_a = sa.doc_id
+                  JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5),
+         edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id, min(label) AS cluster FROM reach GROUP BY id
+"""
+
+
+@register("q49_dup_clusters", _DUCK_CLUSTERS)
+def q49_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters via iterative min-label propagation
+    (connected components; oracle = recursive CTE transitive closure)."""
+    from ooh_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return connected_components(pairs)
+
+
 @register("q28_minhash_pairs", None)  # spark.ml hashing → rows-only
 def q28_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

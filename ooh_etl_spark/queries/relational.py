@@ -462,7 +462,7 @@ def q13_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*)                                    AS n,
            round(avg(value), 2)                        AS avg_value,
-           sum(CAST(props->>'$.k' AS INT))             AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
            max(CAST(props->>'$.k' AS INT))             AS max_k
     FROM events
     GROUP BY event_type
