@@ -47,6 +47,8 @@ def get_spark(app_name: str = "ooh_etl_spark") -> SparkSession:
         # JS-object assignment overwrites duplicate keys (index.js:63-66);
         # map_from_entries must mirror last-wins, not throw.
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # Keep catalog-table files (bucketed-join tests) out of the repo.
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

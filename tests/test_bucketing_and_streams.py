@@ -1,0 +1,95 @@
+"""Bucketed-table co-located joins, foreachBatch sinks, IVF ANN sanity."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.plans.audit import physical_plan
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key means later joins
+    co-locate without an Exchange — the 100 TB answer to repeated
+    fact-fact joins on the same key."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    suffix = uuid.uuid4().hex[:8]
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "li"))
+        .saveAsTable(f"li_b_{suffix}")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "ord"))
+        .saveAsTable(f"ord_b_{suffix}")
+    )
+    a = spark.table(f"li_b_{suffix}")
+    b = spark.table(f"ord_b_{suffix}")
+    # Disable broadcast so the join would otherwise be a shuffle SMJ.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, a.l_orderkey == b.o_orderkey).groupBy("o_orderpriority").count()
+        plan = physical_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        # No shuffle below the join: buckets already co-locate the keys.
+        # Plan nodes number leaf-up, so any Exchange feeding the join
+        # would carry a smaller id than the SortMergeJoin node.
+        import re
+
+        smj_id = int(re.search(r"\((\d+)\) SortMergeJoin", plan).group(1))
+        exchange_ids = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
+        assert all(eid > smj_id for eid in exchange_ids), plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS ord_b_{suffix}")
+
+
+def test_foreachbatch_sink(spark, tmp_path):
+    """foreachBatch: the exactly-once escape hatch — each micro-batch
+    lands as a normal batch write (here: parquet per epoch)."""
+    from ooh_etl_spark.queries.streaming import _event_stream
+
+    out = str(tmp_path / "epochs")
+    ev = _event_stream(spark, SF_DIR).select("event_id", "user_id", "value")
+
+    def sink(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.parquet(out)
+    expected = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert written.count() == expected
+
+
+def test_ivf_ann_shape_and_ordering(spark):
+    from ooh_etl_spark.queries import QUERIES
+
+    rows = QUERIES["q53_ann_ivf"].fn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1)), q
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True), q
+    # IVF restricts search to the query's own cell; some overlap with
+    # the exact top-k is expected (same-cell vectors are near vectors).
+    exact = QUERIES["q30_knn_cosine"].fn(spark, SF_DIR).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    ivf_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(exact_pairs & ivf_pairs) > 0
