@@ -38,10 +38,27 @@ HOURLY_WAGE_PATTERN = r"The median hourly wage for (.+) was \$(\d+\.\d{2})"
 WORK_YEAR_HOURS = 2080  # 52 weeks × 40 h (index.js:65)
 
 
+# Characters outside the XML 1.0 Char production (control chars,
+# unpaired surrogates). ``xpath()`` throws a SAXParseException on them
+# — a single dirty row would fail the whole job — while the reference's
+# lenient HTML parser ignores them; stripping is the closest total
+# semantics (found by property testing, tests/test_properties.py).
+_XML_INVALID = r"[^\x09\x0A\x0D\x20-퟿-�\x{10000}-\x{10FFFF}]"
+
+
 def wrap_fragment(html: Column) -> Column:
     """Wrap an HTML fragment so ``xpath`` sees a single-rooted document
-    (jsdom wraps fragments in <html><body> implicitly; index.js:3-5)."""
-    return F.concat(F.lit("<root>"), F.coalesce(html, F.lit("")), F.lit("</root>"))
+    (jsdom wraps fragments in <html><body> implicitly; index.js:3-5),
+    with XML-invalid characters stripped and bare ampersands escaped
+    for totality. Domain contract: input is XHTML-ish markup — input
+    with stray ``<``/``>`` that is not markup needs the lenient parser
+    in :mod:`ooh_etl_spark.functions.html_fallback` instead.
+    """
+    cleaned = F.regexp_replace(F.coalesce(html, F.lit("")), _XML_INVALID, "")
+    cleaned = F.regexp_replace(
+        cleaned, r"&(?!(?:[a-zA-Z][a-zA-Z0-9]*|#[0-9]+|#x[0-9a-fA-F]+);)", "&amp;"
+    )
+    return F.concat(F.lit("<root>"), cleaned, F.lit("</root>"))
 
 
 def collapse_ws(text: Column) -> Column:

@@ -1,0 +1,109 @@
+"""Fourth coverage wave: statistical aggregates, arg-extrema, ordered
+string aggregation, RANGE window frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table
+
+
+@register(
+    "q54_stat_aggregates",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)               AS sd_qty,
+           round(var_samp(l_quantity), 4)                  AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 6) + 0.0   AS covar_disc_tax,
+           round(skewness(l_quantity), 4) + 0.0            AS skew_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q54_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias("covar_disc_tax"),
+        # + 0.0 folds IEEE negative zero to positive zero (round(-1e-9, 4)
+        # yields -0.0 in one engine and 0.0 in the other).
+        (F.round(F.skewness("l_quantity"), 4) + 0.0).alias("skew_qty"),
+    )
+
+
+@register(
+    "q55_arg_extrema",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q55_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregation). Safe for the oracle because
+    o_totalprice has no duplicates within a priority group at these SFs
+    — argmax ties would otherwise be engine-arbitrary."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
+    "q56_string_agg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q56_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect → sort → join keeps the
+    result deterministic regardless of partitioning)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "q57_range_frame",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY epoch(l_shipdate)
+             RANGE BETWEEN 432000 PRECEDING AND 432000 FOLLOWING), 2)
+             AS revenue_pm5d
+    FROM lineitem
+    WHERE l_suppkey < 3
+    """,
+)
+def q57_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time (±5 days of shipments per
+    supplier) — value-based frames, not row-count frames."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-432000, 432000)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("revenue_pm5d"),
+    )

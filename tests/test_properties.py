@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the parsing/text surface.
+
+The reference has no property tests (SURVEY.md §5.1 — a stub suite);
+these pin total-function behavior: no crash on arbitrary input, outputs
+within declared ranges, invariants that must hold for ANY document.
+
+Batched: hypothesis generates a corpus per property, evaluated in one
+Spark job (per-example Spark jobs would be pathologically slow).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.functions import html as H
+from ooh_etl_spark.functions.text import quality_score, tokenize, word_shingles
+
+
+def run_batch(spark, texts: list[str], col_fn):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    return [r.v for r in df.select(col_fn(F.col("t")).alias("v")).collect()]
+
+
+printable = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"), max_size=200
+)
+
+# The codegen xpath path's domain: markup-ish text. Stray '<'/'>' that
+# is not actual markup is the lenient fallback's territory (see
+# wrap_fragment docstring); everything else — control chars, bare '&',
+# unicode — must be total here.
+markupish = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00<>"), max_size=200
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(markupish, min_size=1, max_size=30))
+def test_pay_map_total_on_markupish_input(spark, texts):
+    # Dirty-but-markup-ish CDATA must not crash; wages, when extracted,
+    # are positive and 2-dp.
+    for m in run_batch(spark, texts, H.pay_map):
+        assert m is not None
+        for v in m.values():
+            assert v > 0
+            assert round(v, 2) == v
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(printable, min_size=1, max_size=30))
+def test_fallback_total_on_fully_arbitrary_input(spark, texts):
+    from ooh_etl_spark.functions.html_fallback import tag_texts
+
+    for v in run_batch(spark, texts, lambda c: tag_texts(c, "p")):
+        assert v is not None
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(printable, min_size=1, max_size=30))
+def test_extract_after_heading_null_or_nonempty(spark, texts):
+    for v in run_batch(spark, texts, H.extract_after_heading):
+        assert v is None or len(v) > 0  # group 3 is (.+): never ''
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", min_size=1, max_size=60), min_size=1, max_size=50))
+def test_shingles_never_empty_and_distinct(spark, texts):
+    for sh in run_batch(spark, texts, lambda c: word_shingles(c, 3)):
+        assert len(sh) >= 1
+        assert len(sh) == len(set(sh))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(printable.filter(lambda s: s.strip()), min_size=1, max_size=50))
+def test_quality_score_bounded(spark, texts):
+    for q in run_batch(spark, texts, quality_score):
+        assert q is None or -0.0001 <= q <= 1.0001
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet="abc xyz", min_size=1, max_size=60), min_size=1, max_size=40))
+def test_tokenize_roundtrip_count(spark, texts):
+    # len(tokens) == whitespace-separated word count of the trimmed text.
+    got = run_batch(spark, texts, lambda c: F.size(tokenize(c)))
+    expected = [len(t.strip().lower().split()) if t.strip() else 1 for t in texts]
+    assert got == expected
