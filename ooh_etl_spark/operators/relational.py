@@ -42,12 +42,18 @@ def asof_join(
     joined = lt.join(
         right, (lt[lk] == right[rk]) & (lt[left_ts] >= right[right_ts]), how
     )
-    w = Window.partitionBy(lid).orderBy(F.col(right_ts).desc())
-    return (
-        joined.withColumn("__asof_rn", F.row_number().over(w))
-        .filter(F.col("__asof_rn") == 1)
-        .drop("__asof_rn", lid)
+    # Latest-right selection as max_by aggregation, NOT a ranking
+    # window: aggregation gets map-side partial combine, so the shuffle
+    # carries one row per left row instead of every joined pair — the
+    # difference between shuffling |left| and |left|x|history| at scale.
+    r_struct = F.struct(*[right[c] for c in right.columns])
+    agg = joined.groupBy(lid, *[lt[c] for c in left.columns]).agg(
+        F.max_by(r_struct, right[right_ts]).alias("__asof_r")
     )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__asof_r.{c}").alias(c) for c in right.columns
+    ]
+    return agg.select(*out_cols)
 
 
 def salted_join(

@@ -80,6 +80,28 @@ def q56_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_above_customer_average",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+                                WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def q58_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery, decorrelated into a window
+    average — one shuffle on the correlation key instead of a
+    re-executed subquery per row."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
     "q57_range_frame",
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
