@@ -149,8 +149,11 @@ def _wage_entry(p: Column) -> Column:
     annual_amt = F.regexp_extract(p, ANNUAL_WAGE_PATTERN, 2)
     hourly_sub = F.regexp_extract(p, HOURLY_WAGE_PATTERN, 1)
     hourly_amt = F.regexp_extract(p, HOURLY_WAGE_PATTERN, 2)
+    # try_cast: the regex guarantees digits when matched, but ANSI-mode
+    # cast('' as double) in the not-taken branch must never throw under
+    # an optimizer that folds eagerly.
     annual_hourly = F.round(
-        F.regexp_replace(annual_amt, ",", "").cast("double") / WORK_YEAR_HOURS, 2
+        F.regexp_replace(annual_amt, ",", "").try_cast("double") / WORK_YEAR_HOURS, 2
     )
     return (
         F.when(
@@ -159,7 +162,9 @@ def _wage_entry(p: Column) -> Column:
         )
         .when(
             hourly_amt != "",
-            F.struct(hourly_sub.alias("key"), hourly_amt.cast("double").alias("value")),
+            F.struct(
+                hourly_sub.alias("key"), hourly_amt.try_cast("double").alias("value")
+            ),
         )
         .otherwise(F.lit(None))
     )

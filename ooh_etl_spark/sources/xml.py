@@ -92,10 +92,13 @@ def occupation_records(occ: DataFrame) -> DataFrame:
         extract_after_heading(we, WORK_SCHEDULES_PATTERN, 3).alias("workSchedules"),
         qualities_map(htb).alias("importantQualities"),
         _masked(qf("description"), title).alias("description"),
-        _masked(qf("qf_median_pay_annual.value").cast("double"), title).alias(
+        # try_cast: ANSI mode is on (Spark 4 default) and a plain cast
+        # THROWS on malformed text; NULL is the total analog of the
+        # reference's `+'abc' → NaN` coercion (index.js:151-152).
+        _masked(qf("qf_median_pay_annual.value").try_cast("double"), title).alias(
             "medianPayAnnual"
         ),
-        _masked(qf("qf_median_pay_hourly.value").cast("double"), title).alias(
+        _masked(qf("qf_median_pay_hourly.value").try_cast("double"), title).alias(
             "medianPayHourly"
         ),
         _masked(qf("qf_entry_level_education.value"), title).alias("education"),

@@ -128,6 +128,44 @@ def test_qualities_map_js_no_separator_edge(spark):
     }
 
 
+# --- ANSI totality: dirty numerics → NULL, never a thrown job ---------------
+def test_malformed_numeric_value_yields_null(spark):
+    # The reference coerces with unary + ('N/A' → NaN, index.js:151);
+    # under Spark's ANSI mode a plain cast would kill the whole job —
+    # try_cast gives the total NULL semantics.
+    from pyspark.sql import Row
+
+    from ooh_etl_spark.sources.xml import occupation_records
+
+    occ = spark.createDataFrame(
+        [
+            Row(
+                title="Dirty",
+                description="d",
+                qf_median_pay_annual=Row(value="N/A"),
+                qf_median_pay_hourly=Row(value="see text"),
+                qf_entry_level_education=Row(value="x"),
+                qf_work_experience=Row(value="x"),
+                qf_on_the_job_training=Row(value="x"),
+                qf_number_of_jobs=Row(value="x"),
+                qf_employment_outlook=Row(description="x", value="x"),
+                qf_employment_openings=Row(value="x"),
+                summary_what_they_do="<p>a</p>",
+                summary_how_to_become_one="<p>a</p>",
+                summary_work_environment="<p>a</p>",
+                summary_pay="<p>a</p>",
+                similar_occupations=Row(section_body="<td><h4>b</h4></td>"),
+                work_environment=Row(section_body="<p>c</p>"),
+                how_to_become_one=Row(section_body="<p>d</p>"),
+            )
+        ]
+    )
+    rec = occupation_records(occ).collect()[0]
+    assert rec.medianPayAnnual is None
+    assert rec.medianPayHourly is None
+    assert rec.title == "Dirty"
+
+
 # --- fallback: lenient HTML --------------------------------------------------
 def test_fallback_handles_unclosed_p(spark):
     html = "<p>first<p>second</p>"
