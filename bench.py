@@ -42,9 +42,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = get_queries()
 
-    # Warm the JVM + parquet footers so per-query times measure the
-    # query, not session startup (the driver compares query throughput).
+    # Warm the JVM, codegen cache, and parquet readers: run each
+    # headline query once at the smallest SF so the timed runs measure
+    # steady-state query execution, not first-use JIT/codegen compile.
     spark.range(1).count()
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -17,8 +17,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ooh_etl_spark.functions.text import simhash64, word_shingles
+from ooh_etl_spark.functions.text import (
+    simhash64,
+    tokenize,
+    word_shingles_from_tokens,
+)
 from ooh_etl_spark.tables import parallelize_rows
+
+
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, sh) with the token array materialized in its own projection
+    so the shingle lambda does not re-evaluate the tokenizing split per
+    element (see word_shingles_from_tokens)."""
+    return (
+        parallelize_rows(df)
+        .select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("toks"))
+        .select("id", word_shingles_from_tokens(F.col("toks"), n).alias("sh"))
+    )
 
 
 def exact_dedup(df: DataFrame, key: str, id_col: str) -> DataFrame:
@@ -49,41 +64,45 @@ def jaccard_pairs(
     # One evaluation of the (expensive) shingle expression: id, set
     # size, and the exploded shingle come out of a single projection.
     # A naive self-join re-evaluates it per plan branch (4-6x).
-    sh = parallelize_rows(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    sh = _shingle_sets(df, text_col, id_col, n)
+    # ONE evaluation of the shingle expression: the only consumer is the
+    # explode (a second consumer — size(), a self-join branch — would be
+    # re-inlined by CollapseProject and double the work).
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    # Posting list per shingle; everything downstream (set sizes AND
+    # pair expansion) derives from this one exchange, which Spark
+    # reuses — the expensive scan+shingle stage runs exactly once.
+    members = inv.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
     )
-    inv = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
-    # Group the posting list per shingle and emit ordered pairs with a
-    # higher-order combination expansion — no join, two shuffles total
-    # (by shingle, then by pair), sizes carried through the rows.
-    members = (
-        inv.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("ms"))
-        .filter(F.size("ms") >= 2)
+    # |shingle set| per doc = its appearances across posting lists
+    # (shingle sets are distinct per doc by construction).
+    sizes = (
+        members.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz"))
     )
+    # Ordered pair expansion per posting list — no self-join.
     pairs = members.select(
         F.explode(
             F.flatten(
                 F.transform(
-                    F.col("ms"),
-                    lambda m, i: F.transform(
-                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                        lambda m2: F.struct(
-                            m.getField("id").alias("id_a"),
-                            m.getField("sz").alias("sz_a"),
-                            m2.getField("id").alias("id_b"),
-                            m2.getField("sz").alias("sz_b"),
-                        ),
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.id_a", "p.sz_a", "p.id_b", "p.sz_b")
-    shared = pairs.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(
-        F.count(F.lit(1)).alias("shared")
-    )
+    ).select("p.id_a", "p.id_b")
+    shared = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        shared.withColumn(
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 4
@@ -108,9 +127,7 @@ def minhash_lsh_pairs(
     inverted-index join when shingle frequency explodes."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = parallelize_rows(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    )
+    sh = _shingle_sets(df, text_col, id_col, n)
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     )

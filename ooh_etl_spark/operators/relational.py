@@ -56,6 +56,25 @@ def asof_join(
     return agg.select(*out_cols)
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+) -> DataFrame:
+    """MERGE emulation (no Delta/Iceberg in this environment): rows in
+    ``updates`` replace same-key rows in ``target``; unmatched update
+    rows are inserted. Implemented as anti-join + union — one shuffle
+    on the key, the same cost profile a MERGE INTO rewrite plans.
+
+    Columns must match. At 100 TB the target side would be partitioned
+    storage and the anti-join pruned to touched partitions (dynamic
+    partition pruning handles that when the key correlates with the
+    partition column).
+    """
+    untouched = target.join(updates, key, "left_anti")
+    return untouched.unionByName(updates.select(*target.columns))
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -80,6 +80,36 @@ def q56_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q59_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 100.0, 2) AS c_acctbal,
+             'UPGRADED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 10 <> 0
+    UNION ALL
+    SELECT * FROM updates
+    """,
+)
+def q59_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (anti-join + union): every 10th customer
+    gets an updated balance and segment; the rest pass through."""
+    from ooh_etl_spark.operators.relational import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+    )
+    return merge_upsert(cust, updates, "c_custkey")
+
+
+@register(
     "q58_above_customer_average",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
