@@ -266,7 +266,8 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_acctbal_band_join",
     """
     SELECT s_suppkey, count(*) AS n_close,
-           round(avg(c_acctbal - s_acctbal), 2) AS avg_gap
+           round(avg(CAST(round((c_acctbal - s_acctbal) * 100, 0) AS BIGINT)) / 100, 2)
+             + 0.0 AS avg_gap
     FROM supplier JOIN customer
       ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
     GROUP BY s_suppkey
@@ -289,9 +290,20 @@ def q07_acctbal_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_close"),
-            F.round(F.avg(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias(
-                "avg_gap"
-            ),
+            # Averaged over integer cents: means of 2-dp money sit on
+            # .005 rounding boundaries where engines round apart (the
+            # q23 lesson); + 0.0 folds IEEE -0.0.
+            (
+                F.round(
+                    F.avg(
+                        F.round((F.col("c_acctbal") - F.col("s_acctbal")) * 100, 0)
+                        .cast("long")
+                    )
+                    / 100,
+                    2,
+                )
+                + 0.0
+            ).alias("avg_gap"),
         )
     )
 
