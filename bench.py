@@ -34,6 +34,51 @@ HEADLINE = [
 ]
 
 
+OOH_BENCH_XML = "/tmp/ooh_bench_10k.xml"
+OOH_BENCH_OCCUPATIONS = 10_000
+
+
+def _synthesize_ooh_xml() -> str:
+    """Replicate the 4-occupation fixture to ~10k occupations — the
+    reference's workload shape (one XML compilation, one row per
+    <occupation>) at a size where throughput is meaningful. The
+    reference's own input is git-ignored in its repo, so a synthetic
+    compilation is the only reproducible basis."""
+    if os.path.exists(OOH_BENCH_XML):
+        return OOH_BENCH_XML
+    import re
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "ooh_mini.xml"
+    )
+    text = open(fixture).read()
+    occs = re.findall(r"<occupation>.*?</occupation>", text, re.DOTALL)
+    reps = OOH_BENCH_OCCUPATIONS // len(occs)
+    with open(OOH_BENCH_XML, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n<ooh_xml_compilation>\n')
+        for i in range(reps):
+            for o in occs:
+                f.write(o.replace("<title>", f"<title>V{i} ", 1))
+                f.write("\n")
+        f.write("</ooh_xml_compilation>\n")
+    return OOH_BENCH_XML
+
+
+def run_ooh_pipeline(spark) -> int:
+    """The reference's full pipeline (S1→P1→F1→K1) on the synthetic
+    compilation: XML scan → 18-column record projection → EXISTS-over-
+    map-keys filter → formatted report lines."""
+    from ooh_etl_spark.sources.xml import (
+        long_quality_filter,
+        occupation_records,
+        read_occupations,
+        report_lines,
+    )
+
+    occ = read_occupations(spark, _synthesize_ooh_xml())
+    return len(report_lines(long_quality_filter(occupation_records(occ))).collect())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ooh_etl_spark.queries import get_queries
@@ -55,6 +100,15 @@ def main() -> None:
         n = len(qs[name](spark, sf_dir).collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # Reference-surface throughput: the full OOH ETL on a 10k-occupation
+    # compilation (the reference itself is single-threaded jsdom).
+    _synthesize_ooh_xml()
+    run_ooh_pipeline(spark)  # warm the XML reader path
+    t0 = time.perf_counter()
+    n = run_ooh_pipeline(spark)
+    timings["ooh_xml_10k"] = round(time.perf_counter() - t0, 3)
+    print(f"# ooh_xml_10k: {timings['ooh_xml_10k']}s ({n} report rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -132,6 +132,51 @@ def q58_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q60_map_functions",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < 100),
+         wc AS (
+      SELECT doc_id,
+             list_filter(list_transform(list_distinct(toks),
+                         w -> {'k': w, 'v': len(list_filter(toks, x -> x = w))}),
+                         e -> e.v > 1) AS ents
+      FROM t)
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_transform(ents, e -> e.k || '=' || (e.v * 2))), '|'), '')
+             AS doubled_repeats,
+           len(ents) AS n_repeated
+    FROM wc
+    """,
+)
+def q60_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (map_filter / transform_values /
+    map_entries) over the word-count map — the reference's dict-valued
+    fields (§1.2) manipulated in place, canonicalized for comparison."""
+    from ooh_etl_spark.queries.flagship import word_count_map
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    wc = word_count_map(F.col("text"))
+    repeats = F.map_filter(wc, lambda k, v: v > 1)
+    doubled = F.transform_values(repeats, lambda k, v: v * 2)
+    as_string = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(doubled),
+                lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value").cast("string")),
+            )
+        ),
+        "|",
+    )
+    return docs.select(
+        "doc_id",
+        as_string.alias("doubled_repeats"),
+        F.size(F.map_keys(repeats)).alias("n_repeated"),
+    )
+
+
+@register(
     "q57_range_frame",
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
