@@ -67,8 +67,14 @@ def jaccard_pairs(
     sh = _shingle_sets(df, text_col, id_col, n)
     # ONE evaluation of the shingle expression: the only consumer is the
     # explode (a second consumer — size(), a self-join branch — would be
-    # re-inlined by CollapseProject and double the work).
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    # re-inlined by CollapseProject and double the work). explode_OUTER,
+    # not explode: InferFiltersFromGenerate turns plain explode into a
+    # `size(sh)>0 AND sh IS NOT NULL` filter that Catalyst pushes below
+    # the repartition exchange — re-evaluating the whole shingle
+    # expression twice in the (single-split) scan stage (measured 8x on
+    # this stage). The shingle array is non-null/non-empty by
+    # construction, so OUTER is semantically identical.
+    inv = sh.select("id", F.explode_outer("sh").alias("shingle"))
     # Posting list per shingle; everything downstream (set sizes AND
     # pair expansion) derives from this one exchange, which Spark
     # reuses — the expensive scan+shingle stage runs exactly once.
@@ -82,20 +88,28 @@ def jaccard_pairs(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
-    # Ordered pair expansion per posting list — no self-join.
-    pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                    ),
+    # Ordered pair expansion per posting list — no self-join. Singleton
+    # posting lists (the long tail) cannot produce a pair: prune them
+    # BEFORE the quadratic expansion expression ever runs. explode_outer
+    # again to keep InferFiltersFromGenerate from evaluating the nested
+    # transform twice; with size>=2 the pair array is never empty.
+    pairs = (
+        members.filter(F.size("ids") >= 2)
+        .select(
+            F.explode_outer(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
                 )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
     shared = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))

@@ -69,7 +69,14 @@ def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        # explode_outer: plain explode's inferred size>0/notnull filter
+        # is pushed below the repartition exchange and re-evaluates the
+        # split twice on the single-split scan (see operators/dedup.py).
+        # The notnull filter on the exploded OUTPUT column restores
+        # exact explode semantics (unnest(NULL) -> no rows) and cannot
+        # be pushed below the Generate.
+        docs.select(F.explode_outer(tokenize(F.col("text"))).alias("word"))
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("word"))
@@ -97,7 +104,9 @@ def q21_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokenize(F.col("text"))).alias("term")
+    ).filter(F.col("term").isNotNull())
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
