@@ -108,7 +108,11 @@ def q22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode_outer(tokenize(F.col("text"))).alias("term")
     ).filter(F.col("term").isNotNull())
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    idf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df(term) = distinct docs containing term = row count per term in
+    # tf, which is already distinct on (doc_id, term). Deriving idf from
+    # tf (not tok) reuses tf's exchange, so the scan+tokenize+explode
+    # stage runs once instead of twice.
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(idf), "term")
