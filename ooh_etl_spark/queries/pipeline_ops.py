@@ -1,0 +1,243 @@
+"""Fifth coverage wave: pipeline utility operators a 100 TB
+training-data build needs around the core engine — a pure-SQL-text
+entry point, time-series gap fill, deterministic hash-based dataset
+splitting, fuzzy (edit-distance) matching, PII redaction, and
+quantile binning.
+
+None of these exist in the reference (single XML file, no second
+input, no time axis — SURVEY.md §2.A); they extend §2.B's mandate
+("operations a large-scale training-data pipeline would need")."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+# One SQL text, two engines: ANSI-only subset (no engine-specific
+# functions), so the SAME string is the Spark query and the oracle.
+_Q67_SQL = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q67_sql_api", _Q67_SQL)
+def q67_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-text surface: register the tables as temp views
+    and hand the EXACT oracle string to ``spark.sql`` — proving users
+    can drive the engine with plain ANSI SQL and get the DataFrame
+    plan (same Catalyst optimization: broadcasted dims, partial aggs)
+    with zero Python expression code."""
+    for name in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q67_SQL)
+
+
+@register(
+    "q68_gap_fill",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1),
+         span AS (
+      SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      FROM b)
+    SELECT strftime(span.h, '%Y-%m-%d %H:00') AS hour,
+           coalesce(b.n, 0) AS n_errors
+    FROM span LEFT JOIN b ON span.h = b.h
+    ORDER BY hour
+    """,
+)
+def q68_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: hourly error counts with missing hours
+    materialized as zero rows. The dense hour spine comes from
+    ``sequence(min, max, interval 1 hour)`` exploded on the DRIVERLESS
+    path — a 2-row aggregate (min/max) feeds the generator, so the
+    spine costs one tiny stage regardless of fact size, then
+    left-joins the (already aggregated, small) hourly counts. At
+    100 TB the counts side stays a per-hour aggregate — the spine
+    never multiplies the fact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi")).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    return (
+        span.join(F.broadcast(counts), "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_errors"),
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "q69_hash_split",
+    """
+    WITH tagged AS (
+      SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
+                  THEN 'train' ELSE 'test' END AS split,
+             n_chars
+      FROM documents)
+    SELECT split, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def q69_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split (~80/20) via Knuth multiplicative
+    hashing on the document id — pure BIGINT arithmetic, so the split
+    is reproducible across engines, runs, partitionings, AND cluster
+    sizes (unlike ``randomSplit``, whose assignment depends on
+    partition layout). The 100 TB pattern for dataset splitting: a
+    narrow per-row expression, no shuffle until the audit aggregate.
+    Threshold 3435973837 = floor(0.8 * 2^32)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        docs.withColumn(
+            "split",
+            F.when(bucket < F.lit(3435973837), F.lit("train")).otherwise(
+                F.lit("test")
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "q70_fuzzy_match",
+    """
+    WITH probes AS (
+      SELECT * FROM (VALUES ('red widgett'), ('blu bolt'), ('small rng'),
+                            ('green gadget'), ('nosuchpart')) AS t(probe))
+    SELECT probe, p_name, levenshtein(probe, p_name) AS dist
+    FROM probes JOIN part ON levenshtein(probe, p_name) <= 2
+    GROUP BY probe, p_name
+    ORDER BY probe, p_name
+    """,
+)
+def q70_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) dimension matching: resolve misspelled
+    part names against the catalog with a levenshtein band join. The
+    tiny probe side broadcasts, so the theta-join is a broadcast
+    nested loop over it — fine when one side is small; at scale the
+    same probe set stays broadcastable because fuzzy lookup lists are
+    dimension-sized by nature. Distinct (probe, p_name) output since
+    the catalog repeats names across part ids."""
+    part = load_table(spark, sf_dir, "part")
+    probes = spark.createDataFrame(
+        [("red widgett",), ("blu bolt",), ("small rng",),
+         ("green gadget",), ("nosuchpart",)],
+        ["probe"],
+    )
+    dist = F.levenshtein(F.col("probe"), F.col("p_name"))
+    return (
+        part.join(F.broadcast(probes), dist <= 2)
+        .groupBy("probe", "p_name")
+        .agg(F.levenshtein(F.col("probe"), F.col("p_name")).alias("dist"))
+        .orderBy("probe", "p_name")
+    )
+
+
+_EMAIL_RE = r"[\w.+-]+@[\w-]+(\.[\w-]+)+"
+_PHONE_RE = r"\+?\d[\d-]{7,}"
+
+
+@register(
+    "q71_pii_redaction",
+    rf"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@mail.example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-99' AS raw
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS clean,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails
+    FROM synth
+    """,
+)
+def q71_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training text: email and phone patterns
+    replaced with typed placeholders, plus a per-doc match count for
+    audit. PII is synthesized onto the fixture text deterministically
+    (the corpus itself is clean words) so the redaction provably
+    fires. Patterns are RE2-safe (no lookarounds) so one regex serves
+    both engines. Narrow per-row expressions — shuffle-free."""
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-99"),
+    )
+    synth = docs.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return synth.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+    )
+
+
+@register(
+    "q72_price_quartiles",
+    """
+    WITH q AS (
+      SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+    SELECT quartile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM q GROUP BY quartile ORDER BY quartile
+    """,
+)
+def q72_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning via ntile: equal-population price bands with
+    their boundaries. A global ORDER BY window is the one legitimately
+    single-partition operator in the engine (rank over totality); at
+    100 TB the same output comes from approx_percentile boundaries +
+    width_bucket instead — this exact form is for modest dimensions.
+    Tie-broken on the key so bin assignment is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("quartile")
+    )
