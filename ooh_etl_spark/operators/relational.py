@@ -25,35 +25,65 @@ def asof_join(
     """As-of join: for each left row, the single right row with the
     greatest ``right_ts`` <= ``left_ts`` within the same key.
 
-    Implementation: equi-join on the key with the range predicate, then
-    keep the latest right row per left row via ``row_number``. The
-    equi-key keeps this a hash/sort-merge join (NOT a cartesian); the
-    window's partition key is the left row id, so the dedup shuffle is
-    on the same key distribution as the join output.
+    Implementation: union-merge. Both sides are tagged and unioned,
+    shuffled once on the key, sorted by (ts, side) within each key, and
+    the latest right payload is carried forward onto each left row by a
+    running ``last(ignoreNulls)`` window — the classic merge-join
+    formulation of as-of.
 
-    Scale notes (100 TB): per-key right-side history is re-scanned per
-    left row only within the joined pairs; for very deep histories
-    prefer bucketing both sides by the key so the join co-locates. Ties
-    on ``right_ts`` are broken arbitrarily — project tie-safe columns.
+    Scale notes (100 TB): the shuffle carries |left| + |right| rows at
+    ANY per-key history depth (the join+aggregate alternative shuffles
+    or scans |left| x |history| pairs). Skewed keys are the risk: one
+    hot key's merged timeline lands in one task — salt by a time bucket
+    and as-of join bucket boundaries separately if a key exceeds a
+    task's memory. Ties on ``right_ts`` are broken arbitrarily —
+    project tie-safe columns.
     """
+    import pyspark.sql.types as T
+
     lk, rk = (on, on) if isinstance(on, str) else on
-    lid = "__asof_left_id"
-    lt = left.withColumn(lid, F.monotonically_increasing_id())
-    joined = lt.join(
-        right, (lt[lk] == right[rk]) & (lt[left_ts] >= right[right_ts]), how
+    l_type = T.StructType(left.schema.fields)
+    r_type = T.StructType(right.schema.fields)
+    # Union-merge strategy: tag both sides, shuffle ONCE on the key,
+    # sort each key by (ts, side) and run a linear `last(right_payload,
+    # ignoreNulls)` window. This never materializes the (left row x
+    # key history) pair set the join+max_by form produces — the shuffle
+    # carries exactly |left| + |right| rows at any history depth, which
+    # is the difference between linear and quadratic-in-history cost at
+    # 100 TB. Right rows sort BEFORE left rows at equal ts (kind 0 < 1),
+    # giving the inclusive `right_ts <= left_ts` semantics.
+    l = left.select(
+        F.col(lk).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__kind"),
+        F.struct(*left.columns).alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
     )
-    # Latest-right selection as max_by aggregation, NOT a ranking
-    # window: aggregation gets map-side partial combine, so the shuffle
-    # carries one row per left row instead of every joined pair — the
-    # difference between shuffling |left| and |left|x|history| at scale.
-    r_struct = F.struct(*[right[c] for c in right.columns])
-    agg = joined.groupBy(lid, *[lt[c] for c in left.columns]).agg(
-        F.max_by(r_struct, right[right_ts]).alias("__asof_r")
+    r = right.select(
+        F.col(rk).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__kind"),
+        F.lit(None).cast(l_type).alias("__l"),
+        F.struct(*right.columns).alias("__r"),
     )
-    out_cols = [F.col(c) for c in left.columns] + [
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        l.unionByName(r)
+        .withColumn("__asof_r", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__kind") == 1)
+    )
+    if how == "inner":
+        merged = merged.filter(F.col("__asof_r").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
         F.col(f"__asof_r.{c}").alias(c) for c in right.columns
     ]
-    return agg.select(*out_cols)
+    return merged.select(*out_cols)
 
 
 def merge_upsert(
