@@ -75,7 +75,12 @@ def run_ooh_pipeline(spark) -> int:
         report_lines,
     )
 
-    occ = read_occupations(spark, _synthesize_ooh_xml())
+    from ooh_etl_spark.tables import parallelize_rows
+
+    # The single-file XML parse is one task (unsplittable); the 18-column
+    # xpath/regex projection is the expensive part and spreads across
+    # cores after a round-robin repartition.
+    occ = parallelize_rows(read_occupations(spark, _synthesize_ooh_xml()))
     return len(report_lines(long_quality_filter(occupation_records(occ))).collect())
 
 

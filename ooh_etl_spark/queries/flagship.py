@@ -52,8 +52,15 @@ def flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
     wc = word_count_map(F.col("text"))
     df = docs.withColumn("wc", wc)
-    # F1: EXISTS over map keys (index.js:177), null-safe per SURVEY §7.3.1
-    df = df.filter(F.exists(F.map_keys("wc"), lambda k: F.length(k) > LONG_KEY))
+    # F1: EXISTS over map keys (index.js:177), null-safe per SURVEY §7.3.1.
+    # Phrased over the token array, not map_keys(wc): the predicate is
+    # pushed below the repartition exchange into the single-split scan
+    # stage (PushDownPredicates substitutes the wc alias), so it must
+    # stay cheap — one split pass, not the full quadratic map build.
+    # Equivalent because the map's keys ARE the distinct tokens.
+    df = df.filter(
+        F.exists(F.split(F.col("text"), r"\s+"), lambda k: F.length(k) > LONG_KEY)
+    )
     return df.select(
         F.col("doc_id"),
         F.col("lang"),

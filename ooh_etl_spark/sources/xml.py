@@ -139,9 +139,19 @@ def occupation_records(occ: DataFrame) -> DataFrame:
 
 def long_quality_filter(records: DataFrame, min_len: int = 26) -> DataFrame:
     """F1 (index.js:177): EXISTS over map keys. NULL-safe: rows with a
-    NULL map are dropped (the reference would throw; SURVEY §7.3.1)."""
+    NULL map are dropped (the reference would throw; SURVEY §7.3.1).
+
+    The predicate is pinned above the record projection
+    (tables.non_pushable): pushed down, it would re-run the full
+    qualities parse single-threaded in the XML scan stage."""
+    from ooh_etl_spark.tables import non_pushable
+
     return records.filter(
-        F.exists(F.map_keys("importantQualities"), lambda k: F.length(k) > min_len)
+        non_pushable(
+            F.exists(
+                F.map_keys("importantQualities"), lambda k: F.length(k) > min_len
+            )
+        )
     )
 
 

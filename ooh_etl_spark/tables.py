@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLE_NAMES = (
@@ -51,6 +51,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # int64 magnitude), matching DuckDB's nanos→micros truncation.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
+
+
+def non_pushable(pred: Column) -> Column:
+    """Mark a filter predicate as non-pushable.
+
+    PushDownPredicates substitutes a filter's aliases and sinks the
+    predicate through projections and repartition exchanges — which
+    re-evaluates expensive projected expressions (XML/HTML parses, map
+    builds) a second time inside the pre-exchange single-split scan
+    stage, single-threaded. The rule only moves DETERMINISTIC
+    predicates, so AND-ing a vacuously-true non-deterministic conjunct
+    pins the filter where it was written, after the projection it
+    consumes. Three traps found empirically (Spark 4.1):
+
+    - an AND conjunct gets SPLIT and the deterministic part pushed
+      anyway — the guard must be an OR (not separable);
+    - ``rand()``-based guards get optimized away (range analysis knows
+      rand ∈ [0,1), so ``rand() < -1`` folds to false);
+    - an unused non-deterministic projected column is stripped by
+      ColumnPruning before pushdown runs.
+
+    ``spark_partition_id() < -1`` survives: non-deterministic, no
+    range reasoning, free to evaluate. Use only where the predicate
+    references expensive projected columns; cheap predicates SHOULD
+    push to the scan.
+    """
+    return pred | (F.spark_partition_id() < F.lit(-1))
 
 
 def parallelize_rows(df: DataFrame, partitions: int | None = None) -> DataFrame:
