@@ -127,6 +127,80 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via prefix filtering (Bayardo et al.,
+    WWW'07 "Scaling Up All Pairs Similarity Search" / PPJoin).
+
+    Same result set as :func:`jaccard_pairs`, asymptotically fewer
+    candidates: order every shingle by global document frequency
+    (rarest first, tie-broken on the shingle string for a total order);
+    a pair with J(A,B) >= t must share at least one shingle inside both
+    prefixes of length |X| - ceil(t*|X|) + 1, so only PREFIX posting
+    lists generate candidates. Rare shingles have short posting lists,
+    which is exactly why candidate volume collapses (the frequent
+    stop-shingles that dominate pair expansion never reach the index).
+    Candidates are then verified exactly with array_intersect over the
+    full shingle sets.
+
+    Scale notes (100 TB): candidate generation shuffles only prefix
+    (shingle, id) pairs; verification shuffles |candidates| rows twice
+    (once per side join). The frequency ranking is itself one extra
+    aggregate + one co-partitioned join on the shingle.
+    """
+    sh = _shingle_sets(df, text_col, id_col, n).withColumn("sz", F.size("sh"))
+    inv = sh.select("id", "sz", F.explode_outer("sh").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    # Rank each doc's shingles rarest-first in a TOTAL order (df, shingle).
+    w = Window.partitionBy("id").orderBy("df_", "shingle")
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * threshold) + 1
+    prefix = (
+        inv.join(dfreq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select("shingle", "id")
+    )
+    # Candidate pairs: co-occurrence within prefix posting lists only.
+    members = prefix.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
+    cand = (
+        members.filter(F.size("ids") >= 2)
+        .select(
+            F.explode_outer(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    # Exact verification over the full shingle sets.
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

@@ -68,6 +68,23 @@ def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
+@register("q73_jaccard_prefix_filter", _DUCK_JACCARD)
+def q73_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact result as q27 via prefix filtering (Bayardo WWW'07):
+    only each doc's rarest `(1-t)*s + 1` shingles generate candidates,
+    so frequent stop-shingles never enter pair expansion. On this
+    fixture corpus (16-word docs, small vocabulary → dense overlap) the
+    inverted-index form wins locally; prefix filtering is the scale
+    path when documents are long and the shingle universe is sparse —
+    candidate volume tracks the RARE-shingle posting lists instead of
+    all of them. Both are registered against the same oracle so the
+    equivalence is machine-checked every round."""
+    from ooh_etl_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
 _DUCK_CLUSTERS = f"""
     WITH RECURSIVE d AS (
       SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),

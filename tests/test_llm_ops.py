@@ -70,6 +70,20 @@ def test_jaccard_pairs_detects_near_dup(spark):
     assert all(a != 3 and b != 3 for a, b in pairs)
 
 
+def test_jaccard_prefix_filter_equals_inverted_index(spark):
+    """Prefix filtering must be lossless: identical pair set + scores
+    as the full inverted-index expansion on driver data (sf0.001)."""
+    from ooh_etl_spark.operators.dedup import jaccard_pairs_prefix
+    from ooh_etl_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = {tuple(r) for r in jaccard_pairs(docs, "text", "doc_id").collect()}
+    pref = {
+        tuple(r) for r in jaccard_pairs_prefix(docs, "text", "doc_id").collect()
+    }
+    assert base == pref and base  # equal and non-trivial
+
+
 def test_simhash_pairs_near_dup_low_hamming(spark):
     df = spark.createDataFrame(
         [
