@@ -1,0 +1,255 @@
+"""Sixth coverage wave: the text-corpus shaping operators between raw
+documents and a training run — chunking long documents into overlapping
+token windows, packing short ones into fixed-token batches, balancing a
+corpus across languages, quantizing embeddings, and gap-based
+sessionization of the event stream.
+
+All are narrow-plus-one-window shapes: per-row expressions and at most
+one shuffle on a natural partition key (doc source, language, user) —
+nothing global, so each scales linearly with the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.functions.text import tokenize
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+_CHUNK = 8  # tokens per chunk
+_STRIDE = 6  # tokens between chunk starts (overlap = _CHUNK - _STRIDE)
+
+
+@register(
+    "q74_doc_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+         starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - {_CHUNK} + 1, 1),
+                                    {_STRIDE})) AS start
+      FROM t)
+    SELECT doc_id,
+           CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(toks[start:start + {_CHUNK} - 1], ' ') AS chunk_text,
+           len(toks[start:start + {_CHUNK} - 1]) AS n_tokens
+    FROM starts
+    """,
+)
+def q74_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the standard long-document →
+    training-sample transform (chunk of 8 tokens, stride 6, overlap 2).
+    Chunk starts come from `sequence(...)` + posexplode, so the fan-out
+    is expression-level (no join, no shuffle); every chunk keeps
+    (doc_id, chunk_id) lineage for provenance. Tail chunks shorter than
+    the window are kept (standard practice is keep-or-pad; padding is a
+    training-side concern)."""
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        F.explode_outer(
+            F.sequence(F.lit(1), F.greatest(n - _CHUNK + 1, F.lit(1)), F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK)
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / _STRIDE).cast("bigint").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+_CAP = 64  # tokens per packed batch
+
+
+@register(
+    "q75_token_packing",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents),
+         c AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source,
+           CAST(floor((cum - 1) / {_CAP}) AS BIGINT) AS batch_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
+    FROM c
+    GROUP BY source, batch_id
+    ORDER BY source, batch_id
+    """,
+)
+def q75_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing: short documents are packed contiguously
+    into ~64-token batches by a running token count, independently per
+    source shard. Deterministic (ordered by doc_id within source) and
+    parallel — the window partitions on `source`, so no global sort;
+    at 100 TB each shard packs locally, which is how packing is
+    actually run (cross-shard packing would serialize the corpus)."""
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    t = docs.select("source", "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "batch_id", F.floor((F.col("cum") - 1) / _CAP).cast("bigint")
+        )
+        .groupBy("source", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
+        )
+        .orderBy("source", "batch_id")
+    )
+
+
+_PER_LANG = 40
+
+
+@register(
+    "q76_balanced_corpus",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+      FROM documents)
+    SELECT lang, doc_id, n_chars
+    FROM ranked WHERE rk <= {_PER_LANG}
+    ORDER BY lang, doc_id
+    """,
+)
+def q76_balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling: cap every language at the same
+    document budget, choosing survivors by a deterministic
+    multiplicative hash (NOT rand(): reproducible across runs, engines,
+    and partitionings — same rationale as q69's split). One shuffle on
+    `lang`; per-group top-k via row_number, the same pattern as
+    operators.relational.top_k_per_group. Over-represented languages
+    are cut hardest — the standard corpus-balancing move."""
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(hkey, F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PER_LANG)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "q77_embedding_quantize",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id,
+           round(sqrt(list_dot_product(e, e)), 4) AS l2_norm,
+           list_transform(e, x -> CAST(round(127 * x / sqrt(list_dot_product(e, e)))
+                                       AS INT)) AS q8
+    FROM v
+    """,
+)
+def q77_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style embedding quantization: L2-normalize then scale to
+    [-127, 127] — the storage/ANN-recall trade every vector store
+    makes. All arithmetic is forced to DOUBLE before any reduction so
+    the fold matches the oracle bit-for-bit (float32 partial sums
+    would drift). Narrow per-row expression over the vector column —
+    shuffle-free, and the natural pre-step to the int8 variants of
+    q30/q31/q53."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e, e, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    norm = F.sqrt(dot)
+    return emb.select(
+        "vec_id",
+        F.round(norm, 4).alias("l2_norm"),
+        F.transform(e, lambda x: F.round(127 * x / norm).cast("int")).alias("q8"),
+    )
+
+
+_GAP_MIN = 30  # session gap, minutes
+
+
+@register(
+    "q78_sessionize_lag",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+         flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > {_GAP_MIN} * 60
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+         sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_id
+    """,
+)
+def q78_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in pure SQL windows: a session breaks
+    after a 30-minute silence. lag() marks boundaries, a running sum
+    numbers sessions, one aggregate summarizes them — two window passes
+    over ONE shuffle on user_id (both windows and the final groupBy
+    share the partitioning, so Spark reuses the exchange). The batch
+    twin of the streaming `session_window` path (q35/q46): same
+    semantics, replayable over history."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wo))
+                > _GAP_MIN * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn("sess_id", F.sum("new_sess").over(run))
+    return (
+        sess.groupBy("user_id", F.col("sess_id").cast("bigint").alias("sess_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_sec"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
