@@ -1,0 +1,354 @@
+"""Seventh coverage wave: corpus QUALITY GATING — the filters a
+pretraining pipeline runs between raw crawl and training mix. C4-style
+heuristic rules, Gopher-style repetition signals, benchmark
+decontamination (exact n-gram collision join), stratified sampling, and
+domain-mix reweighting.
+
+Design notes for 100 TB:
+- Every per-doc signal is a column expression inside the scan stage
+  (no shuffle); the only wide stages are natural groupings (source,
+  lang, stratum) or the n-gram collision join, whose benchmark side is
+  tiny by construction and therefore broadcast.
+- All rule thresholds compare INTEGER cross-products (``5*hits >= 4*n``
+  instead of ``hits/n >= 0.8``): exact in both engines, no float-edge
+  divergence, and cheaper than division in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.functions.text import tokenize
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+_DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _docs(spark, sf_dir):
+    return parallelize_rows(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q79_quality_rules",
+    f"""
+    WITH t AS (
+      SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+         f AS (
+      SELECT source,
+             len(toks) AS n,
+             list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+             len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha
+      FROM t)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_short,
+           CAST(sum(CASE WHEN sum_len < 2 * n OR sum_len > 12 * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_meanlen,
+           CAST(sum(CASE WHEN 5 * n_alpha < 4 * n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_alpha,
+           CAST(sum(CASE WHEN n >= 10 AND sum_len >= 2 * n AND sum_len <= 12 * n
+                              AND 5 * n_alpha >= 4 * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def q79_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style heuristic quality gate: minimum length, mean
+    token length in [2, 12], and >=80% purely-alphabetic tokens
+    (C4 keeps lines that "look like prose"; Gopher Table A1 uses the
+    same three signal families). Emits the per-source rule-failure
+    census a pipeline operator actually monitors. All thresholds are
+    integer cross-multiplications, so the whole gate is exact and stays
+    inside WholeStageCodegen in the scan stage — the groupBy ships only
+    20 sources x 5 counters."""
+    toks = tokenize(F.col("text"))
+    f = _docs(spark, sf_dir).select(
+        "source",
+        F.size(toks).alias("n"),
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).alias("sum_len"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).alias("n_alpha"),
+    )
+    n, sum_len, n_alpha = F.col("n"), F.col("sum_len"), F.col("n_alpha")
+    fail_short = n < 10
+    fail_meanlen = (sum_len < 2 * n) | (sum_len > 12 * n)
+    fail_alpha = 5 * n_alpha < 4 * n
+
+    def cnt(cond: Column) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(fail_short).alias("n_fail_short"),
+            cnt(fail_meanlen).alias("n_fail_meanlen"),
+            cnt(fail_alpha).alias("n_fail_alpha"),
+            cnt(~fail_short & ~fail_meanlen & ~fail_alpha).alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+_DUCK_BIGRAMS = (
+    "list_transform(generate_series(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+
+def _bigrams(toks: Column) -> Column:
+    """1-based adjacent-pair n-grams. Guarded: Spark ``sequence(1, 0)``
+    counts DOWN (yields [1, 0]) instead of returning empty like DuckDB
+    ``generate_series``, so single-token docs need the explicit guard."""
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+
+
+@register(
+    "q80_repetition_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+         g AS (
+      SELECT doc_id, lang,
+             len(toks) AS n,
+             len(list_distinct(toks)) AS n_distinct,
+             {_DUCK_BIGRAMS} AS bigrams
+      FROM t),
+         bg AS (
+      SELECT doc_id, unnest(bigrams) AS bg FROM g),
+         topbg AS (
+      SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_bi
+      FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+      GROUP BY doc_id)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN 10 * top_cnt > n_bi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flag_bigram,
+           CAST(sum(CASE WHEN 10 * (n - n_distinct) > 4 * n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flag_dup
+    FROM g JOIN topbg USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q80_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: flag docs whose single most frequent
+    bigram exceeds 10% of all bigrams, and docs with >40% duplicate
+    tokens. The bigram histogram is the only wide stage and is keyed by
+    doc_id — perfectly partition-local after one shuffle, no global
+    state; the dup-token signal never leaves the scan stage."""
+    docs = _docs(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    g = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        _bigrams(toks).alias("bigrams"),
+    )
+    topbg = (
+        g.select("doc_id", F.explode_outer("bigrams").alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").cast("bigint").alias("n_bi"),
+        )
+    )
+    j = g.join(topbg, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(10 * F.col("top_cnt") > F.col("n_bi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flag_bigram"),
+            F.sum(
+                F.when(10 * (F.col("n") - F.col("n_distinct")) > 4 * F.col("n"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flag_dup"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BENCH_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" set
+_NGRAM = 3
+_MIN_SHARED = 2
+
+_DUCK_TRIGRAMS = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 2),"
+    " i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))"
+)
+
+
+def _trigrams(toks: Column) -> Column:
+    n = F.size(toks)
+    idx = F.when(n >= _NGRAM, F.sequence(F.lit(1), n - (_NGRAM - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+
+
+@register(
+    "q81_decontamination",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         g AS (
+      SELECT doc_id, unnest({_DUCK_TRIGRAMS}) AS gram FROM t),
+         corpus AS (SELECT * FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+         bench  AS (SELECT doc_id AS bench_id, gram FROM g
+                    WHERE doc_id % {_BENCH_MOD} = 0)
+    SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id, b.bench_id
+    HAVING count(*) >= {_MIN_SHARED}
+    ORDER BY doc_id, bench_id
+    """,
+)
+def q81_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination by exact n-gram collision — the
+    standard pretraining hygiene step (GPT-3 appendix C / PaLM style):
+    any training doc sharing >= 2 distinct 3-grams with a held-out
+    benchmark doc is flagged. The benchmark side is tiny by
+    construction (1/97th of doc ids), so Spark broadcasts its exploded
+    gram list; the corpus side streams through map-side hash probes —
+    no corpus shuffle at all, which is what makes this shape viable at
+    100 TB (the alternative, shuffling the corpus on gram, would move
+    the whole dataset)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    g = docs.select("doc_id", F.explode_outer(_trigrams(toks)).alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    corpus = g.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bench = g.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+_SAMPLE_NUM, _SAMPLE_DEN = 1, 5  # keep 20% of every stratum
+
+
+@register(
+    "q82_stratified_sample",
+    f"""
+    WITH s AS (
+      SELECT lang, source, doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents)
+    SELECT lang, source, doc_id
+    FROM s
+    WHERE rk * {_SAMPLE_DEN} <= n * {_SAMPLE_NUM}
+    ORDER BY lang, source, doc_id
+    """,
+)
+def q82_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly floor(20%) of every
+    (lang, source) stratum, survivors chosen by multiplicative hash —
+    reproducible across runs/engines/partitionings, unlike
+    ``df.sample``. One shuffle on the stratum key; rank and stratum
+    size come from the same window partitioning, so Spark computes both
+    in a single exchange. The keep test ``rk * 5 <= n`` is the
+    integer form of ``rk <= n * 0.2``."""
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    wrk = Window.partitionBy("lang", "source").orderBy(hkey, F.col("doc_id"))
+    wn = Window.partitionBy("lang", "source")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            "doc_id",
+            F.row_number().over(wrk).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rk") * _SAMPLE_DEN <= F.col("n") * _SAMPLE_NUM)
+        .select("lang", "source", "doc_id")
+        .orderBy("lang", "source", "doc_id")
+    )
+
+
+_N_SOURCES = 20
+
+
+@register(
+    "q83_domain_reweight",
+    f"""
+    WITH t AS (
+      SELECT source, len({_DUCK_TOKS}) AS n_tokens FROM documents),
+         s AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens FROM t
+      GROUP BY source),
+         tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM s)
+    SELECT source, tokens,
+           CAST(round(10000.0 * tokens / total) AS BIGINT) AS share_bp,
+           CAST(round(10000.0 * total / ({_N_SOURCES} * tokens)) AS BIGINT)
+             AS weight_bp
+    FROM s CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def q83_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix reweighting (DoReMi-style uniform target): each
+    source's sampling weight is target_share / actual_token_share, so
+    under-represented domains are upsampled toward a uniform mix.
+    Weights are emitted in integer basis points. Two-level aggregate:
+    per-source token sums (partial+final, map-side combined), then the
+    grand total broadcast back — at 100 TB the second stage moves 20
+    rows."""
+    docs = _docs(spark, sf_dir)
+    s = (
+        docs.select("source", F.size(tokenize(F.col("text"))).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("tokens"))
+    )
+    tot = s.agg(F.sum("tokens").cast("bigint").alias("total"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            F.round(10000.0 * F.col("tokens") / F.col("total"))
+            .cast("bigint")
+            .alias("share_bp"),
+            F.round(10000.0 * F.col("total") / (_N_SOURCES * F.col("tokens")))
+            .cast("bigint")
+            .alias("weight_bp"),
+        )
+        .orderBy("source")
+    )
