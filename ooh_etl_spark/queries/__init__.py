@@ -20,6 +20,7 @@ from ooh_etl_spark.queries import udfs  # noqa: F401
 from ooh_etl_spark.queries import advanced2  # noqa: F401
 from ooh_etl_spark.queries import advanced3  # noqa: F401
 from ooh_etl_spark.queries import tpch_shapes  # noqa: F401
+from ooh_etl_spark.queries import tpch_shapes2  # noqa: F401
 from ooh_etl_spark.queries import pipeline_ops  # noqa: F401
 from ooh_etl_spark.queries import llm_ops2  # noqa: F401
 from ooh_etl_spark.queries import quality_ops  # noqa: F401
