@@ -1,0 +1,279 @@
+"""Ninth coverage wave: statistical text analysis — the corpus-level
+measurements (entropy, Zipf slope, Heaps vocabulary growth, char-n-gram
+profiles) that guide filtering thresholds, plus SCD2 validity intervals
+over the event stream.
+
+Scale notes: every query here is one explode + one-or-two natural-key
+shuffles; nothing global except deliberately tiny reductions (a 100-row
+regression input, a 10-row histogram). Entropy/slope floats are
+quantized to integer basis points before any cross-engine comparison
+(the q23/q61 precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.functions.text import tokenize
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+_DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _docs(spark, sf_dir):
+    return parallelize_rows(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q92_token_entropy",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS term FROM documents),
+         tf AS (
+      SELECT doc_id, lang, term, count(*) AS c
+      FROM tok GROUP BY doc_id, lang, term),
+         ent AS (
+      SELECT doc_id, lang,
+             CAST(round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 10000)
+                  AS BIGINT) AS ent_bp
+      FROM tf GROUP BY doc_id, lang)
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(ent_bp) / 10000, 4) AS avg_entropy,
+           round(min(ent_bp) / 10000.0, 4) AS min_entropy,
+           round(max(ent_bp) / 10000.0, 4) AS max_entropy
+    FROM ent GROUP BY lang ORDER BY lang
+    """,
+)
+def q92_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution — the
+    cheap perplexity proxy used to rank documents before a model-based
+    filter (low entropy = repetitive/boilerplate). Uses the identity
+    H = ln(n) - sum(c*ln c)/n so one aggregate pass per doc suffices;
+    per-doc entropies are quantized to basis points before the lang
+    rollup. Shuffles on (doc_id, term) then (doc_id) then (lang) —
+    each strictly smaller than the last."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", "lang", F.explode_outer(tokenize(F.col("text"))).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    ent = tf.groupBy("doc_id", "lang").agg(
+        F.round(
+            (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")) * 10000
+        )
+        .cast("bigint")
+        .alias("ent_bp")
+    )
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ent_bp") / 10000, 4).alias("avg_entropy"),
+            F.round(F.min("ent_bp") / 10000.0, 4).alias("min_entropy"),
+            F.round(F.max("ent_bp") / 10000.0, 4).alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ZIPF_TOP = 100
+
+
+@register(
+    "q93_zipf_slope",
+    f"""
+    WITH wc AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest({_DUCK_TOKS}) AS term FROM documents)
+      GROUP BY term),
+         ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk
+      FROM wc)
+    SELECT count(*) AS n_terms,
+           CAST(round(regr_slope(ln(c), ln(rk)) * 10000) AS BIGINT) AS slope_bp
+    FROM ranked WHERE rk <= {_ZIPF_TOP}
+    """,
+)
+def q93_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: the log-log slope of frequency vs rank over the
+    top 100 vocabulary terms (natural text ~ -1; a corpus that drifts
+    far from it is boilerplate- or spam-heavy — a standard corpus
+    health metric). The word count shuffles on term; ranking the top
+    100 funnels only the agg output through one window partition, and
+    the regression is a single-row reduce of 100 points."""
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode_outer(tokenize(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = wc.select(
+        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), "term")).alias("rk")
+    ).filter(F.col("rk") <= _ZIPF_TOP)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("c"), F.log("rk")) * 10000)
+        .cast("bigint")
+        .alias("slope_bp"),
+    )
+
+
+_GROWTH_BUCKETS = 10
+
+
+@register(
+    "q94_vocab_growth",
+    f"""
+    WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         tok AS (
+      SELECT CAST(floor({_GROWTH_BUCKETS}.0 * doc_id / n) AS BIGINT) AS bucket,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS term
+      FROM d CROSS JOIN mx),
+         first_seen AS (
+      SELECT term, min(bucket) AS first_bucket FROM tok GROUP BY term),
+         hist AS (
+      SELECT first_bucket AS bucket, count(*) AS new_terms
+      FROM first_seen GROUP BY first_bucket)
+    SELECT bucket, new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY bucket
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_vocab
+    FROM hist ORDER BY bucket
+    """,
+)
+def q94_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: how many NEW vocabulary terms each
+    tenth of the corpus (by doc_id order) contributes, plus the running
+    vocabulary size. Computed without any running-distinct state: each
+    term's first-seen bucket is a min() aggregate, the growth curve is
+    a 10-row histogram + running sum — the trick that makes
+    vocabulary-growth measurement a two-shuffle batch job at any
+    scale. Growth is measured over the BIGRAM vocabulary (the unigram
+    vocab of the synthetic fixture saturates in the first bucket).
+    All-integer output, engine-exact."""
+    from ooh_etl_spark.queries.quality_ops import _bigrams
+
+    docs = _docs(spark, sf_dir)
+    mx = docs.agg((F.max("doc_id") + 1).alias("n"))
+    tok = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(_GROWTH_BUCKETS * F.col("doc_id") / F.col("n"))
+            .cast("bigint")
+            .alias("bucket"),
+            F.explode_outer(_bigrams(tokenize(F.col("text")))).alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+    )
+    first_seen = tok.groupBy("term").agg(F.min("bucket").alias("first_bucket"))
+    hist = first_seen.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hist.withColumn("cum_vocab", F.sum("new_terms").over(w).cast("bigint"))
+        .orderBy("bucket")
+    )
+
+
+_SCD_MOD = 50  # emit intervals for 1/50th of users (keeps output reviewable)
+
+
+@register(
+    "q95_scd2_intervals",
+    f"""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           event_type,
+           round(value, 2) AS value
+    FROM events
+    WHERE user_id % {_SCD_MOD} = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_type
+    """,
+)
+def q95_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval construction: each event opens a validity
+    interval that the user's NEXT event closes (NULL valid_to = still
+    current) — the standard dimension-history build, done with one
+    lead() window over one shuffle on user_id. Timestamps are formatted
+    to strings in both engines (oracle-compare rule); restricted to
+    1/50th of users so the checked output stays small while the plan is
+    the full-table plan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % _SCD_MOD == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.select(
+            "user_id",
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("user_id", "valid_from", "event_type")
+    )
+
+
+_TRI_PREFIX = 80  # chars of each doc profiled
+_TRI_TOP = 5
+
+
+@register(
+    "q96_char_trigram_profile",
+    f"""
+    WITH t AS (
+      SELECT lang, substr(lower(trim(text)), 1, {_TRI_PREFIX}) AS s
+      FROM documents),
+         tri AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, length(s) - 2),
+                                   i -> s[i:i+2])) AS g
+      FROM t),
+         c AS (
+      SELECT lang, g, count(*) AS c FROM tri GROUP BY lang, g),
+         ranked AS (
+      SELECT lang, g, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rk
+      FROM c)
+    SELECT lang, g AS trigram, c AS cnt, rk
+    FROM ranked WHERE rk <= {_TRI_TOP}
+    ORDER BY lang, rk
+    """,
+)
+def q96_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram profiles per language — the feature family
+    real language-ID models (CLD, fastText) are built on; the top-5
+    table IS the training artifact a profile-based identifier would
+    ship. Profiling only each doc's first 80 chars bounds the explode
+    fan-out per row (exactly what you do at 100 TB: n-gram budgets per
+    document, not per corpus). DuckDB's s[i:i+2] slice is 1-based
+    INCLUSIVE — it is the same 3 chars as Spark's substring(s, i, 3)."""
+    docs = _docs(spark, sf_dir)
+    s = F.substring(F.lower(F.trim(F.col("text"))), 1, _TRI_PREFIX)
+    t = docs.select("lang", s.alias("s"))
+    n = F.length("s")
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = t.select(
+        "lang",
+        F.explode_outer(
+            F.transform(idx, lambda i: F.col("s").substr(i, F.lit(3)))
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    c = tri.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TRI_TOP)
+        .select("lang", F.col("g").alias("trigram"), F.col("c").alias("cnt"), "rk")
+        .orderBy("lang", "rk")
+    )
