@@ -1,0 +1,276 @@
+"""Tenth coverage wave: product/event analytics over the ``events``
+stream — funnel conversion, retention cohorts, Markov transition
+counts, first-touch attribution, and growth accounting. The batch
+complement of the streaming queries (q33-q37/q46): same table, the
+read-side shapes every analytics engine must serve.
+
+Scale notes: every query partitions by user_id or a calendar key —
+natural, high-cardinality, skew-free keys; per-user state is a min() or
+a lag(), never a collect; outputs are tiny rollups. All-integer or
+cents-quantized outputs (q23/q61 precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table
+
+_CONV_DAYS = 7
+
+
+@register(
+    "q97_funnel_conversion",
+    f"""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (
+      SELECT s.user_id,
+             min(e.ts) AS first_purchase_ts
+      FROM s JOIN events e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY s.user_id),
+         f AS (
+      SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+             CASE WHEN p.first_purchase_ts IS NOT NULL
+                   AND date_diff('second', s.signup_ts, p.first_purchase_ts)
+                       <= {_CONV_DAYS} * 86400
+                  THEN 1 ELSE 0 END AS converted
+      FROM s LEFT JOIN p ON s.user_id = p.user_id)
+    SELECT count(*) AS n_signup_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(round(10000.0 * sum(converted) / count(*)) AS BIGINT)
+             AS conversion_bp
+    FROM f
+    """,
+)
+def q97_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: of users who ever signed up, how many
+    made their first post-signup purchase within 7 days. Two per-user
+    min() aggregates (map-side combined) and one join on user_id — at
+    100 TB both sides are already reduced to one row per user before
+    anything shuffles. The conversion rate is integer basis points."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    f = s.join(p, "user_id", "left").select(
+        F.when(
+            F.col("first_purchase_ts").isNotNull()
+            & (
+                F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("signup_ts")
+                <= _CONV_DAYS * 86400
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(10000.0 * F.sum("converted") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("conversion_bp"),
+    )
+
+
+@register(
+    "q98_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+         activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           count(*) AS active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort, week_offset
+    """,
+)
+def q98_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week,
+    counted as active in each subsequent week. The first-seen reduce is
+    one row per user and joins back on user_id (AQE picks broadcast
+    while it fits, sort-merge beyond — per-user relations are NOT
+    force-broadcast: at 10^9 users they must be allowed to shuffle);
+    the DISTINCT collapses (user, week) before the final count so heavy
+    users don't skew the shuffle. Week arithmetic stays on date_trunc'd
+    timestamps, which both engines align identically (Monday-start
+    weeks)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(wk) - F.unix_timestamp("cohort_week")
+                    )
+                    / (7 * 86400)
+                )
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+@register(
+    "q99_transition_matrix",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, count(*) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def q99_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the input to next-action models and anomaly
+    scores. One lead() window over one shuffle on user_id, then a
+    25-cell aggregate; the sequence never materializes per user (no
+    collect_list), so a user with 10^6 events costs the same per-row
+    work as ten users with 10^5."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        o.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@register(
+    "q100_first_touch_attribution",
+    """
+    WITH ft AS (
+      SELECT user_id, event_type AS first_touch
+      FROM (SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rk
+            FROM events)
+      WHERE rk = 1),
+         rev AS (
+      SELECT user_id, sum(value) AS user_rev
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT first_touch,
+           count(*) AS n_users,
+           CAST(round(sum(coalesce(user_rev, 0)) * 100) AS BIGINT) AS revenue_c
+    FROM ft LEFT JOIN rev USING (user_id)
+    GROUP BY first_touch
+    ORDER BY first_touch
+    """,
+)
+def q100_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's lifetime purchase value is
+    credited to their very first event type. The first-touch pick is a
+    per-user top-1 (row_number + filter, the top_k_per_group pattern);
+    revenue reduces per user BEFORE the join, so the join moves two
+    one-row-per-user relations — the shape that survives a 100x user
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ft = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("user_rev"))
+    )
+    return (
+        ft.join(rev, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum(F.coalesce(F.col("user_rev"), F.lit(0.0))) * 100)
+            .cast("bigint")
+            .alias("revenue_c"),
+        )
+        .orderBy("first_touch")
+    )
+
+
+@register(
+    "q101_growth_accounting",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id),
+         daily AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*) AS dau,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM daily JOIN first_seen USING (user_id)
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def q101_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: daily active users split into new (first day
+    ever) vs returning. The (user, day) DISTINCT bounds each user's
+    contribution to one row per day regardless of event volume; the
+    first-seen lookup is one row per user and shares the user_id
+    partitioning with the DISTINCT, so the join adds no extra shuffle
+    (AQE broadcasts it while small). 30 output rows at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )
