@@ -1,0 +1,225 @@
+"""Eleventh coverage wave: distributed linear-algebra steps over the
+``embeddings`` table — the building blocks of clustering / PCA /
+vector-index construction, each expressed as one DataFrame pass so the
+"iteration" of an iterative algorithm is a plain re-run over the
+previous output (the q49 label-propagation precedent).
+
+Numeric determinism: per-ROW float math (dots, norms) is bit-identical
+across engines because both fold arrays in order (the q30/q77
+precedent); anything summed ACROSS rows is quantized to integer
+micro-units first, because cross-row summation order is
+partitioning-dependent (the q23/q61 precedent). Outputs stay integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+_K = 8  # centroids: the first K vectors (deterministic seed choice)
+
+_DUCK_E = "embedding::DOUBLE[] AS e"
+
+
+def _e() -> F.Column:
+    return F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+@register(
+    "q102_kmeans_step",
+    f"""
+    WITH v AS (SELECT vec_id, {_DUCK_E} FROM embeddings),
+         c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_K}),
+         d AS (
+      SELECT v.vec_id, c.cid,
+             list_aggregate(list_transform(generate_series(1, len(e)),
+                            i -> (e[i] - ce[i]) * (e[i] - ce[i])), 'sum') AS dist
+      FROM v CROSS JOIN c),
+         a AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      FROM d)
+    SELECT cid,
+           count(*) AS n_members,
+           CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS BIGINT) AS inertia_u
+    FROM a WHERE rk = 1
+    GROUP BY cid ORDER BY cid
+    """,
+)
+def q102_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means: assign every vector to its
+    nearest of K=8 fixed centroids (the first K vectors — k-means'
+    deterministic seeding), emit cluster sizes and inertia in integer
+    micro-units. The centroid table is K rows → broadcast nested-loop;
+    the fan-out is K× the fact table but collapses to one row per
+    vector in the same stage (row_number over a K-element partition).
+    A full k-means run is this query re-applied to recomputed centroid
+    means — each iteration one shuffle-light pass, the standard
+    Spark-ML structure."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", _e().alias("e"))
+    c = v.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    diff2 = F.zip_with(F.col("e"), F.col("ce"), lambda a, b: (a - b) * (a - b))
+    d = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(diff2, F.lit(0.0), lambda s, x: s + x).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    a = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        a.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.round(F.col("dist") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("inertia_u"),
+        )
+        .orderBy("cid")
+    )
+
+
+_DIMS = 64
+
+
+@register(
+    "q103_power_iteration",
+    f"""
+    WITH v AS (SELECT vec_id, {_DUCK_E} FROM embeddings),
+         d AS (
+      SELECT vec_id, e, list_aggregate(e, 'sum') AS dot FROM v),
+         contrib AS (
+      SELECT g.i AS dim,
+             CAST(round(d.dot * d.e[g.i] * 1000000) AS BIGINT) AS c_u
+      FROM d CROSS JOIN generate_series(1, {_DIMS}) AS g(i))
+    SELECT dim, CAST(sum(c_u) AS BIGINT) AS y_u
+    FROM contrib GROUP BY dim ORDER BY dim
+    """,
+)
+def q103_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the top eigenvector of the
+    (uncentered) covariance: y = sum_i (x_i . v) x_i with v = the
+    all-ones start vector, so each row's dot is just its component sum.
+    Per-row contributions quantize to micro-units BEFORE the cross-row
+    sum (exact under any partitioning); the explode is a fixed 64-way
+    fan-out grouped by dimension — 64 output rows from one shuffle
+    whose payload is (dim, int64). Iterating = feeding y back as v via
+    a 1-row broadcast."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    d = emb.select(
+        _e().alias("e"),
+    ).withColumn("dot", F.aggregate(F.col("e"), F.lit(0.0), lambda s, x: s + x))
+    contrib = d.select(
+        F.posexplode(
+            F.transform(
+                F.col("e"),
+                lambda x: F.round(F.col("dot") * x * 1000000).cast("bigint"),
+            )
+        ).alias("pos", "c_u")
+    )
+    return (
+        contrib.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(F.sum("c_u").cast("bigint").alias("y_u"))
+        .orderBy("dim")
+    )
+
+
+_STAT_DIMS = 8
+
+
+@register(
+    "q104_dim_stats",
+    f"""
+    WITH v AS (SELECT {_DUCK_E} FROM embeddings),
+         u AS (
+      SELECT g.i AS dim, CAST(round(e[g.i] * 1000000) AS BIGINT) AS x_u
+      FROM v CROSS JOIN generate_series(1, {_STAT_DIMS}) AS g(i))
+    SELECT dim,
+           count(*) AS n,
+           CAST(round(avg(x_u)) AS BIGINT) AS mean_u,
+           CAST(round(sqrt(avg(x_u * x_u) - avg(x_u) * avg(x_u))) AS BIGINT)
+             AS std_u
+    FROM u GROUP BY dim ORDER BY dim
+    """,
+)
+def q104_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and (population) standard deviation of the
+    first 8 embedding dimensions — the feature-scaling statistics every
+    vector pipeline computes before quantization or whitening.
+    Components quantize to integer micro-units at the scan, so the
+    moment sums are exact integers under any partitioning; mean/std
+    come out of the two integer moments (E[x^2] - E[x]^2), one shuffle
+    of 8 groups."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    u = emb.select(
+        F.posexplode(
+            F.transform(
+                F.slice(_e(), 1, _STAT_DIMS),
+                lambda x: F.round(x * 1000000).cast("bigint"),
+            )
+        ).alias("pos", "x_u")
+    )
+    x = F.col("x_u")
+    return (
+        u.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(x)).cast("bigint").alias("mean_u"),
+            F.round(F.sqrt(F.avg(x * x) - F.avg(x) * F.avg(x)))
+            .cast("bigint")
+            .alias("std_u"),
+        )
+        .orderBy("dim")
+    )
+
+
+_HIST_N = 80  # vectors in the pairwise sample
+_BIN_BP = 1000  # 0.1-wide cosine bins
+
+
+@register(
+    "q105_cosine_histogram",
+    f"""
+    WITH v AS (SELECT vec_id, {_DUCK_E} FROM embeddings WHERE vec_id < {_HIST_N}),
+         p AS (
+      SELECT CAST(round(10000 * list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_bp
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT CAST(floor(cos_bp / {_BIN_BP}.0) AS BIGINT) AS bin,
+           count(*) AS n_pairs
+    FROM p GROUP BY bin ORDER BY bin
+    """,
+)
+def q105_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairwise cosine-similarity distribution of an 80-vector
+    sample, bucketed into 0.1-wide bins — the diagnostic that calibrates
+    near-duplicate thresholds (q50) and LSH bucket widths (q31/q53)
+    before running them over the full corpus. Sampling first is the
+    point: the O(n^2) pair space is taken over a fixed-size sample, so
+    the cost is constant in corpus size; cosines quantize to basis
+    points before binning, making bin edges engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _HIST_N)
+    v = emb.select("vec_id", _e().alias("e"))
+    a = v.select(F.col("vec_id").alias("ida"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("idb"), F.col("e").alias("eb"))
+    ea, eb = F.col("ea"), F.col("eb")
+    cos = _dot(ea, eb) / (F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb)))
+    p = (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .select(F.round(10000 * cos).cast("bigint").alias("cos_bp"))
+    )
+    return (
+        p.groupBy(F.floor(F.col("cos_bp") / float(_BIN_BP)).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bin")
+    )
