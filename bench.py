@@ -34,6 +34,15 @@ HEADLINE = [
     "q27_jaccard_pairs",
     "q30_knn_cosine",
     "q33_tumbling_hourly",
+    # representative queries from the later coverage waves: corpus
+    # quality gating, decontamination, TPC-H star join, event
+    # analytics, vector linear algebra
+    "q79_quality_rules",
+    "q81_decontamination",
+    "q84_returned_items",
+    "q92_token_entropy",
+    "q98_retention_cohorts",
+    "q102_kmeans_step",
 ]
 
 

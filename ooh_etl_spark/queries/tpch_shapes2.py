@@ -102,7 +102,8 @@ def q84_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 100) AS BIGINT) AS promo_c,
              CAST(round(sum({_REV}) * 100) AS BIGINT) AS total_c
       FROM lineitem JOIN part ON l_partkey = p_partkey
-      WHERE year(l_shipdate) = 1997
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
       GROUP BY yr, mo)
     SELECT yr, mo,
            round(promo_c / 100.0, 2) AS promo_revenue,
@@ -115,9 +116,11 @@ def q85_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: monthly share of revenue from PROMO-type parts
     in 1997. The promo numerator is a conditional sum inside the SAME
     partial aggregate as the denominator — one broadcast join, one
-    shuffle on (yr, mo), no second pass."""
+    shuffle on (yr, mo), no second pass. The year filter is written as
+    a timestamp RANGE (not ``year(col) = 1997``) so it pushes down to
+    the parquet scan and prunes row groups on l_shipdate min/max."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate") == 1997
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     part = load_table(spark, sf_dir, "part")
     m = (

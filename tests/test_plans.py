@@ -10,6 +10,7 @@ from __future__ import annotations
 from ooh_etl_spark.plans.audit import (
     has_broadcast_join,
     has_cartesian,
+    has_sort_merge_join,
     physical_plan,
     pushed_filters,
     reads_only,
@@ -96,3 +97,55 @@ def test_flagship_single_scan_filter_before_shuffle(spark):
     filter_id = int(re.search(r"\((\d+)\) Filter", plan).group(1))
     exchange_id = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
     assert filter_id < exchange_id, plan
+
+
+def test_q81_decontamination_corpus_never_shuffles_for_join(spark):
+    # The benchmark side (1/97th of docs) must broadcast; the corpus
+    # side must reach the join without a shuffle — at 100 TB a
+    # shuffle-on-gram would move the whole dataset.
+    plan = plan_of(spark, "q81_decontamination")
+    assert has_broadcast_join(plan), plan
+    assert not has_sort_merge_join(plan), plan
+    assert not has_cartesian(plan), plan
+
+
+def test_q84_star_join_broadcasts_and_pushes_returnflag(spark):
+    plan = plan_of(spark, "q84_returned_items")
+    assert has_broadcast_join(plan), plan
+    assert not has_cartesian(plan), plan
+    assert "l_returnflag" in plan and pushed_filters(plan), plan
+
+
+def test_q85_range_filter_reaches_scan(spark):
+    # year(l_shipdate) = 1997 would NOT push down; the range form must.
+    plan = plan_of(spark, "q85_promo_revenue")
+    assert pushed_filters(plan), plan
+    assert has_broadcast_join(plan), plan
+
+
+def test_q88_or_brackets_single_pass(spark):
+    # One joined scan evaluating the whole disjunction — no UNION of
+    # three per-bracket scans.
+    import re
+
+    plan = plan_of(spark, "q88_or_brackets_revenue")
+    assert not has_cartesian(plan), plan
+    assert has_broadcast_join(plan), plan
+    # exactly two scans: lineitem + part, once each (no per-bracket scan)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+
+
+def test_q97_funnel_pushes_event_type(spark):
+    plan = plan_of(spark, "q97_funnel_conversion")
+    assert pushed_filters(plan), plan
+    assert "event_type" in plan, plan
+
+
+def test_q102_kmeans_centroids_broadcast(spark):
+    plan = plan_of(spark, "q102_kmeans_step")
+    assert has_broadcast_join(plan), plan
+
+
+def test_q92_entropy_reads_three_columns(spark):
+    plan = plan_of(spark, "q92_token_entropy")
+    assert reads_only(plan, {"doc_id", "lang", "text"}), plan
