@@ -1,0 +1,282 @@
+"""Twelfth coverage wave: time-series finishing ops and operability
+diagnostics — OHLC bar resampling, two-pass z-score anomaly detection,
+rolling 7-day actives, incremental aggregate maintenance (the
+partial-agg merge that turns a nightly full recompute into a delta
+job), and a join-key skew profiler (the tool you run BEFORE deciding a
+join needs salting, q-operators/relational.salted_join).
+
+Scale notes: bars and z-scores shuffle once on natural keys; the
+rolling-actives calendar is a tiny broadcast range-join; incremental
+maintenance re-aggregates two already-reduced inputs; the skew profiler
+reduces to one row per key before anything else."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table
+
+
+@register(
+    "q106_ohlc_bars",
+    """
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
+             AS bar_start,
+           count(*) AS n,
+           round(arg_min(value, printf('%030d%015d', epoch_us(ts), event_id)), 2)
+             AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(arg_max(value, printf('%030d%015d', epoch_us(ts), event_id)), 2)
+             AS close,
+           CAST(round(sum(value) * 100) AS BIGINT) AS volume_c
+    FROM events
+    GROUP BY event_type, bar_start
+    ORDER BY event_type, bar_start
+    """,
+)
+def q106_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: 6-hour bars per event type with open/close
+    picked by (ts, event_id) arg-extrema — the financial-data
+    aggregation shape, done in ONE groupBy pass (min_by/max_by carry
+    the open/close through the partial aggregate; no window, no sort).
+    Volume is summed in integer cents. The arg-extrema order key is a
+    zero-padded (micros, event_id) string because DuckDB 1.0's
+    arg_min/arg_max take no composite keys; string order == numeric
+    order under fixed-width padding."""
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.date_format(
+        F.window("ts", "6 hours").start, "yyyy-MM-dd HH:mm:ss"
+    )
+    ord_key = F.format_string(
+        "%030d%015d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        ev.groupBy("event_type", bar.alias("bar_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min_by("value", ord_key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", ord_key), 2).alias("close"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("volume_c"),
+        )
+        .orderBy("event_type", "bar_start")
+    )
+
+
+_Z_BP = 3 * 10000  # |z| > 3 in basis points
+
+
+@register(
+    "q107_zscore_anomalies",
+    f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(round(avg(value) * 1000000) AS BIGINT) AS mean_u,
+             CAST(round(stddev_pop(value) * 1000000) AS BIGINT) AS std_u
+      FROM events GROUP BY event_type),
+         scored AS (
+      SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+             CAST(round(10000.0 * (e.value * 1000000 - s.mean_u) / s.std_u)
+                  AS BIGINT) AS z_bp
+      FROM events e JOIN stats s USING (event_type))
+    SELECT event_id, event_type, value, z_bp
+    FROM scored
+    WHERE abs(z_bp) > {_Z_BP}
+    ORDER BY event_id
+    """,
+)
+def q107_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass z-score anomaly detection: per-type mean/std (pass 1,
+    reduced to 5 rows, broadcast), then every event scored against its
+    type's distribution (pass 2, pure map side) — the canonical
+    'statistics then scoring' split that avoids any window over the
+    full stream. Moments are quantized to micro-units before the
+    ratio so the |z| > 3 cut is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value") * 1000000).cast("bigint").alias("mean_u"),
+        F.round(F.stddev_pop("value") * 1000000).cast("bigint").alias("std_u"),
+    )
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.round(
+            10000.0 * (F.col("value") * 1000000 - F.col("mean_u")) / F.col("std_u")
+        )
+        .cast("bigint")
+        .alias("z_bp"),
+    )
+    return scored.filter(F.abs(F.col("z_bp")) > _Z_BP).orderBy("event_id")
+
+
+_ROLL_DAYS = 7
+
+
+@register(
+    "q108_rolling_actives",
+    f"""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+         cal AS (
+      SELECT DISTINCT day FROM daily),
+         rolled AS (
+      SELECT c.day, d.user_id
+      FROM cal c JOIN daily d
+        ON d.day <= c.day
+       AND d.day > c.day - INTERVAL '{_ROLL_DAYS} days'
+      GROUP BY c.day, d.user_id)
+    SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS rolling_actives
+    FROM rolled GROUP BY day ORDER BY day
+    """,
+)
+def q108_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives (WAU curve). COUNT(DISTINCT) is
+    not window-able, so the standard rewrite: collapse to (day, user)
+    once, range-join against the ~30-row day calendar (broadcast — the
+    fan-out is bounded by 7x the collapsed table, never by raw event
+    volume), dedup, count. The expensive input is reduced BEFORE the
+    fan-out; raw events are touched exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    cal = daily.select("day").distinct()
+    rolled = (
+        daily.join(
+            F.broadcast(cal.select(F.col("day").alias("cday"))),
+            (F.col("day") <= F.col("cday"))
+            & (F.col("day") > F.col("cday") - F.expr(f"INTERVAL {_ROLL_DAYS} DAYS")),
+        )
+        .select("cday", "user_id")
+        .distinct()
+    )
+    return (
+        rolled.groupBy(F.date_format("cday", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("rolling_actives"))
+        .orderBy("day")
+    )
+
+
+_DELTA_FROM = "2024-01-26"
+
+
+@register(
+    "q109_incremental_agg",
+    f"""
+    WITH base AS (
+      SELECT event_type, count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS sum_c
+      FROM events WHERE ts < TIMESTAMP '{_DELTA_FROM}'
+      GROUP BY event_type),
+         delta AS (
+      SELECT event_type, count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS sum_c
+      FROM events WHERE ts >= TIMESTAMP '{_DELTA_FROM}'
+      GROUP BY event_type),
+         merged AS (
+      SELECT event_type, sum(n) AS n, sum(sum_c) AS sum_c
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(sum_c AS BIGINT) AS sum_c,
+           round(sum_c / 100.0 / n, 2) AS avg_value
+    FROM merged ORDER BY event_type
+    """,
+)
+def q109_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a 'base' aggregate (history)
+    merged with a 'delta' aggregate (the new partition) by re-reducing
+    their decomposable summaries (count, integer-cent sum) — the
+    pattern that turns a nightly 100 TB recompute into a job that only
+    reads yesterday's parquet. avg is derived from the merged sums, so
+    it is exactly the avg of a full recompute (what the oracle runs on
+    its side, modulo the identical split). Both branches prune on the
+    pushed-down ts range."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("sum_c"),
+        )
+
+    base = summarize(ev.filter(F.col("ts") < _DELTA_FROM))
+    delta = summarize(ev.filter(F.col("ts") >= _DELTA_FROM))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_c").alias("sum_c"))
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_c").cast("bigint").alias("sum_c"),
+        F.round(F.col("sum_c") / 100.0 / F.col("n"), 2).alias("avg_value"),
+    ).orderBy("event_type")
+
+
+_SKEW_TOP = 10
+
+
+@register(
+    "q110_skew_profiler",
+    f"""
+    WITH k AS (
+      SELECT o_custkey AS key, count(*) AS cnt
+      FROM orders GROUP BY o_custkey),
+         s AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM k),
+         top AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key) AS rk
+      FROM k)
+    SELECT t.rk, t.key, CAST(t.cnt AS BIGINT) AS cnt,
+           CAST(round(10000.0 * t.cnt * s.n_keys / s.total) AS BIGINT)
+             AS skew_x_bp
+    FROM top t CROSS JOIN s
+    WHERE t.rk <= {_SKEW_TOP}
+    ORDER BY t.rk
+    """,
+)
+def q110_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the top-10 heaviest o_custkey values and
+    each one's skew factor (its count over the mean per-key count, in
+    basis points) — the diagnostic you run before choosing between a
+    plain shuffle join, AQE skew splitting, or an explicit salted join
+    (operators/relational.salted_join). One shuffle reduces orders to
+    one row per key; the global stats are a 1-row broadcast; ranking
+    funnels only the per-key table through a single window partition —
+    acceptable because its cardinality is already |keys|, not |rows|
+    (and at extreme key counts the same query runs on a sampled
+    fraction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = k.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    top = k.select(
+        "key",
+        "cnt",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "key")).alias("rk"),
+    ).filter(F.col("rk") <= _SKEW_TOP)
+    return (
+        top.crossJoin(F.broadcast(s))
+        .select(
+            "rk",
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(10000.0 * F.col("cnt") * F.col("n_keys") / F.col("total"))
+            .cast("bigint")
+            .alias("skew_x_bp"),
+        )
+        .orderBy("rk")
+    )
