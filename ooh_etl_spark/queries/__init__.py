@@ -28,6 +28,7 @@ from ooh_etl_spark.queries import text_stats  # noqa: F401
 from ooh_etl_spark.queries import event_analytics  # noqa: F401
 from ooh_etl_spark.queries import vector_ops  # noqa: F401
 from ooh_etl_spark.queries import timeseries_ops  # noqa: F401
+from ooh_etl_spark.queries import validation_ops  # noqa: F401
 from ooh_etl_spark.queries import streaming  # noqa: F401
 from ooh_etl_spark.queries import ooh_surface  # noqa: F401
 
