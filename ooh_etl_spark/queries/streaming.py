@@ -205,3 +205,45 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value")
     )
     return _run_to_completion(deduped, spark)
+
+
+@register("q118_stream_stream_join", None)  # dual-stream state → rows-only
+def q118_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: the signup stream joined to the
+    purchase stream on user_id with a time-bound (purchase within 24h
+    AFTER the signup event). Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can expire join
+    state on both sides — the only shape under which a dual-stream
+    join is runnable indefinitely (unbounded conditions accumulate
+    state forever). Rows-only check: dual-stream state semantics have
+    no SQL equivalent."""
+    ev = _event_stream(spark, sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("amount", 2).alias("amount"),
+    )
+    return _run_to_completion(joined, spark)

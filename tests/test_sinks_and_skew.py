@@ -110,3 +110,44 @@ def test_approx_count_distinct_accuracy(spark):
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    # ORC is Spark-native (no extra package); DuckDB can't read it, so
+    # this is an engine-side write→read equality check, not an oracle.
+    df = _orders(spark).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    out = str(tmp_path / "orders_orc")
+    df.write.format("orc").mode("overwrite").save(out)
+    back = spark.read.format("orc").load(out)
+    assert back.count() == df.count()
+    assert back.agg(F.round(F.sum("o_totalprice"), 2)).collect() == df.agg(
+        F.round(F.sum("o_totalprice"), 2)
+    ).collect()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    # The dual-stream join (q118) must agree with the identical batch
+    # join over the same files — availableNow processes everything, so
+    # only watermark-finalized semantics could differ; on this data the
+    # join is time-bounded well inside the stream span.
+    from ooh_etl_spark.queries import QUERIES
+    from ooh_etl_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    streamed = QUERIES["q118_stream_stream_join"].fn(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    batch = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS")),
+    )
+    assert streamed.count() == batch.count()
