@@ -1,0 +1,87 @@
+"""Fifteenth coverage wave (b): sketch-accelerated exact queries —
+heavy hitters via a Misra-Gries candidate pass, and a Bloom-prefiltered
+semi-join. The sketches bound memory and shuffle; a second exact pass
+makes the RESULTS identical to the naive plan, which is why both are
+fully oracle-checkable (the oracle runs the naive SQL).
+
+Citations: Misra & Gries, 'Finding repeated elements' (Sci. Comp.
+Prog. 1982); Bloom, 'Space/time trade-offs in hash coding' (CACM
+1970). Spark's own runtime bloom-filter join (SPARK-32268) is the
+built-in form of q121's pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.functions.text import tokenize
+from ooh_etl_spark.operators.sketches import bloom_semi_join, exact_heavy_hitters
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+_HH_K = 50  # heavy hitter = frequency > n/50 (2%)
+
+
+@register(
+    "q120_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS value
+      FROM documents),
+         n AS (SELECT count(*) AS n FROM tok)
+    SELECT value, count(*) AS cnt
+    FROM tok CROSS JOIN n
+    GROUP BY value, n.n
+    HAVING count(*) * {_HH_K} > n.n
+    ORDER BY cnt DESC, value
+    """,
+)
+def q120_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with >2% corpus frequency) computed
+    the scalable way: a Misra-Gries candidate pass with 50 counters of
+    state PER PARTITION — constant memory no matter how large the
+    partition — then an exact count restricted to candidates. The
+    exact pass shuffles only candidate tokens (at most ~k distinct),
+    not the full vocabulary; the oracle runs the naive full group-by
+    and must agree exactly, which is the two-pass guarantee under
+    test."""
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode_outer(tokenize(F.col("text"))).alias("value")
+    ).filter(F.col("value").isNotNull())
+    return exact_heavy_hitters(tok, "value", _HH_K).orderBy(
+        F.col("cnt").desc(), "value"
+    )
+
+
+@register(
+    "q121_bloom_prefilter_join",
+    """
+    WITH hv AS (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+             AS revenue_c,
+           count(*) AS n_lines
+    FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM hv)
+    """,
+)
+def q121_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from line items of high-value orders, with the fact
+    side prefiltered by a Bloom filter built over the qualifying order
+    keys (1% fpp) before the exact semi-join removes false positives —
+    the hand-rolled runtime-filter pattern (Spark's adaptive bloom
+    join, SPARK-32268). Results are exact, so the oracle is the plain
+    IN-subquery; what the sketch buys at 100 TB is that ~99% of
+    non-matching fact rows never reach the join's shuffle or build
+    probe."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    matched = bloom_semi_join(li, "l_orderkey", hv, "o_orderkey")
+    return matched.agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("bigint")
+        .alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
