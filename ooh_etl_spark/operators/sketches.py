@@ -26,6 +26,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_merge(count_batches, k: int) -> "pd.Series":
+    """Mergeable-summary form of MG (Agarwal et al., PODS'12): exact
+    value_counts per batch (vectorized), merged into the running
+    summary, then compressed back to <= k counters by subtracting the
+    (k+1)-th largest weight — same guarantee (any value with total
+    count > n/k survives; total undercount <= n/k) as item-at-a-time
+    MG, ~100x faster in Python. Property-tested in
+    tests/test_properties.py."""
+    counters = pd.Series(dtype="int64")
+    for vc in count_batches:
+        counters = counters.add(vc, fill_value=0)
+        if len(counters) > k:
+            kth = counters.nlargest(k + 1).iloc[-1]
+            counters = counters[counters > kth] - kth
+    return counters
+
+
 def mg_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     """Misra-Gries candidate heavy hitters: one column of ``items``
     summarized per partition with at most ``k`` counters, unioned.
@@ -33,20 +50,8 @@ def mg_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     """
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Mergeable-summary form of MG (Agarwal et al., PODS'12):
-        # exact value_counts per Arrow batch (vectorized), merged into
-        # the running summary, then compressed back to k counters by
-        # subtracting the (k+1)-th largest weight — same error bound
-        # (total undercount <= n_partition/k) as item-at-a-time MG,
-        # ~100x faster in Python.
-        counters = pd.Series(dtype="int64")
-        for pdf in batches:
-            vc = pdf[col].dropna().value_counts()
-            counters = counters.add(vc, fill_value=0)
-            if len(counters) > k:
-                kth = counters.nlargest(k + 1).iloc[-1]
-                counters = counters[counters > kth] - kth
-        yield pd.DataFrame({col: counters.index.astype(str)})
+        counts = mg_merge((pdf[col].dropna().value_counts() for pdf in batches), k)
+        yield pd.DataFrame({col: counts.index.astype(str)})
 
     return items.select(col).mapInPandas(summarize, f"{col} string").distinct()
 

@@ -86,3 +86,44 @@ def test_tokenize_roundtrip_count(spark, texts):
     got = run_batch(spark, texts, lambda c: F.size(tokenize(c)))
     expected = [len(t.strip().lower().split()) if t.strip() else 1 for t in texts]
     assert got == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefghij"), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=20),
+    st.integers(min_value=1, max_value=5),
+)
+def test_mg_merge_contains_all_heavy_hitters(tokens, k, n_batches):
+    # The Misra-Gries candidate guarantee behind q120: every value with
+    # count > n/k MUST survive the bounded-state merge, under any
+    # batching of the input.
+    import pandas as pd
+
+    from ooh_etl_spark.operators.sketches import mg_merge
+
+    chunks = [tokens[i::n_batches] for i in range(n_batches)]
+    batches = (pd.Series(c).value_counts() for c in chunks if c)
+    candidates = set(mg_merge(batches, k).index)
+    n = len(tokens)
+    true_hh = {v for v in set(tokens) if tokens.count(v) * k > n}
+    assert true_hh <= candidates, (true_hh, candidates, k)
+    assert len(candidates) <= 2 * k  # bounded state (k per compress round)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+)
+def test_pybloom_no_false_negatives(members, probes):
+    from ooh_etl_spark.operators.sketches import PyBloom
+
+    bloom = PyBloom(len(members))
+    for v in members:
+        bloom.add(v)
+    # no false negatives, ever
+    assert all(bloom.might_contain(v) for v in members)
+    # false-positive rate on non-members stays sane (bitmap is 10 bits/key)
+    fp = sum(bloom.might_contain(v) for v in probes - members)
+    assert fp <= max(5, len(probes) // 4)
