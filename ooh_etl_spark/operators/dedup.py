@@ -113,9 +113,13 @@ def jaccard_pairs(
     shared = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # No broadcast hint: the size table is one row per DOC (linear in
+    # corpus size), so forcing a broadcast would break at 10^10 docs.
+    # AQE still picks a broadcast at any scale where it actually fits,
+    # so the local plan is unchanged — measured identical at sf0.1.
     return (
-        shared.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
