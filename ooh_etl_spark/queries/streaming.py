@@ -247,3 +247,36 @@ def q118_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("amount", 2).alias("amount"),
     )
     return _run_to_completion(joined, spark)
+
+
+def _protobuf_ok() -> bool:
+    # transformWithStateInPandas drives a protobuf-based state-server
+    # protocol; this container ships a broken protobuf install, so the
+    # query registers only where the dependency actually works
+    # (the operator itself lives in streaming/stateful.py regardless).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _protobuf_ok():
+    _register_tws = register("q122_stream_transform_with_state", None)
+else:  # pragma: no cover - environment-dependent
+    def _register_tws(fn):
+        return fn
+
+
+@_register_tws
+def q122_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas (the applyInPandasWithState
+    successor): per-user running (count, max) with a typed ValueState
+    handle — declared state, independent eviction/TTL, per-key timers
+    available. State is two scalars per user: memory O(|keys|), the
+    same bound as q46."""
+    from ooh_etl_spark.streaming.stateful import running_user_max
+
+    ev = _event_stream(spark, sf_dir).select("user_id", "ts", "value")
+    return _run_to_completion(running_user_max(ev), spark, mode="update")

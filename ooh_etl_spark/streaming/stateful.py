@@ -74,3 +74,57 @@ def running_user_profiles(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the successor API — typed state
+# handles (ValueState/ListState/MapState), per-key timers, TTL.
+# ---------------------------------------------------------------------------
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle  # noqa: E402
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+class RunningMaxProcessor(StatefulProcessor):
+    """Per-user running (count, max value) via a typed ValueState handle.
+
+    The transformWithState model splits state DECLARATION (handle
+    creation in init, with optional TTL) from per-batch mutation —
+    unlike applyInPandasWithState's single opaque tuple — so the state
+    store can evict/checkpoint each named state independently."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "agg", StructType([StructField("n", LongType()), StructField("mx", DoubleType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, mx = self._state.get() if self._state.exists() else (0, float("-inf"))
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        self._state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 2)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_max(events_stream: DataFrame) -> DataFrame:
+    """events stream → per-user running (count, max) via the Spark 4
+    transformWithStateInPandas API (update mode)."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        RunningMaxProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -93,3 +93,19 @@ def test_ivf_ann_shape_and_ordering(spark):
     exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
     ivf_pairs = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(exact_pairs & ivf_pairs) > 0
+
+
+def test_transform_with_state_when_supported(spark):
+    # Spark 4 transformWithStateInPandas needs a working protobuf; the
+    # operator is library code either way, the run is env-gated.
+    import pytest
+
+    from ooh_etl_spark.queries.streaming import _protobuf_ok
+
+    if not _protobuf_ok():
+        pytest.skip("protobuf unavailable: transformWithState cannot run here")
+    from ooh_etl_spark.queries.streaming import q122_stream_transform_with_state
+    from tests.conftest import SF_DIR
+
+    out = q122_stream_transform_with_state(spark, SF_DIR)
+    assert out.count() > 0
