@@ -372,3 +372,108 @@ def q91_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "nation", "yr", F.round(F.col("profit_c") / 100.0, 2).alias("profit")
     ).orderBy("nation", F.col("yr").desc())
+
+
+_STOCK_BP = 20  # parts holding > 0.2% of their nation's stock value
+
+
+@register(
+    "q123_important_stock",
+    f"""
+    WITH stock AS (
+      SELECT n_name, l_partkey,
+             CAST(round(sum(l_quantity * p_retailprice) * 100) AS BIGINT) AS val_c
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      GROUP BY n_name, l_partkey),
+         tot AS (
+      SELECT n_name, CAST(sum(val_c) AS BIGINT) AS tot_c
+      FROM stock GROUP BY n_name)
+    SELECT s.n_name, s.l_partkey, round(s.val_c / 100.0, 2) AS stock_value
+    FROM stock s JOIN tot t USING (n_name)
+    WHERE s.val_c * 10000 > t.tot_c * {_STOCK_BP}
+    ORDER BY s.n_name, s.val_c DESC, s.l_partkey
+    """,
+)
+def q123_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts concentrating more than 1% of their
+    supplier nation's total stock value (0.2%; quantity x retail price
+    stands in for partsupp availqty x supplycost — the fixture has no
+    partsupp). Classic agg-vs-groupwise-total: the per-nation totals
+    re-reduce the FIRST aggregate's output (never the facts), join
+    back on n_name, and the share threshold is an integer
+    cross-multiplication on cent-quantized sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    stock = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(_cents(F.sum(F.col("l_quantity") * F.col("p_retailprice"))).alias("val_c"))
+    )
+    tot = stock.groupBy("n_name").agg(F.sum("val_c").cast("bigint").alias("tot_c"))
+    return (
+        stock.join(tot, "n_name")
+        .filter(F.col("val_c") * 10000 > F.col("tot_c") * _STOCK_BP)
+        .select(
+            "n_name",
+            "l_partkey",
+            F.round(F.col("val_c") / 100.0, 2).alias("stock_value"),
+        )
+        .orderBy("n_name", F.col("val_c").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q124_idle_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(round(avg(CAST(round(c_acctbal * 100) AS BIGINT))) AS BIGINT)
+               AS avg_c
+      FROM customer WHERE c_acctbal > 0),
+         idle AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS totacctbal_c
+    FROM idle CROSS JOIN avg_bal
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) > avg_c
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q124_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average account balance
+    and no recent orders, rolled up by nation (nation key stands in
+    for Q22's phone-prefix country code). The average is a 1-row
+    broadcast over cent-quantized balances; 'no recent orders' is a
+    LEFT ANTI join against the date-pruned orders scan — the
+    NOT-EXISTS decorrelation. With Q11 this completes all 22 TPC-H
+    query shapes."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg(bal_c)).cast("bigint").alias("avg_c")
+    )
+    idle = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.crossJoin(F.broadcast(avg_bal))
+        .filter(bal_c > F.col("avg_c"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _cents(F.sum("c_acctbal")).alias("totacctbal_c"),
+        )
+        .orderBy("c_nationkey")
+    )
