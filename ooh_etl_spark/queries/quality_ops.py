@@ -352,3 +352,50 @@ def q83_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Module-level pandas UDF (function-scope pandas UDFs break on string
+# annotations — see the build-state notes).
+from pyspark.sql import types as _T  # noqa: E402
+from pyspark.sql.functions import pandas_udf as _pandas_udf  # noqa: E402
+
+
+@_pandas_udf(_T.DoubleType())
+def _compression_ratio(texts):
+    """deflate-compressed size / raw size, 4dp. zlib level 6 is
+    deterministic for a given input across runs and platforms."""
+    import zlib
+
+    import pandas as pd
+
+    def ratio(t):
+        if t is None or len(t) == 0:
+            return None
+        raw = t.encode("utf-8")
+        return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+    return pd.Series([ratio(t) for t in texts])
+
+
+@register("q125_compression_quality", None)  # zlib has no DuckDB twin → rows-only
+def q125_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (Gopher Table A1: highly
+    compressible text is repetitive boilerplate; near-incompressible
+    is noise): deflate ratio per doc via an Arrow-batched pandas UDF —
+    the designated slow-path pattern for logic with no Spark-native
+    expression — bucketed into a per-source census. Rows-only check
+    (DuckDB ships no deflate), but the bucketing thresholds are exact
+    comparisons on the deterministic 4-dp ratio, and
+    test_compression_quality_buckets pins the semantics."""
+    docs = _docs(spark, sf_dir)
+    r = docs.select("source", _compression_ratio(F.col("text")).alias("ratio"))
+    bucket = (
+        F.when(F.col("ratio") < 0.35, "repetitive")
+        .when(F.col("ratio") <= 0.75, "normal")
+        .otherwise("incompressible")
+    )
+    return (
+        r.groupBy("source", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "bucket")
+    )

@@ -134,3 +134,23 @@ def test_kmeans_fit_inertia_non_increasing(spark):
     # every vector assigned exactly once
     assert assigned.count() == vectors.count()
     assert assigned.select("cid").distinct().count() <= 4
+
+
+def test_compression_quality_buckets(spark):
+    # Pin the pandas-UDF semantics the rows-only check can't: a highly
+    # repetitive text compresses far below a high-entropy one.
+    import zlib
+
+    from ooh_etl_spark.queries.quality_ops import _compression_ratio
+
+    df = spark.createDataFrame(
+        [("aaaa " * 200,), ("the quick brown fox jumps over the lazy dog " * 5,)],
+        "text string",
+    )
+    rep, normal = [
+        r[0] for r in df.select(_compression_ratio(F.col("text"))).collect()
+    ]
+    assert rep < 0.1 < normal
+    # matches a driver-side zlib computation exactly
+    t = "aaaa " * 200
+    assert rep == round(len(zlib.compress(t.encode(), 6)) / len(t.encode()), 4)
