@@ -280,3 +280,66 @@ def q110_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+_EWMA_LAST = 20
+_EWMA_A = 0.1  # smoothing factor
+
+
+@register(
+    "q126_ewma_last20",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events),
+         tail AS (
+      SELECT user_id,
+             array_agg(value ORDER BY ts, event_id) AS vals
+      FROM ranked WHERE rk <= {_EWMA_LAST}
+      GROUP BY user_id)
+    SELECT user_id,
+           len(vals) AS n,
+           round(list_reduce(vals,
+                             (acc, x) -> {_EWMA_A} * x + {1 - _EWMA_A} * acc),
+                 4) AS ewma
+    FROM tail ORDER BY user_id
+    """,
+)
+def q126_ewma_last20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's last 20
+    event values (a=0.1) — the smoothing op behind alerting baselines.
+    EWMA is inherently sequential, which defeats window frames; the
+    scalable form: bound state FIRST (top-20-per-user via row_number —
+    per-user memory is constant), collect the short tail into an
+    ordered array, and run the recurrence as an ORDERED ARRAY FOLD —
+    per-row folds are bit-identical across engines (q30/q77 precedent),
+    so no quantization is needed before the final 4-dp round."""
+    ev = load_table(spark, sf_dir, "events")
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tail = (
+        ev.withColumn("rk", F.row_number().over(wdesc))
+        .filter(F.col("rk") <= _EWMA_LAST)
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "value"))
+                ),
+                lambda s: s["value"],
+            ).alias("vals")
+        )
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, _EWMA_LAST),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: _EWMA_A * x + (1 - _EWMA_A) * acc,
+    )
+    return tail.select(
+        "user_id",
+        F.size("vals").alias("n"),
+        F.round(ewma, 4).alias("ewma"),
+    ).orderBy("user_id")
