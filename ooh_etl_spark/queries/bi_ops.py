@@ -169,3 +169,37 @@ def q129_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = s2.agg(F.count(F.lit(1)).alias("n_then_click"))
     c3 = s3.agg(F.count(F.lit(1)).alias("n_then_purchase"))
     return c1.crossJoin(c2).crossJoin(c3)
+
+
+@register(
+    "q130_regex_gauntlet",
+    """
+    WITH x AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[a-z]*a[a-z]*') AS a_words,
+             len(regexp_extract_all(text, 'ta')) AS n_ta,
+             CASE WHEN regexp_matches(text, '^t') THEN 1 ELSE 0 END AS starts_t
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           len(a_words) AS n_a_words,
+           array_to_string(a_words[1:3], ',') AS first3,
+           n_ta,
+           starts_t
+    FROM x ORDER BY doc_id
+    """,
+)
+def q130_regex_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface parity: regexp_extract_all (all matches, the
+    reference's global-match idiom at index.js:59-79 generalized),
+    match counting, and anchored matching — per-row expressions in one
+    codegen stage. Both engines run identical RE2-compatible patterns;
+    the slice-and-join canonicalizes the array for the hash compare."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    a_words = F.regexp_extract_all(F.col("text"), F.lit("[a-z]*a[a-z]*"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(a_words).alias("n_a_words"),
+        F.array_join(F.slice(a_words, 1, 3), ",").alias("first3"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("ta"), F.lit(0))).alias("n_ta"),
+        F.when(F.col("text").rlike("^t"), 1).otherwise(0).alias("starts_t"),
+    ).orderBy("doc_id")
