@@ -18,7 +18,7 @@ from ooh_etl_spark.tables import load_table
     """
     WITH m AS (
       SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_c
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         AND o_orderdate <  TIMESTAMP '1999-01-01'
@@ -43,7 +43,7 @@ def q127_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = orders.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
-    ).agg(F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_c"))
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("rev_c"))
     w = Window.orderBy("yr", "mo")
     prev = F.lag("rev_c").over(w)
     return m.select(
@@ -61,8 +61,8 @@ def q127_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH p AS (
       SELECT l_partkey,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
-               AS rev_c
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS rev_c
       FROM lineitem GROUP BY l_partkey),
          r AS (
       SELECT l_partkey, rev_c,
@@ -92,7 +92,11 @@ def q128_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitioned window) or over a revenue-threshold pre-filter."""
     li = load_table(spark, sf_dir, "lineitem")
     p = li.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "bigint"
+            )
+        )
         .cast("bigint")
         .alias("rev_c")
     )
@@ -203,3 +207,126 @@ def q130_regex_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit("ta"), F.lit(0))).alias("n_ta"),
         F.when(F.col("text").rlike("^t"), 1).otherwise(0).alias("starts_t"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q131_rank_family",
+    """
+    WITH b AS (
+      SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal
+      FROM customer WHERE c_custkey < 60)
+    SELECT c_mktsegment, c_custkey, bal,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           CAST(round(percent_rank() OVER w * 10000) AS BIGINT) AS pct_rank_bp,
+           CAST(round(cume_dist()    OVER w * 10000) AS BIGINT) AS cume_bp,
+           ntile(4)       OVER w AS quartile,
+           round(nth_value(bal, 2) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY bal DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING), 2) AS second_bal
+    FROM b
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal DESC, c_custkey)
+    ORDER BY c_mktsegment, rnk
+    """,
+)
+def q131_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window: rank,
+    dense_rank, percent_rank, cume_dist (both bp-quantized — they are
+    ratios of row positions, exact in both engines but rounded apart at
+    the 4th decimal without quantization), ntile, and nth_value with an
+    explicit unbounded frame (nth_value defaults differ between
+    engines; the frame pins them to the same semantics)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 60)
+    b = cust.select(
+        "c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("bal").desc(), "c_custkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return b.select(
+        "c_mktsegment",
+        "c_custkey",
+        "bal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w) * 10000).cast("bigint").alias("pct_rank_bp"),
+        F.round(F.cume_dist().over(w) * 10000).cast("bigint").alias("cume_bp"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.nth_value("bal", 2).over(wfull), 2).alias("second_bal"),
+    ).orderBy("c_mktsegment", "rnk")
+
+
+@register(
+    "q132_datetime_gauntlet",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           year(ts) AS y, quarter(ts) AS q, month(ts) AS m,
+           dayofyear(ts) AS doy,
+           strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+           strftime(ts + INTERVAL '3 months', '%Y-%m-%d %H:%M:%S') AS plus_3mo,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_floor,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS days_in
+    FROM events WHERE event_id < 50
+    ORDER BY event_id
+    """,
+)
+def q132_datetime_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function parity: component extraction, quarter,
+    day-of-year, month-end, month arithmetic (interval months — both engines clamp to the
+    month's last day AND keep the time of day; Spark's add_months
+    instead returns DATE and silently drops the time — a real trap), hour truncation, and day distances
+    — every output formatted to strings or integers (the oracle-compare
+    rule for temporal values). Pure per-row expressions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("ts_s"),
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.month("ts").alias("m"),
+        F.dayofyear("ts").alias("doy"),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 3 MONTHS"), fmt).alias("plus_3mo"),
+        F.date_format(F.date_trunc("hour", "ts"), fmt).alias("hour_floor"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_in"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q133_conditional_aggs",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE value > 250) AS n_high,
+           CAST(CASE WHEN bool_and(value > 0) THEN 1 ELSE 0 END AS BIGINT)
+             AS all_positive,
+           CAST(CASE WHEN bool_or(value > 480) THEN 1 ELSE 0 END AS BIGINT)
+             AS any_extreme,
+           round(min(value), 2) AS first_value_by_min
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q133_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate parity: FILTERed counts (count_if),
+    bool_and/bool_or (every/any), emitted as integers because DuckDB
+    returns BOOLEAN and Spark BooleanType hash-canonicalize differently
+    as strings. any_value is replaced by min — the deterministic
+    'pick one' (any_value is legal but unordered, so it can never be
+    oracle-checked)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("value") > 250).alias("n_high"),
+            F.when(F.bool_and(F.col("value") > 0), 1).otherwise(0).cast("bigint").alias("all_positive"),
+            F.when(F.bool_or(F.col("value") > 480), 1).otherwise(0).cast("bigint").alias("any_extreme"),
+            F.round(F.min("value"), 2).alias("first_value_by_min"),
+        )
+        .orderBy("event_type")
+    )

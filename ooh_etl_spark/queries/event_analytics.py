@@ -188,11 +188,11 @@ def q99_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events)
       WHERE rk = 1),
          rev AS (
-      SELECT user_id, sum(value) AS user_rev
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS user_rev_c
       FROM events WHERE event_type = 'purchase' GROUP BY user_id)
     SELECT first_touch,
            count(*) AS n_users,
-           CAST(round(sum(coalesce(user_rev, 0)) * 100) AS BIGINT) AS revenue_c
+           CAST(sum(coalesce(user_rev_c, 0)) AS BIGINT) AS revenue_c
     FROM ft LEFT JOIN rev USING (user_id)
     GROUP BY first_touch
     ORDER BY first_touch
@@ -215,14 +215,14 @@ def q100_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.sum("value").alias("user_rev"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("user_rev_c"))
     )
     return (
         ft.join(rev, "user_id", "left")
         .groupBy("first_touch")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
-            F.round(F.sum(F.coalesce(F.col("user_rev"), F.lit(0.0))) * 100)
+            F.sum(F.coalesce(F.col("user_rev_c"), F.lit(0)))
             .cast("bigint")
             .alias("revenue_c"),
         )

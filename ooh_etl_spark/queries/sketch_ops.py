@@ -60,8 +60,8 @@ def q120_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH hv AS (
       SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
-    SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
-             AS revenue_c,
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_c,
            count(*) AS n_lines
     FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM hv)
     """,
@@ -80,7 +80,11 @@ def q121_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
     matched = bloom_semi_join(li, "l_orderkey", hv, "o_orderkey")
     return matched.agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "bigint"
+            )
+        )
         .cast("bigint")
         .alias("revenue_c"),
         F.count(F.lit(1)).alias("n_lines"),

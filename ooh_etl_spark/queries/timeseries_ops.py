@@ -32,7 +32,7 @@ from ooh_etl_spark.tables import load_table
            round(min(value), 2) AS low,
            round(arg_max(value, printf('%030d%015d', epoch_us(ts), event_id)), 2)
              AS close,
-           CAST(round(sum(value) * 100) AS BIGINT) AS volume_c
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume_c
     FROM events
     GROUP BY event_type, bar_start
     ORDER BY event_type, bar_start
@@ -62,7 +62,7 @@ def q106_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("high"),
             F.round(F.min("value"), 2).alias("low"),
             F.round(F.max_by("value", ord_key), 2).alias("close"),
-            F.round(F.sum("value") * 100).cast("bigint").alias("volume_c"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("volume_c"),
         )
         .orderBy("event_type", "bar_start")
     )
@@ -170,11 +170,13 @@ _DELTA_FROM = "2024-01-26"
     "q109_incremental_agg",
     f"""
     WITH base AS (
-      SELECT event_type, count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS sum_c
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
       FROM events WHERE ts < TIMESTAMP '{_DELTA_FROM}'
       GROUP BY event_type),
          delta AS (
-      SELECT event_type, count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS sum_c
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
       FROM events WHERE ts >= TIMESTAMP '{_DELTA_FROM}'
       GROUP BY event_type),
          merged AS (
@@ -200,7 +202,7 @@ def q109_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def summarize(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value") * 100).cast("bigint").alias("sum_c"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_c"),
         )
 
     base = summarize(ev.filter(F.col("ts") < _DELTA_FROM))

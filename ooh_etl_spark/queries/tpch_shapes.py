@@ -49,9 +49,10 @@ _REV = "l_extendedprice * (1 - l_discount)"
       WHERE r_name = 'ASIA' AND p_type = 'PROMO'),
          cents AS (
       SELECT yr,
-             CAST(round(sum(CASE WHEN supp_nation = 'NATION_3'
-                                 THEN volume ELSE 0 END) * 100) AS BIGINT) AS nc,
-             CAST(round(sum(volume) * 100) AS BIGINT) AS tc
+             CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                          THEN CAST(round(volume * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS nc,
+             CAST(sum(CAST(round(volume * 100) AS BIGINT)) AS BIGINT) AS tc
       FROM vol GROUP BY yr)
     SELECT yr,
            round(nc / 100.0, 2) AS nation_volume,
@@ -96,18 +97,14 @@ def q61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_REV).alias("volume"),
         )
     )
+    vol_c = F.round(F.col("volume") * 100).cast("bigint")
     cents = vol.groupBy("yr").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
-                    F.lit(0.0)
-                )
-            )
-            * 100
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", vol_c).otherwise(F.lit(0))
         )
         .cast("bigint")
         .alias("nc"),
-        F.round(F.sum("volume") * 100).cast("bigint").alias("tc"),
+        F.sum(vol_c).cast("bigint").alias("tc"),
     )
     return cents.select(
         "yr",

@@ -51,7 +51,7 @@ def _cents(col: F.Column) -> F.Column:
     f"""
     WITH r AS (
       SELECT c_custkey, c_name, n_name,
-             CAST(round(sum({_REV}) * 100) AS BIGINT) AS rev_c
+             CAST(sum(CAST(round(({_REV}) * 100) AS BIGINT)) AS BIGINT) AS rev_c
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -79,7 +79,7 @@ def q84_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(_cents(F.sum(_rev())).alias("rev_c"))
+        .agg(F.sum(_cents(_rev())).cast("bigint").alias("rev_c"))
     )
     return (
         r.orderBy(F.col("rev_c").desc(), "c_custkey")
@@ -98,9 +98,10 @@ def q84_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH m AS (
       SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
-             CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END)
-                        * 100) AS BIGINT) AS promo_c,
-             CAST(round(sum({_REV}) * 100) AS BIGINT) AS total_c
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(round(({_REV}) * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS promo_c,
+             CAST(sum(CAST(round(({_REV}) * 100) AS BIGINT)) AS BIGINT) AS total_c
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -129,10 +130,10 @@ def q85_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo")
         )
         .agg(
-            _cents(
-                F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
-            ).alias("promo_c"),
-            _cents(F.sum(_rev())).alias("total_c"),
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", _cents(_rev())).otherwise(F.lit(0))
+            ).cast("bigint").alias("promo_c"),
+            F.sum(_cents(_rev())).cast("bigint").alias("total_c"),
         )
     )
     return m.select(
@@ -149,7 +150,7 @@ def q85_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH s AS (
       SELECT l_suppkey,
-             CAST(round(sum({_REV}) * 100) AS BIGINT) AS rev_c
+             CAST(sum(CAST(round(({_REV}) * 100) AS BIGINT)) AS BIGINT) AS rev_c
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -171,7 +172,7 @@ def q86_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     supp = load_table(spark, sf_dir, "supplier")
-    s = li.groupBy("l_suppkey").agg(_cents(F.sum(_rev())).alias("rev_c"))
+    s = li.groupBy("l_suppkey").agg(F.sum(_cents(_rev())).cast("bigint").alias("rev_c"))
     mx = s.agg(F.max("rev_c").alias("max_c"))
     return (
         s.crossJoin(F.broadcast(mx))
@@ -217,7 +218,7 @@ def q87_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q88_or_brackets_revenue",
     f"""
-    SELECT CAST(round(sum({_REV}) * 100) AS BIGINT) AS revenue_c,
+    SELECT CAST(sum(CAST(round(({_REV}) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
            count(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -247,7 +248,7 @@ def q88_or_brackets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            _cents(F.sum(_rev())).alias("revenue_c"),
+            F.sum(_cents(_rev())).cast("bigint").alias("revenue_c"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -333,8 +334,7 @@ def q90_shipping_delay_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (
       SELECT n_name AS nation, year(o_orderdate) AS yr,
-             CAST(round(sum({_REV} - 0.1 * p_retailprice * l_quantity) * 100)
-                  AS BIGINT) AS profit_c
+             CAST(sum(CAST(round(({_REV} - 0.1 * p_retailprice * l_quantity) * 100) AS BIGINT)) AS BIGINT) AS profit_c
       FROM lineitem
       JOIN part     ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -367,7 +367,7 @@ def q91_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr")
         )
-        .agg(_cents(F.sum(profit)).alias("profit_c"))
+        .agg(F.sum(_cents(profit)).cast("bigint").alias("profit_c"))
     )
     return p.select(
         "nation", "yr", F.round(F.col("profit_c") / 100.0, 2).alias("profit")
@@ -382,7 +382,7 @@ _STOCK_BP = 20  # parts holding > 0.2% of their nation's stock value
     f"""
     WITH stock AS (
       SELECT n_name, l_partkey,
-             CAST(round(sum(l_quantity * p_retailprice) * 100) AS BIGINT) AS val_c
+             CAST(sum(CAST(round((l_quantity * p_retailprice) * 100) AS BIGINT)) AS BIGINT) AS val_c
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
@@ -414,7 +414,7 @@ def q123_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("n_name", "l_partkey")
-        .agg(_cents(F.sum(F.col("l_quantity") * F.col("p_retailprice"))).alias("val_c"))
+        .agg(F.sum(_cents(F.col("l_quantity") * F.col("p_retailprice"))).cast("bigint").alias("val_c"))
     )
     tot = stock.groupBy("n_name").agg(F.sum("val_c").cast("bigint").alias("tot_c"))
     return (
@@ -443,7 +443,7 @@ def q123_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
     SELECT c_nationkey,
            count(*) AS numcust,
-           CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS totacctbal_c
+           CAST(sum(CAST(round((c_acctbal) * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
     FROM idle CROSS JOIN avg_bal
     WHERE CAST(round(c_acctbal * 100) AS BIGINT) > avg_c
     GROUP BY c_nationkey
@@ -473,7 +473,7 @@ def q124_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            _cents(F.sum("c_acctbal")).alias("totacctbal_c"),
+            F.sum(_cents(F.col("c_acctbal"))).cast("bigint").alias("totacctbal_c"),
         )
         .orderBy("c_nationkey")
     )
