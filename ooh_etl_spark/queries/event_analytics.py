@@ -274,3 +274,59 @@ def q101_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_BURST_SEC = 86400
+
+
+@register(
+    "q134_error_bursts",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type, 1) OVER w AS t1,
+             lag(ts, 1) OVER w AS ts1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           count(*) AS n_bursts,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_burst_end
+    FROM o
+    WHERE event_type = 'error' AND t1 = 'error'
+      AND date_diff('second', ts1, ts) <= {_BURST_SEC}
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q134_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection (the MATCH_RECOGNIZE shape Spark
+    lacks): two consecutive 'error' events from one user within 24
+    hours. Fixed-length patterns compile to lag() columns — one
+    window over one user_id shuffle, no state machine and no
+    applyInPandas needed; only unbounded-length patterns (A B* C)
+    genuinely need the custom-stateful escape hatch (q46's
+    machinery)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("ts", 1).over(w).alias("ts1"),
+    )
+    burst = o.filter(
+        (F.col("event_type") == "error")
+        & (F.col("t1") == "error")
+        & (F.unix_timestamp("ts") - F.unix_timestamp("ts1") <= _BURST_SEC)
+    )
+    return (
+        burst.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bursts"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_burst_end"
+            ),
+        )
+        .orderBy("user_id")
+    )
