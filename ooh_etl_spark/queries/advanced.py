@@ -65,6 +65,9 @@ def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q39b_approx_percentiles", None)  # sketch-based → rows-only
 def q39b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest approximate percentiles (percentile_approx) — the
+    sketch path for 100 TB where exact sort-based percentiles are
+    impractical. Rows-only; bounded error vs q39 asserted in tests."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
@@ -114,6 +117,9 @@ def q40_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with coalesced keys — both unmatched sides
+    survive; the shape that breaks naive broadcast plans (outer side
+    must shuffle)."""
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -163,6 +169,9 @@ def q42_cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q43_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time arithmetic surface: datediff, date_add, months_between,
+    trunc — per-row expressions, formatted to strings for the
+    cross-engine compare."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     return orders.select(
         "o_orderkey",
@@ -190,6 +199,9 @@ def q43_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q44_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface: coalesce, nullif, nvl2, null-safe
+    equality (<=>), IS DISTINCT FROM — the totality toolkit ANSI mode
+    demands."""
     cust = load_table(spark, sf_dir, "customer")
     bal_pos = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
         F.round("c_acctbal", 0)
@@ -220,6 +232,8 @@ def q44_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q45_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: explode, slice, array_contains, sort,
+    zip_with — expression-level fan-out inside the scan stage."""
     part = load_table(spark, sf_dir, "part")
     words = F.split("p_name", " ")
     return part.select(

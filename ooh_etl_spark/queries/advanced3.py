@@ -24,6 +24,9 @@ from ooh_etl_spark.tables import load_table
     """,
 )
 def q54_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance (sample +
+    population), corr, covar, skewness — one pass, all decomposable
+    into moment sums."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),

@@ -30,6 +30,9 @@ _DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
     """,
 )
 def q26_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy keeping the min doc_id —
+    deterministic survivor choice (dropDuplicates is
+    first-encountered, which is partitioning-dependent)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         exact_dedup(docs, key="text", id_col="doc_id")
@@ -64,6 +67,10 @@ _DUCK_JACCARD = f"""
 
 @register("q27_jaccard_pairs", _DUCK_JACCARD)
 def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Jaccard over 3-shingles via the inverted index:
+    shingle → posting list → grouped pair explode (never a self-join of
+    the full table), sizes re-attached by join (AQE picks the
+    strategy); threshold filter before output."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
@@ -131,11 +138,18 @@ def q49_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q28_minhash_pairs", None)  # spark.ml hashing → rows-only
 def q28_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: per-doc signatures (xxhash64 per
+    permutation), banded; pairs emitted per band bucket. Rows-only:
+    probabilistic signatures have no SQL oracle; accuracy is asserted
+    against exact Jaccard in tests."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "text", "doc_id", jaccard_distance=0.5)
 
 
 @register("q29_simhash_pairs", None)  # xxhash64 signatures → rows-only
 def q29_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit weighted-token fingerprints,
+    Hamming-banded; candidate pairs within distance threshold.
+    Rows-only + property tests (bit flips bounded)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "text", "doc_id", max_hamming=8)

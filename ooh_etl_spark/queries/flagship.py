@@ -47,6 +47,13 @@ def word_count_map(col: F.Column) -> F.Column:
 
 
 def flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full pipeline shape (SURVEY.md §3.1: scan →
+    nested parse → map fold → EXISTS-over-map-keys filter → formatted
+    sink, index.js:136-182) re-expressed on the documents table as one
+    declarative plan: word-count map via higher-order functions (E5),
+    null-safe EXISTS filter (F1, pushed below the repartition into the
+    scan), and a format_string report line (K1). This is `entry()`'s
+    query — the driver smoke check."""
     from ooh_etl_spark.tables import parallelize_rows
 
     docs = parallelize_rows(load_table(spark, sf_dir, "documents"))

@@ -29,6 +29,10 @@ def q32_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q32b_multimodal_features", None)  # stub decoder → rows-only
 def q32b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over binary payloads via
+    mapInPandas (Arrow batches) — the decode step is a deterministic
+    stub (no image libs in this container); schema, batching, and
+    partitioning are the real plumbing under test."""
     from ooh_etl_spark.tables import parallelize_rows
 
     docs = parallelize_rows(load_table(spark, sf_dir, "documents"))

@@ -49,6 +49,11 @@ def _records(spark: SparkSession) -> DataFrame:
 
 
 def q_ooh_records(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """The reference's 18-column occupation record projection (P1,
+    index.js:138-174) over the XML fixture: every E-operator as a
+    column expression, Military-Careers masking (P2, index.js:146-148),
+    maps/arrays serialized to sorted strings for the golden VALUES
+    oracle."""
     rec = _records(spark)
     return rec.select(
         "title",

@@ -50,6 +50,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the 8-aggregate pricing summary in ONE scan +
+    one shuffle — partial aggregates combine map-side, the date filter
+    is pushed into the parquet scan, and every aggregate is decomposable
+    (sum/count/avg), so shuffle payload is group-count sized."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -85,6 +89,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter/project/predicate surface (between, isin, when/otherwise)
+    — pure scan-stage expressions: the read schema is pruned to the
+    referenced columns and all predicates reach PushedFilters."""
     part = _t(spark, sf_dir, "part")
     return part.filter(
         F.col("p_size").between(10, 30) & F.col("p_type").isin("ECONOMY", "PROMO")
@@ -118,6 +125,10 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dimension, one
+    fact shuffle into the (orderkey, orderdate, shippriority) aggregate,
+    top-10 via TakeOrdered over the agg output (never a global sort of
+    facts)."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -162,6 +173,9 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS(lineitem later than commit) decorrelated
+    to a LEFT SEMI join with a non-equi residual — the semi join stops
+    probing at first match and ships no lineitem columns."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -196,6 +210,10 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way star join. Region/nation broadcast and
+    prune customers BEFORE the fact join; the order-date range is pushed
+    to the scan; the supplier-nation equality folds into the join
+    condition, not a post-filter."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -245,6 +263,9 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the all-pushdown query — every predicate (date
+    range, discount band, quantity cap) reaches the parquet scan, then a
+    single global sum; the canonical scan-efficiency benchmark."""
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -274,6 +295,9 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q07_acctbal_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range (band) join: customers matched to acctbal bands by
+    interval containment — a broadcast nested-loop over the tiny band
+    table, the correct physical plan when no equi-key exists."""
     supp = _t(spark, sf_dir, "supplier")
     cust = _t(spark, sf_dir, "customer")
     # Pure non-equi join: Spark plans BroadcastNestedLoopJoin with the
@@ -321,6 +345,9 @@ def q07_acctbal_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: NOT EXISTS(orders) decorrelated to LEFT ANTI — only
+    customer keys shuffle, no order payload moves, and AQE can broadcast
+    the smaller side."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -343,6 +370,8 @@ def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q09_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, status, grand) in one pass —
+    Catalyst expands to a single Expand + aggregate, not three scans."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -360,6 +389,8 @@ def q09_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions: all 4 grouping-set combinations from
+    one Expand — grouping_id distinguishes the levels in the output."""
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -382,6 +413,9 @@ def q10_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expands to a two-level aggregate
+    (distinct on (group, value) then count), both levels map-side
+    combined; q11b is the sketch path for 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -419,6 +453,9 @@ def q11b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (UNION, INTERSECT, EXCEPT ALL) over key sets —
+    each compiles to an aggregate or join on the key, never a
+    driver-side set."""
     orders = _t(spark, sf_dir, "orders")
     cutoff = F.lit("1997-01-01").cast("timestamp")
     early = orders.filter(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
@@ -452,6 +489,10 @@ def q12_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event matched to the latest order at-or-before
+    its timestamp) via operators/relational.asof_join: a union-merge
+    with a running last() window — one shuffle on the key, no range
+    explosion, DuckDB's native ASOF JOIN as the oracle."""
     events = _t(spark, sf_dir, "events")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
     j = asof_join(
@@ -481,6 +522,10 @@ def q13_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over events.props (the reference's
+    nested-document trick in JSON form, index.js:23-26):
+    get_json_object + from_json, aggregated per type. Oracle casts
+    DuckDB's HUGEINT sums back to BIGINT."""
     events = _t(spark, sf_dir, "events")
     # from_json with a declared schema: the CDATA-reparse trick of the
     # reference (index.js:3-5) done as a typed expression, no UDF.
@@ -513,6 +558,8 @@ def q14_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: date_trunc to month + aggregate — the
+    partition-key shape of every time-partitioned warehouse table."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy(
@@ -544,6 +591,9 @@ def q15_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q16_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (k=3) via row_number over (customer,
+    totalprice) — operators/relational.top_k_per_group; one shuffle,
+    rank computed within partitions, never a global sort."""
     orders = _t(spark, sf_dir, "orders")
     return top_k_per_group(
         orders,
@@ -569,6 +619,8 @@ def q16_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead order history per customer: previous/next order dates
+    and price deltas from ONE window over one shuffle on custkey."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -605,6 +657,9 @@ def q17_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar surface (concat, substring, upper/lower,
+    translate, abs/ceil/floor/pow...) — all per-row codegen
+    expressions, zero shuffles."""
     part = _t(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
@@ -635,6 +690,9 @@ def q18_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q19_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on linestatus: Catalyst rewrites to conditional aggregates
+    (one pass), with the pivot values enumerated so the schema is
+    static."""
     li = _t(spark, sf_dir, "lineitem")
     p = (
         li.groupBy("l_returnflag")

@@ -29,6 +29,10 @@ _DUCK_KNN = """
 
 @register("q30_knn_cosine", _DUCK_KNN)
 def q30_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine: 5 query vectors BROADCAST against the corpus
+    (scoring is a per-row fold in the scan stage), per-query top-5 via
+    window — brute force is correct at fixed query-set size; the
+    full-corpus path is q31/q53."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_brute_force(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 5), k=5
@@ -37,6 +41,9 @@ def q30_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q31_ann_lsh", None)  # random-projection LSH → rows-only
 def q31_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: sign-bit buckets, candidates only
+    within buckets — the sublinear path. Rows-only; recall vs q30's
+    exact answer is asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_pairs(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 5), threshold=1.2

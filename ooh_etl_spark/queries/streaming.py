@@ -33,6 +33,9 @@ from ooh_etl_spark.tables import load_table
     """,
 )
 def q33_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over events (batch form): window() +
+    aggregate — the oracle-checkable twin of the q36 streaming query
+    (time_bucket aligns with window() on hour boundaries)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour"), "event_type")

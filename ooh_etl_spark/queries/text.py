@@ -43,6 +43,9 @@ _DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
     """,
 )
 def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (counts, distinct, mean token
+    length) — all array expressions inside the scan stage; the
+    mean-length fold is exact integer arithmetic over lengths."""
     docs = _docs(spark, sf_dir)
     toks = tokenize(F.col("text"))
     return docs.select(
@@ -67,6 +70,9 @@ def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word counts: explode tokens → count per word → top-20.
+    The explode's null-guard stays ABOVE the Generate (see comment) so
+    the expensive split isn't double-evaluated below the repartition."""
     docs = _docs(spark, sf_dir)
     return (
         # explode_outer: plain explode's inferred size>0/notnull filter
@@ -103,6 +109,9 @@ def q21_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top term per document: tf from one (doc, term) aggregate,
+    idf derived FROM tf (reuses its exchange rather than re-scanning),
+    both small sides broadcast back; window top-1 per doc."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     tok = docs.select(
         "doc_id", F.explode_outer(tokenize(F.col("text"))).alias("term")
@@ -163,6 +172,9 @@ _DUCK_QUALITY = f"""
 
 @register("q23_doc_quality", _DUCK_QUALITY)
 def q23_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length, stopword, punctuation signals)
+    rolled up per language. Per-doc ratios quantize to integer basis
+    points BEFORE averaging (float round-half differs per engine)."""
     docs = _docs(spark, sf_dir)
     feats = quality_features(F.col("text"))
     per_doc = docs.select(
@@ -208,6 +220,9 @@ _DUCK_LANG_ID = f"""
 
 @register("q24_lang_id", _DUCK_LANG_ID)
 def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax of per-language hit counts,
+    deterministic tie-break) vs the labeled lang column — a confusion
+    matrix from one scan + one tiny aggregate."""
     docs = _docs(spark, sf_dir)
     return (
         docs.select("lang", lang_id(F.col("text")).alias("predicted"))
@@ -228,6 +243,9 @@ def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q25_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text per
+    source — exact-dup detection's content-addressed key, plus distinct
+    counts per source."""
     docs = _docs(spark, sf_dir)
     fp = fingerprint_md5(F.col("text"))
     return docs.select("source", fp.alias("fp")).groupBy("source").agg(

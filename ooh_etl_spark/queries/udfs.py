@@ -67,6 +67,9 @@ class SplitWords:
     """,
 )
 def q48_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one row in, N token rows out —
+    the registered-UDTF path for row-expanding logic that isn't an
+    array explode."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     docs.createOrReplaceTempView("udtf_docs")
     spark.udtf.register("split_words", SplitWords)
