@@ -1,0 +1,184 @@
+"""Eighteenth coverage wave: search & recommendation scoring — BM25
+keyword ranking (the IR scoring function behind every keyword search
+engine; Robertson & Zaragoza, "The Probabilistic Relevance Framework:
+BM25 and Beyond", 2009) and association-rule metrics
+(support/confidence/lift — Agrawal & Srikant, VLDB'94) over the
+market-basket pairs of q117.
+
+Numeric notes: BM25 terms are per-(doc, term) expressions computed from
+exact integers (tf, doc length, df, N) and one exact ratio (avgdl) —
+identical doubles in both engines (per-row math, q30 precedent); only
+the final score sum crosses rows per doc, and it sums <= |query| terms
+in a deterministic per-doc aggregation, quantized to basis points at
+the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.functions.text import tokenize
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+_QUERY_TERMS = ("spark", "table", "merge")
+_K1 = 1.2
+_B = 0.75
+_TOP = 10
+
+_DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "q135_bm25_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         dl AS (
+      SELECT doc_id, len(toks) AS dl FROM d),
+         stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         tok AS (
+      SELECT doc_id, unnest(toks) AS term FROM d),
+         tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('spark', 'table', 'merge')
+      GROUP BY doc_id, term),
+         df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term),
+         scored AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * (tf.tf * ({_K1} + 1))
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl
+                                     / (stats.sum_dl * 1.0 / stats.n_docs))))
+               AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_bp
+    FROM scored
+    ORDER BY score_bp DESC, doc_id
+    LIMIT {_TOP}
+    """,
+)
+def q135_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75, the Lucene-default variant
+    with the +1-smoothed idf): score every document against a 3-term
+    query, return the top 10. The tf table is built ONLY for query
+    terms (the IN filter prunes before the (doc, term) shuffle — at
+    100 TB this is why serving is cheap: work scales with matching
+    postings, not corpus size); df and the corpus stats are tiny
+    broadcasts; the per-doc score sums <= 3 per-(doc,term) terms
+    computed from exact integers, so both engines produce identical
+    doubles before the basis-point quantization."""
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tok = d.select("doc_id", F.explode_outer("toks").alias("term")).filter(
+        F.col("term").isin(*_QUERY_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term_score = idf * (F.col("tf") * (_K1 + 1)) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    return (
+        scored.select(
+            "doc_id", F.round(F.col("score") * 10000).cast("bigint").alias("score_bp")
+        )
+        .orderBy(F.col("score_bp").desc(), "doc_id")
+        .limit(_TOP)
+    )
+
+
+_MIN_SUPPORT = 3
+
+
+@register(
+    "q136_association_rules",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+         item_supp AS (
+      SELECT l_partkey, count(*) AS supp FROM items GROUP BY l_partkey),
+         pair_supp AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS supp
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY ante, cons
+      HAVING count(*) >= {_MIN_SUPPORT})
+    SELECT p.ante, p.cons, CAST(p.supp AS BIGINT) AS pair_supp,
+           CAST(round(10000.0 * p.supp / ia.supp) AS BIGINT) AS confidence_bp,
+           CAST(round(10000.0 * p.supp * n.n_orders / (ia.supp * ic.supp))
+                AS BIGINT) AS lift_e4
+    FROM pair_supp p
+    JOIN item_supp ia ON p.ante = ia.l_partkey
+    JOIN item_supp ic ON p.cons = ic.l_partkey
+    CROSS JOIN n
+    ORDER BY pair_supp DESC, ante, cons
+    """,
+)
+def q136_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining metrics (Apriori, Agrawal & Srikant
+    VLDB'94): for every part pair co-occurring in >= 3 orders, the
+    rule ante→cons with confidence (pair support / antecedent support)
+    and lift (observed vs independence), both in integer 1e-4 units.
+    Directed pairs (a != b, both directions) because confidence is
+    asymmetric. The pair self-join is keyed on o_orderkey (fan-out
+    bounded by lines-per-order); item supports reuse the DISTINCT
+    items relation; the min-support HAVING prunes before the metric
+    joins — the Apriori downward-closure step."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item_supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("ante"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("cons"))
+    pair_supp = (
+        a.join(b, "k")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= _MIN_SUPPORT)
+    )
+    ia = item_supp.select(F.col("l_partkey").alias("ante"), F.col("supp").alias("ante_supp"))
+    ic = item_supp.select(F.col("l_partkey").alias("cons"), F.col("supp").alias("cons_supp"))
+    return (
+        pair_supp.join(ia, "ante")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            F.col("supp").cast("bigint").alias("pair_supp"),
+            F.round(10000.0 * F.col("supp") / F.col("ante_supp"))
+            .cast("bigint")
+            .alias("confidence_bp"),
+            F.round(
+                10000.0 * F.col("supp") * F.col("n_orders")
+                / (F.col("ante_supp") * F.col("cons_supp"))
+            )
+            .cast("bigint")
+            .alias("lift_e4"),
+        )
+        .orderBy(F.col("pair_supp").desc(), "ante", "cons")
+    )
