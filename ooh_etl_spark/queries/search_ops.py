@@ -15,7 +15,7 @@ the end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ooh_etl_spark.functions.text import tokenize
@@ -181,4 +181,111 @@ def q136_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_e4"),
         )
         .orderBy(F.col("pair_supp").desc(), "ante", "cons")
+    )
+
+
+_TE_ALPHA = 10  # additive-smoothing pseudo-count
+
+
+@register(
+    "q137_target_encoding",
+    f"""
+    WITH g AS (
+      SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS tot_c,
+             count(*) AS n
+      FROM orders),
+         c AS (
+      SELECT c_mktsegment,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS seg_c,
+             count(*) AS n_seg
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment)
+    SELECT c_mktsegment, CAST(n_seg AS BIGINT) AS n_orders,
+           CAST(round((seg_c + {_TE_ALPHA} * (g.tot_c * 1.0 / g.n))
+                      / (n_seg + {_TE_ALPHA})) AS BIGINT) AS encoded_c
+    FROM c CROSS JOIN g
+    ORDER BY c_mktsegment
+    """,
+)
+def q137_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (Micci-Barreca, SIGKDD Expl. 2001):
+    each market segment encoded as the smoothed mean order value,
+    (seg_sum + alpha*global_mean)/(seg_n + alpha) — the categorical →
+    numeric transform of every tabular-ML pipeline, with additive
+    smoothing so rare categories shrink toward the prior. Per-row cent
+    quantization before both sums; the global prior is a 1-row
+    broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    g = orders.agg(
+        F.sum(cents).cast("bigint").alias("tot_c"), F.count(F.lit(1)).alias("n")
+    )
+    c = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(cents).cast("bigint").alias("seg_c"),
+            F.count(F.lit(1)).alias("n_seg"),
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "c_mktsegment",
+            F.col("n_seg").cast("bigint").alias("n_orders"),
+            F.round(
+                (F.col("seg_c") + _TE_ALPHA * (F.col("tot_c") * 1.0 / F.col("n")))
+                / (F.col("n_seg") + _TE_ALPHA)
+            )
+            .cast("bigint")
+            .alias("encoded_c"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_WS_K = 50
+
+
+@register(
+    "q138_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -- u in (0,1) from a multiplicative hash; ES key = u^(1/w)
+             -- compared via ln(u)/w (monotone transform, no pow)
+             ln(((doc_id * 2654435761) % 4294967296 + 1.0) / 4294967297.0)
+               / n_chars AS es_key
+      FROM documents),
+         ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY es_key DESC, doc_id) AS rk
+      FROM keyed)
+    SELECT doc_id, n_chars FROM ranked
+    WHERE rk <= {_WS_K}
+    ORDER BY doc_id
+    """,
+)
+def q138_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis,
+    IPL 2006): each doc gets key u^(1/w) with w = n_chars and u a
+    DETERMINISTIC hash-uniform — the top-k by key is a valid weighted
+    sample, reproducible across runs/engines/partitionings (unlike
+    rand()-based sampling). Compared in the monotone ln(u)/w form so
+    no pow() is evaluated; one top-k over per-row keys, no global
+    sort of the corpus at scale (rank-k cutoff via TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + 1.0) / 4294967297.0
+    keyed = docs.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WS_K)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     )
