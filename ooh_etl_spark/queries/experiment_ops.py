@@ -1,0 +1,171 @@
+"""Nineteenth coverage wave: experimentation & statistics finishing —
+equi-depth histogram construction (the CBO statistics-collection
+shape), click-through rates with Wilson score intervals (the A/B-test
+readout that doesn't lie at small n), and time-to-convert percentiles.
+
+All ratios/intervals compute from exact integers (counts, integer
+seconds), so per-row float math is engine-identical; outputs quantize
+to basis points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table
+
+_BUCKETS = 10
+
+
+@register(
+    "q139_equi_depth_histogram",
+    f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile({_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q139_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order values: 10 buckets of equal row
+    count with their [lo, hi] boundaries — what ANALYZE TABLE computes
+    for CBO selectivity estimation, and the right histogram for skewed
+    money data (equi-WIDTH buckets would put 90% of rows in one bar).
+    ntile's tie-break on o_orderkey makes bucket edges deterministic;
+    at extreme cardinality the same statistic comes from
+    percentile_approx boundaries instead of a global ntile sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        "o_totalprice", F.ntile(_BUCKETS).over(w).alias("bucket")
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_Z = 1.96  # 95% interval
+
+
+@register(
+    "q140_wilson_ctr",
+    f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS clicks,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS views
+      FROM events GROUP BY day),
+         w AS (
+      SELECT day, clicks, views,
+             clicks * 1.0 / (clicks + views) AS p,
+             clicks + views AS n
+      FROM d)
+    SELECT strftime(day, '%Y-%m-%d') AS day, clicks, views,
+           CAST(round(10000 * p) AS BIGINT) AS ctr_bp,
+           CAST(round(10000 *
+             (p + {_Z} * {_Z} / (2 * n)
+              - {_Z} * sqrt((p * (1 - p) + {_Z} * {_Z} / (4 * n)) / n))
+             / (1 + {_Z} * {_Z} / n)) AS BIGINT) AS wilson_lower_bp
+    FROM w ORDER BY day
+    """,
+)
+def q140_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click-through rate with the Wilson score lower bound
+    (Wilson, JASA 1927 — the interval that stays honest at small n,
+    unlike the normal approximation): the A/B-test readout shape. All
+    inputs are integer counts from one conditional aggregate; the
+    interval formula is per-row double math over those exact integers,
+    so both engines agree bit-for-bit before basis-point rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("views"),
+    )
+    p = F.col("clicks") * 1.0 / (F.col("clicks") + F.col("views"))
+    n = F.col("clicks") + F.col("views")
+    z2 = _Z * _Z
+    wilson = (
+        p + z2 / (2 * n) - _Z * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    ) / (1 + z2 / n)
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "clicks",
+        "views",
+        F.round(10000 * p).cast("bigint").alias("ctr_bp"),
+        F.round(10000 * wilson).cast("bigint").alias("wilson_lower_bp"),
+    ).orderBy("day")
+
+
+@register(
+    "q141_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (
+      SELECT s.user_id,
+             CAST(date_diff('second', s.signup_ts, min(e.ts)) AS BIGINT) AS delay_s
+      FROM s JOIN events e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts)
+    SELECT count(*) AS n_converted,
+           CAST(quantile_disc(delay_s, 0.25) AS BIGINT) AS p25_s,
+           CAST(quantile_disc(delay_s, 0.50) AS BIGINT) AS p50_s,
+           CAST(quantile_disc(delay_s, 0.75) AS BIGINT) AS p75_s
+    FROM p
+    """,
+)
+def q141_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: quartiles of the signup→first-
+    purchase delay in integer seconds. Delays are per-user reduces
+    (q97's funnel chain); discrete percentiles over INTEGER seconds
+    are engine-exact with no quantization at all — the cleanest
+    latency-percentile shape."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            (
+                F.unix_timestamp(F.min("ts")) - F.unix_timestamp(F.col("signup_ts"))
+            )
+            .cast("bigint")
+            .alias("delay_s")
+        )
+    )
+
+    def disc(q: float) -> F.Column:
+        return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY delay_s)")
+
+    return p.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        disc(0.25).cast("bigint").alias("p25_s"),
+        disc(0.50).cast("bigint").alias("p50_s"),
+        disc(0.75).cast("bigint").alias("p75_s"),
+    )
