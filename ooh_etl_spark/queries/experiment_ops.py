@@ -169,3 +169,120 @@ def q141_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         disc(0.50).cast("bigint").alias("p50_s"),
         disc(0.75).cast("bigint").alias("p75_s"),
     )
+
+
+_K_ANON = 5
+
+
+@register(
+    "q142_k_anonymity",
+    f"""
+    WITH classes AS (
+      SELECT lang, source, count(*) AS class_size,
+             count(DISTINCT n_chars) AS l_diversity
+      FROM documents GROUP BY lang, source)
+    SELECT lang, source, CAST(class_size AS BIGINT) AS class_size,
+           CAST(l_diversity AS BIGINT) AS l_diversity,
+           CAST(CASE WHEN class_size < {_K_ANON} THEN 1 ELSE 0 END AS BIGINT)
+             AS violates_k
+    FROM classes
+    ORDER BY lang, source
+    """,
+)
+def q142_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: k-anonymity (Sweeney, IJUFKS 2002) over the
+    (lang, source) quasi-identifier pair — equivalence classes smaller
+    than k=5 are re-identification risks — plus l-diversity (Machanava-
+    jjhala et al., ICDE'06) of the sensitive attribute within each
+    class. One aggregate over the quasi-identifier key; the release
+    decision (suppress/generalize small classes) is a follow-up filter
+    on this audit table. Complements q71's PII redaction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct("n_chars").cast("bigint").alias("l_diversity"),
+        )
+        .select(
+            "lang",
+            "source",
+            "class_size",
+            "l_diversity",
+            F.when(F.col("class_size") < _K_ANON, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("violates_k"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_CAMPAIGNS = [
+    ("launch", "2024-01-05", "2024-01-12"),
+    ("mid_month", "2024-01-14", "2024-01-18"),
+    ("closing", "2024-01-25", "2024-02-01"),
+]
+
+_DUCK_CAMPAIGNS = ", ".join(
+    f"('{n}', TIMESTAMP '{a}', TIMESTAMP '{b}')" for n, a, b in _CAMPAIGNS
+)
+
+
+@register(
+    "q143_interval_overlap",
+    f"""
+    WITH sessions AS (
+      SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+      FROM events GROUP BY user_id,
+           CAST(floor(date_diff('second', TIMESTAMP '2024-01-01', ts)
+                      / 86400.0) AS BIGINT)),
+         campaigns(name, c_start, c_end) AS (VALUES {_DUCK_CAMPAIGNS})
+    SELECT name,
+           count(*) AS n_overlapping_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM campaigns JOIN sessions
+      ON s_start < c_end AND s_end >= c_start
+    GROUP BY name
+    ORDER BY name
+    """,
+)
+def q143_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user daily activity intervals
+    (min/max ts within each day) matched against campaign windows by
+    the half-open overlap predicate (start < end' AND end >= start') —
+    the temporal-join shape behind campaign attribution and on-call
+    scheduling. The campaign side is a literal 3-row table
+    (broadcast); the interval side is pre-reduced to one row per
+    (user, day) before the non-equi join, so the BNLJ fan-out is
+    3x the reduced table, never 3x raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    day_bucket = F.floor(
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+        )
+        / 86400.0
+    ).cast("bigint")
+    sessions = ev.groupBy("user_id", day_bucket.alias("day")).agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    campaigns = ev.sparkSession.createDataFrame(
+        [(n, a, b) for n, a, b in _CAMPAIGNS], "name string, c_start string, c_end string"
+    ).select(
+        "name",
+        F.col("c_start").cast("timestamp"),
+        F.col("c_end").cast("timestamp"),
+    )
+    return (
+        sessions.join(
+            F.broadcast(campaigns),
+            (F.col("s_start") < F.col("c_end")) & (F.col("s_end") >= F.col("c_start")),
+        )
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("name")
+    )
