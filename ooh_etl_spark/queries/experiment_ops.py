@@ -286,3 +286,52 @@ def q143_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name")
     )
+
+
+_Z_BITS = 8
+
+
+@register(
+    "q144_zorder_clustering",
+    """
+    WITH k AS (
+      SELECT CAST(l_partkey % 256 AS BIGINT) AS pa,
+             CAST(l_suppkey % 256 AS BIGINT) AS sa
+      FROM lineitem),
+         z AS (
+      SELECT pa, sa,
+             (((pa >> 0) & 1) << 0) + (((sa >> 0) & 1) << 1) + (((pa >> 1) & 1) << 2) + (((sa >> 1) & 1) << 3) + (((pa >> 2) & 1) << 4) + (((sa >> 2) & 1) << 5) + (((pa >> 3) & 1) << 6) + (((sa >> 3) & 1) << 7) + (((pa >> 4) & 1) << 8) + (((sa >> 4) & 1) << 9) + (((pa >> 5) & 1) << 10) + (((sa >> 5) & 1) << 11) + (((pa >> 6) & 1) << 12) + (((sa >> 6) & 1) << 13) + (((pa >> 7) & 1) << 14) + (((sa >> 7) & 1) << 15) AS zval
+      FROM k)
+    SELECT CAST(zval // 256 AS BIGINT) AS z_bucket,
+           count(*) AS n,
+           CAST(min(pa) AS BIGINT) AS pa_lo, CAST(max(pa) AS BIGINT) AS pa_hi,
+           CAST(min(sa) AS BIGINT) AS sa_lo, CAST(max(sa) AS BIGINT) AS sa_hi
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+)
+def q144_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two join
+    keys so that sorting by the single z-value co-locates rows that are
+    close in BOTH dimensions — the layout trick behind Delta OPTIMIZE
+    ZORDER and multi-dimensional min/max pruning. The per-bucket
+    min/max spans of each dimension ARE the proof of locality: every
+    256-wide z-bucket confines both pa and sa to a 16-wide range, so a
+    predicate on either column can skip ~15/16 of sorted files. Pure
+    integer bit arithmetic (shiftright/&/shiftleft), engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.select(
+        (F.col("l_partkey") % 256).cast("bigint").alias("pa"),
+        (F.col("l_suppkey") % 256).cast("bigint").alias("sa"),
+    )
+    z = k.withColumn("zval", F.expr("(((pa >> 0) & 1) << 0) + (((sa >> 0) & 1) << 1) + (((pa >> 1) & 1) << 2) + (((sa >> 1) & 1) << 3) + (((pa >> 2) & 1) << 4) + (((sa >> 2) & 1) << 5) + (((pa >> 3) & 1) << 6) + (((sa >> 3) & 1) << 7) + (((pa >> 4) & 1) << 8) + (((sa >> 4) & 1) << 9) + (((pa >> 5) & 1) << 10) + (((sa >> 5) & 1) << 11) + (((pa >> 6) & 1) << 12) + (((sa >> 6) & 1) << 13) + (((pa >> 7) & 1) << 14) + (((sa >> 7) & 1) << 15)"))
+    return (
+        z.groupBy(F.floor(F.col("zval") / 256).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pa").cast("bigint").alias("pa_lo"),
+            F.max("pa").cast("bigint").alias("pa_hi"),
+            F.min("sa").cast("bigint").alias("sa_lo"),
+            F.max("sa").cast("bigint").alias("sa_hi"),
+        )
+        .orderBy("z_bucket")
+    )
