@@ -35,6 +35,7 @@ from ooh_etl_spark.queries import sketch_ops  # noqa: F401
 from ooh_etl_spark.queries import bi_ops  # noqa: F401
 from ooh_etl_spark.queries import search_ops  # noqa: F401
 from ooh_etl_spark.queries import experiment_ops  # noqa: F401
+from ooh_etl_spark.queries import stats_tests  # noqa: F401
 from ooh_etl_spark.queries import streaming  # noqa: F401
 from ooh_etl_spark.queries import ooh_surface  # noqa: F401
 

@@ -1,0 +1,157 @@
+"""Twentieth coverage wave: statistical hypothesis tests as
+aggregations — chi-square independence, mutual information, and the
+Benford first-digit test (forensic accounting's fraud screen). Each is
+a contingency table (integer counts from one aggregate) followed by
+per-cell double math on exact integers — engine-identical until the
+final basis-point quantization, the same determinism contract as q140's
+Wilson interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table
+
+
+@register(
+    "q145_chi_square",
+    """
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o
+      FROM documents GROUP BY lang, source),
+         margins AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS row_n,
+             sum(o) OVER (PARTITION BY source) AS col_n,
+             sum(o) OVER () AS n
+      FROM obs)
+    SELECT count(*) AS n_cells,
+           CAST((SELECT count(DISTINCT lang) FROM obs) - 1 AS BIGINT)
+             * CAST((SELECT count(DISTINCT source) FROM obs) - 1 AS BIGINT)
+             AS dof,
+           CAST(round(10000 * sum(
+             (o - row_n * col_n * 1.0 / n) * (o - row_n * col_n * 1.0 / n)
+             / (row_n * col_n * 1.0 / n))) AS BIGINT) AS chi2_e4
+    FROM margins
+    """,
+)
+def q145_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between lang and source:
+    one contingency aggregate, margins via windows over the (tiny)
+    cell table, then sum((O-E)^2/E). The statistic's inputs are exact
+    integer counts, so the per-cell doubles are engine-identical; the
+    cross-cell sum runs over ~100 cells in one deterministic
+    aggregation. At 100 TB the only full-data pass is the first
+    groupBy — the test itself costs nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    from pyspark.sql import Window
+
+    row_n = F.sum("o").over(Window.partitionBy("lang"))
+    col_n = F.sum("o").over(Window.partitionBy("source"))
+    n = F.sum("o").over(Window.partitionBy())
+    m = obs.select("lang", "source", "o", row_n.alias("row_n"), col_n.alias("col_n"), n.alias("n"))
+    e = F.col("row_n") * F.col("col_n") * 1.0 / F.col("n")
+    chi2 = F.sum((F.col("o") - e) * (F.col("o") - e) / e)
+    dof = (
+        obs.select("lang").distinct().count() - 1
+    ) * (obs.select("source").distinct().count() - 1)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.lit(dof).cast("bigint").alias("dof"),
+        F.round(10000 * chi2).cast("bigint").alias("chi2_e4"),
+    )
+
+
+@register(
+    "q146_mutual_information",
+    """
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o
+      FROM documents GROUP BY lang, source),
+         m AS (
+      SELECT o,
+             sum(o) OVER (PARTITION BY lang) AS row_n,
+             sum(o) OVER (PARTITION BY source) AS col_n,
+             sum(o) OVER () AS n
+      FROM obs)
+    SELECT CAST(round(1000000 * sum(
+             (o * 1.0 / n) * ln(o * 1.0 * n / (row_n * col_n))))
+           AS BIGINT) AS mi_nats_e6
+    FROM m
+    """,
+)
+def q146_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats — the feature-
+    selection / redundancy measure between two categorical columns
+    (zero iff independent; compare q145's significance test). Same
+    contingency-table plan as q145: the data pass is one groupBy, the
+    information sum is per-cell math on exact integers over ~100
+    cells, emitted in 1e-6 nat units."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    from pyspark.sql import Window
+
+    m = obs.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    mi = F.sum(
+        (F.col("o") * 1.0 / F.col("n"))
+        * F.log(F.col("o") * 1.0 * F.col("n") / (F.col("row_n") * F.col("col_n")))
+    )
+    return m.agg(F.round(1000000 * mi).cast("bigint").alias("mi_nats_e6"))
+
+
+@register(
+    "q147_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+         c AS (
+      SELECT digit, count(*) AS o FROM d GROUP BY digit),
+         n AS (SELECT sum(o) AS n FROM c)
+    SELECT digit, CAST(o AS BIGINT) AS observed,
+           CAST(round(o * 10000.0 / n.n) AS BIGINT) AS observed_bp,
+           CAST(round(10000 * ln(1.0 + 1.0 / digit) / ln(10.0)) AS BIGINT)
+             AS benford_bp
+    FROM c CROSS JOIN n
+    ORDER BY digit
+    """,
+)
+def q147_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order values (Benford
+    1938; the forensic-accounting fraud test — invoices that humans
+    invent don't follow log10(1+1/d)): observed first-digit shares
+    next to the Benford expectation, both in basis points. The digit
+    extraction is integer/string math (no float parsing); one tiny
+    aggregate after the scan. Synthetic uniform-ish prices will NOT
+    follow Benford — the comparison columns are the point, not
+    conformance."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    n = c.agg(F.sum("o").alias("n"))
+    return (
+        c.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.col("o").cast("bigint").alias("observed"),
+            F.round(F.col("o") * 10000.0 / F.col("n")).cast("bigint").alias("observed_bp"),
+            F.round(10000 * F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)))
+            .cast("bigint")
+            .alias("benford_bp"),
+        )
+        .orderBy("digit")
+    )
