@@ -155,3 +155,86 @@ def q147_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "q148_binary_encoding",
+    """
+    SELECT doc_id,
+           to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS b64,
+           hex(CAST(substr(text, 1, 6) AS BLOB)) AS hx,
+           md5(text) AS digest,
+           octet_length(CAST(text AS BLOB)) AS n_bytes
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def q148_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding parity: base64 / hex / md5 over text treated as
+    bytes — the encodings every interchange layer (webhooks, Kafka
+    payloads, content hashes) round-trips through. Pure per-row codegen
+    expressions; byte length equals char length here because the
+    synthetic corpus is ASCII (multi-byte text would diverge, which is
+    exactly what n_bytes monitors)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64"),
+        F.upper(F.hex(F.substring("text", 1, 6).cast("binary"))).alias("hx"),
+        F.md5(F.col("text")).alias("digest"),
+        F.length(F.col("text").cast("binary")).alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q149_id_gap_detection",
+    """
+    WITH c AS (
+      SELECT event_id,
+             event_id - row_number() OVER (ORDER BY event_id) AS grp
+      FROM events WHERE event_type = 'click'),
+         islands AS (
+      SELECT min(event_id) AS island_start, max(event_id) AS island_end,
+             count(*) AS island_len
+      FROM c GROUP BY grp)
+    SELECT count(*) AS n_islands,
+           CAST(sum(island_len) AS BIGINT) AS n_present,
+           CAST(max(island_end) - min(island_start) + 1 - sum(island_len)
+                AS BIGINT) AS n_missing,
+           CAST(max(island_len) AS BIGINT) AS longest_run
+    FROM islands
+    """,
+)
+def q149_id_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over a sparse ID sequence (the click subset of
+    event_ids): the id - row_number() constant-difference trick groups
+    consecutive runs without a self-join, then one aggregate summarizes
+    presence/missing counts — the CDC completeness check ('did we
+    ingest every offset?'). The global-ordered window runs over the
+    FILTERED sequence; at extreme scale the same check runs per
+    partition-key range and merges, since islands compose across
+    range boundaries."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    from pyspark.sql import Window
+
+    c = ev.select(
+        "event_id",
+        (F.col("event_id") - F.row_number().over(Window.orderBy("event_id"))).alias(
+            "grp"
+        ),
+    )
+    islands = c.groupBy("grp").agg(
+        F.min("event_id").alias("island_start"),
+        F.max("event_id").alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    )
+    return islands.agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("island_len").cast("bigint").alias("n_present"),
+        (
+            F.max("island_end") - F.min("island_start") + 1 - F.sum("island_len")
+        )
+        .cast("bigint")
+        .alias("n_missing"),
+        F.max("island_len").cast("bigint").alias("longest_run"),
+    )
