@@ -238,3 +238,45 @@ def q149_id_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_missing"),
         F.max("island_len").cast("bigint").alias("longest_run"),
     )
+
+
+@register(
+    "q150_pythagorean_means",
+    """
+    WITH t AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0)
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(round(avg(cents)) AS BIGINT) AS arith_c,
+           CAST(round(exp(avg(ln(cents)))) AS BIGINT) AS geom_c,
+           CAST(round(count(*) / sum(1.0 / cents)) AS BIGINT) AS harm_c
+    FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q150_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means per order status — arithmetic,
+    geometric (exp of mean log — the right average for ratios/growth),
+    harmonic (the right average for rates) — each from one aggregate
+    over integer cents. The ln/reciprocal transforms are per-row doubles
+    on exact integers; their cross-row sums are the one place engines
+    could drift, bounded here by rounding to whole cents (a 1e-12
+    relative ulp cannot move a value whose spacing is 1 cent unless it
+    sits exactly on .5 — the same tolerance every money aggregate in
+    this repo carries)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    t = orders.select("o_orderstatus", cents.alias("cents"))
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("cents")).cast("bigint").alias("arith_c"),
+            F.round(F.exp(F.avg(F.log("cents")))).cast("bigint").alias("geom_c"),
+            F.round(F.count(F.lit(1)) / F.sum(1.0 / F.col("cents")))
+            .cast("bigint")
+            .alias("harm_c"),
+        )
+        .orderBy("o_orderstatus")
+    )
