@@ -32,8 +32,20 @@ def q32b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over binary payloads via
     mapInPandas (Arrow batches) — the decode step is a deterministic
     stub (no image libs in this container); schema, batching, and
-    partitioning are the real plumbing under test."""
+    partitioning are the real plumbing under test.
+
+    The feature vector is serialized to a fixed-format string for the
+    output (the harness canonicalizer cannot hash raw array columns);
+    the mapInPandas stage still produces and tests array<float>."""
     from ooh_etl_spark.tables import parallelize_rows
 
     docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
-    return extract_features(attach_payload(docs))
+    feats = extract_features(attach_payload(docs))
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.array_join(
+            F.transform(F.col("features"), lambda x: F.format_string("%.2f", x)), ","
+        ).alias("features_csv"),
+    )
