@@ -10,11 +10,9 @@ the sketch only bounds memory/shuffle:
   local-frequency > local_n/k item; a global heavy hitter must exceed
   the threshold in at least one partition). The exact counting pass
   then runs only over this candidate set.
-- ``bloom_semi_join``: a driver-built Bloom filter over the (small)
-  key side, broadcast as a cheap prefilter ahead of the exact
-  semi-join — the hand-rolled form of Spark's runtime row-group
-  filters; false positives are removed by the exact join, false
-  negatives are impossible.
+- ``bloom_semi_join``: an exact broadcast left-semi join whose
+  bloom-style scan prefilter is Spark's own runtime filter injection
+  (SPARK-32268) — executor-built, JVM-evaluated, no driver collect.
 """
 
 from __future__ import annotations
@@ -75,61 +73,23 @@ def exact_heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
     )
 
 
-class PyBloom:
-    """Minimal deterministic Bloom filter: double hashing (Kirsch &
-    Mitzenmacher 2006) over blake2b-derived 64-bit hashes into a numpy
-    bitmap. Deterministic across processes (no salted ``hash()``), so
-    it survives the driver → Python-UDF-worker broadcast."""
-
-    def __init__(self, n_items: int, bits_per_item: int = 10, n_hashes: int = 7):
-        import numpy as np
-
-        self.m = max(64, n_items * bits_per_item)
-        self.h = n_hashes
-        self.bits = np.zeros(self.m, dtype=bool)
-
-    @staticmethod
-    def _h2(v) -> tuple[int, int]:
-        import hashlib
-
-        d = hashlib.blake2b(str(v).encode(), digest_size=16).digest()
-        return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
-
-    def add(self, v) -> None:
-        a, b = self._h2(v)
-        for i in range(self.h):
-            self.bits[(a + i * b) % self.m] = True
-
-    def might_contain(self, v) -> bool:
-        a, b = self._h2(v)
-        return all(self.bits[(a + i * b) % self.m] for i in range(self.h))
-
-
 def bloom_semi_join(
     facts: DataFrame, fact_key: str, keys: DataFrame, key_col: str
 ) -> DataFrame:
-    """Exact semi-join of ``facts`` against ``keys``, prefiltered by a
-    Bloom filter built over the (small by design) key side. The filter
-    prunes most non-matching fact rows before the join; the exact
-    semi-join removes Bloom false positives; false negatives are
-    impossible. At scale this is what Spark's runtime bloom-filter
-    join (SPARK-32268) injects automatically when stats warrant — the
-    broadcast is a compact bitmap (~10 bits/key), not the key set.
-    PySpark exposes no DataFrame.stat.bloomFilter (Scala-only), hence
-    the self-contained PyBloom."""
-    key_values = [r[0] for r in keys.select(key_col).distinct().collect()]
-    bloom = PyBloom(len(key_values))
-    for v in key_values:
-        bloom.add(v)
-    bloom_bc = facts.sparkSession.sparkContext.broadcast(bloom)
+    """Exact semi-join of ``facts`` against ``keys``, with all pruning
+    kept JVM-side. The exact pass is a broadcast hash left-semi join;
+    the bloom-style scan prefilter is delegated to Spark's runtime
+    filter injection (SPARK-32268, ``runtime.bloomFilter.enabled`` set
+    in session.py): when stats warrant, Spark plants an executor-built
+    bloom/semi-join filter at the fact scan — no driver materialization
+    of the key set, no Python boundary, filter evaluated inside
+    whole-stage codegen where it can also prune parquet row groups.
 
-    @F.udf("boolean")
-    def might_contain(v) -> bool:
-        return v is not None and bloom_bc.value.might_contain(v)
-
-    prefiltered = facts.filter(might_contain(F.col(fact_key)))
-    return prefiltered.join(
-        F.broadcast(keys.select(F.col(key_col).alias(fact_key)).distinct()),
-        fact_key,
-        "left_semi",
-    )
+    Earlier revisions built a driver-side Python bloom filter
+    (``.collect()`` of the key set) and applied it with a row-at-a-time
+    Python UDF over every fact row; at 100 TB that is unbounded driver
+    memory plus a serialized per-row Python hop — strictly worse than
+    no prefilter, so it was removed (plan-asserted: q121 contains no
+    ``BatchEvalPython``, tests/test_plans.py)."""
+    dedup_keys = keys.select(F.col(key_col).alias(fact_key)).distinct()
+    return facts.join(F.broadcast(dedup_keys), fact_key, "left_semi")

@@ -31,19 +31,30 @@ def word_count_map(col: F.Column) -> F.Column:
     """word → occurrence-count map from a whitespace-tokenized string.
 
     The generic "extract-fold" combinator of the reference
-    (``cdataParser``, ``index.js:40-55``) re-expressed set-oriented:
-    distinct tokens zipped with their counts via ``map_from_entries``.
+    (``cdataParser``, ``index.js:40-55``) re-expressed set-oriented and
+    LINEARITHMIC per document: sort the token array once, find the
+    run-start indices, and read each run's length as the distance to
+    the next run start. Every step is O(1) per element (``F.get`` is an
+    array index, not a scan), so total cost is the O(n log n) sort — a
+    previous revision re-filtered the full token array per distinct
+    token (O(distinct × length)), pathological on long documents.
     """
-    tokens = F.split(col, r"\s+")
-    return F.map_from_entries(
-        F.transform(
-            F.array_distinct(tokens),
-            lambda t: F.struct(
-                t.alias("key"),
-                F.size(F.filter(tokens, lambda x: x == t)).alias("value"),
-            ),
-        )
+    tokens = F.array_sort(F.split(col, r"\s+"))
+    n = F.size(tokens)
+    # 0-based indices i that begin a run of equal tokens
+    starts = F.filter(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: (i == F.lit(0)) | (F.get(tokens, i) != F.get(tokens, i - F.lit(1))),
     )
+    # run length = next run start (or n) minus this run start
+    entries = F.transform(
+        starts,
+        lambda s, j: F.struct(
+            F.get(tokens, s).alias("key"),
+            (F.coalesce(F.get(starts, j + F.lit(1)), n) - s).alias("value"),
+        ),
+    )
+    return F.map_from_entries(entries)
 
 
 def flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:

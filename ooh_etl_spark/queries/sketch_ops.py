@@ -67,14 +67,14 @@ def q120_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q121_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue from line items of high-value orders, with the fact
-    side prefiltered by a Bloom filter built over the qualifying order
-    keys (1% fpp) before the exact semi-join removes false positives —
-    the hand-rolled runtime-filter pattern (Spark's adaptive bloom
-    join, SPARK-32268). Results are exact, so the oracle is the plain
-    IN-subquery; what the sketch buys at 100 TB is that ~99% of
-    non-matching fact rows never reach the join's shuffle or build
-    probe."""
+    """Revenue from line items of high-value orders via an exact
+    broadcast left-semi join whose fact-scan prefilter is Spark's own
+    runtime bloom filter (SPARK-32268, enabled in session.py) — the
+    executor-built, codegen-evaluated form of the pattern; no driver
+    key collection, no Python boundary (plan-asserted). Results are
+    exact, so the oracle is the plain IN-subquery; what the runtime
+    filter buys at 100 TB is that non-matching fact rows are dropped
+    at the scan, before the join probe."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     hv = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")

@@ -15,7 +15,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ooh_etl_spark.queries.registry import register
 from ooh_etl_spark.tables import load_table
@@ -124,30 +123,35 @@ def q35_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Raw schema of events.parquet (ts is int64 nanos; see tables.load_table).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over events.parquet whose event time equals
+    the batch path's (tables.load_table) byte for byte.
+
+    readStream needs a declared schema, and the fixture's on-disk ``ts``
+    encoding has drifted across driver regenerations (int64 nanos under
+    ``nanosAsLong``, later ``timestamp[us]``). Rather than hard-code
+    either, take the schema from the batch reader's parquet footer and
+    apply the SAME dtype-guarded nanos→micros conversion load_table
+    uses — whichever encoding the next regeneration picks, stream time
+    stays equal to batch time.
+    """
+    from ooh_etl_spark.tables import table_path
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    footer_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # The file-stream source wants a directory; scope it to the events
     # table with a glob filter (same pattern a log-landing dir would use).
     raw = (
         spark.readStream.format("parquet")
-        .schema(_EVENTS_RAW_SCHEMA)
+        .schema(footer_schema)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # EventTimeWatermark rejects TIMESTAMP_NTZ; under the UTC session
+    # timezone the NTZ→TZ cast is value-preserving.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_completion(

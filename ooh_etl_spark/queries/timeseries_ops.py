@@ -51,8 +51,12 @@ def q106_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     bar = F.date_format(
         F.window("ts", "6 hours").start, "yyyy-MM-dd HH:mm:ss"
     )
+    # ts may arrive as TIMESTAMP or TIMESTAMP_NTZ depending on the
+    # fixture's on-disk encoding (load_table's dtype guard); unix_micros
+    # accepts only TIMESTAMP, and under the UTC session timezone the
+    # NTZ→TZ cast is value-preserving, so cast unconditionally.
     ord_key = F.format_string(
-        "%030d%015d", F.unix_micros(F.col("ts")), F.col("event_id")
+        "%030d%015d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
     )
     return (
         ev.groupBy("event_type", bar.alias("bar_start"))

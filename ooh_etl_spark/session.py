@@ -36,6 +36,13 @@ def get_spark(app_name: str = "ooh_etl_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime filter injection (SPARK-32268): executor-built bloom
+        # filters planted at the fact scan when stats warrant — the
+        # JVM-side form of a hand-rolled bloom prefilter (q121).
+        # (runtimeFilter.semiJoinReduction deadlocks this Spark build on
+        # any action — verified on spark.range(5).count() — so only the
+        # bloom-filter flavor is enabled.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -81,18 +81,30 @@ def non_pushable(pred: Column) -> Column:
 
 
 def parallelize_rows(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Spread rows across cores before CPU-heavy per-row expressions.
+    """Spread rows across cores before CPU-heavy per-row expressions —
+    but ONLY when the input is actually under-split.
 
-    The driver fixtures are single-row-group parquet files, so the scan
-    yields ONE split and every downstream narrow expression runs
-    single-threaded. A round-robin repartition (cheap: the fixture is
-    MBs) restores parallelism. At production scale files carry many row
-    groups and scans parallelize naturally, but the repartition stays
-    correct — AQE coalesces it away when the input is already spread.
+    The driver fixtures are single-row-group parquet files, so their
+    scan yields ONE split and every downstream narrow expression runs
+    single-threaded; a round-robin repartition (cheap: the fixture is
+    MBs) restores parallelism. At production scale the same table is
+    thousands of splits and an unconditional repartition would inject a
+    full round-robin shuffle of the corpus before any narrow work — AQE
+    coalesces post-shuffle partitions but never elides the exchange
+    itself. So the gate is MEASURED: ask the planned scan how many
+    partitions it produces (no job runs — this is split planning only)
+    and return the input untouched when it already meets the target.
     """
     from ooh_etl_spark.session import default_parallelism
 
-    return df.repartition(partitions or default_parallelism())
+    target = partitions or default_parallelism()
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: plan not convertible
+        current = 0
+    if current >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

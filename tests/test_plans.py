@@ -146,6 +146,32 @@ def test_q102_kmeans_centroids_broadcast(spark):
     assert has_broadcast_join(plan), plan
 
 
+def test_parallelize_rows_gate_is_measured(spark):
+    # The single-row-group fixture scan is under-split → the round-robin
+    # exchange is injected; an input that already meets the parallelism
+    # target passes through UNTOUCHED (no Exchange RoundRobinPartitioning)
+    # — the property that matters at 100 TB, where scans arrive
+    # thousands-of-splits wide and a corpus-wide reshuffle would dominate.
+    from ooh_etl_spark.session import default_parallelism
+    from ooh_etl_spark.tables import load_table, parallelize_rows
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert "RoundRobinPartitioning" in physical_plan(parallelize_rows(docs))
+
+    wide = spark.range(10_000).repartition(default_parallelism())
+    assert parallelize_rows(wide) is wide
+
+
+def test_q121_bloom_join_is_jvm_only(spark):
+    # The bloom prefilter must be Spark's runtime filter, not a Python
+    # UDF: no Python evaluation node anywhere in the fact path, and the
+    # exact pass is a broadcast left-semi (fact side never shuffles).
+    plan = plan_of(spark, "q121_bloom_prefilter_join")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+    assert has_broadcast_join(plan), plan
+    assert not has_cartesian(plan), plan
+
+
 def test_q92_entropy_reads_three_columns(spark):
     plan = plan_of(spark, "q92_token_entropy")
     assert reads_only(plan, {"doc_id", "lang", "text"}), plan

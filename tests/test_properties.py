@@ -111,19 +111,7 @@ def test_mg_merge_contains_all_heavy_hitters(tokens, k, n_batches):
     assert len(candidates) <= 2 * k  # bounded state (k per compress round)
 
 
-@settings(max_examples=50, deadline=None)
-@given(
-    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
-    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
-)
-def test_pybloom_no_false_negatives(members, probes):
-    from ooh_etl_spark.operators.sketches import PyBloom
-
-    bloom = PyBloom(len(members))
-    for v in members:
-        bloom.add(v)
-    # no false negatives, ever
-    assert all(bloom.might_contain(v) for v in members)
-    # false-positive rate on non-members stays sane (bitmap is 10 bits/key)
-    fp = sum(bloom.might_contain(v) for v in probes - members)
-    assert fp <= max(5, len(probes) // 4)
+# (The former driver-side PyBloom and its no-false-negatives property
+# test were removed with the Python prefilter: bloom_semi_join now
+# delegates scan pruning to Spark's runtime filter injection, asserted
+# plan-side in tests/test_plans.py::test_q121_bloom_join_is_jvm_only.)
