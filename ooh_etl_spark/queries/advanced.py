@@ -14,19 +14,27 @@ from ooh_etl_spark.tables import load_table, register_views
     "q38_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_qty,
+           count(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
 )
 def q38_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary grouping sets via the SQL surface (rollup/cube's
-    general form; same partial+final hash aggregation underneath)."""
+    general form; same partial+final hash aggregation underneath).
+    The cents sum is CAST to DOUBLE before the divide: in Spark SQL a
+    ``100.0`` literal is DECIMAL and bigint/decimal division yields
+    DECIMAL (stringifying as ``x.000000``), while DuckDB yields DOUBLE
+    — the cast makes both engines divide in double."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS sum_qty,
+               count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """

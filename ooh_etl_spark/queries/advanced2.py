@@ -79,7 +79,8 @@ def q51_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFram
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            year(l_shipdate) AS yr,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS volume
     FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
                   JOIN customer ON o_custkey = c_custkey
                   JOIN supplier ON l_suppkey = s_suppkey
@@ -116,10 +117,10 @@ def q52_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, orders.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
     )
+    from ooh_etl_spark.functions.money import cents_sum
+
     return j.groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("yr")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "volume"
-        )
+        cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
     )
 
 

@@ -18,9 +18,12 @@ from ooh_etl_spark.tables import load_table, parallelize_rows
 
 # One SQL text, two engines: ANSI-only subset (no engine-specific
 # functions), so the SAME string is the Spark query and the oracle.
+# The cents sum is CAST to DOUBLE before dividing: Spark SQL treats
+# 100.0 as DECIMAL (bigint/decimal → decimal), DuckDB as DOUBLE.
 _Q67_SQL = """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ooh_etl_spark.functions.money import cents_avg, cents_sum
 from ooh_etl_spark.operators.relational import asof_join, top_k_per_group
 from ooh_etl_spark.queries.registry import register
 from ooh_etl_spark.tables import load_table
@@ -36,13 +37,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 2)                                        AS avg_qty,
-           round(avg(l_extendedprice), 2)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0             AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0        AS sum_base_price,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) / 100.0                                     AS sum_disc_price,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                    AS BIGINT)) / 100.0                                     AS sum_charge,
+           round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+                 / count(*), 2)                                             AS avg_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                 / count(*), 2)                                             AS avg_price,
+           round(sum(CAST(round(l_discount * 1000000) AS BIGINT)) / 1000000.0
+                 / count(*), 4)                                             AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -53,20 +59,22 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the 8-aggregate pricing summary in ONE scan +
     one shuffle — partial aggregates combine map-side, the date filter
     is pushed into the parquet scan, and every aggregate is decomposable
-    (sum/count/avg), so shuffle payload is group-count sized."""
+    (sum/count/avg), so shuffle payload is group-count sized. Money
+    aggregates follow the integer-cents policy (functions/money.py):
+    per-row cents, exact bigint sum — hash-stable under any shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            cents_sum("l_quantity").alias("sum_qty"),
+            cents_sum("l_extendedprice").alias("sum_base_price"),
+            cents_sum(disc_price).alias("sum_disc_price"),
+            cents_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            cents_avg("l_quantity").alias("avg_qty"),
+            cents_avg("l_extendedprice").alias("avg_price"),
+            cents_avg("l_discount", scale=6, out_scale=4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -113,7 +121,8 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d')                      AS orderdate,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS revenue
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) / 100.0                           AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -145,9 +154,9 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .select(
             "o_orderkey",
@@ -196,7 +205,9 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q05_regional_revenue",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
     FROM region JOIN nation   ON n_regionkey = r_regionkey
                 JOIN customer ON c_nationkey = n_nationkey
                 JOIN orders   ON o_custkey   = c_custkey
@@ -241,7 +252,7 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (supp.s_nationkey == F.col("c_nationkey")),
     )
     return j.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "revenue"
         )
     )
@@ -253,7 +264,8 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0
+             AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -273,9 +285,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        cents_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -364,7 +374,8 @@ def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_rollup_returns",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -374,7 +385,7 @@ def q09_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst expands to a single Expand + aggregate, not three scans."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        cents_sum("l_quantity").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -383,7 +394,8 @@ def q09_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_cube_orders",
     """
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -394,7 +406,7 @@ def q10_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        cents_sum("o_totalprice").alias("total"),
     )
 
 
@@ -552,7 +564,7 @@ def q14_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
            year(o_orderdate)     AS yr,
            quarter(o_orderdate)  AS qtr,
            count(*)              AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
     FROM orders
     GROUP BY 1, 2, 3
     """,
@@ -571,7 +583,7 @@ def q15_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            cents_sum("o_totalprice").alias("revenue"),
         )
     )
 
@@ -683,8 +695,10 @@ def q18_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_pivot_linestatus",
     """
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+           sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(round(l_quantity * 100) AS BIGINT) END) / 100.0 AS qty_O,
+           sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(round(l_quantity * 100) AS BIGINT) END) / 100.0 AS qty_F
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -697,7 +711,7 @@ def q19_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(cents_sum("l_quantity"))
     )
     return p.select(
         "l_returnflag",

@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ooh_etl_spark.functions.money import cents_sum
 from ooh_etl_spark.queries.registry import register
 from ooh_etl_spark.tables import load_table
 
@@ -26,7 +27,7 @@ from ooh_etl_spark.tables import load_table
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -38,7 +39,10 @@ def q33_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cents_sum("value").alias("total_value"),
+        )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -59,7 +63,7 @@ def q33_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM s
     GROUP BY 1
     """,
@@ -70,7 +74,10 @@ def q34_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour", "30 minutes"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cents_sum("value").alias("total_value"),
+        )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "n",
@@ -179,7 +186,10 @@ def q36_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cents_sum("value").alias("total_value"),
+        )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",

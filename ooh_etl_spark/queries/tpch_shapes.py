@@ -124,7 +124,8 @@ def q61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
          thr AS (
       SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS t
       FROM brand_li GROUP BY l_partkey)
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 2)
+             AS avg_yearly
     FROM brand_li JOIN thr ON l_partkey = pk
     WHERE l_quantity < t
     """,
@@ -150,7 +151,14 @@ def q62_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         brand_li.join(F.broadcast(thr), brand_li.l_partkey == thr.pk)
         .filter(F.col("l_quantity") < F.col("t"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                / 100.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
