@@ -111,29 +111,47 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").count()
 
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
     timings: dict[str, float] = {}
+    spread_pct: dict[str, float] = {}
+
+    def record(name: str, runs: list[float], n_rows: int) -> None:
+        # Median of n>=3 runs + per-query spread: single runs carry
+        # ±10-80% machine noise (observed round 2), which would make
+        # round-over-round comparisons of BENCH_r{N} meaningless.
+        med = median(runs)
+        timings[name] = round(med, 3)
+        spread_pct[name] = round(100 * (max(runs) - min(runs)) / med, 1)
+        print(
+            f"# {name}: median {timings[name]}s over {len(runs)} runs "
+            f"(spread {spread_pct[name]}%, {n_rows} rows)",
+            file=sys.stderr,
+        )
+
     for name in HEADLINE:
-        # Best of 3: single runs carry ±10% machine noise, which would
-        # dominate round-over-round comparisons of BENCH_r{N}.
-        best, n = float("inf"), 0
-        for _ in range(3):
+        runs, n = [], 0
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             n = len(qs[name](spark, sf_dir).toPandas())
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        record(name, runs, n)
 
     # Reference-surface throughput: the full OOH ETL on a 10k-occupation
     # compilation (the reference itself is single-threaded jsdom).
     _synthesize_ooh_xml()
     run_ooh_pipeline(spark)  # warm the XML reader path
-    best, n = float("inf"), 0
-    for _ in range(3):
+    runs, n = [], 0
+    for _ in range(n_reps):
         t0 = time.perf_counter()
         n = run_ooh_pipeline(spark)
-        best = min(best, time.perf_counter() - t0)
-    timings["ooh_xml_10k"] = round(best, 3)
-    print(f"# ooh_xml_10k: {timings['ooh_xml_10k']}s ({n} report rows)", file=sys.stderr)
+        runs.append(time.perf_counter() - t0)
+    record("ooh_xml_10k", runs, n)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -141,6 +159,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "n": n_reps,
+        "stat": "median",
+        "spread_pct": spread_pct,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))

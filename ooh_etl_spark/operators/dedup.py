@@ -64,29 +64,26 @@ def jaccard_pairs(
     # One evaluation of the (expensive) shingle expression: id, set
     # size, and the exploded shingle come out of a single projection.
     # A naive self-join re-evaluates it per plan branch (4-6x).
-    sh = _shingle_sets(df, text_col, id_col, n)
-    # ONE evaluation of the shingle expression: the only consumer is the
-    # explode (a second consumer — size(), a self-join branch — would be
-    # re-inlined by CollapseProject and double the work). explode_OUTER,
-    # not explode: InferFiltersFromGenerate turns plain explode into a
-    # `size(sh)>0 AND sh IS NOT NULL` filter that Catalyst pushes below
-    # the repartition exchange — re-evaluating the whole shingle
-    # expression twice in the (single-split) scan stage (measured 8x on
-    # this stage). The shingle array is non-null/non-empty by
-    # construction, so OUTER is semantically identical.
-    inv = sh.select("id", F.explode_outer("sh").alias("shingle"))
-    # Posting list per shingle; everything downstream (set sizes AND
-    # pair expansion) derives from this one exchange, which Spark
-    # reuses — the expensive scan+shingle stage runs exactly once.
+    # Carrying sz (one int) alongside each posting-list entry is what
+    # lets the whole query run as ONE linear pipeline — scan → shingle
+    # → exchange(shingle) → pair expansion → exchange(pair) — with no
+    # size-table joins and no second traversal of the shingle exchange
+    # (an earlier revision re-derived per-doc sizes from the posting
+    # lists and joined them back, leaving exchange reuse to the
+    # planner; PLANS.md showed the subtree tripled instead).
+    sh = _shingle_sets(df, text_col, id_col, n).withColumn("sz", F.size("sh"))
+    # explode_OUTER, not explode: InferFiltersFromGenerate turns plain
+    # explode into a `size(sh)>0 AND sh IS NOT NULL` filter that
+    # Catalyst pushes below the repartition exchange — re-evaluating
+    # the whole shingle expression twice in the (single-split) scan
+    # stage (measured 8x on this stage). The shingle array is
+    # non-null/non-empty by construction, so OUTER is identical.
+    inv = sh.select("id", "sz", F.explode_outer("sh").alias("shingle"))
+    # Posting list per shingle, each member tagged with its set size;
+    # array_sort on struct(id, sz) orders by id (first field), so the
+    # expansion below emits each pair once with id_a < id_b.
     members = inv.groupBy("shingle").agg(
-        F.array_sort(F.collect_list("id")).alias("ids")
-    )
-    # |shingle set| per doc = its appearances across posting lists
-    # (shingle sets are distinct per doc by construction).
-    sizes = (
-        members.select(F.explode("ids").alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("sz"))
+        F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("ids")
     )
     # Ordered pair expansion per posting list — no self-join. Singleton
     # posting lists (the long tail) cannot produce a pair: prune them
@@ -102,25 +99,27 @@ def jaccard_pairs(
                         F.col("ids"),
                         lambda a, i: F.transform(
                             F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                            lambda b: F.struct(
+                                a.getField("id").alias("id_a"),
+                                a.getField("sz").alias("sz_a"),
+                                b.getField("id").alias("id_b"),
+                                b.getField("sz").alias("sz_b"),
+                            ),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.id_b")
+        .select("p.id_a", "p.sz_a", "p.id_b", "p.sz_b")
     )
-    shared = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    # No broadcast hint: the size table is one row per DOC (linear in
-    # corpus size), so forcing a broadcast would break at 10^10 docs.
-    # AQE still picks a broadcast at any scale where it actually fits,
-    # so the local plan is unchanged — measured identical at sf0.1.
+    # sz_a/sz_b are functionally determined by id_a/id_b, so grouping on
+    # all four keeps one row per pair while making the sizes available
+    # without any join.
+    shared = pairs.groupBy("id_a", "sz_a", "id_b", "sz_b").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
                 F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 4

@@ -65,17 +65,17 @@ def test_q13_asof_is_not_cartesian(spark):
     assert not has_cartesian(plan), plan
 
 
-def test_q27_jaccard_pair_generation_is_not_a_join(spark):
-    # The inverted-index rewrite: pair generation is a grouped explode,
-    # never a shuffle self-join of the (id, shingle) table. The only
-    # joins allowed are the broadcast attachments of the tiny per-doc
-    # size table at the very end.
+def test_q27_jaccard_single_pipeline_no_joins(spark):
+    # The inverted-index rewrite is ONE linear pipeline: per-doc sizes
+    # ride along inside the posting-list structs, so the plan has
+    # exactly one scan of documents, no join operator of any kind, and
+    # the shingle exchange is traversed once (nothing left to reuse).
+    import re
+
     plan = plan_of(spark, "q27_jaccard_pairs")
-    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
     assert not has_cartesian(plan), plan
-    # (The static plan shows the size branches as separate scans;
-    # AQE's ReusedExchange collapses the identical shingle shuffles at
-    # runtime, so the expensive stage still executes once.)
 
 
 def test_q30_knn_broadcasts_queries(spark):
