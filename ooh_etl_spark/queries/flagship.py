@@ -27,34 +27,54 @@ from ooh_etl_spark.tables import load_table
 LONG_KEY = 6  # F1 analog: the reference uses key-length > 26 (index.js:177)
 
 
+def bind_value(col: F.Column, f) -> F.Column:
+    """Evaluate ``col`` ONCE and hand its value to ``f`` as a bound
+    lambda variable. Higher-order functions run interpreted, so an
+    outer column expression referenced inside a lambda body is
+    re-evaluated on every element — referencing a 1000-token array
+    expression inside a per-token lambda is O(n²). A lambda VARIABLE is
+    a bound slot, so routing the value through a one-element transform
+    makes every inner reference O(1)."""
+    return F.get(F.transform(F.array(col), f), 0)
+
+
 def word_count_map(col: F.Column) -> F.Column:
     """word → occurrence-count map from a whitespace-tokenized string.
 
     The generic "extract-fold" combinator of the reference
     (``cdataParser``, ``index.js:40-55``) re-expressed set-oriented and
-    LINEARITHMIC per document: sort the token array once, find the
-    run-start indices, and read each run's length as the distance to
-    the next run start. Every step is O(1) per element (``F.get`` is an
-    array index, not a scan), so total cost is the O(n log n) sort — a
-    previous revision re-filtered the full token array per distinct
-    token (O(distinct × length)), pathological on long documents.
+    LINEARITHMIC per document: sort the token array once (bound via
+    :func:`bind_value` so lambdas reference it O(1)), find run-start
+    and run-end index lists, zip them positionally — the k-th run is
+    [starts[k], ends[k]] — and emit (token, run length) entries. Total
+    cost is the O(n log n) sort; earlier revisions were quadratic
+    (re-filtering the full token array per distinct token, then an
+    outer-reference rewrite that re-evaluated the array per element).
     """
-    tokens = F.array_sort(F.split(col, r"\s+"))
-    n = F.size(tokens)
-    # 0-based indices i that begin a run of equal tokens
-    starts = F.filter(
-        F.sequence(F.lit(0), n - F.lit(1)),
-        lambda i: (i == F.lit(0)) | (F.get(tokens, i) != F.get(tokens, i - F.lit(1))),
-    )
-    # run length = next run start (or n) minus this run start
-    entries = F.transform(
-        starts,
-        lambda s, j: F.struct(
-            F.get(tokens, s).alias("key"),
-            (F.coalesce(F.get(starts, j + F.lit(1)), n) - s).alias("value"),
-        ),
-    )
-    return F.map_from_entries(entries)
+
+    def build(toks: F.Column) -> F.Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), n - F.lit(1))
+        starts = F.filter(
+            idx,
+            lambda i: (i == F.lit(0)) | (F.get(toks, i) != F.get(toks, i - F.lit(1))),
+        )
+        ends = F.filter(
+            idx,
+            lambda i: (i == n - F.lit(1))
+            | (F.get(toks, i) != F.get(toks, i + F.lit(1))),
+        )
+        return F.map_from_entries(
+            F.transform(
+                F.arrays_zip(starts.alias("s"), ends.alias("e")),
+                lambda z: F.struct(
+                    F.get(toks, z["s"]).alias("key"),
+                    (z["e"] - z["s"] + F.lit(1)).alias("value"),
+                ),
+            )
+        )
+
+    return bind_value(F.array_sort(F.split(col, r"\s+")), build)
 
 
 def flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:
