@@ -115,3 +115,33 @@ def test_mg_merge_contains_all_heavy_hitters(tokens, k, n_batches):
 # test were removed with the Python prefilter: bloom_semi_join now
 # delegates scan pruning to Spark's runtime filter injection, asserted
 # plan-side in tests/test_plans.py::test_q121_bloom_join_is_jvm_only.)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00 \t\n\r"),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_word_count_map_matches_python_counter(spark, words):
+    # The flagship run-length construction must agree with a plain
+    # Python Counter over the same whitespace split, for ANY token
+    # multiset (duplicates, empty tokens, unicode) — the invariant that
+    # has survived two rewrites (quadratic filter → sorted run-length).
+    # The Python reference spells out Java's \s class ([ \t\n\x0B\f\r])
+    # — Python's unicode \s also matches U+001C-001F and friends, which
+    # Java's does not.
+    import re
+    from collections import Counter
+
+    from ooh_etl_spark.queries.flagship import word_count_map
+
+    text = " ".join(words)
+    [m] = run_batch(spark, [text], word_count_map)
+    assert m == dict(Counter(re.split(r"[ \t\n\x0b\f\r]+", text)))
