@@ -136,6 +136,105 @@ def q49_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+_SEM_K = 8  # clusters; production sizing is ~sqrt(n) (docstring)
+_SEM_T = 0.4  # cosine threshold (matches the q50 fixture geometry)
+
+_DUCK_SEMDEDUP = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_SEM_K}),
+         d AS (
+      SELECT v.vec_id, c.cid,
+             list_aggregate(list_transform(generate_series(1, len(e)),
+                            i -> (e[i] - ce[i]) * (e[i] - ce[i])), 'sum') AS dist
+      FROM v CROSS JOIN c),
+         a AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      FROM d),
+         av AS (
+      SELECT v.vec_id, v.e, a.cid AS cluster
+      FROM v JOIN a ON v.vec_id = a.vec_id AND a.rk = 1),
+         p AS (
+      SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b
+      FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE round(list_dot_product(x.e, y.e)
+            / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))),
+            4) >= {_SEM_T})
+    SELECT cluster, id_b AS dropped_id, min(id_a) AS kept_id, count(*) AS n_links
+    FROM p GROUP BY cluster, id_b
+    ORDER BY dropped_id
+"""
+
+
+@register("q151_semdedup", _DUCK_SEMDEDUP)
+def q151_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then finding near-duplicate
+    pairs ONLY within each cluster — the clustering bounds the
+    candidate set so the pairwise pass is per-cluster-quadratic, never
+    corpus-quadratic. Assignment reuses q102's deterministic rule
+    (nearest of the first K vectors, row_number tie-broken on centroid
+    id); the dedup rule is deterministic min-id (a vector is dropped in
+    favor of its smallest same-cluster neighbor above the cosine
+    threshold — the q26 survivor rule, semantically).
+
+    100 TB notes: K here is 8 for the fixture; production sizing is
+    K ≈ sqrt(n) so expected cluster size is sqrt(n) and the
+    within-cluster join stays bounded — the cluster id is the shuffle
+    key, and AQE's skew-join split handles lopsided clusters. The
+    centroid table stays a broadcast (K rows). Exact oracle: every
+    step (squared distance, ordered-fold dot product, 4-dp rounded
+    cosine) is engine-identical, proven by q102/q50."""
+    from ooh_etl_spark.operators.similarity import cosine
+    from ooh_etl_spark.tables import parallelize_rows
+
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    c = v.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    sqdist = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    av = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("dist", sqdist)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "e", F.col("cid").alias("cluster"))
+    )
+    x = av.select("cluster", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    y = av.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cos_sim") >= _SEM_T)
+    )
+    return (
+        pairs.groupBy("cluster", "id_b")
+        .agg(F.min("id_a").alias("kept_id"), F.count(F.lit(1)).alias("n_links"))
+        .select(
+            "cluster",
+            F.col("id_b").alias("dropped_id"),
+            "kept_id",
+            "n_links",
+        )
+        .orderBy("dropped_id")
+    )
+
+
 @register("q28_minhash_pairs", None)  # spark.ml hashing → rows-only
 def q28_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: per-doc signatures (xxhash64 per
