@@ -399,3 +399,98 @@ def q125_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "bucket")
     )
+
+
+_SPAN_N = 5  # gram length for cross-document duplicated-span detection
+_SPAN_BP = 5000  # flag docs with >= 50% duplicated positions
+
+_DUCK_DUP_SPANS = f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+         g AS (
+      SELECT doc_id, source,
+             list_transform(generate_series(1, len(toks) - {_SPAN_N - 1}),
+                            i -> array_to_string(toks[i:i+{_SPAN_N - 1}], ' ')) AS grams
+      FROM t WHERE len(toks) >= {_SPAN_N}),
+         pos AS (
+      SELECT doc_id, source, unnest(grams) AS gram FROM g),
+         dup AS (
+      SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY gram)
+      WHERE nd >= 2),
+         per_doc AS (
+      SELECT p.doc_id, p.source,
+             count(*) AS n_pos,
+             CAST(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM pos p LEFT JOIN dup d ON p.gram = d.gram
+      GROUP BY p.doc_id, p.source)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_dup) AS BIGINT) AS total_dup_positions,
+           CAST(sum(CASE WHEN n_dup * 10000 >= {_SPAN_BP} * n_pos THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("q152_dup_ngram_spans", _DUCK_DUP_SPANS)
+def q152_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span census — the per-fixed-length
+    statistic behind exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): a token position is DUPLICATED if the 5-gram
+    starting there also occurs in another document. Emits, per source,
+    the total duplicated positions and the count of docs whose
+    duplicated-position share is >= 50% (integer cross-multiplied
+    threshold) — the docs exact-substring dedup would cut.
+
+    100 TB notes: the inverted pass shuffles (gram, doc_id) pairs and
+    reduces each gram to its distinct-doc count (partial aggregation
+    collapses within-doc repeats map-side); the duplicated-gram set
+    joins back on the gram key — AQE chooses broadcast only when the
+    dup set actually fits. No per-position state leaves the scan stage
+    otherwise. Full suffix-array dedup generalizes the gram length;
+    this fixed-L census is its per-L building block."""
+    toks = tokenize(F.col("text"))
+    base = _docs(spark, sf_dir).select("doc_id", "source", toks.alias("toks"))
+    # `toks` is an attribute here (materialized projection), so lambda
+    # references are O(1) slot lookups, not re-evaluated expressions.
+    grams = base.filter(F.size("toks") >= _SPAN_N).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - _SPAN_N),
+                lambda i: F.array_join(F.slice("toks", i + 1, _SPAN_N), " "),
+            )
+        ).alias("gram"),
+    )
+    dup = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    per_doc = (
+        grams.join(dup.withColumn("is_dup", F.lit(1)), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("bigint").alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_dup").cast("bigint").alias("total_dup_positions"),
+            F.sum(
+                (F.col("n_dup") * 10000 >= F.lit(_SPAN_BP) * F.col("n_pos")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
