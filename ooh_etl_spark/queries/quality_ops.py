@@ -494,3 +494,97 @@ def q152_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DUCK_DSIR = f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, {_DUCK_TOKS} AS toks FROM documents),
+         b AS (
+      SELECT doc_id, source, lang,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+1], ' '))) AS bg
+      FROM t WHERE len(toks) >= 2),
+         cnt AS (
+      SELECT bg,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+      FROM b GROUP BY bg),
+         tot AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns,
+             count(*) AS v
+      FROM cnt),
+         w AS (
+      SELECT doc_id, source,
+             CAST(sum(CAST(round(1000000 * (ln((ct + 1.0) / (nt + v))
+                                          - ln((cs + 1.0) / (ns + v))))
+                           AS BIGINT)) AS BIGINT) AS w_u
+      FROM b JOIN cnt USING (bg) CROSS JOIN tot
+      GROUP BY doc_id, source)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(w_u) AS BIGINT) AS total_w_u,
+           CAST(sum(CASE WHEN w_u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like
+    FROM w GROUP BY source ORDER BY source
+"""
+
+
+@register("q153_dsir_importance", _DUCK_DSIR)
+def q153_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., NeurIPS 2023,
+    arXiv:2302.03169): score every document by the log-likelihood ratio
+    of its bigrams under a TARGET language model (here: the English
+    subset, add-one smoothed) vs the SOURCE model (everything else) —
+    the data-selection signal used to resample a raw corpus toward a
+    target distribution. Per-bigram log-ratios are quantized to integer
+    micro-units BEFORE the per-doc sum (cross-row float order policy),
+    so the census is engine-exact.
+
+    100 TB notes: one (bigram, doc) shuffle with map-side partial
+    counts builds both LMs in a single pass (conditional aggregation);
+    the global totals are a 1-row broadcast; scoring joins docs'
+    bigrams back to the count table on the bigram key. DSIR's hashed
+    variant (bucket bigrams into 2^20 ids) bounds the vocabulary when
+    grams explode — same plan, integer keys."""
+    toks = tokenize(F.col("text"))
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "source", "lang", toks.alias("toks")
+    )
+    bg = base.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.array_join(F.slice("toks", i + 1, 2), " "),
+            )
+        ).alias("bg"),
+    )
+    cnt = bg.groupBy("bg").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("cs"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").alias("nt"), F.sum("cs").alias("ns"), F.count(F.lit(1)).alias("v")
+    )
+    ratio_u = F.round(
+        1000000
+        * (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("cs") + 1.0) / (F.col("ns") + F.col("v")))
+        )
+    ).cast("bigint")
+    w = (
+        bg.join(cnt, "bg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(F.sum(ratio_u).cast("bigint").alias("w_u"))
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w_u").cast("bigint").alias("total_w_u"),
+            F.sum((F.col("w_u") > 0).cast("long")).cast("bigint").alias("n_target_like"),
+        )
+        .orderBy("source")
+    )
