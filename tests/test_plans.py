@@ -175,3 +175,19 @@ def test_q121_bloom_join_is_jvm_only(spark):
 def test_q92_entropy_reads_three_columns(spark):
     plan = plan_of(spark, "q92_token_entropy")
     assert reads_only(plan, {"doc_id", "lang", "text"}), plan
+
+
+def test_q151_semdedup_centroids_broadcast_no_cartesian(spark):
+    # Centroid assignment must broadcast the K-row table; the pairwise
+    # pass joins on the cluster key — never an unkeyed cartesian.
+    plan = plan_of(spark, "q151_semdedup")
+    assert has_broadcast_join(plan), plan
+    assert not has_cartesian(plan), plan
+
+
+def test_q153_dsir_totals_broadcast_no_cartesian(spark):
+    # The LM totals are a 1-row broadcast; scoring joins on the bigram
+    # key (shuffle or broadcast per AQE) — no cartesian anywhere.
+    plan = plan_of(spark, "q153_dsir_importance")
+    assert has_broadcast_join(plan), plan
+    assert not has_cartesian(plan), plan
