@@ -253,3 +253,73 @@ def q78_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "sess_id")
     )
+
+
+_DUCK_CHUNK_DEDUP = f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+         starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - {_CHUNK} + 1, 1),
+                                    {_STRIDE})) AS start
+      FROM t),
+         chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[start:start + {_CHUNK} - 1], ' ')) AS h
+      FROM starts),
+         freq AS (
+      SELECT h, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+             min(doc_id) AS keeper
+      FROM chunks GROUP BY h)
+    SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks,
+           CAST(sum(n_copies) AS BIGINT) AS n_total_chunks,
+           CAST(sum(n_copies - 1) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_doc
+    FROM freq
+"""
+
+
+@register("q154_chunk_dedup", _DUCK_CHUNK_DEDUP)
+def q154_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup census over the q74 chunking grid
+    — the dedup a RAG/pretraining index runs AFTER chunking (identical
+    passages recur across near-duplicate documents even when the full
+    docs differ). Chunks are keyed by md5 of their normalized text
+    (engine-portable hash: Spark ``md5`` == DuckDB ``md5``); the
+    census reports unique/total/dropped chunk counts and how many
+    chunk hashes span multiple documents, with the deterministic
+    min-doc_id survivor rule defining the keeper.
+
+    100 TB notes: one shuffle on the 128-bit chunk hash with map-side
+    partial counts; the hash key is uniform by construction so the
+    shuffle cannot skew. Cost is linear in total chunks — same plan as
+    exact doc-level dedup (q26), one granularity down."""
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        F.explode_outer(
+            F.sequence(F.lit(1), F.greatest(n - _CHUNK + 1, F.lit(1)), F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("start"), _CHUNK), " ")).alias(
+            "h"
+        ),
+    )
+    freq = chunks.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
+        F.sum("n_copies").cast("bigint").alias("n_total_chunks"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dropped"),
+        F.sum((F.col("n_docs") >= 2).cast("int")).cast("bigint").alias("n_cross_doc"),
+    )
