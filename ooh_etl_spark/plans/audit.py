@@ -38,6 +38,22 @@ def has_sort_merge_join(plan: str) -> bool:
     return "SortMergeJoin" in plan
 
 
+def shuffle_count(plan: str) -> int:
+    """Number of data shuffles (hash/range/round-robin exchanges) in
+    the plan. Broadcast exchanges are excluded — they move a dimension,
+    not the data. The formatted plan prints one
+    ``Arguments: <partitioning>(...`` detail line per Exchange node."""
+    import re
+
+    return len(
+        re.findall(
+            r"Arguments: (?:hashpartitioning|rangepartitioning|"
+            r"RoundRobinPartitioning)\(",
+            plan,
+        )
+    )
+
+
 def reads_only(plan: str, cols: set[str]) -> bool:
     """True if every parquet ReadSchema is a subset of ``cols`` —
     column pruning reached the scan."""

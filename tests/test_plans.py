@@ -14,6 +14,7 @@ from ooh_etl_spark.plans.audit import (
     physical_plan,
     pushed_filters,
     reads_only,
+    shuffle_count,
 )
 from ooh_etl_spark.queries import QUERIES
 from tests.conftest import SF_DIR
@@ -175,6 +176,26 @@ def test_q121_bloom_join_is_jvm_only(spark):
 def test_q92_entropy_reads_three_columns(spark):
     plan = plan_of(spark, "q92_token_entropy")
     assert reads_only(plan, {"doc_id", "lang", "text"}), plan
+
+
+def test_headline_shuffle_budgets(spark):
+    # Every groupBy/join/window shuffle in a headline plan is accounted
+    # for; a future edit that silently adds an exchange fails here. The
+    # budgets are the LOCAL counts (single-split fixtures keep the gated
+    # round-robin in text-heavy plans; at cluster split counts it is
+    # elided, lowering each budget by one).
+    budgets = {
+        "q06_forecast_revenue": 0,  # all-pushdown global agg: map-side only
+        "q01_pricing_summary": 1,  # one hash agg shuffle
+        "q03_top_revenue_orders": 1,  # dims broadcast; one fact shuffle
+        "q05_regional_revenue": 1,  # 5-way star: still ONE fact shuffle
+        "flagship_doc_scan": 1,  # gated round-robin only; no wide op
+        "q26_exact_dedup": 2,  # dedup-key window + source rollup
+        "q27_jaccard_pairs": 3,  # round-robin + shingle agg + pair agg
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(spark, name)
+        assert shuffle_count(plan) <= budget, (name, shuffle_count(plan), plan)
 
 
 def test_q151_semdedup_centroids_broadcast_no_cartesian(spark):
