@@ -588,3 +588,90 @@ def q153_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DUCK_CCNET = f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+         tok AS (
+      SELECT doc_id, lang, unnest(toks) AS w FROM t),
+         cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM cnt),
+         per AS (
+      SELECT doc_id, lang, count(*) AS n,
+             CAST(sum(CAST(round(1000000 * ln(n_corpus * 1.0 / c)) AS BIGINT))
+                  AS BIGINT) AS s_u
+      FROM tok JOIN cnt USING (w) CROSS JOIN tot
+      GROUP BY doc_id, lang),
+         h AS (
+      SELECT doc_id, lang, CAST(round(s_u * 1.0 / n) AS BIGINT) AS h_u FROM per),
+         q AS (
+      SELECT quantile_disc(h_u, 0.33333) AS t1, quantile_disc(h_u, 0.66667) AS t2
+      FROM h)
+    SELECT lang,
+           CASE WHEN h_u <= t1 THEN 'head'
+                WHEN h_u <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs
+    FROM h CROSS JOIN q
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q155_ccnet_perplexity_buckets", _DUCK_CCNET)
+def q155_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2019,
+    arXiv:1911.00359): score each document by its mean cross-entropy
+    under the corpus unigram LM, then split the corpus into
+    head/middle/tail at the exact tercile boundaries — the quality
+    gradient CCNet uses to pick which crawl slices to keep. Per-token
+    surprisals are quantized to integer micro-nats BEFORE the per-doc
+    sum; tercile cuts are percentile_disc over the integer per-doc
+    scores, so the whole partition is engine-exact.
+
+    100 TB notes: the LM is one (token) shuffle with map-side partial
+    counts; the corpus total is a 1-row broadcast; scoring joins tokens
+    back to the count table on the token key. The tercile cut is a
+    2-value broadcast from a single distributed percentile aggregate —
+    at extreme doc counts swap percentile_disc for approx_percentile
+    (the q39/q39b twin pattern)."""
+    toks = tokenize(F.col("text"))
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", toks.alias("toks"))
+        .select("doc_id", "lang", F.explode("toks").alias("w"))
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n_corpus"))
+    surprisal_u = F.round(
+        1000000 * F.log(F.col("n_corpus") * F.lit(1.0) / F.col("c"))
+    ).cast("bigint")
+    per = (
+        tok.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(surprisal_u).cast("bigint").alias("s_u"),
+        )
+    )
+    h = per.select(
+        "doc_id",
+        "lang",
+        F.round(F.col("s_u") * 1.0 / F.col("n")).cast("bigint").alias("h_u"),
+    )
+    q = h.agg(
+        F.expr("percentile_disc(0.33333) WITHIN GROUP (ORDER BY h_u)").alias("t1"),
+        F.expr("percentile_disc(0.66667) WITHIN GROUP (ORDER BY h_u)").alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("h_u") <= F.col("t1"), "head")
+        .when(F.col("h_u") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        h.crossJoin(F.broadcast(q))
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "bucket")
+    )
