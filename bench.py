@@ -43,6 +43,10 @@ HEADLINE = [
     "q92_token_entropy",
     "q98_retention_cohorts",
     "q102_kmeans_step",
+    # round-3 LLM-pipeline additions: cluster-bucketed semantic dedup
+    # and corpus perplexity partitioning
+    "q151_semdedup",
+    "q155_ccnet_perplexity_buckets",
 ]
 
 
