@@ -43,9 +43,10 @@ HEADLINE = [
     "q92_token_entropy",
     "q98_retention_cohorts",
     "q102_kmeans_step",
-    # round-3 LLM-pipeline additions: cluster-bucketed semantic dedup
-    # and corpus perplexity partitioning
-    "q151_semdedup",
+    # round-3 LLM-pipeline addition: corpus perplexity partitioning.
+    # (q151_semdedup stays out of the headline: with the oracle-fixed
+    # K=8 its within-cluster pairwise pass is quadratic in cluster size
+    # at sf0.1 — the production form scales K with n, see its docstring.)
     "q155_ccnet_perplexity_buckets",
 ]
 
