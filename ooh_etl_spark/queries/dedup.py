@@ -185,7 +185,7 @@ def q151_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table stays a broadcast (K rows). Exact oracle: every
     step (squared distance, ordered-fold dot product, 4-dp rounded
     cosine) is engine-identical, proven by q102/q50."""
-    from ooh_etl_spark.operators.similarity import cosine
+    from ooh_etl_spark.operators.similarity import dot
     from ooh_etl_spark.tables import parallelize_rows
 
     emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
@@ -201,25 +201,45 @@ def q151_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    # Each vector's norm is computed ONCE here (the same sqrt(dot(v,v))
+    # expression the oracle evaluates), not re-derived per pair — the
+    # pairwise pass then costs one dot product per pair instead of
+    # three, with bit-identical arithmetic (dot / (nrm_a * nrm_b)).
     av = (
         v.crossJoin(F.broadcast(c))
         .withColumn("dist", sqdist)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "e", F.col("cid").alias("cluster"))
+        .select(
+            "vec_id",
+            "e",
+            F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),
+            F.col("cid").alias("cluster"),
+        )
     )
-    x = av.select("cluster", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    x = av.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
+    )
     y = av.select(
         F.col("cluster").alias("cluster_b"),
         F.col("vec_id").alias("id_b"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = (
         x.join(
             y,
             (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")),
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b")), 4
+            ),
+        )
         .filter(F.col("cos_sim") >= _SEM_T)
     )
     return (
