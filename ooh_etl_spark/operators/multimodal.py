@@ -3,11 +3,14 @@
 BASELINE.json:6 mandates multimodal columns. The Spark-side design is
 real and tested end-to-end — ``BinaryType`` payload column, typed
 metadata struct, Arrow-batched ``mapInPandas`` feature extraction with
-an explicit output schema and bounded batch sizes. The *decoder* is
-where image/audio libraries would plug in; they are not in this
-environment, so decoding is a clearly-marked deterministic stand-in
-(STUB) behind the same interface: byte-level features that any real
-decoder would replace.
+an explicit output schema and bounded batch sizes. Decoding:
+UNCOMPRESSED formats have REAL pure-numpy codecs here — binary PPM
+(P6) images and RIFF/WAVE mono PCM16 audio — verified end-to-end by
+analytic oracles (q156/q157) and unit tests
+(tests/test_multimodal_codecs.py). COMPRESSED formats (jpeg/mp3) are
+where codec libraries would plug in; they are not in this environment,
+so that path is a clearly-marked deterministic stand-in (STUB) behind
+the same interface.
 
 At 100 TB: payloads stay columnar in parquet (binary), feature
 extraction is a narrow mapInPandas stage (no shuffle), and batch size
@@ -46,14 +49,100 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def _decode_stub(payload: bytes) -> np.ndarray:
     """STUB decoder: deterministic byte-level features standing in for a
-    real image/audio decode (libraries unavailable here). A real
-    implementation would replace ONLY this function; the Spark plumbing
-    (schema, batching, partitioning) is unchanged."""
+    COMPRESSED-format decode (jpeg/mp3 libraries unavailable here). A
+    real implementation would replace ONLY this function; the Spark
+    plumbing (schema, batching, partitioning) is unchanged. Uncompressed
+    formats have REAL decoders below (decode_ppm / decode_wav)."""
     if payload is None or len(payload) == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
     a = np.frombuffer(payload, dtype=np.uint8)
     chunks = np.array_split(a, FEATURE_DIM)
     return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for uncompressed formats — pure numpy, no image/audio libs.
+# Verified end-to-end by analytic oracles (queries/multimodal.py q156/q157):
+# the synthesized payloads' pixel/sample math is recomputed closed-form in
+# DuckDB, so a header mis-parse or stride bug breaks the value hash.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6) encoder: ``pixels`` is (h, w, 3) uint8."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL binary-PPM (P6) decoder: parses the header (magic, width,
+    height, maxval, '#' comments, arbitrary whitespace) and returns the
+    (h, w, 3) uint8 pixel array."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pos += 1  # single whitespace after maxval, then raster
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE encoder: mono 16-bit PCM."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF/WAVE decoder: walks the chunk list (tolerating extra
+    chunks before 'data'), validates mono 16-bit PCM, and returns
+    (samples as int16 array, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only mono PCM supported")
+            if struct.unpack("<H", body[14:16])[0] != 16:
+                raise ValueError("only 16-bit supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, sample_rate
 
 
 def extract_features(payloads: DataFrame) -> DataFrame:

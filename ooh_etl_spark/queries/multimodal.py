@@ -49,3 +49,145 @@ def q32b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("features"), lambda x: F.format_string("%.2f", x)), ","
         ).alias("features_csv"),
     )
+
+
+_IMG_W = _IMG_H = 8  # synthesized image dims
+_N_SAMP = 256  # synthesized audio samples
+_SR = 8000
+
+_DUCK_IMAGE = f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         px AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {_IMG_W * _IMG_H - 1}),
+                            k -> (doc_id * 31 + 3 * k) % 256)     AS r,
+             list_transform(generate_series(0, {_IMG_W * _IMG_H - 1}),
+                            k -> (doc_id * 31 + 3 * k + 1) % 256) AS g,
+             list_transform(generate_series(0, {_IMG_W * _IMG_H - 1}),
+                            k -> (doc_id * 31 + 3 * k + 2) % 256) AS b
+      FROM d)
+    SELECT doc_id, {_IMG_W} AS width, {_IMG_H} AS height,
+           round(list_aggregate(r, 'sum') / {_IMG_W * _IMG_H}.0, 4) AS mean_r,
+           round(list_aggregate(g, 'sum') / {_IMG_W * _IMG_H}.0, 4) AS mean_g,
+           round(list_aggregate(b, 'sum') / {_IMG_W * _IMG_H}.0, 4) AS mean_b
+    FROM px ORDER BY doc_id
+"""
+
+
+@register("q156_multimodal_image_decode", _DUCK_IMAGE)
+def q156_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over binary payloads: synthesize a binary PPM
+    (P6) per document (pixel byte j = (doc_id*31 + j) % 256), then
+    DECODE THE BYTES — header parse, raster stride, channel split — in
+    an Arrow-batched mapInPandas stage, emitting per-channel means.
+    The oracle recomputes the pixel math closed-form, so a header
+    mis-parse, stride bug, or channel swap breaks the value hash: the
+    decoder is verified, not stubbed. (Compressed formats keep the
+    marked stub — their codecs aren't in this container.)
+
+    100 TB notes: encode+decode is one narrow mapInPandas pass, no
+    shuffle; Arrow batch size bounds executor memory independent of
+    payload count — the same plumbing as q32b, now with a real codec."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ooh_etl_spark.operators.multimodal import decode_ppm, encode_ppm
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n = _IMG_W * _IMG_H * 3
+                px = ((int(doc_id) * 31 + np.arange(n)) % 256).astype(np.uint8)
+                payload = encode_ppm(px.reshape(_IMG_H, _IMG_W, 3))
+                img = decode_ppm(payload)  # the step under test
+                h, w, _ = img.shape
+                means = img.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (int(doc_id), w, h, *(round(float(m), 4) for m in means))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    schema = (
+        "doc_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+    return docs.mapInPandas(op, schema=schema).orderBy("doc_id")
+
+
+_DUCK_AUDIO = f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         s AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {_N_SAMP - 1}),
+                            i -> (doc_id * 7 + i * 13) % 2048 - 1024) AS v
+      FROM d)
+    SELECT doc_id,
+           {_N_SAMP} AS n_samples,
+           {_SR} AS sample_rate,
+           CAST(list_aggregate(list_transform(v, x -> abs(x)), 'sum') AS BIGINT)
+             AS sum_abs,
+           CAST(list_aggregate(list_transform(v, x -> abs(x)), 'max') AS BIGINT)
+             AS max_abs
+    FROM s ORDER BY doc_id
+"""
+
+
+@register("q157_multimodal_audio_decode", _DUCK_AUDIO)
+def q157_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over binary payloads: synthesize a mono 16-bit
+    PCM RIFF/WAVE file per document (sample i = (doc_id*7 + i*13) %
+    2048 - 1024), then DECODE THE BYTES — RIFF chunk walk, fmt
+    validation, little-endian int16 raster — in mapInPandas, emitting
+    integer amplitude features. The oracle recomputes the waveform
+    closed-form: a chunk-offset or endianness bug breaks the hash."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ooh_etl_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(_N_SAMP, dtype=np.int64)
+                samples = (int(doc_id) * 7 + i * 13) % 2048 - 1024
+                payload = encode_wav_pcm16(samples, _SR)
+                decoded, sr = decode_wav_pcm16(payload)  # the step under test
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(decoded.shape[0]),
+                        int(sr),
+                        int(np.abs(decoded.astype(np.int64)).sum()),
+                        int(np.abs(decoded.astype(np.int64)).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "sum_abs", "max_abs"],
+            )
+
+    schema = (
+        "doc_id long, n_samples long, sample_rate long, sum_abs long, max_abs long"
+    )
+    return docs.mapInPandas(op, schema=schema).orderBy("doc_id")
