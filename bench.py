@@ -44,10 +44,12 @@ HEADLINE = [
     "q98_retention_cohorts",
     "q102_kmeans_step",
     # round-3 LLM-pipeline addition: corpus perplexity partitioning.
-    # (q151_semdedup stays out of the headline: with the oracle-fixed
-    # K=8 its within-cluster pairwise pass is quadratic in cluster size
-    # at sf0.1 — the production form scales K with n, see its docstring.)
     "q155_ccnet_perplexity_buckets",
+    # round-4: SemDeDup at production sizing (K ≈ sqrt(n)). This is the
+    # scale-safe twin of q151_semdedup, which stays out of the headline:
+    # with its oracle-fixed K=8 the within-cluster pairwise pass is
+    # quadratic in cluster size at sf0.1.
+    "q151b_semdedup_scaled",
 ]
 
 

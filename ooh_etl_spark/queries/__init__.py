@@ -37,6 +37,7 @@ from ooh_etl_spark.queries import experiment_ops  # noqa: F401
 from ooh_etl_spark.queries import stats_tests  # noqa: F401
 from ooh_etl_spark.queries import streaming  # noqa: F401
 from ooh_etl_spark.queries import ooh_surface  # noqa: F401
+from ooh_etl_spark.queries import retrieval_ops  # noqa: F401
 
 # windows.py registers q149b with q149's oracle, so it imports after
 # stats_tests (and last overall — its entries rotate into the driver
@@ -45,26 +46,24 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 
 #: The driver's correctness gate checks the FIRST 50 registry entries,
 #: so the head of the registry is chosen deliberately rather than by
-#: module import order: the §2.A reference contract (q_ooh_records /
-#: q_ooh_report vs index.js), the full streaming family, one green
-#: representative per already-verified §2.B family (so no family loses
-#: its green row), and one representative per not-yet-driver-verified
-#: wave. The remaining queries keep import order and rotate into the
-#: window in later rounds.
+#: module import order. Round-4 rotation (VERDICT r3 item 6): keep the
+#: §2.A reference contract, a trimmed streaming trio (tumbling batch
+#: twin with oracle + true streaming + stateful), and ONE green
+#: representative per §2.B family; rotate in 20 first-time queries —
+#: the round-3 additions q152–q157 first (newest code), q130 (which
+#: silently fell off round 3's 51-entry list), the new q151b, and the
+#: q104–q117 wave. Everything rotated out stays green in the full
+#: registry replica (tools/check_oracle.py).
 _DRIVER_WINDOW = [
     # reference surface + flagship analog
     "flagship_doc_scan",
     "q_ooh_records",
     "q_ooh_report",
-    # event-time windowing: batch twins (oracle) + true streaming (rows-only)
+    # event-time windowing trio (q34/q35/q37/q118 rotated out, green r3)
     "q33_tumbling_hourly",
-    "q34_sliding_windows",
-    "q35_session_windows",
     "q36_stream_tumbling",
-    "q37_stream_dedup",
     "q46_stream_user_profiles",
-    "q118_stream_stream_join",
-    # one green representative per verified family (round-1/2 window)
+    # one green representative per verified §2.B family
     "q01_pricing_summary",
     "q02_filter_project",
     "q03_top_revenue_orders",
@@ -75,7 +74,6 @@ _DRIVER_WINDOW = [
     "q12_setops_customers",
     "q13_asof_event_order",
     "q16_top3_orders_per_customer",
-    "q19_pivot_linestatus",
     "q21_word_counts",
     "q26_exact_dedup",
     "q27_jaccard_pairs",
@@ -85,29 +83,38 @@ _DRIVER_WINDOW = [
     "q47_pandas_udf_sigmoid",
     "q48_udtf_tokens",
     "q49_dup_clusters",
-    "q51_cheapest_supplier_per_part",
-    # first-time driver exposure: one per unverified wave
-    "q57_range_frame",
-    "q60_map_functions",
-    "q66_bpe_token_count",
-    "q68_gap_fill",
-    "q72_price_quartiles",
-    "q74_doc_chunking",
-    "q77_embedding_quantize",
+    "q77_embedding_quantize",  # round-3's one red row; fixed (string q8)
     "q79_quality_rules",
-    "q81_decontamination",
-    "q91_profit_by_nation",
-    "q92_token_entropy",
-    "q97_funnel_conversion",
     "q102_kmeans_step",
-    "q106_ohlc_bars",
-    "q119_json_three_ways",
     "q120_heavy_hitters",
     "q121_bloom_prefilter_join",
-    "q55_arg_extrema",
-    "q59_merge_upsert",
+    # first-time driver exposure (20): round-3 additions first
+    "q152_dup_ngram_spans",
+    "q153_dsir_importance",
+    "q154_chunk_dedup",
+    "q155_ccnet_perplexity_buckets",
+    "q156_multimodal_image_decode",
+    "q157_multimodal_audio_decode",
     "q130_regex_gauntlet",
+    "q151b_semdedup_scaled",
+    "q104_dim_stats",
+    "q105_cosine_histogram",
+    "q107_zscore_anomalies",
+    "q108_rolling_actives",
+    "q109_incremental_agg",
+    "q110_skew_profiler",
+    "q111_constraint_census",
+    "q112_column_profiler",
+    "q113_snapshot_diff",
+    "q114_winsorized_mean",
+    "q115_lateral_topk",
+    "q117_market_basket",
 ]
+
+#: The driver gate is exactly 50 entries; a 51st silently falls off
+#: (round 3 lost q130 this way). Enforced here AND in tests.
+assert len(_DRIVER_WINDOW) == 50, f"driver window is {len(_DRIVER_WINDOW)}, not 50"
+assert len(set(_DRIVER_WINDOW)) == 50, "duplicate entries in driver window"
 
 
 def _reorder_registry() -> None:

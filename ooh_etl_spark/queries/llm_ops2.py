@@ -161,8 +161,9 @@ def q76_balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
     SELECT vec_id,
            round(sqrt(list_dot_product(e, e)), 4) AS l2_norm,
-           list_transform(e, x -> CAST(round(127 * x / sqrt(list_dot_product(e, e)))
-                                       AS INT)) AS q8
+           array_to_string(
+             list_transform(e, x -> CAST(round(127 * x / sqrt(list_dot_product(e, e)))
+                                         AS INT)), ',') AS q8
     FROM v
     """,
 )
@@ -173,7 +174,10 @@ def q77_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fold matches the oracle bit-for-bit (float32 partial sums
     would drift). Narrow per-row expression over the vector column —
     shuffle-free, and the natural pre-step to the int8 variants of
-    q30/q31/q53."""
+    q30/q31/q53. The quantized vector is emitted as a comma-joined
+    string (the q45 ``features_csv`` pattern): the correctness gate
+    canonicalizes through pandas, which cannot sort/hash list cells,
+    so oracle-bearing queries never expose top-level arrays."""
     emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot = F.aggregate(
@@ -183,7 +187,9 @@ def q77_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(norm, 4).alias("l2_norm"),
-        F.transform(e, lambda x: F.round(127 * x / norm).cast("int")).alias("q8"),
+        F.array_join(
+            F.transform(e, lambda x: F.round(127 * x / norm).cast("int")), ","
+        ).alias("q8"),
     )
 
 

@@ -29,8 +29,13 @@ def duck():
 
 
 def assert_matches_oracle(spark, duck, name: str, sf_dir: str = SF_DIR) -> None:
-    """Replicate the driver's compare for one registered query."""
-    from tools.check_oracle import canon
+    """Replicate the driver's compare for one registered query.
+
+    Canonicalization goes through tools.check_oracle.canon_frame — the
+    pandas sort_values path the driver uses — so an oracle-bearing
+    query emitting an unhashable cell (list/map/struct) fails HERE
+    before the driver ever sees it (round-3 q77 lesson)."""
+    from tools.check_oracle import canon_frame
 
     from ooh_etl_spark.queries import QUERIES
 
@@ -47,10 +52,8 @@ def assert_matches_oracle(spark, duck, name: str, sf_dir: str = SF_DIR) -> None:
         f"{name}: columns {sorted(sdf.columns)} != {sorted(ocols)}"
     )
     scols = sorted(sdf.columns)
-    sidx = [sdf.columns.index(c) for c in scols]
-    oidx = [ocols.index(c) for c in scols]
-    sset = sorted(tuple(canon(r[i]) for i in sidx) for r in srows)
-    oset = sorted(tuple(canon(r[i]) for i in oidx) for r in orows)
+    sset = canon_frame(srows, sdf.columns, scols)
+    oset = canon_frame(orows, ocols, scols)
     assert len(sset) == len(oset), f"{name}: rowcount {len(sset)} != {len(oset)}"
     mismatches = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
     assert sset == oset, f"{name}: value mismatch, first diffs: {mismatches}"

@@ -154,3 +154,50 @@ def test_compression_quality_buckets(spark):
     # matches a driver-side zlib computation exactly
     t = "aaaa " * 200
     assert rep == round(len(zlib.compress(t.encode(), 6)) / len(t.encode()), 4)
+
+
+def test_semdedup_scaled_equals_q151_at_k8(spark):
+    # q151b and q151 share one pipeline (_semdedup), differing only in
+    # how K is chosen. Forcing the shared helper to q151's K=8 must
+    # reproduce q151's oracle-green output exactly — the machine check
+    # that the production-sized form computes the same semantics.
+    from ooh_etl_spark.queries.dedup import _semdedup, q151_semdedup
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in _semdedup(spark, sf, 8).collect()]
+    b = [tuple(r) for r in q151_semdedup(spark, sf).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_semdedup_scaled_cluster_sizes_bounded(spark):
+    # The point of K ≈ sqrt(n): expected cluster size is sqrt(n), so
+    # the within-cluster pairwise pass does ~sqrt(n) comparisons per
+    # vector. Assert the fixture's max cluster stays within a small
+    # constant of sqrt(n) (measured ~1.4x; bound 3x) — if a code change
+    # ever re-introduces a corpus-quadratic candidate set, this fails.
+    from pyspark.sql import Window
+
+    from ooh_etl_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    k = max(2, math.isqrt(n - 1) + 1)  # ceil(sqrt(n)), q151b's rule
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    c = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    sqd = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("dist", sqd)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    max_cluster = assigned.groupBy("cid").count().agg(F.max("count")).collect()[0][0]
+    assert max_cluster <= 3 * math.sqrt(n), (max_cluster, n)

@@ -8,12 +8,50 @@ from __future__ import annotations
 import pytest
 
 from ooh_etl_spark.queries import QUERIES
-from tests.conftest import assert_matches_oracle
+from tests.conftest import SF_DIR, assert_matches_oracle
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, name)
+
+
+def test_driver_window_is_exactly_50():
+    # The driver's correctness gate reads the FIRST 50 registry entries
+    # and silently ignores the rest — round 3 listed 51 and lost
+    # q130_regex_gauntlet's row without any error. Pin the contract.
+    from ooh_etl_spark.queries import _DRIVER_WINDOW, QUERIES
+
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50, "duplicate window entries"
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW, (
+        "registry head must equal the declared driver window"
+    )
+
+
+def test_no_complex_types_in_oracle_outputs(spark):
+    # The driver canonicalizes results through pandas sort_values,
+    # which raises TypeError on unhashable cells — so an oracle-bearing
+    # query whose OUTPUT schema contains a top-level array/map/struct
+    # (or binary: Spark collects bytearray, also unhashable) fails the
+    # driver even when its values match (round-3 q77). Serialize such
+    # columns to strings (array_join / array_to_string) instead.
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    from ooh_etl_spark.queries import QUERIES
+
+    offenders = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        schema = spec.fn(spark, SF_DIR).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType, BinaryType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, (
+        "oracle-bearing queries must not output complex/binary columns "
+        f"(driver pandas canonicalizer cannot hash them): {offenders}"
+    )
 
 
 def test_registry_hygiene():

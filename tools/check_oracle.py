@@ -3,8 +3,16 @@
 Runs every ``queries()[name]`` on Spark and, where an oracle exists,
 the matching ``oracle_sql()[name]`` on DuckDB over the same parquet
 tables, then compares: row count, column names (sorted), and an
-order-insensitive value multiset (values canonicalized to strings;
-floats via repr of round(12)).
+order-insensitive value multiset.
+
+DRIVER FIDELITY: the driver canonicalizes results through pandas
+``DataFrame.sort_values`` over the name-sorted columns.  pandas raises
+``TypeError: unhashable type`` on list/dict cells during that sort, so
+any query emitting a top-level array/map/struct column FAILS the
+driver even if the values match (round-3 q77 lesson).  This replica
+therefore sorts through the SAME pandas path — it must never pass a
+result shape the driver would reject.  Float canonicalization
+(repr of round(9)) is applied after the pandas sort.
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -29,9 +37,30 @@ def canon(v) -> str:
         if math.isnan(v):
             return "NaN"
         return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
+
+
+def canon_frame(rows, cols_in_row_order, sorted_cols):
+    """Canonicalize a result the way the driver does: pandas frame,
+    name-sorted columns, ``sort_values`` over every column (raises
+    TypeError on unhashable cells — deliberately NOT caught here so
+    the replica fails where the driver fails), then per-cell string
+    canonicalization.
+
+    Missing values are normalized to None on BOTH sides before the
+    sort: pandas coerces None→NaN only in columns it infers as float64,
+    so a Spark float column and a DuckDB Decimal (object-dtype) column
+    holding the same NULLs would otherwise canonicalize asymmetrically
+    ('NaN' vs '<NULL>') — a false mismatch the driver (which converts
+    both engines' results through the same pandas path) doesn't see."""
+    import pandas as pd
+
+    df = pd.DataFrame.from_records(list(rows), columns=list(cols_in_row_order))
+    df = df[sorted_cols].astype(object)
+    mask = df.map(lambda v: v is None or (isinstance(v, float) and math.isnan(v)))
+    df = df.where(~mask, None)
+    df = df.sort_values(by=sorted_cols, kind="mergesort").reset_index(drop=True)
+    return [tuple(canon(v) for v in row) for row in df.itertuples(index=False)]
 
 
 def main() -> int:
@@ -91,10 +120,15 @@ def main() -> int:
             ok = False
             print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
         if ok:
-            sidx = [sdf.columns.index(c) for c in scols]
-            oidx = [[d[0] for d in ores.description].index(c) for c in ocols]
-            sset = sorted(tuple(canon(r[i]) for i in sidx) for r in srows)
-            oset = sorted(tuple(canon(r[i]) for i in oidx) for r in orows)
+            try:
+                sset = canon_frame(srows, sdf.columns, scols)
+                oset = canon_frame(
+                    orows, [d[0] for d in ores.description], ocols
+                )
+            except TypeError as e:
+                failures.append(name)
+                print(f"FAIL {name}: driver-canon error (unhashable cell?): {e}")
+                continue
             if sset != oset:
                 ok = False
                 diffs = [
