@@ -10,9 +10,10 @@ the sketch only bounds memory/shuffle:
   local-frequency > local_n/k item; a global heavy hitter must exceed
   the threshold in at least one partition). The exact counting pass
   then runs only over this candidate set.
-- ``bloom_semi_join``: an exact broadcast left-semi join whose
-  bloom-style scan prefilter is Spark's own runtime filter injection
-  (SPARK-32268) — executor-built, JVM-evaluated, no driver collect.
+- ``bloom_semi_join``: an exact broadcast left-semi join — the
+  broadcast hash set is the prefilter (codegen-probed, no driver
+  collect); Spark's runtime bloom injection (SPARK-32268) takes over
+  opportunistically if the plan ever degrades to a shuffle join.
 """
 
 from __future__ import annotations
@@ -77,13 +78,18 @@ def bloom_semi_join(
     facts: DataFrame, fact_key: str, keys: DataFrame, key_col: str
 ) -> DataFrame:
     """Exact semi-join of ``facts`` against ``keys``, with all pruning
-    kept JVM-side. The exact pass is a broadcast hash left-semi join;
-    the bloom-style scan prefilter is delegated to Spark's runtime
-    filter injection (SPARK-32268, ``runtime.bloomFilter.enabled`` set
-    in session.py): when stats warrant, Spark plants an executor-built
-    bloom/semi-join filter at the fact scan — no driver materialization
-    of the key set, no Python boundary, filter evaluated inside
-    whole-stage codegen where it can also prune parquet row groups.
+    kept JVM-side. THE DESIGN IS THE BROADCAST HASH LEFT-SEMI JOIN
+    itself: the broadcast hash set plays the "bloom filter" role with
+    zero false positives, probed inside whole-stage codegen, and the
+    fact side never shuffles. Spark's runtime bloom-filter injection
+    (SPARK-32268, ``runtime.bloomFilter.enabled`` set in session.py) is
+    strictly OPPORTUNISTIC here — ``InjectRuntimeFilter`` only plants a
+    bloom filter when the application side has a shuffle to hide it in,
+    so under this broadcast plan none is expected. The injected-bloom
+    path becomes the relevant mechanism only when the key side outgrows
+    the broadcast threshold and the planner falls back to a shuffle
+    join — at which point it fires on Spark's own cost model, still
+    executor-built and codegen-evaluated.
 
     Earlier revisions built a driver-side Python bloom filter
     (``.collect()`` of the key set) and applied it with a row-at-a-time

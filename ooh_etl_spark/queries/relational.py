@@ -44,11 +44,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
                     AS BIGINT)) / 100.0                                     AS sum_charge,
            round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
-                 / count(*), 2)                                             AS avg_qty,
+                 / count(l_quantity), 2)                                    AS avg_qty,
            round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
-                 / count(*), 2)                                             AS avg_price,
+                 / count(l_extendedprice), 2)                               AS avg_price,
            round(sum(CAST(round(l_discount * 1000000) AS BIGINT)) / 1000000.0
-                 / count(*), 4)                                             AS avg_disc,
+                 / count(l_discount), 4)                                    AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'

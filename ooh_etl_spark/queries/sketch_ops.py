@@ -68,13 +68,15 @@ def q120_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q121_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue from line items of high-value orders via an exact
-    broadcast left-semi join whose fact-scan prefilter is Spark's own
-    runtime bloom filter (SPARK-32268, enabled in session.py) — the
-    executor-built, codegen-evaluated form of the pattern; no driver
-    key collection, no Python boundary (plan-asserted). Results are
-    exact, so the oracle is the plain IN-subquery; what the runtime
-    filter buys at 100 TB is that non-matching fact rows are dropped
-    at the scan, before the join probe."""
+    broadcast left-semi join — the broadcast hash set IS the prefilter
+    (zero false positives, codegen-probed, fact side never shuffles);
+    no driver key collection, no Python boundary (plan-asserted).
+    Spark's runtime bloom filter (SPARK-32268, enabled in session.py)
+    is opportunistic only: InjectRuntimeFilter needs a shuffle on the
+    fact side to attach to, so it fires when the key side outgrows the
+    broadcast threshold and the plan degrades to a shuffle join — the
+    100 TB fallback, not this plan. Results are exact either way, so
+    the oracle is the plain IN-subquery."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     hv = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
