@@ -675,3 +675,113 @@ def q155_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "bucket")
     )
+
+
+# --- q162: end-to-end corpus build (round-4 capstone) ---------------------
+# Quality gate: >= 10 tokens AND distinct-token ratio >= 0.3 (integer
+# cross-product form, the module's exactness convention).
+_CB_MIN_TOKS = 10
+
+_DUCK_CORPUS_BUILD = f"""
+    WITH d AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents),
+         q AS (
+      SELECT * FROM d
+      WHERE len(toks) >= {_CB_MIN_TOKS}
+        AND 10 * len(list_distinct(toks)) >= 3 * len(toks)),
+         ex AS (
+      SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+         exd AS (
+      SELECT q.* FROM q JOIN ex USING (doc_id)),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM exd),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         dropped AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM shared JOIN sz sa ON id_a = sa.doc_id
+                  JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5),
+         fin AS (
+      SELECT exd.* FROM exd LEFT JOIN dropped USING (doc_id)
+      WHERE dropped.doc_id IS NULL)
+    SELECT d.source,
+           count(*) AS n_raw,
+           count(q.doc_id) AS n_quality,
+           count(exd.doc_id) AS n_exact,
+           count(fin.doc_id) AS n_final,
+           coalesce(sum(CASE WHEN fin.doc_id IS NOT NULL
+                             THEN len(fin.toks) END), 0) AS tokens_final
+    FROM d
+    LEFT JOIN q   ON d.doc_id = q.doc_id
+    LEFT JOIN exd ON d.doc_id = exd.doc_id
+    LEFT JOIN fin ON d.doc_id = fin.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+
+@register("q162_corpus_build", _DUCK_CORPUS_BUILD)
+def q162_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build — the pipeline a pretraining-data user
+    actually runs, as ONE query: quality gate (token count + distinct
+    ratio, integer cross-product form) → exact dedup (q26's min-id
+    survivor rule) → near-dup removal (q27's inverted-index Jaccard at
+    0.5, dropping the larger id of each pair) → per-source yield
+    report with surviving token counts. Every stage reuses the
+    engine's operator (exact_dedup / jaccard_pairs), so this is also a
+    composition test: the oracle replays the full funnel in SQL.
+
+    100 TB shape: stage funnels SHRINK the data monotonically — the
+    quality gate is scan-stage-only, exact dedup is one hash shuffle
+    on text, the Jaccard pass runs on quality+exact survivors only
+    (the q27 single-pipeline plan), and the final report is one
+    source-keyed aggregation of boolean stage flags — per-doc lineage
+    rides as three cheap semi-join flags, never a wide materialized
+    intermediate."""
+    from ooh_etl_spark.operators.dedup import exact_dedup, jaccard_pairs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("toks")
+    )
+    q = d.filter(
+        (F.size("toks") >= _CB_MIN_TOKS)
+        & (10 * F.size(F.array_distinct("toks")) >= 3 * F.size("toks"))
+    )
+    exd = q.join(
+        exact_dedup(q, key="text", id_col="doc_id").select("doc_id"), "doc_id"
+    )
+    dropped = (
+        jaccard_pairs(exd, "text", "doc_id", n=3, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    fin = exd.join(dropped, "doc_id", "left_anti")
+    flags = (
+        d.select("doc_id", "source")
+        .join(q.select("doc_id", F.lit(1).alias("fq")), "doc_id", "left")
+        .join(exd.select("doc_id", F.lit(1).alias("fe")), "doc_id", "left")
+        .join(
+            fin.select("doc_id", F.size("toks").alias("ftoks")), "doc_id", "left"
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count("fq").alias("n_quality"),
+            F.count("fe").alias("n_exact"),
+            F.count("ftoks").alias("n_final"),
+            F.coalesce(F.sum("ftoks"), F.lit(0)).cast("bigint").alias("tokens_final"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,289 @@
+"""Round-4 coverage wave: hybrid retrieval & vector compression.
+
+Two operators every 100 TB retrieval stack needs beyond plain BM25
+(q135) and brute-force/ANN cosine (q30/q31/q53):
+
+- Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09): the
+  standard way to merge a keyword ranking and a semantic ranking
+  without score calibration — fuse on RANKS, which are integers, so
+  the fusion is exact and engine-identical by construction.
+- Product quantization (Jégou, Douze & Schmid, TPAMI 2011): the
+  compression behind IVF-PQ indexes — split each vector into M
+  subvectors, code each against a per-subspace codebook, store M small
+  codes instead of D floats (here 64 floats → 8 codes = 32× smaller).
+  At 100 TB of embeddings, PQ is the difference between an index that
+  fits in executor memory and one that doesn't.
+
+Numeric policy: ranks and codes are integers; the only cross-row float
+reductions (PQ distance folds) run in identical left-to-right fold
+order in both engines, and per-row outputs are quantized to integer
+units (ppm / nano) before any cross-engine compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.functions.text import tokenize
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+_DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+# --- q158: hybrid search, reciprocal-rank fusion -------------------------
+_RRF_K = 60  # the SIGIR'09 constant
+_RANK_DEPTH = 20  # fuse the top-20 of each ranking
+_TOP = 10
+_K1 = 1.2
+_B = 0.75
+_QUERY_TERMS = ("spark", "table", "merge")
+_QUERY_VEC = 0  # query-by-example: vec 0's embedding is the semantic query
+
+_DUCK_RRF = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('spark', 'table', 'merge')
+      GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         bm AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * (tf.tf * ({_K1} + 1))
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl
+                                     / (stats.sum_dl * 1.0 / stats.n_docs))))
+               AS score
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats GROUP BY tf.doc_id),
+         bm_rank AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY CAST(round(score * 10000) AS BIGINT) DESC, doc_id)
+               AS r_bm25
+      FROM bm),
+         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = {_QUERY_VEC}),
+         cos AS (
+      SELECT vec_id AS doc_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cos
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+            WHERE vec_id != {_QUERY_VEC}) CROSS JOIN q),
+         cos_rank AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY CAST(round(cos * 10000) AS BIGINT) DESC, doc_id)
+               AS r_cos
+      FROM cos),
+         fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, b.r_bm25, c.r_cos,
+             coalesce(1.0 / ({_RRF_K} + b.r_bm25), 0)
+               + coalesce(1.0 / ({_RRF_K} + c.r_cos), 0) AS rrf
+      FROM (SELECT * FROM bm_rank WHERE r_bm25 <= {_RANK_DEPTH}) b
+      FULL JOIN (SELECT * FROM cos_rank WHERE r_cos <= {_RANK_DEPTH}) c
+        USING (doc_id))
+    SELECT doc_id, r_bm25, r_cos,
+           CAST(round(rrf * 1000000) AS BIGINT) AS rrf_ppm
+    FROM fused
+    ORDER BY rrf_ppm DESC, doc_id
+    LIMIT {_TOP}
+"""
+
+
+@register("q158_rrf_fusion", _DUCK_RRF)
+def q158_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking (q135's scorer, 3-term
+    query) and semantic ranking (cosine against vec 0's embedding,
+    query-by-example with the example excluded) fused by reciprocal
+    rank: rrf = Σ 1/(60 + rank). Both rankings rank on QUANTIZED
+    scores (basis points) with doc_id tie-breaks, so the integer ranks
+    — and therefore the fusion — are engine-identical even where raw
+    float ordering could tie.
+
+    100 TB shape: each ranking is an independent top-k (BM25 work
+    scales with matching postings, cosine with the ANN candidate set —
+    q53's IVF cells at scale); the fusion itself joins two K-row rank
+    lists — driver-trivial, broadcast either side. No score
+    calibration step, which is the whole point of RRF."""
+    from ooh_etl_spark.operators.similarity import cosine
+
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # BM25 scoring — q135's expression, unlimited (rank list cut below)
+    d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    tok = d.select("doc_id", F.explode_outer("toks").alias("term")).filter(
+        F.col("term").isin(*_QUERY_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = (
+        idf
+        * (F.col("tf") * (_K1 + 1))
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / avgdl))
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    bm_rank = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(F.col("score") * 10000).cast("bigint").desc(), "doc_id"
+            )
+        )
+        .alias("r_bm25"),
+    ).filter(F.col("r_bm25") <= _RANK_DEPTH)
+
+    # Cosine ranking against the example vector (broadcast 1-row query)
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    cos_rank = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(F.col("cos") * 10000).cast("bigint").desc(), "doc_id"
+            )
+        )
+        .alias("r_cos"),
+    ).filter(F.col("r_cos") <= _RANK_DEPTH)
+
+    rrf = F.coalesce(1.0 / (_RRF_K + F.col("r_bm25")), F.lit(0.0)) + F.coalesce(
+        1.0 / (_RRF_K + F.col("r_cos")), F.lit(0.0)
+    )
+    return (
+        bm_rank.join(cos_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_bm25",
+            "r_cos",
+            F.round(rrf * 1000000).cast("bigint").alias("rrf_ppm"),
+        )
+        .orderBy(F.col("rrf_ppm").desc(), "doc_id")
+        .limit(_TOP)
+    )
+
+
+# --- q159: product quantization --------------------------------------------
+_PQ_M = 8  # subspaces
+_PQ_D = 8  # dims per subspace (8 x 8 = the 64-dim fixture embedding)
+_PQ_K = 16  # codebook entries per subspace (first-K deterministic rule)
+
+_DUCK_PQ = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+         sub AS (
+      SELECT vec_id, s, e[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sub
+      FROM v CROSS JOIN s),
+         cb AS (
+      SELECT vec_id AS code_id, s, sub AS csub FROM sub
+      WHERE vec_id < {_PQ_K}),
+         dist AS (
+      SELECT sub.vec_id, sub.s, cb.code_id,
+             list_aggregate(
+               list_transform(generate_series(1, {_PQ_D}),
+                 i -> (sub[i] - csub[i]) * (sub[i] - csub[i])), 'sum') AS dist
+      FROM sub JOIN cb USING (s)),
+         best AS (
+      SELECT vec_id, s, code_id, dist, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY dist, code_id) AS rk
+      FROM dist)
+    SELECT vec_id,
+           string_agg(code_id, '-' ORDER BY s) AS pq_code,
+           sum(CAST(round(dist * 1000000000) AS BIGINT)) AS err_nano
+    FROM best WHERE rk = 1
+    GROUP BY vec_id
+    ORDER BY vec_id
+"""
+
+
+@register("q159_pq_codes", _DUCK_PQ)
+def q159_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011): every 64-dim
+    embedding split into 8 contiguous 8-dim subvectors, each coded as
+    the nearest of 16 per-subspace codebook entries (codebook = the
+    first 16 vectors' subvectors — deterministic first-K rule, same as
+    q102/q151). Output: the 8-code string (the compressed vector, 32×
+    smaller than the floats) and total squared reconstruction error in
+    integer nano-units (order-free bigint sum — the cents policy).
+
+    Engine-exactness: the distance fold runs left-to-right over the
+    8 dims in both engines; argmin ties break on code_id; codes are
+    integers so the code string is exact.
+
+    100 TB shape: the codebook is M*K = 128 rows — broadcast; coding is
+    a narrow per-row pass over the corpus (posexplode to M subvectors,
+    broadcast-join, argmin, regroup by vec_id — all map-side except the
+    one regroup shuffle keyed on vec_id). In production the codebook
+    comes from k-means (q102's fit loop) instead of first-K; the coding
+    pass — the 100 TB part — is identical."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    subs = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("e", s * _PQ_D + 1, _PQ_D) for s in range(_PQ_M)])
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code_id"),
+        F.col("s").alias("cs"),
+        F.col("sub").alias("csub"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # argmin as min(struct(dist, code_id)): lexicographic struct min ==
+    # (min dist, tie -> min code_id), identical to the oracle's
+    # row_number ORDER BY dist, code_id — but map-side combinable, so
+    # the 16 candidate rows per (vec, subspace) collapse BEFORE the
+    # shuffle instead of riding through a window sort.
+    best = (
+        subs.join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .withColumn("dist", dist)
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "code_id")).alias("m"))
+        .select("vec_id", "s", F.col("m.dist").alias("dist"), F.col("m.code_id").alias("code_id"))
+    )
+    code_str = F.concat_ws(
+        "-",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code_id"))),
+            lambda t: t.getField("code_id").cast("string"),
+        ),
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            code_str.alias("pq_code"),
+            F.sum(F.round(F.col("dist") * 1000000000).cast("bigint")).alias(
+                "err_nano"
+            ),
+        )
+        .orderBy("vec_id")
+    )

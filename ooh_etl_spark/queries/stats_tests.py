@@ -280,3 +280,87 @@ def q150_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- q161: two-sample Kolmogorov–Smirnov (round-4 wave) -------------------
+_KS_A = "1-URGENT"
+_KS_B = "5-LOW"
+
+_DUCK_KS = f"""
+    WITH pool AS (
+      SELECT o_totalprice AS v,
+             count(CASE WHEN o_orderpriority = '{_KS_A}' THEN 1 END) AS a,
+             count(CASE WHEN o_orderpriority = '{_KS_B}' THEN 1 END) AS b
+      FROM orders
+      WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY o_totalprice),
+         n AS (SELECT sum(a) AS na, sum(b) AS nb FROM pool),
+         cdf AS (
+      SELECT sum(a) OVER (ORDER BY v) AS ca,
+             sum(b) OVER (ORDER BY v) AS cb
+      FROM pool)
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           CAST(round(max(abs(ca * 1.0 / n.na - cb * 1.0 / n.nb)) * 1000000)
+                AS BIGINT) AS ks_ppm
+    FROM cdf CROSS JOIN n
+    GROUP BY n.na, n.nb
+"""
+
+
+@register("q161_ks_test", _DUCK_KS)
+def q161_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic comparing the
+    o_totalprice distributions of urgent vs low-priority orders:
+    D = max over the pooled support of |F_a(x) - F_b(x)| — the
+    standard nonparametric drift test a data pipeline runs between
+    corpus snapshots (same family as q113's snapshot diff, but over a
+    continuous distribution).
+
+    Exactness: both empirical CDFs are running sums of integer counts
+    over the DISTINCT-value grid divided by integer totals — identical
+    doubles; D is quantized to ppm.
+
+    Scale note: the running sum is a global-ordered window, but it
+    runs over the distinct-VALUE aggregate, not raw rows — cardinality
+    is bounded by the price grid (cents granularity), not the corpus,
+    the same reduction that keeps q149's gap scan safe. For truly
+    unbounded supports, swap the exact CDF for q139b's equi-depth
+    sketch and compare quantiles (docstring contract)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pool = (
+        orders.filter(F.col("o_orderpriority").isin(_KS_A, _KS_B))
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.count(F.when(F.col("o_orderpriority") == _KS_A, 1)).alias("a"),
+            F.count(F.when(F.col("o_orderpriority") == _KS_B, 1)).alias("b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = pool.select(
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    n = pool.agg(
+        F.sum("a").cast("bigint").alias("na"), F.sum("b").cast("bigint").alias("nb")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(n))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") * 1.0 / F.col("na")
+                        - F.col("cb") * 1.0 / F.col("nb")
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("ks_ppm")
+        )
+        .select(
+            F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_ppm"
+        )
+    )

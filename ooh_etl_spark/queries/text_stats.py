@@ -277,3 +277,97 @@ def q96_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("g").alias("trigram"), F.col("c").alias("cnt"), "rk")
         .orderBy("lang", "rk")
     )
+
+
+# --- q160: add-one-smoothed bigram language model (round-4 wave) ----------
+_LM_HEADS = 10
+_LM_TOP = 3
+
+_DUCK_BIGRAM_LM = f"""
+    WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         bg AS (
+      SELECT toks[i] AS head, toks[i + 1] AS nxt
+      FROM d CROSS JOIN unnest(generate_series(1, len(toks) - 1)) AS t(i)),
+         c_hn AS (SELECT head, nxt, count(*) AS c_hn FROM bg GROUP BY head, nxt),
+         c_h AS (SELECT head, sum(c_hn) AS c_h FROM c_hn GROUP BY head),
+         vocab AS (
+      SELECT count(DISTINCT term) AS v
+      FROM (SELECT unnest(toks) AS term FROM d)),
+         heads AS (
+      SELECT head, c_h, row_number() OVER (ORDER BY c_h DESC, head) AS hr
+      FROM c_h),
+         ranked AS (
+      SELECT h.head, h.c_h, n.nxt, n.c_hn,
+             row_number() OVER (PARTITION BY h.head
+                                ORDER BY n.c_hn DESC, n.nxt) AS rk
+      FROM heads h JOIN c_hn n USING (head)
+      WHERE h.hr <= {_LM_HEADS})
+    SELECT head, nxt, c_hn, CAST(c_h AS BIGINT) AS c_h,
+           CAST(round((c_hn + 1) * 1000000.0 / (c_h + v)) AS BIGINT) AS p_ppm
+    FROM ranked CROSS JOIN vocab
+    WHERE rk <= {_LM_TOP}
+    ORDER BY c_h DESC, head, rk
+"""
+
+
+@register("q160_bigram_lm", _DUCK_BIGRAM_LM)
+def q160_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model with add-one (Laplace)
+    smoothing: P(next|head) = (c(head,next)+1) / (c(head)+V) — the
+    classical n-gram LM estimator (Jurafsky & Martin ch. 3), reported
+    as the top-3 continuations for the 10 most frequent head tokens.
+    The quality-filtering relevance: low-perplexity-under-a-tiny-LM is
+    the CCNet/DSIR signal (q153/q155 build exactly such LMs); this
+    query exposes the estimator itself as a reusable surface.
+
+    All inputs are exact integer counts; the single ratio is quantized
+    to ppm — engine-identical. 100 TB shape: one bigram shuffle
+    (map-side combined), c(head) derived FROM the bigram counts by a
+    second keyed aggregation (no second corpus pass), vocabulary size
+    is a 1-row broadcast, and the head/continuation cuts are bounded
+    top-k windows over the count table, not the corpus."""
+    d = _docs(spark, sf_dir).select("doc_id", tokenize(F.col("text")).alias("toks"))
+    bg = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda h, n: F.struct(h.alias("head"), n.alias("nxt")),
+            )
+        ).alias("b")
+    ).select("b.head", "b.nxt")
+    c_hn = bg.groupBy("head", "nxt").agg(F.count(F.lit(1)).alias("c_hn"))
+    c_h = c_hn.groupBy("head").agg(F.sum("c_hn").alias("c_h"))
+    vocab = (
+        d.select(F.explode("toks").alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    heads = c_h.withColumn(
+        "hr", F.row_number().over(Window.orderBy(F.col("c_h").desc(), "head"))
+    ).filter(F.col("hr") <= _LM_HEADS)
+    ranked = (
+        F.broadcast(heads)
+        .join(c_hn, "head")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("head").orderBy(F.col("c_hn").desc(), "nxt")
+            ),
+        )
+        .filter(F.col("rk") <= _LM_TOP)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(vocab))
+        .select(
+            "head",
+            "nxt",
+            "c_hn",
+            F.col("c_h").cast("bigint").alias("c_h"),
+            F.round((F.col("c_hn") + 1) * 1000000.0 / (F.col("c_h") + F.col("v")))
+            .cast("bigint")
+            .alias("p_ppm"),
+            "rk",
+        )
+        .orderBy(F.col("c_h").desc(), "head", "rk")
+        .drop("rk")
+    )
