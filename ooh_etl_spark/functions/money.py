@@ -16,28 +16,40 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def cents_sum(col: Column | str, scale: int = 2) -> Column:
+def cents_sum(col: Column | str, scale: int = 2, wide: bool = False) -> Column:
     """Exact fixed-point sum reported as a double with ``scale`` dp:
-    per-row round to 10^scale units (bigint — row values are far below
-    int64), accumulate in decimal(38,0), one final divide.
+    per-row round to 10^scale units, integer sum, one final divide.
 
-    The decimal accumulator is the 100 TB headroom guard: a bigint
-    accumulator wraps silently (non-ANSI sum) once the total passes
-    9.2e18 — reachable at ~10^13 rows of ~10^5-unit values. decimal
-    sums are just as exact and order-free, carry headroom to 10^38
-    (~10^36 currency units — unreachable), and Spark nulls the result
-    on decimal overflow instead of wrapping, so even the failure mode
-    is loud. DuckDB's twin needs no change: its sum(BIGINT) already
-    accumulates in HUGEINT (int128)."""
+    Accumulator headroom (non-ANSI Spark sum wraps SILENTLY on int64
+    overflow): the default bigint accumulator is exact to 9.2e18 units
+    — at TPC-H-like magnitudes (~5e7 cents/row) that is ~1.8e11 rows
+    PER GROUP, comfortably beyond a 100 TB fact table's per-group
+    cardinality for grouped aggregates, but approachable for a GLOBAL
+    sum at extreme scale. For those, pass ``wide=True``: the
+    decimal(38,0) accumulator is equally exact and order-free, carries
+    headroom to 10^38, and NULLs loudly on overflow instead of
+    wrapping — but decimal precision > 18 leaves Spark's long-backed
+    Decimal fast path, measured 2.2x slower on q01's 8-aggregate scan
+    at sf0.1, so it is opt-in rather than the default. DuckDB twins
+    need no flag: its sum(BIGINT) accumulates in HUGEINT natively."""
     unit = 10**scale
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(F.round(c * unit).cast("bigint").cast("decimal(38,0)")) / float(unit)
+    acc = F.round(c * unit).cast("bigint")
+    if wide:
+        acc = acc.cast("decimal(38,0)")
+    return F.sum(acc) / float(unit)
 
 
-def cents_avg(col: Column | str, scale: int = 2, out_scale: int | None = None) -> Column:
+def cents_avg(
+    col: Column | str,
+    scale: int = 2,
+    out_scale: int | None = None,
+    wide: bool = False,
+) -> Column:
     """Average built from the exact fixed-point sum: the numerator is an
     integer total (order-free), so the single double division and final
     rounding are deterministic across engines and partitionings.
+    ``wide`` selects the decimal(38,0) accumulator (see cents_sum).
 
     The denominator is ``count(col)`` — non-null rows only — so this is
     the same statistic as SQL ``avg(col)``, which ignores NULLs; a
@@ -45,8 +57,10 @@ def cents_avg(col: Column | str, scale: int = 2, out_scale: int | None = None) -
     nullable inputs. Oracle twins use ``count(expr)`` identically."""
     unit = 10**scale
     c = F.col(col) if isinstance(col, str) else col
-    total = F.sum(F.round(c * unit).cast("bigint").cast("decimal(38,0)"))
-    return F.round(total / float(unit) / F.count(c), out_scale or scale)
+    acc = F.round(c * unit).cast("bigint")
+    if wide:
+        acc = acc.cast("decimal(38,0)")
+    return F.round(F.sum(acc) / float(unit) / F.count(c), out_scale or scale)
 
 
 def oracle_cents_sum(expr: str, scale: int = 2) -> str:
