@@ -785,3 +785,178 @@ def q162_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q163: duplicated-span REMOVAL (round-4; completes q152's census) ------
+_DUCK_SPAN_REMOVAL = f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         pos AS (
+      SELECT doc_id, i, toks[i] AS tok
+      FROM t CROSS JOIN unnest(generate_series(1, len(toks))) AS u(i)),
+         starts AS (
+      SELECT doc_id, s,
+             array_to_string(toks[s:s+{_SPAN_N - 1}], ' ') AS gram
+      FROM t CROSS JOIN unnest(generate_series(1, len(toks) - {_SPAN_N - 1})) AS u(s)
+      WHERE len(toks) >= {_SPAN_N}),
+         dup AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS nd FROM starts GROUP BY gram)
+      WHERE nd >= 2),
+         dstarts AS (
+      SELECT s.doc_id, s.s FROM starts s JOIN dup USING (gram)),
+         rem AS (
+      SELECT DISTINCT p.doc_id, p.i
+      FROM pos p JOIN dstarts d
+        ON p.doc_id = d.doc_id AND p.i BETWEEN d.s AND d.s + {_SPAN_N - 1}),
+         kept AS (
+      SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS kept_text
+      FROM pos p LEFT JOIN rem r ON p.doc_id = r.doc_id AND p.i = r.i
+      WHERE r.i IS NULL GROUP BY p.doc_id),
+         nrem AS (
+      SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(t.toks) AS n_toks,
+           coalesce(nrem.n_removed, 0) AS n_removed,
+           md5(coalesce(kept.kept_text, '')) AS kept_md5
+    FROM t LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+@register("q163_dup_span_removal", _DUCK_SPAN_REMOVAL)
+def q163_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", step
+    2): q152 censuses duplicated {_SPAN_N}-gram positions; this query
+    actually removes them — a token survives iff no duplicated gram
+    (one appearing in >= 2 distinct documents) covers it. Output is
+    per-doc removal accounting plus an md5 of the retained text, so
+    the oracle proves the RECONSTRUCTED documents are identical
+    byte-for-byte, not just the counts.
+
+    100 TB shape: the only global stage is the gram-keyed duplicate
+    aggregate (map-side combined, same key as q27's posting shuffle);
+    coverage expansion joins dup starts back per-doc (equi on doc_id
+    with a +/-{_SPAN_N} position band — co-partitioned, never
+    corpus-wide); reconstruction is a per-doc sort inside one keyed
+    aggregation. Gram-frequency skew (stop-grams) is the AQE
+    skew-split case, and at extreme scale the dup table is
+    semi-join-reducible before the coverage join."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    pos = d.select(
+        "doc_id", F.posexplode("toks").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    starts = (
+        d.filter(F.size("toks") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_SPAN_N - 1)),
+                    lambda s: F.concat_ws(" ", F.slice("toks", s, _SPAN_N)),
+                )
+            ).alias("s0", "gram"),
+        )
+        .select("doc_id", (F.col("s0") + 1).alias("s"), "gram")
+    )
+    dup = (
+        starts.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dstarts = starts.join(dup, "gram").select("doc_id", "s")
+    rem = (
+        pos.join(
+            dstarts,
+            (pos.doc_id == dstarts.doc_id)
+            & pos.i.between(dstarts.s, dstarts.s + (_SPAN_N - 1)),
+        )
+        .select(pos.doc_id, pos.i)
+        .distinct()
+    )
+    kept = (
+        pos.join(rem, ["doc_id", "i"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda t: t.getField("tok"),
+                ),
+            ).alias("kept_text")
+        )
+    )
+    nrem = rem.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        d.select("doc_id", F.size("toks").alias("n_toks"))
+        .join(nrem, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- q164: temperature-scaled source mixture (round-4) --------------------
+_MIX_TEMP_INV = 0.5  # 1/T with T=2: the mT5/UniMax multilingual default
+
+_DUCK_TEMP_MIX = f"""
+    WITH t AS (
+      SELECT source, len({_DUCK_TOKS}) AS n_tokens FROM documents),
+         s AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens FROM t
+      GROUP BY source),
+         q AS (
+      SELECT source, tokens,
+             CAST(round(sqrt(tokens) * 1000000) AS BIGINT) AS q_micro
+      FROM s),
+         tot AS (SELECT CAST(sum(q_micro) AS BIGINT) AS q_total FROM q)
+    SELECT source, tokens,
+           CAST(round(1000000.0 * q_micro / q_total) AS BIGINT) AS weight_ppm
+    FROM q CROSS JOIN tot
+    ORDER BY source
+"""
+
+
+@register("q164_temperature_mix", _DUCK_TEMP_MIX)
+def q164_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mix (the mT5 / UniMax multilingual
+    recipe, T=2): p_i ∝ tokens_i^(1/T), flattening the source
+    distribution less aggressively than q83's uniform-target DoReMi
+    reweight. Exactness policy: tokens^0.5 is a per-row sqrt (engine-
+    identical double) QUANTIZED to integer micro-units before the
+    normalizing sum, so the denominator is an exact integer sum —
+    never an order-dependent float reduction.
+
+    100 TB shape: identical to q83 — one map-side-combined per-source
+    aggregate, then a 20-row broadcast of the total."""
+    docs = _docs(spark, sf_dir)
+    s = (
+        docs.select("source", F.size(tokenize(F.col("text"))).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("tokens"))
+    )
+    q = s.withColumn(
+        "q_micro", F.round(F.sqrt("tokens") * 1000000).cast("bigint")
+    )
+    tot = q.agg(F.sum("q_micro").cast("bigint").alias("q_total"))
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            F.round(1000000.0 * F.col("q_micro") / F.col("q_total"))
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -371,3 +371,46 @@ def q160_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_h").desc(), "head", "rk")
         .drop("rk")
     )
+
+
+# --- q165: tokenizer fertility per language (round-4 wave) ----------------
+_DUCK_FERTILITY = rf"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,
+             len({_DUCK_TOKS}) AS n_words
+      FROM documents)
+    SELECT lang,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(round(1000000.0 * sum(n_bpe) / sum(n_words)) AS BIGINT)
+             AS fertility_ppm
+    FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+@register("q165_tokenizer_fertility", _DUCK_FERTILITY)
+def q165_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per whitespace
+    word (BPE-ish regex count / word count) — the standard measure of
+    how expensive a language is under a given tokenizer (≈1.0 means
+    one token per word; morphologically rich or under-served languages
+    run higher), used to budget per-language token quotas next to
+    q164's temperature mix. Integer token counts sum exactly; the one
+    ratio is quantized to ppm. One map-side-combined aggregate keyed
+    on lang — nothing else moves."""
+    docs = _docs(spark, sf_dir)
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+    words = F.size(tokenize(F.col("text")))
+    return (
+        docs.select("lang", bpe.alias("n_bpe"), words.alias("n_words"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum("n_words").cast("bigint").alias("words"),
+            F.round(1000000.0 * F.sum("n_bpe") / F.sum("n_words"))
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
