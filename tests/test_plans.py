@@ -192,6 +192,16 @@ def test_headline_shuffle_budgets(spark):
         "flagship_doc_scan": 1,  # gated round-robin only; no wide op
         "q26_exact_dedup": 2,  # dedup-key window + source rollup
         "q27_jaccard_pairs": 3,  # round-robin + shingle agg + pair agg
+        # round-4 additions (counts include duplicated subtrees that
+        # ReuseExchange dedupes at execution; the budget still catches
+        # any NEW exchange an edit introduces)
+        "q159_pq_codes": 5,  # 2x round-robin + (vec,s) agg + vec agg + sort
+        "q161_ks_test": 2,  # distinct-value agg + global cdf window
+        "q164_temperature_mix": 5,  # source agg + total agg subtrees
+        "q165_tokenizer_fertility": 3,  # round-robin + lang agg + sort
+        "q151b_semdedup_scaled": 9,  # assign window + pair join + regroup
+        "q162_corpus_build": 19,  # 4-stage funnel w/ flag joins
+        "q163_dup_span_removal": 19,  # pos/gram explodes + dup agg + bands
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)
