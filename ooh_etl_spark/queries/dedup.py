@@ -170,7 +170,9 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """Shared SemDeDup pipeline, parameterized on the centroid count K.
 
     Clustering: nearest of the first-K vectors (deterministic, q102's
-    rule, row_number tie-broken on centroid id). Dedup: within each
+    rule; argmin via min(struct(dist, cid)), which ties to the
+    smallest centroid id exactly like the oracle's row_number ORDER BY
+    dist, cid). Dedup: within each
     cluster, a vector is dropped in favor of its smallest-id neighbor
     with cosine >= threshold (the q26 min-id survivor rule). The
     cluster id is the only pairwise shuffle key, so candidate volume is
@@ -188,24 +190,29 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         F.lit(0.0),
         lambda s, x: s + x,
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    # Assignment argmin as min(struct(dist, cid)): lexicographic struct
+    # min == (min dist, tie -> min cid), identical to the oracle's
+    # row_number ORDER BY dist, cid — but map-side combinable, so the
+    # n*K candidate rows collapse to n BEFORE any shuffle (the q159
+    # pattern); the old window form shuffled and sorted the full n*K
+    # cross product on vec_id. The cluster label joins back to v on
+    # vec_id — one keyed join of n rows.
+    assign = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("dist", sqdist)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cluster"))
+    )
     # Each vector's norm is computed ONCE here (the same sqrt(dot(v,v))
     # expression the oracle evaluates), not re-derived per pair — the
     # pairwise pass then costs one dot product per pair instead of
     # three, with bit-identical arithmetic (dot / (nrm_a * nrm_b)).
-    av = (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("dist", sqdist)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "vec_id",
-            "e",
-            F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),
-            F.col("cid").alias("cluster"),
-        )
+    av = v.join(assign, "vec_id").select(
+        "vec_id",
+        "e",
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),
+        "cluster",
     )
     x = av.select(
         "cluster",
