@@ -195,20 +195,27 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     # row_number ORDER BY dist, cid — but map-side combinable, so the
     # n*K candidate rows collapse to n BEFORE any shuffle (the q159
     # pattern); the old window form shuffled and sorted the full n*K
-    # cross product on vec_id. The cluster label joins back to v on
-    # vec_id — one keyed join of n rows.
+    # cross product on vec_id. The vector itself rides the aggregation
+    # as first(e) — every candidate row of a vec_id carries the same e,
+    # so first() is value-deterministic AND map-side combinable — which
+    # removes the join-back to v entirely (the labeled vector would
+    # have shipped through that join's exchange anyway; this is the
+    # same bytes over one exchange instead of three).
     assign = (
         v.crossJoin(F.broadcast(c))
         .withColumn("dist", sqdist)
         .groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cid")).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cluster"))
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("m"),
+            F.first("e").alias("e"),
+        )
+        .select("vec_id", "e", F.col("m.cid").alias("cluster"))
     )
     # Each vector's norm is computed ONCE here (the same sqrt(dot(v,v))
     # expression the oracle evaluates), not re-derived per pair — the
     # pairwise pass then costs one dot product per pair instead of
     # three, with bit-identical arithmetic (dot / (nrm_a * nrm_b)).
-    av = v.join(assign, "vec_id").select(
+    av = assign.select(
         "vec_id",
         "e",
         F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),

@@ -199,7 +199,10 @@ def test_headline_shuffle_budgets(spark):
         "q161_ks_test": 2,  # distinct-value agg + global cdf window
         "q164_temperature_mix": 5,  # source agg + total agg subtrees
         "q165_tokenizer_fertility": 3,  # round-robin + lang agg + sort
-        "q151b_semdedup_scaled": 9,  # assign window + pair join + regroup
+        # assign agg (min-struct + first(e), no join-back) + pair join
+        # + regroup + sort; duplicated av subtree counted twice here,
+        # ReuseExchange dedupes at execution
+        "q151b_semdedup_scaled": 9,
         "q162_corpus_build": 19,  # 4-stage funnel w/ flag joins
         "q163_dup_span_removal": 19,  # pos/gram explodes + dup agg + bands
     }
