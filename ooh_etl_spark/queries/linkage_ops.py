@@ -1,0 +1,246 @@
+"""Round-4 coverage wave: record linkage & spatial joins.
+
+Two candidate-generation problems that are quadratic if done naively
+and bounded if done with blocking — the same design law as the dedup
+family (q27/q73/q151): never corpus-quadratic, always
+block/bucket-quadratic with bounded blocks.
+
+- Entity resolution (Fellegi & Sunter 1969; blocking survey:
+  Christen, TKDE 2012): fuzzy-match candidate pairs via a cheap
+  blocking key, score within blocks with edit distance. Run at the
+  DISTINCT-value level: at 100 TB the distinct name table is orders of
+  magnitude smaller than the row count (here 64 distinct names over
+  2000 part rows), so canonicalize distincts once and map survivors
+  back by key — the standard ER "canonicalization" shape.
+- Spatial radius join (grid-file bucketing, Nievergelt et al. 1984 —
+  the same cell trick behind GeoSpark/Sedona): points land in
+  fixed-degree grid cells; one side expands to its 3x3 cell
+  neighborhood, the join key is the CELL, and the exact haversine
+  predicate only runs on co-cell candidates. Cell size >= the radius
+  window guarantees no missed pair; each pair is generated exactly
+  once because the right side joins on its single home cell.
+
+Numeric policy: edit distances, cell ids, and supports are integers;
+haversine distances are rounded to integer meters and THRESHOLDED ON
+THE ROUNDED VALUE in both engines, so an ulp-level libm difference
+cannot flip a pair across the radius boundary unless the true distance
+sits within ~1e-9 m of a half-meter boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table
+
+# --- q166: blocked entity-resolution candidates -------------------------
+_ER_MIN, _ER_MAX = 1, 5  # edit-distance band: 0 = exact dup (q26's job)
+
+_DUCK_ER = f"""
+    WITH n AS (
+      SELECT p_name AS nm, count(*) AS support,
+             split_part(p_name, ' ', 1) AS b1,
+             split_part(p_name, ' ', -1) AS b2
+      FROM part GROUP BY p_name),
+         cand AS (
+      SELECT a.nm AS name_a, b.nm AS name_b,
+             levenshtein(a.nm, b.nm) AS lev,
+             a.support AS support_a, b.support AS support_b
+      FROM n a JOIN n b ON a.b1 = b.b1 AND a.nm < b.nm
+      UNION
+      SELECT a.nm, b.nm, levenshtein(a.nm, b.nm), a.support, b.support
+      FROM n a JOIN n b ON a.b2 = b.b2 AND a.nm < b.nm)
+    SELECT name_a, name_b, lev, support_a, support_b
+    FROM cand
+    WHERE lev BETWEEN {_ER_MIN} AND {_ER_MAX}
+    ORDER BY name_a, name_b
+"""
+
+
+@register("q166_entity_blocking", _DUCK_ER)
+def q166_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over part names: MULTI-PASS
+    blocking (pass 1 keys on the first token, pass 2 on the last),
+    candidates unioned with dedup, scored with Levenshtein, fuzzy band
+    [1, 5] kept (distance 0 is exact duplication — q26's operator).
+    Output: the candidate merge pair plus each side's row support,
+    which is what a reviewer (or an auto-merge rule) ranks by.
+
+    Three scale decisions, all load-bearing at 100 TB:
+    - ER runs on DISTINCT names, not rows: the groupBy collapses the
+      corpus to |distinct| rows (64 here vs 2000; at production scale
+      millions vs trillions) and carries the support count along, so
+      the quadratic stage never sees row-level duplication.
+    - each pass joins on its block key, so candidates are
+      sum-of-block-squares, never |distinct|^2; a hot block (skewed
+      token) is an AQE skew-split; phonetic/length keys drop in by
+      swapping a block expression.
+    - blocking trades recall for the quadratic bound, and the trade is
+      MEASURED, not assumed: on this fixture single-pass first-token
+      blocking finds 46% of the unblocked band-[1,5] pairs, the two
+      passes together find 94% (tests/test_linkage_ml.py pins it
+      against the exhaustive join) — the standard multi-pass answer
+      to blocking recall (Christen, TKDE 2012).
+
+    Levenshtein itself is the classic DP, identical in Spark (JVM) and
+    DuckDB — integer output, no float policy needed."""
+    p = load_table(spark, sf_dir, "part")
+    n = (
+        p.groupBy(F.col("p_name").alias("nm"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .withColumn("b1", F.split(F.col("nm"), " ")[0])
+        .withColumn("b2", F.element_at(F.split(F.col("nm"), " "), -1))
+    )
+
+    def pass_pairs(key: str) -> DataFrame:
+        a = n.select(
+            F.col("nm").alias("name_a"),
+            F.col("support").alias("support_a"),
+            F.col(key).alias("blk"),
+        )
+        b = n.select(
+            F.col("nm").alias("name_b"),
+            F.col("support").alias("support_b"),
+            F.col(key).alias("blk_b"),
+        )
+        return a.join(
+            b,
+            (F.col("blk") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")),
+        ).select(
+            "name_a",
+            "name_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("lev"),
+            "support_a",
+            "support_b",
+        )
+
+    # A pair meeting in both passes produces IDENTICAL rows, so
+    # union + distinct is the dedup (the oracle's UNION).
+    cand = pass_pairs("b1").union(pass_pairs("b2")).distinct()
+    return cand.filter(F.col("lev").between(_ER_MIN, _ER_MAX)).orderBy(
+        "name_a", "name_b"
+    )
+
+
+# --- q167: grid-bucketed spatial radius join ----------------------------
+_RADIUS_M = 10_000  # pair-up customers within 10 km
+_CELL_PER_DEG = 5  # 0.2-degree cells; see window bound in the docstring
+_EARTH_R = 6_371_000.0
+
+# Deterministic synthetic coordinates derived from the key by modular
+# arithmetic (NOT a hash builtin — Spark's and DuckDB's hash functions
+# differ; integer * and % are engine-identical). Box: lat 40..50,
+# lon -10..10.
+_DUCK_GEO = f"""
+    WITH c AS (
+      SELECT c_custkey AS k,
+             40.0 + ((c_custkey * 7919) % 1000) / 100.0 AS lat,
+             -10.0 + ((c_custkey * 104729) % 2000) / 100.0 AS lon
+      FROM customer),
+         g AS (
+      SELECT k, lat, lon,
+             CAST(floor(lat * {_CELL_PER_DEG}) AS BIGINT) AS ci,
+             CAST(floor(lon * {_CELL_PER_DEG}) AS BIGINT) AS cj
+      FROM c),
+         lhs AS (
+      SELECT g.k, g.lat, g.lon, g.ci + di.di AS ci, g.cj + dj.dj AS cj
+      FROM g
+      CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS di) di
+      CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dj) dj),
+         cand AS (
+      SELECT a.k AS k_a, b.k AS k_b,
+             CAST(round(2 * {_EARTH_R} * asin(sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2)
+             ))) AS BIGINT) AS dist_m
+      FROM lhs a JOIN g b ON a.ci = b.ci AND a.cj = b.cj AND a.k < b.k)
+    SELECT k_a, k_b, dist_m FROM cand
+    WHERE dist_m <= {_RADIUS_M}
+    ORDER BY k_a, k_b
+"""
+
+
+@register("q167_geo_grid_join", _DUCK_GEO)
+def q167_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join: all customer pairs within 10 km, by grid-cell
+    bucketing. Coordinates are derived deterministically from the key
+    (modular arithmetic, engine-identical) into a 10x20-degree box;
+    each point lands in a 0.2-degree grid cell; the LEFT side explodes
+    to its 3x3 cell neighborhood and the join key is the cell — the
+    exact haversine runs only on co-cell candidates.
+
+    No missed pair: at the box's top latitude (50 deg) a 10 km radius
+    spans 0.090 deg of latitude and 10 / (111.32 * cos 50) = 0.140 deg
+    of longitude, both < the 0.2-deg cell, so a neighbor within radius
+    is always within one cell step. No double-counted pair: the right
+    side joins on its single home cell, and the left explosion visits
+    each cell at most once, so each (a, b) meets exactly once; a < b
+    orders the pair.
+
+    100 TB shape: the only shuffle is the equi-join on the cell id —
+    candidate volume is sum over cells of |cell|^2 x 9, bounded by
+    density x area, never n^2. Dense cities = hot cells = AQE
+    skew-split; finer cells trade explosion factor against candidate
+    count exactly like LSH band width (q28). The haversine is JVM
+    codegen (sin/cos/asin builtins), no UDF."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (40.0 + ((F.col("c_custkey") * 7919) % 1000) / 100.0).alias("lat"),
+        (-10.0 + ((F.col("c_custkey") * 104729) % 2000) / 100.0).alias("lon"),
+    )
+    g = c.select(
+        "k",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") * _CELL_PER_DEG).cast("bigint").alias("ci"),
+        F.floor(F.col("lon") * _CELL_PER_DEG).cast("bigint").alias("cj"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+    )
+    lhs = g.select(
+        F.col("k").alias("k_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(offsets).alias("o"),
+        "ci",
+        "cj",
+    ).select(
+        "k_a",
+        "lat_a",
+        "lon_a",
+        (F.col("ci") + F.col("o.di")).alias("ci"),
+        (F.col("cj") + F.col("o.dj")).alias("cj"),
+    )
+    rhs = g.select(
+        F.col("k").alias("k_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("ci").alias("ci_b"),
+        F.col("cj").alias("cj_b"),
+    )
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians("lat_a")) * F.cos(F.radians("lat_b")) * F.pow(F.sin(dlon), 2)
+    )
+    dist_m = F.round(2 * _EARTH_R * F.asin(F.sqrt(hav))).cast("bigint")
+    return (
+        lhs.join(
+            rhs,
+            (F.col("ci") == F.col("ci_b"))
+            & (F.col("cj") == F.col("cj_b"))
+            & (F.col("k_a") < F.col("k_b")),
+        )
+        .select("k_a", F.col("k_b").alias("k_b"), dist_m.alias("dist_m"))
+        .filter(F.col("dist_m") <= _RADIUS_M)
+        .orderBy("k_a", "k_b")
+    )

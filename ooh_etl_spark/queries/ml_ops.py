@@ -1,0 +1,259 @@
+"""Round-4 coverage wave: distributed ML math over embeddings.
+
+The three one-pass reductions every large-scale trainer needs from its
+data engine — each is a narrow per-row expression followed by ONE
+keyed (or 10-key / 64-key) aggregation, which is exactly the shape
+that survives a 100x scale-up:
+
+- Full-batch logistic-regression gradient (the inner loop of
+  distributed GD: broadcast weights, one pass, map-side partial
+  sums). At 100 TB this IS the training step; frameworks differ only
+  in what wraps the loop.
+- Johnson-Lindenstrauss random projection (Achlioptas 2003: +-1 sign
+  matrix) with a measured pairwise-distance distortion check — the
+  cheap dimensionality reduction in front of clustering/ANN.
+- Calibration / reliability bins (Niculescu-Mizil & Caruana 2005):
+  predicted-probability deciles vs observed positive rate — the
+  standard model-eval table.
+
+Numeric policy (the engine's cents policy, applied to ML floats):
+transcendentals (exp) evaluate per row; every cross-row float is
+quantized per row to integer micro-units and summed as bigint, so the
+reduction is order-free and engine-identical. Within-row folds
+(dot products, projections) run in identical left-to-right order in
+both engines (the q159-proven construct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+_DIM = 64
+
+#: Deterministic weight vector: w_d = ((d*37) % 21 - 10) / 7, d 0-based.
+#: int / 7.0 is one IEEE division of exact operands, so the Python
+#: literal, the Spark lit() and the DuckDB arithmetic all produce the
+#: identical double. The /7 scale makes the fixture's logits span
+#: roughly (-2.7, 2.7) -> probabilities cover all 10 calibration bins.
+_W = [((d * 37) % 21 - 10) / 7.0 for d in range(_DIM)]
+_DUCK_W = "((((i-1)*37)%21-10)/7.0)"  # DuckDB's 1-based list index i
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> (vec_id, e, y, p): label -> binary target, fixed
+    broadcast weights -> logit -> sigmoid. The weight vector is a
+    64-element array literal — the '100 TB broadcast' is 512 bytes."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    w = F.array(*[F.lit(x) for x in _W])
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        (F.col("label") % 2).cast("bigint").alias("y"),
+    )
+    z = F.aggregate(
+        F.zip_with("e", w, lambda x, wx: x * wx),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return v.withColumn("p", 1.0 / (1.0 + F.exp(-z)))
+
+
+_DUCK_SCORED = f"""
+      SELECT vec_id, e, y,
+             1.0/(1.0 + exp(-list_aggregate(list_transform(
+               generate_series(1, {_DIM}), i -> e[i] * {_DUCK_W}), 'sum'))) AS p
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+                   label % 2 AS y FROM embeddings)
+"""
+
+# --- q168: logistic-regression gradient step ----------------------------
+_DUCK_GRAD = f"""
+    WITH s AS ({_DUCK_SCORED}),
+         g AS (
+      SELECT u.i - 1 AS dim,
+             CAST(round((s.p - s.y) * s.e[u.i] * 1000000) AS BIGINT) AS gmu
+      FROM s, unnest(generate_series(1, {_DIM})) AS u(i))
+    SELECT dim, sum(gmu) AS grad_micro, count(*) AS n
+    FROM g GROUP BY dim ORDER BY dim
+"""
+
+
+@register("q168_logreg_gradient", _DUCK_GRAD)
+def q168_logreg_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-batch gradient of L(w) = logloss(sigmoid(w . x), y)
+    over the embedding table: grad_d = sum_rows (p - y) * x_d, with the
+    per-row contribution quantized to integer micro-units before the
+    sum (order-free — the cents policy on ML floats).
+
+    100 TB shape: weights broadcast as a literal; the row pass is
+    narrow codegen (fold + exp); posexplode emits 64 rows per vector
+    but the groupBy(dim) partial-aggregates them to <= 64 rows per
+    partition BEFORE the one tiny shuffle (64 keys). The driver-side
+    update w -= lr * g is 64 doubles — the classic parameter-server
+    round, with the data never leaving the executors. Iterating this
+    query IS distributed gradient descent; q102/q103 (k-means, power
+    iteration) follow the same loop contract."""
+    s = _scored(spark, sf_dir)
+    return (
+        s.select(
+            "p",
+            "y",
+            F.posexplode("e").alias("dim", "x"),
+        )
+        .select(
+            "dim",
+            F.round((F.col("p") - F.col("y")) * F.col("x") * 1_000_000)
+            .cast("bigint")
+            .alias("gmu"),
+        )
+        .groupBy("dim")
+        .agg(F.sum("gmu").alias("grad_micro"), F.count(F.lit(1)).alias("n"))
+        .orderBy("dim")
+    )
+
+
+# --- q169: Johnson-Lindenstrauss projection distortion ------------------
+_JL_K = 8  # target dimensionality
+_JL_SAMPLE = 50  # fixed audit sample: 50 vectors -> 1225 pairs
+
+_DUCK_JL = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < {_JL_SAMPLE}),
+         pr AS (
+      SELECT vec_id, e,
+             list_transform(generate_series(0, {_JL_K - 1}), k ->
+               list_aggregate(list_transform(generate_series(1, {_DIM}),
+                 i -> e[i] * (CASE WHEN ((i-1)*73 + k*131) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)), 'sum')) AS pj
+      FROM v),
+         pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_aggregate(list_transform(generate_series(1, {_DIM}),
+               i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])), 'sum') AS d2o,
+             list_aggregate(list_transform(generate_series(1, {_JL_K}),
+               k -> (a.pj[k] - b.pj[k]) * (a.pj[k] - b.pj[k])), 'sum')
+               / {_JL_K}.0 AS d2p
+      FROM pr a JOIN pr b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           CAST(round(1000000.0 * d2p / d2o) AS BIGINT) AS ratio_ppm
+    FROM pairs ORDER BY vec_a, vec_b
+"""
+
+
+@register("q169_jl_projection", _DUCK_JL)
+def q169_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection, 64 -> 8 dims, audited by
+    its distance-distortion ratio on a fixed 50-vector sample: for each
+    pair, ratio = ||proj(a)-proj(b)||^2 / (k * ||a-b||^2)... i.e. the
+    projected squared distance (normalized by 1/k) over the original —
+    E[ratio] = 1 under the JL guarantee. The sign matrix is
+    deterministic arithmetic on (dim, k) — Achlioptas 2003 shows +-1
+    entries suffice; no engine hash builtin is used because Spark's and
+    DuckDB's hashes differ.
+
+    The projection itself (pr) is the production operator: a narrow
+    per-row nested fold (8 outputs x 64-element fold), zero shuffles,
+    running in whole-stage codegen — at 100 TB it's a map-only pass
+    that cuts downstream ANN/clustering cost 8x. The pairwise audit
+    joins a 50-row broadcast sample with itself — constant cost at any
+    corpus size (the sample is fixed, not a fraction)."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    v = emb.filter(F.col("vec_id") < _JL_SAMPLE).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def sign(d, k):
+        return F.when(((d * 73 + k * 131) % 2) == 0, 1.0).otherwise(-1.0)
+
+    pj = F.transform(
+        F.sequence(F.lit(0), F.lit(_JL_K - 1)),
+        lambda k: F.aggregate(
+            F.zip_with(
+                "e",
+                F.sequence(F.lit(0), F.lit(_DIM - 1)),
+                lambda x, d: x * sign(d, k),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    pr = v.withColumn("pj", pj)
+    a = pr.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("pj").alias("pa"),
+    )
+    b = pr.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("pj").alias("pb"),
+    )
+    sqsum = lambda xa, xb: F.aggregate(  # noqa: E731
+        F.zip_with(xa, xb, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2o = sqsum("ea", "eb")
+    d2p = sqsum("pa", "pb") / float(_JL_K)
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(1_000_000.0 * d2p / d2o).cast("bigint").alias("ratio_ppm"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --- q170: calibration / reliability bins -------------------------------
+_DUCK_CAL = f"""
+    WITH s AS ({_DUCK_SCORED}),
+         b AS (
+      SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, y,
+             CAST(round(p * 1000000) AS BIGINT) AS pmu
+      FROM s)
+    SELECT bin, count(*) AS n, sum(y) AS pos,
+           CAST(round(sum(pmu) * 1.0 / count(*)) AS BIGINT) AS mean_pred_ppm,
+           CAST(round(sum(y) * 1000000.0 / count(*)) AS BIGINT) AS pos_ppm
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register("q170_calibration_bins", _DUCK_CAL)
+def q170_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the q168 model: predicted probabilities
+    bucketed into deciles (bin 9 absorbs p = 1.0), each bin reporting
+    count, positives, mean predicted probability, and observed positive
+    rate — a calibrated model has mean_pred_ppm tracking pos_ppm.
+
+    Exactness: the bin id floors the probability (integer); per-row
+    probabilities quantize to micro-units before the bigint sum; both
+    rate columns divide integer sums by integer counts, so the final
+    rounding is engine-identical. One 10-key shuffle after map-side
+    partials — the whole table reduces to 10 rows regardless of
+    corpus size."""
+    s = _scored(spark, sf_dir)
+    b = s.select(
+        F.least(F.floor(F.col("p") * 10).cast("bigint"), F.lit(9)).alias("bin"),
+        "y",
+        F.round(F.col("p") * 1_000_000).cast("bigint").alias("pmu"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("pos"),
+            F.round(F.sum("pmu") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_pred_ppm"),
+            F.round(F.sum("y") * 1_000_000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("pos_ppm"),
+        )
+        .orderBy("bin")
+    )

