@@ -155,3 +155,139 @@ def q117_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(_BASKET_TOP)
     )
+
+
+_HIER_SQL = """
+WITH RECURSIVE up(node, anc, depth) AS (
+  SELECT c_custkey AS node, CAST(FLOOR(c_custkey / 10.0) AS BIGINT) AS anc,
+         1 AS depth
+  FROM customer WHERE c_custkey >= 10
+  UNION ALL
+  SELECT node, CAST(FLOOR(anc / 10.0) AS BIGINT) AS anc, depth + 1 AS depth
+  FROM up WHERE anc >= 10
+),
+rooted AS (
+  SELECT node, anc AS root, depth FROM up WHERE anc < 10
+  UNION ALL
+  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+  FROM customer WHERE c_custkey < 10
+)
+SELECT root, count(*) AS n_nodes, max(depth) AS max_depth,
+       sum(depth) AS total_depth
+FROM rooted GROUP BY root ORDER BY root
+"""
+
+
+@register("q171_recursive_hierarchy", _HIER_SQL)
+def q171_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — new in 4.0): walk a
+    synthetic management hierarchy (parent = custkey div 10, a tree of
+    depth ~log10 n) from every node to its root, then roll up subtree
+    size and depth per root. THE IDENTICAL SQL TEXT runs on both
+    engines (the q67/q115 contract): floor-division spelled as
+    CAST(FLOOR(x/10.0) AS BIGINT) because Spark's DIV and DuckDB's //
+    differ in name but this form parses identically in both.
+
+    100 TB shape: each recursive step is one self-referencing
+    equi-join producing strictly fewer rows (anc >= 10 prunes a tenth
+    of keyspace per level), and the iteration count is the TREE DEPTH
+    (log10 of keyspace, ~11 levels at 10^11 customers), not the row
+    count. This is the declarative twin of the checkpointed
+    label-propagation loop in operators/graph.py — use the CTE when
+    the recursion is a bounded walk, the operator loop when
+    convergence is data-dependent and needs per-iteration
+    checkpointing to cut lineage."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_HIER_SQL)
+
+
+_TRI_TOP = 10
+
+_DUCK_TRI = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pernode AS (
+      SELECT unnest([a, b, c]) AS node FROM tri)
+    SELECT node, count(*) AS n_triangles
+    FROM pernode GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT {_TRI_TOP}
+"""
+
+
+@register("q173_triangle_count", _DUCK_TRI)
+def q173_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the co-purchase graph
+    (parts co-occurring in an order), top-10 nodes. The Spark plan uses
+    DEGREE-ORDERED ORIENTATION (Schank 2007; Suri & Vassilvitskii,
+    WWW'11): every undirected edge points from its (degree, id)-smaller
+    endpoint to the larger, wedges are generated only at each edge's
+    low-degree end, and a wedge (v, w) closes into a triangle iff the
+    oriented edge v->w exists. Orientation bounds per-node wedge
+    fan-out by O(sqrt(m)) regardless of the true degree distribution —
+    a hub with degree d generates ZERO wedges as a source once its
+    (deg, id) rank exceeds its neighbors', so total candidates are
+    O(m^1.5), the best known for exact counting, instead of the
+    naive sum of deg^2 which a power-law hub makes corpus-quadratic.
+    The oracle counts the same triangles by plain id-ordering (a<b<c)
+    — orientation changes the generation order, not the triangle set.
+
+    All stages are keyed equi-joins (wedge key = source node; closure
+    key = the (v, w) pair); the only skew risk is the closure join's
+    pair key, which is near-unique by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e = a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient: src = (deg, id)-smaller endpoint. Carry dst's (deg, id)
+    # so wedge generation can order its two legs without a re-join.
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    )
+    # Wedges at the low end: two out-edges of src, legs ordered by the
+    # dst (deg, id) rank so the closing edge's orientation is known.
+    o1 = oriented.select("src", F.col("dst").alias("x"), F.col("deg_dst").alias("dx"))
+    o2 = oriented.select(
+        F.col("src").alias("src2"),
+        F.col("dst").alias("y"),
+        F.col("deg_dst").alias("dy"),
+    )
+    wedges = o1.join(o2, F.col("src") == F.col("src2")).filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closer = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closer, ["x", "y"]).select(
+        F.col("src").alias("a"), F.col("x").alias("b"), F.col("y").alias("c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(_TRI_TOP)
+    )

@@ -80,3 +80,73 @@ def q48_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, t.word
         """
     )
+
+
+@F.pandas_udf(T.DoubleType())
+def _trimmed_mean_10(v: pd.Series) -> float:  # GROUPED_AGG: Series -> scalar
+    # Exact integer sum (numpy int64) then ONE IEEE division — matching
+    # the oracle's avg(int) to the last bit; pandas .mean() would use
+    # pairwise summation and could drift an ulp.
+    import numpy as np
+
+    vals = np.sort(v.to_numpy(dtype="int64"))
+    k = len(vals) // 10
+    kept = vals[k : len(vals) - k]
+    return float(int(kept.sum())) / len(kept)
+
+
+@F.pandas_udf(T.LongType())
+def _trimmed_count_10(v: pd.Series) -> int:  # GROUPED_AGG companion
+    n = len(v)
+    return n - 2 * (n // 10)
+
+
+@register(
+    "q172_grouped_agg_udf",
+    """
+    WITH s AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT lang,
+           count(*) AS n_used,
+           CAST(round(avg(n_chars) * 1000) AS BIGINT) AS trimmed_mean_milli
+    FROM s
+    WHERE rk > n // 10 AND rk <= n - n // 10
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q172_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the custom-aggregator API (the fourth
+    pandas-UDF eval type, alongside q47's scalar, q48's UDTF and the
+    mapInPandas/applyInPandas paths): a 10%-trimmed mean of document
+    length per language, an aggregate Spark has no builtin for (the
+    robust-statistics cousin of q114's winsorized mean, which clamps
+    where this discards).
+
+    The UDF receives each group's column as ONE pandas Series over
+    Arrow — no partial aggregation, so the group's values gather on one
+    executor: right for bounded groups (languages, categories), wrong
+    for unbounded keys — the 100 TB contract is |group| fits an
+    executor, same as collect_list. Trimming by COUNT (drop n//10 from
+    each sorted end) keeps the semantics engine-identical: the oracle
+    reproduces it with row_number over the same sort, and the mean is
+    an exact integer sum with one final division on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with non-pandas
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # companion count is a second pandas aggregate over the same pass.
+    return (
+        docs.groupBy("lang")
+        .agg(
+            _trimmed_count_10(F.col("n_chars")).alias("n_used"),
+            _trimmed_mean_10(F.col("n_chars")).alias("tm"),
+        )
+        .select(
+            "lang",
+            "n_used",
+            F.round(F.col("tm") * 1000).cast("bigint").alias("trimmed_mean_milli"),
+        )
+        .orderBy("lang")
+    )
