@@ -91,3 +91,97 @@ def q121_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_c"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --- q175: count-min sketch with exact comparison -----------------------
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+_CMS_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+#: Fixed pairwise-independent hash family: h_i(k) = ((a*k + b) % P) % W.
+_CMS_AB = ((769, 12289), (3079, 49157), (196613, 786433), (1543, 98317))
+_CMS_PROBE = 20  # estimate users 0..19
+
+_DUCK_CMS = f"""
+    WITH params AS (
+      SELECT i,
+             [769, 3079, 196613, 1543][i + 1] AS a,
+             [12289, 49157, 786433, 98317][i + 1] AS b
+      FROM (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i)),
+         cms AS (
+      SELECT p.i, ((p.a * e.user_id + p.b) % {_CMS_P}) % {_CMS_W} AS bucket,
+             count(*) AS cnt
+      FROM events e CROSS JOIN params p
+      GROUP BY 1, 2),
+         probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < {_CMS_PROBE}),
+         est AS (
+      SELECT pr.user_id, min(c.cnt) AS est
+      FROM probes pr
+      CROSS JOIN params p
+      JOIN cms c ON c.i = p.i
+        AND c.bucket = ((p.a * pr.user_id + p.b) % {_CMS_P}) % {_CMS_W}
+      GROUP BY pr.user_id),
+         exact AS (
+      SELECT user_id, count(*) AS exact
+      FROM events WHERE user_id < {_CMS_PROBE} GROUP BY user_id)
+    SELECT e.user_id, est.est, e.exact
+    FROM exact e JOIN est USING (user_id)
+    ORDER BY user_id
+"""
+
+
+@register("q175_countmin_estimates", _DUCK_CMS)
+def q175_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005): a
+    D x W counter matrix answering frequency point queries for EVERY
+    key in O(D*W) memory — the complement of q120's Misra-Gries, which
+    tracks only the heavy tail. Estimates never undercount
+    (est >= exact, pytest-pinned) and overshoot by <= n/W with
+    probability 1 - 2^-D. The hash family is fixed modular arithmetic
+    (engine-identical — Spark's xxhash64 and DuckDB's hash disagree,
+    so neither is usable cross-engine), making the sketch — and thus
+    the oracle compare — fully deterministic.
+
+    100 TB shape: the build is one groupBy over (i, bucket) — at most
+    D*W = 1024 distinct keys, so map-side partials collapse each
+    partition to <= 1024 rows before the shuffle no matter how many
+    events flow in; this mergeability is WHY CMS is the standard
+    telemetry sketch. Probes broadcast (fixed key set); the exact
+    recount exists only to exhibit the accuracy contract."""
+    events = load_table(spark, sf_dir, "events")
+    cms_rows = events.select(
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P) % _CMS_W
+                    for a, b in _CMS_AB
+                ]
+            )
+        ).alias("i", "bucket")
+    )
+    cms = cms_rows.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = (
+        events.filter(F.col("user_id") < _CMS_PROBE).select("user_id").distinct()
+    )
+    probe_buckets = probes.select(
+        "user_id",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P) % _CMS_W
+                    for a, b in _CMS_AB
+                ]
+            )
+        ).alias("i", "bucket"),
+    )
+    est = (
+        cms.join(F.broadcast(probe_buckets), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est"))
+    )
+    exact = (
+        events.filter(F.col("user_id") < _CMS_PROBE)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return exact.join(est, "user_id").select("user_id", "est", "exact").orderBy("user_id")

@@ -299,3 +299,38 @@ def q122_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
 
     ev = _event_stream(spark, sf_dir).select("user_id", "ts", "value")
     return _run_to_completion(running_user_max(ev), spark, mode="update")
+
+
+@register("q174_stream_session", None)  # stateful session merge → rows-only
+def q174_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows: readStream → watermark →
+    session_window(30 min gap) per user — the stateful window whose
+    extent is DATA-DEFINED (sessions merge when a late event bridges
+    two of them), which is why it needs the dedicated streaming state
+    store rather than a pane-assignment map like q36's tumbling
+    windows. Append mode emits a session only once the watermark
+    passes its close, so the result is the watermark-finalized subset
+    of the batch q35 sessions — pytest pins exactly that relation
+    (subset, and only tail sessions missing).
+
+    100 TB shape: state is one (start, end, agg) triple per OPEN
+    session per user — bounded by active users within the watermark
+    horizon, not history; the 30-min gap plus 10-min watermark caps
+    how long a session can stay open after its last event."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    return _run_to_completion(agg, spark)

@@ -233,3 +233,44 @@ def test_q173_orientation_counts_each_triangle_once(spark):
     assert len(rows) <= 10
     assert all(0 < r.n_triangles <= naive for r in rows)
     assert naive > 0
+
+
+def test_q174_stream_sessions_are_finalized_batch_subset(spark):
+    """Streaming session windows (append mode) emit exactly the
+    watermark-finalized subset of the batch q35 sessions: every
+    emitted session matches a batch session, and every batch session
+    NOT emitted closes after the final watermark (max event time -
+    10 min) — i.e. only the open tail is missing."""
+    import datetime as dt
+
+    from ooh_etl_spark.tables import load_table
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in QUERIES["q35_session_windows"].fn(spark, SF_DIR).collect()
+    }
+    stream = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in QUERIES["q174_stream_session"].fn(spark, SF_DIR).collect()
+    }
+    assert stream
+    assert stream <= batch
+    max_ts = (
+        load_table(spark, SF_DIR, "events").agg(F.max("ts").alias("m")).collect()[0].m
+    )
+    cutoff = (max_ts - dt.timedelta(minutes=10)).strftime("%Y-%m-%d %H:%M:%S")
+    for _, _, session_end, _ in batch - stream:
+        assert session_end > cutoff, (session_end, cutoff)
+
+
+def test_q175_countmin_never_undercounts(spark):
+    """The CMS point-query contract: est >= exact for every probe, and
+    overshoot stays within the n/W bound times a safety factor."""
+    from ooh_etl_spark.tables import load_table
+
+    rows = QUERIES["q175_countmin_estimates"].fn(spark, SF_DIR).collect()
+    assert rows
+    n = load_table(spark, SF_DIR, "events").count()
+    for r in rows:
+        assert r.est >= r.exact, (r.user_id, r.est, r.exact)
+        assert r.est - r.exact <= 4 * n / 256 + 1, (r.user_id, r.est, r.exact)
