@@ -40,6 +40,7 @@ from ooh_etl_spark.queries import ooh_surface  # noqa: F401
 from ooh_etl_spark.queries import retrieval_ops  # noqa: F401
 from ooh_etl_spark.queries import linkage_ops  # noqa: F401
 from ooh_etl_spark.queries import ml_ops  # noqa: F401
+from ooh_etl_spark.queries import warehouse_ops  # noqa: F401
 
 # windows.py registers q149b with q149's oracle, so it imports after
 # stats_tests (and last overall — its entries rotate into the driver

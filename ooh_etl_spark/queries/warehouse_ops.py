@@ -1,0 +1,249 @@
+"""Round-4 coverage wave: warehouse maintenance operators.
+
+The three operations that keep a 100 TB warehouse CORRECT over time,
+as opposed to querying a frozen snapshot:
+
+- SCD2 apply-changes (Kimball's slowly-changing dimension type 2):
+  merge an incoming change set into a versioned dimension — close the
+  superseded row, open the new one, pass no-ops through untouched.
+- Incremental view maintenance for aggregate-over-join views
+  (Gupta & Mumick, IEEE Data Eng. 1995): refresh a materialized view
+  from the DELTA alone, merging partial aggregates instead of
+  rescanning the base — the algebra behind every streaming
+  materialized view.
+- Order-free table fingerprinting: a commutative content checksum
+  (bit_xor of per-row hashes) that equates two table states without
+  sorting or co-locating them — the cheap replication/backfill
+  equality check.
+
+Numeric policy: money moves in integer cents end to end (the new SCD2
+value is computed by integer arithmetic on cents, never float * 1.1);
+fingerprints are 60-bit integers from md5 prefixes, folded with XOR —
+commutative, associative, overflow-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries.registry import register
+from ooh_etl_spark.tables import load_table, parallelize_rows
+
+# --- q176: SCD2 apply-changes -------------------------------------------
+_EFF = "2024-06-01"  # effective date of the change batch
+_OPEN_FROM = "2020-01-01"  # the existing dimension's validity start
+_HIGH_DATE = "9999-12-31"  # open-row sentinel (avoids NULL-vs-NaN canon)
+
+_DUCK_SCD2 = f"""
+    WITH dim AS (
+      SELECT c_custkey AS k,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer),
+         changes AS (
+      -- updates: every 7th key gets +10% (integer-cents arithmetic);
+      -- keys = 3 (mod 7) arrive as NO-OP rows (same value);
+      -- five brand-new keys arrive as inserts.
+      SELECT k, (bal_c * 11) // 10 AS new_bal_c FROM dim WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, bal_c FROM dim WHERE k % 7 = 3
+      UNION ALL
+      SELECT k + 10000000 AS k, 12345 AS new_bal_c FROM dim WHERE k < 5),
+         classified AS (
+      SELECT c.k AS k, c.new_bal_c, d.bal_c,
+             CASE WHEN d.k IS NULL THEN 'insert'
+                  WHEN d.bal_c != c.new_bal_c THEN 'update'
+                  ELSE 'noop' END AS action
+      FROM changes c LEFT JOIN dim d ON c.k = d.k)
+    SELECT k AS c_custkey, bal_c / 100.0 AS acctbal,
+           '{_OPEN_FROM}' AS valid_from, '{_EFF}' AS valid_to,
+           0 AS is_current
+    FROM classified WHERE action = 'update'
+    UNION ALL
+    SELECT k, new_bal_c / 100.0, '{_EFF}', '{_HIGH_DATE}', 1
+    FROM classified WHERE action IN ('update', 'insert')
+    ORDER BY c_custkey, is_current
+"""
+
+
+@register("q176_scd2_apply_changes", _DUCK_SCD2)
+def q176_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge: a change batch (updates, no-ops, and inserts —
+    synthesized deterministically from the customer table) classified
+    against the current dimension by an outer join, emitting the row
+    versions the merge writes: the CLOSED predecessor (valid_to =
+    effective date, is_current = 0) for every genuine update, and the
+    OPENED row (valid_from = effective date) for updates and inserts.
+    No-op changes (same value) emit nothing — the filter that keeps a
+    daily full-extract feed from rewriting the whole dimension.
+
+    100 TB shape: one keyed equi-join of the change batch against the
+    CURRENT slice only (is_current = 1 — at scale a partition of its
+    own, so the scan prunes to it); untouched rows are never read or
+    rewritten. The new balance is integer-cents arithmetic
+    ((bal_c * 11) div 10), so both engines land the same cent.
+
+    Ref: Kimball & Ross, The Data Warehouse Toolkit, ch. 5 (SCD2);
+    the MERGE formulation is Delta/Iceberg's apply-changes."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    # Integer division (DIV) — Spark's DIV and DuckDB's // both
+    # truncate toward zero, so negative balances land the same cent.
+    updates = dim.filter(F.col("k") % 7 == 0).select(
+        "k", F.expr("(bal_c * 11) DIV 10").alias("new_bal_c")
+    )
+    noops = dim.filter(F.col("k") % 7 == 3).select(
+        "k", F.col("bal_c").alias("new_bal_c")
+    )
+    inserts = dim.filter(F.col("k") < 5).select(
+        (F.col("k") + 10_000_000).alias("k"), F.lit(12345).alias("new_bal_c")
+    )
+    changes = updates.union(noops).union(inserts)
+    classified = changes.join(dim, "k", "left").select(
+        "k",
+        "new_bal_c",
+        "bal_c",
+        F.when(F.col("bal_c").isNull(), "insert")
+        .when(F.col("bal_c") != F.col("new_bal_c"), "update")
+        .otherwise("noop")
+        .alias("action"),
+    )
+    closed = classified.filter(F.col("action") == "update").select(
+        F.col("k").alias("c_custkey"),
+        (F.col("bal_c") / 100.0).alias("acctbal"),
+        F.lit(_OPEN_FROM).alias("valid_from"),
+        F.lit(_EFF).alias("valid_to"),
+        F.lit(0).alias("is_current"),
+    )
+    opened = classified.filter(F.col("action").isin("update", "insert")).select(
+        F.col("k").alias("c_custkey"),
+        (F.col("new_bal_c") / 100.0).alias("acctbal"),
+        F.lit(_EFF).alias("valid_from"),
+        F.lit(_HIGH_DATE).alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return closed.union(opened).orderBy("c_custkey", "is_current")
+
+
+# --- q177: incremental view maintenance (aggregate over join) -----------
+_DUCK_IVM = """
+    WITH o AS (
+      SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders),
+         v AS (
+      SELECT n.n_name AS nation, sum(o.price_c) AS revenue_c,
+             count(*) AS n_orders
+      FROM o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT nation, revenue_c / 100.0 AS revenue, n_orders,
+           CAST(round(revenue_c * 1.0 / n_orders) AS BIGINT) AS avg_price_c
+    FROM v ORDER BY nation
+"""
+
+
+@register("q177_join_view_ivm", _DUCK_IVM)
+def q177_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregate-over-join view
+    (nation-level revenue): the base is split into a 90% "old
+    snapshot" and a 10% "delta batch" (orderkey mod 10), the view is
+    maintained as old partials + delta partials MERGED BY ADDITION,
+    and the oracle recomputes from the full base — equality is the
+    self-maintainability proof (Gupta & Mumick 1995: SUM/COUNT views
+    over insert deltas merge additively; AVG is derived from the two,
+    never maintained directly — the algebraic-vs-distributive rule).
+
+    100 TB shape: the refresh scans ONLY the delta (at production the
+    new partition/files), aggregates it to |nations| rows, and merges
+    with the stored partials — the full base is never rescanned. The
+    dimension joins broadcast on the delta side exactly as they did on
+    the original build. Integer-cents sums make merge order
+    irrelevant to the final cent."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def partials(part: DataFrame) -> DataFrame:
+        return (
+            part.join(F.broadcast(cust), part.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.sum("price_c").alias("revenue_c"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    old_v = partials(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta_v = partials(orders.filter(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        old_v.union(delta_v)
+        .groupBy("nation")
+        .agg(
+            F.sum("revenue_c").alias("revenue_c"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+    return merged.select(
+        "nation",
+        (F.col("revenue_c") / 100.0).alias("revenue"),
+        "n_orders",
+        F.round(F.col("revenue_c") * 1.0 / F.col("n_orders"))
+        .cast("bigint")
+        .alias("avg_price_c"),
+    ).orderBy("nation")
+
+
+# --- q178: order-free table fingerprint ---------------------------------
+_DUCK_FP = """
+    WITH h AS (
+      SELECT source,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                                 '|', text)), 1, 15))
+                  AS BIGINT) AS rh
+      FROM documents)
+    SELECT source, count(*) AS n_rows, bit_xor(rh) AS fingerprint
+    FROM h GROUP BY source ORDER BY source
+"""
+
+
+@register("q178_table_fingerprint", _DUCK_FP)
+def q178_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per source partition: each row hashes to a
+    60-bit integer (md5 prefix — engine-identical, unlike the engines'
+    native hash builtins), folded with bit_xor — commutative,
+    associative, overflow-free, so the fingerprint is independent of
+    row order, partitioning, and merge tree, and two table states are
+    equal iff their fingerprints and counts agree (the count guards
+    XOR's self-canceling duplicate-pair blind spot).
+
+    This is the replication/backfill equality primitive: comparing a
+    100 TB table across clusters costs one narrow map pass + a
+    |partitions|-row exchange on each side, no sort, no co-location,
+    and it parallelizes embarrassingly. Pytest pins the order-freedom:
+    a repartition(7) of the input yields the identical fingerprint."""
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    rh = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select("source", rh.alias("rh"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(rh)").alias("fingerprint"),
+        )
+        .orderBy("source")
+    )

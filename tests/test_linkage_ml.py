@@ -274,3 +274,82 @@ def test_q175_countmin_never_undercounts(spark):
     for r in rows:
         assert r.est >= r.exact, (r.user_id, r.est, r.exact)
         assert r.est - r.exact <= 4 * n / 256 + 1, (r.user_id, r.est, r.exact)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q176_scd2_apply_changes",
+        "q177_join_view_ivm",
+        "q178_table_fingerprint",
+    ],
+)
+def test_oracle_warehouse(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_q176_noops_emit_nothing(spark):
+    """A change row carrying the current value must produce no version
+    churn — the filter that keeps a daily full extract from rewriting
+    the dimension."""
+    rows = QUERIES["q176_scd2_apply_changes"].fn(spark, SF_DIR).collect()
+    noop_keys = {
+        r.c_custkey
+        for r in rows
+        if r.c_custkey < 10_000_000 and r.c_custkey % 7 == 3
+    }
+    assert noop_keys == set()
+    # every update emits exactly a closed+opened pair
+    from collections import Counter
+
+    per_key = Counter(r.c_custkey for r in rows if r.c_custkey < 10_000_000)
+    assert per_key and all(v == 2 for v in per_key.values())
+    inserts = [r for r in rows if r.c_custkey >= 10_000_000]
+    assert inserts and all(r.is_current == 1 for r in inserts)
+
+
+def test_q177_dims_broadcast(spark):
+    plan = physical_plan(QUERIES["q177_join_view_ivm"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q178_fingerprint_order_free_and_tamper_evident(spark):
+    """bit_xor fingerprints must be invariant under repartitioning and
+    must move when any row's content moves."""
+    from ooh_etl_spark.tables import load_table
+
+    base = {
+        (r.source, r.n_rows, r.fingerprint)
+        for r in QUERIES["q178_table_fingerprint"].fn(spark, SF_DIR).collect()
+    }
+
+    docs = load_table(spark, SF_DIR, "documents").repartition(7)
+    rh = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    shuffled = {
+        (r.source, r.n_rows, r.fingerprint)
+        for r in docs.select("source", rh.alias("rh"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(rh)").alias("fingerprint"))
+        .collect()
+    }
+    assert shuffled == base
+
+    tampered_docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("!"))).otherwise(
+            F.col("text")
+        ),
+    )
+    tampered = {
+        (r.source, r.n_rows, r.fingerprint)
+        for r in tampered_docs.select("source", rh.alias("rh"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(rh)").alias("fingerprint"))
+        .collect()
+    }
+    assert tampered != base
