@@ -50,6 +50,14 @@ HEADLINE = [
     # with its oracle-fixed K=8 the within-cluster pairwise pass is
     # quadratic in cluster size at sf0.1.
     "q151b_semdedup_scaled",
+    # round-4 wave representatives: entity-resolution blocking and
+    # incremental view maintenance. q173_triangle_count is deliberately
+    # NOT here: the sf0.1 co-purchase graph is dense (~1M edges), so
+    # exact triangle enumeration is real 9-second work that would
+    # dominate the total without saying anything new about plan shape —
+    # its cost profile is pinned by its own shuffle-budget/plan tests.
+    "q166_entity_blocking",
+    "q177_join_view_ivm",
 ]
 
 

@@ -100,18 +100,20 @@ _DRIVER_WINDOW = [
     "q157_multimodal_audio_decode",
     "q130_regex_gauntlet",
     "q151b_semdedup_scaled",
-    "q104_dim_stats",
-    "q105_cosine_histogram",
-    "q107_zscore_anomalies",
-    "q108_rolling_actives",
-    "q109_incremental_agg",
-    "q110_skew_profiler",
-    "q111_constraint_census",
-    "q112_column_profiler",
-    "q113_snapshot_diff",
-    "q114_winsorized_mean",
-    "q115_lateral_topk",
-    "q117_market_basket",
+    # round-4 wave, written this round — newest code first (the
+    # q104-q117 wave stays replica-green and rotates in next round)
+    "q166_entity_blocking",
+    "q167_geo_grid_join",
+    "q168_logreg_gradient",
+    "q169_jl_projection",
+    "q170_calibration_bins",
+    "q171_recursive_hierarchy",
+    "q172_grouped_agg_udf",
+    "q173_triangle_count",
+    "q175_countmin_estimates",
+    "q176_scd2_apply_changes",
+    "q177_join_view_ivm",
+    "q178_table_fingerprint",
 ]
 
 #: The driver gate is exactly 50 entries; a 51st silently falls off
