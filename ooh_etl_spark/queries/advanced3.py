@@ -207,3 +207,62 @@ def q57_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.sum("l_extendedprice").over(w), 2).alias("revenue_pm5d"),
     )
+
+
+_DUCK_COLLATE = """
+    WITH messy AS (
+      SELECT CASE p_partkey % 3
+               WHEN 0 THEN p_type
+               WHEN 1 THEN lower(p_type)
+               ELSE concat(substr(p_type, 1, 1), lower(substr(p_type, 2)))
+             END AS category,
+             p_retailprice
+      FROM part)
+    SELECT min(category) AS category, count(*) AS n,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+             AS total_price
+    FROM messy
+    GROUP BY lower(category)
+    ORDER BY category
+"""
+
+
+@register("q179_collation_group", _DUCK_COLLATE)
+def q179_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support: a messy feed where the same category
+    arrives as UPPER, lower, and Capitalized (synthesized 3-way by key
+    mod — the real-world multi-source ingest problem) grouped under the
+    UTF8_LCASE collation via F.collate — the engine-level answer that
+    keeps comparisons, joins and aggregations case-insensitive WITHOUT
+    rewriting every expression in lower(). The reported representative
+    is min(category) under BINARY ordering (deterministic; the collated
+    grouping key itself is an arbitrary group member, so it never
+    reaches the output), which the oracle mirrors with GROUP BY
+    lower(). Money rides integer cents as everywhere.
+
+    100 TB shape: collation is metadata on the comparison, not a
+    projection — the groupBy shuffles the original bytes with the
+    lowercase-fold applied inside the hash/compare, same exchange
+    volume as a binary groupBy, and map-side partials still apply."""
+    p = load_table(spark, sf_dir, "part")
+    first = F.substring(F.col("p_type"), 1, 1)
+    rest = F.expr("substring(p_type, 2)")
+    messy = p.select(
+        F.when(F.col("p_partkey") % 3 == 0, F.col("p_type"))
+        .when(F.col("p_partkey") % 3 == 1, F.lower(F.col("p_type")))
+        .otherwise(F.concat(first, F.lower(rest)))
+        .alias("category"),
+        "p_retailprice",
+    )
+    from ooh_etl_spark.functions.money import cents_sum
+
+    return (
+        messy.groupBy(F.collate(F.col("category"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min("category").alias("category"),
+            F.count(F.lit(1)).alias("n"),
+            cents_sum("p_retailprice").alias("total_price"),
+        )
+        .select("category", "n", "total_price")
+        .orderBy("category")
+    )

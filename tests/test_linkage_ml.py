@@ -353,3 +353,29 @@ def test_q178_fingerprint_order_free_and_tamper_evident(spark):
         .collect()
     }
     assert tampered != base
+
+
+def test_q179_collation_actually_collapses_casings(spark, duck):
+    """Guard against vacuity: the collated grouping must merge
+    multiple binary-distinct casings per logical category."""
+    assert_matches_oracle(spark, duck, "q179_collation_group")
+    rows = QUERIES["q179_collation_group"].fn(spark, SF_DIR).collect()
+    from ooh_etl_spark.tables import load_table
+
+    p = load_table(spark, SF_DIR, "part")
+    binary_distinct = (
+        p.select(
+            F.when(F.col("p_partkey") % 3 == 0, F.col("p_type"))
+            .when(F.col("p_partkey") % 3 == 1, F.lower(F.col("p_type")))
+            .otherwise(
+                F.concat(
+                    F.substring("p_type", 1, 1),
+                    F.lower(F.expr("substring(p_type, 2)")),
+                )
+            )
+            .alias("c")
+        )
+        .distinct()
+        .count()
+    )
+    assert binary_distinct == 3 * len(rows)
