@@ -74,13 +74,12 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """REAL binary-PPM (P6) decoder: parses the header (magic, width,
-    height, maxval, '#' comments, arbitrary whitespace) and returns the
-    (h, w, 3) uint8 pixel array."""
-    if payload[:2] != b"P6":
+def _parse_ppm_header(payload: bytes, pos: int = 0) -> tuple[int, int, int]:
+    """Parse one P6 header starting at ``pos``: returns (w, h,
+    raster_start). Handles '#' comments and arbitrary whitespace."""
+    if payload[pos : pos + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    pos, fields = 2, []
+    pos, fields = pos + 2, []
     while len(fields) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -95,9 +94,45 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
-    pos += 1  # single whitespace after maxval, then raster
+    return w, h, pos + 1  # single whitespace after maxval, then raster
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL binary-PPM (P6) decoder: parses the header (magic, width,
+    height, maxval, '#' comments, arbitrary whitespace) and returns the
+    (h, w, 3) uint8 pixel array."""
+    w, h, pos = _parse_ppm_header(payload)
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return raster.reshape(h, w, 3)
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Walk a container of back-to-back P6 frames (the minimal
+    uncompressed 'video': each frame self-describes its length via its
+    header) and return the per-frame byte slices. Each slice decodes
+    with :func:`decode_ppm`; a header mis-parse desynchronizes every
+    subsequent frame boundary, which is exactly what the analytic
+    oracle (q181) would catch."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        w, h, raster = _parse_ppm_header(payload, pos)
+        end = raster + w * h * 3
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) array via the standard
+    floor index map src = (dst * in) // out — pure integer arithmetic,
+    so the analytic oracle (q180) can name the exact source pixel of
+    every output cell. The 100 TB point: resize runs inside the same
+    narrow mapInPandas pass as decode — payload in, thumbnail out, no
+    shuffle, no intermediate materialization."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[np.ix_(ys, xs)]
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:

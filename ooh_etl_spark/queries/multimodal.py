@@ -191,3 +191,162 @@ def q157_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples long, sample_rate long, sum_abs long, max_abs long"
     )
     return docs.mapInPandas(op, schema=schema).orderBy("doc_id")
+
+
+# --- q180: decode + nearest-neighbor resize (thumbnailing) --------------
+_RS = 3  # 8x8 -> 3x3: non-divisor output exercises the floor index map
+
+_DUCK_RESIZE = f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         cells AS (
+      SELECT doc_id,
+             flatten(list_transform(generate_series(0, {_RS - 1}), y ->
+               list_transform(generate_series(0, {_RS - 1}), x ->
+                 ((y * {_IMG_H}) // {_RS}) * {_IMG_W}
+                   + (x * {_IMG_W}) // {_RS}))) AS k
+      FROM d)
+    SELECT doc_id, {_RS} AS width, {_RS} AS height,
+           round(list_aggregate(list_transform(k,
+             j -> (doc_id * 31 + 3 * j) % 256), 'sum')
+             / {_RS * _RS}.0, 4) AS mean_r,
+           round(list_aggregate(list_transform(k,
+             j -> (doc_id * 31 + 3 * j + 1) % 256), 'sum')
+             / {_RS * _RS}.0, 4) AS mean_g,
+           round(list_aggregate(list_transform(k,
+             j -> (doc_id * 31 + 3 * j + 2) % 256), 'sum')
+             / {_RS * _RS}.0, 4) AS mean_b
+    FROM cells ORDER BY doc_id
+"""
+
+
+@register("q180_multimodal_resize", _DUCK_RESIZE)
+def q180_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + RESIZE in one narrow pass: each synthesized 8x8 PPM is
+    decoded (the q156 codec) and thumbnailed to 3x3 by nearest-neighbor
+    (integer floor index map src = (dst*in) div out — the non-divisor
+    ratio makes the map non-trivial: rows {{0,2,5}} survive). The oracle
+    names the exact source pixel of every output cell closed-form, so a
+    mis-rounded index map or an axis swap breaks the value hash.
+
+    100 TB notes: decode -> resize -> feature is ONE mapInPandas stage
+    — payload in, thumbnail stats out, nothing intermediate touches a
+    shuffle; this is the canonical pre-processing shape for image
+    training pipelines (resize at ingest, not at training)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ooh_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n = _IMG_W * _IMG_H * 3
+                px = ((int(doc_id) * 31 + np.arange(n)) % 256).astype(np.uint8)
+                payload = encode_ppm(px.reshape(_IMG_H, _IMG_W, 3))
+                small = resize_nearest(decode_ppm(payload), _RS, _RS)
+                h, w, _ = small.shape
+                means = small.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (int(doc_id), w, h, *(round(float(m), 4) for m in means))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    schema = (
+        "doc_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+    return docs.mapInPandas(op, schema=schema).orderBy("doc_id")
+
+
+# --- q181: video container frame-sampling -------------------------------
+_N_FRAMES = 8
+_FRAME_STRIDE = 3  # keep frames 0, 3, 6
+
+_DUCK_VIDEO = f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         f AS (
+      SELECT doc_id, unnest(generate_series(0, {_N_FRAMES - 1},
+                                            {_FRAME_STRIDE})) AS frame_idx
+      FROM d)
+    SELECT doc_id, frame_idx,
+           round(list_aggregate(list_transform(
+             generate_series(0, {_IMG_W * _IMG_H * 3 - 1}),
+             j -> (doc_id * 31 + frame_idx * 97 + j) % 256), 'sum')
+             / {_IMG_W * _IMG_H * 3}.0, 4) AS mean_all
+    FROM f ORDER BY doc_id, frame_idx
+"""
+
+
+@register("q181_video_frame_sample", _DUCK_VIDEO)
+def q181_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling over a REAL container walk: each document
+    carries an 8-frame 'video' of back-to-back P6 frames (frame f's
+    pixel byte j = (doc_id*31 + f*97 + j) % 256); the operator SPLITS
+    THE CONTAINER BY PARSING EACH HEADER (frame length is
+    self-described — a mis-parse desynchronizes every later frame
+    boundary), decodes the sampled frames (every 3rd), and emits
+    per-frame means. The oracle recomputes each sampled frame's mean
+    closed-form, so boundary drift or an off-by-one in the stride
+    breaks the hash.
+
+    100 TB notes: frame-sampling happens INSIDE the container walk —
+    only sampled frames are decoded; unsampled ones cost a header
+    parse plus a pointer skip (at production, a seek). One narrow
+    mapInPandas stage, no shuffle; output rows per payload = ceil(F/s),
+    bounded by the sampling policy, not the video length."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ooh_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        split_ppm_frames,
+    )
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n = _IMG_W * _IMG_H * 3
+                video = b"".join(
+                    encode_ppm(
+                        (
+                            (int(doc_id) * 31 + f * 97 + np.arange(n)) % 256
+                        )
+                        .astype(np.uint8)
+                        .reshape(_IMG_H, _IMG_W, 3)
+                    )
+                    for f in range(_N_FRAMES)
+                )
+                frames = split_ppm_frames(video)  # the step under test
+                for f in range(0, _N_FRAMES, _FRAME_STRIDE):
+                    img = decode_ppm(frames[f])
+                    rows.append(
+                        (int(doc_id), f, round(float(img.mean()), 4))
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "mean_all"])
+
+    schema = "doc_id long, frame_idx int, mean_all double"
+    return docs.mapInPandas(op, schema=schema).orderBy("doc_id", "frame_idx")

@@ -62,3 +62,60 @@ def test_wav_rejects_stereo():
     base[12 + 8 + 2 : 12 + 8 + 4] = struct.pack("<H", 2)  # channels = 2
     with pytest.raises(ValueError):
         decode_wav_pcm16(bytes(base))
+
+
+def test_resize_nearest_floor_map():
+    import numpy as np
+
+    from ooh_etl_spark.operators.multimodal import resize_nearest
+
+    # 4x4 gradient, resize to 2x2: floor map picks rows/cols {0, 2}
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = resize_nearest(px, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert np.array_equal(small[0, 0], px[0, 0])
+    assert np.array_equal(small[0, 1], px[0, 2])
+    assert np.array_equal(small[1, 0], px[2, 0])
+    assert np.array_equal(small[1, 1], px[2, 2])
+    # non-divisor ratio: 8 -> 3 keeps indices {0, 2, 5}
+    px8 = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    small3 = resize_nearest(px8, 3, 3)
+    assert np.array_equal(small3[2, 1], px8[5, 2])
+
+
+def test_split_ppm_frames_walks_boundaries():
+    import numpy as np
+
+    from ooh_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        split_ppm_frames,
+    )
+
+    frames_in = [
+        np.full((2, 3, 3), fill, dtype=np.uint8) for fill in (7, 99, 200)
+    ]
+    video = b"".join(encode_ppm(f) for f in frames_in)
+    frames_out = split_ppm_frames(video)
+    assert len(frames_out) == 3
+    for fin, fout in zip(frames_in, frames_out):
+        assert np.array_equal(decode_ppm(fout), fin)
+
+
+def test_split_ppm_frames_with_comment_headers():
+    import numpy as np
+
+    from ooh_etl_spark.operators.multimodal import (
+        decode_ppm,
+        split_ppm_frames,
+    )
+
+    # frames whose headers carry comments must not desynchronize the walk
+    def frame(fill):
+        raster = np.full((1, 2, 3), fill, dtype=np.uint8)
+        return b"P6\n# frame comment\n2 1\n255\n" + raster.tobytes()
+
+    video = frame(3) + frame(250)
+    out = split_ppm_frames(video)
+    assert len(out) == 2
+    assert decode_ppm(out[1])[0, 0, 0] == 250
