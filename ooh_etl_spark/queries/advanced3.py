@@ -266,3 +266,79 @@ def q179_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("category", "n", "total_price")
         .orderBy("category")
     )
+
+
+_3VL_SQL = """
+WITH holders AS (
+  SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer WHERE c_acctbal > 9000)
+SELECT
+ (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM holders))
+   AS not_in_cnt,
+ (SELECT count(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM holders h WHERE h.k = o.o_custkey))
+   AS not_exists_cnt,
+ (SELECT count(*) FROM holders WHERE k IS NULL) AS null_keys
+"""
+
+
+@register("q182_three_valued_logic", _3VL_SQL)
+def q182_three_valued_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, run as the IDENTICAL SQL text on both
+    engines (the q67/q171 contract): with even one NULL in the
+    subquery, ``x NOT IN (...)`` is never TRUE under three-valued
+    logic — x <> NULL is UNKNOWN — so the count is 0, while the
+    NOT EXISTS form (NULL-safe by construction: the correlated
+    predicate just never matches) counts 13k+ orders. The third column
+    pins that the subquery really contains NULLs, guarding the test
+    against a fixture regeneration quietly removing them.
+
+    Engine mechanics worth the parity check: Spark compiles the NOT IN
+    into a null-aware anti join (NullAwareHashedRelation — a broadcast
+    with an extra null-key probe), a join mode that exists ONLY for
+    this semantic; a plain left-anti join would silently compute the
+    NOT EXISTS answer. At 100 TB the practical advice in the docstring
+    is the point: NOT EXISTS (or an explicit IS NOT NULL guard) keeps
+    the anti join null-unaware and cheaper."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_3VL_SQL)
+
+
+_DUCK_TRAIL = """
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+             AS trail_c
+    FROM events WHERE user_id < 200
+"""
+
+
+@register("q183_trailing_hour_sum", _DUCK_TRAIL)
+def q183_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, the rolling sum of the
+    TRAILING HOUR of activity — RANGE BETWEEN INTERVAL '1 hour'
+    PRECEDING AND CURRENT ROW over the event timestamp. This is the
+    value-based frame q57 demonstrated on numbers, on TIME: the frame
+    holds however many events fall in the hour (0..n), which no ROWS
+    frame can express. Money rides integer cents, so the in-frame sum
+    is order-free and engine-exact.
+
+    100 TB shape: one shuffle on user_id, per-partition sort by ts —
+    the same exchange a session window costs; frame evaluation is a
+    sliding two-pointer over the sorted run (linear, no re-scan per
+    row). The streaming twin of this exact shape is q34's sliding
+    window; this form answers it point-in-time per event rather than
+    per pane."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT user_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+                 AS trail_c
+        FROM events WHERE user_id < 200
+        """
+    )

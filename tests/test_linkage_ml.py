@@ -379,3 +379,37 @@ def test_q179_collation_actually_collapses_casings(spark, duck):
         .count()
     )
     assert binary_distinct == 3 * len(rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["q182_three_valued_logic", "q183_trailing_hour_sum"]
+)
+def test_oracle_sql_semantics(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_q182_null_aware_anti_join_and_nonvacuity(spark):
+    """The NOT IN branch must compile to Spark's null-aware anti join
+    (the join mode that exists only for this semantic), and the fixture
+    must actually contain NULL subquery keys — otherwise the 0-count
+    result would be vacuously 'correct'."""
+    from ooh_etl_spark.queries.advanced3 import _3VL_SQL
+
+    assert QUERIES["q182_three_valued_logic"].oracle == _3VL_SQL
+    df = QUERIES["q182_three_valued_logic"].fn(spark, SF_DIR)
+    # The isNullAwareAntiJoin flag prints as the trailing boolean of
+    # the BroadcastHashJoin line in executedPlan().toString():
+    # "LeftAnti, BuildRight, true" (NOT IN) vs "..., false" (NOT EXISTS).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan, plan
+    assert "LeftAnti, BuildRight, false" in plan, plan
+    row = df.collect()[0]
+    assert row.null_keys > 0
+    assert row.not_in_cnt == 0
+    assert row.not_exists_cnt > 0
+
+
+def test_q183_single_user_shuffle(spark):
+    plan = physical_plan(QUERIES["q183_trailing_hour_sum"].fn(spark, SF_DIR))
+    assert shuffle_count(plan) <= 2, (shuffle_count(plan), plan)
+    assert "WindowExec: No Partition Defined" not in plan
