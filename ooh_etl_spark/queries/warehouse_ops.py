@@ -208,8 +208,8 @@ def q177_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_FP = """
     WITH h AS (
       SELECT source,
-             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
-                                                 '|', text)), 1, 15))
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|',
+                                                 coalesce(text, ''))), 1, 15))
                   AS BIGINT) AS rh
       FROM documents)
     SELECT source, count(*) AS n_rows, bit_xor(rh) AS fingerprint
@@ -233,8 +233,20 @@ def q178_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     and it parallelizes embarrassingly. Pytest pins the order-freedom:
     a repartition(7) of the input yields the identical fingerprint."""
     docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    # NULL text must hash identically in both engines: concat_ws SKIPS
+    # a NULL argument AND its separator ('42' not '42|'), while
+    # DuckDB's concat renders NULL as '' ('42|') — an explicit coalesce
+    # on both sides removes the asymmetry (round-4 review finding).
     rh = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))), 1, 15),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("doc_id"), F.coalesce(F.col("text"), F.lit(""))
+                )
+            ),
+            1,
+            15,
+        ),
         16,
         10,
     ).cast("bigint")

@@ -326,7 +326,7 @@ def test_q178_fingerprint_order_free_and_tamper_evident(spark):
 
     docs = load_table(spark, SF_DIR, "documents").repartition(7)
     rh = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))), 1, 15),
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.coalesce(F.col("text"), F.lit("")))), 1, 15),
         16,
         10,
     ).cast("bigint")

@@ -119,3 +119,31 @@ def test_split_ppm_frames_with_comment_headers():
     out = split_ppm_frames(video)
     assert len(out) == 2
     assert decode_ppm(out[1])[0, 0, 0] == 250
+
+
+def test_wav_rejects_oversized_chunk_declaration():
+    import numpy as np
+
+    from ooh_etl_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    s = np.array([1, 2, 3], dtype=np.int16)
+    base = bytearray(encode_wav_pcm16(s, 8000))
+    # corrupt the data chunk's declared size to exceed remaining bytes
+    data_size_off = len(base) - 6 - 4
+    base[data_size_off : data_size_off + 4] = struct.pack("<I", 9999)
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(bytes(base))
+
+
+def test_wav_rejects_short_fmt_chunk():
+    from ooh_etl_spark.operators.multimodal import decode_wav_pcm16
+
+    payload = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(payload)
