@@ -56,3 +56,48 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels.select("id", F.col("label").alias("cluster"))
+
+
+def k_core(
+    pairs: DataFrame, k: int, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """(node, core_degree) for the k-core: the maximal induced subgraph
+    where every node keeps degree >= k (Seidman 1983, 'Network
+    structure and minimum degree'). Computed by the standard peel: drop
+    all nodes of degree < k, recompute degrees on the induced subgraph,
+    repeat to fixpoint — each round is one join + one aggregate, the
+    same distributed shape as connected_components, with
+    ``localCheckpoint`` pinning the shrinking edge list so lineage (and
+    plan size) stays constant across rounds.
+
+    Convergence: the node set shrinks monotonically, so the fixpoint
+    test is a scalar count per round (the only driver-side data) and
+    the loop runs at most O(peeling depth) rounds — at 100 TB each
+    round costs one degree aggregate + one semi-join of edges against
+    the surviving nodes, both keyed shuffles; no step ever materializes
+    more than the current induced edge list."""
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_n = None
+    for _ in range(max_iter):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("src").alias("node"), "core_degree")
+    )

@@ -335,3 +335,116 @@ def q144_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# --- q184: CUPED variance reduction -------------------------------------
+_CUPED_CUT = "2024-01-15"
+
+_DUCK_CUPED = f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS pre_c,
+             sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS post_c
+      FROM events GROUP BY user_id),
+         stats AS (
+      SELECT count(*) AS n, sum(pre_c) AS sp, sum(post_c) AS so,
+             sum(pre_c * post_c) AS spo, sum(pre_c * pre_c) AS spp
+      FROM per_user),
+         adj AS (
+      SELECT p.arm, p.post_c,
+             CAST(round((p.post_c
+               - ((s.spo - s.sp * s.so / (s.n * 1.0))
+                  / (s.spp - s.sp * s.sp / (s.n * 1.0)))
+                 * (p.pre_c - s.sp / (s.n * 1.0))) * 10) AS BIGINT)
+               AS adj_milli,
+             CAST(round(((s.spo - s.sp * s.so / (s.n * 1.0))
+                  / (s.spp - s.sp * s.sp / (s.n * 1.0))) * 1000000) AS BIGINT)
+               AS theta_ppm
+      FROM per_user p CROSS JOIN stats s)
+    SELECT arm, count(*) AS n_users,
+           CAST(round(sum(post_c) * 10.0 / count(*)) AS BIGINT)
+             AS mean_post_milli,
+           CAST(round(sum(adj_milli) * 1.0 / count(*)) AS BIGINT)
+             AS mean_adj_milli,
+           min(theta_ppm) AS theta_ppm
+    FROM adj GROUP BY arm ORDER BY arm
+"""
+
+
+@register("q184_cuped_adjustment", _DUCK_CUPED)
+def q184_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13):
+    each user's experiment-period metric is adjusted by its
+    pre-period metric, post' = post - theta*(pre - mean(pre)) with
+    theta = cov(pre, post)/var(pre) — the covariate soaks up
+    between-user variance so the A/B delta needs fewer samples. Arms
+    are a deterministic key split; the cutoff splits the fixture's
+    event month in half.
+
+    Engine-exactness: pre/post are integer-cent sums; theta's
+    numerator and denominator are built from EXACT bigint sums
+    (sum(pre*post), sum(pre^2) — bounded well inside int64 at fixture
+    magnitudes) with identical IEEE division order both engines, and
+    each user's adjusted value quantizes to milli-cents before the arm
+    mean, so the cross-user reduction stays order-free.
+
+    100 TB shape: one user-keyed shuffle builds per_user; theta is a
+    1-ROW broadcast (five exact sums); adjustment is a narrow per-row
+    expression; the arm rollup is a 2-key agg with map-side partials.
+    This is the entire CUPED pipeline — at production scale nothing
+    changes but the calendar bounds. The docstring bound worth
+    recording: sum(pre^2) overflows int64 once n * max_pre_c^2
+    approaches 9.2e18 — at that point the stats sums (only) move to
+    decimal(38,0), the money-policy wide accumulator."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(F.lit(0))).alias("pre_c"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(F.lit(0))).alias("post_c"),
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_c").alias("sp"),
+        F.sum("post_c").alias("so"),
+        F.sum(F.col("pre_c") * F.col("post_c")).alias("spo"),
+        F.sum(F.col("pre_c") * F.col("pre_c")).alias("spp"),
+    )
+    theta = (F.col("spo") - F.col("sp") * F.col("so") / (F.col("n") * 1.0)) / (
+        F.col("spp") - F.col("sp") * F.col("sp") / (F.col("n") * 1.0)
+    )
+    adj = (
+        per_user.crossJoin(F.broadcast(stats))
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            "post_c",
+            F.round(
+                (
+                    F.col("post_c")
+                    - theta * (F.col("pre_c") - F.col("sp") / (F.col("n") * 1.0))
+                )
+                * 10
+            )
+            .cast("bigint")
+            .alias("adj_milli"),
+            F.round(theta * 1_000_000).cast("bigint").alias("theta_ppm"),
+        )
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("post_c") * 10.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_post_milli"),
+            F.round(F.sum("adj_milli") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_adj_milli"),
+            F.min("theta_ppm").alias("theta_ppm"),
+        )
+        .orderBy("arm")
+    )

@@ -291,3 +291,68 @@ def q173_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(_TRI_TOP)
     )
+
+
+@register("q185_k_core", None)  # iterative peel, data-dependent rounds → rows-only
+def q185_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase graph: the maximal
+    induced subgraph where every part keeps >= k co-purchase partners
+    (Seidman 1983) — the standard dense-community/influence filter,
+    and the fourth member of the graph family (components q49,
+    PageRank q116, triangles q173). k is sized from the data — 55% of
+    the median degree — because k-core survival has a SHARP percolation
+    threshold (Pittel, Spencer & Wormald 1996): on this near-homogeneous
+    graph k = 0.7x median already cascades to an EMPTY core at sf0.001
+    while 0.55x peels the low-degree tail and stabilizes (measured at
+    both fixture scales); any fixed k is vacuous below the min degree
+    and annihilating above the threshold at some scale. The
+    median is an exact percentile over the degree table (|V| rows —
+    driver-cheap at any corpus size; the full graph never leaves the
+    executors). Rows-only by design: both k and the peel's round count
+    are data-dependent, which a fixed SQL text cannot express; pytest
+    pins the defining properties instead — every surviving node's
+    induced degree >= k, and the output is a fixpoint (re-peeling
+    changes nothing)."""
+    import math
+
+    from ooh_etl_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+    und = edges.select(F.col("id_a").alias("n")).unionByName(
+        edges.select(F.col("id_b").alias("n"))
+    )
+    med = (
+        und.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("m"))
+        .collect()[0][0]
+    )
+    k = math.ceil(0.55 * med)
+    return k_core(edges, k).orderBy("node")
+
+
+def kcore_k_for(spark: SparkSession, sf_dir: str) -> int:
+    """The k q185 uses (shared with its property tests)."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_b"))
+    edges = a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    und = edges.select(F.col("id_a").alias("n")).unionByName(
+        edges.select(F.col("id_b").alias("n"))
+    )
+    med = (
+        und.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("m"))
+        .collect()[0][0]
+    )
+    return math.ceil(0.55 * med)

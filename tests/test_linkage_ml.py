@@ -413,3 +413,63 @@ def test_q183_single_user_shuffle(spark):
     plan = physical_plan(QUERIES["q183_trailing_hour_sum"].fn(spark, SF_DIR))
     assert shuffle_count(plan) <= 2, (shuffle_count(plan), plan)
     assert "WindowExec: No Partition Defined" not in plan
+
+
+def test_q184_cuped_oracle_and_variance_reduction(spark, duck):
+    """Oracle equality plus the CUPED payoff: the adjusted metric's
+    across-user variance must not exceed the raw metric's (equality
+    only when theta = 0)."""
+    assert_matches_oracle(spark, duck, "q184_cuped_adjustment")
+    import statistics
+
+    rows = duck.execute(
+        """
+        WITH per_user AS (
+          SELECT user_id,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                          THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS pre_c,
+                 sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                          THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS post_c
+          FROM events GROUP BY user_id)
+        SELECT pre_c, post_c FROM per_user
+        """
+    ).fetchall()
+    pre = [r[0] for r in rows]
+    post = [r[1] for r in rows]
+    mp = statistics.mean(pre)
+    theta = sum((a - mp) * b for a, b in zip(pre, post)) / sum(
+        (a - mp) ** 2 for a in pre
+    )
+    adj = [b - theta * (a - mp) for a, b in zip(pre, post)]
+    assert statistics.pvariance(adj) <= statistics.pvariance(post)
+
+
+def test_q185_kcore_properties(spark):
+    """The two defining k-core properties: every surviving node's
+    INDUCED degree >= k, and the output is a fixpoint (peeling the
+    core again changes nothing). Plus non-vacuity: some nodes must
+    actually have been peeled."""
+    from ooh_etl_spark.operators.graph import k_core
+    from ooh_etl_spark.queries.graph_sql_ops import kcore_k_for
+    from ooh_etl_spark.tables import load_table
+
+    k = kcore_k_for(spark, SF_DIR)
+    rows = QUERIES["q185_k_core"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.core_degree >= k for r in rows)
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_nodes = items.select("l_partkey").distinct().count()
+    assert len(rows) < n_nodes  # non-vacuous: the peel removed someone
+
+    # fixpoint: re-peel the induced core edge list — nothing changes
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_b"))
+    edges = a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    core_nodes = {r.node for r in rows}
+    core_edges = edges.filter(
+        F.col("id_a").isin(core_nodes) & F.col("id_b").isin(core_nodes)
+    )
+    repeel = {r.node for r in k_core(core_edges, k).collect()}
+    assert repeel == core_nodes
