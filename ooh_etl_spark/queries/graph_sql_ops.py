@@ -356,3 +356,49 @@ def kcore_k_for(spark: SparkSession, sf_dir: str) -> int:
         .collect()[0][0]
     )
     return math.ceil(0.55 * med)
+
+
+_BFS_SQL = """
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2),
+seed AS (SELECT min(l_partkey) AS s FROM items),
+bfs(node, d) AS (
+  SELECT s AS node, 0 AS d FROM seed
+  UNION ALL
+  SELECT e.v AS node, bfs.d + 1 AS d
+  FROM bfs JOIN e ON e.u = bfs.node WHERE bfs.d < 2
+)
+SELECT d AS hops, count(*) AS n FROM (
+  SELECT node, min(d) AS d FROM bfs GROUP BY node)
+GROUP BY d ORDER BY d
+"""
+
+
+@register("q186_bfs_hops", _BFS_SQL)
+def q186_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability over the co-purchase graph — hop
+    histogram from the minimum part key, depth-bounded at 2 — as a
+    RECURSIVE CTE running the IDENTICAL SQL text on both engines
+    (q171's contract, now on a real graph rather than a synthetic
+    tree): frontier expansion is the recursive member (one
+    self-referencing equi-join per level), and first-visit semantics
+    come from the min(d) rollup OUTSIDE the recursion, which keeps the
+    recursive member pure union-all (Spark and DuckDB both require
+    that).
+
+    100 TB shape: iteration count = the DEPTH BOUND, not graph size;
+    each level's frontier join is keyed on the node id. The depth
+    bound matters doubly on dense graphs: this one has diameter ~2, so
+    unbounded expansion would enumerate every path (superexponential),
+    while the bound caps the recursion at |frontier| * avg-degree rows
+    per level — the same reason production BFS (GraphFrames, Neo4j)
+    always runs level-synchronized with a visited filter. For
+    data-dependent convergence instead of a fixed bound, the operator
+    loop (operators/graph.py) is the engine's answer."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_BFS_SQL)

@@ -473,3 +473,51 @@ def test_q185_kcore_properties(spark):
     )
     repeel = {r.node for r in k_core(core_edges, k).collect()}
     assert repeel == core_nodes
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q186_bfs_hops",
+        "q187_naive_bayes_train",
+        "q188_naive_bayes_classify",
+    ],
+)
+def test_oracle_graph_nb(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_q186_identical_sql_text_and_partition(spark):
+    """One text, two engines; and hop counts partition the reachable
+    node set (no node counted at two depths)."""
+    from ooh_etl_spark.queries.graph_sql_ops import _BFS_SQL
+    from ooh_etl_spark.tables import load_table
+
+    assert QUERIES["q186_bfs_hops"].oracle == _BFS_SQL
+    rows = QUERIES["q186_bfs_hops"].fn(spark, SF_DIR).collect()
+    n_parts = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert rows[0].hops == 0 and rows[0].n == 1
+    assert sum(r.n for r in rows) <= n_parts
+
+
+def test_q188_beats_majority_prior(spark):
+    """The fixture's 'languages' share one vocabulary, so accuracy is
+    bounded near the majority prior — but the classifier must at least
+    MATCH predicting the majority class (it sees the same evidence),
+    and the confusion matrix must cover every actual class."""
+    rows = QUERIES["q188_naive_bayes_classify"].fn(spark, SF_DIR).collect()
+    total = sum(r.n for r in rows)
+    diag = sum(r.n for r in rows if r.actual == r.predicted)
+    from collections import defaultdict
+
+    actual_totals = defaultdict(int)
+    for r in rows:
+        actual_totals[r.actual] += r.n
+    majority = max(actual_totals.values()) / total
+    assert diag / total >= majority * 0.99, (diag / total, majority)
+    assert set(actual_totals) == {"de", "en", "es", "fr", "zh"}
