@@ -521,3 +521,18 @@ def test_q188_beats_majority_prior(spark):
     majority = max(actual_totals.values()) / total
     assert diag / total >= majority * 0.99, (diag / total, majority)
     assert set(actual_totals) == {"de", "en", "es", "fr", "zh"}
+
+
+def test_round4_shuffle_budgets(spark):
+    # Budgets pin the measured plan shapes; duplicated subtrees (q188's
+    # tok re-derivations) count per-occurrence here but collapse under
+    # ReuseExchange at execution. A future edit adding an exchange fails.
+    for name, budget in {
+        "q179_collation_group": 2,
+        "q183_trailing_hour_sum": 1,
+        "q184_cuped_adjustment": 4,
+        "q187_naive_bayes_train": 8,
+        "q188_naive_bayes_classify": 21,
+    }.items():
+        plan = physical_plan(QUERIES[name].fn(spark, SF_DIR))
+        assert shuffle_count(plan) <= budget, (name, shuffle_count(plan), plan)
