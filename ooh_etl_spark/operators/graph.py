@@ -101,3 +101,72 @@ def k_core(
         .filter(F.col("core_degree") >= k)
         .select(F.col("src").alias("node"), "core_degree")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol_micro: int = 100,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, rank) at convergence: power iteration of the PageRank
+    recurrence rank' = (1-d)/n + d * sum_in(rank/outdeg) (Page et al.
+    1999), with DANGLING MASS redistributed uniformly so the ranks stay
+    a probability distribution (sum = 1) every iteration. The loop is
+    the engine's standard iterative shape (q49, k_core): each round is
+    two keyed joins + one aggregate, ``localCheckpoint`` pins lineage,
+    and convergence is the L1 residual — a single scalar aggregate in
+    integer micro-units per round, the only driver-side data.
+
+    100 TB notes: ranks and edges co-key on the node id, so every
+    round's shuffles hit the same partitioning; dangling mass is a
+    1-row aggregate broadcast back as a literal. max_iter bounds the
+    worst case; the residual test usually exits in O(log(1/tol) /
+    log(1/d)) rounds."""
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + damping * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dangling / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        residual = (
+            ranks.select("node", F.col("rank").alias("old"))
+            .join(new_ranks, "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if residual * 1_000_000 < tol_micro:
+            break
+    return ranks

@@ -448,3 +448,76 @@ def q184_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --- q189: Freedman-Diaconis auto-binned histogram ----------------------
+_DUCK_FD = """
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders),
+         s AS (
+      SELECT count(*) AS n,
+             min(price_c) AS min_c,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY price_c) AS q1,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY price_c) AS q3
+      FROM c),
+         w AS (
+      SELECT n, min_c,
+             greatest(CAST(ceil(2.0 * (q3 - q1) / cbrt(n)) AS BIGINT), 1)
+               AS width_c
+      FROM s)
+    SELECT (c.price_c - w.min_c) // w.width_c AS bin,
+           min(w.min_c + ((c.price_c - w.min_c) // w.width_c) * w.width_c)
+             / 100.0 AS bin_lo,
+           count(*) AS n
+    FROM c CROSS JOIN w
+    GROUP BY 1 ORDER BY bin
+"""
+
+
+@register("q189_fd_histogram", _DUCK_FD)
+def q189_fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with the bin width CHOSEN BY THE DATA:
+    Freedman & Diaconis 1981, width = 2*IQR/n^(1/3) — the robust
+    auto-binning rule every profiler defaults to (robust because IQR,
+    unlike range, ignores outliers). The IQR is an EXACT percentile
+    over integer cents (percentile_disc — integers, so no
+    interpolation and no float quantiles cross engines), the single
+    cbrt/ceil runs on exact integer operands identically in both
+    engines, and the bin id is pure integer arithmetic.
+
+    100 TB shape: the stats pass is one aggregate producing a 1-ROW
+    broadcast (exact percentiles at extreme scale swap to
+    approx_percentile — the q72b/q139b twin pattern); binning is then
+    a narrow map + a |bins|-key aggregate with map-side partials —
+    the same two-pass shape as q114's winsorized mean."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"))
+    s = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("price_c").alias("min_c"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY price_c)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY price_c)").alias("q3"),
+    )
+    w = s.select(
+        "n",
+        "min_c",
+        F.greatest(
+            F.ceil(2.0 * (F.col("q3") - F.col("q1")) / F.cbrt(F.col("n"))).cast(
+                "bigint"
+            ),
+            F.lit(1),
+        ).alias("width_c"),
+    )
+    binned = c.crossJoin(F.broadcast(w)).select(
+        F.expr("(price_c - min_c) DIV width_c").alias("bin"),
+        F.expr("min_c + ((price_c - min_c) DIV width_c) * width_c").alias("lo_c"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            (F.min("lo_c") / 100.0).alias("bin_lo"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bin")
+    )

