@@ -342,3 +342,60 @@ def q183_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE user_id < 200
         """
     )
+
+
+_DUCK_SKYLINE = """
+    WITH pts AS (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             p_size AS sz, count(*) AS support
+      FROM part GROUP BY 1, 2),
+         w AS (
+      SELECT price_c, sz, support,
+             min(sz) OVER (ORDER BY price_c, sz
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS msb
+      FROM pts)
+    SELECT price_c / 100.0 AS price, sz AS size, support
+    FROM w WHERE msb IS NULL OR msb > sz
+    ORDER BY price_c, sz
+"""
+
+
+@register("q190_skyline", _DUCK_SKYLINE)
+def q190_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (Borzsonyi, Kossmann & Stocker,
+    ICDE'01): the parts no other part beats on BOTH price and size —
+    the multi-objective 'best offers' query. The naive form is an
+    O(n^2) dominance anti-join; this plan reduces it to DISTINCT
+    points + ONE running-min window: sorted by (price, size), a point
+    is dominated iff some earlier point's size <= its size (earlier in
+    that order implies price <= with at least one strict coordinate on
+    distinct points — tie-safety is exactly why the window runs on the
+    DISTINCT point set). Machine-checked equal to the naive dominance
+    SQL in pytest; the oracle runs the same window form.
+
+    100 TB shape: the groupBy collapses the corpus to |distinct
+    (price, size)| points (with support counts riding along — the q166
+    canonicalization trick); the global window then touches only that
+    reduced set. When even the distinct set is huge, skylines COMPOSE:
+    skyline(S) = skyline(union of per-partition skylines), so the
+    scale path is a local skyline per range partition followed by this
+    exact operator over the (tiny) union — the docstring contract for
+    the 2-phase form."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+        F.col("p_size").alias("sz"),
+    ).agg(F.count(F.lit(1)).alias("support"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("price_c", "sz").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        pts.withColumn("msb", F.min("sz").over(w))
+        .filter(F.col("msb").isNull() | (F.col("msb") > F.col("sz")))
+        .select(
+            (F.col("price_c") / 100.0).alias("price"),
+            F.col("sz").alias("size"),
+            "support",
+        )
+        .orderBy("price", "size")
+    )

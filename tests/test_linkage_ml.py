@@ -552,3 +552,29 @@ def test_pagerank_converges_to_distribution(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
     assert ranks[2] > ranks[3]  # 3 in-links beats a source node
     assert all(v > 0 for v in ranks.values())
+
+
+def test_q190_skyline_equals_naive_dominance(spark, duck):
+    """The one-window skyline must equal the O(n^2) dominance
+    anti-join — the rewrite's correctness proof."""
+    assert_matches_oracle(spark, duck, "q190_skyline")
+    got = {
+        (r.price, r.size)
+        for r in QUERIES["q190_skyline"].fn(spark, SF_DIR).collect()
+    }
+    naive = {
+        (p, s)
+        for p, s in duck.execute(
+            """
+            WITH pts AS (SELECT DISTINCT
+                   CAST(round(p_retailprice*100) AS BIGINT) AS price_c,
+                   p_size AS sz FROM part)
+            SELECT price_c/100.0, sz FROM pts a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pts b
+              WHERE b.price_c <= a.price_c AND b.sz <= a.sz
+                AND (b.price_c < a.price_c OR b.sz < a.sz))
+            """
+        ).fetchall()
+    }
+    assert got == naive and got
