@@ -402,3 +402,83 @@ def q186_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop (operators/graph.py) is the engine's answer."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_BFS_SQL)
+
+
+_LP_TOP = 10
+
+_DUCK_LINKPRED = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         und AS (SELECT u AS z, v AS x FROM e UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT z AS n, count(*) AS d FROM und GROUP BY 1),
+         common AS (
+      SELECT a.x AS part_a, b.x AS part_b, count(*) AS common_n
+      FROM und a JOIN und b ON a.z = b.z AND a.x < b.x
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, common_n,
+           CAST(round(1000000.0 * common_n / (da.d + db.d - common_n))
+                AS BIGINT) AS jacc_ppm
+    FROM common
+    JOIN deg da ON da.n = part_a
+    JOIN deg db ON db.n = part_b
+    ORDER BY jacc_ppm DESC, part_a, part_b
+    LIMIT {_LP_TOP}
+"""
+
+
+@register("q191_link_prediction", _DUCK_LINKPRED)
+def q191_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell &
+    Kleinberg, CIKM'03): the top part pairs ranked by
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over the co-purchase graph — the
+    'people you may know' / related-items primitive. Common-neighbor
+    counts come from the wedge join keyed on the SHARED neighbor (the
+    q173 generation shape), so candidates are sum-of-deg-squares,
+    never all-pairs; the Jaccard denominator is inclusion-exclusion
+    over two degree lookups. Ranking quantizes to ppm (one IEEE
+    division of exact integers) with (a, b) tie-breaks, so the top-10
+    cut is engine-identical even through ties.
+
+    100 TB shape: wedge volume is bounded by Σ deg² — a hot hub is an
+    AQE skew-split; beyond that the standard escape is neighborhood
+    MinHash (q28's machinery applied to adjacency sets), which this
+    exact-form query is the oracle for."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e = a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    und = e.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
+        e.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+    deg = und.groupBy(F.col("z").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    wa = und.select("z", F.col("x").alias("part_a"))
+    wb = und.select(F.col("z").alias("z2"), F.col("x").alias("part_b"))
+    common = (
+        wa.join(wb, (F.col("z") == F.col("z2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("common_n"))
+    )
+    da = deg.select(F.col("n").alias("part_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("part_b"), F.col("d").alias("db"))
+    return (
+        common.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "common_n",
+            F.round(
+                1_000_000.0
+                * F.col("common_n")
+                / (F.col("da") + F.col("db") - F.col("common_n"))
+            )
+            .cast("bigint")
+            .alias("jacc_ppm"),
+        )
+        .orderBy(F.col("jacc_ppm").desc(), "part_a", "part_b")
+        .limit(_LP_TOP)
+    )
