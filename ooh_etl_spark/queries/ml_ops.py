@@ -15,6 +15,9 @@ that survives a 100x scale-up:
 - Calibration / reliability bins (Niculescu-Mizil & Caruana 2005):
   predicted-probability deciles vs observed positive rate — the
   standard model-eval table.
+- Naive Bayes, trained by aggregation and applied by broadcast join
+  (McCallum & Nigam 1998) — the canonical token-level model whose
+  parameters ARE aggregates, so 'training' needs no framework at all.
 
 Numeric policy (the engine's cents policy, applied to ML floats):
 transcendentals (exp) evaluate per row; every cross-row float is
