@@ -521,3 +521,111 @@ def q189_fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- q192: Welch's t over experiment arms -------------------------------
+_DUCK_WELCH = """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CAST(round(value * 100) AS BIGINT)) AS metric_c
+      FROM events GROUP BY user_id),
+         s AS (
+      SELECT arm, count(*) AS n, sum(metric_c) AS sx,
+             sum(metric_c * metric_c) AS sxx
+      FROM per_user GROUP BY arm),
+         m AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.sx * 1.0 / a.n AS mean_a, b.sx * 1.0 / b.n AS mean_b,
+             (a.sxx - a.sx * a.sx * 1.0 / a.n) / (a.n - 1) AS var_a,
+             (b.sxx - b.sx * b.sx * 1.0 / b.n) / (b.n - 1) AS var_b
+      FROM (SELECT * FROM s WHERE arm = 0) a
+      CROSS JOIN (SELECT * FROM s WHERE arm = 1) b)
+    SELECT n_a, n_b,
+           CAST(round(mean_a * 10) AS BIGINT) AS mean_a_milli,
+           CAST(round(mean_b * 10) AS BIGINT) AS mean_b_milli,
+           CAST(round(
+             (mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b) * 1000000
+           ) AS BIGINT) AS t_micro,
+           CAST(round(
+             pow(var_a / n_a + var_b / n_b, 2)
+             / (pow(var_a / n_a, 2) / (n_a - 1)
+                + pow(var_b / n_b, 2) / (n_b - 1))
+           ) AS BIGINT) AS df_welch
+    FROM m
+"""
+
+
+@register("q192_welch_t_test", _DUCK_WELCH)
+def q192_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic between the two experiment
+    arms (Welch 1947), with the Welch-Satterthwaite effective degrees
+    of freedom — the default two-sample test every experimentation
+    platform reports next to the q140 Wilson interval and the q184
+    CUPED adjustment. No p-value on purpose: that needs the t CDF,
+    which Spark lacks as a builtin — the statistic + df pair is the
+    engine's deliverable and the CDF lookup is a client-side constant
+    table (the q140 precedent).
+
+    Engine-exactness: per-arm n, sum(x), sum(x^2) are exact bigints
+    (sum-of-squares headroom: n * max_metric_c^2 must stay inside
+    int64 — the q184 bound, decimal(38,0) beyond); means, variances
+    and the statistic are a fixed sequence of IEEE ops on those exact
+    integers, quantized to micro/milli at the end.
+
+    100 TB shape: one user-keyed shuffle, then a 2-row aggregate —
+    the whole test is map-side partials + six numbers."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("metric_c")
+    )
+    s = (
+        per_user.select(
+            (F.col("user_id") % 2).alias("arm"),
+            "metric_c",
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("metric_c").alias("sx"),
+            F.sum(F.col("metric_c") * F.col("metric_c")).alias("sxx"),
+        )
+    )
+    a = s.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a")
+    )
+    b = s.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    m = a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        (F.col("sx_a") * 1.0 / F.col("n_a")).alias("mean_a"),
+        (F.col("sx_b") * 1.0 / F.col("n_b")).alias("mean_b"),
+        (
+            (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") * 1.0 / F.col("n_a"))
+            / (F.col("n_a") - 1)
+        ).alias("var_a"),
+        (
+            (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") * 1.0 / F.col("n_b"))
+            / (F.col("n_b") - 1)
+        ).alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("mean_a") * 10).cast("bigint").alias("mean_a_milli"),
+        F.round(F.col("mean_b") * 10).cast("bigint").alias("mean_b_milli"),
+        F.round((F.col("mean_b") - F.col("mean_a")) / F.sqrt(se2) * 1_000_000)
+        .cast("bigint")
+        .alias("t_micro"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("var_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+            )
+        )
+        .cast("bigint")
+        .alias("df_welch"),
+    )

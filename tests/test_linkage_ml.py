@@ -578,3 +578,26 @@ def test_q190_skyline_equals_naive_dominance(spark, duck):
         ).fetchall()
     }
     assert got == naive and got
+
+
+def test_q192_welch_matches_scipy_free_reference(spark, duck):
+    """Cross-check the statistic against an independent Python
+    recomputation (no scipy in env — Welch's formula is simple enough
+    to restate), and the df bound min(n)-1 <= df <= n_a+n_b-2."""
+    assert_matches_oracle(spark, duck, "q192_welch_t_test")
+    import statistics
+
+    rows = duck.execute(
+        """
+        SELECT user_id % 2 AS arm, sum(CAST(round(value*100) AS BIGINT)) AS m
+        FROM events GROUP BY user_id
+        """
+    ).fetchall()
+    a = [m for arm, m in rows if arm == 0]
+    b = [m for arm, m in rows if arm == 1]
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / len(a) + vb / len(b)
+    t_ref = (statistics.mean(b) - statistics.mean(a)) / se2**0.5
+    r = QUERIES["q192_welch_t_test"].fn(spark, SF_DIR).collect()[0]
+    assert abs(r.t_micro / 1e6 - t_ref) < 1e-3
+    assert min(len(a), len(b)) - 1 <= r.df_welch <= len(a) + len(b) - 2
