@@ -170,3 +170,47 @@ def pagerank(
         if residual * 1_000_000 < tol_micro:
             break
     return ranks
+
+
+def sssp(
+    edges: DataFrame,
+    seed: int,
+    weight_col: str | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, dist) single-source shortest paths by distributed
+    Bellman-Ford relaxation (the Pregel formulation): every round
+    relaxes all edges at once — dist'[v] = min(dist[v], min_u(dist[u]
+    + w(u, v))) — as one join + one aggregate, checkpointed; the
+    fixpoint test is the monotone scalar sum(dist) (relaxation only
+    ever lowers distances). With ``weight_col`` None, weights are 1
+    and the result is BFS hop distance — pytest pins that equivalence
+    against an independent reference.
+
+    Convergence: at most (longest shortest path in hops) rounds —
+    graph diameter for unit weights; max_iter bounds adversarial
+    weight structures. 100 TB shape: identical to the q49 loop — keyed
+    join + min-aggregate per round, co-partitioned on node id, scalar
+    driver traffic only. Unreachable nodes carry NULL (absent rows)."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select("src", "dst", w.alias("w")).localCheckpoint()
+    dist = e.sparkSession.createDataFrame([(seed, 0)], "node long, dist long")
+    prev_sum = 0
+    for _ in range(max_iter):
+        relaxed = (
+            e.join(dist, e.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        agg = relaxed.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        dist_n, dist_s = agg.n, agg.s
+        if (dist_n, dist_s) == prev_sum:
+            break
+        prev_sum = (dist_n, dist_s)
+        dist = relaxed
+    return dist

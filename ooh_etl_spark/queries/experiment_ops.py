@@ -629,3 +629,127 @@ def q192_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("df_welch"),
     )
+
+
+# --- q193: Poisson bootstrap CI -----------------------------------------
+_BOOT_R = 32  # replicates
+#: Poisson(1) CDF cutoffs (exact double literals, identical when parsed
+#: by Python, Spark and DuckDB): weight k iff u falls in bin k.
+_POIS_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+_TWO60 = float(1 << 60)
+
+
+def _duck_pois_w(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"(CASE {branches} ELSE {len(_POIS_CUM)} END)"
+
+
+_DUCK_BOOT = f"""
+    WITH c AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders),
+         rep AS (
+      SELECT k, price_c, r.r,
+             CAST(concat('0x', substr(md5(concat(CAST(k AS VARCHAR), '#',
+                                                 CAST(r.r AS VARCHAR))), 1, 15))
+                  AS BIGINT) / {_TWO60!r} AS u
+      FROM c CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r) r),
+         w AS (SELECT r, price_c, {_duck_pois_w('u')} AS w FROM rep),
+         per_rep AS (
+      SELECT r, CAST(round(sum(w * price_c) * 10.0 / sum(w)) AS BIGINT)
+               AS mean_milli
+      FROM w GROUP BY r),
+         point AS (
+      SELECT CAST(round(sum(price_c) * 10.0 / count(*)) AS BIGINT) AS pt
+      FROM c)
+    SELECT point.pt AS mean_milli,
+           (SELECT percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_milli)
+            FROM per_rep) AS ci_lo_milli,
+           (SELECT percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_milli)
+            FROM per_rep) AS ci_hi_milli,
+           {_BOOT_R} AS n_replicates
+    FROM point
+"""
+
+
+@register("q193_poisson_bootstrap", _DUCK_BOOT)
+def q193_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value by the
+    POISSON BOOTSTRAP (Chamandy, Muralidharan, Najmi & Naidu, Google
+    2012): classical resampling needs n draws WITH replacement per
+    replicate — a global operation no map-side pass can do — but each
+    row's multiplicity in a replicate converges to Poisson(1), which
+    IS per-row generable: every row carries R independent Poisson
+    weights and each replicate is one weighted aggregate. That turns
+    the bootstrap into a single narrow pass + an R-key aggregate with
+    map-side partials — the only bootstrap that runs at 100 TB.
+
+    Determinism: the uniform is a 60-bit md5 slice over (key, rep) —
+    engine-identical (q178's primitive) — pushed through the exact
+    Poisson(1) inverse CDF as literal double cutoffs; per-replicate
+    means quantize to milli-cents; the CI is an exact percentile over
+    the R=32 replicate means (order statistics of integers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    rep = c.select(
+        "k",
+        "price_c",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("k"), F.col("r"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_TWO60),
+    )
+    w_expr = F.lit(len(_POIS_CUM))
+    for kk in range(len(_POIS_CUM) - 1, -1, -1):
+        w_expr = F.when(F.col("u") < _POIS_CUM[kk], kk).otherwise(w_expr)
+    per_rep = (
+        rep.withColumn("w", w_expr)
+        .groupBy("r")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("price_c")) * 10.0 / F.sum("w")
+            )
+            .cast("bigint")
+            .alias("mean_milli")
+        )
+    )
+    ci = per_rep.agg(
+        F.expr("percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_milli)")
+        .cast("bigint")
+        .alias("ci_lo_milli"),
+        F.expr("percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_milli)")
+        .cast("bigint")
+        .alias("ci_hi_milli"),
+    )
+    point = c.agg(
+        F.round(F.sum("price_c") * 10.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_milli")
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "mean_milli",
+        "ci_lo_milli",
+        "ci_hi_milli",
+        F.lit(_BOOT_R).alias("n_replicates"),
+    )

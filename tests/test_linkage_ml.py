@@ -601,3 +601,63 @@ def test_q192_welch_matches_scipy_free_reference(spark, duck):
     r = QUERIES["q192_welch_t_test"].fn(spark, SF_DIR).collect()[0]
     assert abs(r.t_micro / 1e6 - t_ref) < 1e-3
     assert min(len(a), len(b)) - 1 <= r.df_welch <= len(a) + len(b) - 2
+
+
+def test_q193_bootstrap_brackets_point_estimate(spark, duck):
+    """The bootstrap CI must bracket the point estimate, have positive
+    width, and the Poisson weights must average ~1 (resampling is
+    unbiased)."""
+    assert_matches_oracle(spark, duck, "q193_poisson_bootstrap")
+    r = QUERIES["q193_poisson_bootstrap"].fn(spark, SF_DIR).collect()[0]
+    assert r.ci_lo_milli <= r.mean_milli <= r.ci_hi_milli
+    assert r.ci_lo_milli < r.ci_hi_milli
+    (wavg,) = duck.execute(
+        """
+        WITH rep AS (
+          SELECT CAST(concat('0x', substr(md5(concat(
+                   CAST(o_orderkey AS VARCHAR), '#', CAST(r.r AS VARCHAR))),
+                   1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
+          FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r) r)
+        SELECT avg(CASE WHEN u < 0.36787944117144233 THEN 0
+                        WHEN u < 0.7357588823428847 THEN 1
+                        WHEN u < 0.9196986029286058 THEN 2
+                        WHEN u < 0.9810118431238463 THEN 3
+                        WHEN u < 0.9963401531726563 THEN 4
+                        WHEN u < 0.9994058151824183 THEN 5
+                        WHEN u < 0.999916758850712 THEN 6
+                        ELSE 7 END) FROM rep
+        """
+    ).fetchone()
+    assert 0.95 < wavg < 1.05, wavg
+
+
+def test_sssp_unit_weights_equal_bfs_levels(spark):
+    """Bellman-Ford with unit weights must equal BFS hop distance —
+    checked against an independent Python BFS on the collected edge
+    list (sf0.001 co-purchase graph, 200 nodes)."""
+    from collections import deque
+
+    from ooh_etl_spark.operators.graph import sssp
+    from ooh_etl_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e = a.join(b, "k").filter(F.col("u") != F.col("v")).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).distinct()
+    seed = items.agg(F.min("l_partkey")).collect()[0][0]
+    got = {r.node: r.dist for r in sssp(e, seed).collect()}
+
+    adj = {}
+    for r in e.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    ref, q = {seed: 0}, deque([seed])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    assert got == ref
