@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
 ) -> DataFrame:
     """(id, cluster) for every node in ``pairs``; cluster = min node id
     of the component."""
@@ -38,6 +38,13 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # Each round interleaves one edge-propagation step with one
+    # POINTER-JUMPING step (label := label-of-label — Shiloach-Vishkin
+    # style shortcutting), so convergence is O(log diameter) rounds,
+    # not O(diameter): plain neighbor-min propagation silently returns
+    # WRONG labels when a long-thin component's diameter exceeds
+    # max_iter (caught by q194's DBSCAN oracle on the density-warped
+    # point field, whose gradient chains run hundreds of hops).
     # Min-label propagation monotonically decreases sum(label), so the
     # fixpoint test is one scalar aggregate, not a join.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -49,6 +56,18 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        parent = labels.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        labels = (
+            labels.join(parent, labels.label == parent.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]

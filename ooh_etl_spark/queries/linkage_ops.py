@@ -163,40 +163,21 @@ _DUCK_GEO = f"""
 """
 
 
-@register("q167_geo_grid_join", _DUCK_GEO)
-def q167_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Radius self-join: all customer pairs within 10 km, by grid-cell
-    bucketing. Coordinates are derived deterministically from the key
-    (modular arithmetic, engine-identical) into a 10x20-degree box;
-    each point lands in a 0.2-degree grid cell; the LEFT side explodes
-    to its 3x3 cell neighborhood and the join key is the cell — the
-    exact haversine runs only on co-cell candidates.
-
-    No missed pair: at the box's top latitude (50 deg) a 10 km radius
-    spans 0.090 deg of latitude and 10 / (111.32 * cos 50) = 0.140 deg
-    of longitude, both < the 0.2-deg cell, so a neighbor within radius
-    is always within one cell step. No double-counted pair: the right
-    side joins on its single home cell, and the left explosion visits
-    each cell at most once, so each (a, b) meets exactly once; a < b
-    orders the pair.
-
-    100 TB shape: the only shuffle is the equi-join on the cell id —
-    candidate volume is sum over cells of |cell|^2 x 9, bounded by
-    density x area, never n^2. Dense cities = hot cells = AQE
-    skew-split; finer cells trade explosion factor against candidate
-    count exactly like LSH band width (q28). The haversine is JVM
-    codegen (sin/cos/asin builtins), no UDF."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"),
-        (40.0 + ((F.col("c_custkey") * 7919) % 1000) / 100.0).alias("lat"),
-        (-10.0 + ((F.col("c_custkey") * 104729) % 2000) / 100.0).alias("lon"),
-    )
-    g = c.select(
+def grid_radius_pairs(pts: DataFrame, radius_m: int, cell_deg: float) -> DataFrame:
+    """All (k_a, k_b, dist_m) pairs of ``pts`` (columns k, lat, lon)
+    within ``radius_m``, by grid-cell bucketing: the LEFT side explodes
+    to its 3x3 cell neighborhood, the join key is the cell, the exact
+    haversine runs on co-cell candidates only. Caller contract:
+    ``cell_deg`` must be >= the radius's angular span at the data's
+    extreme latitude (the q167/q194 docstrings carry the arithmetic).
+    Each unordered pair is generated exactly once (home-cell right
+    side + a < b)."""
+    g = pts.select(
         "k",
         "lat",
         "lon",
-        F.floor(F.col("lat") * _CELL_PER_DEG).cast("bigint").alias("ci"),
-        F.floor(F.col("lon") * _CELL_PER_DEG).cast("bigint").alias("cj"),
+        F.floor(F.col("lat") / cell_deg).cast("bigint").alias("ci"),
+        F.floor(F.col("lon") / cell_deg).cast("bigint").alias("cj"),
     )
     offsets = F.array(
         *[
@@ -240,7 +221,169 @@ def q167_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cj") == F.col("cj_b"))
             & (F.col("k_a") < F.col("k_b")),
         )
-        .select("k_a", F.col("k_b").alias("k_b"), dist_m.alias("dist_m"))
-        .filter(F.col("dist_m") <= _RADIUS_M)
-        .orderBy("k_a", "k_b")
+        .select("k_a", "k_b", dist_m.alias("dist_m"))
+        .filter(F.col("dist_m") <= radius_m)
+    )
+
+
+@register("q167_geo_grid_join", _DUCK_GEO)
+def q167_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join: all customer pairs within 10 km, by grid-cell
+    bucketing. Coordinates are derived deterministically from the key
+    (modular arithmetic, engine-identical) into a 10x20-degree box;
+    each point lands in a 0.2-degree grid cell; the LEFT side explodes
+    to its 3x3 cell neighborhood and the join key is the cell — the
+    exact haversine runs only on co-cell candidates.
+
+    No missed pair: at the box's top latitude (50 deg) a 10 km radius
+    spans 0.090 deg of latitude and 10 / (111.32 * cos 50) = 0.140 deg
+    of longitude, both < the 0.2-deg cell, so a neighbor within radius
+    is always within one cell step. No double-counted pair: the right
+    side joins on its single home cell, and the left explosion visits
+    each cell at most once, so each (a, b) meets exactly once; a < b
+    orders the pair.
+
+    100 TB shape: the only shuffle is the equi-join on the cell id —
+    candidate volume is sum over cells of |cell|^2 x 9, bounded by
+    density x area, never n^2. Dense cities = hot cells = AQE
+    skew-split; finer cells trade explosion factor against candidate
+    count exactly like LSH band width (q28). The haversine is JVM
+    codegen (sin/cos/asin builtins), no UDF."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (40.0 + ((F.col("c_custkey") * 7919) % 1000) / 100.0).alias("lat"),
+        (-10.0 + ((F.col("c_custkey") * 104729) % 2000) / 100.0).alias("lon"),
+    )
+    return grid_radius_pairs(c, _RADIUS_M, 1.0 / _CELL_PER_DEG).orderBy(
+        "k_a", "k_b"
+    )
+
+
+# --- q194: DBSCAN over the warped point field ---------------------------
+_DB_EPS = 20_000  # 20 km
+_DB_MINPTS = 5  # core: >= 5 points in the eps-ball, counting self
+_DB_CELL = 0.3  # 0.3-deg cells; 20 km at lat 50 spans 0.28 deg of lon
+
+# Density-warped coordinates: squaring the modular residue concentrates
+# points near the box corner, giving DBSCAN the density CONTRAST the
+# uniform q167 lattice lacks (every point there has 1-2 neighbors, so
+# core/border/noise would be degenerate at any threshold).
+_DB_COORDS = """
+      SELECT c_custkey AS k,
+             40.0 + pow((c_custkey * 7919) % 1000, 2) / 100000.0 AS lat,
+             -10.0 + pow((c_custkey * 104729) % 1000, 2) / 50000.0 AS lon
+      FROM customer
+"""
+
+_DUCK_DBSCAN = f"""
+    WITH RECURSIVE c AS ({_DB_COORDS}),
+         pairs AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM c a JOIN c b ON a.k < b.k
+      WHERE CAST(round(2 * {_EARTH_R} * asin(sqrt(
+              pow(sin(radians(b.lat - a.lat) / 2), 2)
+              + cos(radians(a.lat)) * cos(radians(b.lat))
+                * pow(sin(radians(b.lon - a.lon) / 2), 2)
+            ))) AS BIGINT) <= {_DB_EPS}),
+         und AS (SELECT ka AS n, kb AS m FROM pairs
+                 UNION ALL SELECT kb, ka FROM pairs),
+         deg AS (SELECT n, count(*) AS d FROM und GROUP BY n),
+         core AS (SELECT n FROM deg WHERE d >= {_DB_MINPTS - 1}),
+         ce AS (
+      SELECT u.n AS src, u.m AS dst FROM und u
+      JOIN core x ON u.n = x.n JOIN core y ON u.m = y.n),
+         reach(id, label) AS (
+      SELECT src, src FROM ce
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN ce e ON e.src = r.id),
+         core_cluster AS (
+      SELECT c.n AS k, coalesce(min(r.label), c.n) AS cluster
+      FROM core c LEFT JOIN reach r ON r.id = c.n GROUP BY c.n),
+         border AS (
+      SELECT u.n AS k, min(cc.cluster) AS cluster
+      FROM und u JOIN core_cluster cc ON u.m = cc.k
+      WHERE u.n NOT IN (SELECT n FROM core)
+      GROUP BY u.n)
+    SELECT k, 'core' AS role, cluster FROM core_cluster
+    UNION ALL
+    SELECT k, 'border', cluster FROM border
+    UNION ALL
+    SELECT c.k, 'noise', -1 FROM c
+    WHERE c.k NOT IN (SELECT k FROM core_cluster)
+      AND c.k NOT IN (SELECT k FROM border)
+    ORDER BY k
+"""
+
+
+@register("q194_dbscan", _DUCK_DBSCAN)
+def q194_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (Ester, Kriegel, Sander & Xu, KDD'96) as a composition of
+    the engine's existing operators: eps-neighbor pairs from the GRID
+    radius join (q167's bucketing — candidates bounded by density x
+    area, never n^2), core points by a degree aggregate (>= minPts-1
+    neighbors), clusters by CONNECTED COMPONENTS over the core-core
+    graph (q49's checkpointed min-label loop; the oracle's recursive
+    CTE), and border points assigned to the smallest neighboring
+    core's cluster (deterministic tie-break). Points are the
+    density-WARPED customer field — squared modular residues pile
+    points near one corner, so the fixture genuinely has dense
+    clusters, a sparse tail, and noise (810 / 31 / 659 at sf0.01).
+
+    100 TB shape: every stage is a keyed shuffle on cell, node, or
+    pair keys — the grid join replaces the quadratic epsilon-neighbor
+    search (the reason naive DBSCAN dies at scale), and the CC loop's
+    only driver traffic is its scalar convergence check. This is the
+    standard distributed-DBSCAN decomposition (cf. MR-DBSCAN): local
+    candidate generation by spatial partition + global label merge."""
+    from ooh_etl_spark.operators.graph import connected_components
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (40.0 + F.pow((F.col("c_custkey") * 7919) % 1000, 2) / 100000.0).alias(
+            "lat"
+        ),
+        (-10.0 + F.pow((F.col("c_custkey") * 104729) % 1000, 2) / 50000.0).alias(
+            "lon"
+        ),
+    )
+    pairs = grid_radius_pairs(c, _DB_EPS, _DB_CELL)
+    und = pairs.select(F.col("k_a").alias("n"), F.col("k_b").alias("m")).unionByName(
+        pairs.select(F.col("k_b").alias("n"), F.col("k_a").alias("m"))
+    )
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    core = deg.filter(F.col("d") >= _DB_MINPTS - 1).select("n")
+    ce = (
+        und.join(core.select(F.col("n").alias("cn")), F.col("n") == F.col("cn"))
+        .drop("cn")
+        .join(core.select(F.col("n").alias("cm")), F.col("m") == F.col("cm"))
+        .select(F.col("n").alias("id_a"), F.col("m").alias("id_b"))
+    )
+    cc = connected_components(ce)  # (id, cluster) for non-isolated cores
+    core_cluster = (
+        core.join(cc, core.n == cc.id, "left")
+        .select(
+            F.col("n").alias("k"),
+            F.coalesce(F.col("cluster"), F.col("n")).alias("cluster"),
+        )
+    )
+    border = (
+        und.join(
+            core_cluster.select(F.col("k").alias("m"), "cluster"), "m"
+        )
+        .join(core.select(F.col("n").alias("is_core")), und.n == F.col("is_core"), "left_anti")
+        .groupBy(F.col("n").alias("k"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    classified = core_cluster.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    noise = (
+        c.select("k")
+        .join(classified.select("k"), "k", "left_anti")
+        .select("k", F.lit("noise").alias("role"), F.lit(-1).cast("bigint").alias("cluster"))
+    )
+    return (
+        classified.select("k", "role", "cluster")
+        .unionByName(noise)
+        .orderBy("k")
     )

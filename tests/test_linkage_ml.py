@@ -661,3 +661,42 @@ def test_sssp_unit_weights_equal_bfs_levels(spark):
                 ref[v] = ref[u] + 1
                 q.append(v)
     assert got == ref
+
+
+def test_connected_components_long_chain(spark):
+    """Regression for the q194-discovered bug: a path graph of 400
+    nodes (diameter 399) must collapse to ONE component — plain
+    neighbor-min propagation needs 399 rounds and silently returned
+    wrong labels at max_iter=20; pointer jumping converges in
+    O(log diameter)."""
+    from ooh_etl_spark.operators.graph import connected_components
+
+    n = 400
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = {r.id: r.cluster for r in connected_components(chain).collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == n
+
+
+def test_q194_dbscan_properties(spark):
+    """DBSCAN at sf0.01 (sf0.001's field is all-noise at these
+    parameters): oracle equality against a dedicated sf0.01 DuckDB
+    connection, and a non-degenerate core/border/noise mix."""
+    import duckdb
+
+    from ooh_etl_spark.tables import TABLE_NAMES
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    assert_matches_oracle(spark, con, "q194_dbscan", sf_dir=sf)
+    rows = QUERIES["q194_dbscan"].fn(spark, sf).collect()
+    roles = {r.role for r in rows}
+    assert roles == {"core", "border", "noise"}
+    assert all(r.cluster == -1 for r in rows if r.role == "noise")
+    assert all(r.cluster >= 0 for r in rows if r.role != "noise")
