@@ -414,3 +414,84 @@ def q165_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- q195: PMI collocations ---------------------------------------------
+_PMI_MIN_COUNT = 25
+_PMI_TOP = 10
+
+_DUCK_PMI = f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+         big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+         bc AS (SELECT w1, w2, count(*) AS cab FROM big GROUP BY 1, 2),
+         u1 AS (SELECT w1 AS w, count(*) AS c FROM big GROUP BY 1),
+         u2 AS (SELECT w2 AS w, count(*) AS c FROM big GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM big)
+    SELECT bc.w1, bc.w2, bc.cab,
+           CAST(round(1000000 * ln(bc.cab * n.n * 1.0 / (u1.c * u2.c)))
+                AS BIGINT) AS pmi_micro
+    FROM bc JOIN u1 ON bc.w1 = u1.w JOIN u2 ON bc.w2 = u2.w CROSS JOIN n
+    WHERE bc.cab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_micro DESC, w1, w2
+    LIMIT {_PMI_TOP}
+"""
+
+
+@register("q195_collocations_pmi", _DUCK_PMI)
+def q195_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990; the statistic behind word2vec's phrase-merging pass):
+    PMI(w1, w2) = ln(P(w1 w2) / (P1(w1) * P2(w2))) with POSITIONAL
+    unigram models (w1's count as a bigram head, w2's as a tail) and a
+    minimum bigram count that filters the unstable low-frequency tail
+    — the standard guard, since PMI diverges as counts shrink. Top-10
+    by micro-nat-quantized PMI with lexicographic tie-breaks.
+
+    Engine-exactness: all counts are integers; one ln on an exact
+    integer ratio per surviving bigram, quantized before ranking.
+    cab * n stays inside int64 until corpus bigram counts approach
+    ~3e9 squared — past that, cast the product to decimal(38,0) (the
+    money-policy wide accumulator).
+
+    100 TB shape: one bigram shuffle (map-side combined) builds bc;
+    the positional unigram tables are its reaggregations; the final
+    join keys on the word — hot stop-words are AQE skew-splits. This
+    is q160's bigram LM machinery pointed at association rather than
+    prediction."""
+    from ooh_etl_spark.functions.text import tokenize
+
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(tokenize(F.col("text")).alias("t"))
+    big = tok.select(
+        F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("i", "w1"),
+        F.col("t"),
+    ).select("w1", F.expr("t[i + 1]").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cab"))
+    u1 = big.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("c1"))
+    u2 = big.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("c2"))
+    n = big.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bc.filter(F.col("cab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), bc.w1 == u1.w)
+        .join(F.broadcast(u2), bc.w2 == u2.w)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "cab",
+            F.round(
+                1_000_000
+                * F.log(
+                    F.col("cab") * F.col("n") * 1.0 / (F.col("c1") * F.col("c2"))
+                )
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )

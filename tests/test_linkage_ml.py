@@ -700,3 +700,24 @@ def test_q194_dbscan_properties(spark):
     assert roles == {"core", "border", "noise"}
     assert all(r.cluster == -1 for r in rows if r.role == "noise")
     assert all(r.cluster >= 0 for r in rows if r.role != "noise")
+
+
+def test_q195_pmi_nonempty_and_bounded(spark, duck):
+    """Oracle equality at sf0.001 (may be empty under the min-count
+    guard — consistency is still checked), non-empty top-10 at sf0.01,
+    and PMI bounded above by -ln(P(bigram)) <= ln(N)."""
+    import math
+
+    assert_matches_oracle(spark, duck, "q195_collocations_pmi")
+    rows = QUERIES["q195_collocations_pmi"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert 0 < len(rows) <= 10
+    (n_bigrams,) = duck.execute(
+        """
+        SELECT sum(len(regexp_split_to_array(lower(trim(text)),'\\s+')) - 1)
+        FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        """
+    ).fetchone()
+    for r in rows:
+        assert r.pmi_micro / 1e6 <= math.log(n_bigrams) + 1e-6
