@@ -330,3 +330,78 @@ def q133_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q197_gini_by_nation",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY o_custkey),
+         ranked AS (
+      SELECT c_nationkey, rev_c,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY rev_c, c_custkey) AS i
+      FROM customer JOIN rev ON c_custkey = o_custkey),
+         g AS (
+      SELECT c_nationkey, count(*) AS n_customers,
+             sum(i * rev_c) AS iwx, sum(rev_c) AS tot
+      FROM ranked GROUP BY c_nationkey)
+    SELECT n_name AS nation,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(round(1000000 * ((2.0 * iwx) / (n_customers * tot)
+                                 - (n_customers + 1.0) / n_customers))
+                AS BIGINT) AS gini_e6
+    FROM g JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY nation
+    """,
+)
+def q197_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per nation, by the exact
+    rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over customers
+    sorted ascending by revenue (ties broken by custkey, so the total
+    order — and hence the statistic — is deterministic in both
+    engines). Revenue enters as integer cents (the engine money
+    policy, functions/money.py), so sum(i*x) and sum(x) are exact
+    integers; the per-nation double math is a fixed expression over
+    two exact integers, identical across engines, quantized to 1e-6.
+
+    100 TB design: one fact shuffle (orders groupBy custkey), one
+    customer join, then the rank window is PARTITIONED by nation —
+    per-partition external sort, no global window. The final stats
+    are one map-side-combinable agg per nation and the nation name
+    join broadcasts. bigint headroom: i*rev_c tops out near 1e15 at
+    sf0.1-like cardinalities; at extreme per-nation cardinality the
+    decimal(38,0) accumulator (money.cents_sum wide=True) is the
+    documented swap."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    cr = cust.join(rev, cust.c_custkey == rev.o_custkey).select(
+        "c_custkey", "c_nationkey", "rev_c"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev_c", "c_custkey")
+    ranked = cr.select(
+        "c_nationkey", "rev_c", F.row_number().over(w).alias("i")
+    )
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("i") * F.col("rev_c")).alias("iwx"),
+        F.sum("rev_c").alias("tot"),
+    )
+    gini = (2.0 * F.col("iwx")) / (
+        F.col("n_customers") * F.col("tot")
+    ) - (F.col("n_customers") + 1.0) / F.col("n_customers")
+    return (
+        g.join(F.broadcast(nation), g.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.round(1000000 * gini).cast("bigint").alias("gini_e6"),
+        )
+        .orderBy("nation")
+    )

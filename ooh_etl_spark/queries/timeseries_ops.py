@@ -349,3 +349,89 @@ def q126_ewma_last20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").alias("n"),
         F.round(ewma, 4).alias("ewma"),
     ).orderBy("user_id")
+
+
+@register(
+    "q198_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+         cur AS (
+      SELECT event_type, day,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t,
+             sum(cnt) OVER (PARTITION BY event_type) AS total,
+             count(*) OVER (PARTITION BY event_type) AS t_n
+      FROM daily),
+         dev AS (
+      SELECT event_type, day, t_n,
+             t_n * s_t - t * total AS d_t
+      FROM cur),
+         pick AS (
+      SELECT event_type, day, d_t, t_n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(d_t) DESC, day) AS rn
+      FROM dev)
+    SELECT event_type, day AS change_day,
+           CAST(round(100 * abs(d_t) / t_n) AS BIGINT) AS cusum_e2
+    FROM pick WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def q198_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint detection (Page 1954) over each event
+    type's daily-count series: the changepoint estimate is argmax_t
+    |S_t - t*mean|, the day where the cumulative deviation from the
+    series mean peaks. Computed entirely in integers by scaling out
+    the division: D_t = T*S_t - t*total is exact (the mean never
+    materializes as a double), so argmax and its tie-break (earliest
+    day) are bit-deterministic; only the reported magnitude divides
+    at the end, quantized to 1e-2.
+
+    100 TB design: the only corpus-scale pass is the daily groupBy
+    (map-side partial counts). Every window is PARTITIONED by
+    event_type over the per-day series — bounded by days-in-history,
+    not event count. The argmax is Spark-side a map-side-combinable
+    min(struct(-|d|, day, ...)) (the q55 arg-extrema pattern), not a
+    rank-and-filter; the oracle phrases the identical selection as
+    row_number=1 because DuckDB's struct min orders differently."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("event_type")
+    cur = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("cnt").over(w_cum).alias("s_t"),
+        F.sum("cnt").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("t_n"),
+    )
+    dev = cur.select(
+        "event_type",
+        "day",
+        "t_n",
+        (F.col("t_n") * F.col("s_t") - F.col("t") * F.col("total")).alias("d_t"),
+    )
+    pick = dev.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("d_t"))).alias("neg_abs"),
+                F.col("day").alias("day"),
+                F.col("d_t").alias("d_t"),
+                F.col("t_n").alias("t_n"),
+            )
+        ).alias("m")
+    )
+    return pick.select(
+        "event_type",
+        F.col("m.day").alias("change_day"),
+        F.round(100 * F.abs(F.col("m.d_t")) / F.col("m.t_n"))
+        .cast("bigint")
+        .alias("cusum_e2"),
+    ).orderBy("event_type")

@@ -205,6 +205,12 @@ def test_headline_shuffle_budgets(spark):
         "q151b_semdedup_scaled": 9,
         "q162_corpus_build": 19,  # 4-stage funnel w/ flag joins
         "q163_dup_span_removal": 19,  # pos/gram explodes + dup agg + bands
+        # round-4 late additions (stats/eval family)
+        "q196_roc_auc": 1,  # ONE score-histogram agg; window is over
+        # the quantization-bounded histogram (SinglePartition exchange)
+        "q197_gini_by_nation": 3,  # custkey agg + cust join side +
+        # nation-partitioned rank window (final agg reuses it)
+        "q198_cusum_changepoint": 3,  # daily agg + per-type window + sort
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)
