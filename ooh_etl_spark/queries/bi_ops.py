@@ -405,3 +405,78 @@ def q197_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q200_hhi_concentration",
+    """
+    WITH srev AS (
+      SELECT s_nationkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS rev_c
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, s_suppkey),
+         agg AS (
+      SELECT s_nationkey, count(*) AS n_suppliers,
+             sum(CAST(rev_c AS HUGEINT) * rev_c) AS sumsq,
+             sum(rev_c) AS tot
+      FROM srev GROUP BY s_nationkey)
+    SELECT n_name AS nation, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(round(1000000 * (CAST(sumsq AS DOUBLE)
+                 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))))
+                AS BIGINT) AS hhi_e6
+    FROM agg JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY nation
+    """,
+)
+def q200_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    per nation — the antitrust-standard concentration measure, HHI =
+    sum_i share_i^2. The Gini twin (q197) measures inequality of the
+    distribution; HHI measures market power of the top. Revenue is
+    integer cents; the share squares sum in a WIDE accumulator
+    (decimal(38,0) Spark-side, HUGEINT in DuckDB — sum of squares of
+    ~1e8-cent suppliers crosses int64 around 2e3 suppliers, exactly
+    the silent-wrap hazard functions/money.py documents), and both
+    exact integers widen to double identically in each engine before
+    the single division, quantized to 1e-6.
+
+    100 TB design: one fact shuffle (lineitem keyed by supplier;
+    the supplier dim joins broadcast), one nation-keyed reduction of
+    the per-supplier table, broadcast name join. No windows at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    srev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("rev_c")
+        )
+    )
+    agg = srev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c")).alias("sumsq"),
+        F.sum("rev_c").alias("tot"),
+    )
+    return (
+        agg.join(F.broadcast(nation), agg.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(
+                1000000
+                * (
+                    F.col("sumsq").cast("double")
+                    / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+                )
+            )
+            .cast("bigint")
+            .alias("hhi_e6"),
+        )
+        .orderBy("nation")
+    )

@@ -435,3 +435,71 @@ def q198_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cusum_e2"),
     ).orderBy("event_type")
+
+
+@register(
+    "q199_mase_seasonal",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+         lagged AS (
+      SELECT event_type, cnt,
+             lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
+             lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1
+      FROM daily),
+         agg AS (
+      SELECT event_type,
+             count(*) AS n_days,
+             sum(abs(cnt - l7)) AS sum7, count(l7) AS n7,
+             sum(abs(cnt - l1)) AS sum1, count(l1) AS n1
+      FROM lagged GROUP BY event_type)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(round(1000000 * (sum7 * n1) / (1.0 * n7 * sum1))
+                AS BIGINT) AS mase_e6
+    FROM agg ORDER BY event_type
+    """,
+)
+def q199_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Absolute Scaled Error (Hyndman & Koehler 2006) of the
+    seasonal-naive forecast (y_hat_t = y_{t-7}) for each event type's
+    daily-count series, scaled by the in-sample one-step naive error —
+    the standard scale-free forecast-accuracy metric. Both error sums
+    are exact integers (counts minus counts), so MASE reduces to one
+    cross-multiplied integer ratio with a single final double
+    division, quantized to 1e-6 — bit-identical across engines.
+
+    100 TB design: identical shape to q198 — the corpus-scale work is
+    one daily groupBy with map-side partials; the lag windows run
+    per event-type over the day-grain series (bounded by calendar
+    length, not event count), and the final stats are one
+    map-side-combinable agg per type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 7).over(w).alias("l7"),
+        F.lag("cnt", 1).over(w).alias("l1"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("cnt") - F.col("l7"))).alias("sum7"),
+        F.count("l7").alias("n7"),
+        F.sum(F.abs(F.col("cnt") - F.col("l1"))).alias("sum1"),
+        F.count("l1").alias("n1"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(
+            1000000
+            * (F.col("sum7") * F.col("n1"))
+            / (1.0 * F.col("n7") * F.col("sum1"))
+        )
+        .cast("bigint")
+        .alias("mase_e6"),
+    ).orderBy("event_type")
