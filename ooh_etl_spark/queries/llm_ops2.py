@@ -329,3 +329,165 @@ def q154_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dropped"),
         F.sum((F.col("n_docs") >= 2).cast("int")).cast("bigint").alias("n_cross_doc"),
     )
+
+
+@register(
+    "q201_bpe_merge_pairs",
+    """
+    WITH words AS (
+      SELECT word, count(*) AS freq
+      FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents)
+      WHERE word <> ''
+      GROUP BY word),
+         pairs AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+      FROM words, UNNEST(range(1, length(word))) AS t(i)
+      WHERE length(word) >= 2),
+         merged AS (
+      SELECT pair, sum(freq) AS merge_count
+      FROM pairs GROUP BY pair)
+    SELECT pair, CAST(merge_count AS BIGINT) AS merge_count
+    FROM merged
+    ORDER BY merge_count DESC, pair
+    LIMIT 20
+    """,
+)
+def q201_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE vocabulary training (Sennrich et al. 2016,
+    the inner loop of GPT-2/LLaMA tokenizer construction): count every
+    adjacent symbol pair across the corpus, weighted by word
+    frequency, and rank the merge candidates. At character-level
+    initialization a symbol pair IS a 2-char substring, so the pair
+    enumeration is pure string arithmetic — substr over an index
+    sequence, no Python, no arrays-of-arrays.
+
+    100 TB design: the corpus-scale pass is ONE word-count shuffle;
+    pair enumeration then runs over the DISTINCT-WORD table (Zipf
+    bounds it at ~millions regardless of corpus size — the same
+    vocabulary-side argument as q94 vocab growth), so the per-merge
+    iteration cost is vocabulary-sized, which is exactly why
+    production BPE trainers also pre-aggregate to word counts. Exact
+    integer counts end-to-end; ties rank deterministically by pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        # length >= 2: a single-symbol word has no adjacent pair.
+        # (Spark's sequence(1, 0) would yield a DESCENDING [1, 0] for
+        # 1-char words, fabricating a 1-char 'pair'; DuckDB's
+        # range(1, 1) is empty — the filter pins one semantics.)
+        words.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(
+            F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "freq"
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "q202_negative_sampling",
+    """
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+         anchors AS (
+      SELECT doc_id, source, i,
+             (doc_id * 2654435761 + i * 40503)
+               % (SELECT n_docs FROM n) AS raw_neg
+      FROM documents, UNNEST([1, 2]) AS t(i)),
+         negs AS (
+      SELECT doc_id, source, i,
+             CASE WHEN raw_neg = doc_id
+                  THEN (raw_neg + 1) % (SELECT n_docs FROM n)
+                  ELSE raw_neg END AS neg_id
+      FROM anchors)
+    SELECT a.doc_id, a.i AS neg_rank, a.neg_id,
+           CAST(CASE WHEN a.source = d.source THEN 1 ELSE 0 END AS INT)
+             AS same_source
+    FROM negs a JOIN documents d ON a.neg_id = d.doc_id
+    ORDER BY a.doc_id, a.i
+    """,
+)
+def q202_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (in-batch negatives a la DPR/SimCLR, made reproducible): each
+    anchor document draws k=2 pseudo-random negatives via a Knuth
+    multiplicative-hash index (doc_id * 2654435761 + i * 40503 mod n),
+    self-collisions remapped to the next id. The join back to
+    `documents` materializes the negative's metadata and flags
+    same-source collisions — the quantity a curriculum designer
+    monitors, since same-source 'negatives' are often false
+    negatives. Pure int64 arithmetic: bit-identical in both engines,
+    no RNG state, re-runnable on any partitioning.
+
+    100 TB design: one narrow projection (the hash), one keyed
+    self-join on neg_id — Spark shuffles both sides on the id, the
+    standard co-partitioned self-join; n_docs is a 1-row broadcast
+    (scalar subquery oracle-side). k scales the output linearly, not
+    the shuffle count. doc_id contiguity 0..n-1 is a fixture
+    invariant; the inner join makes any gap drop loudly (row-count
+    mismatch) rather than silently fabricate a pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = (
+        docs.select("doc_id", "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("i"),
+            F.col("n_docs"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "i",
+            (
+                (F.col("doc_id") * F.lit(2654435761) + F.col("i") * 40503)
+                % F.col("n_docs")
+            ).alias("raw_neg"),
+            "n_docs",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "i",
+            F.when(
+                F.col("raw_neg") == F.col("doc_id"),
+                (F.col("raw_neg") + 1) % F.col("n_docs"),
+            )
+            .otherwise(F.col("raw_neg"))
+            .alias("neg_id"),
+        )
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("d_id"), F.col("source").alias("d_source")
+    )
+    return (
+        anchors.join(d2, anchors.neg_id == d2.d_id)
+        .select(
+            "doc_id",
+            F.col("i").alias("neg_rank"),
+            "neg_id",
+            (F.col("source") == F.col("d_source")).cast("int").alias("same_source"),
+        )
+        .orderBy("doc_id", "neg_rank")
+    )

@@ -211,6 +211,12 @@ def test_headline_shuffle_budgets(spark):
         "q197_gini_by_nation": 3,  # custkey agg + cust join side +
         # nation-partitioned rank window (final agg reuses it)
         "q198_cusum_changepoint": 3,  # daily agg + per-type window + sort
+        "q199_mase_seasonal": 3,  # daily agg + per-type window + sort
+        "q200_hhi_concentration": 3,  # supplier-key agg + nation agg + sort
+        "q201_bpe_merge_pairs": 2,  # word agg + pair agg (top-k, no sort
+        # shuffle: TakeOrderedAndProject)
+        "q202_negative_sampling": 2,  # id-keyed self-join (broadcast at
+        # fixture size; one cushion for the shuffle-join fallback)
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)
