@@ -491,3 +491,73 @@ def q202_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "neg_rank")
     )
+
+
+@register(
+    "q203_epoch_shuffle",
+    """
+    WITH shuffled AS (
+      SELECT e.epoch, doc_id,
+             md5(concat('epoch', CAST(e.epoch AS VARCHAR), '#',
+                        CAST(doc_id AS VARCHAR))) AS h
+      FROM documents
+      CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e),
+         placed AS (
+      SELECT epoch, doc_id,
+             CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 8 AS shard,
+             h
+      FROM shuffled)
+    SELECT epoch, CAST(shard AS INT) AS shard, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch, shard
+                                   ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM placed
+    ORDER BY epoch, shard, pos
+    """,
+)
+def q203_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch data-order shuffle — the op a trainer
+    runs before every epoch so data order differs between epochs but
+    is bit-reproducible across restarts (the Megatron/GPT-NeoX
+    shuffle-by-keyed-hash idiom, no RNG state to checkpoint): each
+    (epoch, doc) gets an md5 position key; docs land in one of 8
+    shards by a hash slice, and the training order is the within-shard
+    rank of the key. Two epochs emitted; the hash seeds differ by the
+    epoch tag, so shard assignment AND order genuinely reshuffle.
+
+    100 TB design: this is the scale-safe form of ORDER BY rand() —
+    there is NO global sort. Shard assignment is a narrow expression;
+    the rank window is PARTITIONED by (epoch, shard), so each shard
+    sorts independently (and in practice becomes one output file per
+    shard — sized by choosing shard count, the knob that caps per-task
+    sort memory). md5 is the engine-identical keyed uniform
+    established by q193; ties (impossible for md5, but pinned anyway)
+    break by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    shuffled = docs.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("epoch"),
+                F.col("epoch").cast("string"),
+                F.lit("#"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    placed = shuffled.select(
+        "epoch",
+        "doc_id",
+        (F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % 8).alias(
+            "shard"
+        ),
+        "h",
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return placed.select(
+        "epoch",
+        F.col("shard").cast("int").alias("shard"),
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    ).orderBy("epoch", "shard", "pos")

@@ -217,6 +217,7 @@ def test_headline_shuffle_budgets(spark):
         # shuffle: TakeOrderedAndProject)
         "q202_negative_sampling": 2,  # id-keyed self-join (broadcast at
         # fixture size; one cushion for the shuffle-join fallback)
+        "q203_epoch_shuffle": 2,  # (epoch,shard)-partitioned rank + sort
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)

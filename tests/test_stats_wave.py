@@ -1,0 +1,142 @@
+"""Invariant + independent-reference tests for the round-4 stats/eval
+wave (q196-q203), beyond the oracle differential: the oracle proves
+Spark == DuckDB; these prove both equal the MATH (the q192 Welch
+precedent — an independent Python recomputation from the raw parquet)
+and pin the structural invariants each statistic must satisfy.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from ooh_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def run(spark, name: str) -> pd.DataFrame:
+    return QUERIES[name].fn(spark, SF_DIR).toPandas()
+
+
+def test_q196_auc_matches_independent_recomputation(spark):
+    out = run(spark, "q196_roc_auc").iloc[0]
+    raw = duckdb.sql(
+        f"SELECT label, CAST(embedding[1] AS DOUBLE) AS s FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).df()
+    y = (raw["label"] % 2).to_numpy()
+    s = (raw["s"] * 1_000_000).round().astype("int64").to_numpy()
+    # Mann-Whitney AUC by pairwise comparison (O(n^2) reference).
+    pos = s[y == 1]
+    neg = s[y == 0]
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    auc = wins / (len(pos) * len(neg))
+    assert out["pos_n"] == len(pos) and out["neg_n"] == len(neg)
+    assert abs(out["auc_e6"] - round(1_000_000 * auc)) <= 1
+    assert 0 <= out["auc_e6"] <= 1_000_000
+
+
+def test_q197_gini_bounded_and_matches_reference(spark):
+    out = run(spark, "q197_gini_by_nation")
+    assert ((out["gini_e6"] >= 0) & (out["gini_e6"] < 1_000_000)).all()
+    # Independent recomputation for every nation from raw parquet.
+    raw = duckdb.sql(
+        f"""
+        SELECT c_nationkey, c_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM read_parquet('{SF_DIR}/orders.parquet') o
+        JOIN read_parquet('{SF_DIR}/customer.parquet') c
+          ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        """
+    ).df()
+    nations = duckdb.sql(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{SF_DIR}/nation.parquet')"
+    ).df()
+    name_of = dict(zip(nations.n_nationkey, nations.n_name))
+    for nk, grp in raw.groupby("c_nationkey"):
+        x = grp.sort_values(["rev", "c_custkey"]).rev.to_numpy()
+        n = len(x)
+        gini = (2.0 * sum((i + 1) * v for i, v in enumerate(x))) / (
+            n * x.sum()
+        ) - (n + 1.0) / n
+        got = out.loc[out.nation == name_of[nk]].iloc[0]
+        assert got["n_customers"] == n
+        assert abs(got["gini_e6"] - round(1_000_000 * gini)) <= 1
+
+
+def test_q198_changepoint_day_inside_series(spark):
+    out = run(spark, "q198_cusum_changepoint")
+    days = duckdb.sql(
+        f"SELECT event_type, min(CAST(ts AS DATE)) AS lo, "
+        f"max(CAST(ts AS DATE)) AS hi FROM "
+        f"read_parquet('{SF_DIR}/events.parquet') GROUP BY 1"
+    ).df()
+    m = out.merge(days, on="event_type")
+    assert len(m) == len(out)
+    assert ((m.change_day >= m.lo) & (m.change_day <= m.hi)).all()
+    assert (m.cusum_e2 >= 0).all()
+
+
+def test_q199_mase_positive_per_type(spark):
+    out = run(spark, "q199_mase_seasonal")
+    assert (out.mase_e6 > 0).all()
+    assert (out.n_days >= 8).all()  # lag-7 needs at least 8 days
+
+
+def test_q200_hhi_bounds(spark):
+    out = run(spark, "q200_hhi_concentration")
+    # 1/n <= HHI <= 1: equality on the left iff all shares equal.
+    lo = (1_000_000 / out.n_suppliers).round() - 1
+    assert (out.hhi_e6 >= lo).all()
+    assert (out.hhi_e6 <= 1_000_000).all()
+
+
+def test_q201_pairs_are_bigrams_and_top1_matches_python(spark):
+    out = run(spark, "q201_bpe_merge_pairs")
+    assert (out["pair"].str.len() == 2).all()
+    assert (out.merge_count.sort_values(ascending=False).to_numpy()
+            == out.merge_count.to_numpy()).all()
+    # Independent top-pair recount in pure Python.
+    texts = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()["text"]
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(w for w in t.lower().split() if w)
+    pc: Counter = Counter()
+    for w, f in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += f
+    top_pair, top_n = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+    assert out.iloc[0]["pair"] == top_pair or out.iloc[0]["merge_count"] == top_n
+    assert out.iloc[0]["merge_count"] == top_n
+
+
+def test_q202_negatives_never_self_and_in_range(spark):
+    out = run(spark, "q202_negative_sampling")
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(out) == 2 * n_docs
+    assert (out.neg_id != out.doc_id).all()
+    assert ((out.neg_id >= 0) & (out.neg_id < n_docs)).all()
+    assert set(out.neg_rank) == {1, 2}
+
+
+def test_q203_each_epoch_is_a_permutation_and_orders_differ(spark):
+    out = run(spark, "q203_epoch_shuffle")
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    for epoch, grp in out.groupby("epoch"):
+        # every doc exactly once per epoch
+        assert sorted(grp.doc_id) == list(range(n_docs))
+        # contiguous 1..k positions within every shard
+        for _, sh in grp.groupby("shard"):
+            assert sorted(sh.pos) == list(range(1, len(sh) + 1))
+    e0 = out[out.epoch == 0].sort_values(["shard", "pos"]).doc_id.tolist()
+    e1 = out[out.epoch == 1].sort_values(["shard", "pos"]).doc_id.tolist()
+    assert e0 != e1  # the epochs genuinely reshuffle
