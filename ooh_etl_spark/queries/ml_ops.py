@@ -29,7 +29,7 @@ both engines (the q159-proven construct).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ooh_etl_spark.queries.registry import register
@@ -566,4 +566,136 @@ def q196_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("auc_e6"),
+    )
+
+
+@register(
+    "q205_knn_shapley",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label AS qy,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, label AS cy, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         d AS (
+      SELECT query_id, qy, vec_id, cy,
+             list_dot_product(qv, qv) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(qv, cv) AS dist2
+      FROM q JOIN c ON vec_id != query_id),
+         r AS (
+      SELECT query_id, vec_id,
+             CASE WHEN cy = qy THEN 1 ELSE 0 END AS m,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist2, vec_id) AS i
+      FROM d),
+         t AS (
+      SELECT query_id, vec_id, i,
+             CAST(round(1000000000.0
+                        * (m - coalesce(lead(m) OVER (PARTITION BY query_id
+                                                      ORDER BY i), 0))
+                        / greatest(i, 5)) AS BIGINT) AS tj
+      FROM r),
+         s AS (
+      SELECT query_id, vec_id,
+             sum(tj) OVER (PARTITION BY query_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS phi_e9
+      FROM t),
+         ranked AS (
+      SELECT query_id, vec_id, CAST(phi_e9 AS BIGINT) AS phi_e9,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY phi_e9 DESC, vec_id)
+                  AS BIGINT) AS rank
+      FROM s)
+    SELECT query_id, vec_id, phi_e9, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q205_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al., VLDB 2019): the
+    Shapley value of each training point for a K-NN classifier has a
+    closed form over the distance-sorted sequence — s_i = s_{i+1} +
+    (1[y_i=y] - 1[y_{i+1}=y]) / max(i, K) — which unrolls into a
+    SUFFIX SUM of per-rank terms, i.e. pure windows, no recursion.
+    Emits the top-5 most valuable training points per query (K=5).
+    Determinism: distances use the dot-product identity
+    |a-b|^2 = a.a + b.b - 2a.b with the q30-precedent fold primitives
+    (bit-identical to DuckDB's list_dot_product), the sort order ties
+    on vec_id, and each 1/max(i,K) term is quantized to nano-units
+    BEFORE the suffix sum — so the running sum adds exact integers in
+    any order, sidestepping FP non-associativity inside window
+    frames (Spark's reversed running-agg vs DuckDB's segment tree).
+
+    100 TB design: queries broadcast (q30's kNN shape); scoring is a
+    narrow per-row fold in the scan stage; every window partitions by
+    query_id, so the cost is one per-query distance sort — the exact
+    method's true complexity. For large query sets the documented
+    scale path is an IVF/LSH prefilter (q31/q53) bounding each
+    query's candidate set before exact valuation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ooh_etl_spark.operators.similarity import _to_double, dot
+
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qy"),
+            _to_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("label").alias("cy"),
+        _to_double(F.col("embedding")).alias("cv"),
+    )
+    d = (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("cy") == F.col("qy")).cast("int").alias("m"),
+            (
+                dot(F.col("qv"), F.col("qv"))
+                + dot(F.col("cv"), F.col("cv"))
+                - 2 * dot(F.col("qv"), F.col("cv"))
+            ).alias("dist2"),
+        )
+    )
+    w_i = Window.partitionBy("query_id").orderBy("dist2", "vec_id")
+    r = d.select(
+        "query_id", "vec_id", "m", F.row_number().over(w_i).alias("i")
+    )
+    w_ord = Window.partitionBy("query_id").orderBy("i")
+    t = r.select(
+        "query_id",
+        "vec_id",
+        "i",
+        F.round(
+            1000000000.0
+            * (F.col("m") - F.lead("m", 1, 0).over(w_ord))
+            / F.greatest(F.col("i"), F.lit(5))
+        )
+        .cast("bigint")
+        .alias("tj"),
+    )
+    w_suf = Window.partitionBy("query_id").orderBy("i").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    s = t.select(
+        "query_id",
+        "vec_id",
+        F.sum("tj").over(w_suf).cast("bigint").alias("phi_e9"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("phi_e9"), "vec_id"
+    )
+    return (
+        s.select(
+            "query_id",
+            "vec_id",
+            "phi_e9",
+            F.row_number().over(w_rank).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
     )

@@ -185,3 +185,62 @@ def q175_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact"))
     )
     return exact.join(est, "user_id").select("user_id", "est", "exact").orderBy("user_id")
+
+
+@register(
+    "q204_join_size_estimate",
+    """
+    WITH cnt AS (
+      SELECT l_partkey, count(*) AS c
+      FROM lineitem GROUP BY l_partkey),
+         flg AS (
+      SELECT c,
+             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 = 0 AS keep
+      FROM cnt)
+    SELECT CAST(sum(c * c) AS BIGINT) AS true_pairs,
+           CAST(8 * sum(CASE WHEN keep THEN c * c ELSE 0 END) AS BIGINT)
+             AS est_pairs,
+           CAST(round(10000.0 * (8 * sum(CASE WHEN keep THEN c * c ELSE 0 END)
+                                 - sum(c * c)) / sum(c * c)) AS BIGINT)
+             AS err_bp
+    FROM flg
+    """,
+)
+def q204_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join cardinality estimation by CORRELATED key sampling —
+    the statistic a cost-based optimizer needs before it picks a join
+    strategy. Sampling ROWS independently on each side of a join
+    underestimates badly (P(both copies of a key survive) = p^2);
+    the correct estimator samples KEYS: keep a key iff
+    md5(key) mod 1/p == 0 — the SAME coin on both sides — and scale
+    the sampled join size by 1/p (Vengerov et al., VLDB 2015 'Join
+    Size Estimation Subject to Filter Conditions'). Here the join is
+    lineitem self-joined on l_partkey, whose true size is
+    sum_k(c_k^2) — computable from the count table without executing
+    the join, so the query emits (true, estimate, signed error in
+    basis points) in one pass. Both sums are exact integers; the md5
+    coin is the engine-identical keyed uniform (q193 precedent).
+
+    100 TB design: ONE aggregation on the join key; at scale the
+    estimator runs on a per-partition-merged count sketch and the
+    'keep' predicate pushes into the scan, touching 1/p of the key
+    space. The p = 1/8 here is the demonstration setting; the
+    estimator's variance falls as sum over kept c_k^4 / p."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    keep = (
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 8
+        == 0
+    )
+    flg = cnt.select("c", keep.alias("keep"))
+    cc = F.col("c") * F.col("c")
+    samp = F.sum(F.when(F.col("keep"), cc).otherwise(0))
+    tot = F.sum(cc)
+    return flg.agg(
+        tot.cast("bigint").alias("true_pairs"),
+        (8 * samp).cast("bigint").alias("est_pairs"),
+        F.round(10000.0 * (8 * samp - tot) / tot).cast("bigint").alias("err_bp"),
+    )

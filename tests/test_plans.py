@@ -218,6 +218,9 @@ def test_headline_shuffle_budgets(spark):
         "q202_negative_sampling": 2,  # id-keyed self-join (broadcast at
         # fixture size; one cushion for the shuffle-join fallback)
         "q203_epoch_shuffle": 2,  # (epoch,shard)-partitioned rank + sort
+        "q204_join_size_estimate": 1,  # ONE join-key aggregation
+        "q205_knn_shapley": 2,  # query-partitioned windows (broadcast
+        # query set; scoring narrow in the scan stage)
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)

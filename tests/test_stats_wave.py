@@ -1,5 +1,5 @@
 """Invariant + independent-reference tests for the round-4 stats/eval
-wave (q196-q203), beyond the oracle differential: the oracle proves
+wave (q196-q205), beyond the oracle differential: the oracle proves
 Spark == DuckDB; these prove both equal the MATH (the q192 Welch
 precedent — an independent Python recomputation from the raw parquet)
 and pin the structural invariants each statistic must satisfy.
@@ -140,3 +140,62 @@ def test_q203_each_epoch_is_a_permutation_and_orders_differ(spark):
     e0 = out[out.epoch == 0].sort_values(["shard", "pos"]).doc_id.tolist()
     e1 = out[out.epoch == 1].sort_values(["shard", "pos"]).doc_id.tolist()
     assert e0 != e1  # the epochs genuinely reshuffle
+
+
+def test_q204_true_pairs_match_and_error_consistent(spark):
+    out = run(spark, "q204_join_size_estimate").iloc[0]
+    true_pairs = duckdb.sql(
+        f"SELECT CAST(sum(c * c) AS BIGINT) FROM (SELECT count(*) AS c "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet') GROUP BY l_partkey)"
+    ).fetchone()[0]
+    assert out["true_pairs"] == true_pairs
+    assert out["est_pairs"] % 8 == 0  # scaled by 1/p
+    assert out["err_bp"] == round(
+        10000.0 * (out["est_pairs"] - true_pairs) / true_pairs
+    )
+
+
+def test_q205_matches_independent_shapley_recursion(spark):
+    out = run(spark, "q205_knn_shapley")
+    raw = duckdb.sql(
+        f"SELECT vec_id, label, embedding::DOUBLE[] AS e FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    vecs = {r.vec_id: list(r.e) for r in raw.itertuples()}
+    labels = {r.vec_id: r.label for r in raw.itertuples()}
+
+    def fold_dot(a, b):  # left fold, matching the engines exactly
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    K = 5
+    for qid in range(5):
+        qv, qy = vecs[qid], labels[qid]
+        rows = []
+        qq = fold_dot(qv, qv)
+        for vid, cv in vecs.items():
+            if vid == qid:
+                continue
+            d2 = qq + fold_dot(cv, cv) - 2 * fold_dot(qv, cv)
+            rows.append((d2, vid, 1 if labels[vid] == qy else 0))
+        rows.sort()  # (dist2, vec_id) ascending — the engines' order
+        n = len(rows)
+        tj = [
+            round(
+                1e9
+                * (rows[i][2] - (rows[i + 1][2] if i + 1 < n else 0))
+                / max(i + 1, K)
+            )
+            for i in range(n)
+        ]
+        suffix = 0
+        phi = {}
+        for i in range(n - 1, -1, -1):
+            suffix += tj[i]
+            phi[rows[i][1]] = suffix
+        top = sorted(phi.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = out[out.query_id == qid].sort_values("rank")
+        assert list(got.vec_id) == [v for v, _ in top]
+        assert list(got.phi_e9) == [p for _, p in top]
