@@ -480,3 +480,66 @@ def q200_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q208_weighted_median",
+    """
+    WITH p AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             sum(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2),
+         c AS (
+      SELECT flag, price_c, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY price_c
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(w) OVER (PARTITION BY flag) AS totw
+      FROM p)
+    SELECT flag,
+           round(min(price_c) / 100.0, 2) AS weighted_median,
+           CAST(min(totw) AS BIGINT) AS total_qty
+    FROM c
+    WHERE 2 * cumw >= totw
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def q208_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (lower) median: the price at which half the
+    total QUANTITY sits at-or-below — the inventory-weighted price
+    statistic plain median misstates when order sizes vary. Defined
+    as min{x : 2*cumw(x) >= totw} (type-1, no interpolation), which
+    is deterministic from the (price, weight) multiset alone — tie
+    order within equal prices cannot change it.
+
+    100 TB design: the fact table pre-reduces to (group, DISTINCT
+    price) weights in one map-combined shuffle; the cumulative window
+    then runs over the distinct-price table, partitioned by group —
+    bounded by price cardinality, not row count (integer-cents prices
+    make that a true bound). Weights and cumulative sums are exact
+    integers; the only double math is the final /100 display cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    w_cum = Window.partitionBy("flag").orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("flag")
+    c = p.select(
+        "flag",
+        "price_c",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_all).alias("totw"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("price_c") / 100.0, 2).alias("weighted_median"),
+            F.min("totw").cast("bigint").alias("total_qty"),
+        )
+        .orderBy("flag")
+    )

@@ -960,3 +960,88 @@ def q164_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DUCK_STOP_EN = "['the','a','of','to','and','in','is']"
+
+
+@register(
+    "q206_quality_yield_curve",
+    f"""
+    WITH t AS (
+      SELECT text, {_DUCK_TOKS} AS toks,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS punct
+      FROM documents),
+         f AS (
+      SELECT len(toks) AS n_tokens,
+             round(len(list_filter(toks, x -> list_contains({_DUCK_STOP_EN}, x)))
+                   / len(toks), 4) AS stop_ratio,
+             round(punct / length(text), 4) AS punct_ratio
+      FROM t),
+         bp AS (
+      SELECT n_tokens,
+             CAST(round((0.4 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * least(stop_ratio * 5, 1.0)
+                       + 0.3 * (1 - least(punct_ratio * 10, 1.0))) * 10000, 0)
+                  AS BIGINT) AS q_bp
+      FROM f),
+         buckets AS (
+      SELECT CAST(floor(q_bp / 1000) AS INT) AS bucket,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM bp GROUP BY bucket)
+    SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+           CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens
+    FROM buckets
+    WINDOW w AS (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+    ORDER BY bucket DESC
+    """,
+)
+def q206_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold yield curve — the sweep a data curator reads
+    before picking a filter cutoff (the Ask-LLM / C4-style 'what does
+    each threshold cost in tokens' table): bucket every document by
+    its basis-point quality score (q23's exact quantization, decile
+    buckets), then accumulate documents and tokens from the TOP
+    bucket down, so each row answers 'if we keep only docs scoring
+    >= bucket/10, we retain cum_docs docs and cum_tokens tokens'.
+
+    100 TB design: one corpus pass computes per-doc (bucket, tokens)
+    narrowly; one 11-key aggregation; the cumulative window runs over
+    the 11-row bucket table (bounded by the quantization grid — the
+    q145/q196 small-table window argument). Integer counts
+    end-to-end; the score quantizes to basis points BEFORE
+    bucketing (the established cross-engine double-round guard)."""
+    from ooh_etl_spark.functions.text import quality_features, quality_score
+
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    feats = quality_features(F.col("text"))
+    bp = docs.select(
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(quality_score(F.col("text"), rounded=False) * 10000, 0)
+        .cast("long")
+        .alias("q_bp"),
+    )
+    buckets = (
+        bp.select(
+            F.floor(F.col("q_bp") / 1000).cast("int").alias("bucket"),
+            "n_tokens",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return buckets.select(
+        "bucket",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    ).orderBy(F.desc("bucket"))

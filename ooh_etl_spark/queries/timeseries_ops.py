@@ -503,3 +503,68 @@ def q199_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mase_e6"),
     ).orderBy("event_type")
+
+
+@register(
+    "q207_decayed_trending",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+         ref AS (SELECT max(day) AS ref_day FROM daily),
+         wtd AS (
+      SELECT event_type, cnt,
+             CAST(round(1000000 * pow(0.5,
+                    floor(date_diff('day', day, ref_day) / 7.0)))
+                  AS BIGINT) AS w_e6
+      FROM daily CROSS JOIN ref)
+    SELECT event_type,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           CAST(sum(cnt * w_e6) AS BIGINT) AS trend_e6
+    FROM wtd
+    GROUP BY event_type
+    ORDER BY trend_e6 DESC, event_type
+    """,
+)
+def q207_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity ranking ('trending now'):
+    each day's count is weighted by 0.5^(age_weeks) — a 7-day
+    half-life at WEEKLY granularity, deliberately: the exponent stays
+    an integer, so the weight is an exactly-representable power of
+    two and pow() agrees bit-for-bit across engines (a fractional
+    exponent would ride on libm's last-ulp behavior — the reason the
+    weight quantizes to 1e-6 integers before the weighted sum, which
+    then adds exact integers in any order). Reported next to the raw
+    count so the re-ranking decay causes is visible.
+
+    100 TB design: the corpus-scale pass is the daily count (map-side
+    partials); the reference day is a 1-row broadcast; the weighted
+    rollup is a second small aggregation over the day-grain table. In
+    streaming form this is the decayed-count sketch (half-life
+    registers); the batch form here is its exact replay."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ref = daily.agg(F.max("day").alias("ref_day"))
+    wtd = daily.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "cnt",
+        F.round(
+            1000000
+            * F.pow(
+                0.5,
+                F.floor(F.datediff(F.col("ref_day"), F.col("day")) / 7.0),
+            )
+        )
+        .cast("bigint")
+        .alias("w_e6"),
+    )
+    return (
+        wtd.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.sum(F.col("cnt") * F.col("w_e6")).cast("bigint").alias("trend_e6"),
+        )
+        .orderBy(F.desc("trend_e6"), "event_type")
+    )

@@ -221,6 +221,9 @@ def test_headline_shuffle_budgets(spark):
         "q204_join_size_estimate": 1,  # ONE join-key aggregation
         "q205_knn_shapley": 2,  # query-partitioned windows (broadcast
         # query set; scoring narrow in the scan stage)
+        "q206_quality_yield_curve": 2,  # bucket agg + 11-row cum window
+        "q207_decayed_trending": 3,  # daily agg + type rollup + sort
+        "q208_weighted_median": 3,  # (flag,price) agg + flag window + sort
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)

@@ -199,3 +199,37 @@ def test_q205_matches_independent_shapley_recursion(spark):
         got = out[out.query_id == qid].sort_values("rank")
         assert list(got.vec_id) == [v for v, _ in top]
         assert list(got.phi_e9) == [p for _, p in top]
+
+
+def test_q206_yield_curve_monotone_and_totals(spark):
+    out = run(spark, "q206_quality_yield_curve")
+    # buckets descend; cumulative columns are non-decreasing top-down
+    assert (out.bucket.to_numpy()[:-1] > out.bucket.to_numpy()[1:]).all()
+    assert (out.cum_docs.to_numpy()[:-1] <= out.cum_docs.to_numpy()[1:]).all()
+    assert out.cum_docs.iloc[-1] == out.n_docs.sum()
+    assert out.cum_tokens.iloc[-1] == out.n_tokens.sum()
+
+
+def test_q207_decay_never_exceeds_raw_count_scale(spark):
+    out = run(spark, "q207_decayed_trending")
+    # each day's weight <= 1e6, so trend_e6 <= n_events * 1e6; and > 0
+    assert (out.trend_e6 <= out.n_events * 1_000_000).all()
+    assert (out.trend_e6 > 0).all()
+
+
+def test_q208_weighted_median_matches_numpy_reference(spark):
+    out = run(spark, "q208_weighted_median")
+    raw = duckdb.sql(
+        f"SELECT l_returnflag AS flag, "
+        f"CAST(round(l_extendedprice * 100) AS BIGINT) AS p, "
+        f"CAST(l_quantity AS BIGINT) AS w "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).df()
+    for flag, grp in raw.groupby("flag"):
+        g = grp.sort_values("p")
+        cum = g.w.cumsum()
+        tot = g.w.sum()
+        wm = g.p[(2 * cum >= tot)].iloc[0] / 100.0
+        got = out[out.flag == flag].iloc[0]
+        assert got["weighted_median"] == round(wm, 2)
+        assert got["total_qty"] == tot
