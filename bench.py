@@ -58,6 +58,11 @@ HEADLINE = [
     # its cost profile is pinned by its own shuffle-budget/plan tests.
     "q166_entity_blocking",
     "q177_join_view_ivm",
+    # round-4 LLM-pipeline additions: the BPE training inner loop
+    # (word-count shuffle + vocabulary-side pair counting) and the
+    # scale-safe epoch shuffle (sharded rank, no global sort).
+    "q201_bpe_merge_pairs",
+    "q203_epoch_shuffle",
 ]
 
 

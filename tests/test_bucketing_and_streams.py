@@ -109,3 +109,59 @@ def test_transform_with_state_when_supported(spark):
 
     out = q122_stream_transform_with_state(spark, SF_DIR)
     assert out.count() > 0
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restart-from-checkpoint is the exactly-once contract: a
+    stateful stream (dropDuplicates on event_id) is stopped and
+    RESTARTED against a landing dir that re-delivers every record;
+    the checkpointed dedup state must suppress all of them — the
+    sink row count cannot move. This is the recovery path a 100 TB
+    pipeline exercises on every executor loss or deploy."""
+    import shutil
+
+    from ooh_etl_spark.tables import table_path
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src = table_path(SF_DIR, "events")
+    shutil.copy(src, landing / "batch_a.parquet")
+
+    schema = spark.read.parquet(str(landing)).schema
+
+    def start():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .load(str(landing))
+            .select("event_id", "user_id", "event_type")
+            .dropDuplicates(["event_id"])
+        )
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    n_expected = spark.read.parquet(src).select("event_id").distinct().count()
+    assert spark.read.parquet(out).count() == n_expected
+
+    # Redeliver every record under a new file name, restart from the
+    # SAME checkpoint: state must recover and emit nothing new.
+    shutil.copy(src, landing / "batch_b_redelivery.parquet")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == n_expected
+    assert got.select("event_id").distinct().count() == n_expected
