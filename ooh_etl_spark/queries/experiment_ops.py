@@ -753,3 +753,150 @@ def q193_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi_milli",
         F.lit(_BOOT_R).alias("n_replicates"),
     )
+
+
+@register(
+    "q211_kaplan_meier",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+         m AS (SELECT max(ts) AS max_ts FROM events),
+         p AS (
+      SELECT s.user_id, min(e.ts) AS conv_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY s.user_id),
+         obs AS (
+      SELECT s.user_id,
+             CAST(FLOOR(date_diff('second', s.signup_ts,
+                    coalesce(p.conv_ts, m.max_ts)) / 3600.0) AS BIGINT)
+               AS t_h,
+             CASE WHEN p.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM s LEFT JOIN p USING (user_id), m),
+         km AS (
+      SELECT t_h, sum(ev) AS d, sum(1 - ev) AS c
+      FROM obs GROUP BY t_h),
+         risk AS (
+      SELECT t_h, d, c,
+             (SELECT count(*) FROM obs)
+               - coalesce(sum(d + c) OVER (ORDER BY t_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM km),
+         fac AS (
+      SELECT t_h, d, c, n_risk,
+             CASE WHEN d = 0 THEN 0
+                  WHEN d < n_risk THEN
+                    CAST(round(1000000 * ln(CAST(n_risk - d AS DOUBLE)
+                                            / n_risk)) AS BIGINT)
+                  ELSE -99000000 END AS f_micro
+      FROM risk)
+    SELECT t_h,
+           CAST(d AS BIGINT) AS d,
+           CAST(c AS BIGINT) AS c,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(sum(f_micro) OVER (ORDER BY t_h) AS BIGINT)
+             AS surv_log_micro
+    FROM fac
+    ORDER BY t_h
+    """,
+)
+def q211_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator (Kaplan & Meier
+    1958) over the signup→first-purchase funnel, with users who never
+    convert RIGHT-CENSORED at the end of the observation window — the
+    estimator that makes q141's time-to-convert honest when the study
+    ends before everyone converts (dropping censored users biases
+    conversion fast; KM credits them to every risk set they survived).
+
+    Distributed shape: the per-user observation table is q141's funnel
+    chain (two keyed aggregations + one broadcast 1-row max-ts frame);
+    event times are bucketed to integer hours, so the KM life table is
+    bounded by the study duration in hours at ANY corpus scale — the
+    global ordered windows (risk-set countdown, cumulative log-
+    survival) run over that bounded table, never corpus-scale rows
+    (the q196 histogram-window contract). Survival is carried in
+    integer micro-nats: each hazard factor ln((n−d)/n) evaluates on an
+    exact integer ratio and is quantized per step BEFORE the cumulative
+    sum (q187's precedent), so S(t) = exp(surv_log_micro/1e6) and the
+    running reduction is order-free and engine-identical. A saturated
+    risk set (d = n, survival hits zero) takes a −99 sentinel nats so
+    log-space stays finite.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    m = ev.agg(F.max("ts").alias("max_ts"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    obs = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.floor(
+                (
+                    F.unix_timestamp(F.coalesce("conv_ts", "max_ts"))
+                    - F.unix_timestamp("signup_ts")
+                )
+                / 3600.0
+            )
+            .cast("bigint")
+            .alias("t_h"),
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    n_total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    km = obs.groupBy("t_h").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    # Life table is hour-bounded, never corpus-scale: global windows OK.
+    w_prev = (
+        Window.orderBy("t_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = km.crossJoin(F.broadcast(n_total)).select(
+        "t_h",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    fac = risk.select(
+        "t_h",
+        "d",
+        "c",
+        "n_risk",
+        F.when(F.col("d") == 0, F.lit(0))
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                1000000
+                * F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(-99000000))
+        .alias("f_micro"),
+    )
+    w_cum = Window.orderBy("t_h").rowsBetween(Window.unboundedPreceding, 0)
+    return fac.select(
+        "t_h",
+        F.col("d").cast("bigint").alias("d"),
+        F.col("c").cast("bigint").alias("c"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.sum("f_micro").over(w_cum).cast("bigint").alias("surv_log_micro"),
+    ).orderBy("t_h")

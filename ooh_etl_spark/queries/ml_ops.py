@@ -699,3 +699,76 @@ def q205_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "q209_embedding_gram",
+    f"""
+    SELECT CAST(g1.i - 1 AS BIGINT) AS i,
+           CAST(g2.j - 1 AS BIGINT) AS j,
+           SUM(CAST(FLOOR(CAST(embedding[g1.i] AS DOUBLE)
+                          * CAST(embedding[g2.j] AS DOUBLE)
+                          * 1000000000) AS BIGINT)) AS gram_nano,
+           COUNT(*) AS n_vec
+    FROM embeddings,
+         generate_series(1, {_DIM}) AS g1(i),
+         generate_series(1, {_DIM}) AS g2(j)
+    WHERE g1.i <= g2.j
+    GROUP BY 1, 2
+    ORDER BY i, j
+    """,
+)
+def q209_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix X'X of the embedding table — the tall-skinny
+    reduction behind PCA / covariance / linear-regression normal
+    equations (the RowMatrix.computeGramianMatrix shape): n×d rows in,
+    one d(d+1)/2-element upper triangle out, and the data is touched
+    exactly once.
+
+    Spark-first shape: each row expands to its upper-triangle outer
+    product entirely inside whole-stage codegen (nested ``transform``
+    + ``filter`` + one ``explode``), then ONE groupBy on the (i, j)
+    index pair with map-side partial aggregation — the shuffle carries
+    at most partitions × d(d+1)/2 rows regardless of n, which is why
+    this survives a 100 TB scan. Per-row products are quantized to
+    integer nano-units BEFORE the sum (the engine's money policy
+    applied to ML floats), making the reduction order-free and
+    engine-identical. At extreme d (d² beyond explode comfort) the
+    same partial-Gram contract moves to a numpy ``mapInPandas`` that
+    emits one d×d partial per Arrow batch; d=64 stays expression-only.
+    Covariance follows client-side from q104's per-dim means.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    tri = F.filter(
+        F.flatten(
+            F.transform(
+                x,
+                lambda xi, i: F.transform(
+                    x,
+                    lambda xj, j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        F.floor(xi * xj * F.lit(1000000000.0))
+                        .cast("bigint")
+                        .alias("p"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["i"] <= s["j"],
+    )
+    return (
+        emb.select(F.explode(tri).alias("s"))
+        .select(
+            F.col("s.i").cast("bigint").alias("i"),
+            F.col("s.j").cast("bigint").alias("j"),
+            F.col("s.p").alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("p").alias("gram_nano"),
+            F.count(F.lit(1)).alias("n_vec"),
+        )
+        .orderBy("i", "j")
+    )

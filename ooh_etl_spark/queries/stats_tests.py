@@ -364,3 +364,97 @@ def q161_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_ppm"
         )
     )
+
+
+@register(
+    "q210_cohens_kappa",
+    """
+    WITH rated AS (
+      SELECT lang,
+             CASE WHEN n_chars > 310 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(text) - len(replace(text, 'e', '')) > 28
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents),
+         cells AS (
+      SELECT lang,
+             count(*) AS n,
+             sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS n11,
+             sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS n10,
+             sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS n01,
+             sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS n00
+      FROM rated GROUP BY lang)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n,
+           CAST(n11 + n00 AS BIGINT) AS n_agree,
+           CAST(CASE
+             WHEN n * n = ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00)) THEN NULL
+             ELSE FLOOR(
+               10000.0 * (n * (n11 + n00)
+                          - ((n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00)))
+               / (n * n - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00)))
+             )
+           END AS BIGINT) AS kappa_bp
+    FROM cells
+    ORDER BY lang
+    """,
+)
+def q210_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) inter-rater agreement between two
+    deterministic document raters — rater A flags long documents
+    (n_chars > median ~310), rater B flags documents rich in the
+    letter 'e' (> 28 occurrences, a noisy length proxy that genuinely
+    disagrees with A on short-but-dense texts); kappa corrects their raw agreement for the agreement
+    expected by chance from the marginals. The production use is
+    annotation-pipeline QA: two labeling heuristics (or two human
+    cohorts) rated the same corpus and the curator needs
+    chance-corrected agreement per language before trusting labels.
+
+    One narrow pass computes both ratings per row, ONE groupBy(lang)
+    reduces the full 2×2 contingency table with map-side partials, and
+    kappa is pure per-group arithmetic on exact integer cell counts:
+    kappa = (N·po_num − pe_num) / (N² − pe_num) with po_num = n11+n00
+    and pe_num = Σ row·col marginal products — quantized to basis
+    points with all intermediates exact in double (≤1e15 « 2^53), so
+    both engines floor the same value. Zero extra shuffles at any
+    scale; the contingency table is the aggregate state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        "lang",
+        F.when(F.col("n_chars") > 310, 1).otherwise(0).alias("ra"),
+        F.when(
+            F.length("text") - F.length(F.regexp_replace("text", "e", "")) > 28,
+            1,
+        )
+        .otherwise(0)
+        .alias("rb"),
+    )
+    cells = rated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("ra") == 1) & (F.col("rb") == 1)).cast("int")).alias("n11"),
+        F.sum(((F.col("ra") == 1) & (F.col("rb") == 0)).cast("int")).alias("n10"),
+        F.sum(((F.col("ra") == 0) & (F.col("rb") == 1)).cast("int")).alias("n01"),
+        F.sum(((F.col("ra") == 0) & (F.col("rb") == 0)).cast("int")).alias("n00"),
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    po_num = F.col("n11") + F.col("n00")
+    return cells.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        po_num.cast("bigint").alias("n_agree"),
+        F.when(
+            F.col("n") * F.col("n") != pe_num,
+            F.floor(
+                10000.0
+                * (F.col("n") * po_num - pe_num)
+                / (F.col("n") * F.col("n") - pe_num)
+            ),
+        )
+        .cast("bigint")
+        .alias("kappa_bp"),
+    ).orderBy("lang")

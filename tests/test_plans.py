@@ -224,6 +224,11 @@ def test_headline_shuffle_budgets(spark):
         "q206_quality_yield_curve": 2,  # bucket agg + 11-row cum window
         "q207_decayed_trending": 3,  # daily agg + type rollup + sort
         "q208_weighted_median": 3,  # (flag,price) agg + flag window + sort
+        "q209_embedding_gram": 2,  # ONE (i,j) agg (+ sort); shuffle
+        # carries <= partitions x d(d+1)/2 rows regardless of n
+        "q210_cohens_kappa": 2,  # ONE lang contingency agg + sort
+        "q211_kaplan_meier": 5,  # funnel aggs + hour-bounded life-table
+        # windows (SinglePartition over the bounded table)
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)

@@ -233,3 +233,101 @@ def test_q208_weighted_median_matches_numpy_reference(spark):
         got = out[out.flag == flag].iloc[0]
         assert got["weighted_median"] == round(wm, 2)
         assert got["total_qty"] == tot
+
+
+def test_q209_gram_matches_numpy_reference(spark):
+    import numpy as np
+
+    out = run(spark, "q209_embedding_gram")
+    raw = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).df()
+    X = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    n, d = X.shape
+    assert len(out) == d * (d + 1) // 2
+    assert (out["n_vec"] == n).all()
+    # Quantize per-row products exactly as the engines do, then sum.
+    got = {(r.i, r.j): r.gram_nano for r in out.itertuples()}
+    for i, j in [(0, 0), (0, 63), (7, 31), (63, 63)]:
+        ref = int(np.floor(X[:, i] * X[:, j] * 1e9).sum())
+        assert got[(i, j)] == ref
+    # Diagonal entries are sums of squares: non-negative.
+    diag = out[out.i == out.j]
+    assert (diag["gram_nano"] >= 0).all()
+
+
+def test_q210_kappa_matches_independent_recomputation(spark):
+    out = run(spark, "q210_cohens_kappa")
+    raw = duckdb.sql(
+        f"""
+        SELECT lang,
+               CASE WHEN n_chars > 310 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN len(text) - len(replace(text, 'e', '')) > 28
+                    THEN 1 ELSE 0 END AS rb
+        FROM read_parquet('{SF_DIR}/documents.parquet')
+        """
+    ).df()
+    import math
+
+    for r in out.itertuples():
+        g = raw[raw.lang == r.lang]
+        n = len(g)
+        po = ((g.ra == g.rb).sum()) / n
+        pe = (
+            (g.ra == 1).sum() * (g.rb == 1).sum()
+            + (g.ra == 0).sum() * (g.rb == 0).sum()
+        ) / (n * n)
+        assert r.n == n and r.n_agree == (g.ra == g.rb).sum()
+        if pe == 1.0:
+            assert pd.isna(r.kappa_bp)
+        else:
+            kappa = (po - pe) / (1 - pe)
+            assert r.kappa_bp == math.floor(10000 * kappa)
+            assert -10000 <= r.kappa_bp <= 10000
+    # The two raters must actually disagree somewhere, or the test
+    # is vacuous (kappa trivially 1).
+    assert (out["n_agree"] < out["n"]).any()
+
+
+def test_q211_km_matches_independent_product_limit(spark):
+    import math
+
+    out = run(spark, "q211_kaplan_meier")
+    raw = duckdb.sql(
+        f"""
+        WITH s AS (
+          SELECT user_id, min(ts) AS signup_ts
+          FROM read_parquet('{SF_DIR}/events.parquet')
+          WHERE event_type = 'signup' GROUP BY user_id),
+        m AS (SELECT max(ts) AS max_ts
+              FROM read_parquet('{SF_DIR}/events.parquet')),
+        p AS (
+          SELECT s.user_id, min(e.ts) AS conv_ts
+          FROM s JOIN read_parquet('{SF_DIR}/events.parquet') e
+            ON e.user_id = s.user_id
+           AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+          GROUP BY s.user_id)
+        SELECT CAST(FLOOR(date_diff('second', s.signup_ts,
+                 coalesce(p.conv_ts, m.max_ts)) / 3600.0) AS BIGINT) AS t_h,
+               CASE WHEN p.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM s LEFT JOIN p USING (user_id), m
+        """
+    ).df()
+    n_at_risk = len(raw)
+    cum = 0
+    rows = {r.t_h: r for r in out.itertuples()}
+    for t_h, g in raw.sort_values("t_h").groupby("t_h", sort=True):
+        d = int(g.ev.sum())
+        c = int(len(g) - d)
+        r = rows[t_h]
+        assert (r.d, r.c, r.n_risk) == (d, c, n_at_risk)
+        if d > 0:
+            if d < n_at_risk:
+                cum += round(1_000_000 * math.log((n_at_risk - d) / n_at_risk))
+            else:
+                cum += -99_000_000
+        assert r.surv_log_micro == cum
+        n_at_risk -= d + c
+    # Survival is non-increasing and the risk set drains to zero.
+    assert (out["surv_log_micro"].diff().dropna() <= 0).all()
+    assert out["n_risk"].iloc[-1] == out["d"].iloc[-1] + out["c"].iloc[-1]
