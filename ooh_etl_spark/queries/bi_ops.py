@@ -543,3 +543,112 @@ def q208_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "q216_simpsons_paradox",
+    """
+    WITH s AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+             sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+                      THEN 1 ELSE 0 END) AS r_a,
+             sum(CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+                      THEN 1 ELSE 0 END) AS r_b
+      FROM lineitem
+      GROUP BY 1),
+         p AS (
+      SELECT sum(n_a) AS tn_a, sum(r_a) AS tr_a,
+             sum(n_b) AS tn_b, sum(r_b) AS tr_b
+      FROM s)
+    SELECT s.yr, s.n_a, s.r_a, s.n_b, s.r_b,
+           CAST(sign(s.r_a * s.n_b - s.r_b * s.n_a) AS BIGINT)
+             AS dir_stratum,
+           CAST(sign(p.tr_a * p.tn_b - p.tr_b * p.tn_a) AS BIGINT)
+             AS dir_pooled,
+           CAST(CASE WHEN s.n_a > 0 AND s.n_b > 0
+                      AND sign(s.r_a * s.n_b - s.r_b * s.n_a)
+                          * sign(p.tr_a * p.tn_b - p.tr_b * p.tn_a) = -1
+                     THEN 1 ELSE 0 END AS BIGINT) AS flipped
+    FROM s CROSS JOIN p
+    ORDER BY yr
+    """,
+)
+def q216_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen (Simpson 1951; the canonical
+    aggregation trap): compares the return-rate direction of
+    high-discount (>= 5%) vs low-discount lineitems
+    POOLED against its direction within every ship-year stratum, and
+    flags strata whose sign reverses — the signal that a dashboard's
+    topline comparison is confounded by mix shift and must be reported
+    stratified. This is the audit a BI layer should run before
+    publishing any two-group rate comparison.
+
+    Engine-exact by construction: rates are never divided — rate_A >
+    rate_B is evaluated as r_a·n_b > r_b·n_a on exact bigint counts
+    (cross-multiplication, the q140/q210 integer-comparison move), so
+    sign() agrees bit-for-bit across engines with zero quantization.
+    Shape: ONE conditional aggregate over the fact scan,
+    the pooled margin is a 1-row broadcast, and
+    the stratum table is bounded by |years| — the whole paradox check
+    costs a single shuffle at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("l_discount") >= 0.05
+    s = (
+        li.select(
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            hi.cast("long").alias("is_a"),
+            (hi & (F.col("l_returnflag") == "R")).cast("long").alias("is_ra"),
+            (~hi).cast("long").alias("is_b"),
+            ((~hi) & (F.col("l_returnflag") == "R"))
+            .cast("long")
+            .alias("is_rb"),
+        )
+        .groupBy("yr")
+        .agg(
+            F.sum("is_a").alias("n_a"),
+            F.sum("is_ra").alias("r_a"),
+            F.sum("is_b").alias("n_b"),
+            F.sum("is_rb").alias("r_b"),
+        )
+    )
+    p = s.agg(
+        F.sum("n_a").alias("tn_a"),
+        F.sum("r_a").alias("tr_a"),
+        F.sum("n_b").alias("tn_b"),
+        F.sum("r_b").alias("tr_b"),
+    )
+    dir_s = F.signum(
+        (F.col("r_a") * F.col("n_b") - F.col("r_b") * F.col("n_a")).cast(
+            "double"
+        )
+    ).cast("bigint")
+    dir_p = F.signum(
+        (F.col("tr_a") * F.col("tn_b") - F.col("tr_b") * F.col("tn_a")).cast(
+            "double"
+        )
+    ).cast("bigint")
+    return (
+        s.crossJoin(F.broadcast(p))
+        .select(
+            "yr",
+            "n_a",
+            "r_a",
+            "n_b",
+            "r_b",
+            dir_s.alias("dir_stratum"),
+            dir_p.alias("dir_pooled"),
+            F.when(
+                (F.col("n_a") > 0)
+                & (F.col("n_b") > 0)
+                & (dir_s * dir_p == -1),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("flipped"),
+        )
+        .orderBy("yr")
+    )

@@ -330,3 +330,64 @@ def q134_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q212_event_path_trigrams",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         tri AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             count(*) AS n,
+             count(DISTINCT user_id) AS n_users
+      FROM o WHERE t3 IS NOT NULL
+      GROUP BY 1)
+    SELECT path, CAST(n AS BIGINT) AS n, CAST(n_users AS BIGINT) AS n_users
+    FROM tri
+    ORDER BY n DESC, path
+    LIMIT 25
+    """,
+)
+def q212_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining at n=3: the most frequent length-3
+    event paths across all user journeys (the 'what do users actually
+    do' table behind funnel design; Agrawal & Srikant's sequence
+    mining collapsed to the fixed-length case that needs no candidate
+    generation). Extends q99's first-order transition matrix to
+    second-order context — enough to see loops (view>view>view) vs
+    progressions (view>cart>purchase).
+
+    Shape: trigram formation is two ``lead`` taps on ONE per-user
+    time-ordered window — no collect_list, no self-joins, state is two
+    rows deep; then one map-combined aggregate on the path string,
+    whose key cardinality is |event_types|^3 (bounded), not corpus
+    rows. Top-k lands in TakeOrderedAndProject. The same two-lead
+    pattern extends to any fixed n; variable-length mining would move
+    to the q28-style candidate-bucket shape instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        o.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path"),
+            "user_id",
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(25)
+    )

@@ -561,3 +561,148 @@ def q203_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(w).cast("bigint").alias("pos"),
     ).orderBy("epoch", "shard", "pos")
+
+
+@register(
+    "q215_bpe_merge_round",
+    """
+    WITH words AS (
+      SELECT word, count(*) AS freq
+      FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents)
+      WHERE word <> ''
+      GROUP BY word),
+         top1 AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS a,
+             substr(word, CAST(i AS INT) + 1, 1) AS b,
+             sum(freq) AS cnt
+      FROM words, UNNEST(range(1, length(word))) AS t(i)
+      WHERE length(word) >= 2
+      GROUP BY 1, 2
+      ORDER BY cnt DESC, a, b
+      LIMIT 1),
+         applied AS (
+      SELECT w.word, w.freq,
+             replace(array_to_string(string_split(w.word, ''), '  '),
+                     t.a || '  ' || t.b, t.a || t.b) AS rep,
+             t.a || t.b AS merged_pair
+      FROM words w CROSS JOIN top1 t),
+         sym AS (
+      SELECT word, freq, merged_pair,
+             string_split(rep, '  ') AS syms
+      FROM applied),
+         newpairs AS (
+      SELECT syms[CAST(i AS INT)] || '>' || syms[CAST(i AS INT) + 1]
+               AS pair,
+             sum(freq) AS merge_count
+      FROM sym, UNNEST(range(1, len(syms))) AS t(i)
+      WHERE len(syms) >= 2
+      GROUP BY 1),
+         totals AS (
+      SELECT CAST(sum(freq * length(word)) AS BIGINT) AS symbols_before,
+             CAST(sum(freq * len(syms)) AS BIGINT) AS symbols_after,
+             min(merged_pair) AS merged_pair
+      FROM sym)
+    SELECT t.merged_pair, n.pair,
+           CAST(n.merge_count AS BIGINT) AS merge_count,
+           t.symbols_before, t.symbols_after
+    FROM newpairs n CROSS JOIN totals t
+    ORDER BY merge_count DESC, pair
+    LIMIT 10
+    """,
+)
+def q215_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A COMPLETE BPE training round (Sennrich et al. 2016), closing
+    the loop q201 opened: select the top merge pair, APPLY it greedily
+    left-to-right to every word, and recount adjacent symbol pairs on
+    the merged sequences — the state the next round trains on, plus
+    the corpus symbol count before/after (the compression the merge
+    bought).
+
+    Spark-first mechanics: words pre-aggregate in the ONE corpus-scale
+    shuffle (q201's argument — every later step is vocabulary-sized,
+    Zipf-bounded regardless of corpus bytes). The winning merge is a
+    1-row broadcast. Merge application is a single ``replace`` on the
+    double-space-delimited symbol string: delimiters can't be shared
+    between adjacent matches, so builtin left-to-right non-overlapping
+    replace IS exactly BPE's greedy merge semantics ('aaa' under merge
+    (a,a) → ['aa','a'], not ['aa','aa']) — identical in both engines,
+    no UDF. Post-merge symbols split back to arrays and pair-count via
+    an index explode; multi-char symbols take a '>' separator so pair
+    identity stays unambiguous.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top1 = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            F.col("word").substr(F.col("i"), F.lit(1)).alias("a"),
+            F.expr("substr(word, i + 1, 1)").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(1)
+    )
+    applied = words.crossJoin(F.broadcast(top1)).select(
+        "word",
+        "freq",
+        F.concat(F.col("a"), F.col("b")).alias("merged_pair"),
+        F.replace(
+            F.array_join(F.split("word", ""), "  "),
+            F.concat(F.col("a"), F.lit("  "), F.col("b")),
+            F.concat(F.col("a"), F.col("b")),
+        ).alias("rep"),
+    )
+    sym = applied.select(
+        "word", "freq", "merged_pair", F.split("rep", "  ").alias("syms")
+    )
+    newpairs = (
+        sym.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+            F.col("syms"),
+        )
+        .select(
+            F.concat(
+                F.element_at("syms", F.col("i")),
+                F.lit(">"),
+                F.element_at("syms", F.col("i") + 1),
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("merge_count"))
+    )
+    totals = sym.agg(
+        F.sum(F.col("freq") * F.length("word"))
+        .cast("bigint")
+        .alias("symbols_before"),
+        F.sum(F.col("freq") * F.size("syms"))
+        .cast("bigint")
+        .alias("symbols_after"),
+        F.min("merged_pair").alias("merged_pair"),
+    )
+    return (
+        newpairs.crossJoin(F.broadcast(totals))
+        .select(
+            "merged_pair",
+            "pair",
+            F.col("merge_count").cast("bigint").alias("merge_count"),
+            "symbols_before",
+            "symbols_after",
+        )
+        .orderBy(F.desc("merge_count"), "pair")
+        .limit(10)
+    )

@@ -244,3 +244,75 @@ def q72_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+@register(
+    "q214_luhn_check_digits",
+    """
+    WITH acct AS (
+      SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h
+      FROM customer),
+         luhn AS (
+      SELECT c_custkey,
+             (SELECT sum(CASE
+                WHEN (16 - i) % 2 = 1 THEN
+                  CASE WHEN 2 * (ascii(substr(h, i, 1)) % 10) > 9
+                       THEN 2 * (ascii(substr(h, i, 1)) % 10) - 9
+                       ELSE 2 * (ascii(substr(h, i, 1)) % 10) END
+                ELSE ascii(substr(h, i, 1)) % 10 END)
+              FROM generate_series(1, 15) AS g(i)) AS s
+      FROM acct),
+         digits AS (
+      SELECT c_custkey, CAST((10 - (s % 10)) % 10 AS BIGINT) AS check_digit
+      FROM luhn)
+    SELECT check_digit,
+           count(*) AS n_accounts,
+           CAST(min(c_custkey) AS BIGINT) AS example_custkey
+    FROM digits
+    GROUP BY check_digit
+    ORDER BY check_digit
+    """,
+)
+def q214_luhn_check_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 checksum (ISO/IEC 7812 — the card/IMEI/account-
+    number check digit) computed for a deterministic 15-digit account
+    number derived per customer (digits = ascii(md5 hex char) mod 10,
+    reproducible on both engines): double every second digit from the
+    right, fold the digit sum, and emit the check digit that makes the
+    full 16-digit number Luhn-valid. The production uses are synthetic
+    test-data generation (valid-by-construction PANs) and ingest
+    validation (q71's PII scanner flagging only checksum-valid
+    candidates cuts false positives enormously).
+
+    Shape: pure per-row whole-stage-codegen arithmetic — a 15-term
+    in-row fold (``F.aggregate`` over ``sequence(1,15)``, the q30
+    ordered-fold construct) with zero extra shuffles beyond the final
+    10-key distribution aggregate. Engine-exact because every term is
+    integer arithmetic on ascii codes of the SAME md5 hex string.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    s = F.aggregate(
+        F.sequence(F.lit(1), F.lit(15)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (16 - i) % 2 == 1,
+            F.when(
+                2 * (F.ascii(F.substr(h, i, F.lit(1))) % 10) > 9,
+                2 * (F.ascii(F.substr(h, i, F.lit(1))) % 10) - 9,
+            ).otherwise(2 * (F.ascii(F.substr(h, i, F.lit(1))) % 10)),
+        ).otherwise(F.ascii(F.substr(h, i, F.lit(1))) % 10),
+    )
+    digits = cust.select(
+        "c_custkey",
+        ((10 - (s % 10)) % 10).cast("bigint").alias("check_digit"),
+    )
+    return (
+        digits.groupBy("check_digit")
+        .agg(
+            F.count(F.lit(1)).alias("n_accounts"),
+            F.min("c_custkey").cast("bigint").alias("example_custkey"),
+        )
+        .orderBy("check_digit")
+    )

@@ -568,3 +568,89 @@ def q207_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("trend_e6"), "event_type")
     )
+
+
+@register(
+    "q213_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
+      FROM events),
+         med AS (
+      SELECT event_type,
+             CAST(quantile_disc(v_u, 0.5) AS BIGINT) AS med_u
+      FROM v GROUP BY event_type),
+         dev AS (
+      SELECT v.event_type, v.v_u, med.med_u,
+             abs(v.v_u - med.med_u) AS d_u
+      FROM v JOIN med USING (event_type)),
+         mad AS (
+      SELECT event_type,
+             CAST(quantile_disc(d_u, 0.5) AS BIGINT) AS mad_u
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           count(*) AS n,
+           CAST(max(d.med_u) AS BIGINT) AS med_u,
+           CAST(max(m.mad_u) AS BIGINT) AS mad_u,
+           CAST(sum(CASE WHEN 6745 * d.d_u > 35000 * m.mad_u
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def q213_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census by modified z-score (Iglewicz & Hoaglin
+    1993): median / median-absolute-deviation replace q107's
+    mean / stddev, so a few extreme values cannot inflate the scale
+    estimate and mask themselves — the robust twin every monitoring
+    pipeline wants next to the classical z-score.
+
+    Shape: values quantize to integer micro-units up front, so both
+    medians are exact discrete percentiles over integers (the q141
+    convention — no float percentile ambiguity); the per-type median
+    and MAD tables are |event_types| rows and BROADCAST back to the
+    fact rows (two small hash joins, no fact re-shuffle); the outlier
+    test 0.6745·|x−med|/MAD > 3.5 is cross-multiplied to pure bigint
+    arithmetic (6745·d > 35000·MAD), so no division ever happens.
+    Two fact passes total — the price of exact medians; at extreme
+    scale the documented swap is approx_percentile for pass 1 with
+    everything downstream unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_u"),
+    )
+
+    def disc_med(c: str) -> F.Column:
+        return F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {c})")
+
+    med = v.groupBy("event_type").agg(
+        disc_med("v_u").cast("bigint").alias("med_u")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_u",
+        F.abs(F.col("v_u") - F.col("med_u")).alias("d_u"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        disc_med("d_u").cast("bigint").alias("mad_u")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med_u").cast("bigint").alias("med_u"),
+            F.max("mad_u").cast("bigint").alias("mad_u"),
+            F.sum(
+                F.when(
+                    6745 * F.col("d_u") > 35000 * F.col("mad_u"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

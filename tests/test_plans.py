@@ -229,6 +229,15 @@ def test_headline_shuffle_budgets(spark):
         "q210_cohens_kappa": 2,  # ONE lang contingency agg + sort
         "q211_kaplan_meier": 5,  # funnel aggs + hour-bounded life-table
         # windows (SinglePartition over the bounded table)
+        "q212_event_path_trigrams": 2,  # ONE user window + path agg
+        # (top-k lands in TakeOrderedAndProject, no sort shuffle)
+        "q213_mad_outliers": 5,  # two exact-median passes + final agg;
+        # med/mad tables broadcast back, the fact never re-shuffles
+        "q214_luhn_check_digits": 2,  # in-row fold; 10-key agg + sort
+        "q215_bpe_merge_round": 7,  # word agg reused across top1 /
+        # newpairs / totals subtrees (ReuseExchange dedupes at exec)
+        "q216_simpsons_paradox": 3,  # ONE year agg + 1-row pooled
+        # margin + sort
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)

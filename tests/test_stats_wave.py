@@ -331,3 +331,142 @@ def test_q211_km_matches_independent_product_limit(spark):
     # Survival is non-increasing and the risk set drains to zero.
     assert (out["surv_log_micro"].diff().dropna() <= 0).all()
     assert out["n_risk"].iloc[-1] == out["d"].iloc[-1] + out["c"].iloc[-1]
+
+
+def test_q212_trigrams_match_pandas_reference(spark):
+    out = run(spark, "q212_event_path_trigrams")
+    raw = duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"read_parquet('{SF_DIR}/events.parquet') ORDER BY user_id, ts, event_id"
+    ).df()
+    from collections import Counter
+
+    cnt, users = Counter(), {}
+    for _, g in raw.groupby("user_id"):
+        seq = list(g.event_type)
+        for a, b, c in zip(seq, seq[1:], seq[2:]):
+            p = f"{a}>{b}>{c}"
+            cnt[p] += 1
+            users.setdefault(p, set()).add(g.user_id.iloc[0])
+    for r in out.itertuples():
+        assert cnt[r.path] == r.n
+        assert len(users[r.path]) == r.n_users
+        assert r.n_users <= r.n
+    # top-25 by count: the smallest shown count must be >= any hidden one
+    shown = set(out.path)
+    hidden_max = max((v for k, v in cnt.items() if k not in shown), default=0)
+    assert out.n.min() >= hidden_max
+
+
+def test_q213_mad_matches_numpy_and_bounds(spark):
+    import numpy as np
+
+    out = run(spark, "q213_mad_outliers")
+    raw = duckdb.sql(
+        f"SELECT event_type, CAST(round(value*1000000) AS BIGINT) v "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).df()
+    for r in out.itertuples():
+        v = np.sort(raw[raw.event_type == r.event_type].v.to_numpy())
+        # discrete (type-1) median: smallest value with cume_dist >= .5
+        med = v[int(np.ceil(len(v) * 0.5)) - 1]
+        d = np.sort(np.abs(v - med))
+        mad = d[int(np.ceil(len(d) * 0.5)) - 1]
+        assert (r.med_u, r.mad_u, r.n) == (med, mad, len(v))
+        assert r.n_outliers == int((6745 * np.abs(v - med) > 35000 * mad).sum())
+        assert r.n_outliers < r.n / 2  # the robust scale can't flag a majority
+
+
+def test_q214_check_digit_makes_luhn_valid(spark):
+    out = run(spark, "q214_luhn_check_digits")
+    import hashlib
+
+    def luhn_ok(digits):  # full-number validation, rightmost doubled 2nd
+        s = 0
+        for pos, d in enumerate(reversed(digits), start=1):
+            if pos % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            s += d
+        return s % 10 == 0
+
+    assert out.n_accounts.sum() == duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchone()[0]
+    for r in out.itertuples():
+        h = hashlib.md5(str(r.example_custkey).encode()).hexdigest()
+        payload = [ord(c) % 10 for c in h[:15]]
+        # appended check digit must validate, any other digit must not
+        assert luhn_ok(payload + [r.check_digit])
+        assert not any(
+            luhn_ok(payload + [c]) for c in range(10) if c != r.check_digit
+        )
+
+
+def test_q215_merge_round_matches_python_bpe(spark):
+    out = run(spark, "q215_bpe_merge_round")
+    raw = duckdb.sql(
+        f"SELECT lower(text) t FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in raw.t:
+        for w in re.split(r"\s+", t):
+            if w:
+                words[w] += 1
+    pairs = Counter()
+    for w, f in words.items():
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += f
+    top = min(pairs, key=lambda p: (-pairs[p], p[0], p[1]))
+    assert out.merged_pair.iloc[0] == top[0] + top[1]
+    # greedy left-to-right merge, then recount
+    newpairs, sym_after, sym_before = Counter(), 0, 0
+    for w, f in words.items():
+        syms, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and (w[i], w[i + 1]) == top:
+                syms.append(w[i] + w[i + 1])
+                i += 2
+            else:
+                syms.append(w[i])
+                i += 1
+        sym_before += f * len(w)
+        sym_after += f * len(syms)
+        for a, b in zip(syms, syms[1:]):
+            newpairs[f"{a}>{b}"] += f
+    assert out.symbols_before.iloc[0] == sym_before
+    assert out.symbols_after.iloc[0] == sym_after
+    assert sym_after < sym_before  # the merge must actually compress
+    for r in out.itertuples():
+        assert newpairs[r.pair] == r.merge_count
+
+
+def test_q216_directions_match_pandas(spark):
+    out = run(spark, "q216_simpsons_paradox")
+    raw = duckdb.sql(
+        f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) yr,
+               CAST(l_discount >= 0.05 AS INT) hi,
+               CAST(l_returnflag = 'R' AS INT) ret
+        FROM read_parquet('{SF_DIR}/lineitem.parquet')
+        """
+    ).df()
+    import numpy as np
+
+    tn_a = int(raw.hi.sum())
+    tr_a = int((raw.hi * raw.ret).sum())
+    tn_b = int((1 - raw.hi).sum())
+    tr_b = int(((1 - raw.hi) * raw.ret).sum())
+    dp = int(np.sign(tr_a * tn_b - tr_b * tn_a))
+    assert (out.dir_pooled == dp).all()
+    for r in out.itertuples():
+        g = raw[raw.yr == r.yr]
+        na, ra = int(g.hi.sum()), int((g.hi * g.ret).sum())
+        nb, rb = int((1 - g.hi).sum()), int(((1 - g.hi) * g.ret).sum())
+        assert (r.n_a, r.r_a, r.n_b, r.r_b) == (na, ra, nb, rb)
+        assert r.dir_stratum == int(np.sign(ra * nb - rb * na))
+        assert r.flipped == int(na > 0 and nb > 0 and r.dir_stratum * dp == -1)
