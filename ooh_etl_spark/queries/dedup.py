@@ -185,31 +185,46 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     c = v.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
-    sqdist = F.aggregate(
-        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+    # Assignment is MAP-ONLY: the K centroids collapse into ONE row
+    # (collect_list of (cid, ce) structs — K ≈ sqrt(n) rows, the same
+    # broadcastability envelope as the previous per-row broadcast),
+    # and each vector computes its argmin INSIDE a higher-order fold —
+    # no crossJoin row expansion, no groupBy, and in particular no
+    # SortAggregate (the previous min(struct)+first(array) form forced
+    # sort-based aggregation because an array rode the agg buffer;
+    # that chain also evaluated twice under the self-join, dominating
+    # the query). The fold's tie-break (strictly-smaller dist, or
+    # equal dist AND smaller cid) makes the argmin independent of
+    # collect_list's arrival order, preserving the oracle's
+    # row_number ORDER BY dist, cid semantics exactly.
+    cagg = c.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    sq = lambda cent: F.aggregate(
+        F.zip_with(F.col("e"), cent["ce"], lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda s, x: s + x,
     )
-    # Assignment argmin as min(struct(dist, cid)): lexicographic struct
-    # min == (min dist, tie -> min cid), identical to the oracle's
-    # row_number ORDER BY dist, cid — but map-side combinable, so the
-    # n*K candidate rows collapse to n BEFORE any shuffle (the q159
-    # pattern); the old window form shuffled and sorted the full n*K
-    # cross product on vec_id. The vector itself rides the aggregation
-    # as first(e) — every candidate row of a vec_id carries the same e,
-    # so first() is value-deterministic AND map-side combinable — which
-    # removes the join-back to v entirely (the labeled vector would
-    # have shipped through that join's exchange anyway; this is the
-    # same bytes over one exchange instead of three).
-    assign = (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("dist", sqdist)
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dist", "cid")).alias("m"),
-            F.first("e").alias("e"),
-        )
-        .select("vec_id", "e", F.col("m.cid").alias("cluster"))
+    # Distances materialize once per centroid (transform), then the
+    # argmin folds over scored structs — the sq() fold would otherwise
+    # re-evaluate per comparison branch (no CSE inside lambdas).
+    argmin = F.aggregate(
+        F.transform(
+            "cents",
+            lambda cent: F.struct(
+                sq(cent).alias("dist"), cent["cid"].alias("cid")
+            ),
+        ),
+        F.struct(
+            F.lit(float("inf")).alias("dist"),
+            F.lit(2**62).cast("long").alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            (x["dist"] < acc["dist"])
+            | ((x["dist"] == acc["dist"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+    assign = v.crossJoin(F.broadcast(cagg)).select(
+        "vec_id", "e", argmin["cid"].alias("cluster")
     )
     # Each vector's norm is computed ONCE here (the same sqrt(dot(v,v))
     # expression the oracle evaluates), not re-derived per pair — the

@@ -199,10 +199,11 @@ def test_headline_shuffle_budgets(spark):
         "q161_ks_test": 2,  # distinct-value agg + global cdf window
         "q164_temperature_mix": 5,  # source agg + total agg subtrees
         "q165_tokenizer_fertility": 3,  # round-robin + lang agg + sort
-        # assign agg (min-struct + first(e), no join-back) + pair join
-        # + regroup + sort; duplicated av subtree counted twice here,
-        # ReuseExchange dedupes at execution
-        "q151b_semdedup_scaled": 9,
+        # MAP-ONLY assignment (1-row centroid broadcast + in-row
+        # argmin fold — no crossJoin expansion, no SortAggregate)
+        # + pair join sides + regroup + sort; duplicated subtrees
+        # counted per side, ReuseExchange dedupes at execution
+        "q151b_semdedup_scaled": 6,
         "q162_corpus_build": 19,  # 4-stage funnel w/ flag joins
         "q163_dup_span_removal": 19,  # pos/gram explodes + dup agg + bands
         # round-4 late additions (stats/eval family)
