@@ -706,3 +706,157 @@ def q215_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("merge_count"), "pair")
         .limit(10)
     )
+
+
+_UNI_MAX_PIECE = 4
+_UNI_TOP_PIECES = 200
+
+
+@register("q217_unigram_viterbi", None)  # per-word DP → rows-only
+def q217_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization (Kudo 2018, SentencePiece's model): the
+    E-step of unigram tokenizer training — Viterbi-segment every word
+    into the highest-likelihood piece sequence under a fixed piece
+    vocabulary, and report per-piece usage (the statistic the M-step
+    prunes on). Completes the tokenizer-training surface next to BPE
+    pair counting (q201) and merge application (q215).
+
+    Piece vocabulary (deterministic, data-derived): every single
+    character (guarantees coverage) plus the top-200 substrings of
+    length 2–4 by frequency-weighted count over the DISTINCT-word
+    table; scores are integer micro-nat log-probs ln(cnt/total). The
+    per-word DP maximizes the SUM of piece scores with ties broken
+    toward FEWER pieces then lexicographically-earlier segmentation,
+    so the result is deterministic.
+
+    Spark-first shape: everything corpus-scale is the ONE word-count
+    shuffle (q201's argument); candidate counting explodes substrings
+    of the Zipf-bounded distinct-word table; the bounded piece table
+    (≤ 200 + |alphabet| rows) collects to the driver — a vocabulary
+    artifact, the k-means-centroid precedent — and rides into an
+    Arrow-batched mapInPandas closure that runs the O(len·L) Viterbi
+    per distinct word. Python touches ONLY vocabulary-sized data; at
+    100 TB the corpus pass stays JVM-side. Rows-only by design: a
+    sequential DP has no SQL oracle; optimality is pinned in pytest by
+    brute-force enumeration on short words plus coverage/score
+    invariants on all.
+    """
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # Candidate substrings (len 2..4) weighted by word freq, JVM-side.
+    subs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(2), F.lit(_UNI_MAX_PIECE)),
+                        # Guard: sequence(1, 0) DESCENDS in Spark (the
+                        # q201 footgun), fabricating out-of-range
+                        # starts for words shorter than l — emit an
+                        # empty list for those (length, l) combos.
+                        lambda l: F.when(
+                            F.length("word") >= l,
+                            F.transform(
+                                F.sequence(
+                                    F.lit(1), F.length("word") - l + 1
+                                ),
+                                lambda i: F.expr("word").substr(i, l),
+                            ),
+                        ).otherwise(
+                            F.array().cast("array<string>")
+                        ),
+                    )
+                )
+            ).alias("piece"),
+        )
+        .filter(F.length("piece") >= 2)
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(_UNI_TOP_PIECES)
+    )
+    chars = (
+        words.select(
+            "freq",
+            F.explode(F.split("word", "")).alias("piece"),
+        )
+        .filter(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    piece_rows = chars.unionByName(subs).groupBy("piece").agg(
+        F.max("cnt").alias("cnt")
+    )
+    pieces = {r["piece"]: r["cnt"] for r in piece_rows.collect()}
+    total = sum(pieces.values())
+    import math
+
+    score = {
+        p: int(round(1_000_000 * math.log(c / total))) for p, c in pieces.items()
+    }
+
+    out_schema = (
+        "word string, freq long, segmentation string, n_pieces long, "
+        "score_micro long"
+    )
+
+    def viterbi_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            segs, nps, scores = [], [], []
+            for w in pdf["word"]:
+                # dp[i] = (score, -n_pieces, seg_tuple) best for w[:i];
+                # max by score, then fewer pieces, then lexicographic.
+                dp = [None] * (len(w) + 1)
+                dp[0] = (0, 0, ())
+                for i in range(1, len(w) + 1):
+                    best = None
+                    for l in range(1, min(_UNI_MAX_PIECE, i) + 1):
+                        p = w[i - l : i]
+                        prev = dp[i - l]
+                        if prev is None or p not in score:
+                            continue
+                        cand = (
+                            prev[0] + score[p],
+                            prev[1] - 1,
+                            prev[2] + (p,),
+                        )
+                        if (
+                            best is None
+                            or (cand[0], cand[1]) > (best[0], best[1])
+                            or (
+                                (cand[0], cand[1]) == (best[0], best[1])
+                                and cand[2] < best[2]
+                            )
+                        ):
+                            best = cand
+                    dp[i] = best
+                fin = dp[len(w)]
+                segs.append("|".join(fin[2]))
+                nps.append(-fin[1])
+                scores.append(fin[0])
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "freq": pdf["freq"],
+                    "segmentation": segs,
+                    "n_pieces": nps,
+                    "score_micro": scores,
+                }
+            )
+
+    return (
+        words.mapInPandas(viterbi_batches, schema=out_schema)
+        .orderBy(F.desc("freq"), "word")
+        .limit(50)
+    )

@@ -201,3 +201,79 @@ def test_semdedup_scaled_cluster_sizes_bounded(spark):
     )
     max_cluster = assigned.groupBy("cid").count().agg(F.max("count")).collect()[0][0]
     assert max_cluster <= 3 * math.sqrt(n), (max_cluster, n)
+
+
+def test_q217_viterbi_coverage_scores_and_optimality(spark):
+    """Unigram-LM Viterbi invariants: (1) every segmentation
+    concatenates back to its word; (2) the reported score is the sum
+    of the pieces' micro-nat scores under the SAME piece table the
+    operator derived; (3) for short words the DP result equals
+    brute-force enumeration over all segmentations."""
+    import itertools
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from ooh_etl_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["q217_unigram_viterbi"].fn(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.segmentation.str.replace("|", "", regex=False) == out.word).all()
+
+    # Rebuild the piece table exactly as the operator defines it.
+    raw = duckdb.sql(
+        f"SELECT lower(text) t FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+    words = Counter()
+    for t in raw.t:
+        for w in re.split(r"\s+", t):
+            if w:
+                words[w] += 1
+    subs = Counter()
+    for w, f in words.items():
+        for l in range(2, 5):
+            for i in range(len(w) - l + 1):
+                subs[w[i : i + l]] += f
+    top = dict(
+        sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    )
+    chars = Counter()
+    for w, f in words.items():
+        for c in w:
+            chars[c] += f
+    pieces = dict(chars)
+    for p, c in top.items():
+        pieces[p] = max(pieces.get(p, 0), c)
+    total = sum(pieces.values())
+    score = {
+        p: int(round(1_000_000 * math.log(c / total)))
+        for p, c in pieces.items()
+    }
+
+    def all_segs(w):
+        if not w:
+            yield ()
+            return
+        for l in range(1, min(4, len(w)) + 1):
+            if w[:l] in score:
+                for rest in all_segs(w[l:]):
+                    yield (w[:l],) + rest
+
+    for r in out.itertuples():
+        segs = r.segmentation.split("|")
+        assert r.n_pieces == len(segs)
+        assert r.score_micro == sum(score[p] for p in segs)
+        if len(r.word) <= 6:
+            best = max(
+                all_segs(r.word),
+                key=lambda s: (
+                    sum(score[p] for p in s),
+                    -len(s),
+                    tuple(-ord(c) for p in s for c in p),
+                ),
+            )
+            bs = sum(score[p] for p in best)
+            assert r.score_micro == bs, (r.word, r.segmentation, best)
