@@ -350,3 +350,149 @@ def q181_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, frame_idx int, mean_all double"
     return docs.mapInPandas(op, schema=schema).orderBy("doc_id", "frame_idx")
+
+
+# --- q218: decode + frame-level audio features --------------------------
+_FRAME = 64  # 256 samples -> 4 frames
+
+_DUCK_AFRAMES = f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         f AS (SELECT doc_id, fr.f AS frame_id
+               FROM d, generate_series(0, {_N_SAMP // _FRAME - 1}) AS fr(f)),
+         s AS (
+      SELECT doc_id, frame_id,
+             list_transform(generate_series(0, {_FRAME - 1}),
+               i -> (doc_id * 7 + (frame_id * {_FRAME} + i) * 13)
+                    % 2048 - 1024) AS v
+      FROM f)
+    SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+           CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+                AS BIGINT) AS energy,
+           CAST(len(list_filter(generate_series(0, {_FRAME - 2}),
+                i -> v[i + 1] * v[i + 2] < 0)) AS BIGINT) AS zero_crossings
+    FROM s ORDER BY doc_id, frame_id
+"""
+
+
+@register("q218_audio_frame_features", _DUCK_AFRAMES)
+def q218_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio feature extraction — the step after q157's
+    decode in any speech/audio curation pipeline: the PCM stream is
+    cut into fixed 64-sample frames and each frame emits integer
+    ENERGY (sum of squared amplitudes — the VAD/silence-gate
+    statistic) and ZERO-CROSSING count (strict sign flips — the
+    classic voiced/unvoiced discriminator). The oracle recomputes the
+    waveform closed-form per frame, so a frame-boundary off-by-one,
+    window misalignment, or sign-handling bug breaks the value hash.
+
+    Both features are exact integers (squares and comparisons of
+    int16 samples), so no quantization is needed anywhere. Shape: one
+    narrow mapInPandas decode+frame pass (rows out = payloads x
+    frames, still no shuffle) and the final sort; Arrow batching
+    bounds memory by batch size, not corpus size.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ooh_etl_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(_N_SAMP, dtype=np.int64)
+                samples = (int(doc_id) * 7 + i * 13) % 2048 - 1024
+                payload = encode_wav_pcm16(samples, _SR)
+                decoded, _sr = decode_wav_pcm16(payload)
+                v = decoded.astype(np.int64)
+                for f in range(_N_SAMP // _FRAME):
+                    fv = v[f * _FRAME : (f + 1) * _FRAME]
+                    energy = int((fv * fv).sum())
+                    zc = int((fv[:-1] * fv[1:] < 0).sum())
+                    rows.append((int(doc_id), f, energy, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_id", "energy", "zero_crossings"],
+            )
+
+    schema = (
+        "doc_id long, frame_id long, energy long, zero_crossings long"
+    )
+    return docs.mapInPandas(op, schema=schema).orderBy("doc_id", "frame_id")
+
+
+# --- q219: decode + luma histogram --------------------------------------
+_LUMA_BIN = 32  # 256 levels -> 8 bins
+
+_DUCK_LUMA = f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           CAST((((doc_id * 31 + 3 * t.k) % 256) * 299
+                 + ((doc_id * 31 + 3 * t.k + 1) % 256) * 587
+                 + ((doc_id * 31 + 3 * t.k + 2) % 256) * 114) // 1000
+                // {_LUMA_BIN} AS BIGINT) AS bin,
+           count(*) AS n_px
+    FROM d, generate_series(0, {_IMG_W * _IMG_H - 1}) AS t(k)
+    GROUP BY 1, 2
+    ORDER BY doc_id, bin
+"""
+
+
+@register("q219_image_luma_histogram", _DUCK_LUMA)
+def q219_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image luminance histogram — the exposure/contrast profile a
+    vision-data curation pass filters on (all-dark, all-blown, or
+    low-contrast images are training poison): each synthesized PPM is
+    DECODED (q156's codec), every pixel maps to integer luma via the
+    BT.601 weights (299·R + 587·G + 114·B)//1000 — kept in integer
+    thousandths so no float ever appears — and luma buckets into 8
+    bins of 32 levels. The oracle recomputes the histogram closed-form
+    from the pixel formula; a channel swap or stride bug shifts bins
+    and breaks the hash.
+
+    Shape: decode + histogram in ONE mapInPandas pass emitting at most
+    8 rows per image (the histogram is the aggregation state, computed
+    where the pixels are — no pixel-level shuffle ever); the final
+    sort is the only exchange.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ooh_etl_spark.operators.multimodal import decode_ppm, encode_ppm
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n = _IMG_W * _IMG_H * 3
+                px = ((int(doc_id) * 31 + np.arange(n)) % 256).astype(np.uint8)
+                payload = encode_ppm(px.reshape(_IMG_H, _IMG_W, 3))
+                img = decode_ppm(payload).astype(np.int64)
+                flat = img.reshape(-1, 3)
+                luma = (
+                    flat[:, 0] * 299 + flat[:, 1] * 587 + flat[:, 2] * 114
+                ) // 1000
+                bins = luma // _LUMA_BIN
+                for b, c in zip(*np.unique(bins, return_counts=True)):
+                    rows.append((int(doc_id), int(b), int(c)))
+            yield pd.DataFrame(rows, columns=["doc_id", "bin", "n_px"])
+
+    schema = "doc_id long, bin long, n_px long"
+    return docs.mapInPandas(op, schema=schema).orderBy("doc_id", "bin")
