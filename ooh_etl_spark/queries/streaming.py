@@ -334,3 +334,52 @@ def q174_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_completion(agg, spark)
+
+
+@register(
+    "q220_stream_static_enrich",
+    """
+    SELECT e.event_id,
+           e.user_id,
+           n.n_name AS nation,
+           CAST(round(e.value * 100) AS BIGINT) AS value_c
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+)
+def q220_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming shape (a fact stream decorated with slowly-changing
+    dimensions): the purchase event stream inner-joins the STATIC
+    customer→nation dimension chain. Unlike q118's stream-stream
+    join, the static side needs no watermark and holds NO join state —
+    Spark re-plans it per micro-batch as an ordinary broadcast join,
+    so state size is zero no matter how long the stream runs; that is
+    the 100 TB answer for enrichment (and why the dimension belongs on
+    the static side, never as a second stream).
+
+    Fully ORACLE-BEARING, unlike the stateful streaming entries: an
+    append-mode inner join with no aggregation emits exactly the
+    batch-join rows, so the DuckDB three-way join reproduces the
+    output bit-for-bit (money in integer cents, the house policy).
+    """
+    ev = _event_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name")
+    )
+    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("nation")
+    )
+    enriched = ev.join(dim, ev.user_id == dim.c_custkey).select(
+        "event_id",
+        "user_id",
+        "nation",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    return _run_to_completion(enriched, spark).orderBy("event_id")
