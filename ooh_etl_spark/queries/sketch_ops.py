@@ -244,3 +244,155 @@ def q204_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (8 * samp).cast("bigint").alias("est_pairs"),
         F.round(10000.0 * (8 * samp - tot) / tot).cast("bigint").alias("err_bp"),
     )
+
+
+_HLL_M = 256  # registers (p = 8 bucket bits = first 2 hex chars)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # Flajolet et al. 2007
+
+
+@register(
+    "q221_hll_registers",
+    f"""
+    WITH h AS (
+      SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h
+      FROM events),
+         nib AS (
+      SELECT event_type,
+             16 * (CASE WHEN substr(h, 1, 1) <= '9'
+                        THEN ascii(substr(h, 1, 1)) - 48
+                        ELSE ascii(substr(h, 1, 1)) - 87 END)
+             + (CASE WHEN substr(h, 2, 1) <= '9'
+                     THEN ascii(substr(h, 2, 1)) - 48
+                     ELSE ascii(substr(h, 2, 1)) - 87 END) AS bucket,
+             ltrim(substr(h, 3, 30), '0') AS t,
+             30 - length(ltrim(substr(h, 3, 30), '0')) AS zc
+      FROM h),
+         rho AS (
+      SELECT event_type, bucket,
+             CASE WHEN t = '' THEN 121
+                  ELSE 4 * zc
+                       + (CASE WHEN (CASE WHEN substr(t, 1, 1) <= '9'
+                                          THEN ascii(substr(t, 1, 1)) - 48
+                                          ELSE ascii(substr(t, 1, 1)) - 87
+                                     END) >= 8 THEN 0
+                               WHEN (CASE WHEN substr(t, 1, 1) <= '9'
+                                          THEN ascii(substr(t, 1, 1)) - 48
+                                          ELSE ascii(substr(t, 1, 1)) - 87
+                                     END) >= 4 THEN 1
+                               WHEN (CASE WHEN substr(t, 1, 1) <= '9'
+                                          THEN ascii(substr(t, 1, 1)) - 48
+                                          ELSE ascii(substr(t, 1, 1)) - 87
+                                     END) >= 2 THEN 2
+                               ELSE 3 END) + 1 END AS rho
+      FROM nib),
+         regs AS (
+      SELECT event_type, bucket, max(rho) AS m_j
+      FROM rho GROUP BY event_type, bucket),
+         merged AS (
+      SELECT 'ALL' AS event_type, bucket, max(m_j) AS m_j
+      FROM regs GROUP BY bucket),
+         allregs AS (
+      SELECT * FROM regs UNION ALL SELECT * FROM merged),
+         est AS (
+      SELECT event_type,
+             sum(CAST(round(power(2.0, -m_j) * 1000000000000000)
+                      AS BIGINT)) AS s_int,
+             count(*) AS n_present
+      FROM allregs GROUP BY event_type)
+    SELECT event_type,
+           CAST({_HLL_M} - n_present AS BIGINT) AS n_zero_regs,
+           CAST(CASE
+             WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M} * 1000000000000000
+                  / (s_int + ({_HLL_M} - n_present) * 1000000000000000)
+                  <= 2.5 * {_HLL_M}
+              AND {_HLL_M} - n_present > 0
+             THEN round({_HLL_M} * ln({_HLL_M} * 1.0
+                                      / ({_HLL_M} - n_present)))
+             ELSE round(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+                        * 1000000000000000
+                        / (s_int + ({_HLL_M} - n_present)
+                           * 1000000000000000))
+           END AS BIGINT) AS hll_estimate
+    FROM est
+    ORDER BY event_type
+    """,
+)
+def q221_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built FROM RELATIONAL PRIMITIVES (Flajolet, Fusy,
+    Gandouet & Meunier 2007) with a full SQL oracle — unlike q11b's
+    builtin (whose HLL++ internals no oracle can reproduce), every step
+    here is engine-identical arithmetic on the SAME md5 hex digest:
+    bucket = first 2 nibbles (m = 256 registers), rho = 1 + leading
+    zero BITS of the remaining 120 (ltrim-'0' counts zero nibbles, a
+    CASE ladder scores the first non-zero nibble), registers are a
+    (group, bucket) max-aggregate — and per-group registers MERGE into
+    the global sketch by bucket-wise max, demonstrating the
+    mergeability that makes HLL the distributed-count-distinct answer
+    (partial sketches union across partitions/epochs with no rescan).
+    The harmonic-mean term 2^-M_j is an exact power of two quantized
+    to integer 1e-15 units BEFORE summation (order-free), and the
+    small-range regime applies linear counting m·ln(m/V) on exact
+    integer ratios (the q187 ln contract).
+
+    100 TB shape: one (group, bucket)-keyed shuffle with map-side
+    partial max — at most groups x 256 rows cross the wire no matter
+    the corpus; the merge and estimate run over register-sized tables.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select("event_type", F.md5(F.col("event_id").cast("string")).alias("h"))
+
+    def nibble(c: F.Column) -> F.Column:
+        return F.when(c <= "9", F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
+
+    tail = F.expr("substr(h, 3, 30)")
+    t = F.expr("ltrim('0', substr(h, 3, 30))")
+    nib = h.select(
+        "event_type",
+        (16 * nibble(F.substring("h", 1, 1)) + nibble(F.substring("h", 2, 1))).alias(
+            "bucket"
+        ),
+        t.alias("t"),
+        (F.length(tail) - F.length(t)).alias("zc"),
+    )
+    first = nibble(F.substring("t", 1, 1))
+    rho = nib.select(
+        "event_type",
+        "bucket",
+        F.when(F.col("t") == "", F.lit(121))
+        .otherwise(
+            4 * F.col("zc")
+            + F.when(first >= 8, 0)
+            .when(first >= 4, 1)
+            .when(first >= 2, 2)
+            .otherwise(3)
+            + 1
+        )
+        .alias("rho"),
+    )
+    regs = rho.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    merged = regs.groupBy("bucket").agg(
+        F.max("m_j").alias("m_j")
+    ).select(F.lit("ALL").alias("event_type"), "bucket", "m_j")
+    allregs = regs.unionByName(merged)
+    est = allregs.groupBy("event_type").agg(
+        F.sum(
+            F.round(F.pow(F.lit(2.0), -F.col("m_j")) * 1_000_000_000_000_000)
+            .cast("bigint")
+        ).alias("s_int"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    m = _HLL_M
+    full_s = F.col("s_int") + (m - F.col("n_present")) * 1_000_000_000_000_000
+    raw = F.lit(_HLL_ALPHA) * m * m * 1_000_000_000_000_000 / full_s
+    v = m - F.col("n_present")
+    return est.select(
+        "event_type",
+        v.cast("bigint").alias("n_zero_regs"),
+        F.when(
+            (raw <= 2.5 * m) & (v > 0),
+            F.round(m * F.log(m * 1.0 / v)),
+        )
+        .otherwise(F.round(raw))
+        .cast("bigint")
+        .alias("hll_estimate"),
+    ).orderBy("event_type")

@@ -470,3 +470,28 @@ def test_q216_directions_match_pandas(spark):
         assert (r.n_a, r.r_a, r.n_b, r.r_b) == (na, ra, nb, rb)
         assert r.dir_stratum == int(np.sign(ra * nb - rb * na))
         assert r.flipped == int(na > 0 and nb > 0 and r.dir_stratum * dp == -1)
+
+
+def test_q221_hll_estimate_accuracy_and_merge(spark):
+    """The from-primitives HLL must land within the ~3*1.04/sqrt(256)
+    relative-error envelope of the exact distinct counts, and the
+    merged 'ALL' sketch must estimate the union, not the sum."""
+    out = run(spark, "q221_hll_registers").set_index("event_type")
+    exact = dict(
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT event_id) FROM "
+            f"read_parquet('{SF_DIR}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    exact["ALL"] = duckdb.sql(
+        f"SELECT count(DISTINCT event_id) FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    rel = 3 * 1.04 / (256 ** 0.5)  # 3 sigma for m=256
+    for et, n in exact.items():
+        est = out.loc[et, "hll_estimate"]
+        assert abs(est - n) <= max(rel * n, 10), (et, est, n)
+    # merged estimate ~ union cardinality, far below the per-type sum
+    per_type_sum = sum(v for k, v in exact.items() if k != "ALL")
+    assert out.loc["ALL", "hll_estimate"] < 1.2 * exact["ALL"]
+    assert per_type_sum >= exact["ALL"]  # sanity on the fixture
