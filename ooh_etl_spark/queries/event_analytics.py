@@ -391,3 +391,222 @@ def q212_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(25)
     )
+
+
+def _markov_attribution_sql(k_iters: int = 20) -> str:
+    """Generate the IDENTICAL SQL text both engines run for q222:
+    journey construction, removal-variant transition tables, and
+    ``k_iters`` unrolled absorption-probability iterations (p in
+    integer ppb; each step's division is the same IEEE double op on
+    exact integers, floored — engine-identical)."""
+    # Each step references the PREVIOUS p exactly once: the absorbing
+    # states ride the transition table as unit self-loops (CONV->CONV,
+    # NULL->NULL with cnt=rowsum=1), so no UNION ALL back-reference is
+    # needed — a second reference per step would inline the whole
+    # subtree twice and blow the plan up exponentially (2^k).
+    steps = []
+    for k in range(1, k_iters + 1):
+        steps.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT tv.variant, tv.s,
+         CAST(FLOOR((2 * sum(tv.cnt * p.p) + rs.rowsum)
+                    / (2.0 * rs.rowsum)) AS BIGINT) AS p
+  FROM tv
+  JOIN p{k - 1} p ON p.variant = tv.variant AND p.s = tv.t2
+  JOIN rowsums rs ON rs.variant = tv.variant AND rs.s = tv.s
+  GROUP BY tv.variant, tv.s, rs.rowsum
+)""")
+    return f"""
+WITH fp AS MATERIALIZED (
+  SELECT user_id, min(ts) AS p_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id),
+j AS MATERIALIZED (
+  SELECT e.user_id, e.ts, e.event_id, e.event_type,
+         CASE WHEN fp.p_ts IS NULL THEN 0 ELSE 1 END AS converted
+  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (fp.p_ts IS NULL OR e.ts < fp.p_ts)),
+seq AS MATERIALIZED (
+  SELECT user_id, event_type AS s, converted,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM j),
+trans AS MATERIALIZED (
+  SELECT s,
+         CASE WHEN nxt IS NOT NULL THEN nxt
+              WHEN converted = 1 THEN 'CONV'
+              ELSE 'NULL' END AS t,
+         count(*) AS cnt
+  FROM seq GROUP BY 1, 2),
+variants AS MATERIALIZED (
+  SELECT 'base' AS variant
+  UNION ALL
+  SELECT DISTINCT 'rm_' || event_type FROM events
+  WHERE event_type <> 'purchase'),
+tv AS MATERIALIZED (
+  SELECT v.variant, tr.s,
+         CASE WHEN v.variant = 'rm_' || tr.t THEN 'NULL'
+              ELSE tr.t END AS t2,
+         sum(tr.cnt) AS cnt
+  FROM trans tr CROSS JOIN variants v
+  WHERE v.variant <> 'rm_' || tr.s
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT variant, 'CONV', 'CONV', CAST(1 AS BIGINT) FROM variants
+  UNION ALL
+  SELECT variant, 'NULL', 'NULL', CAST(1 AS BIGINT) FROM variants),
+rowsums AS MATERIALIZED (
+  SELECT variant, s, sum(cnt) AS rowsum FROM tv GROUP BY 1, 2),
+p0 AS MATERIALIZED (
+  SELECT variant, s,
+         CAST(CASE WHEN s = 'CONV' THEN 1000000000 ELSE 0 END AS BIGINT)
+           AS p
+  FROM rowsums),
+{",".join(steps)},
+starts AS MATERIALIZED (
+  SELECT s, count(*) AS cnt FROM seq WHERE rn = 1 GROUP BY s),
+conv AS MATERIALIZED (
+  SELECT v.variant,
+         CAST(FLOOR((2 * sum(st.cnt * pf.p) + tot.n)
+                    / (2.0 * tot.n)) AS BIGINT) AS conv_ppb
+  FROM variants v
+  CROSS JOIN (SELECT sum(cnt) AS n FROM starts) tot
+  JOIN starts st ON 1 = 1
+  JOIN p{k_iters} pf
+    ON pf.variant = v.variant
+   AND pf.s = CASE WHEN v.variant = 'rm_' || st.s THEN 'NULL'
+                   ELSE st.s END
+  GROUP BY v.variant, tot.n)
+SELECT c.variant, c.conv_ppb,
+       CAST(CASE WHEN c.variant = 'base' THEN 0
+                 ELSE FLOOR(10000.0 * (b.conv_ppb - c.conv_ppb)
+                            / b.conv_ppb) END AS BIGINT)
+         AS removal_effect_bp
+FROM conv c
+CROSS JOIN (SELECT conv_ppb FROM conv WHERE variant = 'base') b
+ORDER BY c.variant
+"""
+
+
+_MARKOV_SQL = _markov_attribution_sql()
+
+
+@register("q222_markov_attribution", _MARKOV_SQL)
+def q222_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2016 —
+    the data-driven alternative to q100's first-touch heuristic):
+    journeys truncate at first purchase, a first-order transition
+    matrix absorbs into CONV/NULL, and each channel's value is the
+    RELATIVE DROP in overall conversion probability when that channel
+    is removed (transitions into it redirect to NULL).
+
+    Division of labor — the 100 TB design point of this query: the
+    CORPUS-SCALE work (journey truncation, one per-user ordered
+    window, one transition aggregate) runs in Spark and REDUCES the
+    data to a transition table bounded by |states|² (tens of rows no
+    matter the corpus); the 20-step absorption solve over that tiny
+    matrix then runs driver-side (the k-means-centroid / piece-table
+    precedent) — pushing a 40-row fixed-point loop through 20 nested
+    Catalyst plans measurably blows up analysis time while computing
+    nothing distributed. The driver loop replicates the ORACLE's
+    arithmetic exactly: probabilities in integer ppb, each step's one
+    division (2S+R)/(2R) evaluated as the same IEEE double op then
+    floored, so no drift can accumulate and the DuckDB single-SQL
+    oracle (which unrolls the same 20 steps as CTEs) matches
+    bit-for-bit — proving the whole pipeline end-to-end.
+    """
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    j = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(F.col("p_ts").isNull() | (F.col("ts") < F.col("p_ts")))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("s"),
+            F.col("p_ts").isNotNull().cast("int").alias("converted"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = j.select(
+        "s",
+        "converted",
+        F.lead("s", 1).over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans_rows = (
+        seq.select(
+            "s",
+            F.coalesce(
+                "nxt",
+                F.when(F.col("converted") == 1, F.lit("CONV")).otherwise(
+                    F.lit("NULL")
+                ),
+            ).alias("t"),
+        )
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    start_rows = (
+        seq.filter(F.col("rn") == 1).groupBy("s").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    ).collect()
+
+    trans = {(r["s"], r["t"]): r["cnt"] for r in trans_rows}
+    starts = {r["s"]: r["cnt"] for r in start_rows}
+    channels = sorted({s for s, _ in trans})
+    variants = ["base"] + [f"rm_{c}" for c in channels]
+
+    def solve(variant: str) -> int:
+        rm = variant[3:] if variant != "base" else None
+        tv: dict[tuple[str, str], int] = {}
+        for (a, b), cnt in trans.items():
+            if a == rm:
+                continue
+            b2 = "NULL" if b == rm else b
+            tv[(a, b2)] = tv.get((a, b2), 0) + cnt
+        tv[("CONV", "CONV")] = 1
+        tv[("NULL", "NULL")] = 1
+        rowsum: dict[str, int] = {}
+        for (a, _), cnt in tv.items():
+            rowsum[a] = rowsum.get(a, 0) + cnt
+        p = {a: (1_000_000_000 if a == "CONV" else 0) for a in rowsum}
+        for _ in range(20):
+            nxt = {}
+            for a in rowsum:
+                acc = sum(cnt * p[b] for (x, b), cnt in tv.items() if x == a)
+                # same IEEE double division + floor the oracle runs
+                nxt[a] = int(math.floor((2 * acc + rowsum[a]) / (2.0 * rowsum[a])))
+            p = nxt
+        total = sum(starts.values())
+        acc = sum(
+            cnt * p["NULL" if variant == f"rm_{s0}" else s0]
+            for s0, cnt in starts.items()
+        )
+        return int(math.floor((2 * acc + total) / (2.0 * total)))
+
+    conv = {v: solve(v) for v in variants}
+    base = conv["base"]
+    rows = [
+        (
+            v,
+            conv[v],
+            0 if v == "base" else int(math.floor(10000.0 * (base - conv[v]) / base)),
+        )
+        for v in sorted(variants)
+    ]
+    return spark.createDataFrame(
+        rows, "variant string, conv_ppb long, removal_effect_bp long"
+    )

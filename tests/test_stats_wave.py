@@ -495,3 +495,20 @@ def test_q221_hll_estimate_accuracy_and_merge(spark):
     per_type_sum = sum(v for k, v in exact.items() if k != "ALL")
     assert out.loc["ALL", "hll_estimate"] < 1.2 * exact["ALL"]
     assert per_type_sum >= exact["ALL"]  # sanity on the fixture
+
+
+def test_q222_markov_attribution_invariants(spark):
+    """Removal-effect sanity: base variant has zero effect by
+    definition; every channel's removal can only reduce conversion
+    (effect in [0, 10000] bp); probabilities stay inside the ppb
+    simplex; and removing a channel that appears on converting paths
+    must strictly hurt (all four synthetic channels do)."""
+    out = run(spark, "q222_markov_attribution")
+    assert list(out.variant) == sorted(out.variant)
+    base = out[out.variant == "base"]
+    assert len(base) == 1 and base.removal_effect_bp.iloc[0] == 0
+    assert (out.conv_ppb >= 0).all() and (out.conv_ppb <= 1_000_000_000).all()
+    rm = out[out.variant != "base"]
+    assert (rm.removal_effect_bp > 0).all()
+    assert (rm.removal_effect_bp <= 10_000).all()
+    assert (rm.conv_ppb < base.conv_ppb.iloc[0]).all()
