@@ -496,3 +496,82 @@ def q219_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, bin long, n_px long"
     return docs.mapInPandas(op, schema=schema).orderBy("doc_id", "bin")
+
+
+# --- q224: motion energy between consecutive frames ---------------------
+_DUCK_MOTION = f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         f AS (
+      SELECT doc_id, unnest(generate_series(1, {_N_FRAMES - 1}))
+               AS frame_idx
+      FROM d)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(list_aggregate(list_transform(
+             generate_series(0, {_IMG_W * _IMG_H * 3 - 1}),
+             j -> abs((doc_id * 31 + frame_idx * 97 + j) % 256
+                      - (doc_id * 31 + (frame_idx - 1) * 97 + j) % 256)),
+             'sum') AS BIGINT) AS motion_sad
+    FROM f ORDER BY doc_id, frame_idx
+"""
+
+
+@register("q224_video_motion_energy", _DUCK_MOTION)
+def q224_video_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal motion energy over the q181 video container: the SAD
+    (sum of absolute pixel differences) between every consecutive
+    frame pair — the scene-cut / static-clip detector a video curation
+    pass runs before sampling (all-static clips carry one frame of
+    information; cuts mark segment boundaries for clip extraction).
+    Every frame is decoded via the REAL container walk + P6 decode;
+    the oracle recomputes each frame pair's SAD closed-form from the
+    pixel formula, so boundary desync, stride, or channel bugs break
+    the exact integer hash.
+
+    Shape: decode + difference in one narrow mapInPandas pass holding
+    only two frames at a time (streaming over the container — memory
+    is per-frame, not per-video); output rows = frames-1 per payload;
+    the only exchange is the final sort. SAD stays in exact int64
+    (255 x 3HW per pair bounds it far below overflow).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ooh_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        split_ppm_frames,
+    )
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n = _IMG_W * _IMG_H * 3
+                video = b"".join(
+                    encode_ppm(
+                        ((int(doc_id) * 31 + f * 97 + np.arange(n)) % 256)
+                        .astype(np.uint8)
+                        .reshape(_IMG_H, _IMG_W, 3)
+                    )
+                    for f in range(_N_FRAMES)
+                )
+                frames = split_ppm_frames(video)
+                prev = decode_ppm(frames[0]).astype(np.int64)
+                for f in range(1, _N_FRAMES):
+                    cur = decode_ppm(frames[f]).astype(np.int64)
+                    sad = int(np.abs(cur - prev).sum())
+                    rows.append((int(doc_id), f, sad))
+                    prev = cur
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "motion_sad"]
+            )
+
+    schema = "doc_id long, frame_idx long, motion_sad long"
+    return docs.mapInPandas(op, schema=schema).orderBy("doc_id", "frame_idx")

@@ -316,3 +316,68 @@ def q214_luhn_check_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_digit")
     )
+
+
+@register(
+    "q223_pseudonymized_join",
+    """
+    WITH c AS (
+      SELECT sha256('pepper-v1:' || CAST(c_custkey AS VARCHAR)) AS tok,
+             c_nationkey
+      FROM customer),
+         o AS (
+      SELECT sha256('pepper-v1:' || CAST(o_custkey AS VARCHAR)) AS tok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders),
+         j AS (
+      SELECT c.c_nationkey, o.price_c, c.tok
+      FROM o JOIN c ON o.tok = c.tok)
+    SELECT n.n_name AS nation,
+           count(*) AS n_orders,
+           CAST(sum(j.price_c) AS BIGINT) AS revenue_c,
+           min(j.tok) AS sample_token
+    FROM j JOIN nation n ON n.n_nationkey = j.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q223_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymized analytics join — the governance pattern behind
+    GDPR-safe data sharing: raw customer keys never leave their
+    source; both sides tokenize with the SAME peppered hash
+    (sha256('pepper-v1:' || key) — deterministic so the join still
+    works, peppered so tokens can't be reversed by brute-forcing the
+    key space), and revenue-per-nation aggregates entirely over
+    tokens. Complements q71 (redaction) and q142 (k-anonymity):
+    this is the linkage-WITHOUT-identifiers piece.
+
+    The ``sample_token`` column forces both engines through the exact
+    same hash bytes (hex string equality), so the oracle verifies the
+    tokenization itself, not just the join topology. Shape: identical
+    to the plain key join — the token is computed in the scan
+    projection (narrow), the join shuffles on the token exactly as it
+    would on the key (same row counts, same skew profile), and money
+    stays in integer cents. Pepper rotation = one literal change.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.sha2(F.concat(F.lit("pepper-v1:"), F.col("c_custkey").cast("string")), 256)
+        .alias("tok"),
+        "c_nationkey",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.sha2(F.concat(F.lit("pepper-v1:"), F.col("o_custkey").cast("string")), 256)
+        .alias("tok"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    j = orders.join(cust, "tok")
+    return (
+        j.join(F.broadcast(nat), j.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_c").cast("bigint").alias("revenue_c"),
+            F.min("tok").alias("sample_token"),
+        )
+        .orderBy("nation")
+    )
