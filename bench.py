@@ -63,6 +63,11 @@ HEADLINE = [
     # scale-safe epoch shuffle (sharded rank, no global sort).
     "q201_bpe_merge_pairs",
     "q203_epoch_shuffle",
+    # round-4 late wave: the tall-skinny X'X vector reduction (shuffle
+    # bounded by partitions x d(d+1)/2) and the Markov removal-effect
+    # attribution (corpus -> bounded transition table + driver solve).
+    "q209_embedding_gram",
+    "q222_markov_attribution",
 ]
 
 

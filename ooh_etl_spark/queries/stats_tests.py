@@ -458,3 +458,115 @@ def q210_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kappa_bp"),
     ).orderBy("lang")
+
+
+_DP_EPS = 0.5  # per-release epsilon; b = 1/eps = 2.0
+_DP_SCALE = 1048576  # 2^20 uniform grid from the md5 nibbles
+
+
+@register(
+    "q225_dp_noisy_counts",
+    f"""
+    WITH c AS (
+      SELECT lang, source, count(*) AS n
+      FROM documents GROUP BY lang, source),
+         u AS (
+      SELECT lang, source, n,
+             (CASE WHEN substr(md5('dp-v1:' || lang || '|' || source), 1, 1)
+                        <= '9'
+                   THEN ascii(substr(md5('dp-v1:' || lang || '|' || source),
+                                     1, 1)) - 48
+                   ELSE ascii(substr(md5('dp-v1:' || lang || '|' || source),
+                                     1, 1)) - 87 END) * 65536
+             + (CASE WHEN substr(md5('dp-v1:' || lang || '|' || source), 2, 1)
+                          <= '9'
+                     THEN ascii(substr(md5('dp-v1:' || lang || '|' || source),
+                                       2, 1)) - 48
+                     ELSE ascii(substr(md5('dp-v1:' || lang || '|' || source),
+                                       2, 1)) - 87 END) * 4096
+             + (CASE WHEN substr(md5('dp-v1:' || lang || '|' || source), 3, 1)
+                          <= '9'
+                     THEN ascii(substr(md5('dp-v1:' || lang || '|' || source),
+                                       3, 1)) - 48
+                     ELSE ascii(substr(md5('dp-v1:' || lang || '|' || source),
+                                       3, 1)) - 87 END) * 256
+             + (CASE WHEN substr(md5('dp-v1:' || lang || '|' || source), 4, 1)
+                          <= '9'
+                     THEN ascii(substr(md5('dp-v1:' || lang || '|' || source),
+                                       4, 1)) - 48
+                     ELSE ascii(substr(md5('dp-v1:' || lang || '|' || source),
+                                       4, 1)) - 87 END) * 16
+             + (CASE WHEN substr(md5('dp-v1:' || lang || '|' || source), 5, 1)
+                          <= '9'
+                     THEN ascii(substr(md5('dp-v1:' || lang || '|' || source),
+                                       5, 1)) - 48
+                     ELSE ascii(substr(md5('dp-v1:' || lang || '|' || source),
+                                       5, 1)) - 87 END) AS ug
+      FROM c),
+         noise AS (
+      SELECT lang, source, n,
+             CAST(round(
+               CASE WHEN ug * 2 + 1 >= {_DP_SCALE}
+                    THEN -(1.0 / {_DP_EPS!r})
+                         * ln(1.0 - (2.0 * ug + 1 - {_DP_SCALE})
+                              / {_DP_SCALE})
+                    ELSE (1.0 / {_DP_EPS!r})
+                         * ln((2.0 * ug + 1.0) / {_DP_SCALE})
+               END) AS BIGINT) AS lap
+      FROM u)
+    SELECT lang, source,
+           CAST(greatest(n + lap, 0) AS BIGINT) AS noisy_n,
+           CAST(lap AS BIGINT) AS noise
+    FROM noise
+    ORDER BY lang, source
+    """,
+)
+def q225_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork et al. 2006, the
+    Laplace mechanism): each (lang, source) cell count — sensitivity 1
+    — gets Laplace(1/ε) noise via inverse-CDF transform of a uniform
+    draw, then post-processing clamps to >= 0 (post-processing never
+    spends privacy budget). TESTABILITY CAVEAT, stated loudly: the
+    uniform draw here is SEEDED from md5 of the cell key so the oracle
+    can verify the mechanism's arithmetic end-to-end; seeded noise is
+    NOT differentially private — production swaps the md5 draw for a
+    real RNG and everything else (sensitivity analysis, scale b = 1/ε,
+    clamping, the release shape) is exactly this query. This is the
+    engine's privacy-mechanism plumbing under test, not a privacy
+    proof. TRUE counts never appear in the released columns (noise is
+    shown here only because the fixture gate hashes it; a release
+    would project it away).
+
+    Shape: one contingency aggregate (map-side partials), then pure
+    per-cell expressions: 5 md5 nibbles -> a 2^20 uniform grid point,
+    the two-sided inverse CDF ±(1/ε)·ln(·) evaluates on exact integer
+    ratios (the q187 ln contract), rounds to integer noise, and clamps.
+    Zero shuffles beyond the aggregate at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    h = F.md5(F.concat(F.lit("dp-v1:"), F.col("lang"), F.lit("|"), F.col("source")))
+
+    def nib(i: int) -> F.Column:
+        ch = F.substring(h, i, 1)
+        return F.when(ch <= "9", F.ascii(ch) - 48).otherwise(F.ascii(ch) - 87)
+
+    ug = (
+        nib(1) * 65536 + nib(2) * 4096 + nib(3) * 256 + nib(4) * 16 + nib(5)
+    )
+    b = 1.0 / _DP_EPS
+    lap = F.round(
+        F.when(
+            ug * 2 + 1 >= _DP_SCALE,
+            -b * F.log(1.0 - (2.0 * ug + 1 - _DP_SCALE) / F.lit(float(_DP_SCALE))),
+        ).otherwise(b * F.log((2.0 * ug + 1.0) / F.lit(float(_DP_SCALE)))),
+    ).cast("bigint")
+    return (
+        c.select(
+            "lang",
+            "source",
+            F.greatest(F.col("n") + lap, F.lit(0)).cast("bigint").alias("noisy_n"),
+            lap.alias("noise"),
+        )
+        .orderBy("lang", "source")
+    )

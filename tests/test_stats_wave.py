@@ -512,3 +512,27 @@ def test_q222_markov_attribution_invariants(spark):
     assert (rm.removal_effect_bp > 0).all()
     assert (rm.removal_effect_bp <= 10_000).all()
     assert (rm.conv_ppb < base.conv_ppb.iloc[0]).all()
+
+
+def test_q225_dp_mechanism_properties(spark):
+    """Laplace-mechanism invariants on the seeded draw: released
+    counts are non-negative (post-processing), noise is two-sided and
+    centered-ish (both signs occur; |noise| within ~b*ln(grid) hard
+    bound), and the release differs from the true counts somewhere
+    (the mechanism actually fires)."""
+    import math
+
+    out = run(spark, "q225_dp_noisy_counts")
+    true = duckdb.sql(
+        f"SELECT lang, source, count(*) n FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet') GROUP BY 1,2"
+    ).df().set_index(["lang", "source"])
+    assert (out.noisy_n >= 0).all()
+    assert (out.noise > 0).any() and (out.noise < 0).any()
+    b = 2.0  # 1/eps
+    hard = b * math.log(2 ** 20) + 1
+    assert out.noise.abs().max() <= hard
+    merged = out.set_index(["lang", "source"]).join(true)
+    clamped = merged[merged.noisy_n > 0]
+    assert (clamped.noisy_n == (merged.n + merged.noise).clip(lower=0)).all()
+    assert (out.noise != 0).any()
