@@ -533,6 +533,7 @@ def test_q225_dp_mechanism_properties(spark):
     hard = b * math.log(2 ** 20) + 1
     assert out.noise.abs().max() <= hard
     merged = out.set_index(["lang", "source"]).join(true)
-    clamped = merged[merged.noisy_n > 0]
-    assert (clamped.noisy_n == (merged.n + merged.noise).clip(lower=0)).all()
+    assert (
+        merged.noisy_n == (merged.n + merged.noise).clip(lower=0)
+    ).all()
     assert (out.noise != 0).any()
