@@ -900,3 +900,220 @@ def q211_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("bigint").alias("n_risk"),
         F.sum("f_micro").over(w_cum).cast("bigint").alias("surv_log_micro"),
     ).orderBy("t_h")
+
+
+_MSPRT_TAU2 = 2500.0  # mixing variance (cents^2): tau = 50 cents
+_MSPRT_ALPHA = 0.05  # always-valid level; reject when logLambda >= ln(1/a)
+
+
+@register(
+    "q226_msprt_sequential",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, user_id % 2 AS arm,
+             count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS sx,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS sxx
+      FROM events GROUP BY 1, 2),
+         cum AS (
+      SELECT d, arm,
+             sum(n) OVER w AS n,
+             sum(sx) OVER w AS sx,
+             sum(sxx) OVER w AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY arm ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         wide AS (
+      SELECT a.d, a.n AS n_a, b.n AS n_b,
+             a.sx * 1.0 / a.n AS mean_a, b.sx * 1.0 / b.n AS mean_b,
+             (a.sxx - a.sx * a.sx * 1.0 / a.n) / (a.n - 1) AS var_a,
+             (b.sxx - b.sx * b.sx * 1.0 / b.n) / (b.n - 1) AS var_b
+      FROM (SELECT * FROM cum WHERE arm = 0) a
+      JOIN (SELECT * FROM cum WHERE arm = 1) b ON a.d = b.d
+      WHERE a.n > 1 AND b.n > 1),
+         lam AS (
+      SELECT d, n_a, n_b,
+             0.5 * ln((var_a / n_a + var_b / n_b)
+                      / (var_a / n_a + var_b / n_b
+                         + CAST({_MSPRT_TAU2!r} AS DOUBLE)))
+             + (mean_b - mean_a) * (mean_b - mean_a)
+               * CAST({_MSPRT_TAU2!r} AS DOUBLE)
+               / (2.0 * (var_a / n_a + var_b / n_b)
+                  * (var_a / n_a + var_b / n_b
+                     + CAST({_MSPRT_TAU2!r} AS DOUBLE))) AS log_lambda
+      FROM wide)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(round(1000000 * log_lambda) AS BIGINT)
+             AS log_lambda_micro,
+           CAST(CASE WHEN log_lambda >= ln(1.0 / {_MSPRT_ALPHA!r})
+                     THEN 1 ELSE 0 END AS BIGINT) AS rejected
+    FROM lam
+    ORDER BY day
+    """,
+)
+def q226_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring by mixture SPRT (Johari,
+    Koomen, Pekelis & Walsh, KDD'17 — the 'peeking problem' fix):
+    after every day, the normal-mixture likelihood ratio
+    Λ = sqrt(se²/(se²+τ²))·exp(δ²τ²/(2·se²·(se²+τ²))) is recomputed
+    from CUMULATIVE per-arm statistics; rejecting whenever Λ ≥ 1/α
+    controls type-I error at α under continuous monitoring — q192's
+    fixed-horizon Welch t is only valid at ONE pre-registered look.
+    Emitted in log space (micro-nats) so the statistic never
+    overflows; the decision threshold is ln(1/α).
+
+    Shape: the corpus pass is one (day, arm) aggregate carrying exact
+    integer (n, Σx, Σx²) in cents — the cumulative windows and the
+    per-day likelihood ratio then run over the DAY-GRAIN table
+    (bounded by the experiment's calendar length at any traffic
+    volume). Every input to the double-precision formula is an exact
+    integer, so both engines evaluate identical IEEE expressions
+    (q192's contract, extended with one quantized output).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("d"),
+            (F.col("user_id") % 2).alias("arm"),
+            vc.alias("vc"),
+        )
+        .groupBy("d", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("sx"),
+            F.sum(F.col("vc") * F.col("vc")).alias("sxx"),
+        )
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "d",
+        "arm",
+        F.sum("n").over(w).alias("n"),
+        F.sum("sx").over(w).alias("sx"),
+        F.sum("sxx").over(w).alias("sxx"),
+    )
+    a = cum.filter(F.col("arm") == 0).select(
+        "d", F.col("n").alias("n_a"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a")
+    )
+    b = cum.filter(F.col("arm") == 1).select(
+        "d", F.col("n").alias("n_b"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    wide = a.join(b, "d").filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+    mean_a = F.col("sx_a") * 1.0 / F.col("n_a")
+    mean_b = F.col("sx_b") * 1.0 / F.col("n_b")
+    var_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") * 1.0 / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") * 1.0 / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    tau2 = F.lit(_MSPRT_TAU2)
+    log_lambda = 0.5 * F.log(se2 / (se2 + tau2)) + (mean_b - mean_a) * (
+        mean_b - mean_a
+    ) * tau2 / (2.0 * se2 * (se2 + tau2))
+    import math
+
+    return wide.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(1000000 * log_lambda).cast("bigint").alias("log_lambda_micro"),
+        (log_lambda >= math.log(1.0 / _MSPRT_ALPHA))
+        .cast("bigint")
+        .alias("rejected"),
+    ).orderBy("day")
+
+
+@register(
+    "q227_quantile_treatment_effect",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CAST(round(value * 100) AS BIGINT)) AS metric_c
+      FROM events GROUP BY user_id),
+         qq AS (
+      SELECT arm,
+             CAST(quantile_disc(metric_c, 0.1) AS BIGINT) AS p1,
+             CAST(quantile_disc(metric_c, 0.2) AS BIGINT) AS p2,
+             CAST(quantile_disc(metric_c, 0.3) AS BIGINT) AS p3,
+             CAST(quantile_disc(metric_c, 0.4) AS BIGINT) AS p4,
+             CAST(quantile_disc(metric_c, 0.5) AS BIGINT) AS p5,
+             CAST(quantile_disc(metric_c, 0.6) AS BIGINT) AS p6,
+             CAST(quantile_disc(metric_c, 0.7) AS BIGINT) AS p7,
+             CAST(quantile_disc(metric_c, 0.8) AS BIGINT) AS p8,
+             CAST(quantile_disc(metric_c, 0.9) AS BIGINT) AS p9
+      FROM per_user GROUP BY arm),
+         q AS (
+      SELECT g.q AS pct, arm,
+             CASE g.q WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 WHEN 4 THEN p4 WHEN 5 THEN p5 WHEN 6 THEN p6 WHEN 7 THEN p7 WHEN 8 THEN p8 WHEN 9 THEN p9 END AS v_c
+      FROM qq, generate_series(1, 9) AS g(q))
+    SELECT a.pct,
+           a.v_c AS control_c,
+           b.v_c AS treat_c,
+           CAST(b.v_c - a.v_c AS BIGINT) AS qte_c
+    FROM (SELECT * FROM q WHERE arm = 0) a
+    JOIN (SELECT * FROM q WHERE arm = 1) b ON a.pct = b.pct
+    ORDER BY a.pct
+    """,
+)
+def q227_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (Koenker & Bassett 1978 applied to
+    A/B readouts): the per-decile difference between the treatment and
+    control metric distributions — the readout that catches effects a
+    mean test (q192) averages away (e.g. treatment helps the p10 tail
+    and hurts p90: ATE ~ 0, QTE curve shows both). Deciles are exact
+    DISCRETE percentiles over integer cents (the q141 convention), so
+    every output cell is engine-exact with no quantization at all.
+
+    Shape: one per-user reduce (the corpus pass), then per-arm sorted
+    percentile aggregation — percentile_disc shuffles each arm once;
+    at extreme user counts the documented swap is approx_percentile
+    with everything downstream unchanged. The decile join is a
+    9-row x 9-row merge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("metric_c")
+        )
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            "metric_c",
+        )
+    )
+
+    def disc(q: int) -> F.Column:
+        return F.expr(
+            f"percentile_disc({q} / 10.0) WITHIN GROUP (ORDER BY metric_c)"
+        ).cast("bigint")
+
+    q = per_user.groupBy("arm").agg(
+        *[disc(i).alias(f"p{i}") for i in range(1, 10)]
+    )
+    import itertools
+
+    long = q.selectExpr(
+        "arm",
+        "stack(9, " + ", ".join(f"{i}, p{i}" for i in range(1, 10)) + ") AS (pct, v_c)",
+    )
+    a = long.filter(F.col("arm") == 0).select("pct", F.col("v_c").alias("control_c"))
+    b = long.filter(F.col("arm") == 1).select("pct", F.col("v_c").alias("treat_c"))
+    return (
+        a.join(b, "pct")
+        .select(
+            F.col("pct").cast("bigint").alias("pct"),
+            "control_c",
+            "treat_c",
+            (F.col("treat_c") - F.col("control_c")).cast("bigint").alias("qte_c"),
+        )
+        .orderBy("pct")
+    )

@@ -537,3 +537,40 @@ def test_q225_dp_mechanism_properties(spark):
         merged.noisy_n == (merged.n + merged.noise).clip(lower=0)
     ).all()
     assert (out.noise != 0).any()
+
+
+def test_q226_msprt_monotone_inputs_and_threshold(spark):
+    """mSPRT invariants: cumulative sample sizes are non-decreasing
+    day over day; the rejection flag is exactly the ln(1/alpha)
+    threshold applied to the emitted statistic; and log-lambda's
+    penalty term keeps it below zero when means are equal-ish early."""
+    import math
+
+    out = run(spark, "q226_msprt_sequential")
+    assert list(out.day) == sorted(out.day)
+    assert (out.n_a.diff().dropna() >= 0).all()
+    assert (out.n_b.diff().dropna() >= 0).all()
+    thr = 1_000_000 * math.log(1 / 0.05)
+    assert (
+        (out.log_lambda_micro >= thr) == (out.rejected == 1)
+    ).all()
+
+
+def test_q227_qte_matches_numpy_deciles(spark):
+    import numpy as np
+
+    out = run(spark, "q227_quantile_treatment_effect")
+    raw = duckdb.sql(
+        f"""
+        SELECT user_id % 2 AS arm,
+               sum(CAST(round(value * 100) AS BIGINT)) AS m
+        FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY user_id
+        """
+    ).df()
+    for arm, colname in ((0, "control_c"), (1, "treat_c")):
+        v = np.sort(raw[raw.arm == arm].m.to_numpy())
+        for r in out.itertuples():
+            # type-1 discrete percentile: smallest v with cume_dist >= q
+            want = v[int(np.ceil(len(v) * r.pct / 10)) - 1]
+            assert getattr(r, colname) == want
+    assert (out.qte_c == out.treat_c - out.control_c).all()
