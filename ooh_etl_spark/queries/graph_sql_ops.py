@@ -482,3 +482,74 @@ def q191_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jacc_ppm").desc(), "part_a", "part_b")
         .limit(_LP_TOP)
     )
+
+
+_CF_TOP = 15
+
+
+@register(
+    "q228_item_cf_cosine",
+    f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         deg AS (
+      SELECT l_partkey, count(*) AS d FROM items GROUP BY l_partkey),
+         cooc AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT cooc.pa, cooc.pb,
+           CAST(cooc.c AS BIGINT) AS cooc,
+           CAST(round(1000000.0 * cooc.c / sqrt(da.d * db.d)) AS BIGINT)
+             AS cosine_e6
+    FROM cooc
+    JOIN deg da ON da.l_partkey = cooc.pa
+    JOIN deg db ON db.l_partkey = cooc.pb
+    ORDER BY cosine_e6 DESC, pa, pb
+    LIMIT {_CF_TOP}
+    """,
+)
+def q228_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. WWW'01, the
+    'customers who bought X also bought Y' backbone): q117's raw
+    co-occurrence support normalized to BINARY COSINE
+    c / sqrt(d_a·d_b), which deflates ubiquitous items that co-occur
+    with everything — the reason production recommenders rank on
+    similarity, not support. Cosine quantized to 1e-6 on exact
+    integer (c, d_a, d_b): sqrt and one division on exact ints are
+    engine-identical IEEE ops.
+
+    Shape: co-occurrence fans out keyed on o_orderkey (quadratic in
+    LINES PER ORDER — bounded — linear in orders); degree table is a
+    second small aggregate joined back on the part key; top-k lands
+    in TakeOrderedAndProject. At recommender scale the standard
+    refinement is capping per-order item lists and hashing the pair
+    space — both narrow changes on this exact plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    deg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    cooc = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(F.col("l_partkey").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("l_partkey").alias("pb"), F.col("d").alias("db"))
+    return (
+        cooc.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("c").cast("bigint").alias("cooc"),
+            F.round(1000000.0 * F.col("c") / F.sqrt(F.col("da") * F.col("db")))
+            .cast("bigint")
+            .alias("cosine_e6"),
+        )
+        .orderBy(F.desc("cosine_e6"), "pa", "pb")
+        .limit(_CF_TOP)
+    )
