@@ -654,3 +654,123 @@ def q213_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q229_seasonal_profile",
+    """
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+         tot AS (
+      SELECT sum(n) AS n_total, count(*) AS n_cells FROM cells)
+    SELECT c.dow, c.hod, CAST(c.n AS BIGINT) AS n,
+           CAST(round(10000.0 * c.n * t.n_cells / t.n_total) AS BIGINT)
+             AS index_bp
+    FROM cells c CROSS JOIN tot t
+    ORDER BY dow, hod
+    """,
+)
+def q229_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heatmap: event volume per (day-of-week,
+    hour-of-day) cell with a SEASONAL INDEX — cell count over the
+    all-cells mean, in basis points (10000 = flat; the ops/forecasting
+    profile behind staffing curves and anomaly baselines like q107's,
+    which assumes stationarity this query would disprove). Exact
+    integer counts; one double ratio per cell, rounded.
+
+    Shape: ONE calendar-keyed aggregate over the scan (<= 168 cells
+    regardless of corpus size — map-side partials absorb everything),
+    a 1-row total broadcast, then per-cell math. The extreme-scale
+    cost is identical to a count(*): this is the cheapest profile a
+    100 TB event store can buy. DOW convention pinned by the oracle:
+    both engines number Sunday = 0 (Spark dayofweek is 1-based
+    Sunday = 1, so the Spark side subtracts 1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hod",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(10000.0 * F.col("n") * F.col("n_cells") / F.col("n_total"))
+            .cast("bigint")
+            .alias("index_bp"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@register(
+    "q230_fano_burstiness",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2),
+         s AS (
+      SELECT event_type, count(*) AS k, sum(n) AS sx, sum(n * n) AS sxx
+      FROM hourly GROUP BY event_type)
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_hours,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST(round(1000000.0 * (sxx - sx * sx * 1.0 / k) / (k - 1)
+                      / (sx * 1.0 / k)) AS BIGINT) AS fano_e6
+    FROM s
+    WHERE k > 1
+    ORDER BY event_type
+    """,
+)
+def q230_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness by Fano factor (variance-to-mean ratio of hourly
+    arrival counts, Fano 1947): a Poisson-random arrival process has
+    F = 1; F >> 1 means bursty/clumped traffic (retry storms, batch
+    jobs, bot waves), F << 1 means regularized traffic (rate limiting
+    works) — the single-number dispersion diagnostic behind q134's
+    burst detector and any autoscaling policy. Computed per event
+    type from exact integer (k, Σn, Σn²) over the hour-grain table,
+    so the one double expression per type is engine-identical; output
+    in 1e-6 units.
+
+    Shape: the corpus pass is the hourly aggregate (calendar-bounded
+    key space, map-side partials); the moment reduce runs over the
+    hour-grain table. Two shuffles total at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") * 1.0 / F.col("k")) / (
+        F.col("k") - 1
+    )
+    mean = F.col("sx") * 1.0 / F.col("k")
+    return (
+        s.filter(F.col("k") > 1)
+        .select(
+            "event_type",
+            F.col("k").cast("bigint").alias("n_hours"),
+            F.col("sx").cast("bigint").alias("n_events"),
+            F.round(1000000.0 * var / mean).cast("bigint").alias("fano_e6"),
+        )
+        .orderBy("event_type")
+    )
