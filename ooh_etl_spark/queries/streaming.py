@@ -383,3 +383,86 @@ def q220_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
     )
     return _run_to_completion(enriched, spark).orderBy("event_id")
+
+
+_PYSTREAM_N = 500
+
+
+@register(
+    "q231_pysource_stream",
+    f"""
+    WITH g AS (SELECT unnest(generate_series(0, {_PYSTREAM_N - 1})) AS i)
+    SELECT CASE CAST((i // 7) % 3 AS INT)
+             WHEN 0 THEN 'High school diploma'
+             WHEN 1 THEN 'Bachelor''s degree'
+             ELSE 'Master''s degree' END AS education,
+           count(*) AS n,
+           CAST(sum(30000 + (i * 7919) % 90000) AS BIGINT) AS wage_sum,
+           CAST(sum(CASE WHEN (i * 2654435761) % 97 < 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+    FROM g GROUP BY 1
+    ORDER BY education
+    """,
+)
+def q231_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python data source (Spark 4's
+    SimpleDataSourceStreamReader — the streaming twin of the
+    ``occupation_feed`` batch source): an offset-tracked micro-batched
+    feed whose recovery contract (``readBetweenOffsets`` replays any
+    [start, end) id range) is exactly the Kafka-offset model, here
+    backed by a pure function of the record id. The stream drains
+    through append-mode micro-batches into a sink, then aggregates per
+    education level.
+
+    Fully ORACLE-BEARING despite being a true stream: the generator is
+    deterministic integer arithmetic, so DuckDB re-derives every
+    record from generate_series and must match the drained sink
+    bit-for-bit — which proves offset bookkeeping loses and duplicates
+    nothing across micro-batches (a dropped or replayed batch shifts
+    the counts and breaks the hash).
+
+    100 TB notes: a Python streaming source is rate-bounded by the
+    single-process reader (Spark's simple-reader design); production
+    feeds at volume use partitioned sources (Kafka) — this entry is
+    the API-surface proof, with the same exactly-once contract.
+    """
+    import time
+    import uuid
+
+    from ooh_etl_spark.sources.pysource import register_occupation_stream
+
+    register_occupation_stream(spark)
+    st = (
+        spark.readStream.format("occupation_stream")
+        .option("numRecords", _PYSTREAM_N)
+        .option("batchSize", 200)
+        .load()
+    )
+    name = "pystream_" + uuid.uuid4().hex[:8]
+    q = (
+        st.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        for _ in range(200):
+            q.processAllAvailable()
+            if spark.table(name).count() >= _PYSTREAM_N:
+                break
+            time.sleep(0.1)
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    return (
+        sink.groupBy("education")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("median_pay_annual").cast("bigint")).alias("wage_sum"),
+            F.sum(F.col("outlook_bright").cast("int")).cast("bigint").alias(
+                "n_bright"
+            ),
+        )
+        .orderBy("education")
+    )

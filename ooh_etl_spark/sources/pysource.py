@@ -29,6 +29,18 @@ class _RangePartition(InputPartition):
         self.start, self.end = start, end
 
 
+def _feed_row(i: int) -> tuple:
+    """One deterministic feed record — shared by the batch reader, the
+    streaming reader, and (re-derived in SQL) the q231 oracle."""
+    return (
+        i,
+        f"{_TITLES[i % len(_TITLES)]} {i}",
+        float(30000 + (i * 7919) % 90000),  # annual wage
+        _EDU[(i // 7) % len(_EDU)],
+        (i * 2654435761) % 97 < 30,  # ~30% flagged
+    )
+
+
 class OccupationFeedReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("numrecords", 1000))
@@ -42,13 +54,7 @@ class OccupationFeedReader(DataSourceReader):
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
-            yield (
-                i,
-                f"{_TITLES[i % len(_TITLES)]} {i}",
-                float(30000 + (i * 7919) % 90000),  # annual wage
-                _EDU[(i // 7) % len(_EDU)],
-                (i * 2654435761) % 97 < 30,  # ~30% flagged
-            )
+            yield _feed_row(i)
 
 
 class OccupationFeedSource(DataSource):
@@ -71,3 +77,55 @@ class OccupationFeedSource(DataSource):
 
 def register_occupation_feed(spark) -> None:
     spark.dataSource.register(OccupationFeedSource)
+
+
+# --- streaming flavor: the same feed as a micro-batched stream ----------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class OccupationStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming reader over the deterministic feed:
+    each micro-batch advances the id offset by ``batchsize`` until
+    ``numrecords`` is exhausted, after which empty batches signal 'no
+    new data' (so ``processAllAvailable`` terminates). Exactly-once
+    comes from ``readBetweenOffsets``: on recovery Spark replays the
+    [start, end) id range, and the generator is a pure function of the
+    id — the same contract a Kafka-offset replay provides."""
+
+    def __init__(self, options):
+        self.n = int(options.get("numrecords", 1000))
+        self.batch = int(options.get("batchsize", 200))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i0 = int(start["i"])
+        i1 = min(i0 + self.batch, self.n)
+        return iter([_feed_row(i) for i in range(i0, i1)]), {"i": i1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_feed_row(i) for i in range(int(start["i"]), int(end["i"]))])
+
+
+class OccupationStreamSource(DataSource):
+    """spark.readStream.format("occupation_stream")
+    .option("numRecords", n).option("batchSize", b).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "occupation_stream"
+
+    def schema(self) -> str:
+        return (
+            "occ_id bigint, title string, median_pay_annual double,"
+            " education string, outlook_bright boolean"
+        )
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return OccupationStreamReader(self.options)
+
+
+def register_occupation_stream(spark) -> None:
+    spark.dataSource.register(OccupationStreamSource)

@@ -165,3 +165,23 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_expected
     assert got.select("event_id").distinct().count() == n_expected
+
+
+def test_occupation_stream_replay_between_offsets(spark):
+    """The streaming source's recovery contract: readBetweenOffsets
+    must reproduce exactly the rows the live read() emitted for the
+    same offset range (pure-function-of-id determinism — what makes
+    checkpoint replay exactly-once)."""
+    from ooh_etl_spark.sources.pysource import OccupationStreamReader
+
+    r = OccupationStreamReader({"numrecords": "50", "batchsize": "20"})
+    live, off1 = r.read(r.initialOffset())
+    live = list(live)
+    assert off1 == {"i": 20} and len(live) == 20
+    replay = list(r.readBetweenOffsets({"i": 0}, {"i": 20}))
+    assert replay == live
+    # tail batch is clamped at numrecords, then the stream goes quiet
+    rows2, off2 = r.read({"i": 40})
+    assert off2 == {"i": 50} and len(list(rows2)) == 10
+    rows3, off3 = r.read({"i": 50})
+    assert off3 == {"i": 50} and list(rows3) == []
