@@ -150,3 +150,58 @@ def q172_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q232_arrow_python_udf",
+    """
+    WITH d AS (
+      SELECT o_orderkey,
+             list_aggregate(list_transform(
+               string_split(CAST(o_orderkey AS VARCHAR), ''),
+               c -> ascii(c) - 48), 'sum') AS key_digit_sum
+      FROM orders WHERE o_orderkey < 2000)
+    SELECT key_digit_sum,
+           count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM d GROUP BY key_digit_sum
+    ORDER BY key_digit_sum
+    """,
+)
+def q232_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``useArrow=True`` — Spark
+    3.5+'s third Python eval path, completing the engine's UDF surface
+    next to row-pickled UDFs, pandas UDFs (q47), UDTFs (q48),
+    grouped-agg (q172), mapInPandas (q156+) and stateful
+    applyInPandas (q46)): the Arrow path batches rows through the
+    same columnar transfer pandas UDFs use but keeps the per-row
+    Python function signature — the cheap migration for existing UDF
+    code. The function (digit sum of the order key) is exact integer
+    arithmetic, so the DuckDB re-derivation matches bit-for-bit.
+
+    Plan note: this is still a Python-process hop (ArrowEvalPython
+    node) — the docstring contract everywhere else in this repo
+    stands: hot-path expressions belong JVM-side, and q232 exists to
+    prove the API works, pinned by the oracle, not to encourage the
+    pattern. The filter bounds the Python-touched rows.
+    """
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="long", useArrow=True)
+    def digit_sum(k: int) -> int:
+        return sum(int(c) for c in str(k))
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    return (
+        orders.select(
+            "o_orderkey", digit_sum("o_orderkey").alias("key_digit_sum")
+        )
+        .groupBy("key_digit_sum")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+        .orderBy("key_digit_sum")
+    )
