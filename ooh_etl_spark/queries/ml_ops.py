@@ -772,3 +772,99 @@ def q209_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+@register(
+    "q233_lift_gains_table",
+    f"""
+    WITH s AS ({_DUCK_SCORED}),
+         hist AS (
+      SELECT CAST(round(1000000 * p) AS BIGINT) AS p_e6,
+             count(*) AS n, sum(y) AS pos
+      FROM s GROUP BY 1),
+         cum AS (
+      SELECT p_e6, n, pos,
+             sum(n) OVER w AS cum_n,
+             sum(pos) OVER w AS cum_pos
+      FROM hist
+      WINDOW w AS (ORDER BY p_e6 DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         tot AS (SELECT sum(n) AS tn, sum(pos) AS tp FROM hist),
+         dec AS (
+      SELECT CAST(CEIL(cum_n * 10.0 / t.tn) AS BIGINT) AS decile,
+             max(cum_n) AS cum_n, max(cum_pos) AS cum_pos,
+             max(t.tn) AS tn, max(t.tp) AS tp
+      FROM cum CROSS JOIN tot t
+      GROUP BY 1)
+    SELECT decile,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(FLOOR(10000.0 * cum_pos / tp) AS BIGINT) AS gains_bp,
+           CAST(FLOOR(10000.0 * cum_pos * tn / (tp * cum_n)) AS BIGINT)
+             AS lift_bp
+    FROM dec
+    ORDER BY decile
+    """,
+)
+def q233_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table (the campaign-targeting readout
+    next to q170's calibration and q196's AUC): sort by model score
+    descending, and at each population decile report what fraction of
+    all positives is captured (gains) and how much better than random
+    that is (lift = gains / population share). Random scoring has
+    lift 1.0 everywhere; a useful model front-loads positives.
+
+    Scale shape is q196's histogram-window contract: the corpus pass
+    is ONE aggregate onto the quantized-score grid (p_e6, bounded by
+    the quantization, never corpus rows); the descending cumulative
+    window and decile rollup run over that bounded histogram. Lift is
+    computed by integer cross-multiplication inside one double op
+    (exact inputs, both engines identical); the decile of a histogram
+    row is CEIL on exact integers.
+    """
+    s = _scored(spark, sf_dir)
+    hist = (
+        s.select(
+            F.round(1000000 * F.col("p")).cast("bigint").alias("p_e6"), "y"
+        )
+        .groupBy("p_e6")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    w = (
+        Window.orderBy(F.desc("p_e6"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "p_e6",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+    )
+    tot = hist.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
+    dec = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.ceil(F.col("cum_n") * 10.0 / F.col("tn")).cast("bigint").alias(
+                "decile"
+            )
+        )
+        .agg(
+            F.max("cum_n").alias("cum_n"),
+            F.max("cum_pos").alias("cum_pos"),
+            F.max("tn").alias("tn"),
+            F.max("tp").alias("tp"),
+        )
+    )
+    return dec.select(
+        "decile",
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        F.col("cum_pos").cast("bigint").alias("cum_pos"),
+        F.floor(10000.0 * F.col("cum_pos") / F.col("tp"))
+        .cast("bigint")
+        .alias("gains_bp"),
+        F.floor(
+            10000.0 * F.col("cum_pos") * F.col("tn")
+            / (F.col("tp") * F.col("cum_n"))
+        )
+        .cast("bigint")
+        .alias("lift_bp"),
+    ).orderBy("decile")
