@@ -740,23 +740,23 @@ def q209_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    tri = F.filter(
-        F.flatten(
-            F.transform(
-                x,
-                lambda xi, i: F.transform(
-                    x,
-                    lambda xj, j: F.struct(
-                        i.alias("i"),
-                        j.alias("j"),
-                        F.floor(xi * xj * F.lit(1000000000.0))
-                        .cast("bigint")
-                        .alias("p"),
-                    ),
+    # Build ONLY the upper triangle (slice from i forward) instead of
+    # materializing all d² products and filtering half away — measured
+    # ~2x on the bench since struct construction dominates this query.
+    tri = F.flatten(
+        F.transform(
+            x,
+            lambda xi, i: F.transform(
+                F.slice(x, i + 1, F.size(F.col("embedding")) - i),
+                lambda xj, rel: F.struct(
+                    i.alias("i"),
+                    (i + rel).alias("j"),
+                    F.floor(xi * xj * F.lit(1000000000.0))
+                    .cast("bigint")
+                    .alias("p"),
                 ),
-            )
-        ),
-        lambda s: s["i"] <= s["j"],
+            ),
+        )
     )
     return (
         emb.select(F.explode(tri).alias("s"))
