@@ -544,7 +544,10 @@ def q222_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("s", 1).over(w).alias("nxt"),
         F.row_number().over(w).alias("rn"),
     )
-    trans_rows = (
+    # Transition counts and start-state counts reduce in ONE job: the
+    # start marker rides as a second grouping key ('^' target), so the
+    # corpus pass + window run once instead of twice.
+    agg_rows = (
         seq.select(
             "s",
             F.coalesce(
@@ -553,19 +556,20 @@ def q222_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("NULL")
                 ),
             ).alias("t"),
+            (F.col("rn") == 1).cast("int").alias("is_start"),
         )
         .groupBy("s", "t")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("is_start").alias("n_start"),
+        )
         .collect()
     )
-    start_rows = (
-        seq.filter(F.col("rn") == 1).groupBy("s").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-    ).collect()
-
-    trans = {(r["s"], r["t"]): r["cnt"] for r in trans_rows}
-    starts = {r["s"]: r["cnt"] for r in start_rows}
+    trans = {(r["s"], r["t"]): r["cnt"] for r in agg_rows}
+    starts: dict[str, int] = {}
+    for r in agg_rows:
+        if r["n_start"]:
+            starts[r["s"]] = starts.get(r["s"], 0) + r["n_start"]
     channels = sorted({s for s, _ in trans})
     variants = ["base"] + [f"rm_{c}" for c in channels]
 
