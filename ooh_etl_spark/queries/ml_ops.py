@@ -868,3 +868,116 @@ def q233_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lift_bp"),
     ).orderBy("decile")
+
+
+@register(
+    "q234_embedding_correlation",
+    f"""
+    WITH v AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS q
+      FROM embeddings),
+         dim AS (
+      SELECT g.i - 1 AS i, count(*) AS n,
+             sum(q[g.i]) AS s, sum(q[g.i] * q[g.i]) AS ss
+      FROM v, generate_series(1, {_DIM}) AS g(i)
+      GROUP BY 1),
+         pair AS (
+      SELECT g1.i - 1 AS i, g2.j - 1 AS j,
+             sum(q[g1.i] * q[g2.j]) AS sij
+      FROM v, generate_series(1, {_DIM}) AS g1(i),
+              generate_series(1, {_DIM}) AS g2(j)
+      WHERE g1.i < g2.j
+      GROUP BY 1, 2)
+    SELECT p.i, p.j,
+           CAST(round(1000000.0
+             * (p.sij * 1.0 / a.n - (a.s * 1.0 / a.n) * (b.s * 1.0 / b.n))
+             / sqrt((a.ss * 1.0 / a.n - (a.s * 1.0 / a.n) * (a.s * 1.0 / a.n))
+                    * (b.ss * 1.0 / b.n
+                       - (b.s * 1.0 / b.n) * (b.s * 1.0 / b.n))))
+             AS BIGINT) AS corr_e6
+    FROM pair p
+    JOIN dim a ON a.i = p.i
+    JOIN dim b ON b.i = p.j
+    ORDER BY p.i, p.j
+    """,
+)
+def q234_embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the embedding dimensions — the
+    statistics-facing companion to q209's Gram: redundant (highly
+    correlated) dimensions are what PCA/JL (q169) compress away, and
+    the feature-selection signal q146 gives for categoricals. Every
+    moment (Σv, Σv², Σv_iv_j) accumulates as EXACT bigints over
+    micro-quantized components; the per-pair r divides moments FIRST
+    (means, then covariance) so no product of global sums can
+    overflow — int64 headroom holds to ~10^6 vectors at unit-scale
+    components, beyond which the documented swap is decimal(38,0)
+    accumulators (the money.py precedent). The final r is one
+    identical IEEE expression on exact integers, quantized to 1e-6.
+
+    Shape: q209's triangle explode (shuffle bounded by partitions x
+    d(d-1)/2) plus a d-row moment table joined back — both joins are
+    register-sized. One corpus pass total.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+    )
+    base = emb.select(q.alias("q"))
+    dim = (
+        base.select(
+            F.posexplode("q").alias("i", "v"),
+        )
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+    )
+    tri = F.flatten(
+        F.transform(
+            F.col("q"),
+            lambda vi, i: F.transform(
+                F.slice(F.col("q"), i + 2, F.size(F.col("q")) - i - 1),
+                lambda vj, rel: F.struct(
+                    i.alias("i"),
+                    (i + 1 + rel).alias("j"),
+                    (vi * vj).alias("p"),
+                ),
+            ),
+        )
+    )
+    pair = (
+        base.select(F.explode(tri).alias("s"))
+        .select(F.col("s.i").alias("i"), F.col("s.j").alias("j"), F.col("s.p").alias("p"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sij"))
+    )
+    a = dim.select(
+        F.col("i").alias("ai"), F.col("n").alias("an"), F.col("s").alias("as_"),
+        F.col("ss").alias("ass"),
+    )
+    b = dim.select(
+        F.col("i").alias("bi"), F.col("n").alias("bn"), F.col("s").alias("bs"),
+        F.col("ss").alias("bss"),
+    )
+    ma = F.col("as_") * 1.0 / F.col("an")
+    mb = F.col("bs") * 1.0 / F.col("bn")
+    cov = F.col("sij") * 1.0 / F.col("an") - ma * mb
+    va = F.col("ass") * 1.0 / F.col("an") - ma * ma
+    vb = F.col("bss") * 1.0 / F.col("bn") - mb * mb
+    return (
+        pair.join(F.broadcast(a), pair.i == F.col("ai"))
+        .join(F.broadcast(b), pair.j == F.col("bi"))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            F.round(1000000.0 * cov / F.sqrt(va * vb)).cast("bigint").alias(
+                "corr_e6"
+            ),
+        )
+        .orderBy("i", "j")
+    )
