@@ -1117,3 +1117,97 @@ def q227_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("pct")
     )
+
+
+@register(
+    "q235_diff_in_differences",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events),
+         tagged AS (
+      SELECT user_id % 2 AS arm,
+             CASE WHEN CAST(e.ts AS DATE) >=
+                       b.lo + CAST(FLOOR(date_diff('day', b.lo, b.hi)
+                                         / 2.0) AS INT)
+                  THEN 1 ELSE 0 END AS post,
+             CAST(round(e.value * 100) AS BIGINT) AS vc
+      FROM events e CROSS JOIN bounds b),
+         cell AS (
+      SELECT arm, post, count(*) AS n, sum(vc) AS sx
+      FROM tagged GROUP BY arm, post)
+    SELECT CAST(t1.n AS BIGINT) AS n_treat_post,
+           CAST(round(10.0 * t1.sx / t1.n) AS BIGINT) AS treat_post_m,
+           CAST(round(10.0 * t0.sx / t0.n) AS BIGINT) AS treat_pre_m,
+           CAST(round(10.0 * c1.sx / c1.n) AS BIGINT) AS ctrl_post_m,
+           CAST(round(10.0 * c0.sx / c0.n) AS BIGINT) AS ctrl_pre_m,
+           CAST(round(10.0 * ((t1.sx * 1.0 / t1.n - t0.sx * 1.0 / t0.n)
+                              - (c1.sx * 1.0 / c1.n - c0.sx * 1.0 / c0.n)))
+                AS BIGINT) AS did_m
+    FROM (SELECT * FROM cell WHERE arm = 1 AND post = 1) t1
+    CROSS JOIN (SELECT * FROM cell WHERE arm = 1 AND post = 0) t0
+    CROSS JOIN (SELECT * FROM cell WHERE arm = 0 AND post = 1) c1
+    CROSS JOIN (SELECT * FROM cell WHERE arm = 0 AND post = 0) c0
+    """,
+)
+def q235_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (Card & Krueger 1994's workhorse —
+    the quasi-experimental estimator when randomization isn't
+    available): treatment and control arms each measured pre/post the
+    calendar midpoint; DiD = (T_post − T_pre) − (C_post − C_pre)
+    cancels both the persistent arm difference and the common time
+    trend, leaving the treatment effect under the parallel-trends
+    assumption. Complements q184 (CUPED needs randomization, DiD
+    doesn't) and q226 (sequential monitoring of a true experiment).
+
+    Engine-exact: the period boundary is pure DATE arithmetic off a
+    1-row min/max broadcast (midpoint by integer floor-division of the
+    day span); cell sums are exact integer cents; the four means and
+    the DiD are identical IEEE expressions on exact ints, emitted in
+    milli-cents. Shape: ONE (arm, period) aggregate over the scan
+    (4 cells, map-side absorbed) after the broadcast bounds join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(
+            F.col("ts").cast("date")
+            >= F.date_add(
+                F.col("lo"),
+                F.floor(F.datediff(F.col("hi"), F.col("lo")) / 2.0).cast("int"),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    cell = tagged.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sx")
+    )
+
+    def pick(arm: int, post: int, pre: str):
+        return (
+            cell.filter((F.col("arm") == arm) & (F.col("post") == post))
+            .select(
+                F.col("n").alias(f"{pre}_n"), F.col("sx").alias(f"{pre}_sx")
+            )
+        )
+
+    t1, t0, c1, c0 = pick(1, 1, "t1"), pick(1, 0, "t0"), pick(0, 1, "c1"), pick(0, 0, "c0")
+    j = t1.crossJoin(t0).crossJoin(c1).crossJoin(c0)
+    m = lambda p: F.col(f"{p}_sx") * 1.0 / F.col(f"{p}_n")
+    return j.select(
+        F.col("t1_n").cast("bigint").alias("n_treat_post"),
+        F.round(10.0 * F.col("t1_sx") / F.col("t1_n")).cast("bigint").alias("treat_post_m"),
+        F.round(10.0 * F.col("t0_sx") / F.col("t0_n")).cast("bigint").alias("treat_pre_m"),
+        F.round(10.0 * F.col("c1_sx") / F.col("c1_n")).cast("bigint").alias("ctrl_post_m"),
+        F.round(10.0 * F.col("c0_sx") / F.col("c0_n")).cast("bigint").alias("ctrl_pre_m"),
+        F.round(10.0 * ((m("t1") - m("t0")) - (m("c1") - m("c0"))))
+        .cast("bigint")
+        .alias("did_m"),
+    )
