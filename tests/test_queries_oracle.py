@@ -70,8 +70,12 @@ def test_registry_hygiene():
         assert spec.doc.strip(), f"{name} has no docstring"
         if spec.oracle is not None:
             assert re.search(r"\bSELECT\b", spec.oracle, re.I), name
-            # reads a fixture table, or is a golden VALUES literal
-            # (the OOH XML surface has no parquet twin)
-            assert any(t in spec.oracle for t in tables) or re.search(
-                r"\bVALUES\b", spec.oracle, re.I
+            # reads a fixture table, is a golden VALUES literal (the
+            # OOH XML surface has no parquet twin), or re-derives a
+            # deterministic generator source from generate_series (the
+            # custom-DataSource queries, e.g. q231's streaming feed)
+            assert (
+                any(t in spec.oracle for t in tables)
+                or re.search(r"\bVALUES\b", spec.oracle, re.I)
+                or re.search(r"\bgenerate_series\b", spec.oracle, re.I)
             ), f"{name} oracle reads no fixture table and is not a golden literal"
