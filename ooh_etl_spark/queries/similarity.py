@@ -48,3 +48,97 @@ def q31_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_pairs(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 5), threshold=1.2
     )
+
+
+_EVAL_NQ = 50  # query set size
+_EVAL_K = 10  # rank cutoff
+
+
+@register(
+    "q236_retrieval_eval",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qy,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {_EVAL_NQ}),
+         c AS (SELECT vec_id AS neighbor_id, label AS ny,
+                      embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         ranked AS (
+      SELECT query_id, qy, ny,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) DESC,
+                                neighbor_id) AS rank
+      FROM q JOIN c ON query_id != neighbor_id),
+         per_q AS (
+      SELECT query_id,
+             coalesce(CAST(round(1000000.0
+               / min(CASE WHEN qy = ny THEN rank END)) AS BIGINT), 0)
+               AS rr_e6,
+             sum(CASE WHEN qy = ny AND rank <= 5 THEN 1 ELSE 0 END)
+               AS hits5
+      FROM ranked WHERE rank <= {_EVAL_K}
+      GROUP BY query_id)
+    SELECT count(*) AS n_queries,
+           CAST(FLOOR(avg(rr_e6)) AS BIGINT) AS mrr_at{_EVAL_K}_e6,
+           CAST(FLOOR(10000.0 * sum(hits5) / (5 * count(*))) AS BIGINT)
+             AS p_at5_bp
+    FROM per_q
+    """,
+)
+def q236_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the exact kNN path: MRR@10 and
+    precision@5 with same-label neighbors as relevance — the eval loop
+    every embedding-search deployment runs after re-training (q30
+    produces rankings; this scores them). Reciprocal ranks quantize
+    to 1e-6 PER QUERY before averaging (order-free integer mean, the
+    cents policy applied to an IR metric); queries with no relevant
+    neighbor in the top-10 contribute 0, the standard MRR@k cutoff
+    convention.
+
+    Shape: the 50-query set broadcasts (knn_brute_force's contract —
+    fixed panel size, corpus never shuffles for scoring); ranking is a
+    per-query window over the panel x corpus score table; both metric
+    reductions are one tiny aggregate. Scaling the PANEL (not the
+    corpus) is the production knob, and recall of the ANN paths
+    (q31/q53) against these exact rankings is already pinned in tests.
+    """
+    from ooh_etl_spark.operators.similarity import knn_brute_force
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    top = knn_brute_force(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < _EVAL_NQ), k=_EVAL_K
+    )
+    j = (
+        top.join(
+            labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qy")),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("ny")
+            ),
+            "neighbor_id",
+        )
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.coalesce(
+            F.round(
+                1000000.0
+                / F.min(F.when(F.col("qy") == F.col("ny"), F.col("rank")))
+            ).cast("bigint"),
+            F.lit(0),
+        ).alias("rr_e6"),
+        F.sum(
+            ((F.col("qy") == F.col("ny")) & (F.col("rank") <= 5)).cast("int")
+        ).alias("hits5"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.floor(F.avg("rr_e6")).cast("bigint").alias(f"mrr_at{_EVAL_K}_e6"),
+        F.floor(10000.0 * F.sum("hits5") / (5 * F.count(F.lit(1))))
+        .cast("bigint")
+        .alias("p_at5_bp"),
+    )

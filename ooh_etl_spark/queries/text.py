@@ -253,3 +253,108 @@ def q25_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_unique"),
         F.min("fp").alias("min_fp"),
     )
+
+
+@register(
+    "q237_langid_f1",
+    f"""
+    WITH conf AS ({_DUCK_LANG_ID}),
+         per AS (
+      SELECT cls,
+             sum(CASE WHEN lang = cls AND predicted = cls THEN n ELSE 0 END)
+               AS tp,
+             sum(CASE WHEN lang <> cls AND predicted = cls THEN n ELSE 0 END)
+               AS fp,
+             sum(CASE WHEN lang = cls AND predicted <> cls THEN n ELSE 0 END)
+               AS fn
+      FROM conf, (SELECT DISTINCT lang AS cls FROM conf) c
+      GROUP BY cls)
+    SELECT cls AS lang,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(CASE WHEN tp + fp = 0 THEN NULL
+                ELSE FLOOR(10000.0 * tp / (tp + fp)) END AS BIGINT)
+             AS precision_bp,
+           CAST(CASE WHEN tp + fn = 0 THEN NULL
+                ELSE FLOOR(10000.0 * tp / (tp + fn)) END AS BIGINT)
+             AS recall_bp,
+           CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE FLOOR(10000.0 * 2 * tp / (2 * tp + fp + fn)) END
+                AS BIGINT) AS f1_bp
+    FROM per
+    ORDER BY lang
+    """,
+)
+def q237_langid_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the q24 language
+    identifier — the classifier-eval layer that turns a confusion
+    table into the metrics a model card reports. Every metric reduces
+    to pure integer counts (F1 = 2tp/(2tp+fp+fn) — no
+    precision-recall intermediate, so no compounding of rounding),
+    floored to basis points in one exact-input double division per
+    cell; empty denominators yield NULL rather than a fake 0.
+
+    Shape: the corpus pass is q24's one aggregate to the |langs|²
+    confusion table; the metric layer is a tiny class-keyed rollup
+    over that bounded table (cross join against the distinct class
+    list, both register-sized). This is the pattern for ANY
+    classifier eval at 100 TB: reduce to the confusion matrix first,
+    compute metrics on the matrix, never on rows.
+    """
+    conf = q24_lang_id(spark, sf_dir)
+    classes = conf.select(F.col("lang").alias("cls")).distinct()
+    per = (
+        conf.crossJoin(classes)
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("cls"))
+                    & (F.col("predicted") == F.col("cls")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("lang") != F.col("cls"))
+                    & (F.col("predicted") == F.col("cls")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("cls"))
+                    & (F.col("predicted") != F.col("cls")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    return per.select(
+        F.col("cls").alias("lang"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.floor(10000.0 * F.col("tp") / (F.col("tp") + F.col("fp"))),
+        )
+        .cast("bigint")
+        .alias("precision_bp"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.floor(10000.0 * F.col("tp") / (F.col("tp") + F.col("fn"))),
+        )
+        .cast("bigint")
+        .alias("recall_bp"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.floor(
+                10000.0 * 2 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            ),
+        )
+        .cast("bigint")
+        .alias("f1_bp"),
+    ).orderBy("lang")
