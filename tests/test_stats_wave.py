@@ -574,3 +574,15 @@ def test_q227_qte_matches_numpy_deciles(spark):
             want = v[int(np.ceil(len(v) * r.pct / 10)) - 1]
             assert getattr(r, colname) == want
     assert (out.qte_c == out.treat_c - out.control_c).all()
+
+
+def test_q209_numpy_and_expression_forms_identical(spark):
+    """The registered numpy partial-Gram and the pure-codegen
+    expression form must produce BIT-IDENTICAL triangles — the
+    insurance that lets the fast path swap in without changing
+    semantics (both also pass the same DuckDB oracle)."""
+    from ooh_etl_spark.queries.ml_ops import _gram_expression
+
+    a = run(spark, "q209_embedding_gram")
+    b = _gram_expression(spark, SF_DIR).toPandas()
+    assert a.equals(b)
