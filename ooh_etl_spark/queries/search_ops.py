@@ -289,3 +289,65 @@ def q138_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+_GWS_K = 10  # per-group sample size
+
+
+@register(
+    "q238_grouped_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             ln(((doc_id * 2654435761) % 4294967296 + 1.0) / 4294967297.0)
+               / n_chars AS es_key
+      FROM documents),
+         ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rk
+      FROM keyed)
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_GWS_K}
+    ORDER BY lang, rk
+    """,
+)
+def q238_grouped_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED weighted sampling without replacement — exactly k
+    docs per language, selection probability proportional to length
+    (Efraimidis-Spirakis 2006, q138's estimator partitioned by
+    stratum): the subsample every data-mixture builder draws when a
+    balanced-per-language dev set must still prefer substantial
+    documents. Same deterministic priority key as q138 (multiplicative-
+    hash uniform, compared via ln(u)/w — a monotone transform of
+    u^(1/w), so no pow and no overflow), ranked within each language.
+
+    Shape vs q138: the global form needs one total order; the
+    stratified form shuffles once on the GROUP key and sorts within
+    partitions — strictly cheaper and skew-immune at any scale (each
+    stratum's top-k is a bounded heap; Spark's window top-k rewrite
+    prunes with rank pushdown). This is the 100 TB answer for
+    balanced sampling: never a global sort, one keyed exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + 1.0) / F.lit(
+        4294967297.0
+    )
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        keyed.select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= _GWS_K)
+        .orderBy("lang", "rk")
+    )
