@@ -21,9 +21,16 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the
-    greatest ``right_ts`` <= ``left_ts`` within the same key.
+    greatest ``right_ts`` <= ``left_ts`` within the same key
+    (``direction="backward"``, the default) or the SMALLEST
+    ``right_ts`` >= ``left_ts`` (``direction="forward"`` — the
+    "next event after" lookup: next maintenance after a failure, next
+    price tick after an order). Forward reuses the identical
+    union-merge plan with the sort reversed and right rows ordered
+    AFTER left rows at equal ts, preserving inclusive semantics.
 
     Implementation: union-merge. Both sides are tagged and unioned,
     shuffled once on the key, sorted by (ts, side) within each key, and
@@ -66,9 +73,21 @@ def asof_join(
         F.lit(None).cast(l_type).alias("__l"),
         F.struct(*right.columns).alias("__r"),
     )
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__kind").asc()]
+    elif direction == "forward":
+        # descending merge: the running last(right) seen from the top
+        # is the nearest right row with right_ts >= left_ts; right
+        # still sorts before left at equal ts (kind 0 first under the
+        # descending ts, ascending kind order) for inclusivity.
+        order = [F.col("__ts").desc(), F.col("__kind").asc()]
+    else:
+        raise ValueError(
+            f"asof_join direction must be 'backward'|'forward', got {direction!r}"
+        )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__kind")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (

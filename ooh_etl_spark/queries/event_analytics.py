@@ -614,3 +614,63 @@ def q222_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "variant string, conv_ppb long, removal_effect_bp long"
     )
+
+
+@register(
+    "q240_asof_forward",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'signup'),
+         p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         nxt AS (
+      SELECT s.event_id, s.user_id, s.ts AS signup_ts,
+             min(p.ts) AS next_purchase_ts
+      FROM s JOIN p ON p.user_id = s.user_id AND p.ts >= s.ts
+      GROUP BY s.event_id, s.user_id, s.ts)
+    SELECT event_id, user_id,
+           strftime(signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+           strftime(next_purchase_ts, '%Y-%m-%d %H:%M:%S')
+             AS next_purchase_ts,
+           CAST(date_diff('second', signup_ts, next_purchase_ts) AS BIGINT)
+             AS wait_s
+    FROM nxt
+    ORDER BY event_id
+    """,
+)
+def q240_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — for every signup, the next purchase at or
+    after it by the same user (the 'what happened next' lookup:
+    next maintenance after a failure, next fill after an order).
+    Reuses q13's union-merge as-of operator with
+    ``direction="forward"``: the identical one-shuffle linear merge,
+    sort reversed — the shuffle still carries |left| + |right| rows
+    at ANY per-user history depth, where the oracle's join+min form
+    (fine for DuckDB at fixture size) materializes |signup| x
+    |later-purchases| pairs and dies at scale. Only tie-safe columns
+    project (the next purchase TIMESTAMP, not its payload), per the
+    operator's tie contract.
+    """
+    from ooh_etl_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    j = asof_join(
+        s, p, on=("user_id", "p_user"), left_ts="ts", right_ts="p_ts",
+        how="inner", direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("next_purchase_ts"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("wait_s"),
+    ).orderBy("event_id")

@@ -466,3 +466,75 @@ def q231_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("education")
     )
+
+
+@register(
+    "q239_dynamic_gap_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_type,
+             ts + CASE WHEN event_type = 'error'
+                       THEN INTERVAL '5 minutes'
+                       ELSE INTERVAL '30 minutes' END AS win_end
+      FROM events),
+         marks AS (
+      SELECT user_id, ts, win_end,
+             CASE WHEN max(win_end) OVER (PARTITION BY user_id ORDER BY ts, win_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                    OR ts >= max(win_end) OVER (PARTITION BY user_id
+                         ORDER BY ts, win_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g),
+         sess AS (
+      SELECT user_id, ts, win_end,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, win_end
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marks)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(win_end), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q239_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DATA-DEPENDENT gap (Spark 3.2+ dynamic
+    ``session_window``): error events hold the session open only 5
+    minutes while normal activity gets 30 — the shape real
+    sessionization wants (gap policy varies by event class, device,
+    or user tier). Spark merges each event's [ts, ts+gap) window
+    transitively; the oracle reproduces that semantics exactly with a
+    gaps-and-islands rewrite whose boundary test compares ts against
+    the RUNNING MAX of preceding window ends (correct for per-event
+    gaps, where q35's fixed-gap lag test would misplace boundaries
+    when a short-gap event precedes a long-gap one).
+
+    Shape: one user-keyed shuffle for the session merge (identical to
+    fixed-gap q35 — the dynamic gap adds zero cost); the session
+    aggregate runs on merged windows. The streaming form takes the
+    same expression in ``session_window`` with a watermark (q174's
+    contract).
+    """
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", "5 minutes").otherwise(
+        "30 minutes"
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
