@@ -674,3 +674,101 @@ def q240_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wait_s"),
     ).orderBy("event_id")
+
+
+@register(
+    "q242_leakage_safe_labels",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events),
+         cut AS (
+      SELECT lo + CAST(FLOOR(date_diff('day', lo, hi) / 2.0) AS INT)
+               AS t0
+      FROM bounds),
+         feat AS (
+      SELECT e.user_id,
+             count(*) AS n_pre,
+             sum(CASE WHEN e.event_type = 'purchase'
+                      THEN CAST(round(e.value * 100) AS BIGINT)
+                      ELSE 0 END) AS rev_pre_c,
+             count(DISTINCT e.event_type) AS n_types_pre
+      FROM events e CROSS JOIN cut
+      WHERE CAST(e.ts AS DATE) < cut.t0
+      GROUP BY e.user_id),
+         lab AS (
+      SELECT DISTINCT e.user_id, 1 AS label
+      FROM events e CROSS JOIN cut
+      WHERE CAST(e.ts AS DATE) >= cut.t0
+        AND CAST(e.ts AS DATE) < cut.t0 + 7)
+    SELECT f.user_id,
+           CAST(f.n_pre AS BIGINT) AS n_pre,
+           CAST(f.rev_pre_c AS BIGINT) AS rev_pre_c,
+           CAST(f.n_types_pre AS BIGINT) AS n_types_pre,
+           CAST(coalesce(l.label, 0) AS BIGINT) AS label
+    FROM feat f LEFT JOIN lab l ON l.user_id = f.user_id
+    ORDER BY f.user_id
+    """,
+)
+def q242_leakage_safe_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe supervised-dataset construction — the labeling
+    pattern every churn/conversion model needs and every naive
+    pipeline gets wrong: features aggregate STRICTLY BEFORE the cutoff
+    (calendar midpoint, pure date arithmetic off a 1-row broadcast),
+    the label is activity in the [cutoff, cutoff+7d) window, and no
+    expression can see across the boundary because the two passes
+    scan disjoint date filters — temporal leakage is structurally
+    impossible, not just unit-tested away. Users with no pre-cutoff
+    activity are correctly ABSENT (no feature row), not zero-filled.
+
+    Shape: two filtered per-user aggregates (both map-side combined,
+    both benefit from date partition pruning on a date-partitioned
+    store) and one user-keyed left join. Output is the model-ready
+    (features, label) table; integer cents and counts end-to-end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    cut = bounds.select(
+        F.date_add(
+            F.col("lo"),
+            F.floor(F.datediff(F.col("hi"), F.col("lo")) / 2.0).cast("int"),
+        ).alias("t0")
+    )
+    tagged = ev.crossJoin(F.broadcast(cut))
+    feat = (
+        tagged.filter(F.col("ts").cast("date") < F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pre"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev_pre_c"),
+            F.countDistinct("event_type").alias("n_types_pre"),
+        )
+    )
+    lab = (
+        tagged.filter(
+            (F.col("ts").cast("date") >= F.col("t0"))
+            & (F.col("ts").cast("date") < F.date_add(F.col("t0"), 7))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    return (
+        feat.join(lab, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("n_pre").cast("bigint").alias("n_pre"),
+            F.col("rev_pre_c").cast("bigint").alias("rev_pre_c"),
+            F.col("n_types_pre").cast("bigint").alias("n_types_pre"),
+            F.coalesce(F.col("label"), F.lit(0)).cast("bigint").alias("label"),
+        )
+        .orderBy("user_id")
+    )

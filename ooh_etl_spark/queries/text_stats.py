@@ -495,3 +495,122 @@ def q195_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(_PMI_TOP)
     )
+
+
+_JSD_V = 500  # top-V corpus vocabulary
+
+
+@register(
+    "q241_source_jsd",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS w
+      FROM documents),
+         tc AS (
+      SELECT source, w, count(*) AS c FROM tok WHERE w <> ''
+      GROUP BY source, w),
+         corpus AS (
+      SELECT w, sum(c) AS cc FROM tc GROUP BY w
+      ORDER BY cc DESC, w LIMIT {_JSD_V}),
+         sc AS (
+      SELECT t.source, c.w, t.c
+      FROM corpus c LEFT JOIN tc t ON t.w = c.w),
+         tots AS (
+      SELECT source, sum(c) AS ts FROM sc WHERE source IS NOT NULL
+      GROUP BY source),
+         ctot AS (SELECT sum(cc) AS tc FROM corpus),
+         terms AS (
+      SELECT t.source,
+             CAST(round(500000000.0 * (
+               CASE WHEN coalesce(s.c, 0) = 0 THEN 0.0
+                    ELSE (s.c * 1.0 / t.ts)
+                         * ln(2.0 * (s.c * 1.0 / t.ts)
+                              / (s.c * 1.0 / t.ts + c.cc * 1.0 / ct.tc))
+               END
+               + (c.cc * 1.0 / ct.tc)
+                 * ln(2.0 * (c.cc * 1.0 / ct.tc)
+                      / (coalesce(s.c, 0) * 1.0 / t.ts
+                         + c.cc * 1.0 / ct.tc)))) AS BIGINT) AS term_nano
+      FROM corpus c
+      CROSS JOIN tots t
+      CROSS JOIN ctot ct
+      LEFT JOIN tc s ON s.w = c.w AND s.source = t.source)
+    SELECT source,
+           CAST(sum(term_nano) AS BIGINT) AS jsd_nano,
+           count(*) AS n_vocab
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q241_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between each source's token
+    distribution and the corpus distribution, over the top-500 shared
+    vocabulary — the mixture-design diagnostic behind q164's
+    temperature weights (a source with high JSD is the one
+    up/down-weighting will distort most; DoReMi-style reweighting
+    watches exactly this statistic). JSD = ½KL(P‖M) + ½KL(Q‖M) with
+    M the midpoint; bounded by ln 2, symmetric, defined even where a
+    source lacks a token (its half-term is 0; the corpus half stays
+    finite — the reason JSD and not KL).
+
+    Engine-exactness: every probability is an exact integer ratio in
+    one double division; each vocab term quantizes to nano-nats BEFORE
+    the per-source sum (order-free, the q187 ln contract). Scale
+    shape: ONE (source, token) count shuffle — everything after runs
+    on the V-row vocabulary table per source (bounded), with the
+    corpus totals as 1-row broadcasts.
+    """
+    from ooh_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    tc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    corpus = (
+        tc.groupBy("w")
+        .agg(F.sum("c").alias("cc"))
+        .orderBy(F.desc("cc"), "w")
+        .limit(_JSD_V)
+    )
+    sc = corpus.join(tc, "w", "left")
+    tots = sc.filter(F.col("source").isNotNull()).groupBy("source").agg(
+        F.sum("c").alias("ts")
+    )
+    ctot = corpus.agg(F.sum("cc").alias("tc"))
+    joined = (
+        corpus.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(ctot))
+        .join(
+            tc.select(
+                F.col("w").alias("sw"),
+                F.col("source").alias("ss"),
+                F.col("c").alias("sc_c"),
+            ),
+            (F.col("w") == F.col("sw")) & (F.col("source") == F.col("ss")),
+            "left",
+        )
+    )
+    p = F.col("sc_c") * 1.0 / F.col("ts")
+    q = F.col("cc") * 1.0 / F.col("tc")
+    p0 = F.coalesce(F.col("sc_c"), F.lit(0)) * 1.0 / F.col("ts")
+    term = F.round(
+        500000000.0
+        * (
+            F.when(F.coalesce(F.col("sc_c"), F.lit(0)) == 0, 0.0).otherwise(
+                p * F.log(2.0 * p / (p + q))
+            )
+            + q * F.log(2.0 * q / (p0 + q))
+        )
+    ).cast("bigint")
+    return (
+        joined.select("source", term.alias("term_nano"))
+        .groupBy("source")
+        .agg(
+            F.sum("term_nano").cast("bigint").alias("jsd_nano"),
+            F.count(F.lit(1)).alias("n_vocab"),
+        )
+        .orderBy("source")
+    )
