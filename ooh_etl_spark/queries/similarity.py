@@ -142,3 +142,125 @@ def q236_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p_at5_bp"),
     )
+
+
+@register(
+    "q243_ndcg_eval",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qy,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {_EVAL_NQ}),
+         c AS (SELECT vec_id AS neighbor_id, label AS ny,
+                      embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         ranked AS (
+      SELECT query_id, qy, ny,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) DESC,
+                                neighbor_id) AS rank
+      FROM q JOIN c ON query_id != neighbor_id),
+         gains AS (
+      SELECT query_id,
+             CAST(round(1000000.0 * sum(
+               (CASE WHEN qy = ny THEN 1.0 ELSE 0.0 END)
+               / (ln(rank + 1.0) / ln(2.0)))) AS BIGINT) AS dcg_e6,
+             sum(CASE WHEN qy = ny THEN 1 ELSE 0 END) AS n_rel
+      FROM ranked WHERE rank <= {_EVAL_K}
+      GROUP BY query_id),
+         ideal AS (
+      SELECT query_id, n_rel, dcg_e6,
+             CAST(round(1000000.0 * (
+               SELECT sum(1.0 / (ln(g.r + 1.0) / ln(2.0)))
+               FROM generate_series(1, {_EVAL_K}) AS g(r)
+               WHERE g.r <= n_rel)) AS BIGINT) AS idcg_e6
+      FROM gains)
+    SELECT count(*) AS n_queries,
+           CAST(FLOOR(avg(CASE WHEN idcg_e6 > 0
+                               THEN FLOOR(10000.0 * dcg_e6 / idcg_e6)
+                               ELSE 0 END)) AS BIGINT) AS ndcg_at10_bp
+    FROM ideal
+    """,
+)
+def q243_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 over the exact kNN rankings (Järvelin & Kekäläinen
+    2002), completing the IR-eval trio with q236's MRR/P@5: DCG
+    discounts each relevant hit by 1/log2(1+rank), and normalizing by
+    the ideal DCG (all n_rel hits packed at the top) makes scores
+    comparable across queries with different relevant-neighbor counts
+    — the property P@k lacks. Binary same-label relevance; per-query
+    DCG and IDCG quantize to 1e-6 and the per-query NDCG to basis
+    points BEFORE the mean (order-free integer average, the q236
+    contract; log2 evaluates on exact integer ranks so both engines
+    agree term-wise).
+
+    Shape identical to q236: broadcast panel, per-query window over
+    the panel x corpus scores, then register-sized arithmetic — the
+    IDCG needs only n_rel and the rank grid, a bounded generate
+    sequence.
+    """
+    from ooh_etl_spark.operators.similarity import knn_brute_force
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    top = knn_brute_force(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < _EVAL_NQ), k=_EVAL_K
+    )
+    j = (
+        top.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("qy")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("ny")
+            ),
+            "neighbor_id",
+        )
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))
+    gains = j.groupBy("query_id").agg(
+        F.round(
+            1000000.0
+            * F.sum(
+                F.when(F.col("qy") == F.col("ny"), 1.0).otherwise(0.0)
+                / log2(F.col("rank") + 1.0)
+            )
+        )
+        .cast("bigint")
+        .alias("dcg_e6"),
+        F.sum((F.col("qy") == F.col("ny")).cast("int")).alias("n_rel"),
+    )
+    ideal = gains.select(
+        "query_id",
+        "dcg_e6",
+        F.round(
+            1000000.0
+            * F.aggregate(
+                F.sequence(F.lit(1), F.lit(_EVAL_K)),
+                F.lit(0.0),
+                lambda acc, r: acc
+                + F.when(r <= F.col("n_rel"), 1.0 / log2(r + 1.0)).otherwise(
+                    0.0
+                ),
+            )
+        )
+        .cast("bigint")
+        .alias("idcg_e6"),
+    )
+    return ideal.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.floor(
+            F.avg(
+                F.when(
+                    F.col("idcg_e6") > 0,
+                    F.floor(10000.0 * F.col("dcg_e6") / F.col("idcg_e6")),
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("ndcg_at10_bp"),
+    )

@@ -774,3 +774,90 @@ def q230_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q244_seasonal_anomalies",
+    """
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             date_trunc('hour', ts) AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+         base AS (
+      SELECT dow, hod,
+             count(*) AS k, sum(n) AS sx, sum(n * n) AS sxx
+      FROM cells GROUP BY dow, hod),
+         scored AS (
+      SELECT c.h, c.dow, c.hod, c.n, b.k,
+             b.sx * 1.0 / b.k AS mu,
+             sqrt((b.sxx - b.sx * b.sx * 1.0 / b.k) / (b.k - 1)) AS sd
+      FROM cells c JOIN base b ON b.dow = c.dow AND b.hod = c.hod
+      WHERE b.k > 2)
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
+           dow, hod, CAST(n AS BIGINT) AS n,
+           CAST(round(10000.0 * (n - mu) / sd) AS BIGINT) AS z_bp,
+           CAST(CASE WHEN abs(round(10000.0 * (n - mu) / sd)) > 30000
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM scored
+    WHERE sd > 0
+    ORDER BY abs(round(10000.0 * (n - mu) / sd)) DESC, hour
+    LIMIT 20
+    """,
+)
+def q244_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each hour's event count is
+    z-scored against ITS OWN (day-of-week, hour-of-day) cell baseline
+    — q107's classical z-score flags every Friday evening as anomalous
+    because it compares against the global mean; this compares Friday
+    7pm against other Friday 7pms (q229's profile turned into a
+    detector). Emits the 20 most extreme hours with an |z| > 3 flag
+    (never vacuous: the monitor's top-of-queue is the product even on
+    quiet days).
+
+    Engine-exactness: cell baselines come from exact integer (k, Σn,
+    Σn²) over the hour-grain table; mu/sd/z are identical IEEE
+    expressions on exact ints, emitted in basis points. Shape: ONE
+    calendar-keyed aggregate over the scan (hour-grain, bounded), a
+    168-row baseline joined back to hour rows — the detector costs a
+    count(*) at any corpus size. Cells seen fewer than 3 times are
+    excluded (no stable baseline).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .groupBy("dow", "hod", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = cells.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    mu = F.col("sx") * 1.0 / F.col("k")
+    sd = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") * 1.0 / F.col("k"))
+        / (F.col("k") - 1)
+    )
+    z = F.round(10000.0 * (F.col("n") - mu) / sd).cast("bigint")
+    return (
+        cells.join(F.broadcast(base.filter(F.col("k") > 2)), ["dow", "hod"])
+        .withColumn("sd", sd)
+        .withColumn("z_bp", z)
+        .filter(F.col("sd") > 0)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            "dow",
+            "hod",
+            F.col("n").cast("bigint").alias("n"),
+            "z_bp",
+            (F.abs(F.col("z_bp")) > 30000).cast("bigint").alias("is_anomaly"),
+        )
+        .orderBy(F.abs(F.col("z_bp")).desc(), "hour")
+        .limit(20)
+    )
