@@ -24,7 +24,7 @@ commutative, associative, overflow-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ooh_etl_spark.queries.registry import register
@@ -258,4 +258,117 @@ def q178_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(rh)").alias("fingerprint"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q245_cdc_apply_deletes",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS val_c
+      FROM orders WHERE o_orderkey % 4 = 0),
+         changes AS (
+      SELECT o_orderkey AS k,
+             o_orderkey % 3 AS seq_in_key,
+             CASE CAST((o_orderkey // 10) % 3 AS INT)
+               WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+             CAST(round(o_totalprice * 100) + 777 AS BIGINT) AS val_c,
+             o_orderkey * 7 AS lsn
+      FROM orders WHERE o_orderkey % 8 IN (1, 4)),
+         last_change AS (
+      SELECT k, op, val_c FROM (
+        SELECT k, op, val_c,
+               row_number() OVER (PARTITION BY k ORDER BY lsn DESC,
+                                  seq_in_key DESC) AS rn
+        FROM changes)
+      WHERE rn = 1),
+         applied AS (
+      SELECT coalesce(b.k, c.k) AS k,
+             CASE WHEN c.op = 'D' THEN NULL
+                  WHEN c.op IS NULL THEN b.val_c
+                  ELSE c.val_c END AS val_c,
+             CASE WHEN c.op = 'D' THEN 'deleted'
+                  WHEN c.op IS NULL THEN 'untouched'
+                  WHEN b.k IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS outcome
+      FROM base b FULL OUTER JOIN last_change c ON b.k = c.k)
+    SELECT outcome,
+           count(*) AS n,
+           CAST(coalesce(sum(val_c), 0) AS BIGINT) AS total_c,
+           CAST(min(k) AS BIGINT) AS min_key
+    FROM applied
+    GROUP BY outcome
+    ORDER BY outcome
+    """,
+)
+def q245_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply — ordered inserts, updates AND DELETES — the
+    piece q59 (upsert) and q176 (SCD2) leave out, and the semantics a
+    Debezium/'apply changes into' consumer must honor: multiple ops
+    per key collapse to the LAST by (lsn, seq) BEFORE touching the
+    target (a delete-then-reinsert must not net to delete), deletes
+    remove the row, updates replace, inserts create, untouched rows
+    survive. The change feed is synthesized deterministically from
+    orders so every outcome class is exercised; the audit reports the
+    outcome census (count, surviving value total, exemplar key).
+
+    Shape: the op-collapse is one window over the CHANGE feed only
+    (never the target); the apply is ONE full-outer join on the key —
+    same plan MERGE INTO generates — with integer-cents values. At
+    partitioned-storage scale dynamic partition pruning confines the
+    join to touched partitions (q59's note).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("val_c"),
+    )
+    changes = orders.filter(
+        (F.col("o_orderkey") % 8).isin(1, 4)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 3).alias("seq_in_key"),
+        F.element_at(
+            F.array(F.lit("I"), F.lit("U"), F.lit("D")),
+            (F.floor(F.col("o_orderkey") / 10) % 3).cast("int") + 1,
+        ).alias("op"),
+        (F.round(F.col("o_totalprice") * 100) + 777).cast("bigint").alias("val_c"),
+        (F.col("o_orderkey") * 7).alias("lsn"),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.desc("lsn"), F.desc("seq_in_key")
+    )
+    last_change = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "val_c")
+    )
+    b = base.select(F.col("k").alias("bk"), F.col("val_c").alias("bval"))
+    applied = b.join(
+        last_change.select(
+            F.col("k").alias("ck"), "op", F.col("val_c").alias("cval")
+        ),
+        F.col("bk") == F.col("ck"),
+        "full_outer",
+    ).select(
+        F.coalesce("bk", "ck").alias("k"),
+        F.when(F.col("op") == "D", F.lit(None))
+        .when(F.col("op").isNull(), F.col("bval"))
+        .otherwise(F.col("cval"))
+        .alias("val_c"),
+        F.when(F.col("op") == "D", "deleted")
+        .when(F.col("op").isNull(), "untouched")
+        .when(F.col("bk").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("outcome"),
+    )
+    return (
+        applied.groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("val_c"), F.lit(0)).cast("bigint").alias("total_c"),
+            F.min("k").cast("bigint").alias("min_key"),
+        )
+        .orderBy("outcome")
     )
