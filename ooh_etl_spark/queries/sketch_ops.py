@@ -396,3 +396,195 @@ def q221_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hll_estimate"),
     ).orderBy("event_type")
+
+
+_BF_WORDS = 16  # 16 x 64 = 1024 bits
+_BF_K = 3  # hash functions
+
+
+@register(
+    "q246_bloom_from_primitives",
+    f"""
+    WITH ins AS (
+      SELECT c_custkey AS key FROM customer WHERE c_custkey % 2 = 0),
+         bits AS (
+      SELECT g.h AS hi,
+             (CASE WHEN substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 1, 1) <= '9'
+                   THEN ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 1, 1)) - 48
+                   ELSE ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 1, 1)) - 87 END)
+             * 64
+             + (CASE WHEN substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 2, 1) <= '9'
+                     THEN ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 2, 1)) - 48
+                     ELSE ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 2, 1)) - 87 END)
+             * 4
+             + (CASE WHEN substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 3, 1) <= '9'
+                     THEN ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 3, 1)) - 48
+                     ELSE ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 3, 1)) - 87 END)
+             % 4 AS bitpos
+      FROM ins, generate_series(0, {_BF_K - 1}) AS g(h)),
+         words AS (
+      SELECT CAST(bitpos % 1024 // 32 AS BIGINT) AS word,
+             bit_or(CAST(pow(2.0, bitpos % 1024 % 32) AS BIGINT)) AS bw
+      FROM bits GROUP BY 1),
+         probes AS (
+      SELECT c_custkey AS key, c_custkey % 2 = 0 AS present
+      FROM customer),
+         pbits AS (
+      SELECT p.key, p.present, g.h AS hi,
+             (CASE WHEN substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(p.key AS VARCHAR)), 1, 1) <= '9'
+                   THEN ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(p.key AS VARCHAR)), 1, 1)) - 48
+                   ELSE ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(p.key AS VARCHAR)), 1, 1)) - 87 END)
+             * 64
+             + (CASE WHEN substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(p.key AS VARCHAR)), 2, 1) <= '9'
+                     THEN ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(p.key AS VARCHAR)), 2, 1)) - 48
+                     ELSE ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(p.key AS VARCHAR)), 2, 1)) - 87 END)
+             * 4
+             + (CASE WHEN substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(p.key AS VARCHAR)), 3, 1) <= '9'
+                     THEN ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(p.key AS VARCHAR)), 3, 1)) - 48
+                     ELSE ascii(substr(md5(CAST(g.h AS VARCHAR) || ':'
+                                  || CAST(p.key AS VARCHAR)), 3, 1)) - 87 END)
+             % 4 AS bitpos
+      FROM probes p, generate_series(0, {_BF_K - 1}) AS g(h)),
+         hits AS (
+      SELECT pb.key, pb.present,
+             min(CASE WHEN (w.bw // CAST(pow(2.0, pb.bitpos % 1024 % 32)
+                                         AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE 0 END) AS maybe
+      FROM pbits pb
+      JOIN words w ON w.word = CAST(pb.bitpos % 1024 // 32 AS BIGINT)
+      GROUP BY pb.key, pb.present),
+         stats AS (
+      SELECT sum(CASE WHEN present THEN 1 ELSE 0 END) AS n_inserted,
+             count(*) AS n_probes,
+             sum(CASE WHEN present AND maybe = 0 THEN 1 ELSE 0 END)
+               AS n_false_neg,
+             sum(CASE WHEN NOT present AND maybe = 1 THEN 1 ELSE 0 END)
+               AS n_false_pos,
+             sum(CASE WHEN NOT present THEN 1 ELSE 0 END) AS n_absent
+      FROM hits)
+    SELECT CAST(n_inserted AS BIGINT) AS n_inserted,
+           CAST(n_probes AS BIGINT) AS n_probes,
+           CAST(n_false_neg AS BIGINT) AS n_false_neg,
+           CAST(n_false_pos AS BIGINT) AS n_false_pos,
+           CAST(FLOOR(10000.0 * n_false_pos / n_absent) AS BIGINT)
+             AS fpr_bp,
+           CAST(round(10000 * pow(1.0 - exp(-{_BF_K}.0 * n_inserted
+                                            / 1024.0), {_BF_K})) AS BIGINT)
+             AS theory_bp
+    FROM stats
+    """,
+)
+def q246_bloom_from_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built FROM RELATIONAL PRIMITIVES (Bloom 1970) with
+    a full SQL oracle — the q221 treatment applied to membership: k=3
+    bit positions per key from md5 nibbles, the 1024-bit filter
+    materialized as 32 32-bit words via a ``bit_or`` aggregate
+    (power-of-two arithmetic, shift-free — identical in both engines) (the
+    build is ONE 16-key aggregation — map-side partial OR, the
+    mergeability that lets per-partition filters union for free), and
+    every probe tests its k bits against the broadcast word table.
+    The audit measures ZERO false negatives (the Bloom guarantee —
+    pytest-pinned structurally here by the oracle hash), the measured
+    false-positive rate on known-absent keys, and the theoretical
+    (1 − e^{{−kn/m}})^k next to it.
+
+    Contrast with q121: that operator uses the exact broadcast-hash
+    semi-join (zero FP) and Spark's opportunistic runtime bloom; this
+    query exposes the sketch ITSELF as data — what you ship to
+    another system (a 128-byte filter standing in for a key list) —
+    with engine-exact hashing on both sides.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+
+    def nib(col: F.Column, i: int) -> F.Column:
+        ch = F.substring(col, i, 1)
+        return F.when(ch <= "9", F.ascii(ch) - 48).otherwise(F.ascii(ch) - 87)
+
+    def bitpos(key: F.Column, h: F.Column) -> F.Column:
+        m = F.md5(F.concat(h.cast("string"), F.lit(":"), key.cast("string")))
+        return (nib(m, 1) * 64 + nib(m, 2) * 4 + nib(m, 3) % 4) % 1024
+
+    hs = F.explode(F.sequence(F.lit(0), F.lit(_BF_K - 1))).alias("h")
+    ins = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("key"), hs
+    )
+    bits = ins.select(bitpos(F.col("key"), F.col("h")).alias("bitpos"))
+    words = bits.groupBy(
+        F.floor(F.col("bitpos") / 32).cast("bigint").alias("word")
+    ).agg(
+        F.bit_or(
+            F.pow(F.lit(2.0), F.col("bitpos") % 32).cast("bigint")
+        ).alias("bw")
+    )
+    probes = cust.select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_custkey") % 2 == 0).alias("present"),
+        hs,
+    ).select("key", "present", bitpos(F.col("key"), F.col("h")).alias("bitpos"))
+    hits = (
+        probes.join(
+            F.broadcast(words),
+            F.floor(F.col("bitpos") / 32).cast("bigint") == F.col("word"),
+        )
+        .groupBy("key", "present")
+        .agg(
+            F.min(
+                (
+                    F.floor(
+                        F.col("bw")
+                        / F.pow(F.lit(2.0), F.col("bitpos") % 32).cast("bigint")
+                    )
+                    % 2
+                    == 1
+                ).cast("int")
+            ).alias("maybe")
+        )
+    )
+    stats = hits.agg(
+        F.sum(F.col("present").cast("int")).alias("n_inserted"),
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum((F.col("present") & (F.col("maybe") == 0)).cast("int")).alias(
+            "n_false_neg"
+        ),
+        F.sum((~F.col("present") & (F.col("maybe") == 1)).cast("int")).alias(
+            "n_false_pos"
+        ),
+        F.sum((~F.col("present")).cast("int")).alias("n_absent"),
+    )
+    import math
+
+    return stats.select(
+        F.col("n_inserted").cast("bigint").alias("n_inserted"),
+        F.col("n_probes").cast("bigint").alias("n_probes"),
+        F.col("n_false_neg").cast("bigint").alias("n_false_neg"),
+        F.col("n_false_pos").cast("bigint").alias("n_false_pos"),
+        F.floor(10000.0 * F.col("n_false_pos") / F.col("n_absent"))
+        .cast("bigint")
+        .alias("fpr_bp"),
+        F.round(
+            10000
+            * F.pow(
+                1.0 - F.exp(-float(_BF_K) * F.col("n_inserted") / 1024.0),
+                float(_BF_K),
+            )
+        )
+        .cast("bigint")
+        .alias("theory_bp"),
+    )

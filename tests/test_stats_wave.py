@@ -586,3 +586,16 @@ def test_q209_numpy_and_expression_forms_identical(spark):
     a = run(spark, "q209_embedding_gram")
     b = _gram_expression(spark, SF_DIR).toPandas()
     assert a.equals(b)
+
+
+def test_q246_bloom_guarantees(spark):
+    """Bloom structural guarantees on the from-primitives filter: ZERO
+    false negatives (every inserted key must hit all its bits), FP
+    only among absent keys, and the measured FPR within a loose
+    multiple of the (1-e^{-kn/m})^k theory (small-sample Poisson
+    slack)."""
+    out = run(spark, "q246_bloom_from_primitives").iloc[0]
+    assert out["n_false_neg"] == 0
+    assert 0 <= out["n_false_pos"] <= out["n_probes"] - out["n_inserted"]
+    # theory is in bp; allow [0, 5x theory + 300bp] measured
+    assert out["fpr_bp"] <= 5 * out["theory_bp"] + 300
