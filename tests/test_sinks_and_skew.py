@@ -195,3 +195,31 @@ def test_write_compaction_bounds_file_sizes(spark, tmp_path):
     back.coalesce(1).write.mode("overwrite").parquet(compacted)
     assert len(glob.glob(compacted + "/*.parquet")) == 1
     assert spark.read.parquet(compacted).count() == n
+
+
+def test_schema_evolution_mergeschema_and_upcast(spark, tmp_path):
+    """Schema evolution across parquet generations — the landing-zone
+    reality a long-lived pipeline must absorb: generation 1 lacks a
+    column that generation 2 adds, and a reader with mergeSchema=true
+    sees the union schema with NULLs backfilled for the old files.
+    Separately, an explicit wider read schema (int written, bigint
+    requested) must upcast losslessly — the compatible-evolution
+    direction Parquet supports."""
+    gen1 = str(tmp_path / "g1")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, name string"
+    ).write.parquet(gen1)
+    spark.createDataFrame(
+        [(3, "c", 30), (4, "d", 40)], "id int, name string, score int"
+    ).write.mode("append").parquet(gen1)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(gen1)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 30
+    assert merged.count() == 4
+
+    # Widening read schema: int32-on-disk served as bigint.
+    wide = spark.read.schema("id long, name string").parquet(gen1)
+    assert dict(wide.dtypes)["id"] == "bigint"
+    assert {r["id"] for r in wide.collect()} == {1, 2, 3, 4}
