@@ -575,3 +575,88 @@ def q224_video_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, frame_idx long, motion_sad long"
     return docs.mapInPandas(op, schema=schema).orderBy("doc_id", "frame_idx")
+
+
+# --- q247: tone detection (single-bin DFT over decoded PCM) -------------
+_TONE_BINS = 8  # candidate frequencies: 400 + 100*k Hz
+_TONE_BASE = 400.0
+_TONE_STEP = 100.0
+
+
+@register("q247_audio_tone_detect", None)  # DSP recurrence → rows-only
+def q247_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tone detection over decoded audio — the Goertzel/DTMF primitive
+    of every telephony and audio-QA pipeline: each document embeds a
+    known pure tone (frequency 400 + 100·(doc_id mod 8) Hz) under
+    deterministic noise, the payload round-trips through the REAL WAV
+    codec (q157), and a single-bin DFT projection scores all 8
+    candidate frequencies; the argmax bin and the top-to-second power
+    ratio (in dB decimillibels) are emitted. Rows-only by design (a
+    DSP recurrence has no SQL oracle) but SELF-VALIDATING: the
+    embedded frequency is known per doc, and pytest asserts the
+    detector recovers it for every document with a positive margin —
+    a decode off-by-one, endianness bug, or projection error breaks
+    recovery immediately.
+
+    Shape: synth + encode + decode + 8 projections in ONE narrow
+    mapInPandas pass (numpy inner products over a 256-sample frame —
+    per-payload work is constant); no shuffle before the final sort.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ooh_etl_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(_N_SAMP, dtype=np.float64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k_true = int(doc_id) % _TONE_BINS
+                freq = _TONE_BASE + _TONE_STEP * k_true
+                i = np.arange(_N_SAMP, dtype=np.int64)
+                noise = (int(doc_id) * 7 + i * 13) % 64 - 32
+                tone = np.round(
+                    800.0 * np.sin(2 * np.pi * freq * t / _SR)
+                ).astype(np.int64)
+                samples = tone + noise
+                payload = encode_wav_pcm16(samples, _SR)
+                decoded, sr = decode_wav_pcm16(payload)
+                x = decoded.astype(np.float64)
+                powers = []
+                for k in range(_TONE_BINS):
+                    w = 2 * np.pi * (_TONE_BASE + _TONE_STEP * k) / sr
+                    c = (x * np.cos(w * t)).sum()
+                    s = (x * np.sin(w * t)).sum()
+                    powers.append(c * c + s * s)
+                powers = np.array(powers)
+                order = np.argsort(-powers)
+                top, second = order[0], order[1]
+                ratio_db = 10.0 * np.log10(
+                    powers[top] / max(powers[second], 1e-12)
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        k_true,
+                        int(top),
+                        int(round(10000 * ratio_db)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "true_bin", "detected_bin", "margin_dmdb"],
+            )
+
+    schema = "doc_id long, true_bin long, detected_bin long, margin_dmdb long"
+    return docs.mapInPandas(op, schema=schema).orderBy("doc_id")

@@ -147,3 +147,18 @@ def test_wav_rejects_short_fmt_chunk():
     )
     with pytest.raises(ValueError):
         decode_wav_pcm16(payload)
+
+
+def test_q247_tone_detector_recovers_embedded_frequency(spark):
+    """Every document's embedded tone must be recovered through the
+    full encode -> decode -> project pipeline, with a clear margin
+    over the runner-up bin (23 dB+ on this SNR); a codec or
+    projection bug collapses the margin or flips bins."""
+    from ooh_etl_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["q247_audio_tone_detect"].fn(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.detected_bin == out.true_bin).all()
+    assert out.margin_dmdb.min() > 100000  # > 10 dB margin everywhere
+    assert set(out.true_bin) == set(range(8))  # every bin exercised
