@@ -861,3 +861,74 @@ def q244_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z_bp")).desc(), "hour")
         .limit(20)
     )
+
+
+@register(
+    "q248_twap",
+    """
+    WITH o AS (
+      SELECT event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             lead(ts) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS nxt
+      FROM events),
+         seg AS (
+      SELECT event_type, v_c,
+             CAST(date_diff('second', ts, nxt) AS BIGINT) AS dur_s
+      FROM o WHERE nxt IS NOT NULL)
+    SELECT event_type,
+           count(*) AS n_segments,
+           CAST(sum(dur_s) AS BIGINT) AS total_s,
+           CAST(FLOOR(sum(v_c * dur_s) * 1.0 / sum(dur_s)) AS BIGINT)
+             AS twap_c
+    FROM seg
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q248_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price (TWAP — the execution-quality and
+    billing-meter aggregate): each observation's value holds until the
+    next observation, so the average weights every value by its
+    HOLDING DURATION rather than its sample count — the correct mean
+    for irregularly-sampled state (a price quoted once overnight
+    counts 8 hours, not 1 tick; a metered rate bills by wall time).
+    Contrast q126's EWMA (recency weighting) and q106's OHLC (bar
+    summaries): TWAP is the integral of the step function divided by
+    elapsed time.
+
+    Engine-exactness: durations are integer seconds, values integer
+    cents, so the weighted sum Σ v·dur is an exact bigint and the one
+    final division floors identically. Shape: ONE type-keyed window
+    (lead) over one shuffle, then a 5-key aggregate with map-side
+    partials — linear in events at any scale, no per-key
+    materialization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    seg = o.select(
+        "event_type",
+        "v_c",
+        (F.unix_timestamp("nxt") - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("dur_s"),
+    )
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_s").cast("bigint").alias("total_s"),
+            F.floor(
+                F.sum(F.col("v_c") * F.col("dur_s")) * 1.0 / F.sum("dur_s")
+            )
+            .cast("bigint")
+            .alias("twap_c"),
+        )
+        .orderBy("event_type")
+    )
