@@ -932,3 +932,83 @@ def q248_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_SLO_BP = 2200  # error-budget threshold: alert when error share > 22%
+
+
+@register(
+    "q249_slo_burn_rate",
+    f"""
+    WITH m AS (
+      SELECT date_trunc('hour', ts)
+               + INTERVAL (CAST(minute(ts) // 10 AS INT) * 10) MINUTE
+               AS w10,
+             date_trunc('hour', ts) AS w60,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events),
+         short AS (
+      SELECT w10, w60, count(*) AS n, sum(is_err) AS e
+      FROM m GROUP BY w10, w60),
+         long AS (
+      SELECT w60, sum(n) AS n60, sum(e) AS e60 FROM short GROUP BY w60)
+    SELECT strftime(s.w10, '%Y-%m-%d %H:%M') AS window_10m,
+           CAST(s.n AS BIGINT) AS n_10m,
+           CAST(s.e AS BIGINT) AS err_10m,
+           CAST(FLOOR(10000.0 * s.e / s.n) AS BIGINT) AS rate_10m_bp,
+           CAST(FLOOR(10000.0 * l.e60 / l.n60) AS BIGINT) AS rate_60m_bp,
+           CAST(CASE WHEN 10000.0 * s.e / s.n > {_SLO_BP}
+                      AND 10000.0 * l.e60 / l.n60 > {_SLO_BP}
+                     THEN 1 ELSE 0 END AS BIGINT) AS page
+    FROM short s JOIN long l ON l.w60 = s.w60
+    ORDER BY window_10m
+    """,
+)
+def q249_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    pattern): a page fires only when BOTH the fast 10-minute window
+    AND the slow 60-minute window burn error budget above threshold —
+    the short window gives detection latency, the long window
+    suppresses blips that self-heal (single-window alerting must pick
+    one failure mode). Error share per window in exact basis points
+    from integer counts; the 22% threshold is tuned to the fixture's
+    ~20% ambient error rate so pages actually occur AND non-pages
+    exist (non-vacuous both ways).
+
+    Shape: ONE calendar-keyed aggregate builds the 10-minute grain;
+    the hour grain REUSES it (sum of six cells, never a second corpus
+    pass); the join is grain-to-grain on bounded tables. The streaming
+    twin is two windowed aggregations over the same watermark —
+    identical math.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w10 = F.from_unixtime(
+        (F.floor(F.unix_timestamp("ts") / 600) * 600)
+    ).cast("timestamp")
+    m = ev.select(
+        w10.alias("w10"),
+        F.date_trunc("hour", "ts").alias("w60"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    short = m.groupBy("w10", "w60").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_err").alias("e")
+    )
+    long = short.groupBy("w60").agg(
+        F.sum("n").alias("n60"), F.sum("e").alias("e60")
+    )
+    rate10 = 10000.0 * F.col("e") / F.col("n")
+    rate60 = 10000.0 * F.col("e60") / F.col("n60")
+    return (
+        short.join(long, "w60")
+        .select(
+            F.date_format("w10", "yyyy-MM-dd HH:mm").alias("window_10m"),
+            F.col("n").cast("bigint").alias("n_10m"),
+            F.col("e").cast("bigint").alias("err_10m"),
+            F.floor(rate10).cast("bigint").alias("rate_10m_bp"),
+            F.floor(rate60).cast("bigint").alias("rate_60m_bp"),
+            ((rate10 > _SLO_BP) & (rate60 > _SLO_BP))
+            .cast("bigint")
+            .alias("page"),
+        )
+        .orderBy("window_10m")
+    )
