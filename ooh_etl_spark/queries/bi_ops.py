@@ -652,3 +652,89 @@ def q216_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "q252_price_elasticity",
+    """
+    WITH obs AS (
+      SELECT CAST(round(ln(l_quantity) * 1000000) AS BIGINT) AS lq_u,
+             CAST(round(ln(l_extendedprice * (1 - l_discount) / l_quantity)
+                        * 1000000) AS BIGINT) AS lp_u
+      FROM lineitem
+      WHERE l_quantity > 0 AND l_extendedprice > 0 AND l_discount < 1),
+         s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(lp_u AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(lq_u AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(lp_u AS DECIMAL(38,0))
+                      * CAST(lq_u AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(lp_u AS DECIMAL(38,0))
+                      * CAST(lp_u AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM obs)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(1000000.0 * (n * sxy - sx * sy)
+                      / (n * sxx - sx * sx)) AS BIGINT)
+             AS elasticity_e6,
+           CAST(round((sy * 1.0 / n - ((n * sxy - sx * sy) * 1.0
+                                       / (n * sxx - sx * sx))
+                                      * sx / n) / 1000.0) AS BIGINT)
+             AS intercept_milli
+    FROM s
+    """,
+)
+def q252_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand by log-log OLS (the econometric
+    workhorse: elasticity = d ln q / d ln p = the slope of ln q on
+    ln p): unit price derives from extended price over quantity, both
+    logs quantize to integer micro-nats PER ROW, and the slope
+    (n·Σxy − ΣxΣy)/(n·Σxx − Σx²) assembles from five moment sums
+    accumulated in DECIMAL(38,0) — int64 would overflow Σx² at ~1e5
+    rows of micro-nat logs (caught at sf0.01), so this query applies
+    the money.py wide-accumulator policy from the start; the exact
+    decimal sums convert to double ONCE for the closed-form (both
+    engines round the same exact value to the same double).
+
+    Fixture honesty: quantity and price are synthesized independently,
+    so the recovered elasticity is near zero — the pytest-worthy
+    property is that BOTH engines derive the same micro-exact
+    coefficients from the same five sums, which is what the oracle
+    pins; on real transaction data the same query estimates the real
+    curve. Shape: one narrow pass + a 1-row moment aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0)
+        & (F.col("l_extendedprice") > 0)
+        & (F.col("l_discount") < 1)
+    )
+    lq = F.round(F.log(F.col("l_quantity")) * 1000000).cast("bigint")
+    lp = F.round(
+        F.log(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            / F.col("l_quantity")
+        )
+        * 1000000
+    ).cast("bigint")
+    obs = li.select(lq.alias("lq_u"), lp.alias("lp_u"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("lp_u")).cast("double").alias("sx"),
+        F.sum(dec("lq_u")).cast("double").alias("sy"),
+        F.sum(dec("lp_u") * dec("lq_u")).cast("double").alias("sxy"),
+        F.sum(dec("lp_u") * dec("lp_u")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(1000000.0 * slope).cast("bigint").alias("elasticity_e6"),
+        F.round(
+            (F.col("sy") * 1.0 / F.col("n") - slope * F.col("sx") / F.col("n"))
+            / 1000.0
+        )
+        .cast("bigint")
+        .alias("intercept_milli"),
+    )

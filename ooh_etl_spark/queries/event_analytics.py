@@ -772,3 +772,74 @@ def q242_leakage_safe_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q250_audience_overlap",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+         deg AS (
+      SELECT event_type, count(*) AS d FROM ut GROUP BY event_type),
+         inter AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS i
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT i.ta, i.tb,
+           CAST(i.i AS BIGINT) AS n_overlap,
+           CAST(da.d AS BIGINT) AS n_a,
+           CAST(db.d AS BIGINT) AS n_b,
+           CAST(FLOOR(10000.0 * i.i / (da.d + db.d - i.i)) AS BIGINT)
+             AS jaccard_bp
+    FROM inter i
+    JOIN deg da ON da.event_type = i.ta
+    JOIN deg db ON db.event_type = i.tb
+    ORDER BY ta, tb
+    """,
+)
+def q250_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the USER
+    SETS of every event-type pair — the segmentation readout behind
+    'do purchasers also click?' questions and channel-dedup budgeting.
+    Same wedge-join + inclusion-exclusion shape as q191's link
+    prediction, on the bipartite (user, type) table: intersections
+    come from a user-keyed self-join of the DISTINCT membership table
+    (fan-out bounded by types-per-user ≤ |types|), unions from
+    |A|+|B|−|A∩B| — set sizes never rescan the corpus.
+
+    At extreme set cardinalities the documented swap is q28's
+    MinHash (sketch the user sets, estimate Jaccard from signature
+    agreement) — the exact form here is the ground truth the sketch
+    is tested against. Exact integer counts; one bp division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    deg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("d"))
+    a = ut.select("user_id", F.col("event_type").alias("ta"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    da = deg.select(F.col("event_type").alias("ta"), F.col("d").alias("da"))
+    db = deg.select(F.col("event_type").alias("tb"), F.col("d").alias("db"))
+    return (
+        inter.join(F.broadcast(da), "ta")
+        .join(F.broadcast(db), "tb")
+        .select(
+            "ta",
+            "tb",
+            F.col("i").cast("bigint").alias("n_overlap"),
+            F.col("da").cast("bigint").alias("n_a"),
+            F.col("db").cast("bigint").alias("n_b"),
+            F.floor(
+                10000.0 * F.col("i") / (F.col("da") + F.col("db") - F.col("i"))
+            )
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("ta", "tb")
+    )

@@ -614,3 +614,80 @@ def q241_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q251_readability",
+    """
+    WITH d AS (
+      SELECT lang,
+             len(string_split_regex(lower(trim(text)), '\\s+'))
+               AS n_words,
+             len(string_split(text, '.')) - 1 + 1 AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS n_vgroups
+      FROM documents WHERE text <> ''),
+         scored AS (
+      SELECT lang, n_words, n_sents, n_vgroups,
+             CAST(round(100 * (206.835
+               - 1.015 * (n_words * 1.0 / n_sents)
+               - 84.6 * (n_vgroups * 1.0 / n_words))) AS BIGINT)
+               AS flesch_c
+      FROM d WHERE n_words > 0)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(FLOOR(avg(flesch_c)) AS BIGINT) AS mean_flesch_c,
+           CAST(min(flesch_c) AS BIGINT) AS min_flesch_c,
+           CAST(max(flesch_c) AS BIGINT) AS max_flesch_c
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q251_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language (Flesch 1948) with the classic
+    vowel-group syllable proxy — the readability axis of a text
+    quality suite (q23 measures structural quality; this measures
+    linguistic difficulty; training-mix builders filter or stratify on
+    both). Syllables ≈ maximal [aeiouy]+ runs — the standard cheap
+    approximation, honest about being a proxy (exact syllabification
+    needs a dictionary; the engine-side statistic is the proxy
+    everyone ships).
+
+    Engine-exactness: words, sentences and vowel groups are integer
+    regex counts; the Flesch formula evaluates on exact integer ratios
+    in doubles and quantizes per doc to centipoints BEFORE the
+    per-language mean (order-free — the established per-row-quantize
+    contract). One narrow pass + a |langs|-key aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    n_words = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    n_sents = F.size(F.split(F.col("text"), r"\.")) - 1 + 1
+    n_vg = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    scored = docs.select(
+        "lang",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_vg.alias("n_vgroups"),
+    ).filter(F.col("n_words") > 0)
+    flesch = F.round(
+        100
+        * (
+            206.835
+            - 1.015 * (F.col("n_words") * 1.0 / F.col("n_sents"))
+            - 84.6 * (F.col("n_vgroups") * 1.0 / F.col("n_words"))
+        )
+    ).cast("bigint")
+    return (
+        scored.withColumn("flesch_c", flesch)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.floor(F.avg("flesch_c")).cast("bigint").alias("mean_flesch_c"),
+            F.min("flesch_c").cast("bigint").alias("min_flesch_c"),
+            F.max("flesch_c").cast("bigint").alias("max_flesch_c"),
+        )
+        .orderBy("lang")
+    )
