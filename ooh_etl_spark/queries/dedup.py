@@ -341,3 +341,85 @@ def q29_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only + property tests (bit flips bounded)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+_XL_T = 0.3  # cross-lingual threshold: translated/copied content is
+#              noisier than same-lang dupes, so the bar sits lower
+
+
+_DUCK_XL = f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, lang, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         xl AS (
+      SELECT least(sa.lang, sb.lang) AS lang_a,
+             greatest(sa.lang, sb.lang) AS lang_b,
+             round(shared / (sa.sz + sb.sz - shared), 4) AS jac
+      FROM shared
+      JOIN sz sa ON id_a = sa.doc_id
+      JOIN sz sb ON id_b = sb.doc_id
+      WHERE sa.lang <> sb.lang
+        AND round(shared / (sa.sz + sb.sz - shared), 4) >= {_XL_T})
+    SELECT lang_a, lang_b,
+           count(*) AS n_pairs,
+           CAST(round(10000 * max(jac)) AS BIGINT) AS max_jac_bp
+    FROM xl
+    GROUP BY lang_a, lang_b
+    ORDER BY lang_a, lang_b
+"""
+
+
+@register("q253_crosslingual_dupes", _DUCK_XL)
+def q253_crosslingual_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual duplicate mining — near-dup pairs whose documents
+    carry DIFFERENT language tags, censused per language pair: the
+    signal behind parallel-corpus mining (translated content worth
+    aligning), cross-lingual benchmark contamination, and mislabeled
+    language tags (high-Jaccard cross-lang pairs of identical text are
+    usually lang-ID errors, not translations). Reuses q27's
+    inverted-index all-pairs machinery — the shingle join is
+    lang-blind, the lang constraint applies at pair level — with a
+    lower threshold (0.3) because copied-then-edited content across
+    languages shares fewer exact shingles.
+
+    Scale shape is exactly q27's (one posting-list pipeline, never
+    corpus-quadratic) plus a broadcast of the doc→lang map onto the
+    surviving pairs; the census output is bounded by |langs|².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_XL_T)
+    langs = docs.select("doc_id", "lang")
+    la = langs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("la"))
+    lb = langs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lb"))
+    xl = (
+        pairs.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            F.least("la", "lb").alias("lang_a"),
+            F.greatest("la", "lb").alias("lang_b"),
+            "jaccard",
+        )
+    )
+    return (
+        xl.groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(10000 * F.max("jaccard")).cast("bigint").alias("max_jac_bp"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
