@@ -738,3 +738,105 @@ def q252_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intercept_milli"),
     )
+
+
+@register(
+    "q254_rfm_segments",
+    """
+    WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+         per_user AS (
+      SELECT e.user_id,
+             CAST(date_diff('day', max(e.ts), mx.now_ts) AS BIGINT)
+               AS recency_d,
+             count(*) AS frequency,
+             sum(CAST(round(e.value * 100) AS BIGINT)) AS monetary_c
+      FROM events e CROSS JOIN mx
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id, mx.now_ts),
+         cuts AS (
+      SELECT CAST(quantile_disc(recency_d, 0.4) AS BIGINT) AS r_hi,
+             CAST(quantile_disc(frequency, 0.6) AS BIGINT) AS f_lo,
+             CAST(quantile_disc(monetary_c, 0.6) AS BIGINT) AS m_lo
+      FROM per_user),
+         seg AS (
+      SELECT u.user_id,
+             CASE WHEN u.recency_d <= c.r_hi THEN 'R1' ELSE 'R0' END
+             || CASE WHEN u.frequency >= c.f_lo THEN 'F1' ELSE 'F0' END
+             || CASE WHEN u.monetary_c >= c.m_lo THEN 'M1' ELSE 'M0' END
+               AS segment,
+             u.monetary_c
+      FROM per_user u CROSS JOIN cuts c)
+    SELECT segment,
+           count(*) AS n_users,
+           CAST(sum(monetary_c) AS BIGINT) AS revenue_c
+    FROM seg
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q254_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994, the retention-marketing
+    workhorse): each purchaser scores Recent (last purchase within the
+    40th-percentile recency), Frequent (purchase count at or above the
+    60th percentile) and Monetary (revenue at or above the 60th
+    percentile), and the 8 binary segments census users and revenue —
+    'R1F1M1' is the loyal core, 'R0F1M1' the lapsing high-value
+    cohort a win-back campaign targets.
+
+    Scale-first: the textbook ntile(5) needs a GLOBAL user sort; here
+    the cuts are three exact discrete percentiles reduced to a 1-ROW
+    BROADCAST, and segment assignment is a narrow per-row CASE — no
+    global window ever (q139's threshold-broadcast contract; swap
+    approx_percentile at extreme user counts, everything downstream
+    unchanged). All thresholds land on exact integers (days, counts,
+    cents), so the segment boundaries are engine-identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "now_ts")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "monetary_c"
+            ),
+        )
+        .select(
+            "user_id",
+            F.datediff(F.col("now_ts"), F.col("last_ts"))
+            .cast("bigint")
+            .alias("recency_d"),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    cuts = per_user.agg(
+        F.expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY recency_d)")
+        .cast("bigint")
+        .alias("r_hi"),
+        F.expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY frequency)")
+        .cast("bigint")
+        .alias("f_lo"),
+        F.expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY monetary_c)")
+        .cast("bigint")
+        .alias("m_lo"),
+    )
+    seg = per_user.crossJoin(F.broadcast(cuts)).select(
+        F.concat(
+            F.when(F.col("recency_d") <= F.col("r_hi"), "R1").otherwise("R0"),
+            F.when(F.col("frequency") >= F.col("f_lo"), "F1").otherwise("F0"),
+            F.when(F.col("monetary_c") >= F.col("m_lo"), "M1").otherwise("M0"),
+        ).alias("segment"),
+        "monetary_c",
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary_c").cast("bigint").alias("revenue_c"),
+        )
+        .orderBy("segment")
+    )
