@@ -553,3 +553,97 @@ def q228_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_e6"), "pa", "pb")
         .limit(_CF_TOP)
     )
+
+
+@register(
+    "q255_degree_assortativity",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      GROUP BY node),
+         ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e0 JOIN deg du ON du.node = e0.u
+              JOIN deg dv ON dv.node = e0.v),
+         sym AS (
+      SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends),
+         s AS (
+      SELECT count(*) AS m2,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x AS DECIMAL(38,0))
+                      * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(38,0))
+                      * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM sym)
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           CAST(round(1000000.0
+             * (sxy / m2 - (sx / m2) * (sx / m2))
+             / (sxx / m2 - (sx / m2) * (sx / m2))) AS BIGINT)
+             AS assortativity_e6
+    FROM s
+    """,
+)
+def q255_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    degrees at the two ends of every edge in the co-purchase part
+    graph — positive means hubs link to hubs (social-style), negative
+    means hubs link to leaves (technological/star-style); the single
+    number that says which epidemic/cascade regime a graph is in and
+    whether degree-targeted interventions work. Each undirected edge
+    contributes BOTH orientations (the standard symmetrization, which
+    collapses Newman's two-sided formula to a plain Pearson over 2m
+    end-pairs with equal marginals).
+
+    Shape: edge list and degree table are q173's artifacts (order-
+    keyed fan-out, bounded by lines-per-order); the statistic is one
+    moment aggregate over edges with the degree table joined twice.
+    Moments accumulate in DECIMAL(38,0) (q252's lesson — degree
+    products overflow int64 on hub-heavy graphs), converting to
+    double once for the closed form.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ends = (
+        e0.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    sym = ends.unionAll(ends.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = sym.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("m2")
+    return s.select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            1000000.0
+            * (F.col("sxy") / F.col("m2") - mean * mean)
+            / (F.col("sxx") / F.col("m2") - mean * mean)
+        )
+        .cast("bigint")
+        .alias("assortativity_e6"),
+    )
