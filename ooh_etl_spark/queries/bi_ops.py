@@ -840,3 +840,87 @@ def q254_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q256_pareto_elbow",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY l_partkey),
+         ranked AS (
+      SELECT rev_c,
+             row_number() OVER (ORDER BY rev_c DESC, l_partkey) AS i,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      FROM rev),
+         n AS (
+      SELECT max(i) AS n, max(cum_c) AS tot FROM ranked),
+         dist AS (
+      SELECT r.i, r.cum_c,
+             (n.n - 1) * (r.cum_c - 0) - (n.tot - 0) * (r.i - 1) AS cross2
+      FROM ranked r CROSS JOIN n)
+    SELECT CAST(i AS BIGINT) AS elbow_rank,
+           CAST(cum_c AS BIGINT) AS cum_revenue_c,
+           CAST((SELECT n FROM n) AS BIGINT) AS n_parts,
+           CAST(FLOOR(10000.0 * cum_c / (SELECT tot FROM n)) AS BIGINT)
+             AS cum_share_bp
+    FROM dist
+    ORDER BY cross2 DESC, i
+    LIMIT 1
+    """,
+)
+def q256_pareto_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elbow detection on the Pareto curve (the 'kneedle' heuristic,
+    Satopää 2011): the rank where the cumulative-revenue curve bends
+    hardest — the principled cutoff for 'how many SKUs really matter'
+    (and the same geometry that picks k from a k-means inertia curve).
+    The elbow maximizes distance to the chord from (1, c₁) to
+    (n, total); since only the argmax matters, the distance reduces to
+    the CROSS PRODUCT (n−1)·cum_i − total·(i−1) — pure exact bigint,
+    no sqrt, no division (the q216 cross-multiplication move applied
+    to geometry), ties to the earliest rank.
+
+    Scale note: the ranked curve is a global window over the PART
+    dimension (catalog-sized, not fact-sized — the q196 bounded-table
+    contract); the fact-scale work is one part-keyed revenue
+    aggregate. Chord anchored at (1, 0): with c₁ folded out both
+    engines agree exactly and the argmax is unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_c"))
+    w = Window.orderBy(F.desc("rev_c"), "l_partkey")
+    ranked = rev.select(
+        "rev_c",
+        F.row_number().over(w).alias("i"),
+        F.sum("rev_c")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_c"),
+    )
+    n = ranked.agg(F.max("i").alias("n"), F.max("cum_c").alias("tot"))
+    dist = ranked.crossJoin(F.broadcast(n)).select(
+        "i",
+        "cum_c",
+        "n",
+        "tot",
+        (
+            (F.col("n") - 1) * F.col("cum_c") - F.col("tot") * (F.col("i") - 1)
+        ).alias("cross2"),
+    )
+    return (
+        dist.orderBy(F.desc("cross2"), "i")
+        .limit(1)
+        .select(
+            F.col("i").cast("bigint").alias("elbow_rank"),
+            F.col("cum_c").cast("bigint").alias("cum_revenue_c"),
+            F.col("n").cast("bigint").alias("n_parts"),
+            F.floor(10000.0 * F.col("cum_c") / F.col("tot"))
+            .cast("bigint")
+            .alias("cum_share_bp"),
+        )
+    )
