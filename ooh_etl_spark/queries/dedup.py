@@ -423,3 +423,52 @@ def q253_crosslingual_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@register(
+    "q257_dup_cluster_sizes",
+    _DUCK_CLUSTERS.replace(
+        "SELECT id, min(label) AS cluster FROM reach GROUP BY id",
+        """, labels AS (
+      SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         sizes AS (
+      SELECT cluster, count(*) AS sz FROM labels GROUP BY cluster)
+    SELECT sz AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY sz
+    ORDER BY sz""",
+    ).replace("         shared AS (", "         shared AS ("),
+)
+def q257_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size census — the dedup REPORT a curator
+    reads before pulling the trigger: for each near-dup cluster size,
+    how many clusters exist, how many documents they hold, and how
+    many rows min-id survivorship would remove (Σ(size−1)) — the
+    deletion budget and the long-tail/mega-cluster split in one
+    table (a single mega-cluster usually means boilerplate, not true
+    duplication, and deserves inspection rather than deletion).
+
+    Composition: q27's pair pipeline → q49's connected components →
+    one size rollup; everything after the pair stage is
+    cluster-cardinality-sized. The oracle extends q49's recursive-CTE
+    transitive closure with the same rollup, so the whole chain stays
+    value-hash-checked.
+    """
+    from ooh_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
