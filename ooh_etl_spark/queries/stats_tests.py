@@ -570,3 +570,131 @@ def q225_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_PSI_BINS = 10
+
+
+@register(
+    "q258_psi_drift",
+    f"""
+    WITH bounds AS (
+      SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi
+      FROM events),
+         cut AS (
+      SELECT CAST((lo + hi) // 2 AS BIGINT) AS t0 FROM bounds),
+         v AS (
+      SELECT e.event_type,
+             CASE WHEN epoch_ms(e.ts) < c.t0 THEN 0 ELSE 1 END AS half,
+             CAST(round(e.value * 100) AS BIGINT) AS v_c
+      FROM events e CROSS JOIN cut c),
+         edges AS (
+      SELECT event_type,
+             CAST(min(v_c) AS BIGINT) AS vmin,
+             CAST(max(v_c) AS BIGINT) AS vmax
+      FROM v GROUP BY event_type),
+         binned AS (
+      SELECT v.event_type, v.half,
+             least(CAST(FLOOR({_PSI_BINS}.0 * (v.v_c - e.vmin)
+                              / (e.vmax - e.vmin + 1)) AS BIGINT),
+                   {_PSI_BINS - 1}) AS bin
+      FROM v JOIN edges e ON e.event_type = v.event_type),
+         cnt AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+      FROM binned GROUP BY event_type, bin),
+         tot AS (
+      SELECT event_type, sum(a) AS ta, sum(b) AS tb
+      FROM cnt GROUP BY event_type),
+         terms AS (
+      SELECT c.event_type,
+             CAST(round(1000000.0
+               * ((c.a + 1.0) / (t.ta + {_PSI_BINS})
+                  - (c.b + 1.0) / (t.tb + {_PSI_BINS}))
+               * ln(((c.a + 1.0) / (t.ta + {_PSI_BINS}))
+                    / ((c.b + 1.0) / (t.tb + {_PSI_BINS}))))
+               AS BIGINT) AS term_u
+      FROM cnt c JOIN tot t ON t.event_type = c.event_type)
+    SELECT event_type,
+           CAST(sum(term_u) AS BIGINT) AS psi_e6,
+           CAST(CASE WHEN sum(term_u) >= 250000 THEN 2
+                     WHEN sum(term_u) >= 100000 THEN 1
+                     ELSE 0 END AS BIGINT) AS drift_level
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q258_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (the credit-risk/model-monitoring
+    drift standard): the value distribution of each event type in the
+    FIRST half of the time range vs the SECOND, over 10 equal-width
+    bins, PSI = Σ(p_a − p_b)·ln(p_a/p_b) with the industry alert
+    levels (≥0.1 watch, ≥0.25 act). Complements q161's KS (exact
+    sup-distance, no binning) with the binned statistic every risk
+    team actually tracks; add-one smoothing on bin counts keeps ln
+    finite when a bin empties in one half.
+
+    Engine-exactness: the split point is exact integer epoch-millisecond
+    arithmetic and the bin edges exact integers, both off 1-row
+    broadcasts; per-bin PSI terms evaluate on
+    exact integer ratios and quantize to 1e-6 BEFORE the sum (q187 ln
+    contract). Shape: two tiny broadcasts + ONE (type, half, bin)
+    aggregate over the scan; the statistic assembles on the 2x10-cell
+    table per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(F.min(ms).alias("lo"), F.max(ms).alias("hi"))
+    cut = bounds.select(
+        F.floor((F.col("lo") + F.col("hi")) / 2).cast("bigint").alias("t0")
+    )
+    v = ev.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        (ms >= F.col("t0")).cast("int").alias("half"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+    )
+    edges = v.groupBy("event_type").agg(
+        F.min("v_c").alias("vmin"), F.max("v_c").alias("vmax")
+    )
+    binned = v.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        "half",
+        F.least(
+            F.floor(
+                _PSI_BINS
+                * (F.col("v_c") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin") + 1)
+            ).cast("bigint"),
+            F.lit(_PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    pa = (F.col("a") + 1.0) / (F.col("ta") + _PSI_BINS)
+    pb = (F.col("b") + 1.0) / (F.col("tb") + _PSI_BINS)
+    terms = cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.round(1000000.0 * (pa - pb) * F.log(pa / pb))
+        .cast("bigint")
+        .alias("term_u"),
+    )
+    psi = F.sum("term_u")
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            psi.cast("bigint").alias("psi_e6"),
+            F.when(psi >= 250000, 2)
+            .when(psi >= 100000, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("drift_level"),
+        )
+        .orderBy("event_type")
+    )
