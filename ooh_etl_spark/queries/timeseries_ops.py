@@ -1012,3 +1012,87 @@ def q249_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_10m")
     )
+
+
+_HOLT_DAYS = 40  # generous cap on the unrolled day-grain recursion
+
+
+def _holt_oracle() -> str:
+    """DuckDB oracle for q259: the SAME integer Holt recurrence as the
+    driver-side loop, unrolled as a MATERIALIZED recursive CTE over
+    the (bounded) day-grain series. alpha=1/4, beta=1/8 as exact
+    integer shifts: l' = (y + 3l + 3b) DIV 4 ... all floor divisions
+    on non-negative micro-cent magnitudes are engine-identical."""
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS y_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         idx AS MATERIALIZED (
+      SELECT d, y_c, row_number() OVER (ORDER BY d) AS i FROM daily),
+         n AS MATERIALIZED (SELECT max(i) AS n FROM idx),
+         holt(i, l, b) AS (
+      SELECT 1, (SELECT y_c FROM idx WHERE i = 1), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT h.i + 1,
+             CAST(FLOOR((x.y_c + 3.0 * (h.l + h.b)) / 4.0) AS BIGINT),
+             CAST(FLOOR((CAST(FLOOR((x.y_c + 3.0 * (h.l + h.b)) / 4.0)
+                              AS BIGINT) - h.l + 7.0 * h.b) / 8.0)
+                  AS BIGINT)
+      FROM holt h
+      JOIN idx x ON x.i = h.i + 1
+      WHERE h.i < {_HOLT_DAYS}),
+         last AS (
+      SELECT l, b FROM holt ORDER BY i DESC LIMIT 1)
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_c,
+           CAST(b AS BIGINT) AS trend_c,
+           CAST(l + b AS BIGINT) AS forecast_1_c,
+           CAST(l + 7 * b AS BIGINT) AS forecast_7_c
+    FROM last
+    """
+
+
+@register("q259_holt_trend", _holt_oracle())
+def q259_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957) on
+    daily purchase revenue — the forecasting step up from q126's EWMA
+    (level only): a trend state lets the 1-day and 7-day forecasts
+    extrapolate instead of flat-lining. α=1/4, β=1/8 chosen as exact
+    binary fractions so every recurrence step is INTEGER arithmetic
+    (l′ = ⌊(y + 3(l+b))/4⌋, b′ = ⌊(l′ − l + 7b)/8⌋ in cents) — the
+    state never touches a float, so the recursion is bit-exact on
+    both engines and across any number of refits.
+
+    Division of labor (the q222 contract): Spark reduces the corpus
+    to the DAY-GRAIN series (one calendar-keyed aggregate — bounded
+    by the calendar at any volume); the sequential recurrence — which
+    no window function expresses and which is day-count-long, not
+    data-long — runs driver-side, matching the oracle's MATERIALIZED
+    recursive CTE step for step. Emits final level/trend and the
+    1-day / 7-day linear forecasts.
+    """
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c")
+        )
+        .orderBy("d")
+    )
+    rows = daily.collect()
+    ys = [int(r["y_c"]) for r in rows][:_HOLT_DAYS]
+    l, b = ys[0], 0
+    for y in ys[1:]:
+        l_new = int(math.floor((y + 3.0 * (l + b)) / 4.0))
+        b = int(math.floor((l_new - l + 7.0 * b) / 8.0))
+        l = l_new
+    out = [(len(rows), l, b, l + b, l + 7 * b)]
+    return spark.createDataFrame(
+        out,
+        "n_days long, level_c long, trend_c long, "
+        "forecast_1_c long, forecast_7_c long",
+    )
