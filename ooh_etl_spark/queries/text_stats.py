@@ -691,3 +691,98 @@ def q251_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q260_source_position",
+    """
+    WITH q AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+             CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+             CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75
+      FROM documents GROUP BY source),
+         tot AS (SELECT count(*) AS n FROM documents)
+    SELECT q.source, q.n_docs, q.p50 AS median_chars,
+           CAST(FLOOR(10000.0 * (SELECT count(*) FROM documents d
+                                 WHERE d.n_chars <= q.p50) / tot.n)
+                AS BIGINT) AS median_corpus_pct_bp,
+           CAST(q.p75 - q.p25 AS BIGINT) AS iqr_chars,
+           CAST(FLOOR(10000.0 * (q.p75 - q.p25)
+                / ((SELECT quantile_disc(n_chars, 0.75) FROM documents)
+                   - (SELECT quantile_disc(n_chars, 0.25) FROM documents)))
+                AS BIGINT) AS iqr_vs_corpus_bp
+    FROM q CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def q260_source_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-position diagnostic — where each source's length
+    distribution SITS inside the corpus: the corpus percentile of the
+    source median (a source at the 20th percentile is systematically
+    short — truncation or boilerplate) and the source IQR as a share
+    of the corpus IQR (narrow = homogeneous/templated content). This
+    is the read-before-you-normalize report behind quantile
+    normalization and per-source length filters (q83/q164 reweight on
+    counts; this says whether SHAPE differs too).
+
+    Exactness: all quartiles are discrete percentiles over integer
+    chars; the corpus position of a median is a pure count ratio in
+    bp. Shape: per-source percentile aggregates + three 1-row corpus
+    aggregates broadcast; the count-below lookup joins the 20-row
+    quartile table against the corpus ONCE (broadcast threshold
+    table, map-side conditional count — implemented as a range-free
+    conditional aggregate, no per-doc window anywhere).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def disc(col: str, p: float) -> F.Column:
+        return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY {col})")
+
+    q = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        disc("n_chars", 0.25).cast("bigint").alias("p25"),
+        disc("n_chars", 0.50).cast("bigint").alias("p50"),
+        disc("n_chars", 0.75).cast("bigint").alias("p75"),
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        disc("n_chars", 0.25).cast("bigint").alias("c25"),
+        disc("n_chars", 0.75).cast("bigint").alias("c75"),
+    )
+    # count of corpus docs <= each source median: broadcast the 20-row
+    # quartile table and reduce the corpus once with a conditional sum.
+    meds = q.select(F.col("source").alias("msrc"), "p50")
+    below = (
+        docs.select("n_chars")
+        .crossJoin(F.broadcast(meds))
+        .groupBy("msrc")
+        .agg(
+            F.sum((F.col("n_chars") <= F.col("p50")).cast("long")).alias(
+                "n_below"
+            )
+        )
+        .select(F.col("msrc").alias("source"), "n_below")
+    )
+    return (
+        q.join(below, "source")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "n_docs",
+            F.col("p50").alias("median_chars"),
+            F.floor(10000.0 * F.col("n_below") / F.col("n"))
+            .cast("bigint")
+            .alias("median_corpus_pct_bp"),
+            (F.col("p75") - F.col("p25")).cast("bigint").alias("iqr_chars"),
+            F.floor(
+                10000.0
+                * (F.col("p75") - F.col("p25"))
+                / (F.col("c75") - F.col("c25"))
+            )
+            .cast("bigint")
+            .alias("iqr_vs_corpus_bp"),
+        )
+        .orderBy("source")
+    )
