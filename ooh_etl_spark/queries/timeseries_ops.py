@@ -1096,3 +1096,70 @@ def q259_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days long, level_c long, trend_c long, "
         "forecast_1_c long, forecast_7_c long",
     )
+
+
+@register(
+    "q261_peak_detection",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS y_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         nb AS (
+      SELECT d, y_c,
+             lag(y_c) OVER w AS prev_c,
+             lead(y_c) OVER w AS next_c
+      FROM daily WINDOW w AS (ORDER BY d))
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(y_c AS BIGINT) AS y_c,
+           CAST(y_c - greatest(prev_c, next_c) AS BIGINT) AS margin_c
+    FROM nb
+    WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+      AND y_c > prev_c AND y_c > next_c
+    ORDER BY day
+    """,
+)
+def q261_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection on daily purchase revenue — the
+    campaign-spike / incident-echo finder: a day is a peak when it
+    strictly exceeds BOTH neighbors, reported with its margin over the
+    higher one (a cheap prominence proxy that ranks sharp spikes above
+    rounded bumps). Series endpoints are excluded (one-sided maxima
+    are censoring artifacts, not peaks).
+
+    The lag/lead taps run on the DAY-GRAIN table (calendar-bounded —
+    the global window never sees corpus rows, q196's contract); the
+    corpus pass is the one daily aggregate. Everything is exact
+    integer cents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c")
+        )
+    )
+    w = Window.orderBy("d")
+    nb = daily.select(
+        "d",
+        "y_c",
+        F.lag("y_c").over(w).alias("prev_c"),
+        F.lead("y_c").over(w).alias("next_c"),
+    )
+    return (
+        nb.filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("y_c") > F.col("prev_c"))
+            & (F.col("y_c") > F.col("next_c"))
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("y_c").cast("bigint").alias("y_c"),
+            (F.col("y_c") - F.greatest("prev_c", "next_c"))
+            .cast("bigint")
+            .alias("margin_c"),
+        )
+        .orderBy("day")
+    )
