@@ -1163,3 +1163,64 @@ def q261_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q262_daily_tail_percentiles",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(round(value * 1000000) AS BIGINT) AS v_u
+      FROM events)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           count(*) AS n,
+           CAST(quantile_disc(v_u, 0.50) AS BIGINT) AS p50_u,
+           CAST(quantile_disc(v_u, 0.95) AS BIGINT) AS p95_u,
+           CAST(quantile_disc(v_u, 0.99) AS BIGINT) AS p99_u
+    FROM v
+    GROUP BY event_type, d
+    ORDER BY event_type, day
+    """,
+)
+def q262_daily_tail_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tail-percentile table per event type (p50/p95/p99 — the
+    latency-SLO report every service dashboard renders; here over the
+    value metric): exact DISCRETE percentiles on integer micro-units,
+    so every cell is engine-identical with zero quantization ambiguity
+    (the q141 convention, now per group-day).
+
+    Shape: percentile_disc groups shuffle on the (type, day) key —
+    high-cardinality, calendar-bounded, skew-free; each group sorts
+    only its own rows. At extreme per-group volumes the documented
+    swap is approx_percentile (t-digest-class sketch, mergeable
+    partials) with the same output schema — q39b's twin relationship,
+    at the grouped grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_u"),
+    )
+
+    def disc(p: float) -> F.Column:
+        return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY v_u)")
+
+    return (
+        v.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            disc(0.50).cast("bigint").alias("p50_u"),
+            disc(0.95).cast("bigint").alias("p95_u"),
+            disc(0.99).cast("bigint").alias("p99_u"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            "p50_u",
+            "p95_u",
+            "p99_u",
+        )
+        .orderBy("event_type", "day")
+    )
