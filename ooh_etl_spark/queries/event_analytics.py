@@ -843,3 +843,60 @@ def q250_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta", "tb")
     )
+
+
+_GAP_SESSION_MIN = 30  # session gap, matching q35/q78
+
+
+@register(
+    "q264_intersession_gaps",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events),
+         gaps AS (
+      SELECT CAST(date_diff('second', prev, ts) AS BIGINT) AS gap_s
+      FROM o
+      WHERE prev IS NOT NULL
+        AND date_diff('second', prev, ts) >= {_GAP_SESSION_MIN} * 60)
+    SELECT count(*) AS n_gaps,
+           CAST(quantile_disc(gap_s, 0.25) AS BIGINT) AS p25_s,
+           CAST(quantile_disc(gap_s, 0.50) AS BIGINT) AS p50_s,
+           CAST(quantile_disc(gap_s, 0.75) AS BIGINT) AS p75_s,
+           CAST(max(gap_s) AS BIGINT) AS max_s
+    FROM gaps
+    """,
+)
+def q264_intersession_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-session gap distribution — the habit/retention statistic
+    between q35's sessions: gaps LONGER than the session threshold are
+    by definition the pauses between sessions, and their quartiles
+    say whether users return hourly, daily, or weekly (the input to
+    churn-definition choices like q242's 7-day label window and to
+    push-notification timing). Same one user-keyed lag window as the
+    sessionizers; gaps are exact integer seconds; discrete quartiles
+    need no quantization (q141's contract).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "ts", F.lag("ts").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    gaps = o.select(
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev"))
+        .cast("bigint")
+        .alias("gap_s")
+    ).filter(F.col("gap_s") >= _GAP_SESSION_MIN * 60)
+
+    def disc(p: float) -> F.Column:
+        return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY gap_s)")
+
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        disc(0.25).cast("bigint").alias("p25_s"),
+        disc(0.50).cast("bigint").alias("p50_s"),
+        disc(0.75).cast("bigint").alias("p75_s"),
+        F.max("gap_s").cast("bigint").alias("max_s"),
+    )

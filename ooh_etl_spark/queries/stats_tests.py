@@ -698,3 +698,57 @@ def q258_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q263_value_mode",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+         m AS (
+      SELECT event_type, v_c, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, v_c) AS rk
+      FROM c)
+    SELECT event_type,
+           CAST(v_c AS BIGINT) AS mode_c,
+           CAST(n AS BIGINT) AS n_occurrences
+    FROM m WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def q263_value_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per event type with a DETERMINISTIC tie-break
+    (highest count, then smallest value) — the default-value /
+    imputation statistic. Spark's builtin ``mode()`` is documented
+    non-deterministic on ties, so this query takes the
+    count-then-rank form both engines agree on exactly: one
+    (type, value) aggregate — cardinality bounded by the cents
+    quantization — then a per-type top-1 over the bounded count table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        )
+        .groupBy("event_type", "v_c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.desc("n"), "v_c")
+    )
+    return (
+        c.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("v_c").cast("bigint").alias("mode_c"),
+            F.col("n").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("event_type")
+    )
