@@ -900,3 +900,86 @@ def q264_intersession_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         disc(0.75).cast("bigint").alias("p75_s"),
         F.max("gap_s").cast("bigint").alias("max_s"),
     )
+
+
+@register(
+    "q265_actor_concentration",
+    """
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+         cuts AS (
+      SELECT CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
+             CAST(quantile_disc(n, 0.90) AS BIGINT) AS p90
+      FROM per_user),
+         tot AS (
+      SELECT count(*) AS n_users, sum(n) AS n_events FROM per_user)
+    SELECT t.n_users,
+           CAST(t.n_events AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN u.n >= c.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS top1pct_users,
+           CAST(FLOOR(10000.0 * sum(CASE WHEN u.n >= c.p99
+                                         THEN u.n ELSE 0 END)
+                / t.n_events) AS BIGINT) AS top1pct_share_bp,
+           CAST(FLOOR(10000.0 * sum(CASE WHEN u.n >= c.p90
+                                         THEN u.n ELSE 0 END)
+                / t.n_events) AS BIGINT) AS top10pct_share_bp
+    FROM per_user u CROSS JOIN cuts c CROSS JOIN tot t
+    GROUP BY t.n_users, t.n_events
+    """,
+)
+def q265_actor_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actor-concentration screen — what share of all activity the
+    heaviest 1% / 10% of users generate (the first number an abuse
+    team pulls: organic products sit well under 50% for the top 1%;
+    bot-infested ones don't), and the aggregate twin of q197's Gini.
+    Thresholds are exact discrete percentiles of the per-user count
+    distribution reduced to a 1-ROW BROADCAST (the q254 move — no
+    global user sort); shares are exact integer counts in bp.
+
+    Shape: ONE per-user reduce is the only corpus pass; the share
+    census re-reduces the user-grain table against broadcast cuts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    cuts = per_user.agg(
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+        .cast("bigint")
+        .alias("p99"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY n)")
+        .cast("bigint")
+        .alias("p90"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("n").alias("n_events")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_users", "n_events")
+        .agg(
+            F.sum((F.col("n") >= F.col("p99")).cast("long"))
+            .cast("bigint")
+            .alias("top1pct_users"),
+            F.floor(
+                10000.0
+                * F.sum(F.when(F.col("n") >= F.col("p99"), F.col("n")).otherwise(0))
+                / F.first("n_events")
+            )
+            .cast("bigint")
+            .alias("top1pct_share_bp"),
+            F.floor(
+                10000.0
+                * F.sum(F.when(F.col("n") >= F.col("p90"), F.col("n")).otherwise(0))
+                / F.first("n_events")
+            )
+            .cast("bigint")
+            .alias("top10pct_share_bp"),
+        )
+        .select(
+            "n_users",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "top1pct_users",
+            "top1pct_share_bp",
+            "top10pct_share_bp",
+        )
+    )

@@ -1211,3 +1211,77 @@ def q235_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("did_m"),
     )
+
+
+@register(
+    "q266_minimum_detectable_effect",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CAST(round(value * 100) AS BIGINT)) AS metric_c
+      FROM events GROUP BY user_id),
+         s AS (
+      SELECT arm, count(*) AS n, sum(metric_c) AS sx,
+             sum(metric_c * metric_c) AS sxx
+      FROM per_user GROUP BY arm),
+         m AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             (a.sxx - a.sx * a.sx * 1.0 / a.n) / (a.n - 1) AS var_a,
+             (b.sxx - b.sx * b.sx * 1.0 / b.n) / (b.n - 1) AS var_b,
+             (a.sx + b.sx) * 1.0 / (a.n + b.n) AS pooled_mean
+      FROM (SELECT * FROM s WHERE arm = 0) a
+      CROSS JOIN (SELECT * FROM s WHERE arm = 1) b)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(round(2.8016 * sqrt(var_a / n_a + var_b / n_b) * 10)
+                AS BIGINT) AS mde_abs_milli,
+           CAST(round(10000.0 * 2.8016 * sqrt(var_a / n_a + var_b / n_b)
+                      / pooled_mean) AS BIGINT) AS mde_rel_bp
+    FROM m
+    """,
+)
+def q266_minimum_detectable_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc minimum detectable effect — the experiment-design
+    readout q192's t-test needs as a companion ('no significant
+    effect' means nothing until you say what effect the sample COULD
+    have detected): MDE = (z_{1−α/2} + z_{power})·SE with the
+    standard α=0.05 / 80%-power constant 1.96 + 0.8416 = 2.8016 as an
+    exact literal (no CDF evaluation anywhere — the q140/q192
+    no-client-side-tables contract), reported absolute (milli-cents)
+    and relative to the pooled mean (bp). An experiment whose
+    observed lift is far below its own MDE was underpowered, not
+    negative.
+
+    Shape: q192's exact per-arm moment aggregate — one user reduce,
+    one 2-row arm reduce, identical IEEE closed form on exact
+    integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("metric_c")
+    ).select((F.col("user_id") % 2).alias("arm"), "metric_c")
+    s = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("metric_c").alias("sx"),
+        F.sum(F.col("metric_c") * F.col("metric_c")).alias("sxx"),
+    )
+    a = s.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a")
+    )
+    b = s.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    m = a.crossJoin(b)
+    var_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") * 1.0 / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") * 1.0 / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    pooled = (F.col("sx_a") + F.col("sx_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(2.8016 * se * 10).cast("bigint").alias("mde_abs_milli"),
+        F.round(10000.0 * 2.8016 * se / pooled).cast("bigint").alias("mde_rel_bp"),
+    )
