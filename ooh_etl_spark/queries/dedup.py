@@ -472,3 +472,106 @@ def q257_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+_CONT_T = 0.8  # containment threshold: B mostly inside A
+
+
+@register(
+    "q268_containment_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {{_DUCK_TOKS}} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(round(10000.0 * shared / least(sa.sz, sb.sz)) AS BIGINT)
+             AS containment_bp,
+           CAST(round(10000.0 * shared / (sa.sz + sb.sz - shared))
+                AS BIGINT) AS jaccard_bp
+    FROM shared
+    JOIN sz sa ON id_a = sa.doc_id
+    JOIN sz sb ON id_b = sb.doc_id
+    WHERE round(10000.0 * shared / least(sa.sz, sb.sz)) >= {_CONT_T * 10000:.0f}
+    ORDER BY id_a, id_b
+    """.replace("{_DUCK_TOKS}", _DUCK_TOKS),
+)
+def q268_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup pairs (Broder 1997's second resemblance
+    measure): |A∩B| / min(|A|,|B|) catches the subset relationship
+    Jaccard misses — a short document quoted inside a long one scores
+    near 1.0 containment but low Jaccard, and quote/excerpt dedup is
+    exactly the case corpus cleaners lose when they threshold only on
+    Jaccard. Emits both measures so the divergence (high containment,
+    low Jaccard) is visible per pair.
+
+    Shape: identical to q27's inverted-index pipeline — the shared
+    counts are the same aggregate; only the normalization differs (min
+    size instead of union size), so the scale argument carries over
+    verbatim.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from ooh_etl_spark.functions.text import tokenize
+
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i, 3), " "
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.array(F.array_join(F.col("toks"), " ")))
+        .alias("sh"),
+    )
+    sz = sh.select("doc_id", F.size("sh").alias("sz"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = inv.select(F.col("doc_id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    cont = F.round(
+        10000.0 * F.col("shared") / F.least("sza", "szb")
+    ).cast("bigint")
+    jac = F.round(
+        10000.0 * F.col("shared") / (F.col("sza") + F.col("szb") - F.col("shared"))
+    ).cast("bigint")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            cont.alias("containment_bp"),
+            jac.alias("jaccard_bp"),
+        )
+        .filter(F.col("containment_bp") >= int(_CONT_T * 10000))
+        .orderBy("id_a", "id_b")
+    )

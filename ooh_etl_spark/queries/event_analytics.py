@@ -983,3 +983,65 @@ def q265_actor_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top10pct_share_bp",
         )
     )
+
+
+@register(
+    "q267_behavior_entropy",
+    """
+    WITH ut AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type),
+         u AS (
+      SELECT user_id, sum(c) AS n FROM ut GROUP BY user_id),
+         ent AS (
+      SELECT ut.user_id,
+             sum(CAST(round(-1000000.0 * (ut.c * 1.0 / u.n)
+                            * ln(ut.c * 1.0 / u.n)) AS BIGINT)) AS h_u
+      FROM ut JOIN u ON u.user_id = ut.user_id
+      GROUP BY ut.user_id)
+    SELECT CAST(h_u // 200000 AS BIGINT) AS entropy_bucket,
+           count(*) AS n_users,
+           CAST(min(h_u) AS BIGINT) AS min_h_u,
+           CAST(max(h_u) AS BIGINT) AS max_h_u
+    FROM ent
+    GROUP BY 1
+    ORDER BY entropy_bucket
+    """,
+)
+def q267_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity census: Shannon entropy of each user's
+    event-type mix (0 = single-action users — often bots or broken
+    clients; ln 5 ≈ 1.61 = uniform across all five types), bucketed
+    at 0.2-nat steps — the segmentation histogram behind 'are our
+    actives diverse or single-feature'. Per-term −p·ln p quantizes to
+    micro-nats on exact integer ratios BEFORE the per-user sum (q187
+    contract), so bucket boundaries are engine-exact.
+
+    Shape: one (user, type) reduce, one user-total reduce joined back
+    (both map-side combinable, user-keyed, skew-free), then a
+    9-bucket census. Per-user state never exceeds |event_types|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    u = ut.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    ent = (
+        ut.join(u, "user_id")
+        .select(
+            "user_id",
+            F.round(-1000000.0 * p * F.log(p)).cast("bigint").alias("term_u"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("term_u").alias("h_u"))
+    )
+    return (
+        ent.groupBy(
+            F.floor(F.col("h_u") / 200000).cast("bigint").alias("entropy_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("h_u").cast("bigint").alias("min_h_u"),
+            F.max("h_u").cast("bigint").alias("max_h_u"),
+        )
+        .orderBy("entropy_bucket")
+    )
