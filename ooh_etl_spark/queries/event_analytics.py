@@ -1045,3 +1045,96 @@ def q267_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entropy_bucket")
     )
+
+
+@register(
+    "q269_funnel_step_latency",
+    """
+    WITH firsts AS (
+      SELECT user_id, event_type, min(ts) AS first_ts
+      FROM events
+      WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+      GROUP BY user_id, event_type),
+         steps(step_from, step_to) AS (
+      VALUES ('view', 'click'), ('click', 'signup'),
+             ('signup', 'purchase')),
+         lat AS (
+      SELECT s.step_from, s.step_to,
+             CAST(date_diff('second', a.first_ts, b.first_ts) AS BIGINT)
+               AS delay_s
+      FROM steps s
+      JOIN firsts a ON a.event_type = s.step_from
+      JOIN firsts b ON b.event_type = s.step_to
+                   AND b.user_id = a.user_id
+      WHERE b.first_ts >= a.first_ts)
+    SELECT step_from, step_to,
+           count(*) AS n_users,
+           CAST(quantile_disc(delay_s, 0.5) AS BIGINT) AS p50_s,
+           CAST(quantile_disc(delay_s, 0.9) AS BIGINT) AS p90_s
+    FROM lat
+    GROUP BY step_from, step_to
+    ORDER BY step_from, step_to
+    """,
+)
+def q269_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step latencies — the time-between-milestones table that
+    turns q97's conversion RATE into a WHERE-is-it-slow diagnosis:
+    for each adjacent funnel step (first view→first click→first
+    signup→first purchase), the median and p90 delay among users who
+    completed the step in order. q141 measured one edge; this walks
+    the whole funnel with ordered-milestone semantics (later first-
+    event must not precede the earlier one).
+
+    Shape: ONE (user, type) first-event reduce — the only corpus pass
+    — then the step table (a 3-row literal) joins the user-grain
+    milestones twice; exact integer seconds, discrete percentiles per
+    step.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(
+            F.col("event_type").isin("view", "click", "signup", "purchase")
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    steps = spark.createDataFrame(
+        [("view", "click"), ("click", "signup"), ("signup", "purchase")],
+        "step_from string, step_to string",
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("step_from"),
+        F.col("first_ts").alias("ts_a"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("step_to"),
+        F.col("first_ts").alias("ts_b"),
+    )
+    lat = (
+        F.broadcast(steps)
+        .join(a, "step_from")
+        .join(b, ["user_id", "step_to"])
+        .filter(F.col("ts_b") >= F.col("ts_a"))
+        .select(
+            "step_from",
+            "step_to",
+            (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a"))
+            .cast("bigint")
+            .alias("delay_s"),
+        )
+    )
+
+    def disc(p: float) -> F.Column:
+        return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY delay_s)")
+
+    return (
+        lat.groupBy("step_from", "step_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            disc(0.5).cast("bigint").alias("p50_s"),
+            disc(0.9).cast("bigint").alias("p90_s"),
+        )
+        .orderBy("step_from", "step_to")
+    )

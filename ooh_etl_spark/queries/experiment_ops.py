@@ -1285,3 +1285,62 @@ def q266_minimum_detectable_effect(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(2.8016 * se * 10).cast("bigint").alias("mde_abs_milli"),
         F.round(10000.0 * 2.8016 * se / pooled).cast("bigint").alias("mde_rel_bp"),
     )
+
+
+@register(
+    "q270_srm_check",
+    """
+    WITH arms AS (
+      SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n
+      FROM events GROUP BY 1),
+         m AS (
+      SELECT a.n AS n_a, b.n AS n_b
+      FROM (SELECT n FROM arms WHERE arm = 0) a
+      CROSS JOIN (SELECT n FROM arms WHERE arm = 1) b)
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(round(1000000.0 * (n_a - n_b) * (n_a - n_b)
+                      / (n_a + n_b)) AS BIGINT) AS chi2_e6,
+           CAST(CASE WHEN 1000000.0 * (n_a - n_b) * (n_a - n_b)
+                          / (n_a + n_b) > 3841459
+                     THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
+    FROM m
+    """,
+)
+def q270_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check (Fabijan et al. 2019 — the FIRST
+    gate every experiment readout must pass: if the 50/50 split
+    didn't land 50/50 beyond chance, every downstream metric in
+    q192/q226/q227 is invalid, usually from assignment or logging
+    bugs): the 1-df chi-square against equal allocation simplifies to
+    (n_a − n_b)²/(n_a + n_b), compared to the 3.841 critical value
+    held as an exact literal (no CDF evaluation — the standing
+    contract). Unit counting is DISTINCT users, not events, because
+    SRM is about the randomization unit.
+
+    Shape: one distinct-user-per-arm aggregate; the statistic is
+    2-row arithmetic. This is deliberately the cheapest query in the
+    registry — the point is that it must ALWAYS run first.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arms = (
+        ev.select((F.col("user_id") % 2).alias("arm"), "user_id")
+        .distinct()
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = arms.filter(F.col("arm") == 0).select(F.col("n").alias("n_a"))
+    b = arms.filter(F.col("arm") == 1).select(F.col("n").alias("n_b"))
+    m = a.crossJoin(b)
+    chi2 = (
+        1000000.0
+        * (F.col("n_a") - F.col("n_b"))
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(chi2).cast("bigint").alias("chi2_e6"),
+        (chi2 > 3841459).cast("bigint").alias("srm_alarm"),
+    )
