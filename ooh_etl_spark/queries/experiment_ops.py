@@ -1344,3 +1344,98 @@ def q270_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2).cast("bigint").alias("chi2_e6"),
         (chi2 > 3841459).cast("bigint").alias("srm_alarm"),
     )
+
+
+@register(
+    "q271_ratio_metric_delta",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS rev_c,
+             count(*) AS n_ev
+      FROM events GROUP BY user_id),
+         s AS (
+      SELECT arm, count(*) AS n,
+             sum(rev_c) AS sx, sum(n_ev) AS sy,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0))
+                      * CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(n_ev AS DECIMAL(38,0))
+                      * CAST(n_ev AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0))
+                      * CAST(n_ev AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM per_user GROUP BY arm),
+         d AS (
+      SELECT arm, n,
+             sx * 1.0 / n AS mx, sy * 1.0 / n AS my,
+             (sxx - sx * sx * 1.0 / n) / (n - 1) AS vx,
+             (syy - sy * sy * 1.0 / n) / (n - 1) AS vy,
+             (sxy - sx * sy * 1.0 / n) / (n - 1) AS cxy
+      FROM s)
+    SELECT arm,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(round(10.0 * mx / my) AS BIGINT) AS ratio_milli,
+           CAST(round(1000000.0 * (mx / my) * (mx / my) / n
+                      * (vx / (mx * mx) + vy / (my * my)
+                         - 2.0 * cxy / (mx * my))) AS BIGINT)
+             AS var_ratio_e6
+    FROM d
+    ORDER BY arm
+    """,
+)
+def q271_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method variance for a RATIO metric (Deng, Knoblich & Lu,
+    KDD'18): revenue-per-event is a ratio of two per-user quantities,
+    so its naive variance is wrong — user is the randomization unit
+    and numerator/denominator covary; the delta method expands
+    var(X̄/Ȳ) ≈ (μx/μy)²(vx/μx² + vy/μy² − 2cov/μxμy)/n, which is
+    what q192-style tests must use on ratio metrics. Per-arm ratio
+    (milli) and delta variance (1e-6) from exact per-user moments —
+    cross-moments accumulate in DECIMAL(38,0) (the q252 lesson;
+    rev_c² overflows int64 at fixture scale already), converting to
+    double once.
+
+    Shape: one per-user reduce, one per-arm moment reduce, closed
+    form on the 2-row table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(0)
+        ).alias("rev_c"),
+        F.count(F.lit(1)).alias("n_ev"),
+    ).select((F.col("user_id") % 2).alias("arm"), "rev_c", "n_ev")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_c").alias("sx"),
+        F.sum("n_ev").alias("sy"),
+        F.sum(dec("rev_c") * dec("rev_c")).cast("double").alias("sxx"),
+        F.sum(dec("n_ev") * dec("n_ev")).cast("double").alias("syy"),
+        F.sum(dec("rev_c") * dec("n_ev")).cast("double").alias("sxy"),
+    )
+    mx = F.col("sx") * 1.0 / F.col("n")
+    my = F.col("sy") * 1.0 / F.col("n")
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") * 1.0 / F.col("n")) / (F.col("n") - 1)
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") * 1.0 / F.col("n")) / (F.col("n") - 1)
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") * 1.0 / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return s.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(10.0 * mx / my).cast("bigint").alias("ratio_milli"),
+        F.round(
+            1000000.0
+            * (mx / my)
+            * (mx / my)
+            / F.col("n")
+            * (vx / (mx * mx) + vy / (my * my) - 2.0 * cxy / (mx * my))
+        )
+        .cast("bigint")
+        .alias("var_ratio_e6"),
+    ).orderBy("arm")
