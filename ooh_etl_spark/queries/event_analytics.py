@@ -1138,3 +1138,78 @@ def q269_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step_from", "step_to")
     )
+
+
+@register(
+    "q273_revenue_retention",
+    """
+    WITH fp AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_wk
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         rev AS (
+      SELECT f.cohort_wk,
+             CAST(date_diff('week', f.cohort_wk,
+                            date_trunc('week', e.ts)) AS BIGINT)
+               AS week_offset,
+             sum(CAST(round(e.value * 100) AS BIGINT)) AS rev_c
+      FROM events e JOIN fp f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+         base AS (
+      SELECT cohort_wk, rev_c AS rev0_c FROM rev WHERE week_offset = 0)
+    SELECT strftime(r.cohort_wk, '%Y-%m-%d') AS cohort,
+           r.week_offset,
+           CAST(r.rev_c AS BIGINT) AS revenue_c,
+           CAST(FLOOR(10000.0 * r.rev_c / b.rev0_c) AS BIGINT)
+             AS retention_bp
+    FROM rev r JOIN base b ON b.cohort_wk = r.cohort_wk
+    ORDER BY cohort, week_offset
+    """,
+)
+def q273_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention matrix — q98's user-retention triangle
+    with DOLLARS instead of heads: each first-purchase weekly cohort's
+    revenue in week offset w as basis points of its week-0 revenue
+    (the SaaS NRR curve; >10000 bp past week 0 means expansion beats
+    churn). User cohorts anchor at FIRST PURCHASE (not first touch —
+    revenue retention starts when revenue starts).
+
+    Shape: q98's exact plan shape — one first-purchase reduce joined
+    back, one (cohort, offset) revenue aggregate, the week-0 column
+    joined as a per-cohort 1-row base. Integer cents; bp by one
+    division on exact ints.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    wk = F.date_trunc("week", F.col("ts"))
+    fp = p.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    rev = (
+        p.join(fp, "user_id")
+        .select(
+            "cohort_wk",
+            F.floor(
+                (F.unix_timestamp(wk) - F.unix_timestamp("cohort_wk"))
+                / (7 * 86400)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.sum("v_c").alias("rev_c"))
+    )
+    base = rev.filter(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("rev_c").alias("rev0_c")
+    )
+    return (
+        rev.join(base, "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort"),
+            "week_offset",
+            F.col("rev_c").cast("bigint").alias("revenue_c"),
+            F.floor(10000.0 * F.col("rev_c") / F.col("rev0_c"))
+            .cast("bigint")
+            .alias("retention_bp"),
+        )
+        .orderBy("cohort", "week_offset")
+    )
