@@ -1027,3 +1027,161 @@ def q234_embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+@register(
+    "q274_youden_threshold",
+    """
+    WITH scored AS (
+      SELECT CAST(label % 2 AS INT) AS y,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS s
+      FROM embeddings),
+         hist AS (
+      SELECT s, sum(y) AS pos, sum(1 - y) AS neg FROM scored GROUP BY s),
+         tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM hist),
+         cum AS (
+      SELECT s,
+             sum(pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(neg) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM hist),
+         j AS (
+      SELECT c.s, c.tp, c.fp, t.p, t.n,
+             c.tp * t.n - c.fp * t.p AS j_num
+      FROM cum c CROSS JOIN tot t)
+    SELECT CAST(s AS BIGINT) AS threshold_e6,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(round(1000000.0 * j_num / (p * n)) AS BIGINT) AS youden_e6
+    FROM j
+    ORDER BY j_num DESC, s
+    LIMIT 1
+    """,
+)
+def q274_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision threshold by Youden's J (Youden 1950): the
+    score cutoff maximizing TPR − FPR over the ROC curve — what turns
+    q196's AUC (ranking quality) into an OPERATING POINT (the
+    threshold you actually deploy when false positives and negatives
+    cost the same). J = tp/P − fp/N compares by the integer cross
+    product tp·N − fp·P (q216's division-free move), so the argmax is
+    exact; ties resolve to the LOWER threshold (more sensitive
+    operating point) deterministically.
+
+    Shape is q196's contract verbatim: the corpus pass is ONE
+    score-histogram aggregate; the descending cumulative window and
+    the argmax run over the quantization-bounded histogram, never
+    corpus rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("label") % 2).cast("int").alias("y"),
+        F.round(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("bigint")
+        .alias("s"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    tot = hist.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "s",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "j_num", F.col("tp") * F.col("n") - F.col("fp") * F.col("p")
+    )
+    return (
+        j.orderBy(F.desc("j_num"), "s")
+        .limit(1)
+        .select(
+            F.col("s").cast("bigint").alias("threshold_e6"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            F.round(1000000.0 * F.col("j_num") / (F.col("p") * F.col("n")))
+            .cast("bigint")
+            .alias("youden_e6"),
+        )
+    )
+
+
+@register(
+    "q275_expected_calibration_error",
+    f"""
+    WITH s AS ({_DUCK_SCORED}),
+         bins AS (
+      SELECT least(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+             count(*) AS n, sum(y) AS pos,
+             sum(CAST(round(p * 1000000) AS BIGINT)) AS conf_sum_e6
+      FROM s GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn FROM bins)
+    SELECT CAST(t.nn AS BIGINT) AS n_total,
+           count(*) AS n_bins,
+           CAST(round(sum(
+             abs(b.pos * 1000000.0 / b.n - b.conf_sum_e6 * 1.0 / b.n)
+             * b.n) / t.nn) AS BIGINT) AS ece_e6,
+           CAST(max(round(
+             abs(b.pos * 1000000.0 / b.n - b.conf_sum_e6 * 1.0 / b.n)))
+             AS BIGINT) AS mce_e6
+    FROM bins b CROSS JOIN tot t
+    GROUP BY t.nn
+    """,
+)
+def q275_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected & maximum calibration error (Naeini et al. AAAI'15) —
+    the single-number summaries of q170's reliability diagram: per
+    decile bin, |observed positive rate − mean predicted probability|,
+    weighted by bin mass (ECE) or maxed (MCE). A model can have great
+    AUC (q196) and terrible ECE — ranking and calibration are
+    different failures, and probability consumers (bidders,
+    thresholds, risk models) break on the second.
+
+    Exactness: bin membership is exact on the score float's decile
+    floor; confidences quantize to 1e-6 per row BEFORE the bin sum;
+    per-bin gaps evaluate on exact integers and the weighted mean is
+    one division. One 10-key aggregate over the scan.
+    """
+    s = _scored(spark, sf_dir)
+    bins = (
+        s.select(
+            F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias(
+                "bin"
+            ),
+            "y",
+            F.round(F.col("p") * 1000000).cast("bigint").alias("conf_e6"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("pos"),
+            F.sum("conf_e6").alias("conf_sum_e6"),
+        )
+    )
+    tot = bins.agg(F.sum("n").alias("nn"))
+    gap = F.abs(
+        F.col("pos") * 1000000.0 / F.col("n")
+        - F.col("conf_sum_e6") * 1.0 / F.col("n")
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("nn")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.round(F.sum(gap * F.col("n")) / F.first("nn"))
+            .cast("bigint")
+            .alias("ece_e6"),
+            F.max(F.round(gap)).cast("bigint").alias("mce_e6"),
+        )
+        .select(
+            F.col("nn").cast("bigint").alias("n_total"),
+            "n_bins",
+            "ece_e6",
+            "mce_e6",
+        )
+    )
