@@ -1185,3 +1185,113 @@ def q275_expected_calibration_error(
             "mce_e6",
         )
     )
+
+
+@register(
+    "q276_average_precision",
+    """
+    WITH scored AS (
+      SELECT CAST(label % 2 AS INT) AS y,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS s
+      FROM embeddings),
+         hist AS (
+      SELECT s, sum(y) AS pos, count(*) AS n FROM scored GROUP BY s),
+         cum AS (
+      SELECT s, pos,
+             sum(pos) OVER w AS tp,
+             sum(n) OVER w AS pred
+      FROM hist WINDOW w AS (ORDER BY s DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         tot AS (SELECT sum(pos) AS p FROM hist)
+    SELECT CAST(t.p AS BIGINT) AS n_pos,
+           CAST(round(1000000.0 * sum(c.pos * c.tp * 1.0 / c.pred) / t.p)
+                AS BIGINT) AS ap_e6
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.p
+    """,
+)
+def q276_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision / PR-AUC (the class-imbalance-honest
+    companion to q196's ROC-AUC — with 1% positives a model can have
+    0.99 ROC-AUC and useless precision; the PR curve can't hide
+    that): AP = Σ_t ΔRecall(t) · Precision(t), which over the score
+    HISTOGRAM collapses to Σ pos_s · (TP_s / Pred_s) / P — each
+    threshold group contributes its positives times the precision at
+    its cutoff. All terms are exact integer ratios inside one double
+    product per histogram row.
+
+    Shape: q196's contract — one score-histogram aggregate, one
+    descending cumulative window over the quantization-bounded
+    histogram, a 1-row total broadcast.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("label") % 2).cast("int").alias("y"),
+        F.round(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("bigint")
+        .alias("s"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("pos"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "pos",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("n").over(w).alias("pred"),
+    )
+    tot = hist.agg(F.sum("pos").alias("p"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("p")
+        .agg(
+            F.round(
+                1000000.0
+                * F.sum(F.col("pos") * F.col("tp") * 1.0 / F.col("pred"))
+                / F.first("p")
+            )
+            .cast("bigint")
+            .alias("ap_e6")
+        )
+        .select(F.col("p").cast("bigint").alias("n_pos"), "ap_e6")
+    )
+
+
+@register(
+    "q277_brier_score",
+    f"""
+    WITH s AS ({_DUCK_SCORED})
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round((p - y) * (p - y) * 1000000) AS BIGINT))
+                // count(*) AS BIGINT) AS brier_e6,
+           CAST(sum(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct_at_half
+    FROM s
+    """,
+)
+def q277_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (Brier 1950) — the proper scoring rule mean
+    (p − y)²: unlike accuracy it rewards honest probabilities, unlike
+    ECE (q275) it can't be gamed by binning, and its decomposition
+    underlies both. Per-row squared errors quantize to 1e-6 BEFORE
+    the sum (order-free), with floor division for the mean (positive
+    operands — engine-identical); accuracy at the 0.5 cutoff rides
+    along for reference. One narrow pass + a 1-row aggregate —
+    deliberately the simplest entry in the eval suite (q196 AUC /
+    q276 AP / q274 threshold / q275 ECE / this), which together form
+    the full model-eval readout.
+    """
+    s = _scored(spark, sf_dir)
+    sq = F.round(
+        (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")) * 1000000
+    ).cast("bigint")
+    return s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum(sq) / F.count(F.lit(1))).cast("bigint").alias("brier_e6"),
+        F.sum(
+            ((F.col("p") >= 0.5) == (F.col("y") == 1)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_correct_at_half"),
+    )
