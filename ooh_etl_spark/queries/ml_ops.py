@@ -1295,3 +1295,40 @@ def q277_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_correct_at_half"),
     )
+
+
+@register(
+    "q278_logloss",
+    f"""
+    WITH s AS ({_DUCK_SCORED})
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(-1000000.0 *
+                 CASE WHEN y = 1 THEN ln(p) ELSE ln(1.0 - p) END)
+               AS BIGINT)) // count(*) AS BIGINT) AS logloss_e6
+    FROM s
+    """,
+)
+def q278_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy / log loss — the third proper scoring rule next
+    to Brier (q277) and the training objective itself (q168 descends
+    its gradient): mean −[y·ln p + (1−y)·ln(1−p)] in micro-nats,
+    per-row quantized before the sum (q187's ln contract — the
+    sigmoid output is the same IEEE double on both engines, so each
+    row's ln matches exactly). Log loss punishes confident mistakes
+    unboundedly where Brier saturates — the difference that makes it
+    the right early-warning metric for overconfident models. One
+    narrow pass, 1-row aggregate.
+    """
+    s = _scored(spark, sf_dir)
+    term = F.round(
+        -1000000.0
+        * F.when(F.col("y") == 1, F.log(F.col("p"))).otherwise(
+            F.log(1.0 - F.col("p"))
+        )
+    ).cast("bigint")
+    return s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum(term) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("logloss_e6"),
+    )
