@@ -9,7 +9,7 @@ Wilson interval.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ooh_etl_spark.queries.registry import register
@@ -750,5 +750,106 @@ def q263_value_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_c").cast("bigint").alias("mode_c"),
             F.col("n").cast("bigint").alias("n_occurrences"),
         )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q279_median_ci",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
+      FROM events),
+         n AS (
+      SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+         ranks AS (
+      SELECT event_type, n,
+             CAST(FLOOR(n / 2.0 - 0.98 * sqrt(n)) AS BIGINT) AS r_lo,
+             CAST(CEIL(n / 2.0 + 1.0 + 0.98 * sqrt(n)) AS BIGINT) AS r_hi
+      FROM n),
+         hist AS (
+      SELECT event_type, v_u, count(*) AS c FROM v
+      GROUP BY event_type, v_u),
+         cum AS (
+      SELECT event_type, v_u,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v_u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM hist)
+    SELECT r.event_type,
+           CAST(r.n AS BIGINT) AS n,
+           CAST((SELECT min(v_u) FROM cum c
+                 WHERE c.event_type = r.event_type AND c.cc >= r.r_lo)
+                AS BIGINT) AS ci_lo_u,
+           CAST((SELECT min(v_u) FROM cum c
+                 WHERE c.event_type = r.event_type
+                   AND c.cc >= CAST(CEIL(r.n / 2.0) AS BIGINT))
+                AS BIGINT) AS median_u,
+           CAST((SELECT min(v_u) FROM cum c
+                 WHERE c.event_type = r.event_type AND c.cc >= r.r_hi)
+                AS BIGINT) AS ci_hi_u
+    FROM ranks r
+    ORDER BY r.event_type
+    """,
+)
+def q279_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN by
+    binomial order statistics (the textbook nonparametric CI — no
+    bootstrap resampling, no normality assumption): the interval
+    endpoints are the order statistics at ranks n/2 ∓ 0.98√n (0.98 =
+    z_{.975}/2 as an exact literal, the no-CDF contract), which cover
+    the true median with ≥95% probability for any continuous
+    distribution. Complements q193's bootstrap (general-statistic,
+    resampling-priced) with the closed-form answer for quantiles.
+
+    Shape: order-statistic lookup runs on the per-type VALUE
+    HISTOGRAM (quantization-bounded, q196's contract) via cumulative
+    counts — 'value at rank r' = min value whose cumcount ≥ r — so no
+    corpus-scale sort exists; ranks are exact integer arithmetic off
+    per-type counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_u"),
+    )
+    n = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranks = n.select(
+        "event_type",
+        "n",
+        F.floor(F.col("n") / 2.0 - 0.98 * F.sqrt(F.col("n")))
+        .cast("bigint")
+        .alias("r_lo"),
+        F.ceil(F.col("n") / 2.0 + 1.0 + 0.98 * F.sqrt(F.col("n")))
+        .cast("bigint")
+        .alias("r_hi"),
+        F.ceil(F.col("n") / 2.0).cast("bigint").alias("r_med"),
+    )
+    hist = v.groupBy("event_type", "v_u").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v_u")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select("event_type", "v_u", F.sum("c").over(w).alias("cc"))
+
+    def at_rank(rank_col: str, alias: str):
+        return (
+            cum.join(
+                F.broadcast(ranks.select("event_type", rank_col)), "event_type"
+            )
+            .filter(F.col("cc") >= F.col(rank_col))
+            .groupBy("event_type")
+            .agg(F.min("v_u").cast("bigint").alias(alias))
+        )
+
+    lo = at_rank("r_lo", "ci_lo_u")
+    med = at_rank("r_med", "median_u")
+    hi = at_rank("r_hi", "ci_hi_u")
+    return (
+        ranks.select("event_type", F.col("n").cast("bigint").alias("n"))
+        .join(lo, "event_type")
+        .join(med, "event_type")
+        .join(hi, "event_type")
+        .select("event_type", "n", "ci_lo_u", "median_u", "ci_hi_u")
         .orderBy("event_type")
     )
