@@ -1439,3 +1439,100 @@ def q271_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("var_ratio_e6"),
     ).orderBy("arm")
+
+
+@register(
+    "q280_mann_whitney",
+    """
+    WITH v AS (
+      SELECT user_id % 2 AS arm,
+             CAST(round(value * 1000000) AS BIGINT) AS v_u
+      FROM events),
+         hist AS (
+      SELECT v_u,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS b
+      FROM v GROUP BY v_u),
+         cum AS (
+      SELECT v_u, a, b,
+             coalesce(sum(a) OVER (ORDER BY v_u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS a_below
+      FROM hist),
+         s AS (
+      SELECT sum(a) AS na, sum(b) AS nb,
+             CAST(sum(CAST(b AS DECIMAL(38,0))
+                      * CAST(2 * a_below + a AS DECIMAL(38,0)))
+                  AS DOUBLE) AS u2,
+             CAST(sum(CAST(a + b AS DECIMAL(38,0))
+                      * CAST(a + b AS DECIMAL(38,0))
+                      * CAST(a + b AS DECIMAL(38,0))
+                      - CAST(a + b AS DECIMAL(38,0))) AS DOUBLE) AS tie3
+      FROM cum)
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(round(u2 / 2.0) AS BIGINT) AS u_stat,
+           CAST(round(1000000.0
+             * (u2 / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0
+                    * ((na + nb + 1.0)
+                       - tie3 / ((na + nb) * (na + nb - 1.0)))))
+             AS BIGINT) AS z_micro
+    FROM s
+    """,
+)
+def q280_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney / Wilcoxon rank-sum test with tie correction —
+    the nonparametric two-sample default when q192's Welch t can't
+    be trusted (heavy tails, ordinal metrics): U counts how often an
+    arm-1 value beats an arm-0 value (ties half), computed over the
+    SCORE HISTOGRAM with q196's doubled-integral trick (2U = Σ
+    b·(2·A_below + a) stays an exact integer), and the normal
+    approximation's variance carries the exact tie correction
+    Σ(t³−t) accumulated in DECIMAL(38,0) (t³ overflows int64 on
+    heavy-tie histograms). z in micro units; U itself emitted for
+    exact-test consumers.
+
+    Shape: ONE value-histogram aggregate over the scan; the rank
+    machinery runs on the quantization-bounded histogram (q196's
+    contract), never corpus rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_u"),
+    )
+    hist = v.groupBy("v_u").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("b"),
+    )
+    w = Window.orderBy("v_u").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "a",
+        "b",
+        F.coalesce(F.sum("a").over(w), F.lit(0)).alias("a_below"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    t = F.col("a") + F.col("b")
+    s = cum.agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(dec(F.col("b")) * dec(2 * F.col("a_below") + F.col("a")))
+        .cast("double")
+        .alias("u2"),
+        F.sum(dec(t) * dec(t) * dec(t) - dec(t)).cast("double").alias("tie3"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u = F.col("u2") / 2.0
+    var = (
+        na * nb / 12.0
+        * ((na + nb + 1.0) - F.col("tie3") / ((na + nb) * (na + nb - 1.0)))
+    )
+    return s.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(u).cast("bigint").alias("u_stat"),
+        F.round(1000000.0 * (u - na * nb / 2.0) / F.sqrt(var))
+        .cast("bigint")
+        .alias("z_micro"),
+    )

@@ -599,3 +599,35 @@ def test_q246_bloom_guarantees(spark):
     assert 0 <= out["n_false_pos"] <= out["n_probes"] - out["n_inserted"]
     # theory is in bp; allow [0, 5x theory + 300bp] measured
     assert out["fpr_bp"] <= 5 * out["theory_bp"] + 300
+
+
+def test_q280_mann_whitney_matches_scipy_free_reference(spark):
+    """U and the tie-corrected z recomputed independently in pure
+    Python (midrank formulation) from the raw parquet must match the
+    engine's histogram-trick values exactly (U) / to 1 micro (z)."""
+    import math
+
+    out = run(spark, "q280_mann_whitney").iloc[0]
+    raw = duckdb.sql(
+        f"SELECT user_id % 2 AS arm, CAST(round(value*1000000) AS BIGINT) v "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).df()
+    a = sorted(raw[raw.arm == 0].v)
+    b = sorted(raw[raw.arm == 1].v)
+    from collections import Counter
+
+    ca, call = Counter(a), Counter(list(raw.v))
+    # U for arm1: for each b value, #a strictly below + half the ties
+    below, u2 = {}, 0
+    run_total = 0
+    for v in sorted(call):
+        below[v] = run_total
+        run_total += ca.get(v, 0)
+    for v in b:
+        u2 += 2 * below[v] + ca.get(v, 0)
+    na, nb, n = len(a), len(b), len(a) + len(b)
+    tie3 = sum(t**3 - t for t in call.values())
+    var = na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u2 / 2 - na * nb / 2) / math.sqrt(var)
+    assert out["u_stat"] == round(u2 / 2)
+    assert abs(out["z_micro"] - round(1_000_000 * z)) <= 1
