@@ -853,3 +853,108 @@ def q279_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "ci_lo_u", "median_u", "ci_hi_u")
         .orderBy("event_type")
     )
+
+
+@register(
+    "q281_spearman",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(text) - len(replace(text, 'e', '')) AS BIGINT) AS y
+      FROM documents),
+         rx AS (
+      SELECT x, count(*) AS c FROM d GROUP BY x),
+         rxm AS (
+      SELECT x,
+             coalesce(sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+             + c + 1 AS r2x
+      FROM rx),
+         ry AS (
+      SELECT y, count(*) AS c FROM d GROUP BY y),
+         rym AS (
+      SELECT y,
+             coalesce(sum(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+             + c + 1 AS r2y
+      FROM ry),
+         j AS (
+      SELECT rxm.r2x, rym.r2y
+      FROM d JOIN rxm ON rxm.x = d.x JOIN rym ON rym.y = d.y),
+         s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(r2x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(r2y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(r2x AS DECIMAL(38,0))
+                      * CAST(r2y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(r2x AS DECIMAL(38,0))
+                      * CAST(r2x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(r2y AS DECIMAL(38,0))
+                      * CAST(r2y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM j)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(1000000.0 * (n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                AS BIGINT) AS spearman_e6
+    FROM s
+    """,
+)
+def q281_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (with exact MIDRANKS for ties) between
+    document length and letter-'e' density — the monotone-association
+    measure that survives outliers and nonlinearity where Pearson
+    (q234's machinery) doesn't. Ranks come from per-distinct-value
+    DOUBLED midranks (2r = 2·count_below + count + 1 stays integer —
+    no .5s anywhere) computed on the value HISTOGRAMS and joined back
+    as broadcast rank maps, so no corpus-scale sort or row_number
+    window exists; the final ρ is Pearson on doubled ranks (scale
+    cancels), with moment sums in DECIMAL(38,0) (rank products are
+    O(n²) per row — int64 dies at ~10^6 rows, the q252 lesson).
+
+    Shape: two histogram aggregates + two broadcast joins + one
+    moment reduce. The only corpus passes are the histograms and the
+    rank-attach scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "e", ""))
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def midranks(col: str):
+        hist = d.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return hist.select(
+            col,
+            (
+                F.coalesce(F.sum("c").over(w), F.lit(0)) * 2
+                + F.col("c")
+                + 1
+            ).alias(f"r2{col}"),
+        )
+
+    j = d.join(F.broadcast(midranks("x")), "x").join(
+        F.broadcast(midranks("y")), "y"
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("r2x")).cast("double").alias("sx"),
+        F.sum(dec("r2y")).cast("double").alias("sy"),
+        F.sum(dec("r2x") * dec("r2y")).cast("double").alias("sxy"),
+        F.sum(dec("r2x") * dec("r2x")).cast("double").alias("sxx"),
+        F.sum(dec("r2y") * dec("r2y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        n.cast("bigint").alias("n"),
+        F.round(1000000.0 * rho).cast("bigint").alias("spearman_e6"),
+    )

@@ -632,3 +632,15 @@ def test_q280_mann_whitney_matches_scipy_free_reference(spark):
     # engines round half away from zero; Python's round() banker's-rounds
     assert out["u_stat"] == math.floor(u2 / 2 + 0.5)
     assert abs(out["z_micro"] - round(1_000_000 * z)) <= 1
+
+
+def test_q281_spearman_matches_pandas_reference(spark):
+    out = run(spark, "q281_spearman").iloc[0]
+    raw = duckdb.sql(
+        f"SELECT CAST(n_chars AS BIGINT) x, "
+        f"CAST(len(text) - len(replace(text,'e','')) AS BIGINT) y "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+    ref = raw["x"].rank().corr(raw["y"].rank())  # pandas average-rank pearson
+    assert abs(out["spearman_e6"] - round(1_000_000 * ref)) <= 2
+    assert 0 < out["spearman_e6"] <= 1_000_000  # genuinely correlated pair
