@@ -1536,3 +1536,68 @@ def q280_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("z_micro"),
     )
+
+
+@register(
+    "q283_cohens_d",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CAST(round(value * 100) AS BIGINT)) AS metric_c
+      FROM events GROUP BY user_id),
+         s AS (
+      SELECT arm, count(*) AS n, sum(metric_c) AS sx,
+             sum(metric_c * metric_c) AS sxx
+      FROM per_user GROUP BY arm),
+         m AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.sx * 1.0 / a.n AS mean_a, b.sx * 1.0 / b.n AS mean_b,
+             (a.sxx - a.sx * a.sx * 1.0 / a.n) AS ssa,
+             (b.sxx - b.sx * b.sx * 1.0 / b.n) AS ssb
+      FROM (SELECT * FROM s WHERE arm = 0) a
+      CROSS JOIN (SELECT * FROM s WHERE arm = 1) b)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(round(1000000.0 * (mean_b - mean_a)
+                      / sqrt((ssa + ssb) / (n_a + n_b - 2.0)))
+                AS BIGINT) AS cohens_d_e6
+    FROM m
+    """,
+)
+def q283_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d — the standardized effect size q192's t-statistic
+    needs as a companion (t grows with √n; d = Δmean/pooled-SD does
+    not, and the 0.2/0.5/0.8 small/medium/large benchmarks only apply
+    to d). Pooled SD from exact per-arm (n, Σx, Σx²); the q192
+    moment contract with one different closed form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("metric_c")
+    ).select((F.col("user_id") % 2).alias("arm"), "metric_c")
+    s = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("metric_c").alias("sx"),
+        F.sum(F.col("metric_c") * F.col("metric_c")).alias("sxx"),
+    )
+    a = s.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa")
+    )
+    b = s.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb")
+    )
+    m = a.crossJoin(b)
+    mean_a = F.col("sxa") * 1.0 / F.col("n_a")
+    mean_b = F.col("sxb") * 1.0 / F.col("n_b")
+    ssa = F.col("sxxa") - F.col("sxa") * F.col("sxa") * 1.0 / F.col("n_a")
+    ssb = F.col("sxxb") - F.col("sxb") * F.col("sxb") * 1.0 / F.col("n_b")
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(
+            1000000.0
+            * (mean_b - mean_a)
+            / F.sqrt((ssa + ssb) / (F.col("n_a") + F.col("n_b") - 2.0))
+        )
+        .cast("bigint")
+        .alias("cohens_d_e6"),
+    )

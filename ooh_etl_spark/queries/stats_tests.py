@@ -958,3 +958,68 @@ def q281_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         F.round(1000000.0 * rho).cast("bigint").alias("spearman_e6"),
     )
+
+
+@register(
+    "q282_cramers_v",
+    """
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o
+      FROM documents GROUP BY lang, source),
+         margins AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS row_n,
+             sum(o) OVER (PARTITION BY source) AS col_n,
+             sum(o) OVER () AS n
+      FROM obs),
+         chi AS (
+      SELECT max(n) AS n,
+             sum((o - row_n * col_n * 1.0 / n)
+                 * (o - row_n * col_n * 1.0 / n)
+                 / (row_n * col_n * 1.0 / n)) AS chi2,
+             count(DISTINCT lang) AS r, count(DISTINCT source) AS c
+      FROM margins)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(1000000.0 * sqrt(chi2 / (n * least(r - 1, c - 1))))
+                AS BIGINT) AS cramers_v_e6
+    FROM chi
+    """,
+)
+def q282_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the EFFECT SIZE q145's chi-square significance
+    test needs as a companion (at 10^9 rows everything is
+    'significant'; V = sqrt(χ²/(N·min(r−1,c−1))) ∈ [0,1] says whether
+    the lang↔source association is large enough to matter). Same
+    contingency plan as q145; one extra closed form on the cell table.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    m = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(W.partitionBy("lang")).alias("row_n"),
+        F.sum("o").over(W.partitionBy("source")).alias("col_n"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("row_n") * F.col("col_n") * 1.0 / F.col("n")
+    chi = m.agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            1000000.0
+            * F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            )
+        )
+        .cast("bigint")
+        .alias("cramers_v_e6"),
+    )
