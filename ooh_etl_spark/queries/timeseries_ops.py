@@ -1224,3 +1224,70 @@ def q262_daily_tail_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q284_seasonality_strength",
+    """
+    WITH hourly AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             date_trunc('hour', ts) AS h,
+             count(*) AS y
+      FROM events GROUP BY 1, 2, 3),
+         cell AS (
+      SELECT dow, hod, count(*) AS k, sum(y) AS sy, sum(y * y) AS syy
+      FROM hourly GROUP BY dow, hod),
+         tot AS (
+      SELECT sum(k) AS n, sum(sy) AS sy, sum(syy) AS syy,
+             sum(syy - sy * sy * 1.0 / k) AS ss_res
+      FROM cell)
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           CAST(round(1000000.0 * ss_res) AS BIGINT) AS ss_res_e6,
+           CAST(round(10000.0 * (1.0 - ss_res
+                                 / (syy - sy * sy * 1.0 / n)))
+                AS BIGINT) AS seasonality_r2_bp
+    FROM tot
+    """,
+)
+def q284_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength — the R² of the weekly (dow, hour) profile
+    on hourly volumes: how much of the traffic variance the q229
+    heatmap actually EXPLAINS (high R² justifies q244's seasonal
+    baselines and seasonal-naive forecasting like q199's; low R²
+    means the 168-cell model is decoration). The groupwise ANOVA
+    identity needs only exact integer (k, Σy, Σy²) per cell —
+    SS_res = Σ_cells(Σy² − (Σy)²/k) — so one calendar-keyed aggregate
+    and one 168-row reduce produce the whole decomposition; R² in bp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .groupBy("dow", "hod", "h")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    cell = hourly.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = cell.agg(
+        F.sum("k").alias("n"),
+        F.sum("sy").alias("sy"),
+        F.sum("syy").alias("syy"),
+        F.sum(
+            F.col("syy") - F.col("sy") * F.col("sy") * 1.0 / F.col("k")
+        ).alias("ss_res"),
+    )
+    ss_tot = F.col("syy") - F.col("sy") * F.col("sy") * 1.0 / F.col("n")
+    return tot.select(
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(1000000.0 * F.col("ss_res")).cast("bigint").alias("ss_res_e6"),
+        F.round(10000.0 * (1.0 - F.col("ss_res") / ss_tot))
+        .cast("bigint")
+        .alias("seasonality_r2_bp"),
+    )
