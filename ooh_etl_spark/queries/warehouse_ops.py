@@ -372,3 +372,73 @@ def q245_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("outcome")
     )
+
+
+@register(
+    "q286_partition_layout_report",
+    """
+    WITH parts AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+             count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1),
+         s AS (
+      SELECT count(*) AS n_partitions, sum(n) AS n_rows,
+             max(n) AS max_rows, min(n) AS min_rows,
+             sum(n * n) AS snn
+      FROM parts)
+    SELECT CAST(n_partitions AS BIGINT) AS n_partitions,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(max_rows AS BIGINT) AS max_rows,
+           CAST(min_rows AS BIGINT) AS min_rows,
+           CAST(round(10000.0 * max_rows * n_partitions / n_rows)
+                AS BIGINT) AS skew_factor_bp,
+           CAST(round(1000000.0 * snn * n_partitions
+                      / (CAST(n_rows AS DOUBLE) * n_rows))
+                AS BIGINT) AS imbalance_e6
+    FROM s
+    """,
+)
+def q286_partition_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout planning report for a date-partitioned events
+    store: per-day row counts reduced to the two numbers a data
+    engineer sizes files and tasks with — the SKEW FACTOR
+    (max/mean, in bp; >2x means the hottest partition dominates task
+    time) and the IMBALANCE index n·Σc²/ (Σc)² (1.0 = perfectly even;
+    the same Σc² statistic as q204's join-size estimate, applied to
+    layout). This is the query you run BEFORE choosing the partition
+    column, and again after to verify.
+
+    Exactness: all integer counts; two closed forms on a 1-row
+    reduce. Shape: one calendar-keyed aggregate (the future partition
+    key), a |days|-row rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parts = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = parts.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+        F.min("n").alias("min_rows"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    return s.select(
+        F.col("n_partitions").cast("bigint").alias("n_partitions"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("max_rows").cast("bigint").alias("max_rows"),
+        F.col("min_rows").cast("bigint").alias("min_rows"),
+        F.round(
+            10000.0 * F.col("max_rows") * F.col("n_partitions") / F.col("n_rows")
+        )
+        .cast("bigint")
+        .alias("skew_factor_bp"),
+        F.round(
+            1000000.0
+            * F.col("snn")
+            * F.col("n_partitions")
+            / (F.col("n_rows").cast("double") * F.col("n_rows"))
+        )
+        .cast("bigint")
+        .alias("imbalance_e6"),
+    )
