@@ -1291,3 +1291,85 @@ def q284_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seasonality_r2_bp"),
     )
+
+
+@register(
+    "q287_tukey_fences",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
+      FROM events),
+         q AS (
+      SELECT event_type,
+             CAST(quantile_disc(v_u, 0.25) AS BIGINT) AS q1,
+             CAST(quantile_disc(v_u, 0.75) AS BIGINT) AS q3
+      FROM v GROUP BY event_type),
+         f AS (
+      SELECT event_type, q1, q3,
+             CAST(q1 - (3 * (q3 - q1)) // 2 AS BIGINT) AS lo,
+             CAST(q3 + (3 * (q3 - q1)) // 2 AS BIGINT) AS hi
+      FROM q)
+    SELECT v.event_type,
+           CAST(max(f.q1) AS BIGINT) AS q1_u,
+           CAST(max(f.q3) AS BIGINT) AS q3_u,
+           CAST(max(f.lo) AS BIGINT) AS fence_lo_u,
+           CAST(max(f.hi) AS BIGINT) AS fence_hi_u,
+           CAST(sum(CASE WHEN v.v_u < f.lo OR v.v_u > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM v JOIN f ON f.event_type = v.event_type
+    GROUP BY v.event_type
+    ORDER BY v.event_type
+    """,
+)
+def q287_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences (Q1 − 1.5·IQR, Q3 + 1.5·IQR) with outlier
+    counts per event type — the third member of the anomaly triad
+    next to the classical z (q107) and the MAD modified z (q213):
+    quartile-based, so it tolerates up to 25% contamination and needs
+    no distribution assumption, and it is what every boxplot
+    visualizes, so the engine-side numbers must match the chart.
+    Fences in pure integer arithmetic (1.5·IQR as 3·IQR/2 with
+    integer division — identical floor both engines on the micro-unit
+    grid); quartiles exact discrete percentiles.
+
+    Shape: q213's two-pass pattern — percentile pass, 1-broadcast
+    fence table, one conditional recount.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_u"),
+    )
+
+    def disc(p: float) -> F.Column:
+        return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY v_u)")
+
+    q = v.groupBy("event_type").agg(
+        disc(0.25).cast("bigint").alias("q1"),
+        disc(0.75).cast("bigint").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    f = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - F.floor(3 * iqr / 2)).cast("bigint").alias("lo"),
+        (F.col("q3") + F.floor(3 * iqr / 2)).cast("bigint").alias("hi"),
+    )
+    return (
+        v.join(F.broadcast(f), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("q1").cast("bigint").alias("q1_u"),
+            F.max("q3").cast("bigint").alias("q3_u"),
+            F.max("lo").cast("bigint").alias("fence_lo_u"),
+            F.max("hi").cast("bigint").alias("fence_hi_u"),
+            F.sum(
+                ((F.col("v_u") < F.col("lo")) | (F.col("v_u") > F.col("hi")))
+                .cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
