@@ -924,3 +924,112 @@ def q256_pareto_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_share_bp"),
         )
     )
+
+
+@register(
+    "q288_mix_shift_decomposition",
+    """
+    WITH b AS (
+      SELECT min(epoch_ms(CAST(o_orderdate AS TIMESTAMP))) AS lo,
+             max(epoch_ms(CAST(o_orderdate AS TIMESTAMP))) AS hi
+      FROM orders),
+         t AS (
+      SELECT o.o_custkey,
+             CASE WHEN epoch_ms(CAST(o.o_orderdate AS TIMESTAMP))
+                       >= CAST((b.lo + b.hi) // 2 AS BIGINT)
+                  THEN 1 ELSE 0 END AS period,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS rev_c
+      FROM orders o CROSS JOIN b),
+         seg AS (
+      SELECT c.c_mktsegment AS segment, t.period,
+             count(*) AS n, sum(t.rev_c) AS rev_c
+      FROM t JOIN customer c ON c.c_custkey = t.o_custkey
+      GROUP BY 1, 2),
+         w AS (
+      SELECT s.segment,
+             max(CASE WHEN period = 0 THEN n ELSE 0 END) AS n0,
+             max(CASE WHEN period = 1 THEN n ELSE 0 END) AS n1,
+             max(CASE WHEN period = 0 THEN rev_c ELSE 0 END) AS r0,
+             max(CASE WHEN period = 1 THEN rev_c ELSE 0 END) AS r1
+      FROM seg s GROUP BY s.segment),
+         tot AS (
+      SELECT sum(n0) AS tn0, sum(n1) AS tn1 FROM w)
+    SELECT w.segment,
+           CAST(w.r1 - w.r0 AS BIGINT) AS delta_c,
+           -- mix effect: volume-share change at the OLD per-order rate
+           CAST(round((w.n1 * 1.0 / t.tn1 - w.n0 * 1.0 / t.tn0)
+                      * t.tn1 * (w.r0 * 1.0 / w.n0)) AS BIGINT)
+             AS mix_effect_c,
+           -- rate effect: per-order value change at the NEW volume
+           CAST(round(w.n1 * (w.r1 * 1.0 / w.n1 - w.r0 * 1.0 / w.n0))
+                AS BIGINT) AS rate_effect_c
+    FROM w CROSS JOIN tot t
+    WHERE w.n0 > 0 AND w.n1 > 0
+    ORDER BY w.segment
+    """,
+)
+def q288_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue mix-shift decomposition (the FP&A price/volume-mix
+    bridge): each market segment's period-over-period revenue delta
+    splits into a MIX effect (its order-volume share moved, valued at
+    the old per-order rate) and a RATE effect (its per-order value
+    moved, at the new volume) — the analysis that says whether growth
+    came from selling MORE or selling BIGGER, per segment. Periods
+    split at the exact epoch-ms midpoint (q258's convention).
+
+    Exactness: the decomposition is per-segment arithmetic on exact
+    integer (n, revenue-cents) cells; each effect is one double
+    expression on exact ints, rounded to cents. Shape: one
+    (segment, period) aggregate over the fact scan (customer dim
+    broadcast), a 10-row pivot, and 1-row totals.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    b = orders.agg(F.min(ms).alias("lo"), F.max(ms).alias("hi"))
+    t = orders.crossJoin(F.broadcast(b)).select(
+        "o_custkey",
+        (ms >= F.floor((F.col("lo") + F.col("hi")) / 2).cast("bigint"))
+        .cast("int")
+        .alias("period"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("rev_c"),
+    )
+    seg = (
+        t.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+               t.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "period")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("rev_c"))
+    )
+    w = seg.groupBy("segment").agg(
+        F.max(F.when(F.col("period") == 0, F.col("n")).otherwise(0)).alias("n0"),
+        F.max(F.when(F.col("period") == 1, F.col("n")).otherwise(0)).alias("n1"),
+        F.max(F.when(F.col("period") == 0, F.col("rev_c")).otherwise(0)).alias("r0"),
+        F.max(F.when(F.col("period") == 1, F.col("rev_c")).otherwise(0)).alias("r1"),
+    )
+    tot = w.agg(F.sum("n0").alias("tn0"), F.sum("n1").alias("tn1"))
+    rate0 = F.col("r0") * 1.0 / F.col("n0")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "segment",
+            (F.col("r1") - F.col("r0")).cast("bigint").alias("delta_c"),
+            F.round(
+                (
+                    F.col("n1") * 1.0 / F.col("tn1")
+                    - F.col("n0") * 1.0 / F.col("tn0")
+                )
+                * F.col("tn1")
+                * rate0
+            )
+            .cast("bigint")
+            .alias("mix_effect_c"),
+            F.round(
+                F.col("n1")
+                * (F.col("r1") * 1.0 / F.col("n1") - rate0)
+            )
+            .cast("bigint")
+            .alias("rate_effect_c"),
+        )
+        .orderBy("segment")
+    )
