@@ -1601,3 +1601,93 @@ def q283_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cohens_d_e6"),
     )
+
+
+@register(
+    "q289_novelty_effect_trend",
+    """
+    WITH wk AS (
+      SELECT date_diff('week',
+               (SELECT min(date_trunc('week', ts)) FROM events),
+               date_trunc('week', ts)) AS w,
+             user_id % 2 AS arm,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+         cell AS (
+      SELECT w, arm, count(*) AS n, sum(vc) AS sx
+      FROM wk GROUP BY w, arm),
+         eff AS (
+      SELECT a.w AS w,
+             b.sx * 1.0 / b.n - a.sx * 1.0 / a.n AS effect
+      FROM (SELECT * FROM cell WHERE arm = 0) a
+      JOIN (SELECT * FROM cell WHERE arm = 1) b ON b.w = a.w),
+         s AS (
+      SELECT count(*) AS k, sum(w) AS sw, sum(effect) AS se,
+             sum(w * effect) AS swe, sum(w * w) AS sww
+      FROM eff)
+    SELECT CAST(k AS BIGINT) AS n_weeks,
+           CAST(round(10.0 * se / k) AS BIGINT) AS mean_effect_milli,
+           CAST(round(10.0 * (k * swe - sw * se) / (k * sww - sw * sw))
+                AS BIGINT) AS trend_milli_per_week
+    FROM s
+    """,
+)
+def q289_novelty_effect_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty-effect detector (Kohavi's checklist): the weekly
+    treatment effect regressed on time — a negative slope means the
+    lift is DECAYING (users reacting to newness, not value) and the
+    steady-state effect is below the average q192 reports; a flat
+    slope earns the effect trust. Per-week arm means from exact
+    integer cells; the trend is q252's OLS closed form on the
+    (week, effect) series — a CALENDAR-BOUNDED table, so the moment
+    sums stay tiny and exact.
+
+    Shape: one (week, arm) aggregate over the scan; everything after
+    runs on ≤ weeks×2 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk0 = ev.agg(F.min(F.date_trunc("week", "ts")).alias("w0"))
+    wk = ev.crossJoin(F.broadcast(wk0)).select(
+        F.floor(
+            (
+                F.unix_timestamp(F.date_trunc("week", "ts"))
+                - F.unix_timestamp("w0")
+            )
+            / (7 * 86400)
+        )
+        .cast("bigint")
+        .alias("w"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    cell = wk.groupBy("w", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sx")
+    )
+    a = cell.filter(F.col("arm") == 0).select(
+        "w", (F.col("sx") * 1.0 / F.col("n")).alias("ma")
+    )
+    b = cell.filter(F.col("arm") == 1).select(
+        F.col("w").alias("wb"), (F.col("sx") * 1.0 / F.col("n")).alias("mb")
+    )
+    eff = a.join(b, a.w == F.col("wb")).select(
+        "w", (F.col("mb") - F.col("ma")).alias("effect")
+    )
+    s = eff.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("w").alias("sw"),
+        F.sum("effect").alias("se"),
+        F.sum(F.col("w") * F.col("effect")).alias("swe"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    k = F.col("k")
+    return s.select(
+        k.cast("bigint").alias("n_weeks"),
+        F.round(10.0 * F.col("se") / k).cast("bigint").alias("mean_effect_milli"),
+        F.round(
+            10.0
+            * (k * F.col("swe") - F.col("sw") * F.col("se"))
+            / (k * F.col("sww") - F.col("sw") * F.col("sw"))
+        )
+        .cast("bigint")
+        .alias("trend_milli_per_week"),
+    )
