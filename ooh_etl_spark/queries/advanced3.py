@@ -307,10 +307,10 @@ def q182_three_valued_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_TRAIL = """
     SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-           sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
-             AS trail_c
+             AS BIGINT) AS trail_c
     FROM events WHERE user_id < 200
 """
 

@@ -562,7 +562,8 @@ def q208_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sum(n_a) AS tn_a, sum(r_a) AS tr_a,
              sum(n_b) AS tn_b, sum(r_b) AS tr_b
       FROM s)
-    SELECT s.yr, s.n_a, s.r_a, s.n_b, s.r_b,
+    SELECT s.yr, CAST(s.n_a AS BIGINT) AS n_a, CAST(s.r_a AS BIGINT) AS r_a,
+           CAST(s.n_b AS BIGINT) AS n_b, CAST(s.r_b AS BIGINT) AS r_b,
            CAST(sign(s.r_a * s.n_b - s.r_b * s.n_a) AS BIGINT)
              AS dir_stratum,
            CAST(sign(p.tr_a * p.tn_b - p.tr_b * p.tn_a) AS BIGINT)

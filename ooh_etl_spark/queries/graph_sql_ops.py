@@ -173,7 +173,7 @@ rooted AS (
   FROM customer WHERE c_custkey < 10
 )
 SELECT root, count(*) AS n_nodes, max(depth) AS max_depth,
-       sum(depth) AS total_depth
+       CAST(sum(depth) AS BIGINT) AS total_depth
 FROM rooted GROUP BY root ORDER BY root
 """
 

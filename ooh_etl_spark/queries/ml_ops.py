@@ -80,7 +80,7 @@ _DUCK_GRAD = f"""
       SELECT u.i - 1 AS dim,
              CAST(round((s.p - s.y) * s.e[u.i] * 1000000) AS BIGINT) AS gmu
       FROM s, unnest(generate_series(1, {_DIM})) AS u(i))
-    SELECT dim, sum(gmu) AS grad_micro, count(*) AS n
+    SELECT dim, CAST(sum(gmu) AS BIGINT) AS grad_micro, count(*) AS n
     FROM g GROUP BY dim ORDER BY dim
 """
 
@@ -229,7 +229,7 @@ _DUCK_CAL = f"""
       SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, y,
              CAST(round(p * 1000000) AS BIGINT) AS pmu
       FROM s)
-    SELECT bin, count(*) AS n, sum(y) AS pos,
+    SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
            CAST(round(sum(pmu) * 1.0 / count(*)) AS BIGINT) AS mean_pred_ppm,
            CAST(round(sum(y) * 1000000.0 / count(*)) AS BIGINT) AS pos_ppm
     FROM b GROUP BY bin ORDER BY bin
@@ -706,9 +706,9 @@ def q205_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT CAST(g1.i - 1 AS BIGINT) AS i,
            CAST(g2.j - 1 AS BIGINT) AS j,
-           SUM(CAST(FLOOR(CAST(embedding[g1.i] AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(CAST(embedding[g1.i] AS DOUBLE)
                           * CAST(embedding[g2.j] AS DOUBLE)
-                          * 1000000000) AS BIGINT)) AS gram_nano,
+                          * 1000000000) AS BIGINT)) AS BIGINT) AS gram_nano,
            COUNT(*) AS n_vec
     FROM embeddings,
          generate_series(1, {_DIM}) AS g1(i),

@@ -81,7 +81,9 @@ def q_ooh_records(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG00
 
 
 OOH_RECORDS_ORACLE = """
-SELECT * FROM (VALUES
+SELECT t.* REPLACE (CAST(medianPayAnnual AS DOUBLE) AS medianPayAnnual,
+                    CAST(medianPayHourly AS DOUBLE) AS medianPayHourly)
+FROM (VALUES
   ('Software Developers', 'Most work full time.',
    'Analytical skills=Developers must analyze needs.|Communication skills=Developers must communicate well.|Concentration and determination skills=They focus on tasks.',
    'Create applications.', 110140.0, 52.95, 'Bachelor''s degree', 'None', 'None',

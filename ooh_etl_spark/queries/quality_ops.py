@@ -719,8 +719,9 @@ _DUCK_CORPUS_BUILD = f"""
            count(q.doc_id) AS n_quality,
            count(exd.doc_id) AS n_exact,
            count(fin.doc_id) AS n_final,
-           coalesce(sum(CASE WHEN fin.doc_id IS NOT NULL
-                             THEN len(fin.toks) END), 0) AS tokens_final
+           CAST(coalesce(sum(CASE WHEN fin.doc_id IS NOT NULL
+                             THEN len(fin.toks) END), 0) AS BIGINT)
+             AS tokens_final
     FROM d
     LEFT JOIN q   ON d.doc_id = q.doc_id
     LEFT JOIN exd ON d.doc_id = exd.doc_id

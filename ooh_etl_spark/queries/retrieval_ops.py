@@ -213,7 +213,7 @@ _DUCK_PQ = f"""
       FROM dist)
     SELECT vec_id,
            string_agg(code_id, '-' ORDER BY s) AS pq_code,
-           sum(CAST(round(dist * 1000000000) AS BIGINT)) AS err_nano
+           CAST(sum(CAST(round(dist * 1000000000) AS BIGINT)) AS BIGINT) AS err_nano
     FROM best WHERE rk = 1
     GROUP BY vec_id
     ORDER BY vec_id

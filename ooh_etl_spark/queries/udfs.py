@@ -161,7 +161,7 @@ def q172_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split(CAST(o_orderkey AS VARCHAR), ''),
                c -> ascii(c) - 48), 'sum') AS key_digit_sum
       FROM orders WHERE o_orderkey < 2000)
-    SELECT key_digit_sum,
+    SELECT CAST(key_digit_sum AS BIGINT) AS key_digit_sum,
            count(*) AS n,
            CAST(min(o_orderkey) AS BIGINT) AS min_key
     FROM d GROUP BY key_digit_sum

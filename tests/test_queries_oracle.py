@@ -54,6 +54,31 @@ def test_no_complex_types_in_oracle_outputs(spark):
     )
 
 
+def test_no_unsafe_dtypes_in_oracle_outputs(duck):
+    # Round-4 lesson (q168/q170/q171): the driver consumes the oracle
+    # via duckdb .df(), whose pandas conversion renders HUGEINT (the
+    # result type of sum() over integers) as float64 while Spark emits
+    # int64 — so the value hash mismatches even on bit-identical
+    # numbers.  DESCRIBE every oracle and reject any output column
+    # type outside the driver-safe set; sum() columns must be CAST to
+    # BIGINT and DECIMAL literals to DOUBLE at authoring time.  This
+    # closes the CLASS the way the complex-types test above closed the
+    # q77 class.
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import SAFE_ORACLE_TYPES, dtype_gate
+
+    from ooh_etl_spark.queries import QUERIES
+
+    oracles = {n: s.oracle for n, s in QUERIES.items() if s.oracle is not None}
+    bad = dtype_gate(duck, oracles)
+    assert not bad, (
+        f"oracle output columns outside driver-safe types "
+        f"{sorted(SAFE_ORACLE_TYPES)}: {bad}"
+    )
+
+
 def test_registry_hygiene():
     # Every registered query documents itself (the judge-facing design
     # note lives in the docstring) and every oracle is non-trivial SQL
