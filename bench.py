@@ -21,6 +21,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# HEADLINE inclusion criteria (pinned round 5; VERDICT r4 item 7):
+# 1. PINNED SET — the 27 entries below (plus ooh_xml_10k) are the
+#    stable round-over-round comparison basis. Entries are never
+#    removed or renamed; a regression shows up as a bigger number in
+#    the SAME key across BENCH_r{N} files.
+# 2. One representative per major operator family (reference surface,
+#    TPC-H shapes, text, dedup, similarity, streaming-batch twin,
+#    LLM-pipeline, event analytics, linalg, IVM), preferring the
+#    scale-safe variant of a family (q151b not q151) and skipping
+#    members whose cost is dominated by data-shape pathology at sf0.1
+#    (q173 dense-graph triangles — pinned by its own plan tests).
+# 3. ADDITIONS go at the END under a dated comment, so the common
+#    prefix with every earlier BENCH_r{N} stays byte-comparable and
+#    the primary reported number remains the common-subset delta.
 HEADLINE = [
     "flagship_doc_scan",
     "q01_pricing_summary",

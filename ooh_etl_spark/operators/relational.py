@@ -29,8 +29,10 @@ def asof_join(
     ``right_ts`` >= ``left_ts`` (``direction="forward"`` — the
     "next event after" lookup: next maintenance after a failure, next
     price tick after an order). Forward reuses the identical
-    union-merge plan with the sort reversed and right rows ordered
-    AFTER left rows at equal ts, preserving inclusive semantics.
+    union-merge plan with the sort reversed; right rows still sort
+    BEFORE left rows in scan order at equal ts (kind 0 under the
+    descending-ts order), which is exactly what preserves the
+    inclusive ``right_ts >= left_ts`` semantics.
 
     Implementation: union-merge. Both sides are tagged and unioned,
     shuffled once on the key, sorted by (ts, side) within each key, and

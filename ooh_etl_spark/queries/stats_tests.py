@@ -966,12 +966,19 @@ def q281_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH obs AS (
       SELECT lang, source, count(*) AS o
       FROM documents GROUP BY lang, source),
+         grid AS (
+      SELECT l.lang, s.source
+      FROM (SELECT DISTINCT lang FROM documents) l
+      CROSS JOIN (SELECT DISTINCT source FROM documents) s),
+         cells AS (
+      SELECT g.lang, g.source, CAST(coalesce(obs.o, 0) AS BIGINT) AS o
+      FROM grid g LEFT JOIN obs USING (lang, source)),
          margins AS (
       SELECT lang, source, o,
              sum(o) OVER (PARTITION BY lang) AS row_n,
              sum(o) OVER (PARTITION BY source) AS col_n,
              sum(o) OVER () AS n
-      FROM obs),
+      FROM cells),
          chi AS (
       SELECT max(n) AS n,
              sum((o - row_n * col_n * 1.0 / n)
@@ -991,12 +998,26 @@ def q282_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     'significant'; V = sqrt(χ²/(N·min(r−1,c−1))) ∈ [0,1] says whether
     the lang↔source association is large enough to matter). Same
     contingency plan as q145; one extra closed form on the cell table.
+
+    The chi-square runs over the FULL r x c grid (distinct langs x
+    distinct sources, absent combinations filled with o=0): a zero
+    cell still contributes (0-E)^2/E = E, and dropping it understates
+    chi2 and V whenever a combination never occurs (ADVICE r4). The
+    grid is a cross join of two category-cardinality frames — tiny at
+    any data scale — broadcast back onto the observed cell counts, so
+    the plan still costs exactly one shuffle (the cell groupBy).
     """
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    m = obs.select(
+    grid = docs.select("lang").distinct().crossJoin(
+        docs.select("source").distinct()
+    )
+    cells = grid.join(obs, ["lang", "source"], "left").select(
+        "lang", "source", F.coalesce("o", F.lit(0)).cast("bigint").alias("o")
+    )
+    m = cells.select(
         "lang",
         "source",
         "o",

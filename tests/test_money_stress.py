@@ -44,3 +44,49 @@ def duck_sf01():
 @pytest.mark.parametrize("name", MONEY_QUERIES)
 def test_money_query_matches_oracle_at_sf01(spark, duck_sf01, name):
     assert_matches_oracle(spark, duck_sf01, name, sf_dir=SF01_DIR)
+
+
+def test_cents_sum_wide_matches_narrow_on_normal_magnitudes(spark):
+    # The decimal(38,0) accumulator is the same policy, so at sane
+    # magnitudes the two paths agree to the cent.
+    from ooh_etl_spark.functions.money import cents_sum
+
+    df = spark.range(1000).selectExpr("cast(id as double) * 1.01 + 0.005 as v")
+    narrow = df.agg(cents_sum("v").alias("s")).collect()[0]["s"]
+    wide = df.agg(cents_sum("v", wide=True).alias("s")).collect()[0]["s"]
+    assert float(narrow) == float(wide)
+
+
+def test_cents_sum_wide_survives_int64_accumulator_overflow(spark):
+    # 4 rows of ~4.6e18 cents: the integer-cent total (~1.8e19)
+    # exceeds int64 (9.2e18). The default bigint accumulator fails
+    # LOUDLY under ANSI (this engine's default) / wraps under
+    # non-ANSI; wide=True's decimal(38,0) accumulator stays exact —
+    # the documented global-sum-at-extreme-scale escape hatch
+    # (functions/money.py:19).
+    from pyspark.errors import PySparkException
+
+    from ooh_etl_spark.functions.money import cents_sum
+
+    big = 4.6e16  # dollars; 4.6e18 cents per row
+    df = spark.createDataFrame([(big,)] * 4, "v double")
+    wide = df.agg(cents_sum("v", wide=True).alias("s")).collect()[0]["s"]
+    assert float(wide) == pytest.approx(4 * big, rel=1e-12)
+    try:
+        narrow = df.agg(cents_sum("v").alias("s")).collect()[0]["s"]
+    except PySparkException:
+        pass  # ANSI overflow — the loud failure mode
+    else:  # non-ANSI wraparound: silently wrong, which is the hazard
+        assert float(narrow) != pytest.approx(4 * big, rel=1e-12)
+
+
+def test_cents_avg_ignores_nulls_like_sql_avg(spark):
+    # count(col) denominator: NULL rows are excluded, matching SQL
+    # avg() — a count(*) denominator would dilute the average.
+    from ooh_etl_spark.functions.money import cents_avg
+
+    df = spark.createDataFrame(
+        [(1.00,), (2.00,), (None,), (None,)], "v double"
+    )
+    got = df.agg(cents_avg("v").alias("a")).collect()[0]["a"]
+    assert float(got) == 1.50
