@@ -82,6 +82,12 @@ HEADLINE = [
     # attribution (corpus -> bounded transition table + driver solve).
     "q209_embedding_gram",
     "q222_markov_attribution",
+    # --- round-5 additions (2026-08-14) — reported separately from the
+    # pinned common-27 when comparing round-over-round totals ---
+    # 1-bit vector search: packed popcount(XOR) scan, broadcast queries.
+    "q290_binary_quantize_hamming",
+    # suffix-array substring-dedup core: prefix-bucketed suffix sort.
+    "q291_suffix_lcp_profile",
 ]
 
 

@@ -575,3 +575,112 @@ def q268_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment_bp") >= int(_CONT_T * 10000))
         .orderBy("id_a", "id_b")
     )
+
+
+# --- q291: sorted-suffix LCP profile (suffix-array substring dedup) ------
+_SUF_TOKENS = 8  # suffix window: 8 tokens, clipped to 40 chars
+_SUF_CHARS = 40
+_SUF_MIN_LCP = 10  # report cross-doc adjacencies sharing >= 10 chars
+
+_DUCK_SUFFIX_LCP = f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+         suf AS (
+      SELECT doc_id, i AS pos,
+             substr(array_to_string(t[i:i+{_SUF_TOKENS - 1}], ' '),
+                    1, {_SUF_CHARS}) AS suffix
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+         adj AS (
+      SELECT doc_id, suffix,
+             lag(suffix) OVER w AS prev_suffix,
+             lag(doc_id) OVER w AS prev_doc
+      FROM suf
+      WINDOW w AS (PARTITION BY substr(suffix, 1, 2)
+                   ORDER BY suffix, doc_id, pos)),
+         lcps AS (
+      SELECT doc_id, prev_doc,
+             list_max(list_transform(generate_series(1, {_SUF_CHARS}),
+               k -> CASE WHEN substr(suffix, 1, k) = substr(prev_suffix, 1, k)
+                         THEN k ELSE 0 END)) AS lcp
+      FROM adj WHERE prev_suffix IS NOT NULL AND prev_doc <> doc_id)
+    SELECT CAST(lcp - lcp % 5 AS BIGINT) AS lcp_bucket,
+           count(*) AS n_pairs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM lcps WHERE lcp >= {_SUF_MIN_LCP}
+    GROUP BY 1 ORDER BY lcp_bucket
+"""
+
+
+@register("q291_suffix_lcp_profile", _DUCK_SUFFIX_LCP)
+def q291_suffix_lcp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-suffix adjacency LCP profile — the core step of
+    suffix-array substring deduplication (Lee et al., ACL 2022,
+    EXACTSUBSTR): emit a bounded suffix at every token position, sort
+    all suffixes, and measure the longest common prefix of each
+    ADJACENT pair from different documents. Long-LCP adjacencies are
+    exactly the duplicated substrings a suffix array surfaces; the
+    histogram (5-char buckets, >= {_SUF_MIN_LCP} chars) is the
+    corpus-level contamination profile that decides the removal
+    threshold before running q152/q163's span removal.
+
+    Differs from q152 (fixed-n n-gram spans): the suffix sort finds
+    duplication at ANY length >= the threshold in one pass, which is
+    the reason the literature builds suffix arrays instead of scanning
+    one n at a time.
+
+    100 TB shape: the sort is expressed as a window PARTITIONED by the
+    2-char suffix prefix — suffixes agreeing on < 2 chars can never
+    reach the {_SUF_MIN_LCP}-char threshold, so bucketing by prefix
+    loses no reportable pair while turning a global total order (one
+    task) into an embarrassingly parallel per-bucket sort — the
+    standard prefix-bucket distribution of suffix-array construction.
+    Skewed buckets (a hot 2-char prefix) split further by widening the
+    prefix, the same escalation DC3/prefix-doubling uses. Suffix
+    payloads are clipped to {_SUF_CHARS} chars so the shuffle carries
+    O(corpus tokens x {_SUF_CHARS}) bytes, not O(doc^2).
+    """
+    from ooh_etl_spark.functions.text import tokenize
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    suf = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+        .select("doc_id", "t", F.posexplode("t").alias("p", "_tok"))
+        .select(
+            "doc_id",
+            (F.col("p") + 1).alias("pos"),
+            F.substring(
+                F.array_join(F.slice("t", F.col("p") + 1, _SUF_TOKENS), " "),
+                1,
+                _SUF_CHARS,
+            ).alias("suffix"),
+        )
+    )
+    w = Window.partitionBy(F.substring("suffix", 1, 2)).orderBy(
+        "suffix", "doc_id", "pos"
+    )
+    adj = suf.select(
+        "doc_id",
+        "suffix",
+        F.lag("suffix").over(w).alias("prev_suffix"),
+        F.lag("doc_id").over(w).alias("prev_doc"),
+    ).filter(
+        F.col("prev_suffix").isNotNull() & (F.col("prev_doc") != F.col("doc_id"))
+    )
+    lcps = adj.withColumn(
+        "lcp",
+        F.expr(
+            f"array_max(transform(sequence(1, {_SUF_CHARS}), "
+            "k -> IF(substr(suffix, 1, k) = substr(prev_suffix, 1, k), k, 0)))"
+        ),
+    ).filter(F.col("lcp") >= _SUF_MIN_LCP)
+    return (
+        lcps.groupBy(
+            (F.col("lcp") - F.col("lcp") % 5).cast("bigint").alias("lcp_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("lcp_bucket")
+    )

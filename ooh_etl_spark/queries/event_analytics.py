@@ -1213,3 +1213,83 @@ def q273_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_offset")
     )
+
+
+# --- q292: row-pattern recognition (MATCH_RECOGNIZE re-expression) -------
+_SEQ_PATTERN = "v[^e]*?c[^e]*?p"  # view -> click -> purchase, no error between
+
+_DUCK_SEQ = f"""
+    WITH coded AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                  ELSE 's' END AS ch
+      FROM events),
+         journeys AS (
+      SELECT user_id,
+             string_agg(ch, '' ORDER BY ts, event_id) AS journey
+      FROM coded GROUP BY user_id),
+         matched AS (
+      SELECT user_id,
+             len(regexp_extract_all(journey, '{_SEQ_PATTERN}')) AS conv
+      FROM journeys)
+    SELECT CAST(conv AS BIGINT) AS conversions,
+           count(*) AS n_users
+    FROM matched GROUP BY 1 ORDER BY conversions
+"""
+
+
+@register("q292_sequence_pattern", _DUCK_SEQ)
+def q292_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern recognition — SQL:2016 MATCH_RECOGNIZE's core case
+    (Zemke et al., SIGMOD record 2007 proposal), which Spark SQL lacks
+    as syntax — re-expressed Spark-first: encode each event as one
+    character, reduce each user's time-ordered history to a journey
+    string, and count PATTERN (view -> click -> purchase with no error
+    between) occurrences with a lazy regex, exactly MATCH_RECOGNIZE's
+    SKIP PAST LAST ROW semantics (non-overlapping, leftmost-first —
+    verified identical between Java regex and DuckDB's RE2 on lazy
+    quantifiers). Output: users bucketed by conversion count.
+
+    Order-stability: the journey is built from
+    ``sort_array(collect_list(struct(ts, event_id, ch)))`` — the
+    struct sort makes the aggregation order-free (any partitioning
+    yields the same string), mirrored by the oracle's
+    ``string_agg(... ORDER BY ts, event_id)``.
+
+    100 TB shape: ONE shuffle on user_id; per-user state is the
+    journey string (bounded by per-user event count — cap with a
+    time-windowed slice for power users); the regex scan is linear,
+    JVM-side. The streaming twin of this shape is
+    ``transformWithState`` with the journey as value state (q122,
+    env-gated)."""
+    ev = load_table(spark, sf_dir, "events")
+    coded = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("s")
+        .alias("ch"),
+    )
+    journeys = coded.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda t: t.getField("ch"),
+            ),
+            "",
+        ).alias("journey")
+    )
+    matched = journeys.select(
+        "user_id",
+        F.regexp_count(F.col("journey"), F.lit(_SEQ_PATTERN)).alias("conv"),
+    )
+    return (
+        matched.groupBy(F.col("conv").cast("bigint").alias("conversions"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("conversions")
+    )

@@ -1691,3 +1691,81 @@ def q289_novelty_effect_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("trend_milli_per_week"),
     )
+
+
+# --- q293: Bayes-UCB bandit allocation summary ---------------------------
+_BANDIT_CONV = 50.0  # an event "converts" when its value clears this
+_BANDIT_Q = 1.6449  # Phi^-1(0.95): the Bayes-UCB quantile (normal approx)
+
+_DUCK_BANDIT = f"""
+    WITH arms AS (
+      SELECT event_type AS arm,
+             count(*) AS n,
+             CAST(sum(CASE WHEN value >= {_BANDIT_CONV} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY 1),
+         post AS (
+      SELECT arm, n, conv,
+             (1.0 + conv) / (2.0 + n) AS mean,
+             (1.0 + conv) * (1.0 + n - conv)
+               / ((2.0 + n) * (2.0 + n) * (3.0 + n)) AS var
+      FROM arms)
+    SELECT arm, CAST(n AS BIGINT) AS n, conv,
+           CAST(round(1000000 * mean) AS BIGINT) AS post_mean_e6,
+           CAST(round(1000000 * (mean + {_BANDIT_Q} * sqrt(var))) AS BIGINT)
+             AS ucb_e6,
+           CAST(row_number() OVER (
+             ORDER BY mean + {_BANDIT_Q} * sqrt(var) DESC, arm)
+             AS BIGINT) AS pull_priority
+    FROM post ORDER BY pull_priority
+"""
+
+
+@register("q293_bayes_ucb_bandit", _DUCK_BANDIT)
+def q293_bayes_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayes-UCB multi-armed-bandit allocation (Kaufmann, Cappe &
+    Garivier, AISTATS 2012): each event type is an arm, a trial
+    converts when its value clears a threshold, and the next-pull
+    priority ranks arms by the 95th-percentile upper bound of the
+    Beta(1+conv, 1+fail) posterior (normal approximation: mean +
+    1.6449*sd). This is the deterministic index form of Thompson
+    sampling — the engine-side half of a bandit loop, where the
+    posterior summary is exact SQL and only the (stateless) arm pull
+    happens outside.
+
+    Determinism: conversions are integer counts, the posterior mean
+    and variance are closed-form rationals of those counts evaluated
+    identically in both engines, and outputs quantize to e6 before
+    compare; rank ties break on arm name.
+
+    100 TB shape: one map-side-combinable aggregate over the event
+    stream (|arms| rows out), then O(|arms|) window math — the
+    classic 'heavy aggregation, tiny decision table' pattern; the
+    same rollup runs incrementally as a streaming aggregation with
+    the posterior as the running state."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") >= _BANDIT_CONV, 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
+    mean = (1.0 + F.col("conv")) / (2.0 + F.col("n"))
+    var = (
+        (1.0 + F.col("conv"))
+        * (1.0 + F.col("n") - F.col("conv"))
+        / ((2.0 + F.col("n")) * (2.0 + F.col("n")) * (3.0 + F.col("n")))
+    )
+    ucb = mean + _BANDIT_Q * F.sqrt(var)
+    post = arms.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n"),
+        "conv",
+        F.round(1000000 * mean).cast("bigint").alias("post_mean_e6"),
+        F.round(1000000 * ucb).cast("bigint").alias("ucb_e6"),
+        F.row_number()
+        .over(Window.orderBy(F.desc_nulls_last(ucb), F.col("arm")))
+        .cast("bigint")
+        .alias("pull_priority"),
+    )
+    return post.orderBy("pull_priority")

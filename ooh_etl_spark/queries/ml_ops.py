@@ -1332,3 +1332,112 @@ def q278_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("logloss_e6"),
     )
+
+
+# --- q294: isotonic calibration (PAVA via the minimax closed form) -------
+_DUCK_ISO = f"""
+    WITH s AS ({_DUCK_SCORED}),
+         b AS (
+      SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+             count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM s GROUP BY 1),
+         c AS (
+      SELECT bin, n, pos,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(pos) OVER (ORDER BY bin) AS cy
+      FROM b),
+         pairs AS (
+      SELECT j.bin AS j, k.bin AS k,
+             (k.cy - j.cy + j.pos) * 1.0 / (k.cn - j.cn + j.n) AS seg_mean
+      FROM c j JOIN c k ON j.bin <= k.bin),
+         lvl1 AS (
+      SELECT i.bin AS bin, p.j, min(p.seg_mean) AS mn
+      FROM b i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+      GROUP BY 1, 2),
+         fit AS (SELECT bin, max(mn) AS fitted FROM lvl1 GROUP BY bin)
+    SELECT f.bin, CAST(b.n AS BIGINT) AS n,
+           CAST(round(1000000.0 * b.pos / b.n) AS BIGINT) AS raw_ppm,
+           CAST(round(1000000.0 * f.fitted) AS BIGINT) AS fitted_ppm
+    FROM fit f JOIN b USING (bin) ORDER BY bin
+"""
+
+
+@register("q294_isotonic_calibration", _DUCK_ISO)
+def q294_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the q168 model's probabilities — the
+    pool-adjacent-violators fit (Barlow et al. 1972; Zadrozny & Elkan
+    KDD'02 for calibration) computed via the minimax closed form:
+    fitted_i = max_{{j<=i}} min_{{k>=i}} mean(y over bins j..k). On the
+    B=10 decile bins this is an O(B^3) dataframe computation over a
+    10-row aggregate — no iterative pooling loop, no driver logic —
+    so the 'algorithm' part is pure relational algebra and the only
+    data-scale work is q170's one 10-key binning shuffle.
+
+    Exactness: segment means are integer-sum ratios evaluated
+    identically in both engines; min/max over identical doubles are
+    order-free; outputs quantize to ppm. The fitted sequence is
+    monotone non-decreasing by construction (property-tested).
+
+    100 TB shape: the corpus pass is one map-side-combinable
+    aggregation to B rows; everything after is constant-size. The
+    same minimax form extends to any B small enough to cross-join
+    (B^2 segment rows) — beyond that, the standard move is the
+    parallel PAVA merge in applyInPandas, which this query
+    deliberately avoids needing."""
+    s = _scored(spark, sf_dir)
+    b = (
+        s.select(
+            F.least(F.floor(F.col("p") * 10).cast("bigint"), F.lit(9)).alias(
+                "bin"
+            ),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("pos"))
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("pos").over(wc).alias("cy"),
+    )
+    j = c.select(
+        F.col("bin").alias("j"),
+        F.col("pos").alias("j_pos"),
+        F.col("n").alias("j_n"),
+        F.col("cn").alias("j_cn"),
+        F.col("cy").alias("j_cy"),
+    )
+    k = c.select(
+        F.col("bin").alias("k"), F.col("cn").alias("k_cn"), F.col("cy").alias("k_cy")
+    )
+    pairs = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("k_cy") - F.col("j_cy") + F.col("j_pos"))
+            * 1.0
+            / (F.col("k_cn") - F.col("j_cn") + F.col("j_n"))
+        ).alias("seg_mean"),
+    )
+    i = b.select(F.col("bin"), "n", "pos")
+    lvl1 = (
+        i.join(pairs, (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")))
+        .groupBy("bin", "j")
+        .agg(F.min("seg_mean").alias("mn"))
+    )
+    fit = lvl1.groupBy("bin").agg(F.max("mn").alias("fitted"))
+    return (
+        fit.join(b, "bin")
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(1000000.0 * F.col("pos") / F.col("n"))
+            .cast("bigint")
+            .alias("raw_ppm"),
+            F.round(1000000.0 * F.col("fitted")).cast("bigint").alias("fitted_ppm"),
+        )
+        .orderBy("bin")
+    )

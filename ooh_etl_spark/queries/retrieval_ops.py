@@ -287,3 +287,100 @@ def q159_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- q290: binary quantization + Hamming-distance search -----------------
+_BQ_QUERIES = 8  # query vectors broadcast against the corpus
+_BQ_TOPK = 5
+
+_DUCK_BQ = f"""
+    WITH sg AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         words AS (
+      SELECT vec_id,
+             CAST(list_aggregate(list_transform(generate_series(1, 32),
+               i -> CASE WHEN e[i] > 0 THEN 1::BIGINT << (i - 1)
+                         ELSE 0::BIGINT END), 'sum') AS BIGINT) AS w0,
+             CAST(list_aggregate(list_transform(generate_series(33, 64),
+               i -> CASE WHEN e[i] > 0 THEN 1::BIGINT << (i - 33)
+                         ELSE 0::BIGINT END), 'sum') AS BIGINT) AS w1
+      FROM sg),
+         scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+               AS hamming
+      FROM (SELECT * FROM words WHERE vec_id < {_BQ_QUERIES}) q
+      JOIN (SELECT * FROM words WHERE vec_id >= {_BQ_QUERIES}) c ON true),
+         ranked AS (
+      SELECT query_id, vec_id, CAST(hamming AS BIGINT) AS hamming,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY hamming, vec_id) AS rk
+      FROM scored)
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, hamming
+    FROM ranked WHERE rk <= {_BQ_TOPK}
+    ORDER BY query_id, rk
+"""
+
+
+@register("q290_binary_quantize_hamming", _DUCK_BQ)
+def q290_binary_quantize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) vector quantization + Hamming-distance search
+    — the 1-bit end of the compression spectrum next to int8 (q77) and
+    PQ (q159): each 64-float embedding collapses to TWO 32-bit words
+    (64 bits total, a 32x memory cut), and similarity becomes
+    popcount(XOR) — pure integer ALU work that whole-stage codegen
+    compiles to JVM intrinsics (Long.bitCount), no floats anywhere.
+    This is the candidate-generation half of modern binary-quantized
+    indexes (sign-random-projection LSH, Charikar STOC'02; the rerank
+    half at full precision is q30's brute-force cosine).
+
+    Bit packing uses a fold over ``sequence`` with ``shiftleft`` —
+    0-indexed on Spark, 1-indexed in the DuckDB twin — split into two
+    32-bit words so no bit ever reaches the int64 sign position (a
+    ``1L << 63`` word would compare as negative and differ between
+    engines' unsigned-vs-signed displays).
+
+    100 TB shape: quantization is a narrow per-row map (no shuffle);
+    the {_BQ_QUERIES}-row query side broadcasts, so search is one scan
+    of the packed corpus with a per-row integer distance — the
+    map-side top-k then collapses in TakeOrderedAndProject via the
+    rank filter. At a billion vectors the packed corpus is 8 GB
+    (vs 256 GB of floats) — the difference between an in-memory
+    broadcast index and a disk-resident one.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    words = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(sequence(0, 31), "
+            "i -> IF(embedding[i] > 0, shiftleft(1L, i), 0L)), "
+            "0L, (a, x) -> a + x)"
+        ).alias("w0"),
+        F.expr(
+            "aggregate(transform(sequence(32, 63), "
+            "i -> IF(embedding[i] > 0, shiftleft(1L, i - 32), 0L)), "
+            "0L, (a, x) -> a + x)"
+        ).alias("w1"),
+    )
+    q = words.filter(F.col("vec_id") < _BQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    c = words.filter(F.col("vec_id") >= _BQ_QUERIES)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            F.bit_count(F.expr("w0 ^ q0")) + F.bit_count(F.expr("w1 ^ q1"))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _BQ_TOPK)
+        .select("query_id", "rk", "vec_id", "hamming")
+        .orderBy("query_id", "rk")
+    )

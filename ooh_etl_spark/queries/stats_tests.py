@@ -1044,3 +1044,150 @@ def q282_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cramers_v_e6"),
     )
+
+
+# --- q295: Benjamini-Hochberg FDR over a family of tests -----------------
+_BH_ALPHA = 0.05
+
+# Shared one-sided normal tail approximation (Lin, The American
+# Statistician 1989): Q(z) ~= exp(-0.717 z - 0.416 z^2). Both engines
+# evaluate the IDENTICAL closed form, so p-values are bit-equal and
+# the BH threshold comparison cannot diverge.
+_DUCK_BH = f"""
+    WITH rows_c AS (
+      SELECT event_type,
+             CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+         g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wd,
+             CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+             CAST(sum(CASE WHEN we = 0 THEN vc ELSE 0 END) AS BIGINT) AS s_wd,
+             CAST(sum(CASE WHEN we = 1 THEN vc ELSE 0 END) AS BIGINT) AS s_we,
+             CAST(sum(CASE WHEN we = 0 THEN vc * vc ELSE 0 END) AS BIGINT)
+               AS q_wd,
+             CAST(sum(CASE WHEN we = 1 THEN vc * vc ELSE 0 END) AS BIGINT)
+               AS q_we
+      FROM rows_c GROUP BY 1),
+         z AS (
+      SELECT event_type, n_wd, n_we,
+             (s_we * 1.0 / n_we - s_wd * 1.0 / n_wd)
+             / sqrt((q_we * 1.0 / n_we - (s_we * 1.0 / n_we) * (s_we * 1.0 / n_we)) / n_we
+                  + (q_wd * 1.0 / n_wd - (s_wd * 1.0 / n_wd) * (s_wd * 1.0 / n_wd)) / n_wd)
+               AS zv
+      FROM g),
+         p AS (
+      SELECT event_type, n_wd, n_we, zv,
+             least(1.0, 2.0 * exp(-0.717 * abs(zv) - 0.416 * zv * zv)) AS pv
+      FROM z),
+         ranked AS (
+      SELECT event_type, n_wd, n_we, zv, pv,
+             CAST(row_number() OVER (ORDER BY pv, event_type) AS BIGINT) AS rk,
+             count(*) OVER () AS m
+      FROM p),
+         cut AS (
+      SELECT coalesce(max(CASE WHEN pv <= {_BH_ALPHA} * rk / m
+                               THEN rk END), 0) AS rmax
+      FROM ranked)
+    SELECT event_type, n_wd, n_we,
+           CAST(round(1000 * zv) AS BIGINT) AS z_milli,
+           CAST(round(1000000000 * pv) AS BIGINT) AS p_e9,
+           rk,
+           CAST(CASE WHEN rk <= cut.rmax THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM ranked CROSS JOIN cut
+    ORDER BY rk
+"""
+
+
+@register("q295_bh_fdr", _DUCK_BH)
+def q295_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (JRSS-B 1995) over a FAMILY of
+    hypothesis tests — the piece a metrics platform needs the moment
+    it runs q192-style tests on many metrics at once: per event type,
+    a two-sample z-test of weekend-vs-weekday mean value, then the BH
+    step-up rule (reject the r smallest p-values where p_(r) <=
+    alpha*r/m). The step-up cutoff is max-rank-satisfying — a single
+    scalar aggregate joined back, NOT an iterative scan.
+
+    Exactness: per-row values quantize to integer cents, so all
+    moments are integer sums; z and the shared Lin-1989 normal-tail
+    approximation are identical closed forms in both engines; ranks
+    are integers with name tiebreaks.
+
+    100 TB shape: one map-side-combinable aggregate over events to
+    |event_types| rows; the BH machinery (rank window, scalar cutoff,
+    1-row cross join) is constant-size. The family can grow to
+    millions of metrics before the rank window needs a partitioned
+    two-pass top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    rows_c = ev.select(
+        "event_type",
+        F.when(F.weekday("ts") >= 5, 1).otherwise(0).alias("we"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    g = rows_c.groupBy("event_type").agg(
+        F.sum(F.when(F.col("we") == 0, 1).otherwise(0)).cast("bigint").alias("n_wd"),
+        F.sum(F.when(F.col("we") == 1, 1).otherwise(0)).cast("bigint").alias("n_we"),
+        F.sum(F.when(F.col("we") == 0, F.col("vc")).otherwise(0))
+        .cast("bigint")
+        .alias("s_wd"),
+        F.sum(F.when(F.col("we") == 1, F.col("vc")).otherwise(0))
+        .cast("bigint")
+        .alias("s_we"),
+        F.sum(F.when(F.col("we") == 0, F.col("vc") * F.col("vc")).otherwise(0))
+        .cast("bigint")
+        .alias("q_wd"),
+        F.sum(F.when(F.col("we") == 1, F.col("vc") * F.col("vc")).otherwise(0))
+        .cast("bigint")
+        .alias("q_we"),
+    )
+    m_we = F.col("s_we") * 1.0 / F.col("n_we")
+    m_wd = F.col("s_wd") * 1.0 / F.col("n_wd")
+    v_we = (F.col("q_we") * 1.0 / F.col("n_we") - m_we * m_we) / F.col("n_we")
+    v_wd = (F.col("q_wd") * 1.0 / F.col("n_wd") - m_wd * m_wd) / F.col("n_wd")
+    z = g.select(
+        "event_type",
+        "n_wd",
+        "n_we",
+        ((m_we - m_wd) / F.sqrt(v_we + v_wd)).alias("zv"),
+    )
+    p = z.withColumn(
+        "pv",
+        F.least(
+            F.lit(1.0),
+            2.0 * F.exp(-0.717 * F.abs(F.col("zv")) - 0.416 * F.col("zv") * F.col("zv")),
+        ),
+    )
+    ranked = p.select(
+        "*",
+        F.row_number().over(Window.orderBy("pv", "event_type")).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pv") <= _BH_ALPHA * F.col("rk") / F.col("m"), F.col("rk")
+                )
+            ),
+            F.lit(0),
+        ).alias("rmax")
+    )
+    return (
+        ranked.crossJoin(cut)
+        .select(
+            "event_type",
+            "n_wd",
+            "n_we",
+            F.round(1000 * F.col("zv")).cast("bigint").alias("z_milli"),
+            F.round(1000000000 * F.col("pv")).cast("bigint").alias("p_e9"),
+            "rk",
+            F.when(F.col("rk") <= F.col("rmax"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rejected"),
+        )
+        .orderBy("rk")
+    )

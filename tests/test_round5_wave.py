@@ -1,0 +1,95 @@
+"""Property tests for the round-5 query wave (q290-q295).
+
+Each query also runs through the oracle-differential gate
+(test_queries_oracle.py picks registry entries up automatically);
+these tests pin the ALGORITHMIC invariants the hash compare can't
+express — monotonicity, bounds, step-up set shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ooh_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_q290_hamming_bounds_and_topk_shape(spark):
+    rows = QUERIES["q290_binary_quantize_hamming"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 8 * 5  # 8 query vectors x top-5
+    for r in rows:
+        assert 0 <= r["hamming"] <= 64
+        assert 1 <= r["rk"] <= 5
+    # per query, distances are non-decreasing in rank
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rk"], r["hamming"]))
+    for pairs in by_q.values():
+        hs = [h for _, h in sorted(pairs)]
+        assert hs == sorted(hs)
+
+
+def test_q290_hamming_is_zero_for_identical_sign_pattern(spark):
+    # popcount(xor(w, w)) == 0: quantize one vector, compare to itself.
+    from ooh_etl_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(1)
+    w = emb.select(
+        F.expr(
+            "aggregate(transform(sequence(0, 31), "
+            "i -> IF(embedding[i] > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+        ).alias("w0")
+    ).collect()[0]["w0"]
+    assert bin(w ^ w).count("1") == 0
+
+
+def test_q291_lcp_buckets_within_threshold_and_cap(spark):
+    rows = QUERIES["q291_suffix_lcp_profile"].fn(spark, SF_DIR).collect()
+    assert rows, "word-soup corpus must surface shared suffixes"
+    for r in rows:
+        assert 10 <= r["lcp_bucket"] <= 40
+        assert r["n_pairs"] >= r["n_docs"] >= 1
+
+
+def test_q292_user_partition_is_total(spark):
+    # Every user lands in exactly one conversion bucket.
+    from ooh_etl_spark.tables import load_table
+
+    rows = QUERIES["q292_sequence_pattern"].fn(spark, SF_DIR).collect()
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert all(r["conversions"] >= 0 for r in rows)
+
+
+def test_q293_priority_follows_ucb(spark):
+    rows = QUERIES["q293_bayes_ucb_bandit"].fn(spark, SF_DIR).collect()
+    assert [r["pull_priority"] for r in rows] == list(range(1, len(rows) + 1))
+    ucbs = [r["ucb_e6"] for r in rows]
+    assert ucbs == sorted(ucbs, reverse=True)
+    for r in rows:
+        assert 0 <= r["post_mean_e6"] <= 1_000_000
+        assert r["ucb_e6"] >= r["post_mean_e6"]
+        assert 0 <= r["conv"] <= r["n"]
+
+
+def test_q294_fitted_is_monotone_and_pooled_mean_preserving(spark):
+    rows = QUERIES["q294_isotonic_calibration"].fn(spark, SF_DIR).collect()
+    fitted = [r["fitted_ppm"] for r in rows]
+    assert fitted == sorted(fitted), "PAVA output must be non-decreasing"
+    # fitted stays within the observed rate range
+    raws = [r["raw_ppm"] for r in rows]
+    assert min(raws) <= min(fitted) and max(fitted) <= max(raws)
+
+
+def test_q295_rejections_are_a_rank_prefix(spark):
+    rows = QUERIES["q295_bh_fdr"].fn(spark, SF_DIR).collect()
+    flags = [r["rejected"] for r in sorted(rows, key=lambda r: r["rk"])]
+    # step-up rule: the rejected set is exactly ranks 1..rmax
+    assert all(f in (0, 1) for f in flags)
+    if 1 in flags:
+        last = max(i for i, f in enumerate(flags) if f == 1)
+        assert all(f == 1 for f in flags[: last + 1])
+    ps = [r["p_e9"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert ps == sorted(ps)
