@@ -1769,3 +1769,105 @@ def q293_bayes_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pull_priority"),
     )
     return post.orderBy("pull_priority")
+
+
+# --- q300: empirical-Bayes (beta-binomial) rate shrinkage ----------------
+_DUCK_EB = """
+    WITH seg AS (
+      SELECT n.n_name AS segment,
+             count(*) AS n,
+             CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1),
+         prior AS (
+      SELECT sum(conv) * 1.0 / sum(n) AS mu,
+             avg((conv * 1.0 / n - (SELECT sum(conv) * 1.0 / sum(n) FROM seg))
+                 * (conv * 1.0 / n - (SELECT sum(conv) * 1.0 / sum(n) FROM seg)))
+               AS var_b
+      FROM seg),
+         m AS (
+      SELECT mu, greatest(mu * (1.0 - mu) / var_b - 1.0, 1.0) AS strength
+      FROM prior)
+    SELECT seg.segment, CAST(seg.n AS BIGINT) AS n, seg.conv,
+           CAST(round(10000.0 * seg.conv / seg.n) AS BIGINT) AS raw_bp,
+           CAST(round(10000.0 * (seg.conv + m.strength * m.mu)
+                      / (seg.n + m.strength)) AS BIGINT) AS shrunk_bp
+    FROM seg CROSS JOIN m
+    ORDER BY seg.segment
+"""
+
+
+@register("q300_eb_rate_shrinkage", _DUCK_EB)
+def q300_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-segment rates (Efron & Morris
+    JASA 1975; the beta-binomial method-of-moments form): small
+    segments' urgent-order rates get pulled toward the pooled mean
+    with prior strength m = mu(1-mu)/var_between - 1, large segments
+    barely move — the estimator every per-segment dashboard should
+    show instead of raw rates, where a 3-order segment at 100% would
+    otherwise top the ranking. One segment aggregate, two scalar
+    reductions, a 1-row cross join back.
+
+    Exactness: counts are integers; mu, the between-segment variance,
+    and the shrunk rates are identical closed-form doubles quantized
+    to basis points.
+
+    100 TB shape: the only full-data pass is the segment aggregate
+    (joins broadcast the nation/customer dims — at TPC-H shapes the
+    customer join shuffles, the classic star pattern q05 pins); prior
+    fitting runs on the |segments|-row table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    seg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv"),
+        )
+    )
+    pooled = seg.agg(
+        (F.sum("conv") * 1.0 / F.sum("n")).alias("mu")
+    )
+    with_mu = seg.crossJoin(F.broadcast(pooled))
+    prior = with_mu.agg(
+        F.first("mu").alias("mu"),
+        F.avg(
+            (F.col("conv") * 1.0 / F.col("n") - F.col("mu"))
+            * (F.col("conv") * 1.0 / F.col("n") - F.col("mu"))
+        ).alias("var_b"),
+    )
+    m = prior.select(
+        "mu",
+        F.greatest(
+            F.col("mu") * (1.0 - F.col("mu")) / F.col("var_b") - 1.0, F.lit(1.0)
+        ).alias("strength"),
+    )
+    return (
+        seg.crossJoin(F.broadcast(m))
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n"),
+            "conv",
+            F.round(10000.0 * F.col("conv") / F.col("n"))
+            .cast("bigint")
+            .alias("raw_bp"),
+            F.round(
+                10000.0
+                * (F.col("conv") + F.col("strength") * F.col("mu"))
+                / (F.col("n") + F.col("strength"))
+            )
+            .cast("bigint")
+            .alias("shrunk_bp"),
+        )
+        .orderBy("segment")
+    )

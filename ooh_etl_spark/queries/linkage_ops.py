@@ -387,3 +387,85 @@ def q194_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(noise)
         .orderBy("k")
     )
+
+
+# --- q296: SymSpell deletion-neighborhood edit-distance join -------------
+_DUCK_SYMSPELL = """
+    WITH v AS (
+      SELECT c_name AS name,
+             unnest(list_append(
+               list_transform(generate_series(1, length(c_name)),
+                 i -> substr(c_name, 1, i - 1)
+                      || substr(c_name, i + 1, length(c_name))),
+               c_name)) AS variant
+      FROM customer),
+         pairs AS (
+      SELECT DISTINCT a.name AS na, b.name AS nb
+      FROM v a JOIN v b ON a.variant = b.variant AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 1),
+         neigh AS (
+      SELECT name, count(*) AS n_neighbors
+      FROM (SELECT na AS name FROM pairs
+            UNION ALL SELECT nb AS name FROM pairs) u
+      GROUP BY name)
+    SELECT CAST(n_neighbors AS BIGINT) AS n_neighbors,
+           count(*) AS n_names
+    FROM neigh GROUP BY 1 ORDER BY n_neighbors
+"""
+
+
+@register("q296_symspell_edit_join", _DUCK_SYMSPELL)
+def q296_symspell_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 similarity SELF-join via the deletion
+    neighborhood (FastSS, Bocek et al. 2007; popularized as SymSpell):
+    two strings are within Levenshtein 1 iff their {self} + single-
+    deletion variant sets intersect, so candidate generation is an
+    EQUI-join on variant keys — O(corpus x name_length) candidates —
+    instead of the quadratic theta-join a naive fuzzy self-join costs.
+    A final exact levenshtein() filter removes the (few) distance-2
+    false candidates the deletion rule admits. Output: customers
+    bucketed by how many edit-1 neighbors their name has (TPC-H's
+    zero-padded names make digit-substitution neighborhoods rich).
+
+    This is the big-big complement of q70's broadcast fuzzy lookup:
+    q70 needs one side dimension-sized; this shape joins a corpus to
+    ITSELF with bounded per-row fan-out.
+
+    100 TB shape: variant explosion is a narrow per-row map (L+1 rows
+    per name); the join shuffles on the variant key, which
+    co-partitions all candidate pairs with no broadcast and no
+    cross product; DISTINCT + the exact filter run inside the same
+    exchange. Hot variant keys (shared by thousands of names) are the
+    skew risk — AQE splits them, or raise the deletion prefix length
+    the way SymSpell does for edit distance 2."""
+    cust = load_table(spark, sf_dir, "customer")
+    v = cust.select(
+        F.col("c_name").alias("name"),
+        F.explode(
+            F.expr(
+                "array_append(transform(sequence(1, length(c_name)), "
+                "i -> concat(substr(c_name, 1, i - 1), "
+                "substr(c_name, i + 1, length(c_name)))), c_name)"
+            )
+        ).alias("variant"),
+    )
+    a = v.select(F.col("name").alias("na"), "variant")
+    b = v.select(F.col("name").alias("nb"), "variant")
+    pairs = (
+        a.join(b, "variant")
+        .filter(F.col("na") < F.col("nb"))
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select("na", "nb")
+        .distinct()
+    )
+    neigh = (
+        pairs.select(F.col("na").alias("name"))
+        .unionAll(pairs.select(F.col("nb").alias("name")))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    return (
+        neigh.groupBy(F.col("n_neighbors").cast("bigint").alias("n_neighbors"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_names"))
+        .orderBy("n_neighbors")
+    )

@@ -1441,3 +1441,131 @@ def q294_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- q298: split-conformal prediction intervals --------------------------
+_CONF_LEVEL_BP = 9000  # 90% target coverage
+
+_DUCK_CONFORMAL = f"""
+    WITH ev AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             event_id % 2 = 0 AS is_cal
+      FROM events),
+         pred AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN is_cal THEN vc END) AS BIGINT) AS s_cal,
+             CAST(sum(CASE WHEN is_cal THEN 1 ELSE 0 END) AS BIGINT) AS n_cal
+      FROM ev GROUP BY 1),
+         res AS (
+      SELECT e.event_type, e.event_id, e.is_cal,
+             CAST(round(abs(e.vc - p.s_cal * 1.0 / p.n_cal) * 10000)
+                  AS BIGINT) AS r_e4
+      FROM ev e JOIN pred p USING (event_type)),
+         ranked AS (
+      SELECT event_type, r_e4,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY r_e4, event_id) AS rk
+      FROM res WHERE is_cal),
+         radius AS (
+      SELECT r.event_type, r.r_e4 AS rad_e4
+      FROM ranked r JOIN pred p USING (event_type)
+      WHERE r.rk = CAST(ceil({_CONF_LEVEL_BP} / 10000.0 * (p.n_cal + 1))
+                        AS BIGINT)),
+         cov AS (
+      SELECT s.event_type,
+             count(*) AS n_test,
+             CAST(sum(CASE WHEN s.r_e4 <= radius.rad_e4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM res s JOIN radius USING (event_type)
+      WHERE NOT s.is_cal GROUP BY 1)
+    SELECT c.event_type, p.n_cal, CAST(c.n_test AS BIGINT) AS n_test,
+           CAST(radius.rad_e4 // 10000 AS BIGINT) AS radius_cents,
+           CAST(round(c.n_covered * 10000.0 / c.n_test) AS BIGINT)
+             AS coverage_bp
+    FROM cov c JOIN radius USING (event_type) JOIN pred p USING (event_type)
+    ORDER BY c.event_type
+"""
+
+
+@register("q298_conformal_intervals", _DUCK_CONFORMAL)
+def q298_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk 2005; Lei et al.,
+    JASA 2018): per event type, fit a trivial model on the calibration
+    half (even event ids; prediction = calibration mean), take the
+    ceil((1-alpha)(n+1))-th order statistic of absolute calibration
+    residuals as the interval radius, and AUDIT finite-sample coverage
+    on the held-out half — the distribution-free guarantee says
+    coverage >= 90% in expectation regardless of the model. This is
+    the modern uncertainty wrapper every ML scoring pipeline should
+    ship next to q170's calibration bins and q294's isotonic fit.
+
+    Exactness: residuals quantize to 1e-4 cents before ranking (ties
+    then break on event_id), the radius is a discrete order statistic,
+    and the coverage comparison runs on the same quantized integers —
+    no float boundary can disagree between engines.
+
+    100 TB shape: two combinable aggregates (per-type sums, coverage
+    counts) + one per-type window for the order statistic; the
+    calibration-residual sort partitions by event_type. For heavy
+    per-type volumes the order statistic swaps to the q281 histogram
+    rank-map, same as q297's pooled quantile."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        (F.col("event_id") % 2 == 0).alias("is_cal"),
+    )
+    pred = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_cal"), F.col("vc"))).cast("bigint").alias("s_cal"),
+        F.sum(F.when(F.col("is_cal"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cal"),
+    )
+    res = ev.join(pred, "event_type").select(
+        "event_type",
+        "event_id",
+        "is_cal",
+        "n_cal",
+        F.round(
+            F.abs(F.col("vc") - F.col("s_cal") * 1.0 / F.col("n_cal")) * 10000
+        )
+        .cast("bigint")
+        .alias("r_e4"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("r_e4", "event_id")
+    ranked = res.filter("is_cal").select(
+        "event_type",
+        "r_e4",
+        "n_cal",
+        F.row_number().over(wr).alias("rk"),
+    )
+    radius = ranked.filter(
+        F.col("rk")
+        == F.ceil(_CONF_LEVEL_BP / 10000.0 * (F.col("n_cal") + 1)).cast("bigint")
+    ).select("event_type", F.col("r_e4").alias("rad_e4"))
+    cov = (
+        res.filter(~F.col("is_cal"))
+        .join(radius, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("r_e4") <= F.col("rad_e4"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        cov.join(radius, "event_type")
+        .join(pred.select("event_type", "n_cal"), "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            (F.col("rad_e4") / 10000).cast("bigint").alias("radius_cents"),
+            F.round(F.col("n_covered") * 10000.0 / F.col("n_test"))
+            .cast("bigint")
+            .alias("coverage_bp"),
+        )
+        .orderBy("event_type")
+    )

@@ -1046,3 +1046,102 @@ def q206_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
         F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
     ).orderBy(F.desc("bucket"))
+
+
+# --- q297: quantile normalization across sources -------------------------
+_DUCK_QNORM = """
+    WITH hist AS (
+      SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+         cum AS (
+      SELECT v,
+             sum(c) OVER (ORDER BY v) AS hi,
+             sum(c) OVER (ORDER BY v) - c + 1 AS lo
+      FROM hist),
+         tot AS (SELECT count(*) AS n FROM documents),
+         ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS ng
+      FROM documents),
+         mapped AS (
+      SELECT r.source, r.n_chars,
+             ((2 * r.rk - 1) * tot.n + 2 * r.ng - 1) // (2 * r.ng) AS k
+      FROM ranked r CROSS JOIN tot),
+         qn AS (
+      SELECT m.source, m.n_chars, cum.v AS v_qn
+      FROM mapped m JOIN cum ON m.k BETWEEN cum.lo AND cum.hi)
+    SELECT source, count(*) AS n,
+           CAST(round(sum(n_chars) * 1000.0 / count(*)) AS BIGINT)
+             AS mean_raw_milli,
+           CAST(round(sum(v_qn) * 1000.0 / count(*)) AS BIGINT)
+             AS mean_qn_milli
+    FROM qn GROUP BY source ORDER BY source
+"""
+
+
+@register("q297_quantile_normalization", _DUCK_QNORM)
+def q297_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (Bolstad et al.,
+    Bioinformatics 2003 — the cross-batch calibration standard): map
+    each document's within-source midpoint rank u = (2r-1)/(2n_g)
+    onto the POOLED distribution's nearest-rank quantile, so every
+    source ends up with (near-)identical score distributions — the
+    fix when per-source quality scores (here n_chars as the stand-in)
+    aren't comparable because sources have different scales. Output:
+    per-source raw vs normalized means; normalization is working when
+    the mean_qn column is flat across sources.
+
+    Exactness: ranks and the ceil-division k = ceil((2r-1)N / 2n_g)
+    are pure integer arithmetic; the quantile lookup lands on a
+    discrete order statistic (no interpolation), so both engines pick
+    the identical value.
+
+    100 TB shape: NO corpus-wide sort — the pooled distribution is a
+    value HISTOGRAM (|distinct values| rows) with cumulative bounds,
+    the q281 rank-map pattern; per-source ranks are one partitioned
+    window; the quantile lookup is a range join against the
+    broadcast-sized histogram. A corpus-wide row_number would be the
+    naive plan; this one's widest shuffle is the per-source window."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v",
+        F.sum("c").over(wv).alias("hi"),
+        (F.sum("c").over(wv) - F.col("c") + 1).alias("lo"),
+    )
+    n_total = docs.count()
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ng"),
+    )
+    mapped = ranked.select(
+        "source",
+        "n_chars",
+        F.expr(
+            f"((2 * rk - 1) * {n_total}L + 2 * ng - 1) div (2 * ng)"
+        ).alias("k"),
+    )
+    qn = mapped.join(
+        F.broadcast(cum),
+        (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+    )
+    return (
+        qn.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("n_chars") * 1000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_raw_milli"),
+            F.round(F.sum("v") * 1000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_qn_milli"),
+        )
+        .orderBy("source")
+    )

@@ -1191,3 +1191,78 @@ def q295_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --- q299: Hill estimator of the activity tail index ---------------------
+_HILL_K = 10  # top-k order statistics; the sf0.001 fixture has 15 users
+
+_DUCK_HILL = f"""
+    WITH act AS (
+      SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+         top AS (
+      SELECT x, user_id FROM act
+      ORDER BY x DESC, user_id LIMIT {_HILL_K + 1}),
+         r AS (
+      SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rk
+      FROM top),
+         thr AS (SELECT x AS xk1 FROM r WHERE rk = {_HILL_K + 1})
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           CAST(thr.xk1 AS BIGINT) AS threshold_count,
+           CAST(round(1000000.0 * {_HILL_K}
+                      / sum(ln(r.x * 1.0 / thr.xk1))) AS BIGINT)
+             AS alpha_e6
+    FROM r CROSS JOIN thr
+    WHERE r.rk <= {_HILL_K}
+    GROUP BY thr.xk1
+"""
+
+
+@register("q299_hill_tail_index", _DUCK_HILL)
+def q299_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill, Annals of
+    Statistics 1975) over the per-user activity distribution:
+    alpha_hat = k / sum_{{i<=k}} ln(x_(i) / x_(k+1)) on the top-k
+    order statistics — the standard heavy-tail diagnostic (alpha <= 2
+    means infinite variance: expect skew, plan salting) that turns
+    'this key distribution looks skewed' into a number the partition
+    planner can threshold on.
+
+    Exactness: activity counts are integers; the top-(k+1) set is
+    deterministic under the (count desc, user_id) order; the log-sum
+    runs over the same {_HILL_K} values in both engines.
+
+    100 TB shape: one combinable count aggregate, then a
+    TakeOrderedAndProject for the top-(k+1) rows (``orderBy().limit``
+    — Spark plans a bounded priority queue per partition + a
+    {_HILL_K + 1}-row merge on the driver, NO global sort of the user
+    table); everything after is constant-size."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    top = act.orderBy(F.desc("x"), "user_id").limit(_HILL_K + 1)
+    r = top.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.desc("x"), "user_id"))
+        .alias("rk"),
+    )
+    thr = r.filter(F.col("rk") == _HILL_K + 1).select(F.col("x").alias("xk1"))
+    return (
+        r.filter(F.col("rk") <= _HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .groupBy("xk1")
+        .agg(
+            F.lit(_HILL_K).cast("bigint").alias("k"),
+            F.round(
+                1000000.0
+                * _HILL_K
+                / F.sum(F.log(F.col("x") * 1.0 / F.col("xk1")))
+            )
+            .cast("bigint")
+            .alias("alpha_e6"),
+        )
+        .select(
+            "k",
+            F.col("xk1").cast("bigint").alias("threshold_count"),
+            "alpha_e6",
+        )
+    )

@@ -93,3 +93,64 @@ def test_q295_rejections_are_a_rank_prefix(spark):
         assert all(f == 1 for f in flags[: last + 1])
     ps = [r["p_e9"] for r in sorted(rows, key=lambda r: r["rk"])]
     assert ps == sorted(ps)
+
+
+def test_q296_neighbor_histogram_sane(spark):
+    rows = QUERIES["q296_symspell_edit_join"].fn(spark, SF_DIR).collect()
+    assert rows, "zero-padded TPC-H names must have edit-1 neighbors"
+    for r in rows:
+        assert r["n_neighbors"] >= 1
+        assert r["n_names"] >= 1
+
+
+def test_q296_deletion_rule_catches_known_pair(spark):
+    # Customer#000000001 and Customer#000000002 differ by one
+    # substitution: their deletion neighborhoods must intersect, and
+    # levenshtein confirms distance 1 — the FastSS completeness claim
+    # on a concrete instance.
+    a, b = "Customer#000000001", "Customer#000000002"
+
+    def dels(s):
+        return {s[:i] + s[i + 1 :] for i in range(len(s))} | {s}
+
+    assert dels(a) & dels(b)
+    row = spark.sql(
+        f"SELECT levenshtein('{a}', '{b}') AS d"
+    ).collect()[0]
+    assert row["d"] == 1
+
+
+def test_q297_normalized_means_are_flat(spark):
+    rows = QUERIES["q297_quantile_normalization"].fn(spark, SF_DIR).collect()
+    raw = [r["mean_raw_milli"] for r in rows]
+    qn = [r["mean_qn_milli"] for r in rows]
+    assert max(qn) - min(qn) <= max(raw) - min(raw)
+    # equal-size source groups (the sf0.001 fixture): QN is exact, all
+    # sources land on the identical pooled quantile profile
+    if len({r["n"] for r in rows}) == 1:
+        assert len(set(qn)) == 1
+
+
+def test_q298_coverage_near_target(spark):
+    rows = QUERIES["q298_conformal_intervals"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        # 90% target; finite-sample binomial noise on ~100 test rows
+        assert r["coverage_bp"] >= 8000, r
+        assert r["radius_cents"] > 0
+
+
+def test_q299_alpha_positive(spark):
+    rows = QUERIES["q299_hill_tail_index"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    assert rows[0]["alpha_e6"] > 0
+    assert rows[0]["threshold_count"] >= 1
+
+
+def test_q300_shrinkage_moves_toward_pooled_mean(spark):
+    rows = QUERIES["q300_eb_rate_shrinkage"].fn(spark, SF_DIR).collect()
+    tot_n = sum(r["n"] for r in rows)
+    tot_c = sum(r["conv"] for r in rows)
+    mu_bp = 10000.0 * tot_c / tot_n
+    for r in rows:
+        # rounding to integer bp can add at most 1 bp of slack
+        assert abs(r["shrunk_bp"] - mu_bp) <= abs(r["raw_bp"] - mu_bp) + 1, r
