@@ -259,3 +259,53 @@ def test_q153_dsir_totals_broadcast_no_cartesian(spark):
     plan = plan_of(spark, "q153_dsir_importance")
     assert has_broadcast_join(plan), plan
     assert not has_cartesian(plan), plan
+
+
+def test_q290_broadcasts_queries_and_limits_window(spark):
+    # The 8-vector query side must broadcast (the corpus side never
+    # shuffles for the join) and the top-k rank must plan as a
+    # WindowGroupLimit (map-side partial top-k before the exchange).
+    plan = plan_of(spark, "q290_binary_quantize_hamming")
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert not has_sort_merge_join(plan)
+    assert shuffle_count(plan) <= 2  # rank window + final sort
+
+
+def test_q291_suffix_sort_is_prefix_partitioned(spark):
+    # The suffix sort must be a hash-partitioned exchange on the
+    # 2-char prefix bucket — NEVER a single-partition global sort
+    # (the q72/q139 WindowExec pathology this query is designed to
+    # avoid).
+    plan = plan_of(spark, "q291_suffix_lcp_profile")
+    # the prefix expression is projected to _w0 before the exchange, so
+    # assert the property directly: every exchange is hash/range
+    # partitioned — no SinglePartition anywhere in the plan.
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_w0" in plan
+    assert shuffle_count(plan) <= 4
+
+
+def test_q296_symspell_is_equi_join_no_cartesian(spark):
+    # The deletion-neighborhood trick exists precisely to avoid the
+    # quadratic fuzzy theta-join: the candidate join must be an
+    # equi-join on the variant key, with no cartesian/BNLJ anywhere.
+    plan = plan_of(spark, "q296_symspell_edit_join")
+    assert not has_cartesian(plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q297_no_corpus_wide_window(spark):
+    # The pooled distribution must come from the value histogram (the
+    # only unpartitioned window runs over the aggregated histogram,
+    # AFTER a groupBy exchange) — the per-doc rank window must be
+    # partitioned by source.
+    plan = plan_of(spark, "q297_quantile_normalization")
+    assert "hashpartitioning(source" in plan
+
+
+def test_q299_topk_is_take_ordered(spark):
+    # orderBy().limit() over per-user counts must plan as a bounded
+    # TakeOrderedAndProject, not a global sort of the user table.
+    plan = plan_of(spark, "q299_hill_tail_index")
+    assert "TakeOrderedAndProject" in plan
