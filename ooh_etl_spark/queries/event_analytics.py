@@ -1293,3 +1293,123 @@ def q292_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("conversions")
     )
+
+
+# --- q304: exact Shapley-value channel attribution -----------------------
+_DUCK_SHAPLEY = """
+    WITH u AS (
+      SELECT user_id,
+             bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END)
+               AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id),
+         mc AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS c
+                FROM u GROUP BY mask),
+         subsets AS (SELECT s FROM generate_series(0, 15) AS g(s)),
+         vs AS (
+      SELECT subsets.s,
+             CAST(coalesce(sum(CASE WHEN (mc.mask & subsets.s) = mc.mask
+                                    THEN mc.c END), 0) AS BIGINT) AS v
+      FROM subsets LEFT JOIN mc ON true GROUP BY subsets.s),
+         ch AS (SELECT * FROM (VALUES (1, 'view'), (2, 'click'),
+                                      (4, 'signup'), (8, 'error'))
+                AS t(bit, channel)),
+         phi AS (
+      SELECT ch.channel,
+             sum((CASE bit_count(vs0.s) WHEN 0 THEN 6.0 WHEN 1 THEN 2.0
+                  WHEN 2 THEN 2.0 WHEN 3 THEN 6.0 END / 24.0)
+                 * (vs1.v - vs0.v)) AS phi
+      FROM ch
+      JOIN vs vs0 ON (vs0.s & ch.bit) = 0
+      JOIN vs vs1 ON vs1.s = vs0.s + ch.bit
+      GROUP BY ch.channel),
+         tot AS (SELECT sum(phi) AS t FROM phi)
+    SELECT phi.channel,
+           CAST(round(1000000.0 * phi.phi) AS BIGINT) AS phi_e6,
+           CAST(round(10000.0 * phi.phi / tot.t) AS BIGINT) AS share_bp
+    FROM phi CROSS JOIN tot
+    ORDER BY phi.channel
+"""
+
+
+@register("q304_shapley_attribution", _DUCK_SHAPLEY)
+def q304_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value marketing attribution (Shapley 1953; the
+    axiomatic answer to 'which channel deserves credit', next to
+    q100's first-touch and q222's Markov removal effects): with n=4
+    non-purchase channels the 2^4 coalition lattice is enumerable, so
+    phi_i = sum_S w(|S|) [v(S+i) - v(S)] is CLOSED-FORM relational
+    algebra — no sampling, no permutations. The characteristic
+    function v(S) counts conversions among users whose touched-channel
+    set fits inside S (computed from a 16-row mask rollup via a
+    subset-containment join, the zeta transform).
+
+    Efficiency axiom (property-tested): sum(phi_i) = v(N) - v(empty).
+
+    Determinism: masks and v(S) are integers (bit_or rollup); the 8
+    weighted terms per channel use exact binary fractions (6/24,
+    2/24). 100 TB shape: ONE user shuffle for the mask rollup, then
+    everything runs on the 16-row mask table; at n channels the
+    lattice is 2^n rows — exact to ~20 channels, beyond which the
+    standard move is permutation sampling over the same mask table."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+            "WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END)"
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    mc = u.groupBy("mask").agg(F.sum("conv").cast("bigint").alias("c"))
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    vs = (
+        subsets.crossJoin(F.broadcast(mc))
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("(mask & s) = mask"), F.col("c")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    ch = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (4, "signup"), (8, "error")],
+        "bit int, channel string",
+    )
+    vs0 = vs.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vs1 = vs.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    w = (
+        F.when(F.bit_count("s0") == 0, 6.0)
+        .when(F.bit_count("s0") == 1, 2.0)
+        .when(F.bit_count("s0") == 2, 2.0)
+        .otherwise(6.0)
+        / 24.0
+    )
+    phi = (
+        ch.join(vs0, F.expr("(s0 & bit) = 0"))
+        .join(vs1, F.expr("s1 = s0 + bit"))
+        .groupBy("channel")
+        .agg(F.sum(w * (F.col("v1") - F.col("v0"))).alias("phi"))
+    )
+    tot = phi.agg(F.sum("phi").alias("t"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round(1000000.0 * F.col("phi")).cast("bigint").alias("phi_e6"),
+            F.round(10000.0 * F.col("phi") / F.col("t"))
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+        .orderBy("channel")
+    )

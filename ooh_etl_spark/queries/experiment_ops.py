@@ -1871,3 +1871,79 @@ def q300_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- q302: Neyman optimal stratified-sample allocation -------------------
+_NEYMAN_BUDGET = 1000
+
+_DUCK_NEYMAN = f"""
+    WITH s AS (
+      SELECT event_type AS stratum,
+             count(*) AS nh,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+      FROM events GROUP BY 1),
+         sd AS (
+      SELECT stratum, nh,
+             sqrt(sq * 1.0 / nh - (sv * 1.0 / nh) * (sv * 1.0 / nh)) AS sh
+      FROM s),
+         tot AS (
+      SELECT sum(nh * sh) AS w, sum(nh) AS n FROM sd)
+    SELECT sd.stratum, CAST(sd.nh AS BIGINT) AS nh,
+           CAST(round(sd.sh) AS BIGINT) AS sd_cents,
+           CAST(round({_NEYMAN_BUDGET} * sd.nh * sd.sh / tot.w) AS BIGINT)
+             AS neyman_n,
+           CAST(round({_NEYMAN_BUDGET} * sd.nh * 1.0 / tot.n) AS BIGINT)
+             AS proportional_n
+    FROM sd CROSS JOIN tot
+    ORDER BY sd.stratum
+"""
+
+
+@register("q302_neyman_allocation", _DUCK_NEYMAN)
+def q302_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation for stratified sampling (Neyman, JRSS
+    1934): given a {_NEYMAN_BUDGET}-row labeling/eval budget, sample
+    n_h proportional to N_h * S_h — big AND noisy strata get more
+    rows — versus naive proportional allocation shown alongside. This
+    is how an eval-set builder should split its annotation budget over
+    document sources, and the variance win over proportional is
+    largest exactly when strata differ in spread.
+
+    Exactness: per-stratum moments are integer-cent sums; S_h and the
+    allocations are identical closed-form doubles rounded once.
+
+    100 TB shape: one combinable moment aggregate (count/sum/sum-sq)
+    to |strata| rows, a scalar total, a 1-row cross join back — the
+    q293/q300 'heavy aggregate, tiny decision table' shape again."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    s = ev.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(vc).cast("bigint").alias("sv"),
+        F.sum(vc * vc).cast("bigint").alias("sq"),
+    )
+    sh = F.sqrt(
+        F.col("sq") * 1.0 / F.col("nh")
+        - (F.col("sv") * 1.0 / F.col("nh")) * (F.col("sv") * 1.0 / F.col("nh"))
+    )
+    sd = s.select("stratum", "nh", sh.alias("sh"))
+    tot = sd.agg(
+        F.sum(F.col("nh") * F.col("sh")).alias("w"), F.sum("nh").alias("n")
+    )
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.col("nh").cast("bigint").alias("nh"),
+            F.round(F.col("sh")).cast("bigint").alias("sd_cents"),
+            F.round(_NEYMAN_BUDGET * F.col("nh") * F.col("sh") / F.col("w"))
+            .cast("bigint")
+            .alias("neyman_n"),
+            F.round(_NEYMAN_BUDGET * F.col("nh") * 1.0 / F.col("n"))
+            .cast("bigint")
+            .alias("proportional_n"),
+        )
+        .orderBy("stratum")
+    )

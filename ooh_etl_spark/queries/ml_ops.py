@@ -1569,3 +1569,183 @@ def q298_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q303: IPS / SNIPS offline policy evaluation -------------------------
+_DUCK_IPS = """
+    WITH lg AS (
+      SELECT event_type AS arm,
+             CASE WHEN value >= 50 THEN 1 ELSE 0 END AS r,
+             CASE WHEN (user_id % 2 = 0 AND event_type = 'click')
+                    OR (user_id % 2 = 1 AND event_type = 'view')
+                  THEN 1 ELSE 0 END AS m
+      FROM events),
+         cells AS (
+      SELECT arm, r, m, count(*) AS c FROM lg GROUP BY 1, 2, 3),
+         arms AS (
+      SELECT arm, sum(c) AS na FROM cells GROUP BY 1),
+         tot AS (SELECT sum(c) AS n FROM cells),
+         wsum AS (
+      SELECT sum(cells.c * cells.m * tot.n * 1.0 / arms.na) AS sw,
+             sum(cells.c * cells.m * cells.r * tot.n * 1.0 / arms.na) AS srw,
+             sum(cells.c * cells.m
+                 * (tot.n * 1.0 / arms.na) * (tot.n * 1.0 / arms.na)) AS sww,
+             sum(cells.c * cells.r) * 1.0 / max(tot.n) AS behavior_avg,
+             CAST(sum(cells.c * cells.m) AS BIGINT) AS matched,
+             CAST(max(tot.n) AS BIGINT) AS n
+      FROM cells JOIN arms USING (arm) CROSS JOIN tot)
+    SELECT n, matched,
+           CAST(round(1000000.0 * srw / n) AS BIGINT) AS ips_e6,
+           CAST(round(1000000.0 * srw / sw) AS BIGINT) AS snips_e6,
+           CAST(round(1000.0 * sw * sw / sww) AS BIGINT) AS ess_e3,
+           CAST(round(1000000.0 * behavior_avg) AS BIGINT) AS behavior_e6
+    FROM wsum
+"""
+
+
+@register("q303_ips_offline_eval", _DUCK_IPS)
+def q303_ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a contextual bandit policy from logged
+    data (Horvitz & Thompson JASA 1952; Swaminathan & Joachims
+    JMLR 2015 for SNIPS): estimate the reward a NEW policy (click for
+    even users, view for odd) would earn, using only the logged arms,
+    rewards, and empirical behavior propensities — value_IPS =
+    mean(r * 1[a = pi(x)] / p(a)), plus the self-normalized SNIPS
+    variant (lower variance, the production default) and the effective
+    sample size (sw^2/sww) that says whether the estimate is usable.
+
+    Exactness: all sums reduce to integer cell counts times weights
+    that take only |arms| distinct values — the per-row float sum
+    collapses to a <=20-cell closed form identical in both engines.
+
+    100 TB shape: ONE combinable (arm, reward, match) cell aggregate;
+    propensities and the IPS sums are arithmetic over the bounded cell
+    table — logs never shuffle twice, the same shape as q293."""
+    ev = load_table(spark, sf_dir, "events")
+    lg = ev.select(
+        F.col("event_type").alias("arm"),
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("r"),
+        F.when(
+            ((F.col("user_id") % 2 == 0) & (F.col("event_type") == "click"))
+            | ((F.col("user_id") % 2 == 1) & (F.col("event_type") == "view")),
+            1,
+        )
+        .otherwise(0)
+        .alias("m"),
+    )
+    cells = lg.groupBy("arm", "r", "m").agg(F.count(F.lit(1)).alias("c"))
+    arms = cells.groupBy("arm").agg(F.sum("c").alias("na"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    joined = cells.join(F.broadcast(arms), "arm").crossJoin(F.broadcast(tot))
+    iw = F.col("n") * 1.0 / F.col("na")  # 1/p(a) as n/na
+    wsum = joined.agg(
+        F.sum(F.col("c") * F.col("m") * iw).alias("sw"),
+        F.sum(F.col("c") * F.col("m") * F.col("r") * iw).alias("srw"),
+        F.sum(F.col("c") * F.col("m") * iw * iw).alias("sww"),
+        (F.sum(F.col("c") * F.col("r")) * 1.0 / F.max("n")).alias("behavior_avg"),
+        F.sum(F.col("c") * F.col("m")).cast("bigint").alias("matched"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    return wsum.select(
+        "n",
+        "matched",
+        F.round(1000000.0 * F.col("srw") / F.col("n")).cast("bigint").alias("ips_e6"),
+        F.round(1000000.0 * F.col("srw") / F.col("sw"))
+        .cast("bigint")
+        .alias("snips_e6"),
+        F.round(1000.0 * F.col("sw") * F.col("sw") / F.col("sww"))
+        .cast("bigint")
+        .alias("ess_e3"),
+        F.round(1000000.0 * F.col("behavior_avg")).cast("bigint").alias("behavior_e6"),
+    )
+
+
+# --- q305: Qini uplift curve ---------------------------------------------
+_DUCK_QINI = """
+    WITH base AS (
+      SELECT l_partkey % 10 AS score_bucket,
+             CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS t,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+         cells AS (
+      SELECT score_bucket,
+             CAST(sum(t) AS BIGINT) AS n_t,
+             CAST(sum(1 - t) AS BIGINT) AS n_c,
+             CAST(sum(t * y) AS BIGINT) AS y_t,
+             CAST(sum((1 - t) * y) AS BIGINT) AS y_c
+      FROM base GROUP BY 1),
+         cum AS (
+      SELECT score_bucket, n_t, n_c, y_t, y_c,
+             sum(y_t) OVER w AS cy_t, sum(n_t) OVER w AS cn_t,
+             sum(y_c) OVER w AS cy_c, sum(n_c) OVER w AS cn_c
+      FROM cells
+      WINDOW w AS (ORDER BY score_bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CAST(score_bucket AS BIGINT) AS score_bucket, n_t, n_c,
+           CAST(round(10000.0 * (y_t * 1.0 / n_t - y_c * 1.0 / n_c))
+                AS BIGINT) AS uplift_bp,
+           CAST(round(1000.0 * (cy_t - cy_c * cn_t * 1.0 / cn_c))
+                AS BIGINT) AS qini_e3
+    FROM cum ORDER BY score_bucket DESC
+"""
+
+
+@register("q305_qini_uplift", _DUCK_QINI)
+def q305_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve (Radcliffe 2007 — the evaluation standard for
+    uplift/heterogeneous-treatment-effect models): rank units by a
+    model score (here a placeholder decile bucket; the MACHINERY is
+    the operator), then cumulate Qini(k) = Y_t(k) - Y_c(k) * N_t(k)/
+    N_c(k) down the ranking — a model that targets persuadables shows
+    a steep early curve vs the random-targeting diagonal. Treatment =
+    discounted line item, outcome = returned; per-bucket raw uplift
+    rides alongside.
+
+    Determinism: the four cell counts per bucket are integers; the
+    cumulative window runs over the 10-row bucket table in a fixed
+    order; ratios round once.
+
+    100 TB shape: ONE (bucket, t, y) combinable aggregate over the
+    fact table; the cumulative window is over |buckets| rows — the
+    same bounded-window form as q206's yield curve. A real model
+    score plugs in by swapping the bucket expression; nothing else
+    changes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_partkey") % 10).alias("score_bucket"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("t"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cells = base.groupBy("score_bucket").agg(
+        F.sum("t").cast("bigint").alias("n_t"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n_c"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("y_t"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("bigint").alias("y_c"),
+    )
+    w = (
+        Window.orderBy(F.desc("score_bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "*",
+        F.sum("y_t").over(w).alias("cy_t"),
+        F.sum("n_t").over(w).alias("cn_t"),
+        F.sum("y_c").over(w).alias("cy_c"),
+        F.sum("n_c").over(w).alias("cn_c"),
+    )
+    return cum.select(
+        F.col("score_bucket").cast("bigint").alias("score_bucket"),
+        "n_t",
+        "n_c",
+        F.round(
+            10000.0
+            * (F.col("y_t") * 1.0 / F.col("n_t") - F.col("y_c") * 1.0 / F.col("n_c"))
+        )
+        .cast("bigint")
+        .alias("uplift_bp"),
+        F.round(
+            1000.0 * (F.col("cy_t") - F.col("cy_c") * F.col("cn_t") * 1.0 / F.col("cn_c"))
+        )
+        .cast("bigint")
+        .alias("qini_e3"),
+    ).orderBy(F.desc("score_bucket"))

@@ -588,3 +588,147 @@ def q246_bloom_from_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("theory_bp"),
     )
+
+
+# --- q301: KMV (bottom-k) distinct sketch with set algebra ---------------
+_KMV_K = 8  # sf0.001 has only 15 users; k must stay below the universe
+_KMV_SPACE = float(16**14)  # hash values are 14 hex digits (56 bits)
+
+_DUCK_KMV = f"""
+    WITH flags AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS h,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY user_id),
+         au AS (SELECT * FROM flags WHERE a = 1),
+         bu AS (SELECT * FROM flags WHERE b = 1),
+         uu AS (SELECT * FROM flags WHERE a = 1 OR b = 1),
+         ak AS (SELECT h FROM au ORDER BY h LIMIT {_KMV_K}),
+         bk AS (SELECT h FROM bu ORDER BY h LIMIT {_KMV_K}),
+         uk AS (SELECT h, a, b FROM uu ORDER BY h LIMIT {_KMV_K}),
+         est AS (
+      SELECT 'click' AS set_label,
+             (SELECT count(*) FROM au) AS exact_distinct,
+             CAST(round(({_KMV_K} - 1) * {_KMV_SPACE}
+                        / (SELECT max(h) FROM ak)) AS BIGINT) AS kmv_est
+      UNION ALL
+      SELECT 'view',
+             (SELECT count(*) FROM bu),
+             CAST(round(({_KMV_K} - 1) * {_KMV_SPACE}
+                        / (SELECT max(h) FROM bk)) AS BIGINT)
+      UNION ALL
+      SELECT 'union',
+             (SELECT count(*) FROM uu),
+             CAST(round(({_KMV_K} - 1) * {_KMV_SPACE}
+                        / (SELECT max(h) FROM uk)) AS BIGINT)
+      UNION ALL
+      SELECT 'intersection',
+             (SELECT count(*) FROM flags WHERE a = 1 AND b = 1),
+             CAST(round(
+               (SELECT sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                FROM uk) * 1.0 / {_KMV_K}
+               * (({_KMV_K} - 1) * {_KMV_SPACE} / (SELECT max(h) FROM uk)))
+               AS BIGINT))
+    SELECT set_label, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           kmv_est,
+           CAST(round(abs(kmv_est - exact_distinct) * 10000.0
+                      / exact_distinct) AS BIGINT) AS err_bp
+    FROM est ORDER BY set_label
+"""
+
+
+@register("q301_kmv_set_sketch", _DUCK_KMV)
+def q301_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. RANDOM'02;
+    Beyer et al. SIGMOD'07) — the mergeable distinct-counter that,
+    unlike HLL (q221), also supports INTERSECTION estimates: keep the
+    k smallest hash values; |D| ~= (k-1)*H/h_(k); the union sketch is
+    the bottom-k of the combined stream, and the Jaccard estimate is
+    the fraction of the union's bottom-k belonging to both sets, so
+    |A inter B| ~= J * |A union B|. Exact counts ride alongside with
+    the error in basis points — the audit a sketch rollout needs.
+
+    Determinism: the hash is the first 14 hex digits of md5 (identical
+    in both engines, 56 bits so the BIGINT parse never overflows);
+    bottom-k sets and max-of-k are exact integer operations.
+
+    100 TB shape: each bottom-k is ``ORDER BY h LIMIT k`` — a per-
+    partition k-row priority queue merged on the driver
+    (TakeOrderedAndProject), NO global sort, NO corpus-wide window;
+    the flag aggregation is the one keyed shuffle. k={_KMV_K} fits the
+    15-user sf0.001 fixture; production k (256-4096) only widens the
+    k-row frames."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("b"),
+    ).select(
+        "user_id",
+        "a",
+        "b",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 14), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    au = flags.filter(F.col("a") == 1)
+    bu = flags.filter(F.col("b") == 1)
+    uu = flags.filter((F.col("a") == 1) | (F.col("b") == 1))
+
+    def est_row(label: str, side: DataFrame) -> DataFrame:
+        # bottom-k via orderBy().limit() (TakeOrderedAndProject), then
+        # 1-row stat frames cross-joined — fully declarative, no
+        # driver-side collect.
+        exact = side.agg(F.count(F.lit(1)).alias("exact_distinct"))
+        hk = side.orderBy("h").limit(_KMV_K).agg(F.max("h").alias("hk"))
+        return exact.crossJoin(hk).select(
+            F.lit(label).alias("set_label"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.round((_KMV_K - 1) * _KMV_SPACE / F.col("hk"))
+            .cast("bigint")
+            .alias("kmv_est"),
+        )
+
+    uk = uu.orderBy("h").limit(_KMV_K)
+    ustats = uk.agg(
+        F.max("h").alias("hk"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)
+        ).alias("both_in_k"),
+    )
+    inter = (
+        flags.filter((F.col("a") == 1) & (F.col("b") == 1))
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+        .crossJoin(ustats)
+        .select(
+            F.lit("intersection").alias("set_label"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.round(
+                F.col("both_in_k")
+                * 1.0
+                / _KMV_K
+                * ((_KMV_K - 1) * _KMV_SPACE / F.col("hk"))
+            )
+            .cast("bigint")
+            .alias("kmv_est"),
+        )
+    )
+    out = (
+        est_row("click", au)
+        .unionByName(est_row("view", bu))
+        .unionByName(est_row("union", uu))
+        .unionByName(inter)
+    )
+    return out.select(
+        "set_label",
+        "exact_distinct",
+        "kmv_est",
+        F.round(
+            F.abs(F.col("kmv_est") - F.col("exact_distinct"))
+            * 10000.0
+            / F.col("exact_distinct")
+        )
+        .cast("bigint")
+        .alias("err_bp"),
+    ).orderBy("set_label")
