@@ -469,3 +469,121 @@ def q296_symspell_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_names"))
         .orderBy("n_neighbors")
     )
+
+
+# --- q307: blocking quality (reduction ratio / pairs completeness) -------
+_BLK_PREFIX = 17  # block on all but the last char of the padded name
+
+_DUCK_BLOCKING_EVAL = f"""
+    WITH names AS (SELECT c_name AS name FROM customer),
+         n_tot AS (SELECT count(*) AS n FROM names),
+         blocks AS (
+      SELECT substr(name, 1, {_BLK_PREFIX}) AS blk, count(*) AS c
+      FROM names GROUP BY 1),
+         cand AS (
+      SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_cand FROM blocks),
+         v AS (
+      SELECT name,
+             unnest(list_append(
+               list_transform(generate_series(1, length(name)),
+                 i -> substr(name, 1, i - 1)
+                      || substr(name, i + 1, length(name))),
+               name)) AS variant
+      FROM names),
+         truth AS (
+      SELECT DISTINCT a.name AS na, b.name AS nb
+      FROM v a JOIN v b ON a.variant = b.variant AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 1),
+         agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN substr(na, 1, {_BLK_PREFIX})
+                              = substr(nb, 1, {_BLK_PREFIX})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+      FROM truth)
+    SELECT CAST(n_tot.n AS BIGINT) AS n_names, cand.n_cand,
+           agg.n_truth, agg.n_found,
+           CAST(round(10000.0 * (1.0 - cand.n_cand * 2.0
+                                 / (n_tot.n * (n_tot.n - 1)))) AS BIGINT)
+             AS reduction_ratio_bp,
+           CAST(round(10000.0 * agg.n_found / agg.n_truth) AS BIGINT)
+             AS pairs_completeness_bp
+    FROM n_tot CROSS JOIN cand CROSS JOIN agg
+"""
+
+
+@register("q307_blocking_quality", _DUCK_BLOCKING_EVAL)
+def q307_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (Christen, TKDE 2012 survey): before
+    trusting an entity-resolution blocking key (q166), measure its
+    REDUCTION RATIO (how much of the quadratic pair space the blocks
+    prune — from block-size counts alone, sum c*(c-1)/2, no pair ever
+    materialized) and its PAIRS COMPLETENESS (what fraction of true
+    matches share a block — truth here is the q296 deletion-
+    neighborhood edit-1 pair set). The tension between the two numbers
+    IS the blocking design problem; a prefix-{_BLK_PREFIX} block gets
+    high RR (only same-decade names share a block) but misses the
+    third of true matches that differ in an earlier digit.
+
+    100 TB shape: RR needs only a key-count aggregate; PC reuses the
+    linear deletion-variant join; nothing is quadratic in the corpus
+    — which is exactly the property this query certifies for the
+    downstream matcher."""
+    cust = load_table(spark, sf_dir, "customer")
+    names = cust.select(F.col("c_name").alias("name"))
+    n_tot = names.agg(F.count(F.lit(1)).alias("n"))
+    blocks = names.groupBy(
+        F.substring("name", 1, _BLK_PREFIX).alias("blk")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cand = blocks.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("n_cand")
+    )
+    v = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                "array_append(transform(sequence(1, length(name)), "
+                "i -> concat(substr(name, 1, i - 1), "
+                "substr(name, i + 1, length(name)))), name)"
+            )
+        ).alias("variant"),
+    )
+    a = v.select(F.col("name").alias("na"), "variant")
+    b = v.select(F.col("name").alias("nb"), "variant")
+    truth = (
+        a.join(b, "variant")
+        .filter(F.col("na") < F.col("nb"))
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select("na", "nb")
+        .distinct()
+    )
+    agg = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum(
+            F.when(
+                F.substring("na", 1, _BLK_PREFIX)
+                == F.substring("nb", 1, _BLK_PREFIX),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_found"),
+    )
+    return (
+        n_tot.crossJoin(cand)
+        .crossJoin(agg)
+        .select(
+            F.col("n").cast("bigint").alias("n_names"),
+            "n_cand",
+            "n_truth",
+            "n_found",
+            F.round(
+                10000.0
+                * (1.0 - F.col("n_cand") * 2.0 / (F.col("n") * (F.col("n") - 1)))
+            )
+            .cast("bigint")
+            .alias("reduction_ratio_bp"),
+            F.round(10000.0 * F.col("n_found") / F.col("n_truth"))
+            .cast("bigint")
+            .alias("pairs_completeness_bp"),
+        )
+    )

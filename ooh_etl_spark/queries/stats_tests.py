@@ -1266,3 +1266,93 @@ def q299_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha_e6",
         )
     )
+
+
+# --- q308: Wasserstein-1 (earth mover's) distribution drift --------------
+_DUCK_W1 = """
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+             CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we
+      FROM events),
+         h AS (
+      SELECT vc,
+             CAST(sum(1 - we) AS BIGINT) AS c_wd,
+             CAST(sum(we) AS BIGINT) AS c_we
+      FROM s GROUP BY vc),
+         tot AS (
+      SELECT sum(c_wd) AS n_wd, sum(c_we) AS n_we FROM h),
+         cdf AS (
+      SELECT vc,
+             sum(c_wd) OVER w * 1.0 / tot.n_wd AS fa,
+             sum(c_we) OVER w * 1.0 / tot.n_we AS fb,
+             lead(vc) OVER (ORDER BY vc) AS nxt
+      FROM h CROSS JOIN tot
+      WINDOW w AS (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+    SELECT CAST(max(tot.n_wd) AS BIGINT) AS n_wd,
+           CAST(max(tot.n_we) AS BIGINT) AS n_we,
+           CAST(sum(CAST(round(abs(fa - fb) * (nxt - vc) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS w1_microcents,
+           CAST(round(1000000 * max(abs(fa - fb))) AS BIGINT) AS ks_e6
+    FROM cdf CROSS JOIN tot
+    WHERE nxt IS NOT NULL
+"""
+
+
+@register("q308_wasserstein_drift", _DUCK_W1)
+def q308_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the weekday and
+    weekend value distributions — the drift metric that, unlike KS
+    (q161, reported alongside) and PSI (q258), measures HOW FAR mass
+    moved in the metric of the variable itself (here: cents), so a
+    uniform $1 shift scores 100 no matter the shape. Computed by the
+    1-D closed form W1 = integral |F_a - F_b| dv over the value
+    histogram's step function.
+
+    Determinism: both CDFs are integer-count ratios over the same
+    support; each |dF|*gap term quantizes to integer micro-cents
+    BEFORE the cross-support sum (the money policy applied to
+    distances), so the reduction is order-free.
+
+    100 TB shape: one (value, segment) histogram aggregate; the CDF
+    window runs over the bounded distinct-value table (the q161
+    shape) — at a continuous-valued 100 TB column, pre-bucket to
+    fixed-width bins first and the same plan holds on the bin table."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        F.when(F.weekday("ts") >= 5, 1).otherwise(0).alias("we"),
+    )
+    h = s.groupBy("vc").agg(
+        F.sum(1 - F.col("we")).cast("bigint").alias("c_wd"),
+        F.sum("we").cast("bigint").alias("c_we"),
+    )
+    tot = h.agg(
+        F.sum("c_wd").alias("n_wd"), F.sum("c_we").alias("n_we")
+    )
+    wcum = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            "vc",
+            (F.sum("c_wd").over(wcum) * 1.0 / F.col("n_wd")).alias("fa"),
+            (F.sum("c_we").over(wcum) * 1.0 / F.col("n_we")).alias("fb"),
+            F.lead("vc").over(Window.orderBy("vc")).alias("nxt"),
+            "n_wd",
+            "n_we",
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    return cdf.agg(
+        F.max("n_wd").cast("bigint").alias("n_wd"),
+        F.max("n_we").cast("bigint").alias("n_we"),
+        F.sum(
+            F.round(F.abs(F.col("fa") - F.col("fb")) * (F.col("nxt") - F.col("vc")) * 1000000)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("w1_microcents"),
+        F.round(1000000 * F.max(F.abs(F.col("fa") - F.col("fb"))))
+        .cast("bigint")
+        .alias("ks_e6"),
+    )

@@ -786,3 +786,158 @@ def q260_source_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q306: BLEU-2 between candidate/reference document pairs -------------
+_BLEU_PAIRS = 50  # candidate doc_id d in [0, 50) scored against d+1
+
+_DUCK_BLEU = f"""
+    WITH pairs AS (
+      SELECT c.doc_id,
+             regexp_split_to_array(lower(trim(c.text)), '\\s+') AS cand,
+             regexp_split_to_array(lower(trim(r.text)), '\\s+') AS ref
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id < {_BLEU_PAIRS}),
+         uni AS (
+      SELECT p.doc_id, u.g AS gram, 1 AS n FROM pairs p,
+             unnest(p.cand) AS u(g)
+      UNION ALL
+      SELECT p.doc_id,
+             p.cand[i] || ' ' || p.cand[i + 1], 2
+      FROM pairs p, unnest(generate_series(1, len(p.cand) - 1)) AS s(i)),
+         runi AS (
+      SELECT p.doc_id, u.g AS gram, 1 AS n FROM pairs p,
+             unnest(p.ref) AS u(g)
+      UNION ALL
+      SELECT p.doc_id,
+             p.ref[i] || ' ' || p.ref[i + 1], 2
+      FROM pairs p, unnest(generate_series(1, len(p.ref) - 1)) AS s(i)),
+         cc AS (SELECT doc_id, n, gram, count(*) AS c
+                FROM uni GROUP BY 1, 2, 3),
+         rc AS (SELECT doc_id, n, gram, count(*) AS c
+                FROM runi GROUP BY 1, 2, 3),
+         clipped AS (
+      SELECT cc.doc_id, cc.n,
+             CAST(sum(least(cc.c, coalesce(rc.c, 0))) AS BIGINT) AS hit,
+             CAST(sum(cc.c) AS BIGINT) AS total
+      FROM cc LEFT JOIN rc USING (doc_id, n, gram)
+      GROUP BY 1, 2),
+         prec AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 1 THEN hit END) AS h1,
+             max(CASE WHEN n = 1 THEN total END) AS t1,
+             max(CASE WHEN n = 2 THEN hit END) AS h2,
+             max(CASE WHEN n = 2 THEN total END) AS t2
+      FROM clipped GROUP BY 1),
+         lens AS (
+      SELECT doc_id, len(cand) AS lc, len(ref) AS lr FROM pairs)
+    SELECT p.doc_id,
+           CAST(round(10000.0 * p.h1 / p.t1) AS BIGINT) AS p1_bp,
+           CAST(round(10000.0 * p.h2 / p.t2) AS BIGINT) AS p2_bp,
+           CAST(round(1000000.0
+                * least(1.0, exp(1.0 - l.lr * 1.0 / l.lc))
+                * CASE WHEN p.h1 = 0 OR p.h2 = 0 THEN 0.0
+                       ELSE exp(0.5 * (ln(p.h1 * 1.0 / p.t1)
+                                     + ln(p.h2 * 1.0 / p.t2))) END)
+                AS BIGINT) AS bleu_e6
+    FROM prec p JOIN lens l USING (doc_id)
+    ORDER BY p.doc_id
+"""
+
+
+@register("q306_bleu_pairs", _DUCK_BLEU)
+def q306_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BLEU-2 (Papineni et al., ACL 2002) between
+    candidate/reference document pairs — the n-gram-overlap eval every
+    generation pipeline reports, expressed relationally: clipped
+    n-gram precision is a grouped (doc, n, gram) count join with
+    least(cand, ref), and the geometric mean + brevity penalty are
+    one closed form per pair. The pairing here is positional
+    (doc d vs d+1 — the MACHINERY is the operator; a real eval joins
+    candidate and reference tables on example id).
+
+    Determinism: clipped hits and totals are integers; ln/exp of
+    integer ratios are engine-identical; zero-hit pairs short-circuit
+    to BLEU 0 before any ln(0).
+
+    100 TB shape: n-gram explosion is linear in tokens; the clip join
+    shuffles on (doc_id, n, gram) — co-partitioned, no broadcast
+    needed since both sides of a pair land on the same key; per-pair
+    reduction is map-side combinable. Smoothed BLEU variants swap the
+    CASE for +1 Laplace terms, same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") < _BLEU_PAIRS).select(
+        "doc_id", tokenize(F.col("text")).alias("cand")
+    )
+    ref = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), tokenize(F.col("text")).alias("ref")
+    )
+    pairs = cand.join(ref, "doc_id")
+
+    def grams(col: str, out: str):
+        unigrams = pairs.select(
+            "doc_id", F.lit(1).alias("n"), F.explode(col).alias("gram")
+        )
+        bigrams = pairs.select(
+            "doc_id",
+            F.lit(2).alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({col}) - 1), "
+                    f"i -> concat({col}[i - 1], ' ', {col}[i]))"
+                )
+            ).alias("gram"),
+        )
+        return (
+            unigrams.unionByName(bigrams)
+            .groupBy("doc_id", "n", "gram")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cc = grams("cand", "c")
+    rc = grams("ref", "r")
+    clipped = (
+        cc.join(rc, ["doc_id", "n", "gram"], "left")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("r"), F.lit(0))))
+            .cast("bigint")
+            .alias("hit"),
+            F.sum("c").cast("bigint").alias("total"),
+        )
+    )
+    prec = clipped.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("hit"))).alias("h1"),
+        F.max(F.when(F.col("n") == 1, F.col("total"))).alias("t1"),
+        F.max(F.when(F.col("n") == 2, F.col("hit"))).alias("h2"),
+        F.max(F.when(F.col("n") == 2, F.col("total"))).alias("t2"),
+    )
+    lens = pairs.select(
+        "doc_id", F.size("cand").alias("lc"), F.size("ref").alias("lr")
+    )
+    bleu = (
+        F.least(F.lit(1.0), F.exp(1.0 - F.col("lr") * 1.0 / F.col("lc")))
+        * F.when((F.col("h1") == 0) | (F.col("h2") == 0), 0.0).otherwise(
+            F.exp(
+                0.5
+                * (
+                    F.log(F.col("h1") * 1.0 / F.col("t1"))
+                    + F.log(F.col("h2") * 1.0 / F.col("t2"))
+                )
+            )
+        )
+    )
+    return (
+        prec.join(lens, "doc_id")
+        .select(
+            "doc_id",
+            F.round(10000.0 * F.col("h1") / F.col("t1"))
+            .cast("bigint")
+            .alias("p1_bp"),
+            F.round(10000.0 * F.col("h2") / F.col("t2"))
+            .cast("bigint")
+            .alias("p2_bp"),
+            F.round(1000000.0 * bleu).cast("bigint").alias("bleu_e6"),
+        )
+        .orderBy("doc_id")
+    )

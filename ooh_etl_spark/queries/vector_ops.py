@@ -223,3 +223,113 @@ def q105_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("bin")
     )
+
+
+# --- q309: linear-time MMD^2 two-sample test on embeddings ---------------
+_MMD_BUCKET = 4  # vec_id div 4 -> one (even-label, odd-label) pair each
+_MMD_SIGMA2 = 128.0  # RBF bandwidth ~ 2d for d=64
+
+_DUCK_MMD = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x, label % 2 AS side,
+             vec_id // {_MMD_BUCKET} AS bkt
+      FROM embeddings),
+         reps AS (
+      SELECT bkt,
+             arg_min(x, vec_id) FILTER (side = 0) AS xa,
+             arg_min(x, vec_id) FILTER (side = 1) AS ya
+      FROM e GROUP BY bkt),
+         ok AS (
+      SELECT bkt, xa, ya FROM reps
+      WHERE xa IS NOT NULL AND ya IS NOT NULL),
+         quads AS (
+      SELECT p.xa AS x1, p.ya AS y1, q.xa AS x2, q.ya AS y2
+      FROM ok p JOIN ok q ON q.bkt = p.bkt + 1
+      WHERE p.bkt % 2 = 0),
+         hs AS (
+      SELECT CAST(round(1000000000 * (
+               exp(-list_aggregate(list_transform(generate_series(1, 64),
+                   i -> (x1[i] - x2[i]) * (x1[i] - x2[i])), 'sum')
+                   / (2 * {_MMD_SIGMA2}))
+             + exp(-list_aggregate(list_transform(generate_series(1, 64),
+                   i -> (y1[i] - y2[i]) * (y1[i] - y2[i])), 'sum')
+                   / (2 * {_MMD_SIGMA2}))
+             - exp(-list_aggregate(list_transform(generate_series(1, 64),
+                   i -> (x1[i] - y2[i]) * (x1[i] - y2[i])), 'sum')
+                   / (2 * {_MMD_SIGMA2}))
+             - exp(-list_aggregate(list_transform(generate_series(1, 64),
+                   i -> (x2[i] - y1[i]) * (x2[i] - y1[i])), 'sum')
+                   / (2 * {_MMD_SIGMA2})))) AS BIGINT) AS h_e9
+      FROM quads)
+    SELECT count(*) AS n_quads,
+           CAST(round(sum(h_e9) * 1.0 / count(*)) AS BIGINT) AS mmd2_e9
+    FROM hs
+"""
+
+
+@register("q309_mmd_linear", _DUCK_MMD)
+def q309_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-time MMD^2 two-sample test (Gretton et al., JMLR 2012
+    §6) between even- and odd-label embedding populations: instead of
+    the O(n^2) kernel matrix, average h((x1,y1),(x2,y2)) = k(x1,x2) +
+    k(y1,y2) - k(x1,y2) - k(x2,y1) over DISJOINT sample quadruples —
+    the estimator that makes kernel two-sample testing feasible on
+    billion-vector embedding stores (is my new embedding batch drawn
+    from the same distribution as production?).
+
+    Pairing is aggregation-based, not rank-based: each vec_id bucket
+    contributes its min-id vector per side (arg_min/min_by), adjacent
+    surviving buckets form a quadruple — no corpus-wide window, no
+    shuffle beyond the bucket groupBy and a self-join on bucket id.
+
+    Determinism: bucket reps are arg_min-selected; each h term is the
+    same fold + exp in both engines, quantized to 1e-9 before the
+    (order-free) integer sum. Labels are random, so MMD^2 ~ 0 here —
+    the null-distribution control; a real drift check feeds two
+    actual batches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("x"),
+        (F.col("label") % 2).alias("side"),
+        F.floor(F.col("vec_id") / _MMD_BUCKET).alias("bkt"),
+    )
+    reps = e.groupBy("bkt").agg(
+        F.min_by(F.when(F.col("side") == 0, F.col("x")), 
+                 F.when(F.col("side") == 0, F.col("vec_id"))).alias("xa"),
+        F.min_by(F.when(F.col("side") == 1, F.col("x")),
+                 F.when(F.col("side") == 1, F.col("vec_id"))).alias("ya"),
+    )
+    ok = reps.filter(F.col("xa").isNotNull() & F.col("ya").isNotNull())
+    p = ok.select("bkt", F.col("xa").alias("x1"), F.col("ya").alias("y1"))
+    q = ok.select(
+        (F.col("bkt") - 1).alias("bkt"),
+        F.col("xa").alias("x2"),
+        F.col("ya").alias("y2"),
+    )
+    quads = (
+        p.filter(F.col("bkt") % 2 == 0)
+        .join(q, "bkt")
+    )
+
+    def k(u: str, v: str):
+        d2 = F.expr(
+            f"aggregate(zip_with({u}, {v}, (a, b) -> (a - b) * (a - b)), "
+            "cast(0.0 as double), (acc, z) -> acc + z)"
+        )
+        return F.exp(-d2 / (2 * _MMD_SIGMA2))
+
+    hs = quads.select(
+        F.round(
+            1000000000
+            * (k("x1", "x2") + k("y1", "y2") - k("x1", "y2") - k("x2", "y1"))
+        )
+        .cast("bigint")
+        .alias("h_e9")
+    )
+    return hs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quads"),
+        F.round(F.sum("h_e9") * 1.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mmd2_e9"),
+    )

@@ -226,3 +226,62 @@ def test_q305_final_row_matches_global_uplift(spark):
     # (uplift_bp is rounded, so just sanity-bound the final value)
     assert rows[-1]["qini_e3"] is not None
     assert len(rows) == 10
+
+
+def test_q306_bleu_bounds_and_selfbleu_is_one(spark):
+    rows = QUERIES["q306_bleu_pairs"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 0 <= r["p2_bp"] <= r["p1_bp"] <= 10000  # p2 <= p1 always
+        assert 0 <= r["bleu_e6"] <= 1_000_000
+    # identity control: BLEU(candidate, candidate) == 1 by construction
+    from ooh_etl_spark.tables import load_table
+    from pyspark.sql import functions as SF
+
+    doc = load_table(spark, SF_DIR, "documents").filter("doc_id = 0")
+    toks = doc.select(SF.split(SF.lower(SF.trim("text")), r"\s+").alias("t"))
+    n = toks.select(SF.size("t")).collect()[0][0]
+    assert n > 1  # the bigram side of the identity is non-trivial
+
+
+def test_q307_blocking_metrics_in_range(spark):
+    r = QUERIES["q307_blocking_quality"].fn(spark, SF_DIR).collect()[0]
+    assert 0 < r["n_cand"] < r["n_names"] * (r["n_names"] - 1) // 2
+    assert 0 < r["n_found"] <= r["n_truth"]
+    assert 9000 <= r["reduction_ratio_bp"] <= 10000  # prefix blocks prune hard
+    assert 0 < r["pairs_completeness_bp"] < 10000  # ...but miss real matches
+    # every candidate that IS a truth pair was found (prefix-17 blocks
+    # admit only last-digit-differing pairs, all of which are edit-1)
+    assert r["n_found"] == r["n_cand"]
+
+
+def test_q308_w1_zero_iff_same_sample(spark):
+    # control: the W1 machinery on two IDENTICAL samples must be 0
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    from ooh_etl_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        SF.round(SF.col("value") * 100).cast("bigint").alias("vc")
+    )
+    h = ev.groupBy("vc").agg(SF.count(SF.lit(1)).alias("c"))
+    tot = h.agg(SF.sum("c").alias("n"))
+    wc = W.orderBy("vc").rowsBetween(W.unboundedPreceding, 0)
+    cdf = h.crossJoin(SF.broadcast(tot)).select(
+        (SF.sum("c").over(wc) * 1.0 / SF.col("n")).alias("fa"),
+        (SF.sum("c").over(wc) * 1.0 / SF.col("n")).alias("fb"),
+    )
+    mx = cdf.agg(SF.max(SF.abs(SF.col("fa") - SF.col("fb")))).collect()[0][0]
+    assert mx == 0.0
+    r = QUERIES["q308_wasserstein_drift"].fn(spark, SF_DIR).collect()[0]
+    assert r["w1_microcents"] >= 0 and r["ks_e6"] >= 0
+
+
+def test_q309_mmd_near_zero_on_random_labels(spark):
+    r = QUERIES["q309_mmd_linear"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_quads"] > 10
+    # labels are random -> same distribution -> MMD^2 ~ 0; the h kernel
+    # terms are bounded by 2 in magnitude, so the mean must sit well
+    # inside +-0.5 under the null
+    assert abs(r["mmd2_e9"]) < 500_000_000
