@@ -205,3 +205,67 @@ def q232_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_digit_sum")
     )
+
+
+# --- q310: mapInArrow — the zero-copy Arrow batch path --------------------
+_DUCK_ARROW_NORMS = """
+    WITH n AS (
+      SELECT vec_id,
+             CAST(round(1000000 * sqrt(list_aggregate(
+               list_transform(embedding::DOUBLE[], x -> x * x), 'sum')))
+               AS BIGINT) AS norm_e6
+      FROM embeddings)
+    SELECT CAST(norm_e6 // 1000000 AS BIGINT) AS norm_unit,
+           count(*) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec
+    FROM n GROUP BY 1 ORDER BY norm_unit
+"""
+
+
+@register("q310_map_in_arrow", _DUCK_ARROW_NORMS)
+def q310_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the last Python eval path in the engine's UDF
+    surface (next to row-pickled UDFs, arrow-optimized scalar UDFs
+    q232, pandas UDFs q47, UDTFs q48, grouped-agg q172, mapInPandas
+    q156, applyInPandas): the function receives raw
+    ``pyarrow.RecordBatch``es with NO pandas conversion on either
+    side, which matters when the payload is nested (lists, structs)
+    — pandas would materialize each 64-float embedding as a Python
+    list per row; Arrow keeps it one contiguous FixedSizeList buffer
+    that numpy views zero-copy. Computes per-vector L2 norms,
+    integer-quantized, then histograms them in ordinary SQL.
+
+    100 TB shape: narrow per-batch map (no shuffle), vectorized numpy
+    over Arrow buffers, then ONE bounded-key aggregate — identical
+    plan shape to q156's decoder, minus the pandas tax."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def batch_norms(batches):
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            lists = batch.column("embedding")
+            # zero-copy: flat float64 buffer viewed as (n, 64) matrix
+            flat = np.asarray(lists.flatten())
+            mat = flat.reshape(len(batch), -1)
+            norm = np.sqrt((mat * mat).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, pa.array(np.round(norm * 1e6).astype("int64"))],
+                names=["vec_id", "norm_e6"],
+            )
+
+    norms = emb.mapInArrow(batch_norms, "vec_id long, norm_e6 long")
+    return (
+        norms.groupBy(
+            (F.col("norm_e6") / 1000000).cast("bigint").alias("norm_unit")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("vec_id").cast("bigint").alias("min_vec"),
+        )
+        .orderBy("norm_unit")
+    )

@@ -239,3 +239,63 @@ def q114_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q311: Observation API — free pipeline metrics off the main action ---
+_DUCK_OBSERVED = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(sum(CASE WHEN l_quantity <= 0 OR l_extendedprice < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows,
+           CAST(max(length(l_returnflag)) AS BIGINT) AS max_flag_len
+    FROM lineitem
+"""
+
+
+@register("q311_observed_metrics", _DUCK_OBSERVED)
+def q311_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe`` (Spark's Observation API) — data-quality metrics
+    collected AS A SIDE EFFECT of whatever action the pipeline already
+    runs: the observed aggregates (row count, integer-cent revenue,
+    constraint-violation count, max flag width — DISTINCT aggregates are
+    rejected by observe(), a real API constraint) are computed inside
+    the same pass as the main job, costing zero extra scans — the
+    production pattern for freshness/volume monitors that q111's
+    dedicated constraint census would otherwise re-scan for.
+
+    The query triggers one action on the observed frame and returns
+    the captured metrics as a 1-row DataFrame; the oracle recomputes
+    the identical aggregates declaratively — proving the side-channel
+    numbers match first-class SQL.
+
+    100 TB shape: observe() piggybacks on the existing scan (metrics
+    are accumulator-style partial aggregates merged on the driver);
+    the returned table is 1 row. The streaming twin attaches the same
+    Observation to a writeStream and reads it per-batch from the
+    StreamingQueryListener."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") <= 0) | (F.col("l_extendedprice") < 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_rows"),
+        F.max(F.length("l_returnflag")).cast("bigint").alias("max_flag_len"),
+    )
+    observed.count()  # the "main job" action; metrics ride along free
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["revenue_cents"], m["bad_rows"], m["max_flag_len"])],
+        "n_rows long, revenue_cents long, bad_rows long, max_flag_len long",
+    )

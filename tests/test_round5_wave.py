@@ -285,3 +285,49 @@ def test_q309_mmd_near_zero_on_random_labels(spark):
     # terms are bounded by 2 in magnitude, so the mean must sit well
     # inside +-0.5 under the null
     assert abs(r["mmd2_e9"]) < 500_000_000
+
+
+def test_q310_arrow_norms_match_sql_expression(spark):
+    # the zero-copy Arrow fold must agree with the declarative form
+    from ooh_etl_spark.tables import load_table
+    from pyspark.sql import functions as SF
+
+    rows = QUERIES["q310_map_in_arrow"].fn(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    expr = emb.select(
+        (
+            SF.round(
+                1000000
+                * SF.sqrt(
+                    SF.expr(
+                        "aggregate(transform(cast(embedding as array<double>), "
+                        "x -> x * x), cast(0.0 as double), (a, y) -> a + y)"
+                    )
+                )
+            ).cast("bigint")
+            / 1000000
+        )
+        .cast("bigint")
+        .alias("norm_unit")
+    )
+    want = {
+        r["norm_unit"]: r["cnt"]
+        for r in expr.groupBy("norm_unit").agg(SF.count(SF.lit(1)).alias("cnt")).collect()
+    }
+    got = {r["norm_unit"]: r["n_vecs"] for r in rows}
+    assert got == want
+
+
+def test_q311_observation_matches_declarative(spark):
+    from ooh_etl_spark.tables import load_table
+    from pyspark.sql import functions as SF
+
+    r = QUERIES["q311_observed_metrics"].fn(spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem")
+    want = li.agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.sum(SF.round(SF.col("l_extendedprice") * 100).cast("bigint")).alias("rev"),
+    ).collect()[0]
+    assert r["n_rows"] == want["n"]
+    assert r["revenue_cents"] == want["rev"]
+    assert r["bad_rows"] == 0  # fixture generates valid rows
