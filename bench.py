@@ -88,6 +88,10 @@ HEADLINE = [
     "q290_binary_quantize_hamming",
     # suffix-array substring-dedup core: prefix-bucketed suffix sort.
     "q291_suffix_lcp_profile",
+    # deletion-neighborhood fuzzy self-join (linear candidates).
+    "q296_symspell_edit_join",
+    # Shapley attribution: user-mask rollup + 16-row lattice.
+    "q304_shapley_attribution",
 ]
 
 
