@@ -442,3 +442,271 @@ def q286_partition_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("imbalance_e6"),
     )
+
+
+# --- q312: small-file compaction planner (next-fit by running size) ------
+_DUCK_COMPACT = """
+    WITH files AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS rows_in
+      FROM events GROUP BY 1),
+         tot AS (SELECT CAST(ceil(sum(rows_in) / 10.0) AS BIGINT) AS target
+                 FROM files),
+         planned AS (
+      SELECT d, rows_in,
+             coalesce(sum(rows_in) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // tot.target AS bin
+      FROM files CROSS JOIN tot)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           count(*) AS n_files,
+           CAST(sum(rows_in) AS BIGINT) AS total_rows,
+           CAST(min(d) AS VARCHAR) AS first_day,
+           CAST(max(d) AS VARCHAR) AS last_day
+    FROM planned GROUP BY bin ORDER BY bin
+"""
+
+
+@register("q312_compaction_planner", _DUCK_COMPACT)
+def q312_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance chore
+    behind every lakehouse OPTIMIZE: assign date-partition files to
+    compaction bins by NEXT-FIT over the running size (bin = floor of
+    the preceding cumulative size / target), keeping day order so each
+    output file stays date-clustered (preserving q314's zone-map
+    skipping). Next-fit is the deterministic, windowable member of
+    the bin-packing family — first-fit-decreasing packs ~2% tighter
+    but is inherently sequential-stateful.
+
+    Target sizing is data-derived (total/10), so the plan is
+    meaningful at every SF. Output: per bin, the file count, row
+    total, and date span the compactor would rewrite.
+
+    100 TB shape: the file inventory is metadata-sized (one row per
+    file/partition, aggregated in one pass); the planning window runs
+    over that bounded inventory, never over data rows."""
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("rows_in")
+    )
+    tot = files.agg(
+        F.ceil(F.sum("rows_in") / 10.0).cast("bigint").alias("target")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    planned = files.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "rows_in",
+        F.floor(
+            F.coalesce(F.sum("rows_in").over(wcum), F.lit(0)) / F.col("target")
+        ).alias("bin"),
+    )
+    return (
+        planned.groupBy(F.col("bin").cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("rows_in").cast("bigint").alias("total_rows"),
+            F.min("d").cast("string").alias("first_day"),
+            F.max("d").cast("string").alias("last_day"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- q313: clustering factor / sortedness audit ---------------------------
+_CF_FILE_ROWS = 1000  # synthetic file = 1000 consecutive orderkeys
+
+_DUCK_CLUSTERING = f"""
+    WITH r AS (
+      SELECT o_orderkey // {_CF_FILE_ROWS} AS f, o_orderkey, o_orderdate
+      FROM orders),
+         lagged AS (
+      SELECT f, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY f ORDER BY o_orderkey)
+               AS prev_d
+      FROM r),
+         pairs AS (
+      SELECT f,
+             CAST(sum(CASE WHEN prev_d IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN prev_d IS NOT NULL AND o_orderdate >= prev_d
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nondec,
+             CAST(sum(CASE WHEN prev_d IS NOT NULL AND o_orderdate <> prev_d
+                           THEN 1 ELSE 0 END) AS BIGINT) AS changes
+      FROM lagged GROUP BY f)
+    SELECT count(*) AS n_files,
+           CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(round(10000.0 * sum(nondec) / sum(n_pairs)) AS BIGINT)
+             AS sortedness_bp,
+           CAST(round(1000.0 * (sum(n_pairs) + count(*))
+                      / (sum(changes) + count(*))) AS BIGINT)
+             AS avg_run_len_milli
+    FROM pairs
+"""
+
+
+@register("q313_clustering_factor", _DUCK_CLUSTERING)
+def q313_clustering_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-factor / sortedness audit of a column in PHYSICAL
+    row order (the statistic behind Oracle's CLUSTERING_FACTOR and
+    every 'should I re-sort this table?' decision): within each
+    synthetic {_CF_FILE_ROWS}-row file, the share of adjacent row
+    pairs where o_orderdate is non-decreasing (sortedness) and the
+    mean value-run length. Random layout scores ~50% sortedness and
+    run length ~1; a freshly sorted table scores 10000 bp — the two
+    numbers tell the optimizer how much q314's zone maps will skip
+    BEFORE paying for the sort.
+
+    100 TB shape: the lag window partitions by file id (bounded rows
+    per partition, embarrassingly parallel — file boundaries are the
+    natural partition boundaries, and cross-file pairs are
+    deliberately excluded the way min/max zone maps are per-file);
+    one aggregate over the per-file pair counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.floor(F.col("o_orderkey") / _CF_FILE_ROWS).alias("f"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    w = Window.partitionBy("f").orderBy("o_orderkey")
+    lagged = r.select(
+        "f", "o_orderdate", F.lag("o_orderdate").over(w).alias("prev_d")
+    )
+    pairs = lagged.groupBy("f").agg(
+        F.sum(F.when(F.col("prev_d").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs"),
+        F.sum(
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.col("o_orderdate") >= F.col("prev_d")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("nondec"),
+        F.sum(
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.col("o_orderdate") != F.col("prev_d")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("changes"),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(10000.0 * F.sum("nondec") / F.sum("n_pairs"))
+        .cast("bigint")
+        .alias("sortedness_bp"),
+        F.round(
+            1000.0
+            * (F.sum("n_pairs") + F.count(F.lit(1)))
+            / (F.sum("changes") + F.count(F.lit(1)))
+        )
+        .cast("bigint")
+        .alias("avg_run_len_milli"),
+    )
+
+
+# --- q314: zone-map (min/max) file-skipping audit -------------------------
+_ZM_LO = "1995-01-01"
+_ZM_HI = "1995-03-31"
+
+_DUCK_ZONEMAP = f"""
+    WITH zones AS (
+      SELECT o_orderkey // {_CF_FILE_ROWS} AS f,
+             min(o_orderdate) AS lo, max(o_orderdate) AS hi,
+             count(*) AS rows_in
+      FROM orders GROUP BY 1),
+         hits AS (
+      SELECT count(*) AS n_files,
+             CAST(sum(CASE WHEN hi >= DATE '{_ZM_LO}'
+                            AND lo <= DATE '{_ZM_HI}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
+      FROM zones),
+         m AS (
+      SELECT CAST(sum(CASE WHEN o_orderdate BETWEEN DATE '{_ZM_LO}'
+                            AND DATE '{_ZM_HI}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS matching,
+             CAST(sum(CASE WHEN o_orderdate < DATE '{_ZM_LO}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS offset_
+      FROM orders)
+    SELECT CAST(hits.n_files AS BIGINT) AS n_files, hits.files_hit,
+           m.matching,
+           CAST(CASE WHEN m.matching = 0 THEN 0
+                ELSE (m.offset_ + m.matching - 1) // {_CF_FILE_ROWS}
+                     - m.offset_ // {_CF_FILE_ROWS} + 1 END AS BIGINT)
+             AS files_hit_if_sorted,
+           CAST(round(10000.0 * (1.0 - hits.files_hit * 1.0 / hits.n_files))
+                AS BIGINT) AS skip_bp_current
+    FROM hits CROSS JOIN m
+"""
+
+
+@register("q314_zonemap_skipping", _DUCK_ZONEMAP)
+def q314_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max) skipping audit — the number that
+    decides whether q144's Z-order / a date re-sort pays for itself:
+    for a Q1-1995 date predicate, how many {_CF_FILE_ROWS}-row files
+    must be read under the CURRENT layout (file min/max straddles the
+    range) versus under a perfectly date-sorted layout, where the
+    matching rows are contiguous and the file count is pure integer
+    arithmetic — floor((offset + matching - 1)/rows) -
+    floor(offset/rows) + 1 — computed WITHOUT sorting anything.
+
+    On the randomly-laid-out fixture the current layout reads ~every
+    file (skip ~0 bp) while the sorted bound reads only
+    ceil(matching/{_CF_FILE_ROWS}) — that gap is the business case
+    for the re-sort, quantified in one metadata-cheap pass.
+
+    100 TB shape: zones are ONE min/max aggregate per file (this is
+    literally what parquet footers store — at scale, read the footers
+    instead); the sorted bound needs only two scalar counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    zones = orders.groupBy(
+        F.floor(F.col("o_orderkey") / _CF_FILE_ROWS).alias("f")
+    ).agg(
+        F.min("o_orderdate").alias("lo"),
+        F.max("o_orderdate").alias("hi"),
+    )
+    hits = zones.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(
+            F.when(
+                (F.col("hi") >= F.lit(_ZM_LO).cast("date"))
+                & (F.col("lo") <= F.lit(_ZM_HI).cast("date")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("files_hit"),
+    )
+    m = orders.agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate").between(_ZM_LO, _ZM_HI), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("matching"),
+        F.sum(F.when(F.col("o_orderdate") < _ZM_LO, 1).otherwise(0))
+        .cast("bigint")
+        .alias("offset_"),
+    )
+    return hits.crossJoin(F.broadcast(m)).select(
+        "n_files",
+        "files_hit",
+        "matching",
+        F.when(F.col("matching") == 0, 0)
+        .otherwise(
+            F.floor((F.col("offset_") + F.col("matching") - 1) / _CF_FILE_ROWS)
+            - F.floor(F.col("offset_") / _CF_FILE_ROWS)
+            + 1
+        )
+        .cast("bigint")
+        .alias("files_hit_if_sorted"),
+        F.round(10000.0 * (1.0 - F.col("files_hit") * 1.0 / F.col("n_files")))
+        .cast("bigint")
+        .alias("skip_bp_current"),
+    )

@@ -331,3 +331,36 @@ def test_q311_observation_matches_declarative(spark):
     assert r["n_rows"] == want["n"]
     assert r["revenue_cents"] == want["rev"]
     assert r["bad_rows"] == 0  # fixture generates valid rows
+
+
+def test_q312_bins_partition_all_files(spark):
+    from ooh_etl_spark.tables import load_table
+    from pyspark.sql import functions as SF
+
+    rows = QUERIES["q312_compaction_planner"].fn(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    n_days = ev.select(SF.col("ts").cast("date")).distinct().count()
+    n_rows = ev.count()
+    assert sum(r["n_files"] for r in rows) == n_days
+    assert sum(r["total_rows"] for r in rows) == n_rows
+    # next-fit never overfills by more than one file's worth; every bin
+    # except possibly the last is non-empty and date spans don't overlap
+    spans = [(r["first_day"], r["last_day"]) for r in sorted(rows, key=lambda r: r["bin"])]
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b < c  # day-ordered, disjoint spans
+
+
+def test_q313_sortedness_of_random_layout_is_middling(spark):
+    r = QUERIES["q313_clustering_factor"].fn(spark, SF_DIR).collect()[0]
+    # random date layout: ~half the adjacent pairs are non-decreasing
+    assert 3000 <= r["sortedness_bp"] <= 7000
+    assert r["avg_run_len_milli"] >= 1000  # run length >= 1 by definition
+
+
+def test_q314_sorted_bound_dominates_current_layout(spark):
+    r = QUERIES["q314_zonemap_skipping"].fn(spark, SF_DIR).collect()[0]
+    assert 0 < r["files_hit"] <= r["n_files"]
+    assert 0 < r["files_hit_if_sorted"] <= r["files_hit"]
+    import math
+
+    assert r["files_hit_if_sorted"] <= math.ceil(r["matching"] / 1000) + 1
