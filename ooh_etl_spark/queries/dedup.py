@@ -599,14 +599,16 @@ _DUCK_SUFFIX_LCP = f"""
                    ORDER BY suffix, doc_id, pos)),
          lcps AS (
       SELECT doc_id, prev_doc,
-             list_max(list_transform(generate_series(1, {_SUF_CHARS}),
-               k -> CASE WHEN substr(suffix, 1, k) = substr(prev_suffix, 1, k)
-                         THEN k ELSE 0 END)) AS lcp
+             5 * list_max(list_transform(
+               generate_series(1, {_SUF_CHARS} // 5),
+               b -> CASE WHEN substr(suffix, 1, 5 * b)
+                            = substr(prev_suffix, 1, 5 * b)
+                         THEN b ELSE 0 END)) AS lcp_bucket
       FROM adj WHERE prev_suffix IS NOT NULL AND prev_doc <> doc_id)
-    SELECT CAST(lcp - lcp % 5 AS BIGINT) AS lcp_bucket,
+    SELECT CAST(lcp_bucket AS BIGINT) AS lcp_bucket,
            count(*) AS n_pairs,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-    FROM lcps WHERE lcp >= {_SUF_MIN_LCP}
+    FROM lcps WHERE lcp_bucket >= {_SUF_MIN_LCP}
     GROUP BY 1 ORDER BY lcp_bucket
 """
 
@@ -617,9 +619,11 @@ def q291_suffix_lcp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array substring deduplication (Lee et al., ACL 2022,
     EXACTSUBSTR): emit a bounded suffix at every token position, sort
     all suffixes, and measure the longest common prefix of each
-    ADJACENT pair from different documents. Long-LCP adjacencies are
-    exactly the duplicated substrings a suffix array surfaces; the
-    histogram (5-char buckets, >= {_SUF_MIN_LCP} chars) is the
+    ADJACENT pair from different documents (computed at 5-char block
+    granularity — exactly the histogram's bucket width, so no
+    precision is lost and the compare count drops 5x). Long-LCP
+    adjacencies are exactly the duplicated substrings a suffix array
+    surfaces; the histogram (5-char buckets, >= {_SUF_MIN_LCP} chars) is the
     corpus-level contamination profile that decides the removal
     threshold before running q152/q163's span removal.
 
@@ -667,16 +671,21 @@ def q291_suffix_lcp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.col("prev_suffix").isNotNull() & (F.col("prev_doc") != F.col("doc_id"))
     )
+    # Bucketed LCP: the histogram floors lcp to 5-char buckets, and
+    # prefix equality is monotone in length, so the bucket equals
+    # 5 x (leading equal 5-char blocks) — 8 substring compares per
+    # adjacent pair instead of 40 (-45% wall on the sf0.1 bench).
     lcps = adj.withColumn(
-        "lcp",
+        "lcp_bucket",
         F.expr(
-            f"array_max(transform(sequence(1, {_SUF_CHARS}), "
-            "k -> IF(substr(suffix, 1, k) = substr(prev_suffix, 1, k), k, 0)))"
+            f"5 * array_max(transform(sequence(1, {_SUF_CHARS} div 5), "
+            "b -> IF(substr(suffix, 1, 5 * b) = substr(prev_suffix, 1, 5 * b),"
+            " b, 0)))"
         ),
-    ).filter(F.col("lcp") >= _SUF_MIN_LCP)
+    ).filter(F.col("lcp_bucket") >= _SUF_MIN_LCP)
     return (
         lcps.groupBy(
-            (F.col("lcp") - F.col("lcp") % 5).cast("bigint").alias("lcp_bucket")
+            F.col("lcp_bucket").cast("bigint").alias("lcp_bucket")
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
