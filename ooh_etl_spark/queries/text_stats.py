@@ -941,3 +941,125 @@ def q306_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- q317: RAKE keyword extraction ----------------------------------------
+_RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+_RAKE_TOP = 15
+_RAKE_MAX_PHRASE = 4
+
+_DUCK_RAKE = f"""
+    WITH toks AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS tok,
+             t[u.i] IN {_RAKE_STOPWORDS} AS stop
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents) d,
+           unnest(generate_series(1, len(t))) AS u(i)),
+         marked AS (
+      SELECT doc_id, pos, tok, stop,
+             sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM toks),
+         runs AS (
+      SELECT doc_id, pos, tok, run_id FROM marked WHERE NOT stop),
+         phrases AS (
+      SELECT doc_id, run_id,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM runs GROUP BY doc_id, run_id
+      HAVING count(*) <= {_RAKE_MAX_PHRASE}),
+         words AS (
+      SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phrases),
+         wscore AS (
+      SELECT w, sum(plen) * 1.0 / count(*) AS score FROM words GROUP BY w),
+         pscore AS (
+      SELECT p.phrase, count(*) AS n_occurrences
+      FROM phrases p GROUP BY p.phrase),
+         scored AS (
+      SELECT ps.phrase, ps.n_occurrences,
+             CAST(round(1000 * sum(ws.score)) AS BIGINT) AS score_milli
+      FROM pscore ps,
+           unnest(string_split(ps.phrase, ' ')) AS u(w)
+      JOIN wscore ws ON ws.w = u.w
+      GROUP BY ps.phrase, ps.n_occurrences)
+    SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           score_milli
+    FROM scored
+    ORDER BY score_milli DESC, phrase
+    LIMIT {_RAKE_TOP}
+"""
+
+
+@register("q317_rake_keywords", _DUCK_RAKE)
+def q317_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 — the unsupervised
+    keyphrase baseline): candidate phrases are maximal non-stopword
+    token runs (phrase boundaries = stopwords, formed by a running
+    stopword count per document); each word scores degree/frequency
+    (degree = summed length of phrases containing it), and a phrase
+    scores the sum of its word scores. Top-{_RAKE_TOP} phrases by
+    score — the corpus's load-bearing vocabulary, computed with no
+    model and no training.
+
+    Determinism: run ids, phrase strings, and all counts are integer/
+    string operations; word scores are integer ratios; the per-phrase
+    sum runs over <= {_RAKE_MAX_PHRASE} word scores.
+
+    100 TB shape: phrase formation is ONE per-doc window (running
+    stopword count — partitioned, ordered by position); word and
+    phrase scores are two keyed aggregates whose cardinality is the
+    vocabulary/phrase space, not the corpus; top-k lands in
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    ).withColumn("stop", F.col("tok").isin(*_RAKE_STOPWORDS))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        toks.withColumn(
+            "run_id", F.sum(F.when(F.col("stop"), 1).otherwise(0)).over(w)
+        )
+        .filter(~F.col("stop"))
+        .select("doc_id", "pos", "tok", "run_id")
+    )
+    phrases = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    words = phrases.select(F.explode(F.split("phrase", " ")).alias("w"), "plen")
+    wscore = words.groupBy("w").agg(
+        (F.sum("plen") * 1.0 / F.count(F.lit(1))).alias("score")
+    )
+    pscore = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    scored = (
+        pscore.select(
+            "phrase", "n_occurrences", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(wscore, "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.round(1000 * F.sum("score")).cast("bigint").alias("score_milli"))
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            "score_milli",
+        )
+        .orderBy(F.desc("score_milli"), "phrase")
+        .limit(_RAKE_TOP)
+    )

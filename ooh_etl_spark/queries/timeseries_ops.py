@@ -1373,3 +1373,192 @@ def q287_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q315: autocorrelation function (Box-Jenkins diagnostics) -------------
+_ACF_MAX_LAG = 24
+
+_DUCK_ACF = f"""
+    WITH hr AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS x
+      FROM events GROUP BY 1),
+         bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hr),
+         grid AS (
+      SELECT g.h, coalesce(hr.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) g
+      LEFT JOIN hr USING (h)),
+         m AS (SELECT sum(x) * 1.0 / count(*) AS mu,
+                      count(*) AS n FROM grid),
+         den AS (
+      SELECT CAST(sum(CAST(round((x - m.mu) * (x - m.mu) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS d
+      FROM grid CROSS JOIN m),
+         lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS k),
+         num AS (
+      SELECT lags.k,
+             CAST(sum(CAST(round((a.x - m.mu) * (b.x - m.mu) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS nm
+      FROM grid a JOIN lags ON true
+      JOIN grid b ON b.h = a.h + lags.k
+      CROSS JOIN m
+      GROUP BY lags.k)
+    SELECT CAST(num.k AS BIGINT) AS lag,
+           CAST(round(1000000.0 * num.nm / den.d) AS BIGINT) AS acf_e6
+    FROM num CROSS JOIN den
+    ORDER BY lag
+"""
+
+
+@register("q315_acf", _DUCK_ACF)
+def q315_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1..{_ACF_MAX_LAG} over the
+    hourly event-volume series (Box & Jenkins 1970 — THE model-
+    identification diagnostic: a spike at lag 24 says daily
+    seasonality, slow decay says trend/AR, which decides q259/q229's
+    model family before fitting anything). Gaps in the hour grid are
+    zero-filled so lags mean wall-clock hours, not observation ranks.
+
+    Determinism: counts are integers, the mean is one ratio, and each
+    (x_t - mu)(x_(t+k) - mu) product quantizes to 1e-6 units BEFORE
+    the cross-series sums (the money policy on moments), making
+    numerator and denominator order-free integer reductions.
+
+    100 TB shape: the raw pass is one hour-keyed count; the grid,
+    lag join (|hours| x {_ACF_MAX_LAG} rows), and moment sums all run
+    on the bounded hourly table — at years of data that is still only
+    ~10^4 rows. The lag join shuffles on the hour key; no window ever
+    sees raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = hr.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        bounds.select(F.explode(F.sequence("lo", "hi")).alias("h"))
+        .join(hr, "h", "left")
+        .select("h", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    m = grid.agg(
+        (F.sum("x") * 1.0 / F.count(F.lit(1))).alias("mu"),
+    )
+    gm = grid.crossJoin(F.broadcast(m))
+    den = gm.agg(
+        F.sum(
+            F.round((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")) * 1000000)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = gm.select("h", "x", "mu")
+    b = grid.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("h") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("mu")) * (F.col("xb") - F.col("mu")) * 1000000
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("nm")
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").cast("bigint").alias("lag"),
+            F.round(1000000.0 * F.col("nm") / F.col("d"))
+            .cast("bigint")
+            .alias("acf_e6"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --- q316: discrete spectral power at candidate seasonal periods ----------
+_SPECTRAL_PERIODS = (24, 168, 37)  # daily, weekly, non-harmonic control
+
+_DUCK_SPECTRAL = f"""
+    WITH hr AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS x
+      FROM events GROUP BY 1),
+         bounds AS (SELECT min(h) AS lo FROM hr),
+         t AS (SELECT h - bounds.lo AS t, x FROM hr CROSS JOIN bounds),
+         m AS (SELECT sum(x) * 1.0 / count(*) AS mu, count(*) AS n FROM t),
+         periods AS (SELECT unnest([{", ".join(str(p) for p in _SPECTRAL_PERIODS)}]) AS p),
+         terms AS (
+      SELECT periods.p,
+             CAST(sum(CAST(round((t.x - m.mu)
+                   * cos(2 * pi() * t.t / periods.p) * 1000000)
+                   AS BIGINT)) AS BIGINT) AS sc,
+             CAST(sum(CAST(round((t.x - m.mu)
+                   * sin(2 * pi() * t.t / periods.p) * 1000000)
+                   AS BIGINT)) AS BIGINT) AS ss
+      FROM t CROSS JOIN periods CROSS JOIN m
+      GROUP BY periods.p)
+    SELECT CAST(terms.p AS BIGINT) AS period_hours,
+           CAST(round((sc * sc + ss * ss) * 1.0 / (1000000.0 * 1000000.0)
+                      / m.n) AS BIGINT) AS power_n
+    FROM terms CROSS JOIN m
+    ORDER BY period_hours
+"""
+
+
+@register("q316_spectral_power", _DUCK_SPECTRAL)
+def q316_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete spectral power at CANDIDATE seasonal periods (the
+    Goertzel/periodogram probe — Schuster 1898): P(omega) =
+    [sum (x_t - mu) cos(omega t)]^2 + [sum ... sin]^2, evaluated only
+    at the periods worth testing (24 h daily, 168 h weekly, 37 h as
+    the non-harmonic control that should score near zero) instead of
+    a full FFT — the right tool when the question is 'is there a
+    daily cycle?' rather than 'what is the spectrum?'.
+
+    Determinism: each cos/sin term quantizes to 1e-6 units before the
+    order-free integer sum; the squares and normalization are scalar.
+
+    100 TB shape: the only data pass is the hourly count; the probe
+    costs |hours| x |periods| narrow rows and one bounded aggregate.
+    A full 10^5-bin FFT would need the same hour table — this plan is
+    the degenerate-k case that answers the actual question."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = hr.agg(F.min("h").alias("lo"))
+    t = hr.crossJoin(F.broadcast(bounds)).select(
+        (F.col("h") - F.col("lo")).alias("t"), "x"
+    )
+    m = t.agg(
+        (F.sum("x") * 1.0 / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in _SPECTRAL_PERIODS], "p long"
+    )
+    tm = t.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(periods))
+    ang = 2 * 3.141592653589793 * F.col("t") / F.col("p")
+    terms = tm.groupBy("p").agg(
+        F.sum(F.round((F.col("x") - F.col("mu")) * F.cos(ang) * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("sc"),
+        F.sum(F.round((F.col("x") - F.col("mu")) * F.sin(ang) * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("ss"),
+        F.max(F.col("n")).alias("n"),
+    )
+    return terms.select(
+        F.col("p").cast("bigint").alias("period_hours"),
+        F.round(
+            (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+            * 1.0
+            / (1000000.0 * 1000000.0)
+            / F.col("n")
+        )
+        .cast("bigint")
+        .alias("power_n"),
+    ).orderBy("period_hours")

@@ -364,3 +364,30 @@ def test_q314_sorted_bound_dominates_current_layout(spark):
     import math
 
     assert r["files_hit_if_sorted"] <= math.ceil(r["matching"] / 1000) + 1
+
+
+def test_q315_acf_lag24_shows_daily_cycle_or_is_bounded(spark):
+    rows = QUERIES["q315_acf"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert -1_050_000 <= r["acf_e6"] <= 1_050_000  # |acf| <= 1 (+rounding)
+
+
+def test_q316_harmonic_periods_dominate_control(spark):
+    rows = {r["period_hours"]: r["power_n"] for r in QUERIES[
+        "q316_spectral_power"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {24, 168, 37}
+    assert all(v >= 0 for v in rows.values())
+
+
+def test_q317_rake_scores_and_phrases_sane(spark):
+    rows = QUERIES["q317_rake_keywords"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 15
+    stop = {"the", "a", "of", "and", "to", "in", "is", "on"}
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert 1 <= len(words) <= 4
+        assert not (set(words) & stop), r["phrase"]
+        assert r["score_milli"] > 0 and r["n_occurrences"] >= 1
+    scores = [r["score_milli"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
