@@ -1947,3 +1947,119 @@ def q302_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# --- q318: t-closeness (EMD of class vs global sensitive distribution) ---
+_TCLOSE_BUCKET = 50  # sensitive attribute (n_chars) bucket width
+_TCLOSE_T_MILLI = 200  # release threshold t = 0.2
+
+_DUCK_TCLOSE = f"""
+    WITH d AS (
+      SELECT lang, source, n_chars // {_TCLOSE_BUCKET} AS b FROM documents),
+         buckets AS (SELECT DISTINCT b FROM d),
+         nb AS (SELECT count(*) AS n_buckets FROM buckets),
+         classes AS (
+      SELECT lang, source, count(*) AS n FROM d GROUP BY 1, 2),
+         cell AS (
+      SELECT lang, source, b, count(*) AS c FROM d GROUP BY 1, 2, 3),
+         grid AS (
+      SELECT cl.lang, cl.source, bu.b, cl.n,
+             coalesce(cell.c, 0) AS c
+      FROM classes cl CROSS JOIN buckets bu
+      LEFT JOIN cell ON cell.lang = cl.lang AND cell.source = cl.source
+                    AND cell.b = bu.b),
+         gh AS (
+      SELECT b, count(*) AS g FROM d GROUP BY b),
+         tot AS (SELECT count(*) AS nt FROM d),
+         cums AS (
+      SELECT grid.lang, grid.source, grid.b, grid.n,
+             sum(grid.c) OVER (PARTITION BY grid.lang, grid.source
+                               ORDER BY grid.b) * 1.0 / grid.n AS cq,
+             sum(gh.g) OVER (PARTITION BY grid.lang, grid.source
+                               ORDER BY grid.b) * 1.0 / tot.nt AS cp
+      FROM grid JOIN gh USING (b) CROSS JOIN tot)
+    SELECT lang, source, CAST(max(n) AS BIGINT) AS n,
+           CAST(round(1000.0 * sum(abs(cq - cp)) / (max(nb.n_buckets) - 1))
+                AS BIGINT) AS t_milli,
+           CAST(CASE WHEN round(1000.0 * sum(abs(cq - cp))
+                               / (max(nb.n_buckets) - 1))
+                          > {_TCLOSE_T_MILLI}
+                     THEN 1 ELSE 0 END AS BIGINT) AS violates_t
+    FROM cums CROSS JOIN nb
+    GROUP BY lang, source
+    ORDER BY lang, source
+"""
+
+
+@register("q318_t_closeness", _DUCK_TCLOSE)
+def q318_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy ladder after k-anonymity and
+    l-diversity (both in q142): an equivalence class leaks when the
+    DISTRIBUTION of its sensitive attribute strays from the global
+    one, measured by earth-mover's distance over the ordered value
+    buckets (the same |cumP - cumQ| step integral as q308, normalized
+    by m-1 per the paper). Classes with t > 0.2 need generalization
+    before release.
+
+    Determinism: all cell counts are integers over a shared bucket
+    grid; the cumulative ratios and the normalized sum are identical
+    closed forms.
+
+    100 TB shape: two aggregates (class cells, global histogram) on
+    one pass each; the grid is |classes| x |buckets| — both bounded
+    category sets — and the cumulative windows partition by class."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", "source", F.floor(F.col("n_chars") / _TCLOSE_BUCKET).alias("b")
+    )
+    buckets = d.select("b").distinct()
+    n_buckets = buckets.count()
+    classes = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    cell = d.groupBy("lang", "source", "b").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        classes.crossJoin(F.broadcast(buckets))
+        .join(cell, ["lang", "source", "b"], "left")
+        .select(
+            "lang",
+            "source",
+            "b",
+            "n",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    glob = d.groupBy("b").agg(F.count(F.lit(1)).alias("g"))
+    n_total = d.count()
+    wcum = (
+        Window.partitionBy("lang", "source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = grid.join(F.broadcast(glob), "b").select(
+        "lang",
+        "source",
+        "n",
+        (F.sum("c").over(wcum) * 1.0 / F.col("n")).alias("cq"),
+        (F.sum("g").over(wcum) * 1.0 / F.lit(n_total)).alias("cp"),
+    )
+    t_milli = F.round(
+        1000.0 * F.sum(F.abs(F.col("cq") - F.col("cp"))) / (n_buckets - 1)
+    ).cast("bigint")
+    return (
+        cums.groupBy("lang", "source")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            t_milli.alias("t_milli"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n",
+            "t_milli",
+            F.when(F.col("t_milli") > _TCLOSE_T_MILLI, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("violates_t"),
+        )
+        .orderBy("lang", "source")
+    )

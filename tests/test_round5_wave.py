@@ -391,3 +391,16 @@ def test_q317_rake_scores_and_phrases_sane(spark):
         assert r["score_milli"] > 0 and r["n_occurrences"] >= 1
     scores = [r["score_milli"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_q318_t_in_unit_interval_and_grid_is_total(spark):
+    from ooh_etl_spark.tables import load_table
+
+    rows = QUERIES["q318_t_closeness"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n_classes = docs.select("lang", "source").distinct().count()
+    assert len(rows) == n_classes
+    assert sum(r["n"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["t_milli"] <= 1000  # EMD/(m-1) lives in [0, 1]
+        assert r["violates_t"] == (1 if r["t_milli"] > 200 else 0)
