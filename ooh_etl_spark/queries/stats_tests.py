@@ -1356,3 +1356,133 @@ def q308_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ks_e6"),
     )
+
+
+# --- q320: Holm-Bonferroni step-down FWER control -------------------------
+_DUCK_HOLM = f"""
+    WITH rows_c AS (
+      SELECT event_type,
+             CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+         g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wd,
+             CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+             CAST(sum(CASE WHEN we = 0 THEN vc ELSE 0 END) AS BIGINT) AS s_wd,
+             CAST(sum(CASE WHEN we = 1 THEN vc ELSE 0 END) AS BIGINT) AS s_we,
+             CAST(sum(CASE WHEN we = 0 THEN vc * vc ELSE 0 END) AS BIGINT)
+               AS q_wd,
+             CAST(sum(CASE WHEN we = 1 THEN vc * vc ELSE 0 END) AS BIGINT)
+               AS q_we
+      FROM rows_c GROUP BY 1),
+         z AS (
+      SELECT event_type,
+             (s_we * 1.0 / n_we - s_wd * 1.0 / n_wd)
+             / sqrt((q_we * 1.0 / n_we - (s_we * 1.0 / n_we) * (s_we * 1.0 / n_we)) / n_we
+                  + (q_wd * 1.0 / n_wd - (s_wd * 1.0 / n_wd) * (s_wd * 1.0 / n_wd)) / n_wd)
+               AS zv
+      FROM g),
+         p AS (
+      SELECT event_type,
+             least(1.0, 2.0 * exp(-0.717 * abs(zv) - 0.416 * zv * zv)) AS pv
+      FROM z),
+         ranked AS (
+      SELECT event_type, pv,
+             CAST(row_number() OVER (ORDER BY pv, event_type) AS BIGINT) AS rk,
+             count(*) OVER () AS m
+      FROM p),
+         stepped AS (
+      SELECT event_type, pv, rk,
+             max(pv * (m - rk + 1)) OVER (
+               ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS adj_running
+      FROM ranked)
+    SELECT event_type, rk,
+           CAST(round(1000000000 * pv) AS BIGINT) AS p_e9,
+           CAST(round(1000000000 * least(1.0, adj_running)) AS BIGINT)
+             AS p_holm_e9,
+           CAST(CASE WHEN adj_running <= 0.05 THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM stepped ORDER BY rk
+"""
+
+
+@register("q320_holm_bonferroni", _DUCK_HOLM)
+def q320_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-DOWN familywise-error control (Holm 1979)
+    over the same per-arm z-test family as q295's BH step-up — the
+    conservative counterpart for when ANY false rejection is costly
+    (ship/no-ship gates) rather than a tolerable rate: adjusted
+    p_(i) = running max of p_(j)*(m-j+1), reject while the running
+    max stays <= alpha. The running max IS the prefix-AND of Holm's
+    sequential rule, so the step-down scan becomes one cumulative
+    window — no iteration.
+
+    Determinism: identical z/p closed forms as q295 (shared Lin-1989
+    tail); ranks integer; adjusted p quantizes to e9.
+
+    100 TB shape: the corpus pass is q295's one combinable moment
+    aggregate; everything after runs on |arms| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    rows_c = ev.select(
+        "event_type",
+        F.when(F.weekday("ts") >= 5, 1).otherwise(0).alias("we"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    g = rows_c.groupBy("event_type").agg(
+        F.sum(F.when(F.col("we") == 0, 1).otherwise(0)).cast("bigint").alias("n_wd"),
+        F.sum(F.when(F.col("we") == 1, 1).otherwise(0)).cast("bigint").alias("n_we"),
+        F.sum(F.when(F.col("we") == 0, F.col("vc")).otherwise(0))
+        .cast("bigint")
+        .alias("s_wd"),
+        F.sum(F.when(F.col("we") == 1, F.col("vc")).otherwise(0))
+        .cast("bigint")
+        .alias("s_we"),
+        F.sum(F.when(F.col("we") == 0, F.col("vc") * F.col("vc")).otherwise(0))
+        .cast("bigint")
+        .alias("q_wd"),
+        F.sum(F.when(F.col("we") == 1, F.col("vc") * F.col("vc")).otherwise(0))
+        .cast("bigint")
+        .alias("q_we"),
+    )
+    m_we = F.col("s_we") * 1.0 / F.col("n_we")
+    m_wd = F.col("s_wd") * 1.0 / F.col("n_wd")
+    v_we = (F.col("q_we") * 1.0 / F.col("n_we") - m_we * m_we) / F.col("n_we")
+    v_wd = (F.col("q_wd") * 1.0 / F.col("n_wd") - m_wd * m_wd) / F.col("n_wd")
+    p = g.select(
+        "event_type",
+        F.least(
+            F.lit(1.0),
+            2.0
+            * F.exp(
+                -0.717 * F.abs((m_we - m_wd) / F.sqrt(v_we + v_wd))
+                - 0.416
+                * ((m_we - m_wd) / F.sqrt(v_we + v_wd))
+                * ((m_we - m_wd) / F.sqrt(v_we + v_wd))
+            ),
+        ).alias("pv"),
+    )
+    ranked = p.select(
+        "event_type",
+        "pv",
+        F.row_number().over(Window.orderBy("pv", "event_type")).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    wrun = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = ranked.withColumn(
+        "adj_running",
+        F.max(F.col("pv") * (F.col("m") - F.col("rk") + 1)).over(wrun),
+    )
+    return stepped.select(
+        "event_type",
+        "rk",
+        F.round(1000000000 * F.col("pv")).cast("bigint").alias("p_e9"),
+        F.round(1000000000 * F.least(F.lit(1.0), F.col("adj_running")))
+        .cast("bigint")
+        .alias("p_holm_e9"),
+        F.when(F.col("adj_running") <= 0.05, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejected"),
+    ).orderBy("rk")

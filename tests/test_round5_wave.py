@@ -404,3 +404,31 @@ def test_q318_t_in_unit_interval_and_grid_is_total(spark):
     for r in rows:
         assert 0 <= r["t_milli"] <= 1000  # EMD/(m-1) lives in [0, 1]
         assert r["violates_t"] == (1 if r["t_milli"] > 200 else 0)
+
+
+def test_q319_weights_have_correct_signs(spark):
+    rows = {r["field"]: r for r in QUERIES["q319_fellegi_sunter"].fn(
+        spark, SF_DIR).collect()}
+    for r in rows.values():
+        assert 0 <= r["u_bp"] <= 10000 and 0 <= r["m_bp"] <= 10000
+        # a discriminating field agrees more on matches than non-matches
+        if r["m_bp"] > r["u_bp"]:
+            assert r["agree_weight_milli"] > 0
+            assert r["disagree_weight_milli"] < 0
+    # nation agrees by chance ~1/25 on non-matches within a block of
+    # same-prefix names -> small u... but matches share no nation logic
+    # either; just assert both fields produced finite weights
+    assert len(rows) == 2
+
+
+def test_q320_holm_rejects_subset_of_bh(spark):
+    bh = {r["event_type"]: r["rejected"] for r in QUERIES["q295_bh_fdr"].fn(
+        spark, SF_DIR).collect()}
+    holm = QUERIES["q320_holm_bonferroni"].fn(spark, SF_DIR).collect()
+    # Holm controls FWER (stricter): anything Holm rejects, BH rejects
+    for r in holm:
+        if r["rejected"] == 1:
+            assert bh[r["event_type"]] == 1
+    # adjusted p is monotone non-decreasing in rank (running max)
+    adj = [r["p_holm_e9"] for r in sorted(holm, key=lambda r: r["rk"])]
+    assert adj == sorted(adj)
