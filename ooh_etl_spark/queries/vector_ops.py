@@ -333,3 +333,120 @@ def q309_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mmd2_e9"),
     )
+
+
+# --- q322: k-center greedy coreset (farthest-point sampling) -------------
+_KC_STEPS = 6  # selections after the seed; oracle chains one CTE per step
+
+
+_KC_DNANO = (
+    "CAST(round(1000000000 * list_aggregate(list_transform("
+    "generate_series(1, 64), j -> (v.e[j] - s.e[j]) * (v.e[j] - s.e[j])"
+    "), 'sum')) AS BIGINT)"
+)
+
+
+def _kc_oracle() -> str:
+    """Chained-CTE farthest-point sampling (the q222 pinned-step
+    pattern: each greedy step is one MATERIALIZED CTE, because a
+    recursive formulation explodes optimizer time past k~8). The
+    selected vector enters each step via a 1-row CROSS JOIN alias —
+    DuckDB forbids subqueries inside lambda bodies."""
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "d0 AS MATERIALIZED (SELECT v.vec_id, "
+        + _KC_DNANO
+        + " AS dmin FROM v CROSS JOIN "
+        "(SELECT e FROM v WHERE vec_id = 0) s WHERE v.vec_id <> 0)",
+    ]
+    picks = []
+    for i in range(1, _KC_STEPS + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT vec_id, dmin FROM d{i-1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        picks.append(f"SELECT {i} AS rank, vec_id, dmin FROM p{i}")
+        if i < _KC_STEPS:
+            parts.append(
+                f"d{i} AS MATERIALIZED (SELECT v.vec_id, "
+                f"least(dprev.dmin, " + _KC_DNANO + ") AS dmin "
+                f"FROM d{i-1} dprev "
+                f"JOIN v ON v.vec_id = dprev.vec_id "
+                f"CROSS JOIN (SELECT e FROM v WHERE vec_id = "
+                f"(SELECT vec_id FROM p{i})) s "
+                f"WHERE v.vec_id <> (SELECT vec_id FROM p{i}))"
+            )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT CAST(rank AS BIGINT) AS rank, vec_id, dmin AS dist_nano"
+        + " FROM (" + " UNION ALL ".join(picks) + ") ORDER BY rank"
+    )
+
+
+@register("q322_kcenter_coreset", _kc_oracle())
+def q322_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection / farthest-point sampling
+    (Gonzalez 1985; Sener & Savarese ICLR'18 for data selection) —
+    the geometric data-selection family next to DSIR's importance
+    weights (q153) and SemDeDup's redundancy removal (q151): starting
+    from vector 0, repeatedly pick the corpus point FARTHEST from the
+    selected set (2-approximation to the optimal k-center cover).
+    Returns the selection order with each pick's covering distance —
+    the radius curve a curator reads to choose k.
+
+    Spark executes the greedy loop driver-side, holding only the
+    selected VECTORS (k x 64 floats — the q102/q222 bounded
+    parameter-server pattern): each step is one scan computing
+    min-distance-to-selected (a fold over a k-element literal array),
+    one TakeOrderedAndProject argmax, one 1-row collect. Distances
+    quantize to integer nano units BEFORE min/argmax, so greedy
+    tie-breaks (dist DESC, vec_id) are engine-exact.
+
+    100 TB shape: k scans of the corpus, each narrow (no shuffle but
+    the k-row top-1); selected set stays tiny by construction. The
+    oracle pins each greedy step as a MATERIALIZED CTE — the same
+    reasoning as q222: recursive/inlined forms explode optimizer time
+    superlinearly with k."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    seed = emb.filter(F.col("vec_id") == 0).collect()[0]["e"]
+    selected = [(0, list(seed))]
+    remaining = emb.filter(F.col("vec_id") != 0)
+    out_rows = []
+    # dmin maintained incrementally: one new-distance fold per step.
+    cur = remaining.select(
+        "vec_id",
+        "e",
+        _kc_dist_nano(F.col("e"), list(seed)).alias("dmin"),
+    )
+    for rank in range(1, _KC_STEPS + 1):
+        top = cur.orderBy(F.desc("dmin"), "vec_id").limit(1).collect()[0]
+        out_rows.append((rank, top["vec_id"], top["dmin"]))
+        if rank == _KC_STEPS:
+            break
+        new_vec = top["e"]
+        cur = (
+            cur.filter(F.col("vec_id") != top["vec_id"])
+            .select(
+                "vec_id",
+                "e",
+                F.least(
+                    F.col("dmin"), _kc_dist_nano(F.col("e"), list(new_vec))
+                ).alias("dmin"),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows, "rank long, vec_id long, dist_nano long"
+    )
+
+
+def _kc_dist_nano(e, vec):
+    """Fold ||e - vec||^2 against a literal vector, in nano units."""
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    d2 = F.aggregate(
+        F.zip_with(e, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(1000000000 * d2).cast("bigint")

@@ -463,3 +463,16 @@ def test_q321_match_is_nearest_in_nation(spark):
         )
         <= 1
     )
+
+
+def test_q322_radius_curve_is_nonincreasing(spark):
+    rows = sorted(
+        QUERIES["q322_kcenter_coreset"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(rows) == 6
+    dists = [r["dist_nano"] for r in rows]
+    # greedy k-center: each pick's covering distance never increases
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert len({r["vec_id"] for r in rows}) == 6  # no repeats, seed excluded
+    assert all(r["vec_id"] != 0 for r in rows)
