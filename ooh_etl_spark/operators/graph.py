@@ -18,6 +18,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def symmetrize(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both orientations of every edge as (src, dst) — via ONE explode,
+    not a self-union: Spark does not share non-cached subtrees across
+    Union branches, so ``pairs.select(a,b).union(pairs.select(b,a))``
+    executes the (possibly expensive) pair-generation pipeline TWICE
+    (the q296 Union-recompute class). The explode form runs it once."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def connected_components(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
 ) -> DataFrame:
@@ -26,12 +42,7 @@ def connected_components(
     # Materialize the edge list once — every iteration joins against it,
     # and without the checkpoint each join would re-derive the (possibly
     # expensive) upstream pair-generation pipeline.
-    edges = (
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .unionByName(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = symmetrize(pairs, src, dst).distinct().localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -95,12 +106,7 @@ def k_core(
     round costs one degree aggregate + one semi-join of edges against
     the surviving nodes, both keyed shuffles; no step ever materializes
     more than the current induced edge list."""
-    edges = (
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .unionByName(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = symmetrize(pairs, src, dst).distinct().localCheckpoint()
     prev_n = None
     for _ in range(max_iter):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -143,9 +149,10 @@ def pagerank(
     worst case; the residual test usually exits in O(log(1/tol) /
     log(1/d)) rounds."""
     e = edges.select("src", "dst").distinct().localCheckpoint()
+    # endpoint census via explode (one pass over the checkpointed edges,
+    # not two union branches)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .localCheckpoint()
     )

@@ -1789,7 +1789,10 @@ _DUCK_EB = """
                AS var_b
       FROM seg),
          m AS (
-      SELECT mu, greatest(mu * (1.0 - mu) / var_b - 1.0, 1.0) AS strength
+      SELECT mu,
+             CASE WHEN var_b IS NULL OR var_b = 0 THEN 1.0
+                  ELSE greatest(mu * (1.0 - mu) / var_b - 1.0, 1.0)
+             END AS strength
       FROM prior)
     SELECT seg.segment, CAST(seg.n AS BIGINT) AS n, seg.conv,
            CAST(round(10000.0 * seg.conv / seg.n) AS BIGINT) AS raw_bp,
@@ -1846,11 +1849,21 @@ def q300_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("conv") * 1.0 / F.col("n") - F.col("mu"))
         ).alias("var_b"),
     )
+    # degenerate case (all segment rates identical -> var_b = 0):
+    # IEEE inf (duckdb) vs NULL (spark ANSI div-by-zero) would diverge,
+    # so both engines collapse it to strength = 1 explicitly.
     m = prior.select(
         "mu",
-        F.greatest(
-            F.col("mu") * (1.0 - F.col("mu")) / F.col("var_b") - 1.0, F.lit(1.0)
-        ).alias("strength"),
+        F.when(
+            F.col("var_b").isNull() | (F.col("var_b") == 0), F.lit(1.0)
+        )
+        .otherwise(
+            F.greatest(
+                F.col("mu") * (1.0 - F.col("mu")) / F.col("var_b") - 1.0,
+                F.lit(1.0),
+            )
+        )
+        .alias("strength"),
     )
     return (
         seg.crossJoin(F.broadcast(m))
@@ -2081,7 +2094,7 @@ _DUCK_MATCH_ATT = """
          merged_b AS (
       SELECT *,
              max(CASE WHEN treated = 0
-                      THEN (bal_c + 1000000) * 1000000 + k END) OVER (
+                      THEN (bal_c + 1000000) * 1000000000000 + k END) OVER (
                PARTITION BY nk
                ORDER BY bal_c, treated, k
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_pack
@@ -2089,17 +2102,17 @@ _DUCK_MATCH_ATT = """
          merged_f AS (
       SELECT *,
              max(CASE WHEN treated = 0
-                      THEN -((bal_c + 1000000) * 1000000 + k) END) OVER (
+                      THEN -((bal_c + 1000000) * 1000000000000 + k) END) OVER (
                PARTITION BY nk
                ORDER BY bal_c DESC, treated, k
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_neg
       FROM merged_b),
          picks AS (
       SELECT k, nk, bal_c, treated,
-             b_pack // 1000000 - 1000000 AS b_bal,
-             b_pack % 1000000 AS b_key,
-             (-f_neg) // 1000000 - 1000000 AS f_bal,
-             (-f_neg) % 1000000 AS f_key
+             b_pack // 1000000000000 - 1000000 AS b_bal,
+             b_pack % 1000000000000 AS b_key,
+             (-f_neg) // 1000000000000 - 1000000 AS f_bal,
+             (-f_neg) % 1000000000000 AS f_key
       FROM merged_f WHERE treated = 1),
          matched AS (
       SELECT k, nk, bal_c,
@@ -2133,9 +2146,10 @@ def q321_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     closer, ties backward) — then ATT = mean(treated spend - matched
     control spend). No pairwise distance join exists anywhere.
 
-    The (balance, key) pair rides ONE packed bigint ((bal+offset)*1e6
+    The (balance, key) pair rides ONE packed bigint ((bal+offset)*1e12
     + key, offset keeping packs positive so floor and truncating integer
-    division agree across engines)
+    division agree across engines; the 1e12 key field holds custkeys up
+    to 10^12 — TPC-H SF ~6.7M — and (bal+offset)*1e12 <= 2e18 < 2^63)
     through the running max — max over packed values = lexicographic
     argmax, the same trick as q159's struct-min, expressible
     identically in both engines' window vocabulary.
@@ -2176,7 +2190,7 @@ def q321_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on negatives — with positive packs they coincide.
     pack = F.when(
         F.col("treated") == 0,
-        (F.col("bal_c") + 1000000) * 1000000 + F.col("k"),
+        (F.col("bal_c") + 1000000) * 1000000000000 + F.col("k"),
     )
     wb = (
         Window.partitionBy("nk")
@@ -2194,10 +2208,10 @@ def q321_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = merged.filter(F.col("treated") == 1).select(
         "k",
         "bal_c",
-        (F.expr("b_pack div 1000000") - 1000000).alias("b_bal"),
-        (F.col("b_pack") % 1000000).alias("b_key"),
-        (F.expr("(-f_neg) div 1000000") - 1000000).alias("f_bal"),
-        (F.expr("-f_neg") % 1000000).alias("f_key"),
+        (F.expr("b_pack div 1000000000000") - 1000000).alias("b_bal"),
+        (F.col("b_pack") % 1000000000000).alias("b_key"),
+        (F.expr("(-f_neg) div 1000000000000") - 1000000).alias("f_bal"),
+        (F.expr("-f_neg") % 1000000000000).alias("f_key"),
     )
     matched = picks.select(
         "k",

@@ -247,11 +247,19 @@ def q173_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    e = a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    # checkpoint: the edge list is consumed by the degree census AND
+    # the orientation join — without it each consumer re-runs the
+    # order-keyed self-join (the q296 Union-recompute class).
+    e = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
 
     deg = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -263,11 +271,14 @@ def q173_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
+    # checkpoint: the oriented edge list feeds three consumers (both
+    # wedge legs + the closure probe); without it each re-runs the
+    # degree joins.
     oriented = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
-    )
+    ).localCheckpoint()
     # Wedges at the low end: two out-edges of src, legs ordered by the
     # dst (deg, id) rank so the closing edge's orientation is known.
     o1 = oriented.select("src", F.col("dst").alias("x"), F.col("deg_dst").alias("dx"))
@@ -324,9 +335,7 @@ def q185_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     )
-    und = edges.select(F.col("id_a").alias("n")).unionByName(
-        edges.select(F.col("id_b").alias("n"))
-    )
+    und = edges.select(F.explode(F.array("id_a", "id_b")).alias("n"))
     med = (
         und.groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -346,9 +355,7 @@ def kcore_k_for(spark: SparkSession, sf_dir: str) -> int:
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_a"))
     b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_b"))
     edges = a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-    und = edges.select(F.col("id_a").alias("n")).unionByName(
-        edges.select(F.col("id_b").alias("n"))
-    )
+    und = edges.select(F.explode(F.array("id_a", "id_b")).alias("n"))
     med = (
         und.groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -451,8 +458,20 @@ def q191_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
     e = a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
-    und = e.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
-        e.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    # explode symmetrization (one execution of the co-purchase self-
+    # join, not two union branches) + checkpoint: `und` feeds the
+    # degree census AND both wedge legs.
+    und = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("z"), F.col("v").alias("x")),
+                    F.struct(F.col("v").alias("z"), F.col("u").alias("x")),
+                )
+            ).alias("e")
+        )
+        .select("e.z", "e.x")
+        .localCheckpoint()
     )
     deg = und.groupBy(F.col("z").alias("n")).agg(F.count(F.lit(1)).alias("d"))
     wa = und.select("z", F.col("x").alias("part_a"))
@@ -611,15 +630,19 @@ def q255_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    # checkpoint: e0 feeds the degree census AND the end-pair join;
+    # degree census + symmetrization via explode, not self-unions
+    # (the q296 Union-recompute class — each branch re-ran the
+    # co-purchase self-join).
     e0 = (
         a.join(b, "k")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        .localCheckpoint()
     )
     deg = (
-        e0.select(F.col("u").alias("node"))
-        .unionAll(e0.select(F.col("v").alias("node")))
+        e0.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -628,7 +651,14 @@ def q255_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
         .select("x", "y")
     )
-    sym = ends.unionAll(ends.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    sym = ends.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x"), F.col("y")),
+                F.struct(F.col("y").alias("x"), F.col("x").alias("y")),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y")
     dec = lambda c: F.col(c).cast("decimal(38,0)")
     s = sym.agg(
         F.count(F.lit(1)).alias("m2"),

@@ -347,8 +347,23 @@ def q194_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pairs = grid_radius_pairs(c, _DB_EPS, _DB_CELL)
-    und = pairs.select(F.col("k_a").alias("n"), F.col("k_b").alias("m")).unionByName(
-        pairs.select(F.col("k_b").alias("n"), F.col("k_a").alias("m"))
+    # ONE explode (not a self-union, which would run the grid radius
+    # join twice — the q296 Union-recompute class), and a checkpoint:
+    # the symmetric neighbor set feeds THREE consumers (degree census,
+    # core-core edges, border assignment), each of which would
+    # otherwise re-derive the radius join (audited: 41 parquet scans
+    # in the un-checkpointed physical plan).
+    und = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("k_a").alias("n"), F.col("k_b").alias("m")),
+                    F.struct(F.col("k_b").alias("n"), F.col("k_a").alias("m")),
+                )
+            ).alias("e")
+        )
+        .select("e.n", "e.m")
+        .localCheckpoint()
     )
     deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     core = deg.filter(F.col("d") >= _DB_MINPTS - 1).select("n")
@@ -460,9 +475,12 @@ def q296_symspell_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("na", "nb")
         .distinct()
     )
+    # One explode, not unionAll of two projections: Spark does NOT
+    # share non-cached subtrees across Union branches, so the union
+    # form executed the expensive variant self-join TWICE (both
+    # branches carried the full join subtree; ~2x the dominant stage).
     neigh = (
-        pairs.select(F.col("na").alias("name"))
-        .unionAll(pairs.select(F.col("nb").alias("name")))
+        pairs.select(F.explode(F.array("na", "nb")).alias("name"))
         .groupBy("name")
         .agg(F.count(F.lit(1)).alias("n_neighbors"))
     )

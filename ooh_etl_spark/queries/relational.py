@@ -470,8 +470,22 @@ def q12_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side set."""
     orders = _t(spark, sf_dir, "orders")
     cutoff = F.lit("1997-01-01").cast("timestamp")
-    early = orders.filter(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
-    late = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    # checkpoint: each key set feeds three set-op branches (intersect +
+    # two exceptAll) — without it every branch re-runs the scan +
+    # distinct shuffle (the q296 Union-recompute class; audited at 6
+    # parquet scans for 2 logical key sets).
+    early = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint()
+    )
     return (
         early.intersect(late).select(F.lit("both").alias("cohort"), "o_custkey")
         .unionByName(

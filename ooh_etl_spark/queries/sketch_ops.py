@@ -369,7 +369,15 @@ def q221_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rho"),
     )
-    regs = rho.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    # checkpoint the (bounded: groups x 256 rows) register table — it
+    # feeds both union branches below, and without it each branch
+    # re-runs the corpus-wide register aggregate (the q296
+    # Union-recompute class; audited at 2 parquet scans).
+    regs = (
+        rho.groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .localCheckpoint()
+    )
     merged = regs.groupBy("bucket").agg(
         F.max("m_j").alias("m_j")
     ).select(F.lit("ALL").alias("event_type"), "bucket", "m_j")

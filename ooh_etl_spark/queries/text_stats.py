@@ -872,24 +872,31 @@ def q306_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.select(
         (F.col("doc_id") - 1).alias("doc_id"), tokenize(F.col("text")).alias("ref")
     )
-    pairs = cand.join(ref, "doc_id")
+    # checkpoint: the candidate-reference join feeds BOTH gram tables
+    # (cc and rc) — without it each would re-execute the join.
+    pairs = cand.join(ref, "doc_id").localCheckpoint()
 
     def grams(col: str, out: str):
-        unigrams = pairs.select(
-            "doc_id", F.lit(1).alias("n"), F.explode(col).alias("gram")
-        )
-        bigrams = pairs.select(
-            "doc_id",
-            F.lit(2).alias("n"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size({col}) - 1), "
-                    f"i -> concat({col}[i - 1], ' ', {col}[i]))"
-                )
-            ).alias("gram"),
-        )
+        # uni- and bigrams from ONE explode over a concat of struct
+        # arrays (a unigrams.union(bigrams) would tokenize-and-join
+        # twice — the q296 Union-recompute class).
         return (
-            unigrams.unionByName(bigrams)
+            pairs.select(
+                "doc_id",
+                F.explode(
+                    F.concat(
+                        F.expr(
+                            f"transform({col}, t -> struct(1 AS n, t AS gram))"
+                        ),
+                        F.expr(
+                            f"transform(sequence(1, size({col}) - 1), "
+                            f"i -> struct(2 AS n, "
+                            f"concat({col}[i - 1], ' ', {col}[i]) AS gram))"
+                        ),
+                    )
+                ).alias("g"),
+            )
+            .select("doc_id", "g.n", "g.gram")
             .groupBy("doc_id", "n", "gram")
             .agg(F.count(F.lit(1)).alias(out))
         )

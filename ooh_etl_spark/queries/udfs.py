@@ -253,8 +253,11 @@ def q310_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             flat = np.asarray(lists.flatten())
             mat = flat.reshape(len(batch), -1)
             norm = np.sqrt((mat * mat).sum(axis=1))
+            # floor(x + 0.5), not np.round: np.round is half-to-even
+            # (banker's), while the engines' round() is half-away-from-
+            # zero — an exact .5 tie at the e6 boundary would diverge.
             yield pa.RecordBatch.from_arrays(
-                [vec_id, pa.array(np.round(norm * 1e6).astype("int64"))],
+                [vec_id, pa.array(np.floor(norm * 1e6 + 0.5).astype("int64"))],
                 names=["vec_id", "norm_e6"],
             )
 

@@ -110,21 +110,35 @@ def q176_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("noop")
         .alias("action"),
     )
-    closed = classified.filter(F.col("action") == "update").select(
+    # Both row versions in ONE pass over the classified join (explode
+    # of a conditional struct array; explode drops NULL arrays, so
+    # no-ops vanish) — a closed.union(opened) would execute the
+    # change-batch join twice (the q296 Union-recompute class).
+    closed_row = F.struct(
         F.col("k").alias("c_custkey"),
         (F.col("bal_c") / 100.0).alias("acctbal"),
         F.lit(_OPEN_FROM).alias("valid_from"),
         F.lit(_EFF).alias("valid_to"),
         F.lit(0).alias("is_current"),
     )
-    opened = classified.filter(F.col("action").isin("update", "insert")).select(
+    opened_row = F.struct(
         F.col("k").alias("c_custkey"),
         (F.col("new_bal_c") / 100.0).alias("acctbal"),
         F.lit(_EFF).alias("valid_from"),
         F.lit(_HIGH_DATE).alias("valid_to"),
         F.lit(1).alias("is_current"),
     )
-    return closed.union(opened).orderBy("c_custkey", "is_current")
+    return (
+        classified.select(
+            F.explode(
+                F.when(
+                    F.col("action") == "update", F.array(closed_row, opened_row)
+                ).when(F.col("action") == "insert", F.array(opened_row))
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("c_custkey", "is_current")
+    )
 
 
 # --- q177: incremental view maintenance (aggregate over join) -----------
