@@ -49,17 +49,23 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 
 #: The driver's correctness gate checks the FIRST 50 registry entries,
 #: so the head of the registry is chosen deliberately rather than by
-#: module import order. Round-5 rotation (VERDICT r4 item 4): keep the
-#: §2.A reference contract and the streaming trio; q168/q170/q171
-#: (r4's red rows, HUGEINT oracle class, now CAST) stay until
-#: driver-green; the six LATENT members of the same class
-#: (q159/q162/q183/q209/q216/q232, also CAST this round) rotate in to
-#: prove the class fix at the driver; the remaining 35 slots go to
-#: never-driver-seen queries — the q104–q117 wave, the newest r4
-#: stats/experimentation wave (q279–q289, newest code = highest
-#: latent risk), the ML-eval quintet q274–q278, and the behavioral
-#: wave q264–q273. Everything rotated out stays green in the full
-#: registry replica (tools/check_oracle.py --strict).
+#: module import order. Round-6 rotation (VERDICT r5 items 1+6): keep
+#: the §2.A reference contract and the streaming trio (6 pinned
+#: slots); ALL 33 round-5 queries (q290–q322 — replica-green but
+#: never driver-seen, the newest code and therefore highest latent
+#: risk) rotate in, plus the next 11 never-driver-seen entries from
+#: the q123–q134 block. Everything rotated out stays green in the
+#: full-registry replica (tools/check_oracle.py --strict).
+#:
+#: DEBT SCHEDULE (never-driver-seen drains provably, ~146 left after
+#: this window; 44 fresh slots per round):
+#:   r7: q52–q90 relational/TPC-H tail (q52,q53,q54,q56,q58,q61–q65,
+#:       q67,q69,q70,q71,q75,q76,q78,q80,q82–q90) + q93–q103 wave
+#:   r8: q125–q165 tail (q125–q151 never-seen members, q160–q165) +
+#:       q174/q179–q199 never-seen members
+#:   r9: q200–q263 never-seen members (sketches, time-series,
+#:       behavioral tails) — after which every registered query has
+#:       driver history and rotation becomes newest-code-first only.
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)
     "flagship_doc_scan",
@@ -69,57 +75,54 @@ _DRIVER_WINDOW = [
     "q33_tumbling_hourly",
     "q36_stream_tumbling",
     "q46_stream_user_profiles",
-    # r4 red rows — CAST(sum AS BIGINT) fix; stay until driver-green
-    "q168_logreg_gradient",
-    "q170_calibration_bins",
-    "q171_recursive_hierarchy",
-    # latent members of the same HUGEINT class, cast this round —
-    # their driver-green proves the class fix, not just the instances
-    "q159_pq_codes",
-    "q162_corpus_build",
-    "q183_trailing_hour_sum",
-    "q209_embedding_gram",
-    "q216_simpsons_paradox",
-    "q232_arrow_python_udf",
-    # first-time driver exposure: q104–q117 data-quality/graph wave
-    "q104_dim_stats",
-    "q105_cosine_histogram",
-    "q107_zscore_anomalies",
-    "q108_rolling_actives",
-    "q109_incremental_agg",
-    "q110_skew_profiler",
-    "q111_constraint_census",
-    "q112_column_profiler",
-    "q113_snapshot_diff",
-    "q114_winsorized_mean",
-    "q115_lateral_topk",
-    "q116_pagerank_step",
-    "q117_market_basket",
-    # newest r4 stats wave (newest code first)
-    "q279_median_ci",
-    "q280_mann_whitney",
-    "q281_spearman",
-    "q282_cramers_v",
-    "q283_cohens_d",
-    "q284_seasonality_strength",
-    "q286_partition_layout_report",
-    "q287_tukey_fences",
-    "q288_mix_shift_decomposition",
-    "q289_novelty_effect_trend",
-    # ML-evaluation quintet
-    "q274_youden_threshold",
-    "q275_expected_calibration_error",
-    "q276_average_precision",
-    "q277_brier_score",
-    "q278_logloss",
-    # behavioral / experimentation wave
-    "q264_intersession_gaps",
-    "q265_actor_concentration",
-    "q267_behavior_entropy",
-    "q269_funnel_step_latency",
-    "q270_srm_check",
-    "q271_ratio_metric_delta",
-    "q273_revenue_retention",
+    # the full round-5 wave: replica-green, zero driver exposure yet
+    "q290_binary_quantize_hamming",
+    "q291_suffix_lcp_profile",
+    "q292_sequence_pattern",
+    "q293_bayes_ucb_bandit",
+    "q294_isotonic_calibration",
+    "q295_bh_fdr",
+    "q296_symspell_edit_join",
+    "q297_quantile_normalization",
+    "q298_conformal_intervals",
+    "q299_hill_tail_index",
+    "q300_eb_rate_shrinkage",
+    "q301_kmv_set_sketch",
+    "q302_neyman_allocation",
+    "q303_ips_offline_eval",
+    "q304_shapley_attribution",
+    "q305_qini_uplift",
+    "q306_bleu_pairs",
+    "q307_blocking_quality",
+    "q308_wasserstein_drift",
+    "q309_mmd_linear",
+    "q310_map_in_arrow",
+    "q311_observed_metrics",
+    "q312_compaction_planner",
+    "q313_clustering_factor",
+    "q314_zonemap_skipping",
+    "q315_acf",
+    "q316_spectral_power",
+    "q317_rake_keywords",
+    "q318_t_closeness",
+    "q319_fellegi_sunter",
+    "q320_holm_bonferroni",
+    "q321_matching_att",
+    "q322_kcenter_coreset",
+    # next never-driver-seen block (q123–q134)
+    "q123_important_stock",
+    "q124_idle_rich_customers",
+    "q135_bm25_search",  # (q125 is rows-only by design; an
+    # oracle-bearing entry makes a stronger driver green — q125 drains
+    # with the r8 block)
+    "q126_ewma_last20",
+    "q127_mom_growth",
+    "q128_pareto_abc",
+    "q129_funnel_depth",
+    "q131_rank_family",
+    "q132_datetime_gauntlet",
+    "q133_conditional_aggs",
+    "q134_error_bursts",
 ]
 
 #: The driver gate is exactly 50 entries; a 51st silently falls off
