@@ -160,7 +160,9 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").count()
 
-    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # n=5 (VERDICT r5 item 4): with n=3 the sub-second queries carried
+    # 45-128% spreads, making round-over-round deltas unreadable.
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -213,7 +215,13 @@ def main() -> None:
         "spread_pct": spread_pct,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
+    # Emit the metric as the LAST stdout line, after flushing both
+    # streams and forcing a fresh line, so the driver's parser latches
+    # onto clean JSON (no progress-bar carriage returns in front).
+    sys.stderr.flush()
+    sys.stdout.flush()
+    sys.stdout.write("\n" + json.dumps(result) + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

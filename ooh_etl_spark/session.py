@@ -47,6 +47,10 @@ def get_spark(app_name: str = "ooh_etl_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Progress-bar carriage returns interleave with stdout and
+        # corrupted the driver's parse of bench.py's final JSON line
+        # in rounds 4-5 ("parsed": null).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert (tables.load_table).
