@@ -1382,6 +1382,11 @@ def q304_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v")
         )
     )
+    # checkpoint the 16-row characteristic function: it feeds BOTH
+    # sides of the marginal-contribution join (and phi below feeds the
+    # efficiency total) — without it each consumer re-runs the corpus
+    # user-mask rollup (audited: 4 user-shuffles in the plan).
+    vs = vs.localCheckpoint()
     ch = spark.createDataFrame(
         [(1, "view"), (2, "click"), (4, "signup"), (8, "error")],
         "bit int, channel string",
@@ -1400,7 +1405,7 @@ def q304_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vs1, F.expr("s1 = s0 + bit"))
         .groupBy("channel")
         .agg(F.sum(w * (F.col("v1") - F.col("v0"))).alias("phi"))
-    )
+    ).localCheckpoint()  # 4 rows; feeds both the output and the total
     tot = phi.agg(F.sum("phi").alias("t"))
     return (
         phi.crossJoin(F.broadcast(tot))

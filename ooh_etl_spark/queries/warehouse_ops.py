@@ -499,8 +499,13 @@ def q312_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     file/partition, aggregated in one pass); the planning window runs
     over that bounded inventory, never over data rows."""
     ev = load_table(spark, sf_dir, "events")
-    files = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        F.count(F.lit(1)).alias("rows_in")
+    # checkpoint the (metadata-sized: one row per file/day) inventory:
+    # it feeds both the target-size aggregate and the planning window,
+    # and without it each consumer re-runs the corpus pass.
+    files = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("rows_in"))
+        .localCheckpoint()
     )
     tot = files.agg(
         F.ceil(F.sum("rows_in") / 10.0).cast("bigint").alias("target")

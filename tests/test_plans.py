@@ -309,3 +309,85 @@ def test_q299_topk_is_take_ordered(spark):
     # TakeOrderedAndProject, not a global sort of the user table.
     plan = plan_of(spark, "q299_hill_tail_index")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q296_single_join_subtree(spark):
+    # The neighbor census must come from ONE explode over the pair
+    # set, not a unionAll of two projections — the union form executed
+    # the variant self-join TWICE (round-5 verdict: both Union
+    # branches carried the full join subtree).
+    import re
+
+    plan = plan_of(spark, "q296_symspell_edit_join")
+    # the formatted plan prints each node in the tree AND a detail
+    # section — count the numbered detail headers, one per node
+    n_joins = len(
+        re.findall(
+            r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+            plan,
+        )
+    )
+    assert n_joins == 1, (n_joins, plan)
+
+
+def test_q304_lattice_stays_broadcast(spark):
+    # The 2^4 coalition lattice and the mask rollup are tiny tables:
+    # every join involving them must broadcast, nothing may plan a
+    # real CartesianProduct, and the only corpus-sized shuffle is the
+    # user-mask rollup.
+    plan = plan_of(spark, "q304_shapley_attribution")
+    assert "BroadcastExchange" in plan
+    assert not has_cartesian(plan), plan
+    assert shuffle_count(plan) <= 5, (shuffle_count(plan), plan)
+
+
+def test_q312_planning_runs_over_materialized_inventory(spark):
+    # The per-day file inventory is materialized ONCE (checkpoint);
+    # the next-fit planning window must run over that metadata-sized
+    # table — the final plan may not rescan data rows (no parquet
+    # scan), and the inventory pass itself reads only the timestamp
+    # column.
+    from ooh_etl_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    plan = plan_of(spark, "q312_compaction_planner")
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("(1) Window") <= 1, plan
+    inv = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("rows_in"))
+    )
+    assert reads_only(physical_plan(inv), {"ts"})
+
+
+def test_q321_no_pairwise_distance_join(spark):
+    # NN-matching must use the two as-of sorted-merge passes — no
+    # candidate-pair join may appear as a cartesian/BNLJ anywhere.
+    plan = plan_of(spark, "q321_matching_att")
+    assert not has_cartesian(plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q322_step_is_scan_plus_take_ordered(spark):
+    # Each greedy k-center step must plan as a narrow scan + argmax
+    # via TakeOrderedAndProject (bounded top-1) — never a global sort
+    # or any join.
+    from ooh_etl_spark.queries.vector_ops import _kc_dist_nano
+    from ooh_etl_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    step = (
+        emb.select(
+            "vec_id", _kc_dist_nano(F.col("e"), [0.0] * 64).alias("dmin")
+        )
+        .orderBy(F.desc("dmin"), "vec_id")
+        .limit(1)
+    )
+    plan = physical_plan(step)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(plan) == 0, plan
