@@ -162,13 +162,18 @@ def q129_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts").alias(t_out))
         )
 
+    # checkpoint each stage's per-user survivors: stage N feeds both
+    # stage N+1 and its own count, so without the checkpoints the
+    # count chain re-ran the whole funnel per stage (audited: 6
+    # parquet scans of events in one plan; now 3 — one per stage).
     s1 = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
-    s2 = stage(s1, "t1", "click", "t2")
-    s3 = stage(s2, "t2", "purchase", "t3")
+    s2 = stage(s1, "t1", "click", "t2").localCheckpoint()
+    s3 = stage(s2, "t2", "purchase", "t3").localCheckpoint()
     c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
     c2 = s2.agg(F.count(F.lit(1)).alias("n_then_click"))
     c3 = s3.agg(F.count(F.lit(1)).alias("n_then_purchase"))

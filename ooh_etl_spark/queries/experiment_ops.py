@@ -826,10 +826,15 @@ def q211_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-space stays finite.
     """
     ev = load_table(spark, sf_dir, "events")
+    # checkpoint the per-user frames: `s` feeds the purchase join AND
+    # the observation build, `obs` feeds the total count AND the life
+    # table — without the checkpoints the funnel re-ran per consumer
+    # (audited: 6 parquet scans of events in one plan; now 3).
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup_ts"))
+        .localCheckpoint()
     )
     m = ev.agg(F.max("ts").alias("max_ts"))
     p = (
@@ -854,6 +859,7 @@ def q211_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t_h"),
             F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("ev"),
         )
+        .localCheckpoint()
     )
     n_total = obs.agg(F.count(F.lit(1)).alias("n_total"))
     km = obs.groupBy("t_h").agg(
@@ -1186,9 +1192,12 @@ def q235_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("post"),
         F.round(F.col("value") * 100).cast("bigint").alias("vc"),
     )
+    # checkpoint the 4-cell table: the four pick() consumers would
+    # otherwise each re-run the corpus aggregate (audited: 8 parquet
+    # scans of events in one plan).
     cell = tagged.groupBy("arm", "post").agg(
         F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sx")
-    )
+    ).localCheckpoint()
 
     def pick(arm: int, post: int, pre: str):
         return (
@@ -1837,6 +1846,9 @@ def q300_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("conv"),
         )
+        .localCheckpoint()  # |segments| rows; feeds pooled mean,
+        # between-variance, and the shrunk output — without it the
+        # star join re-ran per consumer (audited: 3 scans per table)
     )
     pooled = seg.agg(
         (F.sum("conv") * 1.0 / F.sum("n")).alias("mu")
@@ -2026,10 +2038,19 @@ def q318_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "lang", "source", F.floor(F.col("n_chars") / _TCLOSE_BUCKET).alias("b")
     )
-    buckets = d.select("b").distinct()
+    # ONE corpus pass builds the (class, bucket) cell table
+    # (checkpointed, bounded by |classes| x |buckets|); the bucket
+    # set, class sizes, global histogram, and total all derive from
+    # it — computing each from `d` re-scanned the corpus per consumer
+    # (audited: 4 parquet scans of documents in one plan; now 1).
+    cell = (
+        d.groupBy("lang", "source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    buckets = cell.select("b").distinct()
     n_buckets = buckets.count()
-    classes = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
-    cell = d.groupBy("lang", "source", "b").agg(F.count(F.lit(1)).alias("c"))
+    classes = cell.groupBy("lang", "source").agg(F.sum("c").alias("n"))
     grid = (
         classes.crossJoin(F.broadcast(buckets))
         .join(cell, ["lang", "source", "b"], "left")
@@ -2041,8 +2062,8 @@ def q318_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c", F.lit(0)).alias("c"),
         )
     )
-    glob = d.groupBy("b").agg(F.count(F.lit(1)).alias("g"))
-    n_total = d.count()
+    glob = cell.groupBy("b").agg(F.sum("c").alias("g"))
+    n_total = cell.agg(F.sum("c")).collect()[0][0]
     wcum = (
         Window.partitionBy("lang", "source")
         .orderBy("b")

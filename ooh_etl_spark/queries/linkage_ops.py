@@ -550,10 +550,16 @@ def q307_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream matcher."""
     cust = load_table(spark, sf_dir, "customer")
     names = cust.select(F.col("c_name").alias("name"))
-    n_tot = names.agg(F.count(F.lit(1)).alias("n"))
-    blocks = names.groupBy(
-        F.substring("name", 1, _BLK_PREFIX).alias("blk")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # block-size table checkpointed (bounded by |prefixes|): the total
+    # derives from it instead of re-scanning; the variant set is
+    # checkpointed because BOTH self-join sides consume it (audited: 4
+    # parquet scans of customer in one plan; now 2).
+    blocks = (
+        names.groupBy(F.substring("name", 1, _BLK_PREFIX).alias("blk"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    n_tot = blocks.agg(F.sum("c").cast("bigint").alias("n"))
     cand = blocks.agg(
         F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("n_cand")
     )
@@ -566,7 +572,7 @@ def q307_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "substr(name, i + 1, length(name)))), name)"
             )
         ).alias("variant"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     a = v.select(F.col("name").alias("na"), "variant")
     b = v.select(F.col("name").alias("nb"), "variant")
     truth = (
@@ -699,24 +705,37 @@ def q319_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def field_row(label: str, agree: str) -> DataFrame:
-        return lab.agg(
-            F.lit(label).alias("field"),
-            (
-                F.sum(F.col("is_match") * F.col(agree))
-                * 1.0
-                / F.nullif(F.sum("is_match"), F.lit(0))
-            ).alias("m"),
-            (
-                F.sum((1 - F.col("is_match")) * F.col(agree))
-                * 1.0
-                / F.nullif(F.sum(1 - F.col("is_match")), F.lit(0))
-            ).alias("u"),
-        )
-
-    fields = field_row("nation", "agree_nation").unionByName(
-        field_row("sign", "agree_sign")
+    # ONE aggregate computes every field's m/u counts, then an explode
+    # unpivots to per-field rows — a per-field union of aggregates
+    # would execute the blocked self-join once per field (the q296
+    # Union-recompute class; audited: 4 parquet scans of customer in
+    # one plan; now 2 — the join's two sides).
+    stats = lab.agg(
+        F.sum("is_match").alias("sm"),
+        F.sum(1 - F.col("is_match")).alias("su"),
+        F.sum(F.col("is_match") * F.col("agree_nation")).alias("man"),
+        F.sum((1 - F.col("is_match")) * F.col("agree_nation")).alias("uan"),
+        F.sum(F.col("is_match") * F.col("agree_sign")).alias("mas"),
+        F.sum((1 - F.col("is_match")) * F.col("agree_sign")).alias("uas"),
     )
+    sm0 = F.nullif(F.col("sm"), F.lit(0))
+    su0 = F.nullif(F.col("su"), F.lit(0))
+    fields = stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("nation").alias("field"),
+                    (F.col("man") * 1.0 / sm0).alias("m"),
+                    (F.col("uan") * 1.0 / su0).alias("u"),
+                ),
+                F.struct(
+                    F.lit("sign").alias("field"),
+                    (F.col("mas") * 1.0 / sm0).alias("m"),
+                    (F.col("uas") * 1.0 / su0).alias("u"),
+                ),
+            )
+        ).alias("f")
+    ).select("f.*")
     return fields.select(
         "field",
         F.round(10000 * F.col("m")).cast("bigint").alias("m_bp"),

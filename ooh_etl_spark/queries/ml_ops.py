@@ -423,13 +423,18 @@ def q188_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("actual"),
         F.explode_outer(tokenize(F.col("text"))).alias("token"),
     )
-    ct = tok.groupBy(F.col("actual").alias("lang"), "token").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # checkpoint the (|classes| x |vocab|)-bounded count table and
+    # derive the class totals and vocab size FROM it — computing them
+    # from `tok` re-ran the corpus tokenization per consumer (audited:
+    # 10 parquet scans of documents in one plan; now 2 tokenizing
+    # passes: one to train, one to score).
+    ct = (
+        tok.groupBy(F.col("actual").alias("lang"), "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
-    nl = tok.groupBy(F.col("actual").alias("lang")).agg(
-        F.count(F.lit(1)).alias("n_l")
-    )
-    v = tok.agg(F.countDistinct("token").alias("v"))
+    nl = ct.groupBy("lang").agg(F.sum("cnt").alias("n_l"))
+    v = ct.agg(F.countDistinct("token").alias("v"))
     d = docs.agg(F.count(F.lit(1)).alias("d"))
     dl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("d_l"))
     params = (
@@ -447,6 +452,7 @@ def q188_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("default_micro"),
         )
+        .localCheckpoint()  # |classes| rows; feeds scoring AND loglik
     )
     ll = ct.join(params, "lang").select(
         "lang",
@@ -1394,6 +1400,7 @@ def q294_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("pos"))
+        .localCheckpoint()  # 10 rows; feeds cumsums, bin rows, output
     )
     wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     c = b.select(
@@ -1516,12 +1523,16 @@ def q298_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("vc"),
         (F.col("event_id") % 2 == 0).alias("is_cal"),
     )
+    # checkpoint the bounded per-type tables (calibration stats and
+    # interval radii): each feeds two consumers, and without the
+    # checkpoints the corpus aggregate re-ran per consumer (audited:
+    # 7 parquet scans of events in one plan; now 3).
     pred = ev.groupBy("event_type").agg(
         F.sum(F.when(F.col("is_cal"), F.col("vc"))).cast("bigint").alias("s_cal"),
         F.sum(F.when(F.col("is_cal"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_cal"),
-    )
+    ).localCheckpoint()
     res = ev.join(pred, "event_type").select(
         "event_type",
         "event_id",
@@ -1543,7 +1554,7 @@ def q298_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius = ranked.filter(
         F.col("rk")
         == F.ceil(_CONF_LEVEL_BP / 10000.0 * (F.col("n_cal") + 1)).cast("bigint")
-    ).select("event_type", F.col("r_e4").alias("rad_e4"))
+    ).select("event_type", F.col("r_e4").alias("rad_e4")).localCheckpoint()
     cov = (
         res.filter(~F.col("is_cal"))
         .join(radius, "event_type")

@@ -641,7 +641,12 @@ def q155_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "lang", toks.alias("toks"))
         .select("doc_id", "lang", F.explode("toks").alias("w"))
     )
-    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint the vocab-bounded LM (feeds the corpus total AND the
+    # scoring join) and, below, the narrow per-doc score table (feeds
+    # the tercile cut AND the bucket rollup) — without them the
+    # tokenizing passes re-ran per consumer (audited: 6 parquet scans
+    # of documents in one plan; now 2).
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     tot = cnt.agg(F.sum("c").cast("bigint").alias("n_corpus"))
     surprisal_u = F.round(
         1000000 * F.log(F.col("n_corpus") * F.lit(1.0) / F.col("c"))
@@ -659,7 +664,7 @@ def q155_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         "lang",
         F.round(F.col("s_u") * 1.0 / F.col("n")).cast("bigint").alias("h_u"),
-    )
+    ).localCheckpoint()
     q = h.agg(
         F.expr("percentile_disc(0.33333) WITHIN GROUP (ORDER BY h_u)").alias("t1"),
         F.expr("percentile_disc(0.66667) WITHIN GROUP (ORDER BY h_u)").alias("t2"),
@@ -754,13 +759,19 @@ def q162_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", "source", "text", tokenize(F.col("text")).alias("toks")
     )
+    # Stage-boundary materialization (localCheckpoint): the quality
+    # survivors feed the dedup join AND the lineage flags, and the
+    # exact-dedup survivors feed Jaccard + final + flags — without the
+    # checkpoints each consumer re-ran the tokenizing gate (audited: 8
+    # parquet scans of documents in one plan). At 100 TB these are the
+    # intermediate writes a production funnel makes between stages.
     q = d.filter(
         (F.size("toks") >= _CB_MIN_TOKS)
         & (10 * F.size(F.array_distinct("toks")) >= 3 * F.size("toks"))
-    )
+    ).localCheckpoint()
     exd = q.join(
         exact_dedup(q, key="text", id_col="doc_id").select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint()
     dropped = (
         jaccard_pairs(exd, "text", "doc_id", n=3, threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
@@ -844,8 +855,14 @@ def q163_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. Gram-frequency skew (stop-grams) is the AQE
     skew-split case, and at extreme scale the dup table is
     semi-join-reducible before the coverage join."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", tokenize(F.col("text")).alias("toks")
+    # checkpoint the tokenized corpus (feeds positions, gram starts,
+    # and the final accounting — audited: 8 parquet scans of documents
+    # before; re-exploding from the materialized frame is cheap CPU,
+    # re-tokenizing from parquet is not)
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .localCheckpoint()
     )
     pos = d.select(
         "doc_id", F.posexplode("toks").alias("i0", "tok")
@@ -870,6 +887,9 @@ def q163_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     dstarts = starts.join(dup, "gram").select("doc_id", "s")
+    # checkpoint the removed-position set: it feeds both the anti-join
+    # reconstruction and the removal counts, and re-deriving it means
+    # re-running the whole gram-duplicate pipeline.
     rem = (
         pos.join(
             dstarts,
@@ -878,6 +898,7 @@ def q163_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(pos.doc_id, pos.i)
         .distinct()
+        .localCheckpoint()
     )
     kept = (
         pos.join(rem, ["doc_id", "i"], "left_anti")

@@ -77,14 +77,22 @@ def q135_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles before the basis-point quantization."""
     docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    # checkpoint the narrow doc-length table and the (query-pruned,
+    # postings-bounded) tf table: each feeds two consumers, and
+    # without the checkpoints the tokenizing pass re-ran per consumer
+    # (audited: 4 parquet scans of documents in one plan; now 2).
+    dl = d.select("doc_id", F.size("toks").alias("dl")).localCheckpoint()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     tok = d.select("doc_id", F.explode_outer("toks").alias("term")).filter(
         F.col("term").isin(*_QUERY_TERMS)
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
     idf = F.log(
@@ -148,7 +156,11 @@ def q136_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     items relation; the min-support HAVING prunes before the metric
     joins — the Apriori downward-closure step."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # checkpoint the distinct (order, part) relation: it feeds the
+    # order count, item supports, and BOTH pair-join sides — without
+    # it the distinct shuffle re-ran per consumer (audited: 5 parquet
+    # scans of lineitem in one plan; now 1).
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item_supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("ante"))

@@ -669,16 +669,31 @@ def q301_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     15-user sf0.001 fixture; production k (256-4096) only widens the
     k-row frames."""
     ev = load_table(spark, sf_dir, "events")
-    flags = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("b"),
-    ).select(
-        "user_id",
-        "a",
-        "b",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 14), 16, 10)
-        .cast("bigint")
-        .alias("h"),
+    # checkpoint the |users|-row flag table: it feeds the four sketch
+    # sides (each consuming it twice: exact count + bottom-k), and
+    # without it the corpus rollup re-executed per consumer (audited:
+    # 8 parquet scans of events in one plan).
+    flags = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "a"
+            ),
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "b"
+            ),
+        )
+        .select(
+            "user_id",
+            "a",
+            "b",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 14), 16, 10
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .localCheckpoint()
     )
     au = flags.filter(F.col("a") == 1)
     bu = flags.filter(F.col("b") == 1)

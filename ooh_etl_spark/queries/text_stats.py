@@ -568,12 +568,21 @@ def q241_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(tokenize(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
-    tc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint the vocab-bounded count table and top-V vocabulary:
+    # each feeds 3 consumers, and without the checkpoints the
+    # tokenizing pass re-ran per consumer (audited: 5 parquet scans of
+    # documents in one plan; now 1).
+    tc = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     corpus = (
         tc.groupBy("w")
         .agg(F.sum("c").alias("cc"))
         .orderBy(F.desc("cc"), "w")
         .limit(_JSD_V)
+        .localCheckpoint()
     )
     sc = corpus.join(tc, "w", "left")
     tots = sc.filter(F.col("source").isNotNull()).groupBy("source").agg(

@@ -1429,14 +1429,23 @@ def q315_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10^4 rows. The lag join shuffles on the hour key; no window ever
     sees raw events."""
     ev = load_table(spark, sf_dir, "events")
-    hr = ev.groupBy(
-        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
-    ).agg(F.count(F.lit(1)).alias("x"))
+    # checkpoint the bounded (|hours|-row) rollup and grid: they feed
+    # bounds/mean/denominator/lag-join consumers, and without the
+    # checkpoints the corpus pass re-executed per consumer (audited:
+    # 10 parquet scans of events in one plan).
+    hr = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint()
+    )
     bounds = hr.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = (
         bounds.select(F.explode(F.sequence("lo", "hi")).alias("h"))
         .join(hr, "h", "left")
         .select("h", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint()
     )
     m = grid.agg(
         (F.sum("x") * 1.0 / F.count(F.lit(1))).alias("mu"),
@@ -1526,9 +1535,16 @@ def q316_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     A full 10^5-bin FFT would need the same hour table — this plan is
     the degenerate-k case that answers the actual question."""
     ev = load_table(spark, sf_dir, "events")
-    hr = ev.groupBy(
-        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
-    ).agg(F.count(F.lit(1)).alias("x"))
+    # checkpoint the bounded hour table: it feeds the origin bound,
+    # the mean, and the probe terms — without it the corpus rollup
+    # re-ran per consumer (audited: 4 parquet scans of events; now 1).
+    hr = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint()
+    )
     bounds = hr.agg(F.min("h").alias("lo"))
     t = hr.crossJoin(F.broadcast(bounds)).select(
         (F.col("h") - F.col("lo")).alias("t"), "x"
