@@ -170,7 +170,14 @@ def jaccard_pairs_prefix(
     (once per side join). The frequency ranking is itself one extra
     aggregate + one co-partitioned join on the shingle.
     """
-    sh = _shingle_sets(df, text_col, id_col, n).withColumn("sz", F.size("sh"))
+    # checkpoint the shingle sets: they feed the inverted index (which
+    # itself feeds the frequency table AND the prefix ranking) and both
+    # verification sides — the shingling pass ran 4x otherwise.
+    sh = (
+        _shingle_sets(df, text_col, id_col, n)
+        .withColumn("sz", F.size("sh"))
+        .localCheckpoint()
+    )
     inv = sh.select("id", "sz", F.explode_outer("sh").alias("shingle"))
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     # Rank each doc's shingles rarest-first in a TOTAL order (df, shingle).

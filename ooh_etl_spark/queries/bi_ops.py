@@ -818,6 +818,8 @@ def q254_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_c",
         )
+        .localCheckpoint()  # |purchasers| rows; feeds the percentile
+        # cuts AND segment assignment (purchase rollup ran twice)
     )
     cuts = per_user.agg(
         F.expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY recency_d)")
@@ -1006,12 +1008,14 @@ def q288_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"), "period")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("rev_c"))
     )
+    # checkpoint the 10-row pivot: it feeds the totals AND the output
+    # (the fact aggregate — including its bounds scan — ran twice).
     w = seg.groupBy("segment").agg(
         F.max(F.when(F.col("period") == 0, F.col("n")).otherwise(0)).alias("n0"),
         F.max(F.when(F.col("period") == 1, F.col("n")).otherwise(0)).alias("n1"),
         F.max(F.when(F.col("period") == 0, F.col("rev_c")).otherwise(0)).alias("r0"),
         F.max(F.when(F.col("period") == 1, F.col("rev_c")).otherwise(0)).alias("r1"),
-    )
+    ).localCheckpoint()
     tot = w.agg(F.sum("n0").alias("tn0"), F.sum("n1").alias("tn1"))
     rate0 = F.col("r0") * 1.0 / F.col("n0")
     return (

@@ -230,12 +230,16 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     # expression the oracle evaluates), not re-derived per pair — the
     # pairwise pass then costs one dot product per pair instead of
     # three, with bit-identical arithmetic (dot / (nrm_a * nrm_b)).
+    # checkpoint the assigned corpus: BOTH sides of the within-cluster
+    # self-join consume it, and without the checkpoint the K-centroid
+    # argmin fold (the expensive stage) executed twice (audited: 4
+    # parquet scans of embeddings in one plan; now 1).
     av = assign.select(
         "vec_id",
         "e",
         F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),
         "cluster",
-    )
+    ).localCheckpoint()
     x = av.select(
         "cluster",
         F.col("vec_id").alias("id_a"),
@@ -543,7 +547,8 @@ def q268_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.array(F.array_join(F.col("toks"), " ")))
         .alias("sh"),
-    )
+    ).localCheckpoint()  # shingle sets feed the size table AND both
+    # inverted-index sides (the tokenize pass ran 4x otherwise)
     sz = sh.select("doc_id", F.size("sh").alias("sz"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     a = inv.select(F.col("doc_id").alias("id_a"), "shingle")

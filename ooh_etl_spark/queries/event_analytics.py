@@ -736,7 +736,8 @@ def q242_leakage_safe_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lo"),
             F.floor(F.datediff(F.col("hi"), F.col("lo")) / 2.0).cast("int"),
         ).alias("t0")
-    )
+    ).localCheckpoint()  # 1 row; both disjoint passes consume it (the
+    # bounds scan would otherwise run once per pass)
     tagged = ev.crossJoin(F.broadcast(cut))
     feat = (
         tagged.filter(F.col("ts").cast("date") < F.col("t0"))
@@ -814,7 +815,10 @@ def q250_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tested against. Exact integer counts; one bp division.
     """
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # checkpoint the distinct (user, type) relation: it feeds the
+    # degree table and BOTH self-join sides (the distinct shuffle ran
+    # 4x otherwise).
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint()
     deg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("d"))
     a = ut.select("user_id", F.col("event_type").alias("ta"))
     b = ut.select("user_id", F.col("event_type").alias("tb"))
@@ -1197,6 +1201,8 @@ def q273_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_wk", "week_offset")
         .agg(F.sum("v_c").alias("rev_c"))
+        .localCheckpoint()  # (cohort, offset) rows; feeds the week-0
+        # base AND the final join (the purchase rollup ran twice)
     )
     base = rev.filter(F.col("week_offset") == 0).select(
         "cohort_wk", F.col("rev_c").alias("rev0_c")

@@ -1671,7 +1671,8 @@ def q289_novelty_effect_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cell = wk.groupBy("w", "arm").agg(
         F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sx")
-    )
+    ).localCheckpoint()  # weeks x 2 rows; feeds both arm projections
+    # (the fact aggregate — including its min-week scan — ran twice)
     a = cell.filter(F.col("arm") == 0).select(
         "w", (F.col("sx") * 1.0 / F.col("n")).alias("ma")
     )
@@ -2197,6 +2198,9 @@ def q321_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select("k", F.coalesce("s", F.lit(0)).cast("bigint").alias("out_c"))
+        .localCheckpoint()  # |customers| rows; feeds BOTH the treated
+        # and matched-control outcome joins (the orders rollup would
+        # otherwise run twice)
     )
     units = cust.select(
         F.col("c_custkey").alias("k"),

@@ -87,11 +87,16 @@ def q166_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein itself is the classic DP, identical in Spark (JVM) and
     DuckDB — integer output, no float policy needed."""
     p = load_table(spark, sf_dir, "part")
+    # checkpoint the |distinct-names| table: both sides of both
+    # blocking passes consume it, and without the checkpoint the
+    # distinct-shuffle re-ran 4x (audited: 4 parquet scans of part in
+    # one plan; now 1).
     n = (
         p.groupBy(F.col("p_name").alias("nm"))
         .agg(F.count(F.lit(1)).alias("support"))
         .withColumn("b1", F.split(F.col("nm"), " ")[0])
         .withColumn("b2", F.element_at(F.split(F.col("nm"), " "), -1))
+        .localCheckpoint()
     )
 
     def pass_pairs(key: str) -> DataFrame:

@@ -1644,7 +1644,13 @@ def q303_ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("m"),
     )
-    cells = lg.groupBy("arm", "r", "m").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint the <=20-row cell table: it feeds the arm totals, the
+    # grand total, and the weighted sums (3 corpus scans otherwise).
+    cells = (
+        lg.groupBy("arm", "r", "m")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     arms = cells.groupBy("arm").agg(F.sum("c").alias("na"))
     tot = cells.agg(F.sum("c").alias("n"))
     joined = cells.join(F.broadcast(arms), "arm").crossJoin(F.broadcast(tot))

@@ -116,12 +116,19 @@ def q158_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # BM25 scoring — q135's expression, unlimited (rank list cut below)
     d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    # checkpoint dl and tf (the q135 fix): each feeds two consumers,
+    # and without the checkpoints the tokenizing pass re-ran per
+    # consumer (audited: 4 parquet scans of documents; now 2).
+    dl = d.select("doc_id", F.size("toks").alias("dl")).localCheckpoint()
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
     tok = d.select("doc_id", F.explode_outer("toks").alias("term")).filter(
         F.col("term").isin(*_QUERY_TERMS)
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)

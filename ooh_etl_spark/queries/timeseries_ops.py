@@ -626,14 +626,18 @@ def q213_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     def disc_med(c: str) -> F.Column:
         return F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {c})")
 
+    # checkpoints hold the pass count at the documented two: med
+    # (|types| rows) feeds the deviation join, dev (narrow corpus
+    # rows) feeds both the MAD percentile and the final census —
+    # without them the plan re-scanned the facts 4x.
     med = v.groupBy("event_type").agg(
         disc_med("v_u").cast("bigint").alias("med_u")
-    )
+    ).localCheckpoint()
     dev = v.join(F.broadcast(med), "event_type").select(
         "event_type",
         "med_u",
         F.abs(F.col("v_u") - F.col("med_u")).alias("d_u"),
-    )
+    ).localCheckpoint()
     mad = dev.groupBy("event_type").agg(
         disc_med("d_u").cast("bigint").alias("mad_u")
     )
