@@ -698,3 +698,60 @@ def q291_suffix_lcp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lcp_bucket")
     )
+
+
+# --- q327: normalization-layer exact dedup (round 6) -----------------------
+_DUCK_NORM_DEDUP = """
+    WITH n AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS norm_key
+      FROM documents),
+         g AS (
+      SELECT norm_key, count(*) AS n_copies, min(doc_id) AS survivor
+      FROM n GROUP BY norm_key)
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(survivor) AS BIGINT) AS min_survivor
+    FROM g GROUP BY 1 ORDER BY n_copies
+"""
+
+
+@register("q327_normalized_exact_dedup", _DUCK_NORM_DEDUP)
+def q327_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-layer exact dedup — the cheap middle rung between
+    byte-exact dedup (q26) and shingle similarity (q27) that
+    production corpus cleaners run FIRST (C4 lowercased before
+    dedup; Dolma/RefinedWeb normalize whitespace): two documents that
+    differ only in case or whitespace runs are duplicates, caught by
+    grouping on md5(lower(whitespace-collapsed text)). Output is the
+    copy-count profile with the min-id survivor rule (q26's
+    convention), so the oracle proves group membership, not just
+    counts.
+
+    100 TB shape: the normalization is a per-row map fused into the
+    scan stage; the ONLY shuffle keys on the 128-bit digest (never
+    the text itself — bytes on the wire are 32 hex chars per doc
+    regardless of document length, the reason to hash BEFORE the
+    exchange). Identical plan to q26 with a richer key function; the
+    normalization ladder extends per-corpus (Unicode NFKC,
+    punctuation strip) by swapping the key expression only."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("norm_key"),
+    )
+    g = n.groupBy("norm_key").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("survivor"),
+    )
+    return (
+        g.groupBy(F.col("n_copies").cast("bigint").alias("n_copies"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.min("survivor").cast("bigint").alias("min_survivor"),
+        )
+        .orderBy("n_copies")
+    )

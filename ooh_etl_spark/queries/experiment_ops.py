@@ -2266,3 +2266,105 @@ def q321_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_out")).cast("bigint").alias("mean_control_cents"),
         )
     )
+
+
+# --- q328: instrumental-variable (Wald/2SLS) estimator (round 6) -----------
+_DUCK_IV = """
+    WITH d AS (
+      SELECT CAST(o_orderkey % 2 AS BIGINT) AS z,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders),
+         m AS (
+      SELECT count(*) AS n,
+             sum(z) AS sz, sum(x) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(z * x) AS szx, sum(z * y) AS szy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM d),
+         c AS (
+      SELECT n,
+             (szx - sz * 1.0 * sx / n) AS cov_zx,
+             (szy - sz * 1.0 * sy / n) AS cov_zy,
+             (sxy - sx * 1.0 * sy / n) AS cov_xy,
+             (sxx - sx * 1.0 * sx / n) AS var_x,
+             (sz - sz * 1.0 * sz / n) AS var_z
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(1000000000.0 * cov_zy / cov_zx) AS BIGINT)
+             AS beta_iv_e9,
+           CAST(round(1000000000.0 * cov_xy / var_x) AS BIGINT)
+             AS beta_ols_e9,
+           CAST(round(1000.0 * (n - 2) * cov_zx * cov_zx
+                      / (var_z * var_x - cov_zx * cov_zx)) AS BIGINT)
+             AS first_stage_f_milli
+    FROM c
+"""
+
+
+@register("q328_iv_wald", _DUCK_IV)
+def q328_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable estimate (Wald 1940; the just-identified
+    2SLS closed form): beta_IV = cov(z,y)/cov(z,x) — the causal
+    estimator when the regressor is endogenous and a randomized-ish
+    instrument exists (here the order-key parity standing in for an
+    encouragement assignment; x = order value cents, y = urgent
+    priority). Reported NEXT TO the naive OLS slope so the divergence
+    (the endogeneity bias the IV removes) is visible, plus the
+    first-stage F — the Stock-Yogo weak-instrument diagnostic
+    (F < 10 means the IV estimate is untrustworthy no matter how
+    clean the algebra).
+
+    Determinism: one moment aggregate in exact integers (z is 0/1 so
+    z*x and z*z stay within int64 bounds); the covariance ratios are
+    identical closed-form doubles quantized at the end.
+
+    100 TB shape: ONE map-side-combinable moment aggregate — the
+    whole causal machinery is six sums; this is q252's OLS pattern
+    with a second covariance, and it composes with q321 (matching)
+    and q235 (DiD) as the third identification strategy."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        (F.col("o_orderkey") % 2).cast("bigint").alias("z"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    # decimal(38,0) accumulators for the cent-product moments: x*x is
+    # ~3.6e15 per row, so the int64 sum overflows past ~2500 rows
+    # (q255's lesson); one double conversion after the reduce.
+    dec = lambda c: c.cast("decimal(38,0)")
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dec(F.col("z") * F.col("x"))).cast("double").alias("szx"),
+        F.sum(F.col("z") * F.col("y")).alias("szy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).cast("double").alias("sxx"),
+    )
+    n = F.col("n")
+    cov_zx = F.col("szx") - F.col("sz") * 1.0 * F.col("sx") / n
+    cov_zy = F.col("szy") - F.col("sz") * 1.0 * F.col("sy") / n
+    cov_xy = F.col("sxy") - F.col("sx") * 1.0 * F.col("sy") / n
+    var_x = F.col("sxx") - F.col("sx") * 1.0 * F.col("sx") / n
+    var_z = F.col("sz") - F.col("sz") * 1.0 * F.col("sz") / n
+    return m.select(
+        n.cast("bigint").alias("n"),
+        F.round(1000000000.0 * cov_zy / cov_zx).cast("bigint").alias(
+            "beta_iv_e9"
+        ),
+        F.round(1000000000.0 * cov_xy / var_x).cast("bigint").alias(
+            "beta_ols_e9"
+        ),
+        F.round(
+            1000.0
+            * (n - 2)
+            * cov_zx
+            * cov_zx
+            / (var_z * var_x - cov_zx * cov_zx)
+        )
+        .cast("bigint")
+        .alias("first_stage_f_milli"),
+    )

@@ -660,3 +660,154 @@ def q247_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, true_bin long, detected_bin long, margin_dmdb long"
     return docs.mapInPandas(op, schema=schema).orderBy("doc_id")
+
+
+# --- q332: average-hash image near-dup (round 6) --------------------------
+_AH_W = _AH_H = 32  # synthesized source image dims
+_AH_N = _AH_W * _AH_H
+_AH_PANEL = 120  # 30 four-image clusters
+_AH_T = 3  # Hamming threshold; 4 bands of 16 bits guarantee recall <= 3
+
+_DUCK_AHASH = f"""
+    WITH d AS (
+      SELECT doc_id, doc_id // 4 AS seed FROM documents
+      WHERE doc_id < {_AH_PANEL}),
+         px AS (
+      SELECT doc_id, t.k,
+             CASE WHEN t.k < doc_id % 4
+                  THEN ((seed * 31 + 3 * t.k) % 256 + 16) % 256
+                  ELSE (seed * 31 + 3 * t.k) % 256 END AS r,
+             (seed * 31 + 3 * t.k + 1) % 256 AS g,
+             (seed * 31 + 3 * t.k + 2) % 256 AS b
+      FROM d, generate_series(0, {_AH_N - 1}) AS t(k)),
+         luma AS (
+      SELECT doc_id,
+             ((k // {_AH_W}) // 4) * 8 + (k % {_AH_W}) // 4 AS blk,
+             (299 * r + 587 * g + 114 * b) // 1000 AS y
+      FROM px),
+         blocks AS (
+      SELECT doc_id, blk, sum(y) AS bs FROM luma GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(bs) AS ts FROM blocks GROUP BY 1),
+         bits AS (
+      SELECT b.doc_id, b.blk,
+             CASE WHEN b.bs * 64 > t.ts THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN tot t USING (doc_id)),
+         h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN blk < 32
+                           THEN bit * (CAST(1 AS BIGINT) << blk)
+                           ELSE 0 END) AS BIGINT) AS hash_lo,
+             CAST(sum(CASE WHEN blk >= 32
+                           THEN bit * (CAST(1 AS BIGINT) << (blk - 32))
+                           ELSE 0 END) AS BIGINT) AS hash_hi
+      FROM bits GROUP BY 1)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hash_lo, b.hash_lo))
+                + bit_count(xor(a.hash_hi, b.hash_hi)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+          + bit_count(xor(a.hash_hi, b.hash_hi)) <= {_AH_T}
+    ORDER BY id_a, id_b
+"""
+
+
+@register("q332_image_ahash_neardup", _DUCK_AHASH)
+def q332_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE detection by average hash
+    (aHash — the mean-threshold member of the pHash family; Zauner
+    2010 survey): decode each synthesized 32x32 PPM (q156's REAL
+    codec — the bytes round-trip through encode/decode, not a stub),
+    downsample luma to an 8x8 grid of 4x4-block means, emit one bit
+    per block (above/below the global mean), pack 64 bits into two
+    int64 halves, and find pairs within Hamming distance {_AH_T} —
+    the image-side analogue of q29's SimHash text dedup. The fixture
+    plants 4-image clusters (shared pixel seed, <=3 perturbed pixels)
+    so true near-dups have Hamming <= 1 and distinct seeds scatter.
+
+    The pair search is BANDED, never all-pairs: 4 bands of 16 bits
+    each — by pigeonhole, any pair within Hamming 3 agrees exactly on
+    at least one band, so the equi-join on (band_id, band_value)
+    has perfect recall at the threshold; exact Hamming verifies via
+    bit_count(XOR) in whole-stage codegen. The oracle recomputes the
+    hash closed-form from the pixel formula and does the quadratic
+    join (panel-sized), proving both the codec path and the banding.
+
+    100 TB shape: hashing is a narrow Arrow decode pass (no shuffle);
+    the only exchange keys on (band, value) — 4 rows per image
+    regardless of image size; hot bands (blank images) are the skew
+    case, handled by AQE or by widening to 8x8-bit bands."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ooh_etl_spark.operators.multimodal import decode_ppm, encode_ppm
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _AH_PANEL)
+    ).select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                seed = did // 4
+                k = np.arange(_AH_N, dtype=np.int64)
+                r = (seed * 31 + 3 * k) % 256
+                r[k < did % 4] = (r[k < did % 4] + 16) % 256
+                g = (seed * 31 + 3 * k + 1) % 256
+                b = (seed * 31 + 3 * k + 2) % 256
+                px = np.stack([r, g, b], axis=1).astype(np.uint8)
+                payload = encode_ppm(px.reshape(_AH_H, _AH_W, 3))
+                img = decode_ppm(payload).astype(np.int64)
+                y = (
+                    299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]
+                ) // 1000
+                bs = y.reshape(8, 4, 8, 4).sum(axis=(1, 3))  # 8x8 block sums
+                bits = (bs.reshape(-1) * 64 > y.sum()).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                rows.append((did, lo, hi))
+            yield pd.DataFrame(rows, columns=["doc_id", "hash_lo", "hash_hi"])
+
+    h = docs.mapInPandas(
+        op, schema="doc_id long, hash_lo long, hash_hi long"
+    ).localCheckpoint()  # hash table feeds both banded-join sides
+    bands = h.select(
+        "doc_id",
+        "hash_lo",
+        "hash_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("hash_lo") % 65536).alias("bv")),
+                F.struct(F.lit(1).alias("band"), F.expr("hash_lo div 65536").alias("bv")),
+                F.struct(F.lit(2).alias("band"), (F.col("hash_hi") % 65536).alias("bv")),
+                F.struct(F.lit(3).alias("band"), F.expr("hash_hi div 65536").alias("bv")),
+            )
+        ).alias("e"),
+    ).select("doc_id", "hash_lo", "hash_hi", "e.band", "e.bv")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hash_lo").alias("la"),
+        F.col("hash_hi").alias("ha"),
+        "band",
+        "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hash_lo").alias("lb"),
+        F.col("hash_hi").alias("hb"),
+        "band",
+        "bv",
+    )
+    hamming = F.expr("bit_count(la ^ lb) + bit_count(ha ^ hb)")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= _AH_T)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

@@ -1496,3 +1496,373 @@ def q320_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rejected"),
     ).orderBy("rk")
+
+
+# --- q323: McNemar paired-classifier test (round 6) -----------------------
+_DUCK_MCNEMAR = """
+    WITH lab AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN value >= 50 THEN 1 ELSE 0 END AS pa,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS pb
+      FROM events),
+         cells AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM lab)
+    SELECT CAST(n AS BIGINT) AS n_pairs, b AS a_only_right,
+           c AS b_only_right,
+           CAST(CASE WHEN b + c = 0 THEN 0
+                ELSE round(1000.0 * (abs(b - c) - 1) * (abs(b - c) - 1)
+                           / (b + c)) END AS BIGINT) AS chi2_milli,
+           CAST(CASE WHEN b + c > 0
+                      AND 1000.0 * (abs(b - c) - 1) * (abs(b - c) - 1)
+                          / (b + c) > 3841
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM cells
+"""
+
+
+@register("q323_mcnemar", _DUCK_MCNEMAR)
+def q323_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED classifier comparison (McNemar 1947;
+    Dietterich 1998 for ML model comparison — the right test when two
+    models score the SAME examples, where a two-proportion z-test
+    overstates significance by ignoring the pairing): only the
+    discordant cells matter — b = A right & B wrong, c = A wrong & B
+    right — and the continuity-corrected statistic (|b-c|-1)^2/(b+c)
+    is chi-square(1) under H0: equal error rates. Models here are two
+    deterministic rules over events (value threshold vs user parity)
+    against the purchase label.
+
+    Determinism: b and c are integer counts from ONE aggregate; the
+    statistic is one closed-form expression quantized to milli-units;
+    the 0.05 cut compares against 3.841 (chi2_{1,.95}) as an exact
+    literal (the no-CDF contract).
+
+    100 TB shape: one map-side-combinable aggregate over the paired
+    predictions — the discordant-cell reduction IS the whole test, so
+    it runs wherever the scoring job already runs (q311's
+    zero-extra-pass pattern applies)."""
+    ev = load_table(spark, sf_dir, "events")
+    lab = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("pa"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("pb"),
+    )
+    cells = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    d = F.abs(F.col("b") - F.col("c"))
+    chi2_milli = F.round(
+        1000.0 * (d - 1) * (d - 1) / (F.col("b") + F.col("c"))
+    )
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("b").alias("a_only_right"),
+        F.col("c").alias("b_only_right"),
+        F.when(F.col("b") + F.col("c") == 0, 0)
+        .otherwise(chi2_milli)
+        .cast("bigint")
+        .alias("chi2_milli"),
+        F.when(
+            (F.col("b") + F.col("c") > 0)
+            & (
+                1000.0 * (d - 1) * (d - 1) / (F.col("b") + F.col("c"))
+                > 3841
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("significant_05"),
+    )
+
+
+# --- q325: one-way ANOVA F (round 6) --------------------------------------
+_DUCK_ANOVA = """
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+      FROM events GROUP BY 1),
+         tot AS (
+      SELECT count(*) AS k, sum(n) AS nn, sum(s) AS stot,
+             sum(s * s * 1.0 / n) AS sb_part, sum(ss) AS sstot
+      FROM g)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+           CAST(round(1000.0
+                      * ((sb_part - stot * stot * 1.0 / nn) / (k - 1))
+                      / ((sstot - sb_part) / (nn - k))) AS BIGINT)
+             AS f_milli
+    FROM tot
+"""
+
+
+@register("q325_anova_oneway", _DUCK_ANOVA)
+def q325_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic (Fisher 1925) across event-type
+    groups — the k-group generalization of q192's Welch t: F =
+    (between-group SS / (k-1)) / (within-group SS / (N-k)), computed
+    entirely from per-group (n, sum, sum-of-squares) in integer cents,
+    so the whole decomposition SS_total = SS_between + SS_within is
+    exact until the final quantized ratio. Complements q326's rank
+    form (this one assumes equal variances and normal-ish tails; that
+    one doesn't).
+
+    100 TB shape: ONE map-side-combinable moment aggregate to |groups|
+    rows, then scalar math — the canonical 'heavy aggregate, tiny
+    decision' plan. Cent-squared sums fit int64 to ~10^14 rows per
+    group at these value scales; the documented escalation is the
+    decimal(38,0) accumulator (q255's lesson)."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vc).cast("bigint").alias("s"),
+        F.sum(vc * vc).cast("bigint").alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("stot"),
+        F.sum(F.col("s") * F.col("s") * 1.0 / F.col("n")).alias("sb_part"),
+        F.sum("ss").alias("sstot"),
+    )
+    ssb = F.col("sb_part") - F.col("stot") * F.col("stot") * 1.0 / F.col("nn")
+    ssw = F.col("sstot") - F.col("sb_part")
+    return tot.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n"),
+        F.round(
+            1000.0
+            * (ssb / (F.col("k") - 1))
+            / (ssw / (F.col("nn") - F.col("k")))
+        )
+        .cast("bigint")
+        .alias("f_milli"),
+    )
+
+
+# --- q326: Kruskal-Wallis rank test (round 6) ------------------------------
+_DUCK_KRUSKAL = """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
+      FROM events),
+         hist AS (
+      SELECT v_u, count(*) AS c FROM v GROUP BY v_u),
+         mid AS (
+      SELECT v_u, c,
+             2 * coalesce(sum(c) OVER (ORDER BY v_u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS mr2
+      FROM hist),
+         gh AS (
+      SELECT event_type, v_u, count(*) AS cg FROM v GROUP BY 1, 2),
+         rsum AS (
+      SELECT gh.event_type,
+             CAST(sum(gh.cg) AS BIGINT) AS n_g,
+             CAST(sum(gh.cg * mid.mr2) AS BIGINT) AS r2_g
+      FROM gh JOIN mid USING (v_u) GROUP BY 1),
+         ties AS (
+      SELECT sum(c * c * c - c) AS tsum FROM hist),
+         tot AS (
+      SELECT count(*) AS k, sum(n_g) AS nn,
+             sum((r2_g / 2.0) * (r2_g / 2.0) / n_g) AS rterm
+      FROM rsum)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+           CAST(round(1000.0
+                  * (12.0 / (nn * (nn + 1)) * rterm - 3.0 * (nn + 1))
+                  / (1.0 - ties.tsum * 1.0 / (nn * nn * nn - nn)))
+                AS BIGINT) AS h_milli
+    FROM tot CROSS JOIN ties
+"""
+
+
+@register("q326_kruskal_wallis", _DUCK_KRUSKAL)
+def q326_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test (JASA 1952) — the distribution-free
+    k-group location test (rank analogue of q325's ANOVA, k-group
+    generalization of q280's Mann-Whitney): H = 12/(N(N+1)) sum
+    R_g^2/n_g - 3(N+1), tie-corrected by 1 - sum(t^3-t)/(N^3-N).
+    Ranks are MIDRANKS computed from the pooled value HISTOGRAM
+    (2*midrank = 2*cum_before + c + 1 keeps everything integer — the
+    q196/q281 rank-map contract: no corpus-scale sort, ever); group
+    rank sums come from joining the per-group histogram to the pooled
+    midrank table on the value key.
+
+    100 TB shape: two histogram aggregates (pooled, per-group) bounded
+    by the quantization grid, one co-keyed join, and scalar closed
+    forms — the global ordered window runs over the value histogram,
+    never over rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_u"),
+    )
+    hist = v.groupBy("v_u").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    wcum = Window.orderBy("v_u").rowsBetween(Window.unboundedPreceding, -1)
+    mid = hist.select(
+        "v_u",
+        "c",
+        (
+            2 * F.coalesce(F.sum("c").over(wcum), F.lit(0)) + F.col("c") + 1
+        ).alias("mr2"),
+    )
+    gh = v.groupBy("event_type", "v_u").agg(F.count(F.lit(1)).alias("cg"))
+    rsum = (
+        gh.join(mid.select("v_u", "mr2"), "v_u")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").cast("bigint").alias("n_g"),
+            F.sum(F.col("cg") * F.col("mr2")).cast("bigint").alias("r2_g"),
+        )
+    )
+    ties = hist.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tsum")
+    )
+    tot = rsum.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("nn"),
+        F.sum(
+            (F.col("r2_g") / 2.0) * (F.col("r2_g") / 2.0) / F.col("n_g")
+        ).alias("rterm"),
+    )
+    h = (
+        12.0 / (F.col("nn") * (F.col("nn") + 1)) * F.col("rterm")
+        - 3.0 * (F.col("nn") + 1)
+    )
+    corr = 1.0 - F.col("tsum") * 1.0 / (
+        F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn")
+    )
+    return tot.crossJoin(F.broadcast(ties)).select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n"),
+        F.round(1000.0 * h / corr).cast("bigint").alias("h_milli"),
+    )
+
+
+# --- q331: Cramer-von Mises two-sample (round 6) ---------------------------
+_DUCK_CVM = """
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS grp,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events WHERE event_type IN ('click', 'view')),
+         hist AS (
+      SELECT v_c,
+             CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM s GROUP BY v_c),
+         tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n, CAST(sum(cb) AS BIGINT) AS m
+      FROM hist),
+         cum AS (
+      SELECT v_c, ca, cb,
+             sum(ca) OVER (ORDER BY v_c) AS cum_a,
+             sum(cb) OVER (ORDER BY v_c) AS cum_b
+      FROM hist),
+         terms AS (
+      SELECT CAST(sum(
+               CAST(round(1000000000.0
+                 * (cum_a * 1.0 / tot.n - cum_b * 1.0 / tot.m)
+                 * (cum_a * 1.0 / tot.n - cum_b * 1.0 / tot.m)) AS BIGINT)
+               * (ca + cb)) AS BIGINT) AS u_e9
+      FROM cum CROSS JOIN tot)
+    SELECT tot.n, tot.m,
+           CAST(round(tot.n * tot.m * 1.0 / ((tot.n + tot.m)
+                      * (tot.n + tot.m)) * u_e9 / 1000.0) AS BIGINT)
+             AS cvm_e6
+    FROM terms CROSS JOIN tot
+"""
+
+
+@register("q331_cramer_von_mises", _DUCK_CVM)
+def q331_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer-von Mises two-sample statistic (Anderson 1962) between
+    the click and view value distributions — the INTEGRATED-squared
+    ECDF distance that completes the drift triptych: q161's KS reacts
+    to the single worst gap, q308's Wasserstein to total transport
+    mass, CvM to accumulated squared divergence (sensitive to many
+    small departures KS misses). T = nm/(n+m)^2 * sum_x (F_n(x) -
+    G_m(x))^2 * w(x) over the pooled value histogram with w = pooled
+    count at x.
+
+    Determinism: ECDF ratios are exact-integer divisions; each squared
+    gap quantizes to e9 BEFORE the weighted integer sum (the q308
+    per-term contract), so partitioning cannot move the answer.
+
+    100 TB shape: one (group, value) histogram aggregate, one
+    histogram-bounded cumulative window, one scalar reduction —
+    identical plan skeleton to q308, same escalation (pre-bucket the
+    value grid) at extreme cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias("grp"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+    )
+    hist = (
+        s.groupBy("v_c")
+        .agg(
+            F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        .localCheckpoint()  # histogram feeds totals AND the cumulative
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("bigint").alias("n"),
+        F.sum("cb").cast("bigint").alias("m"),
+    )
+    wc = Window.orderBy("v_c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+    )
+    gap = (
+        F.col("cum_a") * 1.0 / F.col("n") - F.col("cum_b") * 1.0 / F.col("m")
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(1000000000.0 * gap * gap).cast("bigint")
+            * (F.col("ca") + F.col("cb"))
+        )
+        .cast("bigint")
+        .alias("u_e9"),
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+    )
+    return terms.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("m").cast("bigint").alias("m"),
+        F.round(
+            F.col("n")
+            * F.col("m")
+            * 1.0
+            / ((F.col("n") + F.col("m")) * (F.col("n") + F.col("m")))
+            * F.col("u_e9")
+            / 1000.0
+        )
+        .cast("bigint")
+        .alias("cvm_e6"),
+    )

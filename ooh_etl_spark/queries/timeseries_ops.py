@@ -1582,3 +1582,85 @@ def q316_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("power_n"),
     ).orderBy("period_hours")
+
+
+# --- q330: Theil-Sen robust trend (round 6) --------------------------------
+_DUCK_THEILSEN = """
+    WITH day AS (
+      SELECT CAST(epoch(CAST(ts AS DATE)) / 86400 AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         d0 AS (SELECT min(d) AS d0 FROM day),
+         t AS (SELECT d - d0.d0 AS t, rev_c FROM day CROSS JOIN d0),
+         slopes AS (
+      SELECT CAST(round(1000000.0 * (b.rev_c - a.rev_c) / (b.t - a.t))
+                  AS BIGINT) AS slope_u
+      FROM t a JOIN t b ON a.t < b.t)
+    SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS n_days,
+           CAST((SELECT count(*) FROM slopes) AS BIGINT) AS n_pairs,
+           CAST((SELECT quantile_disc(slope_u, 0.5) FROM slopes) AS BIGINT)
+             AS theilsen_slope_u,
+           CAST((SELECT quantile_disc(rev_c, 0.5) FROM t) AS BIGINT)
+             AS median_rev_c
+"""
+
+
+@register("q330_theil_sen_trend", _DUCK_THEILSEN)
+def q330_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily purchase revenue (Theil 1950;
+    Sen JASA 1968): the MEDIAN of all pairwise day-to-day slopes — a
+    29%-breakdown-point trend estimator that one outlier day cannot
+    move, where q252/q289's OLS slope chases it. The all-pairs join
+    is CALENDAR-BOUNDED (the day grid, not events: y years of data is
+    ~(365y)^2/2 pairs — 6.7M at a decade, trivially shuffleable), so
+    the classic O(n^2) objection to Theil-Sen doesn't apply when the
+    series is a daily rollup; slopes quantize to 1e-6 cents/day
+    BEFORE the exact discrete median (q141's percentile contract).
+
+    100 TB shape: ONE corpus pass builds the day table (map-side
+    combined, checkpointed — it feeds the origin bound, the pair
+    join's two sides, and the level median); everything after runs on
+    the bounded grid."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.floor(F.unix_timestamp(F.col("ts").cast("date")) / 86400))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+        .localCheckpoint()
+    )
+    d0 = day.agg(F.min("d").alias("d0"))
+    t = day.crossJoin(F.broadcast(d0)).select(
+        (F.col("d") - F.col("d0")).alias("t"), "rev_c"
+    ).localCheckpoint()
+    a = t.select(F.col("t").alias("ta"), F.col("rev_c").alias("ra"))
+    b = t.select(F.col("t").alias("tb"), F.col("rev_c").alias("rb"))
+    slopes = a.join(b, F.col("ta") < F.col("tb")).select(
+        F.round(
+            1000000.0 * (F.col("rb") - F.col("ra")) / (F.col("tb") - F.col("ta"))
+        )
+        .cast("bigint")
+        .alias("slope_u")
+    )
+    stats = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_u)")
+        .cast("bigint")
+        .alias("theilsen_slope_u"),
+    )
+    lvl = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY rev_c)")
+        .cast("bigint")
+        .alias("median_rev_c"),
+    )
+    return lvl.crossJoin(F.broadcast(stats)).select(
+        "n_days", "n_pairs", "theilsen_slope_u", "median_rev_c"
+    )

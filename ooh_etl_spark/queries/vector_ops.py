@@ -450,3 +450,135 @@ def _kc_dist_nano(e, vec):
         lambda acc, x: acc + x,
     )
     return F.round(1000000000 * d2).cast("bigint")
+
+
+# --- q324: Matryoshka truncation fidelity (round 6) ------------------------
+_MRL_NQ = 20  # query panel size
+_MRL_DIMS = (16, 32)  # truncation prefixes audited against full 64
+
+_DUCK_MRL = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_MRL_NQ}),
+         c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+         scored AS (
+      SELECT d.d, q.qid, c.cid,
+             row_number() OVER (
+               PARTITION BY d.d, q.qid
+               ORDER BY CAST(round(1000000.0
+                 * list_dot_product(q.qv[1:64], c.cv[1:64])
+                 / (sqrt(list_dot_product(q.qv[1:64], q.qv[1:64]))
+                    * sqrt(list_dot_product(c.cv[1:64], c.cv[1:64]))))
+                 AS BIGINT) DESC, c.cid) AS r_full,
+             row_number() OVER (
+               PARTITION BY d.d, q.qid
+               ORDER BY CAST(round(1000000.0
+                 * list_dot_product(q.qv[1:d.d], c.cv[1:d.d])
+                 / (sqrt(list_dot_product(q.qv[1:d.d], q.qv[1:d.d]))
+                    * sqrt(list_dot_product(c.cv[1:d.d], c.cv[1:d.d]))))
+                 AS BIGINT) DESC, c.cid) AS r_trunc
+      FROM q JOIN c ON q.qid <> c.cid
+      CROSS JOIN (SELECT unnest([{", ".join(str(d) for d in _MRL_DIMS)}]) AS d) d),
+         rho AS (
+      SELECT d, qid,
+             count(*) AS n,
+             CAST(sum((r_full - r_trunc) * (r_full - r_trunc)) AS BIGINT)
+               AS d2
+      FROM scored GROUP BY 1, 2)
+    SELECT CAST(d AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(round(1000000.0 * avg(
+             1.0 - 6.0 * d2 / (n * (n * 1.0 * n - 1)))) AS BIGINT)
+             AS mean_spearman_e6
+    FROM rho GROUP BY d ORDER BY dim
+"""
+
+
+@register("q324_matryoshka_fidelity", _DUCK_MRL)
+def q324_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation fidelity audit (Kusupati et al., NeurIPS
+    2022): how well does ranking by a PREFIX of the embedding (16 or
+    32 of 64 dims) preserve the full-dimension cosine ranking? The
+    answer — mean Spearman rho between the two rankings per query —
+    is the number that decides whether the cheap prefix index can
+    serve first-stage retrieval (the 1-bit/Hamming q290 trade in its
+    dimension-reduction form). Ranks are per-query row_numbers over
+    e6-QUANTIZED cosines with cid tie-breaks, so both engines produce
+    identical integer ranks and the rho is exact.
+
+    100 TB shape: the query panel broadcasts (q30's contract); per
+    (dim, query) rankings partition the window by the panel key —
+    corpus-sized data never sees a global window; the rho reduction
+    is one bounded aggregate. The production use is offline: run once
+    per embedding version to pick the serving dimension."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "d int")
+    pairs = emb.select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    ).crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid")).crossJoin(
+        F.broadcast(dims)
+    )
+
+    def cos_e6(prefix) -> F.Column:
+        qs = F.slice(F.col("qv"), 1, prefix)
+        cs = F.slice(F.col("cv"), 1, prefix)
+        d = lambda a, b: F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        return F.round(
+            1000000.0 * d(qs, cs) / (F.sqrt(d(qs, qs)) * F.sqrt(d(cs, cs)))
+        ).cast("bigint")
+
+    wf = Window.partitionBy("d", "qid").orderBy(
+        F.desc("s_full"), F.asc("cid")
+    )
+    wt = Window.partitionBy("d", "qid").orderBy(
+        F.desc("s_trunc"), F.asc("cid")
+    )
+    scored = pairs.select(
+        "d",
+        "qid",
+        "cid",
+        cos_e6(F.lit(64)).alias("s_full"),
+        cos_e6(F.col("d")).alias("s_trunc"),
+    ).select(
+        "d",
+        "qid",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wt).alias("r_trunc"),
+    )
+    rho = scored.groupBy("d", "qid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("r_full") - F.col("r_trunc"))
+            * (F.col("r_full") - F.col("r_trunc"))
+        )
+        .cast("bigint")
+        .alias("d2"),
+    )
+    return (
+        rho.groupBy(F.col("d").cast("bigint").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                1000000.0
+                * F.avg(
+                    1.0
+                    - 6.0
+                    * F.col("d2")
+                    / (F.col("n") * (F.col("n") * 1.0 * F.col("n") - 1))
+                )
+            )
+            .cast("bigint")
+            .alias("mean_spearman_e6"),
+        )
+        .orderBy("dim")
+    )

@@ -729,3 +729,161 @@ def q314_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("skip_bp_current"),
     )
+
+
+# --- q329: sort-key advisor via rank correlation (round 6) -----------------
+_SORTKEY_CANDIDATES = ("o_custkey", "o_totalprice_c", "o_orderkey")
+
+_DUCK_SORTKEY = """
+    WITH d AS (
+      SELECT CAST(epoch(o_orderdate) AS BIGINT) AS qcol,
+             o_custkey AS c_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c_totalprice,
+             o_orderkey AS c_orderkey
+      FROM orders),
+         n AS (SELECT count(*) AS n FROM d),
+         stacked AS (
+      SELECT 'o_custkey' AS candidate, c_custkey AS v, qcol FROM d
+      UNION ALL
+      SELECT 'o_totalprice_c', c_totalprice, qcol FROM d
+      UNION ALL
+      SELECT 'o_orderkey', c_orderkey, qcol FROM d),
+         rv AS (
+      SELECT candidate, v, count(*) AS c FROM stacked GROUP BY 1, 2),
+         rvm AS (
+      SELECT candidate, v,
+             2 * coalesce(sum(c) OVER (PARTITION BY candidate ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2v
+      FROM rv),
+         rq AS (
+      SELECT qcol, count(*) AS c FROM d GROUP BY 1),
+         rqm AS (
+      SELECT qcol,
+             2 * coalesce(sum(c) OVER (ORDER BY qcol
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2q
+      FROM rq),
+         j AS (
+      SELECT s.candidate, rvm.r2v / 2.0 AS rx, rqm.r2q / 2.0 AS ry
+      FROM stacked s
+      JOIN rvm ON rvm.candidate = s.candidate AND rvm.v = s.v
+      JOIN rqm ON rqm.qcol = s.qcol),
+         m AS (
+      SELECT candidate, count(*) AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+      FROM j GROUP BY 1)
+    SELECT candidate,
+           CAST(round(1000000.0 * (n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+                AS BIGINT) AS rank_corr_e6,
+           CAST(row_number() OVER (
+             ORDER BY abs((n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) DESC,
+             candidate) AS BIGINT) AS advisor_rank
+    FROM m ORDER BY advisor_rank
+"""
+
+
+@register("q329_sort_key_advisor", _DUCK_SORTKEY)
+def q329_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key advisor: rank candidate physical sort keys by |Spearman
+    correlation| with the dominant query predicate column (order date)
+    — the decision input for lakehouse OPTIMIZE ... ZORDER / SORT BY.
+    Sorting by a key strongly rank-correlated with the predicate
+    column tightens every file's min/max envelope on that column, so
+    zone maps (q314) prune; a near-zero correlation predicts useless
+    pruning WITHOUT EXECUTING ANY RE-SORT. The q313/q314 trio closes:
+    measure current layout -> bound the ideal -> pick the key.
+
+    Ranks are histogram midranks (the q281/q326 rank-map: 2*midrank
+    stays integer, no corpus sort); the correlation is Pearson over
+    midranks = Spearman with the standard tie treatment. Moment sums
+    run in doubles over midranks (exact integers + .5 halves — exact
+    in binary floating point, and identical in both engines).
+
+    100 TB shape: one narrow scan stacks the candidates (explode),
+    per-candidate value histograms bound the windows, and the moment
+    reduce is map-side combinable. Candidate count is a constant; the
+    advisor runs as metadata-cheaply as the audits it feeds."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.unix_timestamp(F.col("o_orderdate")).cast("bigint").alias("qcol"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("c_totalprice"),
+        F.col("o_orderkey").alias("c_orderkey"),
+    )
+    stacked = d.select(
+        "qcol",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey").alias("candidate"),
+                    F.col("c_custkey").alias("v"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice_c").alias("candidate"),
+                    F.col("c_totalprice").alias("v"),
+                ),
+                F.struct(
+                    F.lit("o_orderkey").alias("candidate"),
+                    F.col("c_orderkey").alias("v"),
+                ),
+            )
+        ).alias("s"),
+    ).select("qcol", "s.candidate", "s.v").localCheckpoint()
+    rv = stacked.groupBy("candidate", "v").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("candidate")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rvm = rv.select(
+        "candidate",
+        "v",
+        (2 * F.coalesce(F.sum("c").over(wv), F.lit(0)) + F.col("c") + 1).alias(
+            "r2v"
+        ),
+    )
+    rq = stacked.filter(F.col("candidate") == "o_custkey").groupBy("qcol").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wq = Window.orderBy("qcol").rowsBetween(Window.unboundedPreceding, -1)
+    rqm = rq.select(
+        "qcol",
+        (2 * F.coalesce(F.sum("c").over(wq), F.lit(0)) + F.col("c") + 1).alias(
+            "r2q"
+        ),
+    )
+    j = (
+        stacked.join(rvm, ["candidate", "v"])
+        .join(F.broadcast(rqm), "qcol")
+        .select(
+            "candidate",
+            (F.col("r2v") / 2.0).alias("rx"),
+            (F.col("r2q") / 2.0).alias("ry"),
+        )
+    )
+    m = j.groupBy("candidate").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "candidate",
+        F.round(1000000.0 * rho).cast("bigint").alias("rank_corr_e6"),
+        F.row_number()
+        .over(Window.orderBy(F.abs(rho).desc(), F.col("candidate")))
+        .cast("bigint")
+        .alias("advisor_rank"),
+    ).orderBy("advisor_rank")
