@@ -677,3 +677,78 @@ def q255_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("assortativity_e6"),
     )
+
+
+# --- q333: HITS hubs & authorities, two exact iterations (round 6) ---------
+_HITS_TOP = 15
+
+_DUCK_HITS = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         a1 AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS a FROM items GROUP BY p),
+         h1 AS (
+      SELECT items.o, CAST(sum(a1.a) AS BIGINT) AS h
+      FROM items JOIN a1 USING (p) GROUP BY items.o),
+         a2 AS (
+      SELECT items.p, CAST(sum(h1.h) AS BIGINT) AS a2
+      FROM items JOIN h1 USING (o) GROUP BY items.p),
+         mx AS (SELECT max(a2) AS m FROM a2)
+    SELECT a2.p AS l_partkey, a2.a2 AS authority_raw,
+           CAST(round(1000000.0 * a2.a2 / mx.m) AS BIGINT) AS authority_ppm
+    FROM a2 CROSS JOIN mx
+    ORDER BY authority_raw DESC, l_partkey
+    LIMIT {_HITS_TOP}
+"""
+
+
+@register("q333_hits_authority", _DUCK_HITS)
+def q333_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) on the
+    order-part bipartite graph, TWO exact mutual-reinforcement
+    iterations from uniform hubs: a1 = indegree, h1 = sum of member
+    authorities per order, a2 = sum of hub scores per part — the
+    point where the ranking already separates 'parts bought in big,
+    popular orders' from plain bestsellers (plain degree = a1; the
+    divergence between a1's and a2's rankings IS the HITS signal).
+    Stopping at a fixed iteration count keeps every score an exact
+    INTEGER (no normalization drift), so the oracle is three joins —
+    unlike PageRank (q116), whose damping forces floats.
+
+    100 TB shape: each iteration is one keyed join + map-side-combined
+    aggregate on the natural bipartite keys (the q173 edge pipeline);
+    scores stay attached to keys, never materialized as a vector; the
+    top-k is TakeOrderedAndProject. Iterating to convergence swaps
+    the fixed unroll for the q116-style checkpointed loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # checkpoint: the edge list feeds all three propagation joins
+    items = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a1 = items.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    h1 = (
+        items.join(a1, "p")
+        .groupBy("o")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        items.join(h1, "o")
+        .groupBy("p")
+        .agg(F.sum("h").cast("bigint").alias("a2"))
+        .localCheckpoint()  # feeds the max AND the output
+    )
+    mx = a2.agg(F.max("a2").alias("m"))
+    return (
+        a2.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("p").alias("l_partkey"),
+            F.col("a2").alias("authority_raw"),
+            F.round(1000000.0 * F.col("a2") / F.col("m"))
+            .cast("bigint")
+            .alias("authority_ppm"),
+        )
+        .orderBy(F.desc("authority_raw"), "l_partkey")
+        .limit(_HITS_TOP)
+    )

@@ -752,3 +752,65 @@ def q319_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("disagree_weight_milli"),
     ).orderBy("field")
+
+
+# --- q335: golden-record survivorship (round 6) ----------------------------
+_DUCK_GOLDEN = """
+    WITH m AS (
+      SELECT substr(c_name, 1, 16) AS cluster_key,
+             c_custkey, c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer),
+         g AS (
+      SELECT cluster_key,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(min(c_custkey) AS BIGINT) AS canonical_id,
+             CAST(max(bal_c) AS BIGINT) AS max_bal_c,
+             CAST(arg_min(c_nationkey, c_custkey) AS BIGINT) AS home_nation,
+             arg_min(c_mktsegment, c_custkey) AS segment
+      FROM m GROUP BY cluster_key)
+    SELECT * FROM g WHERE n_members >= 2 ORDER BY cluster_key
+"""
+
+
+@register("q335_golden_record", _DUCK_GOLDEN)
+def q335_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the merge step that COMPLETES the
+    entity-resolution pipeline (block q166/q307 -> score q319 ->
+    cluster q49 -> MERGE): each matched cluster (here the prefix-16
+    name block standing in for a resolved cluster id) collapses to
+    one record under explicit per-field rules — canonical id = min
+    key (q26's survivor convention), balance = field-wise max
+    (most-favorable), categorical fields from the min-key member
+    (min_by/arg_min — deterministic, unlike 'first non-null', which
+    is arrival-order-dependent and therefore partitioning-dependent:
+    the classic silent MDM bug this query's determinism contract
+    exists to kill).
+
+    100 TB shape: ONE aggregate keyed on the cluster id with
+    map-side-combinable min/max/min_by — survivorship never re-joins
+    members; adding fields adds agg expressions, not passes. Ref:
+    Talburt, 'Entity Resolution and Information Quality' (2011),
+    survivorship ch."""
+    cust = load_table(spark, sf_dir, "customer")
+    m = cust.select(
+        F.substring("c_name", 1, 16).alias("cluster_key"),
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    return (
+        m.groupBy("cluster_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("c_custkey").cast("bigint").alias("canonical_id"),
+            F.max("bal_c").cast("bigint").alias("max_bal_c"),
+            F.min_by("c_nationkey", "c_custkey")
+            .cast("bigint")
+            .alias("home_nation"),
+            F.min_by("c_mktsegment", "c_custkey").alias("segment"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster_key")
+    )

@@ -732,3 +732,64 @@ def q19_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("qty_O"),
         F.col("F").alias("qty_F"),
     )
+
+
+# --- q336: explicit salted skew join (round 6) -----------------------------
+_DUCK_SALTED = """
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+                  ELSE l_orderkey % 100 END AS k,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c
+      FROM lineitem),
+         d AS (
+      SELECT n_nationkey * 4 AS k, n_name AS bucket FROM nation)
+    SELECT d.bucket,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(f.rev_c) AS BIGINT) AS revenue_c
+    FROM f JOIN d ON f.k = d.k
+    GROUP BY d.bucket ORDER BY d.bucket
+"""
+
+
+@register("q336_salted_skew_join", _DUCK_SALTED)
+def q336_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT salted join under engineered 90%-hot-key skew — the
+    manual escape hatch when one key exceeds what a single reducer
+    can hold even after AQE's skew split (the power-law reality of
+    any 100 TB join key): the fact side gets a random salt in [0, 8),
+    the dimension side replicates across all 8 salt values, the join
+    keys on (k, salt), and the hot key's rows spread over 8 tasks.
+    The salt NEVER reaches the result — the oracle is the plain
+    unsalted join, and the hash equality proves salting is
+    result-invariant (the property that licenses using it at all).
+
+    90% of fact rows share key 0 by construction; nation keys x4
+    give partial dimension coverage so the join also exercises
+    selective matching.
+
+    100 TB shape: replication multiplies the DIMENSION side only
+    (8x a broadcast-sized table); the fact shuffle spreads uniformly.
+    This registers operators/relational.salted_join through the
+    driver's correctness gate (previously pytest-only)."""
+    from ooh_etl_spark.operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    f = li.select(
+        F.when(F.col("l_orderkey") % 100 < 90, 0)
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev_c"),
+    )
+    d = nation.select(
+        (F.col("n_nationkey") * 4).alias("k"), F.col("n_name").alias("bucket")
+    )
+    joined = salted_join(f, d, "k", salt=8)
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("rev_c").cast("bigint").alias("revenue_c"),
+        )
+        .orderBy("bucket")
+    )

@@ -391,3 +391,111 @@ def q290_binary_quantize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "vec_id", "hamming")
         .orderBy("query_id", "rk")
     )
+
+
+# --- q334: mutual-nearest-neighbor mining (round 6) ------------------------
+_DUCK_MNN = """
+    WITH a AS (
+      SELECT vec_id AS ida, embedding::DOUBLE[] AS va FROM embeddings
+      WHERE vec_id % 2 = 0),
+         b AS (
+      SELECT vec_id AS idb, embedding::DOUBLE[] AS vb FROM embeddings
+      WHERE vec_id % 2 = 1),
+         s AS (
+      SELECT ida, idb,
+             CAST(round(1000000.0 * list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va))
+                  * sqrt(list_dot_product(vb, vb)))) AS BIGINT) AS cos_e6
+      FROM a CROSS JOIN b),
+         nn_ab AS (
+      SELECT ida, idb, cos_e6 FROM (
+        SELECT *, row_number() OVER (PARTITION BY ida
+                                     ORDER BY cos_e6 DESC, idb) AS rk
+        FROM s) WHERE rk = 1),
+         nn_ba AS (
+      SELECT ida, idb FROM (
+        SELECT *, row_number() OVER (PARTITION BY idb
+                                     ORDER BY cos_e6 DESC, ida) AS rk
+        FROM s) WHERE rk = 1)
+    SELECT nn_ab.ida AS id_a, nn_ab.idb AS id_b, nn_ab.cos_e6
+    FROM nn_ab JOIN nn_ba ON nn_ab.ida = nn_ba.ida AND nn_ab.idb = nn_ba.idb
+    ORDER BY id_a
+"""
+
+
+@register("q334_mutual_nn_pairs", _DUCK_MNN)
+def q334_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor pair mining (the margin-free core of
+    bitext/parallel-data mining — Artetxe & Schwenk ACL'19's
+    candidate rule; also the matching step in CycleGAN-style
+    alignment): split the corpus into two sets (even/odd ids standing
+    in for two languages' embeddings), find each side's nearest
+    neighbor on the other, and keep pairs where the choice is MUTUAL
+    — a's best is b AND b's best is a. Mutuality kills the hub
+    problem (a vector that is everyone's neighbor wins only the one
+    pair it reciprocates), which is why MNN beats one-directional
+    top-1 for alignment.
+
+    Determinism: cosines quantize to e6 with id tie-breaks before the
+    per-side argmax windows; the mutual join is exact.
+
+    100 TB shape: the score table partitions by query id for one
+    argmax pass and by candidate id for the other — two windows over
+    the same co-keyed scores, then an equi-join of two |side|-row
+    argmax tables. At 10^8-vector sides the score table comes from an
+    ANN candidate generator (q53's cells) instead of the cross
+    product; the mutuality join is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va")
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb")
+    )
+    d = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, z: s + z
+    )
+    s = (
+        a.crossJoin(b)
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                1000000.0
+                * d(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(d(F.col("va"), F.col("va")))
+                    * F.sqrt(d(F.col("vb"), F.col("vb")))
+                )
+            )
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+        .localCheckpoint()  # the score table feeds BOTH argmax windows
+    )
+    wa = Window.partitionBy("ida").orderBy(F.desc("cos_e6"), F.asc("idb"))
+    wb = Window.partitionBy("idb").orderBy(F.desc("cos_e6"), F.asc("ida"))
+    nn_ab = (
+        s.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("ida", "idb", "cos_e6")
+    )
+    nn_ba = (
+        s.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(F.col("ida").alias("ida2"), F.col("idb").alias("idb2"))
+    )
+    return (
+        nn_ab.join(
+            nn_ba,
+            (F.col("ida") == F.col("ida2")) & (F.col("idb") == F.col("idb2")),
+        )
+        .select(
+            F.col("ida").alias("id_a"),
+            F.col("idb").alias("id_b"),
+            "cos_e6",
+        )
+        .orderBy("id_a")
+    )

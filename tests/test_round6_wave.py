@@ -112,3 +112,65 @@ def test_q332_ahash_finds_planted_clusters(spark):
         for i, a in enumerate(ids):
             for b in ids[i + 1 :]:
                 assert (a, b) in pairs, (a, b)
+
+
+def test_q333_hits_diverges_from_degree(spark):
+    rows = run(spark, "q333_hits_authority").collect()
+    assert len(rows) == 15
+    assert rows[0].authority_ppm == 1_000_000  # top normalizes to 1
+    raws = [r.authority_raw for r in rows]
+    assert raws == sorted(raws, reverse=True)
+
+
+def test_q334_mutual_nn_is_injective(spark):
+    rows = run(spark, "q334_mutual_nn_pairs").collect()
+    a_side = [r.id_a for r in rows]
+    b_side = [r.id_b for r in rows]
+    # mutuality forces a perfect partial matching: no vector appears
+    # in two pairs, and sides stay disjoint (even vs odd ids)
+    assert len(a_side) == len(set(a_side))
+    assert len(b_side) == len(set(b_side))
+    assert all(a % 2 == 0 and b % 2 == 1 for a, b in zip(a_side, b_side))
+
+
+def test_q335_golden_record_deterministic_survivorship(spark):
+    from ooh_etl_spark.tables import load_table
+
+    rows = run(spark, "q335_golden_record").collect()
+    assert all(r.n_members >= 2 for r in rows)
+    cust = {
+        r.c_custkey: r
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    for r in rows:
+        # categorical fields must come from the canonical (min-key) member
+        assert r.segment == cust[r.canonical_id].c_mktsegment
+        assert r.home_nation == cust[r.canonical_id].c_nationkey
+
+
+def test_q336_salted_join_matches_unsalted(spark):
+    from ooh_etl_spark.tables import load_table
+
+    salted = {
+        r.bucket: (r.n_lines, r.revenue_c)
+        for r in run(spark, "q336_salted_skew_join").collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    nation = load_table(spark, SF_DIR, "nation")
+    f = li.select(
+        F.when(F.col("l_orderkey") % 100 < 90, 0)
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev_c"),
+    )
+    d = nation.select(
+        (F.col("n_nationkey") * 4).alias("k"), F.col("n_name").alias("bucket")
+    )
+    plain = {
+        r.bucket: (r.n, r.s)
+        for r in f.join(d, "k")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("s"))
+        .collect()
+    }
+    assert salted == plain
