@@ -256,3 +256,71 @@ def q45_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.getItem(0).alias("first_word"),
         F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
     )
+
+
+# --- q337: relational pivot (round 6) --------------------------------------
+_PIVOT_SEGS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+_DUCK_PIVOT = f"""
+    WITH j AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT nation,
+           {", ".join(
+               f"CAST(coalesce(sum(CASE WHEN seg = '{s}' THEN rev_c END), 0)"
+               f" AS BIGINT) AS {s.lower()}_c"
+               for s in _PIVOT_SEGS)}
+    FROM j GROUP BY nation ORDER BY nation
+"""
+
+
+@register("q337_pivot_segment_matrix", _DUCK_PIVOT)
+def q337_pivot_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational PIVOT surface — ``groupBy().pivot(col, values)``
+    with an EXPLICIT value list (q40's unpivot inverse, closing the
+    reshape pair): nation x market-segment revenue matrix in integer
+    cents. The explicit list matters twice: it keeps the schema static
+    (no extra distinct-values job, no data-dependent columns — the
+    production contract for a pivot feeding a downstream table) and it
+    makes the oracle a plain CASE aggregation.
+
+    100 TB shape: Catalyst compiles pivot-with-values to ONE aggregate
+    whose buffer holds |values| slots per group — identical cost to
+    the manual max(when()) spelling (q288), same single shuffle; the
+    dims broadcast. Omitting the value list adds a distinct pass —
+    the anti-pattern the explicit list exists to avoid."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        orders.join(
+            F.broadcast(
+                cust.select("c_custkey", "c_nationkey", "c_mktsegment")
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("rev_c"),
+        )
+    )
+    wide = (
+        j.groupBy("nation")
+        .pivot("seg", list(_PIVOT_SEGS))
+        .agg(F.sum("rev_c"))
+    )
+    return wide.select(
+        "nation",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"{s.lower()}_c")
+            for s in _PIVOT_SEGS
+        ],
+    ).orderBy("nation")

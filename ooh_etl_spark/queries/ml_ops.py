@@ -1766,3 +1766,48 @@ def q305_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qini_e3"),
     ).orderBy(F.desc("score_bucket"))
+
+
+# --- q339: stratified k-fold assignment (round 6) --------------------------
+_KFOLD = 5
+
+_DUCK_KFOLD = f"""
+    WITH a AS (
+      SELECT lang,
+             (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+               % {_KFOLD} AS fold
+      FROM documents)
+    SELECT CAST(fold AS BIGINT) AS fold, lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM a GROUP BY fold, lang ORDER BY fold, lang
+"""
+
+
+@register("q339_stratified_kfold", _DUCK_KFOLD)
+def q339_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment (Kohavi IJCAI'95 for
+    why stratification: per-fold class balance cuts CV variance) —
+    the split every evaluation pipeline needs to be REPRODUCIBLE:
+    fold = (rank within stratum by doc_id) mod k, which makes fold
+    sizes within each stratum differ by at most 1 (exact balance, not
+    expected balance) and the assignment a pure function of the data.
+    Output is the (fold, stratum) census — the audit table reviewers
+    check before trusting any CV number.
+
+    100 TB shape: one window partitioned by the stratum key (never
+    global), one census aggregate. When strata are corpus-sized the
+    documented swap is hash-mod assignment (fold = xxhash64(id) % k —
+    balance becomes binomial instead of exact, no window at all);
+    this exact form is right whenever an auditable, perfectly
+    balanced split matters more than avoiding one partitioned
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    a = docs.select(
+        "lang", ((F.row_number().over(w) - 1) % _KFOLD).alias("fold")
+    )
+    return (
+        a.groupBy(F.col("fold").cast("bigint").alias("fold"), "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("fold", "lang")
+    )

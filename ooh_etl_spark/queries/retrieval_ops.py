@@ -499,3 +499,170 @@ def q334_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a")
     )
+
+
+# --- q341: signed-random-projection cosine LSH (round 6) -------------------
+_SRP_BITS = 16
+_SRP_DIM = 64
+# no cosine floor: the fixture's true-pair ceiling is ~0.38, so the
+# demonstration output is the full verified candidate set (the
+# threshold is the CALLER's knob; the operator is generate + verify)
+
+_DUCK_SRP = f"""
+    WITH planes AS (
+      SELECT j.j, d.d,
+             CASE WHEN substr(md5(j.j || ':' || d.d), 1, 1) >= '8'
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT unnest(generate_series(0, {_SRP_BITS - 1})) AS j) j
+      CROSS JOIN (SELECT unnest(generate_series(0, {_SRP_DIM - 1})) AS d) d),
+         v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         comp AS (
+      SELECT vec_id, d.d, e[d.d + 1] AS x
+      FROM v CROSS JOIN (SELECT unnest(generate_series(0, {_SRP_DIM - 1}))
+                         AS d) d),
+         proj AS (
+      SELECT comp.vec_id, planes.j,
+             CAST(round(1000000.0 * sum(planes.sgn * comp.x)) AS BIGINT)
+               AS p_e6
+      FROM comp JOIN planes USING (d) GROUP BY 1, 2),
+         sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN p_e6 > 0
+                           THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM proj GROUP BY vec_id),
+         cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS sig_hamming
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.sig >> 8, b.sig >> 8)) = 0
+         OR bit_count(xor(a.sig % 256, b.sig % 256)) = 0),
+         verified AS (
+      SELECT cand.id_a, cand.id_b, cand.sig_hamming,
+             CAST(round(1000000.0 * list_dot_product(va.e, vb.e)
+               / (sqrt(list_dot_product(va.e, va.e))
+                  * sqrt(list_dot_product(vb.e, vb.e)))) AS BIGINT) AS cos_e6
+      FROM cand JOIN v va ON cand.id_a = va.vec_id
+                JOIN v vb ON cand.id_b = vb.vec_id
+      WHERE cand.sig_hamming <= 1)
+    SELECT id_a, id_b, sig_hamming, cos_e6
+    FROM verified
+    ORDER BY id_a, id_b
+"""
+
+
+@register("q341_srp_lsh_pairs", _DUCK_SRP)
+def q341_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH for cosine similarity (Charikar,
+    STOC 2002): each vector's {_SRP_BITS}-bit signature takes bit j =
+    sign of its projection onto pseudo-random Rademacher plane j
+    (entries +/-1 from md5(j:d) — DERIVED, not stored, and
+    bit-identical in both engines, so the whole index is an exact
+    oracle-checkable function of the data). P[bits agree] =
+    1 - angle/pi, so near-duplicate vectors collide; candidates come
+    from a 2-band x 8-bit banding (pigeonhole-exact recall at
+    signature Hamming <= 1), then exact cosine verifies. This fills
+    the angle-LSH slot between q290 (per-dimension sign quantization)
+    and q53 (IVF partitions): SRP keeps working when vectors are NOT
+    axis-aligned, because the planes re-mix dimensions.
+
+    100 TB shape: projection is one join against the broadcast
+    {_SRP_BITS}x{_SRP_DIM} plane table + a (vec, bit)-keyed combinable
+    sum; signatures are 2 band rows per vector on the wire; banding
+    keeps candidates collision-bounded, never all-pairs. More bits
+    or multi-probe banding trade recall for candidate volume with the
+    same plan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    js = spark.range(_SRP_BITS).select(F.col("id").cast("int").alias("j"))
+    ds = spark.range(_SRP_DIM).select(F.col("id").cast("int").alias("d"))
+    planes = js.crossJoin(ds).select(
+        "j",
+        "d",
+        F.when(
+            F.substring(F.md5(F.concat_ws(":", F.col("j"), F.col("d"))), 1, 1)
+            >= "8",
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    comp = emb.select(
+        "vec_id", F.posexplode("e").alias("d", "x")
+    )
+    proj = (
+        comp.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.round(1000000.0 * F.sum(F.col("sgn") * F.col("x")))
+            .cast("bigint")
+            .alias("p_e6")
+        )
+    )
+    sig = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("p_e6") > 0,
+                F.expr("shiftleft(cast(1 as bigint), j)"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sig")
+    ).localCheckpoint()  # signatures feed both banded-join sides
+    bands = sig.select(
+        "vec_id",
+        "sig",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("sig") % 256).alias("bv")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.expr("shiftright(sig, 8)").alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select("vec_id", "sig", "b.band", "b.bv")
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), F.col("sig").alias("sa"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("id_b"), F.col("sig").alias("sb"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(sa ^ sb)").cast("bigint").alias("sig_hamming"),
+        )
+        .filter(F.col("sig_hamming") <= 1)
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, z: s + z
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sig_hamming",
+            F.round(
+                1000000.0
+                * dot(F.col("ea"), F.col("eb"))
+                / (
+                    F.sqrt(dot(F.col("ea"), F.col("ea")))
+                    * F.sqrt(dot(F.col("eb"), F.col("eb")))
+                )
+            )
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1079,3 +1079,106 @@ def q317_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_milli"), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+# --- q338: Kneser-Ney smoothed bigram LM (round 6) -------------------------
+_KN_D_NUM, _KN_D_DEN = 3, 4  # absolute discount D = 0.75, exact
+_KN_TOP = 20
+
+_DUCK_KN = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM d CROSS JOIN unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+         bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+         uc AS (
+      SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+             CAST(count(*) AS BIGINT) AS fanout
+      FROM bc GROUP BY w1),
+         cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n_left FROM bc GROUP BY w2),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc)
+    SELECT bc.w1, bc.w2, bc.c,
+           CAST(round(1000000000.0 * (
+             greatest(bc.c - {_KN_D_NUM} / {_KN_D_DEN}.0, 0) / uc.cw1
+             + ({_KN_D_NUM} / {_KN_D_DEN}.0) * uc.fanout / uc.cw1
+               * cont.n_left / tot.b)) AS BIGINT) AS p_kn_e9
+    FROM bc
+    JOIN uc USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    ORDER BY bc.c DESC, bc.w1, bc.w2
+    LIMIT {_KN_TOP}
+"""
+
+
+@register("q338_kneser_ney_bigram", _DUCK_KN)
+def q338_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney,
+    ICASSP 1995; Chen & Goodman 1998's reference formulation) — the
+    smoothing that made n-gram LMs work, and the missing rung between
+    q160's raw bigram LM and q153/q155's LM consumers: P(w2|w1) =
+    max(c - D, 0)/c(w1) + D·fanout(w1)/c(w1) · Pcont(w2), where the
+    CONTINUATION probability Pcont(w2) = |distinct left contexts of
+    w2| / |distinct bigrams| is the insight — 'Francisco' is frequent
+    but only ever follows 'San', so its continuation mass is tiny.
+
+    Every ingredient is a COUNT over the bigram table: c(w1,w2),
+    c(w1), fanout N1+(w1·), continuation N1+(·w2), total distinct B —
+    one bigram aggregate plus three bounded rollups of it. D = 3/4
+    exactly; probabilities quantize to e9.
+
+    100 TB shape: ONE (w1, w2) shuffle builds the bigram table
+    (checkpointed — every statistic derives from it, never from a
+    corpus re-pass); the rollups are vocabulary-bounded; trigram KN
+    stacks the same pattern one order deeper."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(tokenize(F.col("text")).alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()  # every KN statistic derives from this table
+    )
+    uc = bc.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("cw1"),
+        F.count(F.lit(1)).cast("bigint").alias("fanout"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_left"))
+    tot = bc.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    d_disc = float(_KN_D_NUM) / _KN_D_DEN
+    return (
+        bc.join(uc, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(
+                1000000000.0
+                * (
+                    F.greatest(F.col("c") - d_disc, F.lit(0.0)) / F.col("cw1")
+                    + d_disc
+                    * F.col("fanout")
+                    / F.col("cw1")
+                    * F.col("n_left")
+                    / F.col("b")
+                )
+            )
+            .cast("bigint")
+            .alias("p_kn_e9"),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(_KN_TOP)
+    )

@@ -887,3 +887,104 @@ def q329_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("advisor_rank"),
     ).orderBy("advisor_rank")
+
+
+# --- q340: rendezvous (HRW) shard assignment (round 6) ---------------------
+_HRW_N = 8  # current shard count; the resize audit adds shard 8
+
+_DUCK_HRW = f"""
+    WITH shards AS (SELECT unnest(generate_series(0, {_HRW_N})) AS s),
+         w AS (
+      SELECT c_custkey AS k, shards.s,
+             CAST(CAST('0x' || substr(md5(c_custkey || ':' || shards.s), 1, 15)
+                  AS BIGINT) AS BIGINT) AS wt
+      FROM customer CROSS JOIN shards),
+         a8 AS (
+      SELECT k, arg_max(s, wt) AS shard
+      FROM w WHERE s < {_HRW_N} GROUP BY k),
+         a9 AS (
+      SELECT k, arg_max(s, wt) AS shard FROM w GROUP BY k),
+         moved AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved,
+             CAST(sum(CASE WHEN a8.shard <> a9.shard
+                            AND a9.shard <> {_HRW_N}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_wrong
+      FROM a8 JOIN a9 USING (k))
+    SELECT n_keys, n_moved, n_moved_wrong,
+           CAST(round(10000.0 * n_moved / n_keys) AS BIGINT) AS moved_bp
+    FROM moved
+"""
+
+
+@register("q340_rendezvous_sharding", _DUCK_HRW)
+def q340_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1998 — the stateless consistent-hashing alternative every
+    partition-router and cache tier uses): each key lands on the shard
+    maximizing md5(key:shard), so adding a shard moves ONLY the keys
+    whose new-shard weight wins — about 1/(N+1) of them — and NO key
+    moves between pre-existing shards. The query assigns every
+    customer under N={_HRW_N} and N={_HRW_N}+1 and AUDITS both halves
+    of that contract: moved fraction near 1/9, and n_moved_wrong
+    (moves not landing on the new shard) EXACTLY ZERO — the
+    minimal-disruption property, machine-checked.
+
+    Determinism: md5 is bit-identical in both engines (the q221/q301
+    convention); weights are 60-bit integer prefixes; argmax ties are
+    impossible in practice and would break on (wt) only.
+
+    100 TB shape: weight generation is a narrow per-row map over
+    |keys| x (N+1) rows (N is small and constant); assignment is one
+    keyed max_by aggregate. No ring state, no coordination — the
+    reason HRW beats ring hashing for engine-internal routing."""
+    cust = load_table(spark, sf_dir, "customer")
+    shards = spark.range(_HRW_N + 1).select(F.col("id").cast("int").alias("s"))
+    w = cust.select(F.col("c_custkey").alias("k")).crossJoin(
+        F.broadcast(shards)
+    ).select(
+        "k",
+        "s",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("k"), F.col("s"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("wt"),
+    ).localCheckpoint()  # the weight table feeds both assignments
+    a8 = (
+        w.filter(F.col("s") < _HRW_N)
+        .groupBy("k")
+        .agg(F.max_by("s", "wt").alias("shard8"))
+    )
+    a9 = w.groupBy("k").agg(F.max_by("s", "wt").alias("shard9"))
+    return (
+        a8.join(a9, "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved"),
+            F.sum(
+                F.when(
+                    (F.col("shard8") != F.col("shard9"))
+                    & (F.col("shard9") != _HRW_N),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_moved_wrong"),
+        )
+        .select(
+            "n_keys",
+            "n_moved",
+            "n_moved_wrong",
+            F.round(10000.0 * F.col("n_moved") / F.col("n_keys"))
+            .cast("bigint")
+            .alias("moved_bp"),
+        )
+    )

@@ -174,3 +174,55 @@ def test_q336_salted_join_matches_unsalted(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_q337_pivot_row_sums_match_long_form(spark):
+    from ooh_etl_spark.tables import load_table
+
+    rows = run(spark, "q337_pivot_segment_matrix").collect()
+    segs = ["automobile_c", "building_c", "furniture_c", "household_c",
+            "machinery_c"]
+    wide_total = sum(sum(r[s] for s in segs) for r in rows)
+    orders = load_table(spark, SF_DIR, "orders")
+    long_total = orders.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    ).collect()[0][0]
+    assert wide_total == long_total
+
+
+def test_q338_kneser_ney_probabilities_in_unit_interval(spark):
+    rows = run(spark, "q338_kneser_ney_bigram").collect()
+    assert len(rows) == 20
+    assert all(0 < r.p_kn_e9 <= 1_000_000_000 for r in rows)
+    counts = [r.c for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_q339_kfold_strata_balanced_within_one(spark):
+    rows = run(spark, "q339_stratified_kfold").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.n_docs)
+    for lang, counts in by_lang.items():
+        assert len(counts) == 5, lang
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+
+
+def test_q340_rendezvous_minimal_disruption(spark):
+    r = run(spark, "q340_rendezvous_sharding").collect()[0]
+    # HRW contract: keys only ever move TO the new shard...
+    assert r.n_moved_wrong == 0
+    # ...and roughly 1/(N+1) of them move (binomial tolerance)
+    expected = r.n_keys / 9
+    assert 0.5 * expected <= r.n_moved <= 1.5 * expected
+
+
+def test_q341_srp_collision_prob_tracks_angle(spark):
+    rows = run(spark, "q341_srp_lsh_pairs").collect()
+    assert len(rows) > 0
+    assert all(r.sig_hamming <= 1 for r in rows)
+    # Charikar: P[bit collision] = 1 - angle/pi, so surviving pairs
+    # (>= 15/16 bits agreeing) should skew toward high cosine vs the
+    # corpus-wide mean (which is ~0 for these embeddings)
+    mean_cos = sum(r.cos_e6 for r in rows) / len(rows)
+    assert mean_cos > 0
