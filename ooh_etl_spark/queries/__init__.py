@@ -58,11 +58,12 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: full-registry replica (tools/check_oracle.py --strict).
 #:
 #: DEBT SCHEDULE (never-driver-seen drains provably, ~146 left after
-#: this window; 44 fresh slots per round):
-#:   r7: q52–q90 relational/TPC-H tail (q52,q53,q54,q56,q58,q61–q65,
-#:       q67,q69,q70,q71,q75,q76,q78,q80,q82–q90) + q93–q103 wave
-#:   r8: q125–q165 tail (q125–q151 never-seen members, q160–q165) +
-#:       q174/q179–q199 never-seen members
+#: this window; 44 fresh slots per round). Newest code rotates first:
+#:   r7: the round-6 wave q323–q341 (19, written this round) + the
+#:       q52–q90 relational/TPC-H tail (q52,q53,q54,q56,q58,q61–q65,
+#:       q67,q69,q70,q71,q75,q76,q78,q80,q82–q90 — 25)
+#:   r8: q93–q103 wave + q125–q165 never-seen members (q125–q151,
+#:       q160–q165) + q174/q179–q199 never-seen members
 #:   r9: q200–q263 never-seen members (sketches, time-series,
 #:       behavioral tails) — after which every registered query has
 #:       driver history and rotation becomes newest-code-first only.

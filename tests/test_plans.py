@@ -391,3 +391,24 @@ def test_q322_step_is_scan_plus_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert shuffle_count(plan) == 0, plan
+
+
+def test_r6_wave_plan_shapes(spark):
+    # Round-6 structural pins: no accidental CartesianProduct anywhere;
+    # shuffle budgets hold; the only BNLJ sites are deliberate
+    # (q333's 1-row max broadcast; q330's theta pair join on the
+    # calendar-bounded day grid).
+    budgets = {
+        "q337_pivot_segment_matrix": 3,  # one agg + sort (+AQE read)
+        "q340_rendezvous_sharding": 2,  # two keyed max_by aggs
+        "q332_image_ahash_neardup": 2,  # banded equi-join + distinct
+        "q341_srp_lsh_pairs": 4,  # proj agg, sig agg, band join, sort
+        "q327_normalized_exact_dedup": 3,  # digest agg + census + sort
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(spark, name)
+        assert not has_cartesian(plan), name
+        assert shuffle_count(plan) <= budget, (name, shuffle_count(plan))
+    for name in ("q332_image_ahash_neardup", "q341_srp_lsh_pairs"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
