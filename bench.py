@@ -92,6 +92,15 @@ HEADLINE = [
     "q296_symspell_edit_join",
     # Shapley attribution: user-mask rollup + 16-row lattice.
     "q304_shapley_attribution",
+    # --- round-6 additions (2026-08-14) — reported separately from the
+    # pinned common set when comparing round-over-round totals ---
+    # normalization-layer dedup: digest-keyed shuffle, scan-fused map.
+    "q327_normalized_exact_dedup",
+    # perceptual image dedup: Arrow decode pass + banded Hamming join.
+    "q332_image_ahash_neardup",
+    # HITS: two integer mutual-reinforcement joins on the co-purchase
+    # bipartite graph.
+    "q333_hits_authority",
 ]
 
 

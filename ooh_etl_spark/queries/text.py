@@ -116,11 +116,16 @@ def q22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode_outer(tokenize(F.col("text"))).alias("term")
     ).filter(F.col("term").isNotNull())
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # checkpoint tf: it feeds both the idf rollup and the scoring join
+    # (ReuseExchange does NOT apply across the two consumers, so the
+    # tokenize pass ran twice — audited at 3 parquet scans, now 2).
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     # df(term) = distinct docs containing term = row count per term in
-    # tf, which is already distinct on (doc_id, term). Deriving idf from
-    # tf (not tok) reuses tf's exchange, so the scan+tokenize+explode
-    # stage runs once instead of twice.
+    # tf, which is already distinct on (doc_id, term).
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
