@@ -1424,3 +1424,89 @@ def q304_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- q344: COEC position-bias normalization (round 6) ----------------------
+_COEC_MAX_POS = 10
+
+_DUCK_COEC = f"""
+    WITH o AS (
+      SELECT event_type,
+             least(CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS BIGINT),
+                   {_COEC_MAX_POS}) AS pos,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      FROM events),
+         pctr AS (
+      SELECT pos, sum(is_click) * 1.0 / count(*) AS ctr
+      FROM o GROUP BY pos),
+         agg AS (
+      SELECT o.event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(o.is_click) AS BIGINT) AS clicks,
+             sum(pctr.ctr) AS expected
+      FROM o JOIN pctr USING (pos) GROUP BY o.event_type)
+    SELECT event_type, n_events, clicks,
+           CAST(round(1000.0 * expected) AS BIGINT) AS expected_milli,
+           CAST(round(1000.0 * clicks / expected) AS BIGINT) AS coec_milli
+    FROM agg ORDER BY event_type
+"""
+
+
+@register("q344_coec_position_bias", _DUCK_COEC)
+def q344_coec_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks-over-expected-clicks (COEC — Zhang & Jones 2007; the
+    position-bias normalization every ranking/ads team applies before
+    comparing CTRs): raw CTR confounds item quality with display
+    position, so each segment's clicks are divided by the clicks
+    EXPECTED given the positions it was shown at (sum of global
+    per-position CTRs over its impressions). COEC > 1000 milli =
+    better than position-expected. Position = rank within the user's
+    event sequence, capped at {_COEC_MAX_POS} (the tail pools, the
+    standard truncation).
+
+    Determinism: positions are integer ranks with event_id
+    tie-breaks; the per-position CTRs are exact count ratios; the
+    expected sum adds one double per row from a {_COEC_MAX_POS}-value
+    domain — identical accumulation in both engines after the
+    position join, and outputs quantize to milli.
+
+    100 TB shape: one user-partitioned rank window (the q99/q100
+    sessionizer shuffle), a {_COEC_MAX_POS}-row CTR broadcast joined
+    back, one segment aggregate. The same two-pass shape computes any
+    examination-model correction (PBM weights swap in for ctr)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.least(
+            F.row_number().over(w).cast("bigint"), F.lit(_COEC_MAX_POS)
+        ).alias("pos"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+            "is_click"
+        ),
+    ).localCheckpoint()  # the positioned stream feeds the per-position
+    # CTR table AND the segment aggregate (one rank window, not two)
+    pctr = o.groupBy("pos").agg(
+        (F.sum("is_click") * 1.0 / F.count(F.lit(1))).alias("ctr")
+    )
+    agg = (
+        o.join(F.broadcast(pctr), "pos")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_click").cast("bigint").alias("clicks"),
+            F.sum("ctr").alias("expected"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "clicks",
+        F.round(1000.0 * F.col("expected")).cast("bigint").alias(
+            "expected_milli"
+        ),
+        F.round(1000.0 * F.col("clicks") / F.col("expected"))
+        .cast("bigint")
+        .alias("coec_milli"),
+    ).orderBy("event_type")

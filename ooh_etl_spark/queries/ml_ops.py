@@ -1811,3 +1811,126 @@ def q339_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("fold", "lang")
     )
+
+
+# --- q343: B-cubed clustering evaluation (round 6) -------------------------
+_BC_K = 8  # deterministic clustering: nearest of the first-8 vectors
+
+_DUCK_BCUBED = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+               FROM embeddings),
+         c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_BC_K}),
+         d AS (
+      SELECT v.vec_id, v.label, c.cid,
+             list_aggregate(list_transform(generate_series(1, len(e)),
+                            i -> (e[i] - ce[i]) * (e[i] - ce[i])), 'sum')
+               AS dist
+      FROM v CROSS JOIN c),
+         a AS (
+      SELECT vec_id, label, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      FROM d),
+         asg AS (SELECT vec_id, label, cid AS cluster FROM a WHERE rk = 1),
+         cell AS (
+      SELECT cluster, label, CAST(count(*) AS BIGINT) AS n
+      FROM asg GROUP BY 1, 2),
+         cs AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS nc
+                FROM cell GROUP BY cluster),
+         ls AS (SELECT label, CAST(sum(n) AS BIGINT) AS nl
+                FROM cell GROUP BY label),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cell),
+         pr AS (
+      SELECT sum(cell.n * cell.n * 1.0 / cs.nc) / tot.nn AS p,
+             sum(cell.n * cell.n * 1.0 / ls.nl) / tot.nn AS r
+      FROM cell JOIN cs USING (cluster) JOIN ls USING (label)
+      CROSS JOIN tot GROUP BY tot.nn)
+    SELECT CAST(round(1000000.0 * p) AS BIGINT) AS bcubed_precision_e6,
+           CAST(round(1000000.0 * r) AS BIGINT) AS bcubed_recall_e6,
+           CAST(round(1000000.0 * 2 * p * r / (p + r)) AS BIGINT)
+             AS bcubed_f1_e6
+    FROM pr
+"""
+
+
+@register("q343_bcubed_cluster_eval", _DUCK_BCUBED)
+def q343_bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998; Amigo et
+    al. 2009 showed it is the only common cluster metric satisfying
+    all four formal constraints) of the engine's deterministic
+    centroid clustering (q102/q151's nearest-of-first-K rule) against
+    the gold labels: per-item precision = fraction of the item's
+    cluster sharing its label, recall = fraction of its label class
+    in its cluster — both collapse to closed forms over the (cluster,
+    label) CONTINGENCY TABLE: P = (1/N) sum n_cl^2/n_c, R = (1/N) sum
+    n_cl^2/n_l. The eval loop every dedup/ER clustering (q49, q151,
+    q194) needs before its output is trusted.
+
+    100 TB shape: assignment is the broadcast-centroid argmin (one
+    narrow pass); everything after runs on the |clusters| x |labels|
+    contingency — bounded category sets, one aggregate + two rollups
+    of it (checkpointed: three consumers). Pair-counting metrics
+    (Rand, ARI) are one more closed form over the same table."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = emb.filter(F.col("vec_id") < _BC_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    cagg = cents.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    sq = lambda cent: F.aggregate(
+        F.zip_with(F.col("e"), cent["ce"], lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    argmin = F.aggregate(
+        F.transform(
+            "cents",
+            lambda cent: F.struct(sq(cent).alias("dist"), cent["cid"].alias("cid")),
+        ),
+        F.struct(
+            F.lit(float("inf")).alias("dist"),
+            F.lit(2**62).cast("long").alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            (x["dist"] < acc["dist"])
+            | ((x["dist"] == acc["dist"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+    asg = emb.crossJoin(F.broadcast(cagg)).select(
+        "label", argmin["cid"].alias("cluster")
+    )
+    cell = (
+        asg.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()  # contingency feeds 3 rollups + the metric
+    )
+    cs = cell.groupBy("cluster").agg(F.sum("n").cast("bigint").alias("nc"))
+    ls = cell.groupBy("label").agg(F.sum("n").cast("bigint").alias("nl"))
+    tot = cell.agg(F.sum("n").cast("bigint").alias("nn"))
+    pr = (
+        cell.join(F.broadcast(cs), "cluster")
+        .join(F.broadcast(ls), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(F.col("n") * F.col("n") * 1.0 / F.col("nc"))
+                / F.max("nn")
+            ).alias("p"),
+            (
+                F.sum(F.col("n") * F.col("n") * 1.0 / F.col("nl"))
+                / F.max("nn")
+            ).alias("r"),
+        )
+    )
+    return pr.select(
+        F.round(1000000.0 * F.col("p")).cast("bigint").alias(
+            "bcubed_precision_e6"
+        ),
+        F.round(1000000.0 * F.col("r")).cast("bigint").alias(
+            "bcubed_recall_e6"
+        ),
+        F.round(1000000.0 * 2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")))
+        .cast("bigint")
+        .alias("bcubed_f1_e6"),
+    )

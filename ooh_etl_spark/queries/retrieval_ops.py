@@ -666,3 +666,111 @@ def q341_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --- q342: multi-vector late-interaction scoring (round 6) -----------------
+_MV_DOC = 5  # token-vectors per pseudo-document
+_MV_NQ = 4  # query documents
+_MV_TOP = 5
+
+_DUCK_MAXSIM = f"""
+    WITH v AS (
+      SELECT vec_id, vec_id // {_MV_DOC} AS doc,
+             embedding::DOUBLE[] AS e
+      FROM embeddings),
+         q AS (SELECT doc AS qdoc, vec_id AS qv, e AS qe FROM v
+               WHERE doc < {_MV_NQ}),
+         c AS (SELECT doc AS cdoc, vec_id AS cv, e AS ce FROM v
+               WHERE doc >= {_MV_NQ}),
+         s AS (
+      SELECT q.qdoc, c.cdoc, q.qv,
+             max(CAST(round(1000000.0 * list_dot_product(q.qe, c.ce)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(c.ce, c.ce)))) AS BIGINT))
+               AS best_e6
+      FROM q CROSS JOIN c
+      GROUP BY q.qdoc, c.cdoc, q.qv),
+         sc AS (
+      SELECT qdoc, cdoc, CAST(sum(best_e6) AS BIGINT) AS maxsim_e6
+      FROM s GROUP BY qdoc, cdoc),
+         ranked AS (
+      SELECT qdoc, cdoc, maxsim_e6,
+             row_number() OVER (PARTITION BY qdoc
+                                ORDER BY maxsim_e6 DESC, cdoc) AS rk
+      FROM sc)
+    SELECT CAST(qdoc AS BIGINT) AS query_doc, CAST(cdoc AS BIGINT) AS doc,
+           maxsim_e6, CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= {_MV_TOP}
+    ORDER BY query_doc, rank
+"""
+
+
+@register("q342_colbert_maxsim", _DUCK_MAXSIM)
+def q342_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval scoring (ColBERT's
+    MaxSim — Khattab & Zaharia, SIGIR 2020): documents and queries are
+    BAGS of token vectors ({_MV_DOC} per pseudo-doc here), and
+    score(q, d) = sum over query tokens of the MAX cosine against any
+    document token — the operator that beats single-vector retrieval
+    on fine-grained matching, expressed as pure relational algebra:
+    one scored join, a (query, doc, qtoken)-keyed MAX, a (query,
+    doc)-keyed SUM, a per-query top-k window. Per-token cosines
+    quantize to e6 BEFORE the max/sum, so ranking ties are
+    engine-exact.
+
+    100 TB shape: the query side (panel x tokens) broadcasts; the max
+    and sum are map-side-combinable aggregates on co-located keys; at
+    production corpus sizes the scored join runs against ANN
+    candidates per query token (q53/q341) instead of all tokens —
+    identical downstream plan. The token-bag layout (doc = vec_id
+    div {_MV_DOC}) is exactly how multi-vector indexes shard."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"vec_id div {_MV_DOC}").alias("doc"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    q = emb.filter(F.col("doc") < _MV_NQ).select(
+        F.col("doc").alias("qdoc"), F.col("vec_id").alias("qv"),
+        F.col("e").alias("qe"),
+    )
+    c = emb.filter(F.col("doc") >= _MV_NQ).select(
+        F.col("doc").alias("cdoc"), F.col("e").alias("ce")
+    )
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, r: p * r), F.lit(0.0), lambda s, z: s + z
+    )
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "qdoc",
+            "cdoc",
+            "qv",
+            F.round(
+                1000000.0
+                * dot(F.col("qe"), F.col("ce"))
+                / (
+                    F.sqrt(dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(dot(F.col("ce"), F.col("ce")))
+                )
+            )
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+        .groupBy("qdoc", "cdoc", "qv")
+        .agg(F.max("cos_e6").alias("best_e6"))
+    )
+    sc = s.groupBy("qdoc", "cdoc").agg(
+        F.sum("best_e6").cast("bigint").alias("maxsim_e6")
+    )
+    w = Window.partitionBy("qdoc").orderBy(F.desc("maxsim_e6"), F.asc("cdoc"))
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MV_TOP)
+        .select(
+            F.col("qdoc").cast("bigint").alias("query_doc"),
+            F.col("cdoc").cast("bigint").alias("doc"),
+            "maxsim_e6",
+            F.col("rk").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_doc", "rank")
+    )

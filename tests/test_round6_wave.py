@@ -226,3 +226,37 @@ def test_q341_srp_collision_prob_tracks_angle(spark):
     # corpus-wide mean (which is ~0 for these embeddings)
     mean_cos = sum(r.cos_e6 for r in rows) / len(rows)
     assert mean_cos > 0
+
+
+def test_q342_maxsim_bounds_and_ranking(spark):
+    rows = run(spark, "q342_colbert_maxsim").collect()
+    # 4 query docs x top-5
+    assert len(rows) == 20
+    for r in rows:
+        # maxsim over 5 query tokens, each cosine in [-1, 1] e6
+        assert -5_000_000 <= r.maxsim_e6 <= 5_000_000
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_doc, []).append(r.maxsim_e6)
+    for scores in by_q.values():
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_q343_bcubed_degenerate_bounds(spark):
+    r = run(spark, "q343_bcubed_cluster_eval").collect()[0]
+    p, rc, f1 = r.bcubed_precision_e6, r.bcubed_recall_e6, r.bcubed_f1_e6
+    assert 0 < p <= 1_000_000 and 0 < rc <= 1_000_000
+    # F1 is the harmonic mean: between min and max of P/R
+    assert min(p, rc) - 1 <= f1 <= max(p, rc) + 1
+
+
+def test_q344_coec_weighted_mean_is_one(spark):
+    rows = run(spark, "q344_coec_position_bias").collect()
+    # expected clicks sum to total clicks by construction, so the
+    # expectation-weighted mean COEC is exactly 1 (i.e. clicks total ==
+    # expected total across segments)
+    total_clicks = sum(r.clicks for r in rows)
+    total_expected = sum(r.expected_milli for r in rows) / 1000.0
+    assert abs(total_clicks - total_expected) < 0.01 * total_clicks + 1
+    click_row = {r.event_type: r for r in rows}["click"]
+    assert click_row.coec_milli > 1000  # clicks segment is all clicks
