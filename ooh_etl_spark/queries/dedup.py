@@ -755,3 +755,112 @@ def q327_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_copies")
     )
+
+
+# --- q345: dedup threshold sweep (round 6) ---------------------------------
+_SWEEP_TS = (5000, 6000, 7000, 8000, 9000)  # Jaccard thresholds, bp
+
+_DUCK_SWEEP = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         pairs AS (
+      SELECT id_a, id_b,
+             CAST(round(10000.0 * shared / (sa.sz + sb.sz - shared))
+                  AS BIGINT) AS j_bp
+      FROM shared JOIN sz sa ON id_a = sa.doc_id
+                  JOIN sz sb ON id_b = sb.doc_id),
+         grid AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_TS)}]) AS t_bp),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT CAST(grid.t_bp AS BIGINT) AS threshold_bp,
+           CAST(count(*) FILTER (WHERE pairs.j_bp >= grid.t_bp) AS BIGINT)
+             AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN pairs.j_bp >= grid.t_bp
+                                    THEN pairs.id_b END) AS BIGINT)
+             AS n_dropped,
+           CAST(round(10000.0 * (n.n_docs - count(DISTINCT
+                 CASE WHEN pairs.j_bp >= grid.t_bp THEN pairs.id_b END))
+                 / n.n_docs) AS BIGINT) AS survival_bp
+    FROM grid CROSS JOIN n LEFT JOIN pairs ON true
+    GROUP BY grid.t_bp, n.n_docs
+    ORDER BY threshold_bp
+"""
+
+
+@register("q345_dedup_threshold_sweep", _DUCK_SWEEP)
+def q345_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sweep — the yield curve a corpus curator reads
+    before committing to a similarity cutoff (Lee et al. 2022 report
+    exactly this sensitivity): candidate pairs and their Jaccard are
+    computed ONCE (the q27 inverted-index pipeline, with the filter
+    REMOVED so sub-threshold pairs survive to the sweep), then every
+    threshold in the grid is evaluated from the same checkpointed
+    pair table — pairs kept, docs dropped (min-id survivor rule), and
+    corpus survival rate per threshold. The expensive stage runs
+    once; the sweep is |grid| cheap aggregates.
+
+    100 TB shape: identical candidate-generation cost to q27 (the
+    sweep adds a broadcast grid join over the pair table only) — the
+    whole point: tuning the threshold costs one extra bounded pass,
+    not one dedup run per candidate value."""
+    from ooh_etl_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # threshold=0.0 keeps every candidate pair (>=1 shared shingle)
+    pairs = (
+        jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.0)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(10000.0 * F.col("jaccard")).cast("bigint").alias("j_bp"),
+        )
+        .localCheckpoint()  # one pair computation feeds every threshold
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    grid = spark.createDataFrame(
+        [(t,) for t in _SWEEP_TS], "t_bp long"
+    )
+    swept = (
+        pairs.crossJoin(F.broadcast(grid))
+        .groupBy("t_bp")
+        .agg(
+            F.sum(F.when(F.col("j_bp") >= F.col("t_bp"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("j_bp") >= F.col("t_bp"), F.col("id_b"))
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+    return (
+        F.broadcast(grid)
+        .join(swept, "t_bp", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("t_bp").cast("bigint").alias("threshold_bp"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            F.round(
+                10000.0
+                * (F.col("n_docs") - F.coalesce("n_dropped", F.lit(0)))
+                / F.col("n_docs")
+            )
+            .cast("bigint")
+            .alias("survival_bp"),
+        )
+        .orderBy("threshold_bp")
+    )

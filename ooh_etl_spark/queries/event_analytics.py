@@ -1510,3 +1510,105 @@ def q344_coec_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coec_milli"),
     ).orderBy("event_type")
+
+
+# --- q347: Markov-chain held-out perplexity (round 6) ----------------------
+_MK_ALPHA = 1  # add-one smoothing on transition counts
+
+_DUCK_MARKOV_PPL = f"""
+    WITH seq AS (
+      SELECT user_id, user_id % 2 AS fold, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+         train AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE fold = 0 AND next_type IS NOT NULL GROUP BY 1, 2),
+         states AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS v FROM seq),
+         row_tot AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS ct FROM train GROUP BY 1),
+         test AS (
+      SELECT event_type, next_type FROM seq
+      WHERE fold = 1 AND next_type IS NOT NULL),
+         nll AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(-1000000.0 * ln(
+               (coalesce(train.c, 0) + {_MK_ALPHA}) * 1.0
+               / (coalesce(row_tot.ct, 0) + {_MK_ALPHA} * states.v)
+             )) AS BIGINT)) AS BIGINT) AS nll_u
+      FROM test
+      LEFT JOIN train USING (event_type, next_type)
+      LEFT JOIN row_tot USING (event_type)
+      CROSS JOIN states)
+    SELECT CAST(n AS BIGINT) AS n_transitions, nll_u,
+           CAST(round(exp(nll_u / (1000000.0 * n)) * 1000) AS BIGINT)
+             AS perplexity_milli
+    FROM nll
+"""
+
+
+@register("q347_markov_heldout_ppl", _DUCK_MARKOV_PPL)
+def q347_markov_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity of the first-order behavior Markov chain —
+    the eval loop q99's transition matrix needs before anyone ships
+    it as a next-action model: train add-one-smoothed transition
+    probabilities on even users, score odd users' transitions by
+    accumulated negative log-likelihood, report perplexity (the
+    standard LM eval, applied to event sequences; Manning & Schutze
+    ch. 6 for the smoothing). Unseen (state, next) pairs cost the
+    smoothed floor instead of breaking the product — the reason
+    add-one and not MLE.
+
+    Determinism: per-transition NLL quantizes to micro-nats BEFORE
+    the sum (the q187 ln contract), so the corpus reduction is an
+    order-free integer sum; counts are exact.
+
+    100 TB shape: one user-partitioned lead() window (shared by both
+    folds — the checkpoint), a |states|^2-bounded transition table
+    broadcast back, one combinable NLL aggregate. Streaming twin:
+    the same broadcast scores a live stream per micro-batch."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        (F.col("user_id") % 2).alias("fold"),
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).localCheckpoint()  # ONE window pass feeds train, vocab, and test
+    train = (
+        seq.filter((F.col("fold") == 0) & F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    states = seq.agg(
+        F.countDistinct("event_type").cast("bigint").alias("v")
+    )
+    row_tot = train.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("ct")
+    )
+    test = seq.filter((F.col("fold") == 1) & F.col("next_type").isNotNull())
+    p = (F.coalesce(F.col("c"), F.lit(0)) + _MK_ALPHA) * 1.0 / (
+        F.coalesce(F.col("ct"), F.lit(0)) + _MK_ALPHA * F.col("v")
+    )
+    nll = (
+        test.join(F.broadcast(train), ["event_type", "next_type"], "left")
+        .join(F.broadcast(row_tot), "event_type", "left")
+        .crossJoin(F.broadcast(states))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(-1000000.0 * F.log(p)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("nll_u"),
+        )
+    )
+    return nll.select(
+        F.col("n").cast("bigint").alias("n_transitions"),
+        "nll_u",
+        F.round(
+            F.exp(F.col("nll_u") / (1000000.0 * F.col("n"))) * 1000
+        )
+        .cast("bigint")
+        .alias("perplexity_milli"),
+    )

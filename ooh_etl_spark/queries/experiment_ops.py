@@ -2368,3 +2368,104 @@ def q328_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_stage_f_milli"),
     )
+
+
+# --- q348: 2x2 factorial interaction test (round 6) ------------------------
+_DUCK_FACTORIAL = """
+    WITH d AS (
+      SELECT user_id % 2 AS fa, (user_id // 2) % 2 AS fb,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+         cell AS (
+      SELECT fa, fb, count(*) AS n, sum(vc) AS sx,
+             sum(vc * vc) AS sxx
+      FROM d GROUP BY 1, 2),
+         m AS (
+      SELECT sum(CASE WHEN fa = 1 AND fb = 1 THEN sx * 1.0 / n END) AS m11,
+             sum(CASE WHEN fa = 1 AND fb = 0 THEN sx * 1.0 / n END) AS m10,
+             sum(CASE WHEN fa = 0 AND fb = 1 THEN sx * 1.0 / n END) AS m01,
+             sum(CASE WHEN fa = 0 AND fb = 0 THEN sx * 1.0 / n END) AS m00,
+             sum((sxx - sx * sx * 1.0 / n) / (n - 1) / n) AS var_sum,
+             CAST(sum(n) AS BIGINT) AS nn
+      FROM cell)
+    SELECT nn AS n,
+           CAST(round(10.0 * ((m11 - m10) - (m01 - m00))) AS BIGINT)
+             AS interaction_m,
+           CAST(round(10.0 * ((m11 + m10) - (m01 + m00)) / 2) AS BIGINT)
+             AS main_a_m,
+           CAST(round(10.0 * ((m11 + m01) - (m10 + m00)) / 2) AS BIGINT)
+             AS main_b_m,
+           CAST(round(1000.0 * ((m11 - m10) - (m01 - m00))
+                      / sqrt(var_sum)) AS BIGINT) AS interaction_z_milli
+    FROM m
+"""
+
+
+@register("q348_factorial_interaction", _DUCK_FACTORIAL)
+def q348_factorial_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 factorial experiment analysis (Fisher's design; Kohavi et
+    al., 'Online Controlled Experiments' ch. 4 for the web version):
+    two simultaneous treatments (user-id bit 0 and bit 1 standing in
+    for two feature flags) analyzed for BOTH main effects and the
+    INTERACTION contrast (m11-m10)-(m01-m00) with its z-score from
+    the per-cell variance sum — the analysis that says whether two
+    teams' experiments can be read independently (interaction ~ 0) or
+    are stepping on each other. Complements q192 (one factor), q235
+    (DiD), q184 (CUPED).
+
+    Determinism: four cell means from exact integer-cent sums; the
+    contrasts and z are closed-form doubles quantized at the end
+    (decimal(38,0) accumulators for the squared sums — the q328/q255
+    overflow lesson).
+
+    100 TB shape: ONE map-side-combinable (fa, fb) cell aggregate —
+    a 4-row decision table; adding factors multiplies cells (2^k),
+    never passes."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")
+    d = ev.select(
+        (F.col("user_id") % 2).alias("fa"),
+        (F.expr("user_id div 2") % 2).alias("fb"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    cell = d.groupBy("fa", "fb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("sx"),
+        F.sum(dec(F.col("vc")) * dec(F.col("vc"))).cast("double").alias("sxx"),
+    )
+    mean_of = lambda a, b: F.sum(
+        F.when(
+            (F.col("fa") == a) & (F.col("fb") == b),
+            F.col("sx") * 1.0 / F.col("n"),
+        )
+    )
+    m = cell.agg(
+        mean_of(1, 1).alias("m11"),
+        mean_of(1, 0).alias("m10"),
+        mean_of(0, 1).alias("m01"),
+        mean_of(0, 0).alias("m00"),
+        F.sum(
+            (F.col("sxx") - F.col("sx") * F.col("sx") * 1.0 / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("var_sum"),
+        F.sum("n").cast("bigint").alias("nn"),
+    )
+    inter = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    return m.select(
+        F.col("nn").alias("n"),
+        F.round(10.0 * inter).cast("bigint").alias("interaction_m"),
+        F.round(
+            10.0 * ((F.col("m11") + F.col("m10")) - (F.col("m01") + F.col("m00"))) / 2
+        )
+        .cast("bigint")
+        .alias("main_a_m"),
+        F.round(
+            10.0 * ((F.col("m11") + F.col("m01")) - (F.col("m10") + F.col("m00"))) / 2
+        )
+        .cast("bigint")
+        .alias("main_b_m"),
+        F.round(1000.0 * inter / F.sqrt(F.col("var_sum")))
+        .cast("bigint")
+        .alias("interaction_z_milli"),
+    )

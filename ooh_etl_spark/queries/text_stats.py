@@ -1182,3 +1182,92 @@ def q338_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "w1", "w2")
         .limit(_KN_TOP)
     )
+
+
+# --- q346: corpus dispersion DP (round 6) ----------------------------------
+_DP_TOP = 15
+
+_DUCK_DISPERSION = f"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents),
+         part_sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS s FROM tok GROUP BY source),
+         tot AS (SELECT CAST(sum(s) AS BIGINT) AS n FROM part_sz),
+         tf AS (
+      SELECT w, source, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         wtot AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM tf GROUP BY w),
+         terms AS (
+      SELECT wtot.w, wtot.cw,
+             CAST(round(500000.0 * sum(abs(
+               coalesce(tf.c, 0) * 1.0 / wtot.cw - part_sz.s * 1.0 / tot.n
+             ))) AS BIGINT) AS dp_e6
+      FROM wtot
+      CROSS JOIN tot
+      JOIN part_sz ON true
+      LEFT JOIN tf ON tf.w = wtot.w AND tf.source = part_sz.source
+      GROUP BY wtot.w, wtot.cw)
+    SELECT w AS term, cw AS n_occurrences, dp_e6
+    FROM terms
+    ORDER BY dp_e6 DESC, term
+    LIMIT {_DP_TOP}
+"""
+
+
+@register("q346_dispersion_dp", _DUCK_DISPERSION)
+def q346_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dispersion DP (Gries 2008, 'Dispersions and adjusted
+    frequencies in corpora'): DP = 0.5 * sum over corpus parts of
+    |observed share of the term in part - part's share of the corpus|
+    — 0 means the term spreads exactly with corpus mass, 1 means it
+    lives in one part. Raw frequency hides this (a term can be
+    frequent because ONE source spams it — the burstiness that makes
+    frequency-based vocab/filter decisions wrong); the top-DP terms
+    are each source's shibboleths, the bottom the true corpus-wide
+    vocabulary. Complements q241 (JSD: whole-distribution divergence
+    per source) with a PER-TERM statistic.
+
+    100 TB shape: one (term, source) count shuffle; the DP sum runs
+    on the |vocab| x |sources| grid (the per-term LEFT join against
+    the part-size table fills absent cells with 0 — required: a term
+    MISSING from a big part contributes that part's full share);
+    top-k via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    tf = (
+        tok.groupBy("w", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()  # feeds part sizes, term totals, and cells
+    )
+    part_sz = tf.groupBy("source").agg(F.sum("c").cast("bigint").alias("s"))
+    tot = part_sz.agg(F.sum("s").cast("bigint").alias("n"))
+    wtot = tf.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    grid = wtot.crossJoin(F.broadcast(part_sz)).join(
+        tf, ["w", "source"], "left"
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("w", "cw")
+        .agg(
+            F.round(
+                500000.0
+                * F.sum(
+                    F.abs(
+                        F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("cw")
+                        - F.col("s") * 1.0 / F.col("n")
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("dp_e6")
+        )
+        .select(
+            F.col("w").alias("term"),
+            F.col("cw").alias("n_occurrences"),
+            "dp_e6",
+        )
+        .orderBy(F.desc("dp_e6"), "term")
+        .limit(_DP_TOP)
+    )

@@ -260,3 +260,44 @@ def test_q344_coec_weighted_mean_is_one(spark):
     assert abs(total_clicks - total_expected) < 0.01 * total_clicks + 1
     click_row = {r.event_type: r for r in rows}["click"]
     assert click_row.coec_milli > 1000  # clicks segment is all clicks
+
+
+def test_q345_sweep_monotone_in_threshold(spark):
+    rows = run(spark, "q345_dedup_threshold_sweep").collect()
+    assert [r.threshold_bp for r in rows] == [5000, 6000, 7000, 8000, 9000]
+    pairs = [r.n_pairs for r in rows]
+    dropped = [r.n_dropped for r in rows]
+    survival = [r.survival_bp for r in rows]
+    # raising the threshold can only shrink the pair/drop sets
+    assert pairs == sorted(pairs, reverse=True)
+    assert dropped == sorted(dropped, reverse=True)
+    assert survival == sorted(survival)
+    # the 0.5 row must agree with q27's pair count
+    q27_pairs = run(spark, "q27_jaccard_pairs").count()
+    assert rows[0].n_pairs == q27_pairs
+
+
+def test_q346_dispersion_bounds(spark):
+    rows = run(spark, "q346_dispersion_dp").collect()
+    assert len(rows) == 15
+    assert all(0 <= r.dp_e6 <= 1_000_000 for r in rows)
+
+
+def test_q347_perplexity_bounded_by_vocab(spark):
+    r = run(spark, "q347_markov_heldout_ppl").collect()[0]
+    # a 5-state chain's held-out perplexity is > 1 by definition; the
+    # add-one floor bounds any single transition's cost, so values
+    # stay within a small multiple of |V| (smoothed probabilities of
+    # SEEN-but-rare transitions can dip below 1/V, which is why |V|
+    # itself is not an upper bound)
+    assert 1000 < r.perplexity_milli < 3 * 5000
+    assert r.n_transitions > 0
+    assert r.nll_u > 0
+
+
+def test_q348_factorial_effects_finite(spark):
+    r = run(spark, "q348_factorial_interaction").collect()[0]
+    assert r.n > 0
+    # synthetic parity factors carry no real effect: the interaction
+    # z-score should be unremarkable (|z| < 5)
+    assert abs(r.interaction_z_milli) < 5000
