@@ -864,3 +864,109 @@ def q345_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_bp")
     )
+
+
+# --- q350: incremental cross-batch dedup (round 6) -------------------------
+_INC_SPLIT_FRAC = 10  # last tenth of doc_ids arrives as the "new batch"
+
+_DUCK_INC_DEDUP = f"""
+    WITH mx AS (SELECT (max(doc_id) + 1) * ({_INC_SPLIT_FRAC} - 1)
+                       // {_INC_SPLIT_FRAC} AS cut FROM documents),
+         d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         old AS (SELECT inv.* FROM inv CROSS JOIN mx WHERE doc_id < cut),
+         new AS (SELECT inv.* FROM inv CROSS JOIN mx WHERE doc_id >= cut),
+         shared AS (
+      SELECT old.doc_id AS id_old, new.doc_id AS id_new, count(*) AS shared
+      FROM new JOIN old USING (shingle)
+      GROUP BY 1, 2),
+         pairs AS (
+      SELECT id_new, id_old
+      FROM shared JOIN sz so ON id_old = so.doc_id
+                  JOIN sz sn ON id_new = sn.doc_id
+      WHERE round(shared / (so.sz + sn.sz - shared), 4) >= 0.5)
+    SELECT id_new AS new_doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(id_old) AS BIGINT) AS kept_doc_id
+    FROM pairs GROUP BY id_new ORDER BY new_doc_id
+"""
+
+
+@register("q350_incremental_dedup", _DUCK_INC_DEDUP)
+def q350_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the production shape q27 is the
+    offline twin of: a new ingest batch (the last tenth of doc_ids)
+    checks ONLY against the existing corpus index, never re-pairing
+    old-vs-old (Lee et al. 2022 §5 run exactly this daily). The
+    existing side's shingle inverted index is the persisted artifact;
+    the new batch's shingles probe it; candidates are new x old only,
+    so incremental cost scales with the BATCH, not the corpus.
+    Output: each new doc's match count and its min-id survivor (the
+    doc a dedupe would keep instead).
+
+    100 TB shape: the probe join shuffles on the shingle key with the
+    new side a few orders smaller — the classic big-probe-small
+    pattern; at production the old-side postings are bucketed on
+    shingle so the probe co-partitions with ZERO old-side movement
+    (the persisted-index property this query's plan stands in for);
+    the verify join re-attaches sizes by key."""
+    from ooh_etl_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut_row = docs.agg(
+        (
+            (F.max("doc_id") + 1)
+            * (_INC_SPLIT_FRAC - 1)
+            / _INC_SPLIT_FRAC
+        )
+        .cast("bigint")
+        .alias("cut")
+    ).collect()[0]
+    cut = int(cut_row["cut"])
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    ).localCheckpoint()  # shingle sets feed index, probe, and sizes
+    sz = sh.select("doc_id", F.size("sh").alias("sz"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    old = inv.filter(F.col("doc_id") < cut).select(
+        F.col("doc_id").alias("id_old"), "shingle"
+    )
+    new = inv.filter(F.col("doc_id") >= cut).select(
+        F.col("doc_id").alias("id_new"), "shingle"
+    )
+    shared = (
+        new.join(old, "shingle")
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    so = sz.select(F.col("doc_id").alias("id_old"), F.col("sz").alias("szo"))
+    sn = sz.select(F.col("doc_id").alias("id_new"), F.col("sz").alias("szn"))
+    pairs = (
+        shared.join(so, "id_old")
+        .join(sn, "id_new")
+        .filter(
+            F.round(
+                F.col("shared")
+                / (F.col("szo") + F.col("szn") - F.col("shared")),
+                4,
+            )
+            >= 0.5
+        )
+    )
+    return (
+        pairs.groupBy(F.col("id_new").alias("new_doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("id_old").cast("bigint").alias("kept_doc_id"),
+        )
+        .orderBy("new_doc_id")
+    )

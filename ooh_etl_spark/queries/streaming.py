@@ -538,3 +538,54 @@ def q239_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register("q349_stream_foreach_batch", None)  # imperative sink → rows-only
+def q349_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` — the LAST streaming sink surface (next to the
+    memory/file sinks the other streaming queries use): each
+    micro-batch arrives as a plain batch DataFrame plus its batch id,
+    which is how production streams write to JDBC/Delta-MERGE/any
+    batch-only system, dedupe per-batch, or fan one stream into
+    several sinks. Here each batch's per-type counts append to an
+    accumulator list (with the batch id carried along), and the
+    result is the union of all batch summaries — proving both the
+    per-batch isolation and the exactly-once batch-id contract
+    (Structured Streaming replays a failed batch with the SAME id,
+    which is what makes foreachBatch + idempotent-merge exactly-once).
+
+    Rows-only by design: batch boundaries depend on file-source
+    micro-batching. The pytest twin asserts the SUM across batch
+    summaries equals the batch-mode aggregate — the conservation
+    property that holds regardless of how the stream was sliced.
+
+    100 TB shape: foreachBatch runs the same distributed plan per
+    micro-batch; the driver-side function only COORDINATES (here:
+    appends a tiny summary) — per-batch data never collects."""
+    ev = _event_stream(spark, sf_dir)
+    batches: list = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                cents_sum("value").alias("total_value"),
+            )
+            .collect()
+        )
+        for r in rows:
+            batches.append((int(batch_id), r.event_type, r.n, float(r.total_value)))
+
+    q = (
+        ev.select("event_type", "value")
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.createDataFrame(
+        batches,
+        "batch_id long, event_type string, n long, total_value double",
+    ).orderBy("batch_id", "event_type")

@@ -301,3 +301,44 @@ def test_q348_factorial_effects_finite(spark):
     # synthetic parity factors carry no real effect: the interaction
     # z-score should be unremarkable (|z| < 5)
     assert abs(r.interaction_z_milli) < 5000
+
+
+def test_q349_foreach_batch_conserves_totals(spark):
+    from ooh_etl_spark.tables import load_table
+
+    rows = run(spark, "q349_stream_foreach_batch").collect()
+    assert len(rows) > 0
+    streamed = {}
+    for r in rows:
+        n, v = streamed.get(r.event_type, (0, 0.0))
+        streamed[r.event_type] = (n + r.n, round(v + r.total_value, 2))
+    batch = {
+        r.event_type: (r.n, float(r.tv))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("tv"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_q350_incremental_matches_are_cross_batch_only(spark):
+    rows = run(spark, "q350_incremental_dedup").collect()
+    assert len(rows) > 0
+    from ooh_etl_spark.tables import load_table
+
+    mx = (
+        load_table(spark, SF_DIR, "documents")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    cut = (mx + 1) * 9 // 10
+    for r in rows:
+        assert r.new_doc_id >= cut
+        assert r.kept_doc_id < cut
+        assert r.n_matches >= 1
