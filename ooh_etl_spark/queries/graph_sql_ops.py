@@ -752,3 +752,105 @@ def q333_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority_raw"), "l_partkey")
         .limit(_HITS_TOP)
     )
+
+
+# --- q354: one-step label spreading (round 6) ------------------------------
+_LS_SEED_MOD = 7  # parts with partkey % 7 == 0 arrive labeled
+
+_DUCK_LABEL_SPREAD = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2),
+         seeds AS (
+      SELECT DISTINCT l_partkey AS node, l_partkey % 3 AS label
+      FROM lineitem WHERE l_partkey % {_LS_SEED_MOD} = 0),
+         votes AS (
+      SELECT e.u AS node, s.label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM e JOIN seeds s ON e.v = s.node
+      WHERE e.u NOT IN (SELECT node FROM seeds)
+      GROUP BY 1, 2),
+         best AS (
+      SELECT node, label, n_votes,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY n_votes DESC, label) AS rk
+      FROM votes)
+    SELECT CAST(count(*) AS BIGINT) AS n_newly_labeled,
+           CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_label0,
+           CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_label1,
+           CAST(sum(CASE WHEN label = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_label2,
+           CAST(round(avg(n_votes) * 1000) AS BIGINT) AS avg_votes_milli
+    FROM best WHERE rk = 1
+"""
+
+
+@register("q354_label_spreading", _DUCK_LABEL_SPREAD)
+def q354_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of semi-supervised label spreading over the
+    co-purchase graph (Zhu & Ghahramani 2002's label propagation, the
+    majority-vote discrete form): a seed subset of parts arrives
+    labeled (partkey mod {_LS_SEED_MOD}, label = key mod 3 standing
+    in for a curated seed set), and every UNLABELED neighbor takes
+    the majority label among its labeled neighbors (ties to the
+    smaller label — the deterministic argmax the oracle mirrors with
+    row_number). This is how a small curated taxonomy extends over a
+    co-occurrence graph without a model; iterating feeds the new
+    labels back as seeds — the q49/q116 loop structure, here
+    deliberately ONE step so the oracle stays a fixed SQL text.
+
+    100 TB shape: the vote join keys on the labeled endpoint (seed
+    side semi-join-reduced first); votes aggregate map-side per
+    (node, label); the argmax window partitions by node. Label count
+    is bounded, so per-node state never exceeds |labels| cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()  # the edge list feeds the vote join AND the
+        # (implicit) seed-side anti-join
+    )
+    seeds = (
+        li.select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .filter(F.col("node") % _LS_SEED_MOD == 0)
+        .select("node", (F.col("node") % 3).alias("label"))
+        .localCheckpoint()
+    )
+    votes = (
+        e.join(seeds.select(F.col("node").alias("v"), "label"), "v")
+        .join(seeds.select(F.col("node").alias("u")), "u", "left_anti")
+        .groupBy(F.col("u").alias("node"), "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    wbest = Window.partitionBy("node").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    best = votes.withColumn("rk", F.row_number().over(wbest)).filter(
+        F.col("rk") == 1
+    )
+    return best.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_newly_labeled"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_label0"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_label1"),
+        F.sum(F.when(F.col("label") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_label2"),
+        F.round(F.avg("n_votes") * 1000).cast("bigint").alias(
+            "avg_votes_milli"
+        ),
+    )

@@ -1166,3 +1166,89 @@ def q297_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q351: lexicon-based content flagging (round 6) ------------------------
+_LEX_TERMS = ("rusty", "dark", "dim", "blush")  # stand-in flag lexicon
+_LEX_RATE_BP = 1500  # doc flagged when >= 15% of tokens hit the lexicon
+
+_DUCK_LEXICON = f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_DUCK_TOKS}) AS w FROM documents),
+         per AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(CASE WHEN w IN {_LEX_TERMS!r} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM tok GROUP BY 1, 2),
+         flagged AS (
+      SELECT source, n_toks, n_hits,
+             CASE WHEN 10000 * n_hits >= {_LEX_RATE_BP} * n_toks
+                  THEN 1 ELSE 0 END AS flagged
+      FROM per)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           CAST(round(10000.0 * sum(flagged) / count(*)) AS BIGINT)
+             AS flagged_bp,
+           CAST(round(10000.0 * sum(n_hits) / sum(n_toks)) AS BIGINT)
+             AS hit_rate_bp
+    FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+@register("q351_lexicon_flagging", _DUCK_LEXICON)
+def q351_lexicon_flagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based content flagging — the first-pass safety/policy
+    filter every corpus pipeline runs before any model-based
+    classifier (RefinedWeb/Dolma both gate on blocklist hit RATES,
+    not mere presence, because single-hit flagging censors medical
+    and news text): per-doc lexicon hit rate over a broadcast term
+    set, docs flagged at >= {_LEX_RATE_BP} bp, per-source flag and
+    hit rates — the dashboard that decides whether a SOURCE is
+    droppable wholesale or needs doc-level review.
+
+    Determinism: hits and token counts are integers; the flag
+    threshold compares cross-multiplied integers (no division);
+    rates quantize to bp.
+
+    100 TB shape: the lexicon is an IN-list literal compiled into the
+    scan-stage filter expression (a real 10^4-term lexicon swaps in a
+    broadcast join against the exploded tokens — same plan plus one
+    broadcast); one (doc) aggregate, one (source) rollup. The
+    model-based second pass (q153/q155) consumes this query's
+    survivors."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    per = tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.sum(F.when(F.col("w").isin(*_LEX_TERMS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    flagged = per.select(
+        "source",
+        "n_toks",
+        "n_hits",
+        F.when(
+            10000 * F.col("n_hits") >= _LEX_RATE_BP * F.col("n_toks"), 1
+        )
+        .otherwise(0)
+        .alias("flagged"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("flagged").cast("bigint").alias("n_flagged"),
+            F.round(10000.0 * F.sum("flagged") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("flagged_bp"),
+            F.round(10000.0 * F.sum("n_hits") / F.sum("n_toks"))
+            .cast("bigint")
+            .alias("hit_rate_bp"),
+        )
+        .orderBy("source")
+    )

@@ -1271,3 +1271,102 @@ def q346_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dp_e6"), "term")
         .limit(_DP_TOP)
     )
+
+
+# --- q353: nucleus (top-p) vocabulary coverage (round 6) -------------------
+_NUC_P_BP = 9000  # 90% token-mass target
+
+_DUCK_NUCLEUS = f"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents),
+         tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+         tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v
+      FROM tf GROUP BY source),
+         ranked AS (
+      SELECT tf.source, tf.c, tot.n, tot.v,
+             sum(tf.c) OVER (PARTITION BY tf.source
+                             ORDER BY tf.c DESC, tf.w) AS cum
+      FROM tf JOIN tot USING (source)),
+         nucleus AS (
+      SELECT source, n, v,
+             CAST(count(*) FILTER (
+               WHERE cum - c < n * {_NUC_P_BP} / 10000.0) AS BIGINT)
+               AS k_nucleus
+      FROM ranked GROUP BY source, n, v)
+    SELECT source, n AS n_tokens, v AS vocab_size, k_nucleus,
+           CAST(round(10000.0 * k_nucleus / v) AS BIGINT)
+             AS nucleus_share_bp
+    FROM nucleus ORDER BY source
+"""
+
+
+@register("q353_nucleus_vocab_coverage", _DUCK_NUCLEUS)
+def q353_nucleus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus / top-p vocabulary coverage per source (the corpus-side
+    twin of nucleus sampling, Holtzman et al. ICLR 2020): the number
+    of distinct terms needed to cover {_NUC_P_BP} bp of a source's
+    token mass, and what fraction of its vocabulary that nucleus is —
+    a heavy-tailed source covers 90% of its tokens with a sliver of
+    its vocab (boilerplate-ish), a flat one needs most of it. The
+    tokenizer-budget statistic that says how much vocab each source
+    actually exercises (q165's fertility measures the inverse
+    direction).
+
+    Membership rule: a term is in the nucleus iff the mass BEFORE it
+    (cum - c) is still below the target — the smallest prefix of the
+    (count desc, term) order reaching p, including the crossing term;
+    the strict < on exact integers vs one double product is
+    engine-identical.
+
+    100 TB shape: one (source, term) count shuffle; the cumulative
+    window partitions by source over the vocabulary table (bounded by
+    vocab, not tokens); output is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    tf = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()  # feeds totals AND the ranked window
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("c"), F.asc("w"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = tf.join(tot, "source").select(
+        "source",
+        "c",
+        "n",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+    )
+    nucleus = ranked.groupBy("source", "n", "v").agg(
+        F.sum(
+            F.when(
+                F.col("cum") - F.col("c")
+                < F.col("n") * _NUC_P_BP / 10000.0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("k_nucleus")
+    )
+    return nucleus.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab_size"),
+        "k_nucleus",
+        F.round(10000.0 * F.col("k_nucleus") / F.col("v"))
+        .cast("bigint")
+        .alias("nucleus_share_bp"),
+    ).orderBy("source")

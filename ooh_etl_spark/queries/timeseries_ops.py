@@ -1664,3 +1664,106 @@ def q330_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl.crossJoin(F.broadcast(stats)).select(
         "n_days", "n_pairs", "theilsen_slope_u", "median_rev_c"
     )
+
+
+# --- q352: classical seasonal decomposition (round 6) ----------------------
+_DECOMP_P = 24  # period: daily cycle over the hourly series
+
+_DUCK_DECOMP = f"""
+    WITH hr AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS x
+      FROM events GROUP BY 1),
+         b AS (SELECT min(h) AS h0 FROM hr),
+         t AS (SELECT h - b.h0 AS t, CAST(x AS BIGINT) AS x
+               FROM hr CROSS JOIN b),
+         trend AS (
+      SELECT t, x,
+             CASE WHEN count(*) OVER w = {_DECOMP_P} + 1
+                  THEN CAST(round((sum(x) OVER w
+                        - (first_value(x) OVER w + last_value(x) OVER w)
+                          / 2.0) * 1000.0 / {_DECOMP_P}) AS BIGINT)
+             END AS trend_m
+      FROM t
+      WINDOW w AS (ORDER BY t RANGE BETWEEN {_DECOMP_P // 2} PRECEDING
+                   AND {_DECOMP_P // 2} FOLLOWING)),
+         detr AS (
+      SELECT t % {_DECOMP_P} AS phase, x * 1000 - trend_m AS d_m
+      FROM trend WHERE trend_m IS NOT NULL),
+         seas AS (
+      SELECT phase, CAST(round(avg(d_m)) AS BIGINT) AS seasonal_m
+      FROM detr GROUP BY phase)
+    SELECT CAST(phase AS BIGINT) AS phase_hour, seasonal_m,
+           CAST(count(*) OVER () AS BIGINT) AS n_phases
+    FROM seas ORDER BY phase_hour
+"""
+
+
+@register("q352_classical_decomposition", _DUCK_DECOMP)
+def q352_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (Macaulay 1931; the
+    'decompose()' every forecasting text opens with, and the
+    explicit-trend complement of q284's seasonality STRENGTH): trend
+    = centered 2x{_DECOMP_P}-term moving average over the zero-origin
+    hourly series (endpoints half-weighted — the standard even-period
+    correction), detrended values average by phase-of-day into the
+    seasonal profile. The profile feeds anomaly baselines (q244) and
+    tells Holt (q259) whether it needs the Winters seasonal term.
+
+    Determinism: the MA is an exact integer expression (sum minus
+    half the two endpoints, milli-quantized per window BEFORE
+    detrending); phase means are integer-ratio rounds; incomplete
+    windows (series edges) are excluded by the window-count guard in
+    both engines identically.
+
+    100 TB shape: one hour-keyed corpus rollup (checkpointed), a
+    RANGE window over the bounded hour grid, a {_DECOMP_P}-row phase
+    aggregate. The hour grid stays calendar-bounded at any corpus
+    size — the q315/q316 contract."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint()
+    )
+    b = hr.agg(F.min("h").alias("h0"))
+    t = hr.crossJoin(F.broadcast(b)).select(
+        (F.col("h") - F.col("h0")).alias("t"), "x"
+    )
+    w = (
+        Window.orderBy("t")
+        .rangeBetween(-(_DECOMP_P // 2), _DECOMP_P // 2)
+    )
+    trend = t.select(
+        "t",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w) == _DECOMP_P + 1,
+            F.round(
+                (
+                    F.sum("x").over(w)
+                    - (
+                        F.first("x").over(w) + F.last("x").over(w)
+                    )
+                    / 2.0
+                )
+                * 1000.0
+                / _DECOMP_P
+            ).cast("bigint"),
+        ).alias("trend_m"),
+    )
+    detr = trend.filter(F.col("trend_m").isNotNull()).select(
+        (F.col("t") % _DECOMP_P).alias("phase"),
+        (F.col("x") * 1000 - F.col("trend_m")).alias("d_m"),
+    )
+    seas = detr.groupBy("phase").agg(
+        F.round(F.avg("d_m")).cast("bigint").alias("seasonal_m")
+    )
+    return seas.select(
+        F.col("phase").cast("bigint").alias("phase_hour"),
+        "seasonal_m",
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias(
+            "n_phases"
+        ),
+    ).orderBy("phase_hour")

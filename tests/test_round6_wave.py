@@ -342,3 +342,36 @@ def test_q350_incremental_matches_are_cross_batch_only(spark):
         assert r.new_doc_id >= cut
         assert r.kept_doc_id < cut
         assert r.n_matches >= 1
+
+
+def test_q351_lexicon_rates_consistent(spark):
+    rows = run(spark, "q351_lexicon_flagging").collect()
+    for r in rows:
+        assert 0 <= r.n_flagged <= r.n_docs
+        assert 0 <= r.flagged_bp <= 10000
+        assert 0 <= r.hit_rate_bp <= 10000
+
+
+def test_q352_decomposition_phase_profile(spark):
+    # The sf0.001 fixture's hourly series is short, so only phases
+    # with COMPLETE centered windows appear (the edge-exclusion
+    # guard); at sf0.01+ all 24 phases materialize.
+    rows = run(spark, "q352_classical_decomposition").collect()
+    assert 1 <= len(rows) <= 24
+    phases = [r.phase_hour for r in rows]
+    assert phases == sorted(phases)
+    assert all(0 <= p < 24 for p in phases)
+    assert all(r.n_phases == len(rows) for r in rows)
+
+
+def test_q353_nucleus_bounds(spark):
+    rows = run(spark, "q353_nucleus_vocab_coverage").collect()
+    for r in rows:
+        assert 1 <= r.k_nucleus <= r.vocab_size
+        assert 0 < r.nucleus_share_bp <= 10000
+
+
+def test_q354_label_spread_counts_conserve(spark):
+    r = run(spark, "q354_label_spreading").collect()[0]
+    assert r.n_label0 + r.n_label1 + r.n_label2 == r.n_newly_labeled
+    assert r.avg_votes_milli >= 1000  # at least one vote each
