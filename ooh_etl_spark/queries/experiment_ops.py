@@ -2469,3 +2469,183 @@ def q348_factorial_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("interaction_z_milli"),
     )
+
+
+# --- q356/q357: pairwise tournament -> Copeland + Bradley-Terry (round 6) --
+_DUCK_TOURNAMENT_BASE = """
+    WITH day AS (
+      SELECT event_type AS item, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+         duel AS (
+      SELECT a.item AS wi, b.item AS li, a.d
+      FROM day a JOIN day b ON a.d = b.d AND a.item <> b.item
+      WHERE a.s * b.n > b.s * a.n
+         OR (a.s * b.n = b.s * a.n AND a.item < b.item)),
+         wins AS (
+      SELECT wi, li, CAST(count(*) AS BIGINT) AS w
+      FROM duel GROUP BY 1, 2)
+"""
+
+_DUCK_COPELAND = (
+    _DUCK_TOURNAMENT_BASE
+    + """
+    , score AS (
+      SELECT wi AS item, CAST(sum(w) AS BIGINT) AS n_wins
+      FROM wins GROUP BY wi)
+    SELECT item, n_wins,
+           CAST(row_number() OVER (ORDER BY n_wins DESC, item) AS BIGINT)
+             AS copeland_rank
+    FROM score ORDER BY copeland_rank
+"""
+)
+
+
+@register("q356_copeland_tournament", _DUCK_COPELAND)
+def q356_copeland_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copeland tournament aggregation (Copeland 1951; the
+    pairwise-preference ranking used by LLM-evaluation arenas before
+    model fitting): items (event types standing in for model variants)
+    duel on every day's exposure-normalized mean value — day-level
+    pairwise comparisons are the 'judge votes' — and rank by total
+    pairwise wins. Day means compare by CROSS-MULTIPLIED integer sums
+    (s_a*n_b vs s_b*n_a — no division, no float tie ambiguity; exact
+    ties break to the lexicographically smaller item).
+
+    100 TB shape: the duel join runs on the (items x days) table —
+    calendar-bounded, never event-rows; the win matrix is
+    |items|^2."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(
+        F.col("event_type").alias("item"), F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint()  # the day table feeds both duel sides
+    a = day.select(
+        F.col("item").alias("ia"), "d", F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = day.select(
+        F.col("item").alias("ib"), F.col("d").alias("db"),
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    duel = a.join(b, (F.col("d") == F.col("db")) & (F.col("ia") != F.col("ib"))).filter(
+        (F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"))
+        | (
+            (F.col("sa") * F.col("nb") == F.col("sb") * F.col("na"))
+            & (F.col("ia") < F.col("ib"))
+        )
+    )
+    score = duel.groupBy(F.col("ia").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wins")
+    )
+    return score.select(
+        "item",
+        "n_wins",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_wins"), F.asc("item")))
+        .cast("bigint")
+        .alias("copeland_rank"),
+    ).orderBy("copeland_rank")
+
+
+_DUCK_BRADLEY_TERRY = (
+    _DUCK_TOURNAMENT_BASE
+    + """
+    , pairs AS (
+      SELECT wi AS i, li AS j, w FROM wins
+      UNION ALL
+      SELECT li AS i, wi AS j, 0 FROM wins),
+         agg AS (
+      SELECT i, j, CAST(sum(w) AS BIGINT) AS w_ij FROM pairs GROUP BY 1, 2),
+         tot AS (
+      SELECT a.i,
+             CAST(sum(a.w_ij) AS BIGINT) AS wins_i,
+             sum((a.w_ij + b.w_ij) / 2.0) AS half_n
+      FROM agg a JOIN agg b ON a.i = b.j AND a.j = b.i
+      GROUP BY a.i)
+    SELECT i AS item, wins_i,
+           CAST(round(1000000.0 * wins_i / half_n) AS BIGINT) AS bt_gamma_e6,
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(1000000.0 * wins_i / half_n) AS BIGINT)
+               DESC, i) AS BIGINT) AS bt_rank
+    FROM tot ORDER BY bt_rank
+"""
+)
+
+
+@register("q357_bradley_terry_step", _DUCK_BRADLEY_TERRY)
+def q357_bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact minorization step of Bradley-Terry fitting (Bradley &
+    Terry 1952; Hunter 2004's MM algorithm — the model behind
+    arena-style LLM leaderboards): from uniform initial strengths,
+    gamma_i' = wins_i / sum_j n_ij/(gamma_i + gamma_j) reduces to
+    wins_i / (half the comparison count) — reported with the rank it
+    induces. One step from uniform is exactly the win-RATE ranking,
+    which differs from q356's Copeland WIN-COUNT ranking whenever
+    schedules are unbalanced — the divergence that motivates model
+    fitting over raw counts; iterating feeds gammas back (the q49
+    loop shape) and the oracle stays fixed by pinning ONE step.
+
+    100 TB shape: everything after the day rollup runs on the
+    |items|^2 win matrix; the duel generation is the q356 plan."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(
+        F.col("event_type").alias("item"), F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint()
+    a = day.select(
+        F.col("item").alias("ia"), "d", F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = day.select(
+        F.col("item").alias("ib"), F.col("d").alias("db"),
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    duel = a.join(b, (F.col("d") == F.col("db")) & (F.col("ia") != F.col("ib"))).filter(
+        (F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"))
+        | (
+            (F.col("sa") * F.col("nb") == F.col("sb") * F.col("na"))
+            & (F.col("ia") < F.col("ib"))
+        )
+    )
+    wins = duel.groupBy(
+        F.col("ia").alias("wi"), F.col("ib").alias("li")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("w")).localCheckpoint()
+    pairs = wins.select(
+        F.col("wi").alias("i"), F.col("li").alias("j"), "w"
+    ).unionByName(
+        wins.select(
+            F.col("li").alias("i"), F.col("wi").alias("j"), F.lit(0).cast("bigint").alias("w")
+        )
+    )
+    agg = pairs.groupBy("i", "j").agg(F.sum("w").cast("bigint").alias("w_ij")).localCheckpoint()
+    rev = agg.select(
+        F.col("i").alias("j2"), F.col("j").alias("i2"), F.col("w_ij").alias("w_ji")
+    )
+    tot = (
+        agg.join(rev, (agg.i == F.col("i2")) & (agg.j == F.col("j2")))
+        .groupBy("i")
+        .agg(
+            F.sum("w_ij").cast("bigint").alias("wins_i"),
+            F.sum((F.col("w_ij") + F.col("w_ji")) / 2.0).alias("half_n"),
+        )
+    )
+    g = F.round(1000000.0 * F.col("wins_i") / F.col("half_n")).cast("bigint")
+    return tot.select(
+        F.col("i").alias("item"),
+        "wins_i",
+        g.alias("bt_gamma_e6"),
+        F.row_number()
+        .over(Window.orderBy(g.desc(), F.col("i").asc()))
+        .cast("bigint")
+        .alias("bt_rank"),
+    ).orderBy("bt_rank")

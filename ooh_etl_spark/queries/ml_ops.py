@@ -1934,3 +1934,93 @@ def q343_bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bcubed_f1_e6"),
     )
+
+
+# --- q355: weight of evidence / information value (round 6) ----------------
+_WOE_BINS = 8
+
+_DUCK_WOE = f"""
+    WITH d AS (
+      SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT),
+                   {_WOE_BINS - 1}) AS bin,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders),
+         cell AS (
+      SELECT bin,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM d GROUP BY bin),
+         tot AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS tp, CAST(sum(neg) AS BIGINT) AS tn
+      FROM cell),
+         woe AS (
+      SELECT bin, pos, neg,
+             ln(((pos + 0.5) / tp) / ((neg + 0.5) / tn)) AS w,
+             (pos + 0.5) / tp - (neg + 0.5) / tn AS dd
+      FROM cell CROSS JOIN tot)
+    SELECT bin, pos, neg,
+           CAST(round(1000000.0 * w) AS BIGINT) AS woe_e6,
+           CAST(round(1000000.0 * sum(dd * w) OVER ()) AS BIGINT) AS iv_e6
+    FROM woe ORDER BY bin
+"""
+
+
+@register("q355_woe_information_value", _DUCK_WOE)
+def q355_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information value (Siddiqi, 'Credit Risk
+    Scorecards' 2006 — the feature-screening standard in regulated
+    scoring, and the binned form of mutual information q146
+    generalizes): per value-bin WOE = ln(dist_pos/dist_neg) with
+    +0.5 Laplace terms (empty bins stay finite), IV = sum over bins
+    of (dist_pos - dist_neg) * WOE. IV < 0.02 = useless feature,
+    > 0.5 = suspiciously strong (leakage check!) — the triage that
+    decides which features even reach training.
+
+    Determinism: bin counts are integers; WOE/IV are closed-form
+    doubles on exact counts quantized to e6; the IV window is a sum
+    over the {_WOE_BINS}-row bin table.
+
+    100 TB shape: ONE map-side-combinable (bin, label) aggregate —
+    screening F features is F such aggregates over one scan (all
+    computable in a single pass with F bin columns), never per-row
+    model work."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint"),
+            F.lit(_WOE_BINS - 1),
+        ).alias("bin"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "y"
+        ),
+    )
+    cell = d.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    ).localCheckpoint()  # 8 rows; feeds totals AND the WOE projection
+    tot = cell.agg(
+        F.sum("pos").cast("bigint").alias("tp"),
+        F.sum("neg").cast("bigint").alias("tn"),
+    )
+    w = F.log(
+        ((F.col("pos") + 0.5) / F.col("tp"))
+        / ((F.col("neg") + 0.5) / F.col("tn"))
+    )
+    dd = (F.col("pos") + 0.5) / F.col("tp") - (F.col("neg") + 0.5) / F.col(
+        "tn"
+    )
+    woe = cell.crossJoin(F.broadcast(tot)).select(
+        "bin", "pos", "neg", w.alias("w"), dd.alias("dd")
+    )
+    return woe.select(
+        "bin",
+        "pos",
+        "neg",
+        F.round(1000000.0 * F.col("w")).cast("bigint").alias("woe_e6"),
+        F.round(
+            1000000.0
+            * F.sum(F.col("dd") * F.col("w")).over(Window.partitionBy())
+        )
+        .cast("bigint")
+        .alias("iv_e6"),
+    ).orderBy("bin")

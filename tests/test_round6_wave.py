@@ -375,3 +375,22 @@ def test_q354_label_spread_counts_conserve(spark):
     r = run(spark, "q354_label_spreading").collect()[0]
     assert r.n_label0 + r.n_label1 + r.n_label2 == r.n_newly_labeled
     assert r.avg_votes_milli >= 1000  # at least one vote each
+
+
+def test_q355_woe_iv_consistency(spark):
+    rows = run(spark, "q355_woe_information_value").collect()
+    assert len(rows) >= 2
+    iv = {r.iv_e6 for r in rows}
+    assert len(iv) == 1  # IV is a single scalar repeated per bin
+    assert iv.pop() >= 0  # IV is a sum of (p-q)*ln(p/q) terms: >= 0
+
+
+def test_q356_q357_rankings_cover_all_items(spark):
+    cop = run(spark, "q356_copeland_tournament").collect()
+    bt = run(spark, "q357_bradley_terry_step").collect()
+    assert [r.copeland_rank for r in cop] == list(range(1, len(cop) + 1))
+    assert [r.bt_rank for r in bt] == list(range(1, len(bt) + 1))
+    assert {r.item for r in cop} == {r.item for r in bt}
+    # one BT step from uniform = win-rate ranking; with this fixture's
+    # near-balanced schedule the two top items must agree
+    assert cop[0].item == bt[0].item
