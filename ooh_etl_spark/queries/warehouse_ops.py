@@ -988,3 +988,92 @@ def q340_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("moved_bp"),
         )
     )
+
+
+# --- q358: multi-format sink round-trip fingerprint (round 6) --------------
+_DUCK_SINK_RT = """
+    WITH f AS (
+      SELECT CAST(bit_xor(CAST(CAST('0x' || substr(md5(
+               o_orderkey || '|' || o_custkey || '|'
+               || CAST(round(o_totalprice * 100) AS BIGINT)), 1, 15)
+             AS BIGINT) AS BIGINT)) AS BIGINT) AS fp,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders)
+    SELECT fmt.fmt AS format, f.n AS n_rows, f.fp AS fingerprint
+    FROM f CROSS JOIN (SELECT unnest(['csv', 'json', 'parquet']) AS fmt) fmt
+    ORDER BY format
+"""
+
+
+@register("q358_sink_roundtrip", _DUCK_SINK_RT)
+def q358_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format SINK round-trip proof: the orders projection is
+    WRITTEN to CSV, JSON, and parquet (sources/sinks.py — previously
+    pytest-only) and read back with DECLARED schemas, and each
+    read-back computes the order-free content fingerprint (bit-XOR of
+    per-row md5 prefixes — q178's commutative checksum). The ORACLE
+    computes the same fingerprint from the source table directly, so
+    a hash match per format proves the write→read cycle is LOSSLESS
+    for every format — the check that catches CSV quoting bugs, JSON
+    number-precision drift, and schema-inference mis-typing (reads
+    declare schemas, never infer; inference is a full extra scan and
+    the classic silent corrupter).
+
+    Money rides as integer cents INSIDE the fingerprint, so a format
+    that round-trips doubles imprecisely would still be caught on the
+    cent value.
+
+    100 TB shape: writes are the engine's normal partitioned output;
+    the fingerprint is one map-side-combinable aggregate per read —
+    the cheap replication/backfill equality check run after any
+    cross-format migration."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sink_rt_")
+    proj = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    schema = "o_orderkey long, o_custkey long, price_c long"
+    proj.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    proj.write.mode("overwrite").json(f"{base}/json")
+    proj.write.mode("overwrite").parquet(f"{base}/parquet")
+    reads = {
+        "csv": spark.read.schema(schema).option("header", True).csv(
+            f"{base}/csv"
+        ),
+        "json": spark.read.schema(schema).json(f"{base}/json"),
+        "parquet": spark.read.parquet(f"{base}/parquet"),
+    }
+
+    def fingerprint(df: DataFrame, fmt: str) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", "o_orderkey", "o_custkey", "price_c"
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.agg(
+            F.lit(fmt).alias("format"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat_ws('|', o_orderkey, "
+                "o_custkey, price_c)), 1, 15), 16, 10) as bigint))"
+            )
+            .cast("bigint")
+            .alias("fingerprint"),
+        )
+
+    out = None
+    for fmt, df in sorted(reads.items()):
+        part = fingerprint(df, fmt)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("format")

@@ -394,3 +394,11 @@ def test_q356_q357_rankings_cover_all_items(spark):
     # one BT step from uniform = win-rate ranking; with this fixture's
     # near-balanced schedule the two top items must agree
     assert cop[0].item == bt[0].item
+
+
+def test_q358_roundtrip_fingerprints_agree_across_formats(spark):
+    rows = run(spark, "q358_sink_roundtrip").collect()
+    assert [r.format for r in rows] == ["csv", "json", "parquet"]
+    fps = {r.fingerprint for r in rows}
+    ns = {r.n_rows for r in rows}
+    assert len(fps) == 1 and len(ns) == 1  # all three formats lossless
