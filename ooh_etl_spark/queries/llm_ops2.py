@@ -860,3 +860,119 @@ def q217_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "word")
         .limit(50)
     )
+
+
+# --- q359: length-bucketed batching efficiency (round 6) -------------------
+_LB_BATCH = 32  # examples per batch
+
+_DUCK_LENGTH_BUCKET = f"""
+    WITH d AS (
+      SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS n_toks
+      FROM documents),
+         arrival AS (
+      SELECT n_toks,
+             (row_number() OVER (ORDER BY doc_id) - 1) // {_LB_BATCH}
+               AS batch
+      FROM d),
+         bucketed AS (
+      SELECT n_toks,
+             (row_number() OVER (ORDER BY n_toks, doc_id) - 1)
+               // {_LB_BATCH} AS batch
+      FROM d),
+         wa AS (
+      SELECT CAST(sum(mx * n - s) AS BIGINT) AS waste,
+             CAST(sum(mx * n) AS BIGINT) AS padded
+      FROM (SELECT max(n_toks) AS mx, count(*) AS n,
+                   sum(n_toks) AS s
+            FROM arrival GROUP BY batch)),
+         wb AS (
+      SELECT CAST(sum(mx * n - s) AS BIGINT) AS waste,
+             CAST(sum(mx * n) AS BIGINT) AS padded
+      FROM (SELECT max(n_toks) AS mx, count(*) AS n,
+                   sum(n_toks) AS s
+            FROM bucketed GROUP BY batch))
+    SELECT wa.waste AS arrival_waste_toks,
+           CAST(round(10000.0 * wa.waste / wa.padded) AS BIGINT)
+             AS arrival_waste_bp,
+           wb.waste AS bucketed_waste_toks,
+           CAST(round(10000.0 * wb.waste / wb.padded) AS BIGINT)
+             AS bucketed_waste_bp,
+           CAST(round(10000.0 * (wa.waste - wb.waste) / wa.waste) AS BIGINT)
+             AS waste_cut_bp
+    FROM wa CROSS JOIN wb
+"""
+
+
+@register("q359_length_bucket_packing", _DUCK_LENGTH_BUCKET)
+def q359_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching efficiency (the bucketing trick every
+    training loader ships — fairseq/HF group_by_length): padding a
+    batch to its longest member wastes max-len minus each example's
+    length, so batching by LENGTH RANK instead of arrival order
+    collapses within-batch length spread and the waste with it. The
+    query builds both batchings ({_LB_BATCH} docs per batch), measures
+    padded-token waste under each, and reports the cut — the number
+    that justifies the loader complexity (typically 30-60% of padding
+    eliminated).
+
+    Determinism: batch assignment is integer rank division with
+    doc_id tie-breaks; waste is exact integer token arithmetic.
+
+    100 TB shape: each batching is ONE rank window (arrival:
+    partition-friendly id order; length: the documented production
+    swap is bucketed-by-length-range assignment — histogram ranks,
+    q281's pattern — which avoids the global sort while preserving
+    the waste profile); per-batch stats are combinable aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ooh_etl_spark.functions.text import tokenize
+
+    d = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_toks")
+    ).localCheckpoint()  # the length table feeds both batchings
+    wa_w = Window.orderBy("doc_id")
+    wb_w = Window.orderBy("n_toks", "doc_id")
+
+    def waste(assigned: DataFrame):
+        per = assigned.groupBy("batch").agg(
+            F.max("n_toks").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_toks").alias("s"),
+        )
+        return per.agg(
+            F.sum(F.col("mx") * F.col("n") - F.col("s"))
+            .cast("bigint")
+            .alias("waste"),
+            F.sum(F.col("mx") * F.col("n")).cast("bigint").alias("padded"),
+        )
+
+    arrival = d.select(
+        "n_toks",
+        F.expr(f"(row_number() OVER (ORDER BY doc_id) - 1) div {_LB_BATCH}")
+        .alias("batch"),
+    )
+    bucketed = d.select(
+        "n_toks",
+        ((F.row_number().over(wb_w) - 1) / _LB_BATCH)
+        .cast("bigint")
+        .alias("batch"),
+    )
+    wa = waste(arrival)
+    wb = waste(bucketed).select(
+        F.col("waste").alias("waste_b"), F.col("padded").alias("padded_b")
+    )
+    return wa.crossJoin(F.broadcast(wb)).select(
+        F.col("waste").alias("arrival_waste_toks"),
+        F.round(10000.0 * F.col("waste") / F.col("padded"))
+        .cast("bigint")
+        .alias("arrival_waste_bp"),
+        F.col("waste_b").alias("bucketed_waste_toks"),
+        F.round(10000.0 * F.col("waste_b") / F.col("padded_b"))
+        .cast("bigint")
+        .alias("bucketed_waste_bp"),
+        F.round(
+            10000.0 * (F.col("waste") - F.col("waste_b")) / F.col("waste")
+        )
+        .cast("bigint")
+        .alias("waste_cut_bp"),
+    )

@@ -2024,3 +2024,98 @@ def q355_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("iv_e6"),
     ).orderBy("bin")
+
+
+# --- q360: best-of-n expected reward curve (round 6) -----------------------
+_BON_NS = (1, 2, 4, 8, 16)
+
+_DUCK_BEST_OF_N = f"""
+    WITH r AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v_c FROM events
+      WHERE event_type = 'purchase'),
+         hist AS (
+      SELECT v_c, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY v_c),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+         cum AS (
+      SELECT v_c,
+             sum(c) OVER (ORDER BY v_c) * 1.0 / tot.n AS cdf,
+             coalesce(sum(c) OVER (ORDER BY v_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 1.0 / tot.n AS cdf_prev
+      FROM hist CROSS JOIN tot),
+         grid AS (SELECT unnest([{", ".join(str(n) for n in _BON_NS)}]) AS k),
+         terms AS (
+      SELECT grid.k,
+             CAST(sum(CAST(round(1000.0 * cum.v_c
+               * (pow(cum.cdf, grid.k) - pow(cum.cdf_prev, grid.k)))
+               AS BIGINT)) AS BIGINT) AS e_milli_c
+      FROM cum CROSS JOIN grid GROUP BY grid.k)
+    SELECT CAST(k AS BIGINT) AS n_samples,
+           CAST(round(e_milli_c / 1000.0) AS BIGINT) AS expected_best_c
+    FROM terms ORDER BY n_samples
+"""
+
+
+@register("q360_best_of_n_reward", _DUCK_BEST_OF_N)
+def q360_best_of_n_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT best-of-n expected reward curve (the rejection-sampling /
+    BoN yield analysis behind RLHF inference scaling — Stiennon et al.
+    2020 appendix; Gao et al. 2023 for the overoptimization reading):
+    for n iid draws from the empirical reward distribution, E[max] =
+    sum over support of v * (F(v)^n - F(v-)^n) — computed CLOSED-FORM
+    from the reward histogram, no sampling, no randomness: the exact
+    order-statistic expectation for every n in the grid at once. The
+    curve's flattening says where extra samples stop paying — the
+    n-selection input for any best-of-n serving stack.
+
+    Determinism: the CDF is exact integer ratios; per-support terms
+    quantize to milli-cents BEFORE the order-free sum; pow of
+    identical doubles is identical in both engines (the q187-class
+    libm contract for pow on exact inputs).
+
+    100 TB shape: one value-histogram aggregate, one histogram-
+    bounded cumulative window, a |grid| x |support| bounded term
+    table — the whole analysis is the q308/q331 histogram skeleton
+    with a power-law twist."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c")
+    )
+    hist = r.groupBy("v_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()  # feeds the total AND the cumulative window
+    tot = hist.agg(F.sum("c").cast("bigint").alias("n"))
+    wc = Window.orderBy("v_c").rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.orderBy("v_c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.crossJoin(F.broadcast(tot)).select(
+        "v_c",
+        (F.sum("c").over(wc) * 1.0 / F.col("n")).alias("cdf"),
+        (
+            F.coalesce(F.sum("c").over(wp), F.lit(0)) * 1.0 / F.col("n")
+        ).alias("cdf_prev"),
+    )
+    grid = spark.createDataFrame([(n,) for n in _BON_NS], "k int")
+    terms = (
+        cum.crossJoin(F.broadcast(grid))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.round(
+                    1000.0
+                    * F.col("v_c")
+                    * (
+                        F.pow(F.col("cdf"), F.col("k"))
+                        - F.pow(F.col("cdf_prev"), F.col("k"))
+                    )
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("e_milli_c")
+        )
+    )
+    return terms.select(
+        F.col("k").cast("bigint").alias("n_samples"),
+        F.round(F.col("e_milli_c") / 1000.0).cast("bigint").alias(
+            "expected_best_c"
+        ),
+    ).orderBy("n_samples")

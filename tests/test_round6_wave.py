@@ -402,3 +402,33 @@ def test_q358_roundtrip_fingerprints_agree_across_formats(spark):
     fps = {r.fingerprint for r in rows}
     ns = {r.n_rows for r in rows}
     assert len(fps) == 1 and len(ns) == 1  # all three formats lossless
+
+
+def test_q359_bucketing_cuts_waste(spark):
+    r = run(spark, "q359_length_bucket_packing").collect()[0]
+    # bucketing can only reduce padding waste (sorted batches minimize
+    # within-batch spread)
+    assert r.bucketed_waste_toks <= r.arrival_waste_toks
+    assert 0 <= r.bucketed_waste_bp <= r.arrival_waste_bp <= 10000
+    assert r.waste_cut_bp >= 0
+
+
+def test_q360_best_of_n_monotone_and_bounded(spark):
+    rows = run(spark, "q360_best_of_n_reward").collect()
+    assert [r.n_samples for r in rows] == [1, 2, 4, 8, 16]
+    vals = [r.expected_best_c for r in rows]
+    # E[max of n] is nondecreasing in n, and E[max of 1] = the mean
+    assert vals == sorted(vals)
+    from ooh_etl_spark.tables import load_table
+
+    mean_c = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.round(
+                F.avg(F.round(F.col("value") * 100).cast("bigint"))
+            ).cast("bigint")
+        )
+        .collect()[0][0]
+    )
+    assert abs(vals[0] - mean_c) <= 1
