@@ -2649,3 +2649,134 @@ def q357_bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bt_rank"),
     ).orderBy("bt_rank")
+
+
+# --- q365: regression discontinuity, local-linear jump (round 6) ------------
+_RDD_CUT_C = 500000  # c_acctbal cutoff, cents ($5000.00)
+_RDD_BW_C = 250000  # bandwidth, cents ($2500.00)
+
+_DUCK_RDD = f"""
+    WITH y AS (
+      SELECT c.c_custkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) - {_RDD_CUT_C} AS u,
+             CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS spend_c
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+         w AS (
+      SELECT CASE WHEN u >= 0 THEN 'right' ELSE 'left' END AS side,
+             u, spend_c
+      FROM y WHERE u >= -{_RDD_BW_C} AND u < {_RDD_BW_C}),
+         s AS (
+      SELECT side, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(u) AS DOUBLE) AS su,
+             CAST(sum(spend_c) AS DOUBLE) AS sy,
+             CAST(sum(CAST(u AS HUGEINT) * u) AS DOUBLE) AS suu,
+             CAST(sum(CAST(u AS HUGEINT) * spend_c) AS DOUBLE) AS suy
+      FROM w GROUP BY 1),
+         fit AS (
+      SELECT side, n,
+             (n * suy - su * sy) / (n * suu - su * su) AS slope,
+             (sy - (n * suy - su * sy) / (n * suu - su * su) * su) / n
+               AS intercept
+      FROM s)
+    SELECT CAST(max(CASE WHEN side = 'left' THEN n END) AS BIGINT) AS n_left,
+           CAST(max(CASE WHEN side = 'right' THEN n END) AS BIGINT) AS n_right,
+           CAST(round(max(CASE WHEN side = 'left' THEN intercept END))
+                AS BIGINT) AS intercept_left_c,
+           CAST(round(max(CASE WHEN side = 'right' THEN intercept END))
+                AS BIGINT) AS intercept_right_c,
+           CAST(round(1000000 * max(CASE WHEN side = 'left' THEN slope END))
+                AS BIGINT) AS slope_left_u,
+           CAST(round(1000000 * max(CASE WHEN side = 'right' THEN slope END))
+                AS BIGINT) AS slope_right_u,
+           CAST(round(max(CASE WHEN side = 'right' THEN intercept END)
+                      - max(CASE WHEN side = 'left' THEN intercept END))
+                AS BIGINT) AS jump_c
+    FROM fit
+"""
+
+
+@register("q365_rdd_local_linear", _DUCK_RDD)
+def q365_rdd_local_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960; Imbens & Lemieux, J.Econometrics 2008): customers
+    just above vs just below a $5000 account-balance cutoff, outcome =
+    lifetime order spend. Two SEPARATE local-linear fits inside a
+    +/-$2500 bandwidth, jump = difference of the two intercepts AT the
+    cutoff — the design that identifies a causal effect when treatment
+    is assigned by a threshold rule, where q283's naive group-mean
+    difference would absorb the running-variable trend.
+
+    Exactness: u and spend quantize to integer cents per row; the OLS
+    normal equations consume exact wide-integer sums (Spark
+    decimal(38,0), DuckDB HUGEINT — u*y exceeds int64 at corpus
+    scale), converted once to double for the closed form.
+
+    100 TB shape: one fact-side aggregate (spend per customer,
+    map-side combined), bandwidth filter prunes to the cutoff
+    neighborhood BEFORE the moment sums (predicate-pushdown on the
+    balance column at the scan at scale), then a 2-row closed-form
+    fit. No iteration, no matrix library."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_c")
+    )
+    y = (
+        cust.select(
+            "c_custkey",
+            (F.round(F.col("c_acctbal") * 100).cast("bigint") - _RDD_CUT_C).alias(
+                "u"
+            ),
+        )
+        .join(spend, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("u", F.coalesce(F.col("spend_c"), F.lit(0)).alias("spend_c"))
+        .filter((F.col("u") >= -_RDD_BW_C) & (F.col("u") < _RDD_BW_C))
+    )
+    w = y.select(
+        F.when(F.col("u") >= 0, "right").otherwise("left").alias("side"),
+        "u",
+        "spend_c",
+    )
+    s = w.groupBy("side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("u").cast("decimal(38,0)")).cast("double").alias("su"),
+        F.sum(F.col("spend_c").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("u").cast("decimal(38,0)") * F.col("u"))
+        .cast("double")
+        .alias("suu"),
+        F.sum(F.col("u").cast("decimal(38,0)") * F.col("spend_c"))
+        .cast("double")
+        .alias("suy"),
+    )
+    slope = (F.col("n") * F.col("suy") - F.col("su") * F.col("sy")) / (
+        F.col("n") * F.col("suu") - F.col("su") * F.col("su")
+    )
+    fit = s.select(
+        "side",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("su")) / F.col("n")).alias("intercept"),
+    )
+    left = F.when(F.col("side") == "left", F.col("intercept"))
+    right = F.when(F.col("side") == "right", F.col("intercept"))
+    return fit.agg(
+        F.max(F.when(F.col("side") == "left", F.col("n")))
+        .cast("bigint")
+        .alias("n_left"),
+        F.max(F.when(F.col("side") == "right", F.col("n")))
+        .cast("bigint")
+        .alias("n_right"),
+        F.round(F.max(left)).cast("bigint").alias("intercept_left_c"),
+        F.round(F.max(right)).cast("bigint").alias("intercept_right_c"),
+        F.round(1000000 * F.max(F.when(F.col("side") == "left", F.col("slope"))))
+        .cast("bigint")
+        .alias("slope_left_u"),
+        F.round(1000000 * F.max(F.when(F.col("side") == "right", F.col("slope"))))
+        .cast("bigint")
+        .alias("slope_right_u"),
+        F.round(F.max(right) - F.max(left)).cast("bigint").alias("jump_c"),
+    )

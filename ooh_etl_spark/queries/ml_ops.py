@@ -2119,3 +2119,131 @@ def q360_best_of_n_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_best_c"
         ),
     ).orderBy("n_samples")
+
+
+# --- q364: doubly-robust off-policy evaluation (round 6) --------------------
+_DUCK_DR = """
+    WITH lg AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS x,
+             event_type AS arm,
+             CASE WHEN value >= 50 THEN 1 ELSE 0 END AS r,
+             CASE WHEN (user_id % 2 = 0 AND event_type = 'click')
+                    OR (user_id % 2 = 1 AND event_type = 'view')
+                  THEN 1 ELSE 0 END AS m
+      FROM events),
+         cells AS (
+      SELECT x, arm, r, m, count(*) AS c FROM lg GROUP BY 1, 2, 3, 4),
+         q AS (
+      SELECT x, arm, sum(c * r) * 1.0 / sum(c) AS qhat,
+             CAST(sum(c) AS BIGINT) AS nxa
+      FROM cells GROUP BY 1, 2),
+         ctx AS (
+      SELECT x, CAST(sum(c) AS BIGINT) AS nx FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         dm AS (
+      SELECT sum(ctx.nx * q.qhat) / max(tot.n) AS dm
+      FROM q JOIN ctx USING (x) CROSS JOIN tot
+      WHERE (q.x = 0 AND q.arm = 'click') OR (q.x = 1 AND q.arm = 'view')),
+         corr AS (
+      SELECT sum(cells.c * cells.m * (ctx.nx * 1.0 / q.nxa)
+                 * (cells.r - q.qhat)) / max(tot.n) AS corr,
+             sum(cells.c * cells.m * (ctx.nx * 1.0 / q.nxa)
+                 * cells.r) / max(tot.n) AS ips,
+             CAST(sum(cells.c * cells.m) AS BIGINT) AS matched
+      FROM cells JOIN q USING (x, arm) JOIN ctx USING (x) CROSS JOIN tot)
+    SELECT tot.n, corr.matched,
+           CAST(round(1000000.0 * dm.dm) AS BIGINT) AS dm_e6,
+           CAST(round(1000000.0 * corr.ips) AS BIGINT) AS ips_e6,
+           CAST(round(1000000.0 * corr.corr) AS BIGINT) AS correction_e6,
+           CAST(round(1000000.0 * (dm.dm + corr.corr)) AS BIGINT) AS dr_e6
+    FROM dm CROSS JOIN corr CROSS JOIN tot
+"""
+
+
+@register("q364_doubly_robust_ope", _DUCK_DR)
+def q364_doubly_robust_ope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy value estimate (Dudik/Langford/Li
+    ICML 2011; Robins/Rotnitzky JASA 1995): V_DR = direct-method
+    estimate from an outcome model q(x,a) PLUS the propensity-weighted
+    residual correction — unbiased if EITHER the outcome model OR the
+    propensities are right, and strictly lower-variance than q303's
+    raw IPS when the model has any signal. Context x = user parity,
+    target policy = q303's (click for even users, view for odd);
+    q(x,a) = empirical per-cell mean reward, propensities empirical.
+
+    Exactness: the whole estimator collapses to the <=40-row
+    (x, arm, r, m) cell table — every term is a rational of integer
+    counts; both engines do identical double math on identical
+    integers (the q303 contract, extended with the model term).
+
+    100 TB shape: ONE combinable cell aggregate over the log; the
+    outcome model, propensities, DM term, and correction are all
+    arithmetic over the bounded cell table — adding the model costs
+    zero extra corpus passes vs IPS."""
+    ev = load_table(spark, sf_dir, "events")
+    lg = ev.select(
+        (F.col("user_id") % 2).cast("bigint").alias("x"),
+        F.col("event_type").alias("arm"),
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("r"),
+        F.when(
+            ((F.col("user_id") % 2 == 0) & (F.col("event_type") == "click"))
+            | ((F.col("user_id") % 2 == 1) & (F.col("event_type") == "view")),
+            1,
+        )
+        .otherwise(0)
+        .alias("m"),
+    )
+    cells = (
+        lg.groupBy("x", "arm", "r", "m")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    q = cells.groupBy("x", "arm").agg(
+        (F.sum(F.col("c") * F.col("r")) * 1.0 / F.sum("c")).alias("qhat"),
+        F.sum("c").cast("bigint").alias("nxa"),
+    )
+    ctx = cells.groupBy("x").agg(F.sum("c").cast("bigint").alias("nx"))
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    pi_cell = ((F.col("x") == 0) & (F.col("arm") == "click")) | (
+        (F.col("x") == 1) & (F.col("arm") == "view")
+    )
+    dm = (
+        q.join(F.broadcast(ctx), "x")
+        .crossJoin(F.broadcast(tot))
+        .filter(pi_cell)
+        .agg((F.sum(F.col("nx") * F.col("qhat")) / F.max("n")).alias("dm"))
+    )
+    iw = F.col("nx") * 1.0 / F.col("nxa")
+    corr = (
+        cells.join(F.broadcast(q), ["x", "arm"])
+        .join(F.broadcast(ctx), "x")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    F.col("c") * F.col("m") * iw * (F.col("r") - F.col("qhat"))
+                )
+                / F.max("n")
+            ).alias("corr"),
+            (F.sum(F.col("c") * F.col("m") * iw * F.col("r")) / F.max("n")).alias(
+                "ips"
+            ),
+            F.sum(F.col("c") * F.col("m")).cast("bigint").alias("matched"),
+        )
+    )
+    return (
+        dm.crossJoin(F.broadcast(corr))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "matched",
+            F.round(1000000.0 * F.col("dm")).cast("bigint").alias("dm_e6"),
+            F.round(1000000.0 * F.col("ips")).cast("bigint").alias("ips_e6"),
+            F.round(1000000.0 * F.col("corr"))
+            .cast("bigint")
+            .alias("correction_e6"),
+            F.round(1000000.0 * (F.col("dm") + F.col("corr")))
+            .cast("bigint")
+            .alias("dr_e6"),
+        )
+    )

@@ -1866,3 +1866,115 @@ def q331_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cvm_e6"),
     )
+
+
+# --- q363: Box-Cox transform selection by profile likelihood (round 6) ------
+# lambda grid scaled by 10 so the lattice is exact integers end-to-end.
+_BOXCOX_LAMBDAS = [-20, -10, -5, 0, 5, 10, 15, 20]
+
+_DUCK_BOXCOX = f"""
+    WITH lam AS (
+      SELECT unnest(ARRAY{_BOXCOX_LAMBDAS}) AS lam_deci),
+         row_t AS (
+      SELECT lam.lam_deci,
+             CASE WHEN lam.lam_deci = 0
+                  THEN CAST(round(1000000 * ln(o.o_totalprice / 1000.0))
+                            AS BIGINT)
+                  ELSE CAST(round(1000000
+                         * (pow(o.o_totalprice / 1000.0, lam.lam_deci / 10.0)
+                            - 1.0) / (lam.lam_deci / 10.0)) AS BIGINT)
+             END AS y_u,
+             CAST(round(1000000 * ln(o.o_totalprice / 1000.0)) AS BIGINT)
+               AS lx_u
+      FROM orders o CROSS JOIN lam),
+         agg AS (
+      SELECT lam_deci,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y_u) AS DOUBLE) AS sy,
+             CAST(sum(CAST(y_u AS HUGEINT) * y_u) AS DOUBLE) AS syy,
+             CAST(sum(lx_u) AS DOUBLE) AS slx
+      FROM row_t GROUP BY 1),
+         ll AS (
+      SELECT lam_deci, n,
+             -0.5 * n * ln(((syy - sy * sy / n) / n) / 1e12)
+               + (lam_deci / 10.0 - 1.0) * slx / 1e6 AS ll
+      FROM agg)
+    SELECT lam_deci, n,
+           CAST(round(1000.0 * ll) AS BIGINT) AS ll_milli,
+           CAST(CASE WHEN round(1000.0 * ll)
+                       = max(round(1000.0 * ll)) OVER () THEN 1 ELSE 0 END
+                AS BIGINT) AS is_best
+    FROM ll ORDER BY lam_deci
+"""
+
+
+@register("q363_boxcox_profile", _DUCK_BOXCOX)
+def q363_boxcox_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-Cox power-transform selection by profile log-likelihood over
+    a fixed lambda grid (Box & Cox, JRSS-B 1964): for each lambda,
+    LL(lambda) = -(n/2) ln(sigma^2_MLE(y_lambda)) + (lambda-1) SUM ln x
+    — the normality-restoring transform picker that precedes every
+    parametric model on skewed revenue data (o_totalprice, rescaled to
+    k$ so the lambda=2 branch stays in range).
+
+    Exactness: per-row transforms quantize to 1e-6 BEFORE summation
+    (the repo's Kahan-free determinism contract — float sums are not
+    associative across engines, integer sums are); the y^2 accumulator
+    exceeds int64 at corpus scale, so both engines sum EXACTLY in wide
+    integers (Spark decimal(38,0), DuckDB HUGEINT) and convert the
+    identical exact integer to double once, at the end.
+
+    100 TB shape: the lambda lattice (8 rows) broadcasts; ONE corpus
+    pass computes all 8 transforms (explode-then-partial-agg, map-side
+    combined, shuffle = 8 x partial rows); the argmax is a window over
+    an 8-row frame. Zero iteration — the grid IS the optimizer."""
+    orders = load_table(spark, sf_dir, "orders")
+    lam = spark.createDataFrame(
+        [(int(v),) for v in _BOXCOX_LAMBDAS], "lam_deci long"
+    )
+    xk = F.col("o_totalprice") / 1000.0
+    lam_f = F.col("lam_deci") / 10.0
+    y_u = (
+        F.when(F.col("lam_deci") == 0, F.round(1000000 * F.log(xk)))
+        .otherwise(F.round(1000000 * (F.pow(xk, lam_f) - 1.0) / lam_f))
+        .cast("bigint")
+    )
+    lx_u = F.round(1000000 * F.log(xk)).cast("bigint")
+    rows = orders.crossJoin(F.broadcast(lam)).select(
+        "lam_deci", y_u.alias("y_u"), lx_u.alias("lx_u")
+    )
+    agg = rows.groupBy("lam_deci").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y_u").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("y_u").cast("decimal(38,0)") * F.col("y_u"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("lx_u").cast("decimal(38,0)")).cast("double").alias("slx"),
+    )
+    ll = agg.select(
+        "lam_deci",
+        "n",
+        (
+            -0.5
+            * F.col("n")
+            * F.log(
+                ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / F.col("n"))
+                / 1e12
+            )
+            + (F.col("lam_deci") / 10.0 - 1.0) * F.col("slx") / 1e6
+        ).alias("ll"),
+    )
+    w = Window.partitionBy()
+    return ll.select(
+        "lam_deci",
+        "n",
+        F.round(1000.0 * F.col("ll")).cast("bigint").alias("ll_milli"),
+        F.when(
+            F.round(1000.0 * F.col("ll"))
+            == F.max(F.round(1000.0 * F.col("ll"))).over(w),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_best"),
+    ).orderBy("lam_deci")

@@ -1767,3 +1767,125 @@ def q352_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phases"
         ),
     ).orderBy("phase_hour")
+
+
+# --- q362: Mann-Kendall trend test (round 6) --------------------------------
+_DUCK_MK = """
+    WITH day AS (
+      SELECT event_type,
+             CAST(epoch(CAST(ts AS DATE)) / 86400 AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+         s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM day a JOIN day b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY 1),
+         n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM day GROUP BY 1),
+         ties AS (
+      SELECT event_type,
+             CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, x, count(*) AS c FROM day GROUP BY 1, 2) g
+      GROUP BY 1),
+         v AS (
+      SELECT n.event_type, n.n, s.s,
+             (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) / 18.0 AS var_s
+      FROM n JOIN s USING (event_type) JOIN ties USING (event_type))
+    SELECT event_type, n AS n_days, s,
+           CAST(round(1000.0 * var_s) AS BIGINT) AS var_s_milli,
+           CAST(round(1000.0 * (CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                                     WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                                     ELSE 0.0 END)) AS BIGINT) AS z_milli,
+           CAST(CASE WHEN s > 0 AND (s - 1) / sqrt(var_s) > 1.959964 THEN 1
+                     WHEN s < 0 AND (s + 1) / sqrt(var_s) < -1.959964 THEN -1
+                     ELSE 0 END AS BIGINT) AS trend
+    FROM v ORDER BY event_type
+"""
+
+
+@register("q362_mann_kendall", _DUCK_MK)
+def q362_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per event type (Mann,
+    Econometrica 1945; Kendall 1975), with the tie-corrected variance
+    and continuity-corrected z — the standard companion to q330's
+    Theil-Sen slope: Theil-Sen says HOW STEEP, Mann-Kendall says
+    WHETHER the monotone trend is significant, using only signs, so a
+    single outlier day cannot manufacture significance.
+
+    Exactness: S is an integer sum of signs; the tie term and variance
+    are rationals of integer counts — both engines compute sqrt/z from
+    the same exact integers, quantized to milli.
+
+    100 TB shape: identical to q330 — ONE corpus pass builds the
+    (type, day) grid (map-side combined); the pairwise sign join runs
+    on the CALENDAR-bounded grid (days^2/2 per type, ~6.7M pairs at a
+    decade), and tie groups are an aggregate of the same grid. The
+    grid is checkpointed once and feeds all three consumers."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("ts").cast("date")) / 86400)
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint()
+    )
+    a = day.select("event_type", F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = day.select("event_type", F.col("d").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, ["event_type"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    n = day.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        day.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var_s", var_s)
+        .withColumn("z", z)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s",
+            F.round(1000.0 * F.col("var_s")).cast("bigint").alias("var_s_milli"),
+            F.round(1000.0 * F.col("z")).cast("bigint").alias("z_milli"),
+            F.when((F.col("s") > 0) & (F.col("z") > 1.959964), 1)
+            .when((F.col("s") < 0) & (F.col("z") < -1.959964), -1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )

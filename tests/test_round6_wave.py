@@ -432,3 +432,92 @@ def test_q360_best_of_n_monotone_and_bounded(spark):
         .collect()[0][0]
     )
     assert abs(vals[0] - mean_c) <= 1
+
+
+def test_q361_jw_symmetric_bounded_and_matches_reference(spark):
+    rows = run(spark, "q361_jaro_winkler_vocab").collect()
+    assert len(rows) > 0
+    from ooh_etl_spark.queries.linkage_ops import _jaro_winkler
+
+    for r in rows:
+        assert r.word_a < r.word_b
+        assert 600000 <= r.jw_e6 <= 1000000
+        # the UDF's value must equal the driver-side reference call
+        import numpy as np
+
+        assert r.jw_e6 == int(
+            np.floor(_jaro_winkler(r.word_a, r.word_b) * 1e6 + 0.5)
+        )
+        # symmetry of the underlying metric
+        assert _jaro_winkler(r.word_a, r.word_b) == _jaro_winkler(
+            r.word_b, r.word_a
+        )
+    assert all(r.n_parts_a > 0 and r.n_parts_b > 0 for r in rows)
+
+
+def test_q361_jw_reference_edge_cases():
+    from ooh_etl_spark.queries.linkage_ops import _jaro, _jaro_winkler
+
+    # DuckDB-verified fixtures (probed before landing, see docstring)
+    assert abs(_jaro("martha", "marhta") - 0.9444444444444445) < 1e-12
+    assert abs(_jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-12
+    # no boost at or below the 0.7 threshold
+    assert _jaro_winkler("abcdef", "abcxyz") == _jaro("abcdef", "abcxyz")
+    assert _jaro_winkler("crate", "trace") == _jaro("crate", "trace")
+    # boost applies above threshold with prefix cap 4
+    assert abs(_jaro_winkler("prefixmatch", "prefixnomatch")
+               - 0.9692307692307692) < 1e-12
+    # empties and no-match cases are 0, identity is 1
+    assert _jaro_winkler("", "") == 0.0
+    assert _jaro_winkler("a", "") == 0.0
+    assert _jaro_winkler("ab", "ba") == 0.0
+    assert _jaro_winkler("same", "same") == 1.0
+
+
+def test_q362_mann_kendall_invariants(spark):
+    rows = run(spark, "q362_mann_kendall").collect()
+    assert len(rows) == 5  # the five event types
+    for r in rows:
+        max_pairs = r.n_days * (r.n_days - 1) // 2
+        assert -max_pairs <= r.s <= max_pairs
+        assert r.var_s_milli > 0
+        assert r.trend in (-1, 0, 1)
+        # trend flag consistent with z at the 5% two-sided threshold
+        if r.trend == 1:
+            assert r.z_milli > 1959
+        elif r.trend == -1:
+            assert r.z_milli < -1959
+        else:
+            assert abs(r.z_milli) <= 1960
+
+
+def test_q363_boxcox_grid_shape_and_single_best(spark):
+    rows = run(spark, "q363_boxcox_profile").collect()
+    assert [r.lam_deci for r in rows] == [-20, -10, -5, 0, 5, 10, 15, 20]
+    assert len({r.n for r in rows}) == 1  # every lambda saw every row
+    assert sum(r.is_best for r in rows) >= 1
+    best = max(rows, key=lambda r: r.ll_milli)
+    assert best.is_best == 1
+    # revenue data is right-skewed: a contractive transform must beat
+    # the expansive lambda=2 end of the grid
+    ll = {r.lam_deci: r.ll_milli for r in rows}
+    assert ll[0] > ll[20]
+
+
+def test_q364_dr_decomposition_consistent(spark):
+    r = run(spark, "q364_doubly_robust_ope").collect()[0]
+    assert r.n > 0 and 0 < r.matched < r.n
+    # DR = DM + correction by construction (quantization tolerance)
+    assert abs(r.dr_e6 - (r.dm_e6 + r.correction_e6)) <= 1
+    assert 0 <= r.dm_e6 <= 1000000
+    # with per-cell empirical q-hat fitted on the same log, the
+    # correction must be small relative to the estimate itself
+    assert abs(r.correction_e6) <= max(abs(r.ips_e6), 1)
+
+
+def test_q365_rdd_sides_and_jump(spark):
+    r = run(spark, "q365_rdd_local_linear").collect()[0]
+    assert r.n_left > 0 and r.n_right > 0
+    assert r.jump_c == r.intercept_right_c - r.intercept_left_c
+    # intercepts are spend levels — nonnegative within the band
+    assert r.intercept_left_c > 0 and r.intercept_right_c > 0
