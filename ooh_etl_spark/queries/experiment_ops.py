@@ -2780,3 +2780,179 @@ def q365_rdd_local_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slope_right_u"),
         F.round(F.max(right) - F.max(left)).cast("bigint").alias("jump_c"),
     )
+
+
+# --- q368: two-sample log-rank test (round 6) -------------------------------
+_DUCK_LOGRANK = """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+         m AS (SELECT max(ts) AS max_ts FROM events),
+         p AS (
+      SELECT s.user_id, min(e.ts) AS conv_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY s.user_id),
+         obs AS (
+      SELECT s.user_id,
+             CAST(s.user_id % 2 AS BIGINT) AS g,
+             CAST(FLOOR(date_diff('second', s.signup_ts,
+                    coalesce(p.conv_ts, m.max_ts)) / 3600.0) AS BIGINT)
+               AS t_h,
+             CASE WHEN p.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM s LEFT JOIN p USING (user_id), m),
+         tot AS (
+      SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS n FROM obs),
+         km AS (
+      SELECT t_h,
+             sum(ev) AS d,
+             sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS d1,
+             count(*) AS rm,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS rm1
+      FROM obs GROUP BY t_h),
+         risk AS (
+      SELECT t_h, d, d1,
+             tot.n - coalesce(sum(rm) OVER (ORDER BY t_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_t,
+             tot.n1 - coalesce(sum(rm1) OVER (ORDER BY t_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1_t
+      FROM km CROSS JOIN tot),
+         terms AS (
+      SELECT d1,
+             CAST(round(1000000.0 * d * n1_t / n_t) AS BIGINT) AS e1_u,
+             CASE WHEN n_t > 1 THEN
+               CAST(round(1000000.0 * d * (n1_t * 1.0 / n_t)
+                          * (1.0 - n1_t * 1.0 / n_t)
+                          * (n_t - d) / (n_t - 1)) AS BIGINT)
+             ELSE 0 END AS v_u
+      FROM risk WHERE d > 0)
+    SELECT tot.n - tot.n1 AS n_group0, tot.n1 AS n_group1,
+           CAST(t.o1 AS BIGINT) AS o1,
+           t.e1_u, t.v_u,
+           CAST(round(1000.0 * (t.o1 - t.e1_u / 1000000.0)
+                      * (t.o1 - t.e1_u / 1000000.0)
+                      / (t.v_u / 1000000.0)) AS BIGINT) AS chi2_milli,
+           CAST(round(1000.0 * (t.o1 - t.e1_u / 1000000.0)
+                      / sqrt(t.v_u / 1000000.0)) AS BIGINT) AS z_milli
+    FROM (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                 CAST(sum(e1_u) AS BIGINT) AS e1_u,
+                 CAST(sum(v_u) AS BIGINT) AS v_u
+          FROM terms) t CROSS JOIN tot
+"""
+
+
+@register("q368_logrank_test", _DUCK_LOGRANK)
+def q368_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; Peto & Peto, JRSS-A
+    1972) on the signup→first-purchase funnel, groups = user parity:
+    at every event time, compare observed group-1 conversions against
+    the hypergeometric expectation given the risk sets, and pool into
+    the chi-square that says whether the two survival curves differ —
+    the inferential companion to q211's Kaplan-Meier DESCRIPTION of
+    the curve, and the censoring-honest alternative to comparing
+    q141-style mean conversion times.
+
+    Exactness: risk sets and death counts are exact integers from one
+    cumulative window; the per-time E and V terms quantize to micro
+    BEFORE pooling (integer sums are engine-associative), and the
+    final chi-square is double math on three exact integers.
+
+    100 TB shape: q211's shape — two keyed aggregates to per-user
+    observations, one aggregate to the time grid (calendar-bounded),
+    one window pass for risk sets, one bounded reduction. Adding the
+    second group adds columns, not passes."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    m = ev.agg(F.max("ts").alias("max_ts"))
+    p = (
+        s.join(ev, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("signup_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    obs = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (F.col("user_id") % 2).cast("bigint").alias("g"),
+            F.floor(
+                (
+                    F.unix_timestamp(F.coalesce(F.col("conv_ts"), F.col("max_ts")))
+                    - F.unix_timestamp(F.col("signup_ts"))
+                )
+                / 3600.0
+            )
+            .cast("bigint")
+            .alias("t_h"),
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+        .localCheckpoint()
+    )
+    tot = obs.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    km = obs.groupBy("t_h").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0)).alias("d1"),
+        F.count(F.lit(1)).alias("rm"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("rm1"),
+    )
+    w = Window.orderBy("t_h").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        km.crossJoin(F.broadcast(tot))
+        .withColumn("n_t", F.col("n") - F.coalesce(F.sum("rm").over(w), F.lit(0)))
+        .withColumn(
+            "n1_t", F.col("n1") - F.coalesce(F.sum("rm1").over(w), F.lit(0))
+        )
+    )
+    frac = F.col("n1_t") * 1.0 / F.col("n_t")
+    terms = risk.filter(F.col("d") > 0).select(
+        "d1",
+        F.round(1000000.0 * F.col("d") * F.col("n1_t") / F.col("n_t"))
+        .cast("bigint")
+        .alias("e1_u"),
+        F.when(
+            F.col("n_t") > 1,
+            F.round(
+                1000000.0
+                * F.col("d")
+                * frac
+                * (1.0 - frac)
+                * (F.col("n_t") - F.col("d"))
+                / (F.col("n_t") - 1)
+            ).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias("v_u"),
+    )
+    pooled = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1_u").cast("bigint").alias("e1_u"),
+        F.sum("v_u").cast("bigint").alias("v_u"),
+    )
+    diff = F.col("o1") - F.col("e1_u") / 1000000.0
+    return (
+        pooled.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("n") - F.col("n1")).alias("n_group0"),
+            F.col("n1").alias("n_group1"),
+            "o1",
+            "e1_u",
+            "v_u",
+            F.round(1000.0 * diff * diff / (F.col("v_u") / 1000000.0))
+            .cast("bigint")
+            .alias("chi2_milli"),
+            F.round(1000.0 * diff / F.sqrt(F.col("v_u") / 1000000.0))
+            .cast("bigint")
+            .alias("z_milli"),
+        )
+    )

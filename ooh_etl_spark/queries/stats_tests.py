@@ -1978,3 +1978,303 @@ def q363_boxcox_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_best"),
     ).orderBy("lam_deci")
+
+
+# --- q369: Cochran-Mantel-Haenszel pooled odds ratio (round 6) --------------
+_DUCK_CMH = """
+    WITH base AS (
+      SELECT n.n_name AS stratum,
+             CASE WHEN c.c_custkey % 2 = 0 THEN 1 ELSE 0 END AS x,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         cell AS (
+      SELECT stratum,
+             CAST(sum(x * y) AS BIGINT) AS a,
+             CAST(sum(x * (1 - y)) AS BIGINT) AS b,
+             CAST(sum((1 - x) * y) AS BIGINT) AS c,
+             CAST(sum((1 - x) * (1 - y)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY 1),
+         terms AS (
+      SELECT a,
+             CAST(round(1000000.0 * a * d / n) AS BIGINT) AS ad_u,
+             CAST(round(1000000.0 * b * c / n) AS BIGINT) AS bc_u,
+             CAST(round(1000000.0 * (a + b) * (a + c) / n) AS BIGINT) AS e_u,
+             CASE WHEN n > 1 THEN
+               CAST(round(1000000.0 * (a + b) * (c + d)
+                          * (a + c) * (b + d)
+                          / (n * 1.0 * n * (n - 1))) AS BIGINT)
+             ELSE 0 END AS v_u
+      FROM cell),
+         pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(ad_u) AS BIGINT) AS sad_u,
+             CAST(sum(bc_u) AS BIGINT) AS sbc_u,
+             CAST(sum(e_u) AS BIGINT) AS se_u,
+             CAST(sum(v_u) AS BIGINT) AS sv_u
+      FROM terms),
+         crude AS (
+      SELECT sum(x * y) AS a, sum(x * (1 - y)) AS b,
+             sum((1 - x) * y) AS c, sum((1 - x) * (1 - y)) AS d
+      FROM base)
+    SELECT p.n_strata,
+           CAST(round(1000000.0 * p.sad_u / p.sbc_u) AS BIGINT) AS or_mh_e6,
+           CAST(round(1000000.0 * cr.a * cr.d / (cr.b * cr.c)) AS BIGINT)
+             AS or_crude_e6,
+           CAST(round(1000.0
+                * (p.sum_a - p.se_u / 1000000.0)
+                * (p.sum_a - p.se_u / 1000000.0)
+                / (p.sv_u / 1000000.0)) AS BIGINT) AS cmh_chi2_milli
+    FROM pooled p CROSS JOIN crude cr
+"""
+
+
+@register("q369_cmh_odds_ratio", _DUCK_CMH)
+def q369_cmh_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified association (Cochran 1954;
+    Mantel & Haenszel, JNCI 1959): pooled odds ratio between customer
+    parity and urgent-order rate, stratified by nation — the estimator
+    that answers q216's Simpson's-paradox demonstration: the CRUDE
+    odds ratio mixes strata and can point the wrong way; OR_MH
+    combines the per-stratum 2x2 tables with Mantel-Haenszel weights,
+    and the CMH chi-square tests the common association.
+
+    Exactness: each stratum's 2x2 cells are one integer aggregate; the
+    MH numerator/denominator, expectation, and variance terms quantize
+    to micro per stratum BEFORE pooling — integer pooling sums, double
+    math only on the final exact integers.
+
+    100 TB shape: ONE fact-side aggregate to |strata| 2x2 tables
+    (map-side combined; dims broadcast), then closed-form arithmetic
+    on the 25-row stratum table. The crude OR reuses the same cells
+    via a second bounded reduction — no second corpus pass (both
+    derive from the checkpointed cell table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("stratum"),
+            F.when(F.col("c_custkey") % 2 == 0, 1).otherwise(0).alias("x"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    cell = (
+        base.groupBy("stratum")
+        .agg(
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("a"),
+            F.sum(F.col("x") * (1 - F.col("y"))).cast("bigint").alias("b"),
+            F.sum((1 - F.col("x")) * F.col("y")).cast("bigint").alias("c"),
+            F.sum((1 - F.col("x")) * (1 - F.col("y"))).cast("bigint").alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    terms = cell.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(1000000.0 * F.col("a") * F.col("d") / F.col("n"))
+        .cast("bigint")
+        .alias("ad_u"),
+        F.round(1000000.0 * F.col("b") * F.col("c") / F.col("n"))
+        .cast("bigint")
+        .alias("bc_u"),
+        F.round(
+            1000000.0 * (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) / F.col("n")
+        )
+        .cast("bigint")
+        .alias("e_u"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                1000000.0
+                * (F.col("a") + F.col("b"))
+                * (F.col("c") + F.col("d"))
+                * (F.col("a") + F.col("c"))
+                * (F.col("b") + F.col("d"))
+                / (F.col("n") * 1.0 * F.col("n") * (F.col("n") - 1))
+            ).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias("v_u"),
+    )
+    pooled = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum("ad_u").cast("bigint").alias("sad_u"),
+        F.sum("bc_u").cast("bigint").alias("sbc_u"),
+        F.sum("e_u").cast("bigint").alias("se_u"),
+        F.sum("v_u").cast("bigint").alias("sv_u"),
+    )
+    crude = cell.agg(
+        F.sum("a").alias("ca"),
+        F.sum("b").alias("cb"),
+        F.sum("c").alias("cc"),
+        F.sum("d").alias("cd"),
+    )
+    diff = F.col("sum_a") - F.col("se_u") / 1000000.0
+    return pooled.crossJoin(F.broadcast(crude)).select(
+        "n_strata",
+        F.round(1000000.0 * F.col("sad_u") / F.col("sbc_u"))
+        .cast("bigint")
+        .alias("or_mh_e6"),
+        F.round(1000000.0 * F.col("ca") * F.col("cd") / (F.col("cb") * F.col("cc")))
+        .cast("bigint")
+        .alias("or_crude_e6"),
+        F.round(1000.0 * diff * diff / (F.col("sv_u") / 1000000.0))
+        .cast("bigint")
+        .alias("cmh_chi2_milli"),
+    )
+
+
+# --- q370: Friedman rank test over day blocks (round 6) ---------------------
+_DUCK_FRIEDMAN = """
+    WITH dt AS (
+      SELECT CAST(epoch(CAST(ts AS DATE)) / 86400 AS BIGINT) AS d,
+             event_type, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+         grid AS (
+      SELECT d.d, t.event_type, coalesce(dt.x, 0) AS x
+      FROM (SELECT DISTINCT d FROM dt) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM dt) t
+      LEFT JOIN dt ON dt.d = d.d AND dt.event_type = t.event_type),
+         rk AS (
+      SELECT d, event_type, x,
+             rank() OVER (PARTITION BY d ORDER BY x) AS rmin,
+             count(*) OVER (PARTITION BY d, x) AS tc
+      FROM grid),
+         half AS (
+      SELECT event_type,
+             CAST(sum(2 * rmin + tc - 1) AS BIGINT) AS r2
+      FROM rk GROUP BY event_type),
+         dims AS (
+      SELECT CAST(count(DISTINCT d) AS BIGINT) AS b,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      FROM grid),
+         ties AS (
+      SELECT CAST(sum(t3.c * t3.c * t3.c - t3.c) AS BIGINT) AS tie_sum
+      FROM (SELECT d, x, CAST(count(*) AS BIGINT) AS c
+            FROM grid GROUP BY 1, 2) t3),
+         stat AS (
+      SELECT dims.b, dims.k,
+             12.0 * sum((half.r2 / 2.0) * (half.r2 / 2.0))
+               / (dims.b * dims.k * (dims.k + 1))
+               - 3.0 * dims.b * (dims.k + 1) AS chi2,
+             1.0 - ties.tie_sum * 1.0
+               / (dims.b * dims.k * (dims.k * dims.k - 1.0)) AS c_tie
+      FROM half CROSS JOIN dims CROSS JOIN ties
+      GROUP BY dims.b, dims.k, ties.tie_sum)
+    SELECT b AS n_blocks, k AS n_treatments,
+           CAST(round(1000.0 * chi2) AS BIGINT) AS chi2_milli,
+           CAST(round(1000000.0 * c_tie) AS BIGINT) AS tie_correction_e6,
+           CAST(round(1000.0 * chi2 / c_tie) AS BIGINT) AS chi2_adj_milli
+    FROM stat
+"""
+
+
+@register("q370_friedman_test", _DUCK_FRIEDMAN)
+def q370_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman two-way rank test (Friedman, JASA 1937): days are
+    BLOCKS, event types are TREATMENTS, daily counts are ranked WITHIN
+    each day, and the chi-square asks whether any event type
+    systematically out-ranks the others once day-to-day level shifts
+    are blocked out — the repeated-measures complement to q326's
+    Kruskal-Wallis (which assumes independent groups and would let a
+    single busy day dominate), with the tie-correction divisor.
+
+    Exactness: average ranks with ties are held in HALF-UNIT integers
+    (2*avg_rank = 2*rank_min + tiecount - 1, always integral); rank
+    sums, tie cubes, and the block/treatment dims are exact integers;
+    both engines run the same closed form on them.
+
+    100 TB shape: one corpus pass to the calendar-bounded (day, type)
+    grid; the zero-fill cross join, ranking window, and statistic all
+    run on |days| x |types| rows. Ranking partitions by day — k-sized
+    frames, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    dt = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp(F.col("ts").cast("date")) / 86400)
+            .cast("bigint")
+            .alias("d"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint()
+    )
+    days = dt.select("d").distinct()
+    types = dt.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(dt, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+        .localCheckpoint()
+    )
+    wd = Window.partitionBy("d").orderBy("x")
+    wt = Window.partitionBy("d", "x")
+    rk = grid.select(
+        "d",
+        "event_type",
+        "x",
+        F.rank().over(wd).alias("rmin"),
+        F.count(F.lit(1)).over(wt).alias("tc"),
+    )
+    half = rk.groupBy("event_type").agg(
+        F.sum(2 * F.col("rmin") + F.col("tc") - 1).cast("bigint").alias("r2")
+    )
+    dims = grid.agg(
+        F.countDistinct("d").cast("bigint").alias("b"),
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+    )
+    ties = (
+        grid.groupBy("d", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+            .cast("bigint")
+            .alias("tie_sum")
+        )
+    )
+    stat = (
+        half.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(ties))
+        .groupBy("b", "k", "tie_sum")
+        .agg(
+            (
+                12.0
+                * F.sum((F.col("r2") / 2.0) * (F.col("r2") / 2.0))
+                / (F.col("b") * F.col("k") * (F.col("k") + 1))
+                - 3.0 * F.col("b") * (F.col("k") + 1)
+            ).alias("chi2")
+        )
+        .withColumn(
+            "c_tie",
+            1.0
+            - F.col("tie_sum")
+            * 1.0
+            / (F.col("b") * F.col("k") * (F.col("k") * F.col("k") - 1.0)),
+        )
+    )
+    return stat.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.round(1000.0 * F.col("chi2")).cast("bigint").alias("chi2_milli"),
+        F.round(1000000.0 * F.col("c_tie"))
+        .cast("bigint")
+        .alias("tie_correction_e6"),
+        F.round(1000.0 * F.col("chi2") / F.col("c_tie"))
+        .cast("bigint")
+        .alias("chi2_adj_milli"),
+    )

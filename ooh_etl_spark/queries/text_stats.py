@@ -1370,3 +1370,199 @@ def q353_nucleus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nucleus_share_bp"),
     ).orderBy("source")
+
+
+# --- q366: Good-Turing frequency-of-frequencies (round 6) -------------------
+_DUCK_GT = """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         freq AS (
+      SELECT w, count(*) AS r FROM tok WHERE w <> '' GROUP BY w),
+         nr AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM freq GROUP BY r),
+         tot AS (
+      SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(sum(n_r) AS BIGINT) AS v FROM nr)
+    SELECT a.r, a.n_r,
+           CAST(round(1000.0 * (a.r + 1) * coalesce(b.n_r, 0) / a.n_r)
+                AS BIGINT) AS r_star_milli,
+           CAST(round(1000000.0 * a.n_r * a.r / tot.n_tokens) AS BIGINT)
+             AS mass_e6,
+           tot.n_tokens, tot.v
+    FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 CROSS JOIN tot
+    ORDER BY a.r LIMIT 15
+"""
+
+
+@register("q366_good_turing", _DUCK_GT)
+def q366_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Good, Biometrika
+    1953; Gale & Sampson 1995 'Simple Good-Turing'): N_r = how many
+    word types occur exactly r times, the adjusted count
+    r* = (r+1) N_{r+1} / N_r, and the probability mass each frequency
+    class carries. The leave-one-out foundation of every smoothed LM:
+    N_1/N estimates the unseen-event mass (here surfaced as the r=1
+    row's mass), and r* < r is the discount that funds it — the
+    empirical input q338's Kneser-Ney discounts abstract.
+
+    Exactness: the whole table is integer counts of integer counts;
+    the only doubles are two final ratios of exact integers.
+
+    100 TB shape: two chained map-side-combinable aggregates (token →
+    type frequency → count-of-counts); the N_r table is at most
+    max-frequency rows and the successor lookup is a self-join on the
+    tiny table. The corpus is touched once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    nr = freq.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    nr = nr.localCheckpoint()
+    tot = nr.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"),
+        F.sum("n_r").cast("bigint").alias("v"),
+    )
+    succ = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        nr.join(F.broadcast(succ), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                1000.0
+                * (F.col("r") + 1)
+                * F.coalesce(F.col("n_r_next"), F.lit(0))
+                / F.col("n_r")
+            )
+            .cast("bigint")
+            .alias("r_star_milli"),
+            F.round(1000000.0 * F.col("n_r") * F.col("r") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("mass_e6"),
+            "n_tokens",
+            "v",
+        )
+        .orderBy("r")
+        .limit(15)
+    )
+
+
+# --- q367: TextRank keyword scores (round 6) --------------------------------
+_DUCK_TEXTRANK = """
+    WITH t AS (
+      SELECT string_split(lower(text), ' ') AS l FROM documents),
+         big AS (
+      SELECT least(l[x], l[x + 1]) AS a, greatest(l[x], l[x + 1]) AS b
+      FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(l))) AS x)
+      WHERE l[x] <> '' AND l[x + 1] <> '' AND l[x] <> l[x + 1]),
+         e AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS wt FROM big GROUP BY 1, 2),
+         dir AS (
+      SELECT a AS src, b AS dst, wt FROM e
+      UNION ALL SELECT b, a, wt FROM e),
+         deg AS (
+      SELECT src AS w, CAST(sum(wt) AS BIGINT) AS deg FROM dir GROUP BY 1),
+         p0 AS (SELECT w, CAST(1000000 AS BIGINT) AS p FROM deg),
+         p1 AS (
+      SELECT d.dst AS w,
+             150000 + sum(CAST(round(0.85 * d.wt * p0.p / deg.deg)
+                               AS BIGINT)) AS p
+      FROM dir d JOIN p0 ON p0.w = d.src JOIN deg ON deg.w = d.src
+      GROUP BY 1),
+         p2 AS (
+      SELECT d.dst AS w,
+             150000 + sum(CAST(round(0.85 * d.wt * p1.p / deg.deg)
+                               AS BIGINT)) AS p
+      FROM dir d JOIN p1 ON p1.w = d.src JOIN deg ON deg.w = d.src
+      GROUP BY 1),
+         p3 AS (
+      SELECT d.dst AS w,
+             150000 + sum(CAST(round(0.85 * d.wt * p2.p / deg.deg)
+                               AS BIGINT)) AS p
+      FROM dir d JOIN p2 ON p2.w = d.src JOIN deg ON deg.w = d.src
+      GROUP BY 1)
+    SELECT w AS word, CAST(p AS BIGINT) AS pr_micro
+    FROM p3 ORDER BY pr_micro DESC, word LIMIT 10
+"""
+
+
+@register("q367_textrank_keywords", _DUCK_TEXTRANK)
+def q367_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the word co-occurrence graph (adjacent-token edges,
+    undirected, count-weighted), three damped iterations (d = 0.85)
+    from a uniform start, top-10 words — the unsupervised keyword
+    extractor that ranks by graph centrality where q317's RAKE ranks
+    by degree/frequency heuristics.
+
+    Determinism across engines: rank values are held as MICRO-UNIT
+    INTEGERS and each edge contribution quantizes via
+    round(0.85 * wt * p / deg) BEFORE the neighbor sum — integer sums
+    are associative, double sums are not, so the unrolled iterations
+    are bit-identical in Spark and DuckDB (the q103 power-iteration
+    contract applied to an NLP graph).
+
+    100 TB shape: bigram extraction is a NARROW transform (array zip
+    per document, no positional self-join); one shuffle aggregates
+    edges to the vocab-bounded weight table, which is checkpointed and
+    broadcast through three joins that each touch only |E| rows. The
+    corpus is read once; iterations never rescan it."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
+                    " i -> struct("
+                    "   element_at(split(lower(text), ' '), i) AS w1,"
+                    "   element_at(split(lower(text), ' '), i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter(
+            (F.col("w1") != "") & (F.col("w2") != "") & (F.col("w1") != F.col("w2"))
+        )
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+    )
+    e = (
+        big.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
+        .localCheckpoint()
+    )
+    dir_e = e.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "wt"
+    ).unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt"))
+    dir_e = dir_e.localCheckpoint()
+    deg = dir_e.groupBy(F.col("src").alias("w")).agg(
+        F.sum("wt").cast("bigint").alias("deg")
+    )
+    p = deg.select("w", F.lit(1000000).cast("bigint").alias("p"))
+    for _ in range(3):
+        p = (
+            dir_e.join(F.broadcast(p), dir_e["src"] == p["w"])
+            .join(F.broadcast(deg.withColumnRenamed("w", "dw")),
+                  F.col("src") == F.col("dw"))
+            .groupBy(F.col("dst").alias("w2"))
+            .agg(
+                (
+                    F.lit(150000)
+                    + F.sum(
+                        F.round(0.85 * F.col("wt") * F.col("p") / F.col("deg"))
+                        .cast("bigint")
+                    )
+                ).cast("bigint").alias("p")
+            )
+            .select(F.col("w2").alias("w"), "p")
+        )
+    return (
+        p.select(F.col("w").alias("word"), F.col("p").alias("pr_micro"))
+        .orderBy(F.desc("pr_micro"), "word")
+        .limit(10)
+    )

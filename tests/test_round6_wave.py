@@ -521,3 +521,53 @@ def test_q365_rdd_sides_and_jump(spark):
     assert r.jump_c == r.intercept_right_c - r.intercept_left_c
     # intercepts are spend levels — nonnegative within the band
     assert r.intercept_left_c > 0 and r.intercept_right_c > 0
+
+
+def test_q366_good_turing_identities(spark):
+    rows = run(spark, "q366_good_turing").collect()
+    rs = [r.r for r in rows]
+    assert rs == sorted(rs) and rs[0] >= 1  # ascending frequency classes
+    n_tokens = rows[0].n_tokens
+    v = rows[0].v
+    assert sum(r.n_r for r in rows) <= v
+    # mass fractions are per-class token shares of the same total
+    for r in rows:
+        assert abs(r.mass_e6 - round(1e6 * r.n_r * r.r / n_tokens)) <= 1
+        assert r.r_star_milli >= 0
+
+
+def test_q367_textrank_scores_positive_and_ranked(spark):
+    rows = run(spark, "q367_textrank_keywords").collect()
+    assert len(rows) == 10
+    scores = [r.pr_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every score >= the damping floor
+    assert all(s >= 150000 for s in scores)
+    # words are distinct, non-empty tokens
+    assert len({r.word for r in rows}) == 10
+    assert all(r.word for r in rows)
+
+
+def test_q368_logrank_identities(spark):
+    r = run(spark, "q368_logrank_test").collect()[0]
+    assert r.n_group0 > 0 and r.n_group1 > 0
+    assert 0 <= r.o1 <= r.n_group1
+    assert r.v_u > 0
+    # chi2 == z^2 up to quantization
+    assert abs(r.chi2_milli - round((r.z_milli / 1000.0) ** 2 * 1000)) <= 2
+
+
+def test_q369_cmh_strata_and_positive_or(spark):
+    r = run(spark, "q369_cmh_odds_ratio").collect()[0]
+    assert r.n_strata == 25  # all nations present
+    assert r.or_mh_e6 > 0 and r.or_crude_e6 > 0
+    assert r.cmh_chi2_milli >= 0
+
+
+def test_q370_friedman_shape(spark):
+    r = run(spark, "q370_friedman_test").collect()[0]
+    assert r.n_treatments == 5
+    assert r.n_blocks > 10
+    assert 0 < r.tie_correction_e6 <= 1000000
+    # adjusted stat >= raw when ties exist (C <= 1)
+    assert r.chi2_adj_milli >= r.chi2_milli
