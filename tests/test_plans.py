@@ -412,3 +412,37 @@ def test_r6_wave_plan_shapes(spark):
     for name in ("q332_image_ahash_neardup", "q341_srp_lsh_pairs"):
         plan = plan_of(spark, name)
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_wave10_11_plan_shapes(spark):
+    # Waves 10-11 structural pins. q361's vocab pair generator is a
+    # deliberate BroadcastNestedLoopJoin over the vocab-bounded
+    # distinct-word table — assert it broadcasts and is NOT a
+    # CartesianProduct; everything else stays cartesian-free within
+    # its shuffle budget.
+    plan = plan_of(spark, "q361_jaro_winkler_vocab")
+    assert not has_cartesian(plan)
+    assert "BroadcastNestedLoopJoin" in plan  # bounded vocab self-pair
+
+    budgets = {
+        "q363_boxcox_profile": 3,  # lambda agg + final window + sort
+        "q365_rdd_local_linear": 4,  # spend agg, join, side agg, final
+        "q366_good_turing": 4,  # tok->freq->N_r chain + sort
+        "q369_cmh_odds_ratio": 3,  # cell agg + two bounded reductions
+        "q370_friedman_test": 6,  # grid, rank window, pooled stats
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(spark, name)
+        assert not has_cartesian(plan), name
+        assert shuffle_count(plan) <= budget, (name, shuffle_count(plan))
+
+    # q363: the lambda lattice must broadcast — the corpus is scanned
+    # once and exploded, never joined by shuffle against the grid
+    plan = plan_of(spark, "q363_boxcox_profile")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    # q365: the bandwidth predicate must reach the customer scan side
+    # as a filter (pushdown-eligible), and the spend join is hash, not
+    # nested-loop
+    plan = plan_of(spark, "q365_rdd_local_linear")
+    assert "BroadcastNestedLoopJoin" not in plan
