@@ -1043,3 +1043,114 @@ def q288_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- q373: Laspeyres / Paasche / Fisher price indices (round 6) -------------
+_DUCK_PRICE_IDX = """
+    WITH pm AS (
+      SELECT l_partkey AS pk,
+             strftime(l_shipdate, '%Y-%m') AS mo,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend_c,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2),
+         base AS (
+      SELECT pk, spend_c * 1.0 / qty AS p0, qty AS q0
+      FROM pm WHERE mo = (SELECT min(mo) FROM pm)),
+         cur AS (
+      SELECT pm.mo, pm.pk, pm.spend_c * 1.0 / pm.qty AS pt, pm.qty AS qt,
+             base.p0, base.q0
+      FROM pm JOIN base USING (pk)),
+         terms AS (
+      SELECT mo,
+             CAST(round(100.0 * pt * q0) AS BIGINT) AS ptq0_cc,
+             CAST(round(100.0 * p0 * q0) AS BIGINT) AS p0q0_cc,
+             CAST(round(100.0 * pt * qt) AS BIGINT) AS ptqt_cc,
+             CAST(round(100.0 * p0 * qt) AS BIGINT) AS p0qt_cc
+      FROM cur),
+         idx AS (
+      SELECT mo, CAST(count(*) AS BIGINT) AS n_parts,
+             sum(ptq0_cc) * 1.0 / sum(p0q0_cc) AS lasp,
+             sum(ptqt_cc) * 1.0 / sum(p0qt_cc) AS paas
+      FROM terms GROUP BY mo)
+    SELECT mo AS month, n_parts,
+           CAST(round(1000000.0 * lasp) AS BIGINT) AS laspeyres_e6,
+           CAST(round(1000000.0 * paas) AS BIGINT) AS paasche_e6,
+           CAST(round(1000000.0 * sqrt(lasp * paas)) AS BIGINT) AS fisher_e6
+    FROM idx ORDER BY month
+"""
+
+
+@register("q373_price_indices", _DUCK_PRICE_IDX)
+def q373_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres, Paasche, and Fisher price indices over the
+    lineitem unit values (Laspeyres 1871; Paasche 1874; Fisher 1922 —
+    the 'ideal' geometric mean; ILO CPI manual ch.15 for the
+    unit-value practice): base-month quantity weights vs current
+    weights answer 'how much did PRICES move' separately from 'how
+    much did the MIX move' — the deflator q127's raw month-over-month
+    revenue growth conflates.
+
+    Exactness: per-(part, month) spend and quantity reduce to exact
+    integer cents/units; unit values are identical doubles from
+    identical integers; each part's four cross-terms quantize to
+    centi-cents BEFORE the month sums (associative integer pooling),
+    and the index ratios touch doubles once at the end.
+
+    100 TB shape: ONE fact shuffle to the (part, month) aggregate
+    (map-side combined); the base-month slice is a part-bounded
+    broadcast; index arithmetic runs on |parts| x |months| rows. The
+    Fisher sqrt is a per-month scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = (
+        li.groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("mo"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("spend_c"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+        .localCheckpoint()
+    )
+    base_mo = pm.agg(F.min("mo").alias("mo0"))
+    base = (
+        pm.join(F.broadcast(base_mo), pm["mo"] == base_mo["mo0"])
+        .select(
+            "pk",
+            (F.col("spend_c") * 1.0 / F.col("qty")).alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    cur = pm.join(F.broadcast(base), "pk").select(
+        "mo",
+        (F.col("spend_c") * 1.0 / F.col("qty")).alias("pt"),
+        F.col("qty").alias("qt"),
+        "p0",
+        "q0",
+    )
+    terms = cur.select(
+        "mo",
+        F.round(100.0 * F.col("pt") * F.col("q0")).cast("bigint").alias("ptq0_cc"),
+        F.round(100.0 * F.col("p0") * F.col("q0")).cast("bigint").alias("p0q0_cc"),
+        F.round(100.0 * F.col("pt") * F.col("qt")).cast("bigint").alias("ptqt_cc"),
+        F.round(100.0 * F.col("p0") * F.col("qt")).cast("bigint").alias("p0qt_cc"),
+    )
+    idx = terms.groupBy("mo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (F.sum("ptq0_cc") * 1.0 / F.sum("p0q0_cc")).alias("lasp"),
+        (F.sum("ptqt_cc") * 1.0 / F.sum("p0qt_cc")).alias("paas"),
+    )
+    return idx.select(
+        F.col("mo").alias("month"),
+        "n_parts",
+        F.round(1000000.0 * F.col("lasp")).cast("bigint").alias("laspeyres_e6"),
+        F.round(1000000.0 * F.col("paas")).cast("bigint").alias("paasche_e6"),
+        F.round(1000000.0 * F.sqrt(F.col("lasp") * F.col("paas")))
+        .cast("bigint")
+        .alias("fisher_e6"),
+    ).orderBy("month")

@@ -854,3 +854,136 @@ def q354_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_votes_milli"
         ),
     )
+
+
+# --- q374: co-purchase graph modularity (round 6) ---------------------------
+_DUCK_MODULARITY = """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (
+      SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS w
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2),
+         comm AS (
+      SELECT p_partkey AS pk,
+             string_split(p_name, ' ')[2] AS c
+      FROM part),
+         m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM e),
+         deg AS (
+      SELECT pk, CAST(sum(w) AS BIGINT) AS k
+      FROM (SELECT pa AS pk, w FROM e UNION ALL SELECT pb, w FROM e) d
+      GROUP BY 1),
+         intra AS (
+      SELECT ca.c, CAST(sum(e.w) AS BIGINT) AS e_c
+      FROM e JOIN comm ca ON ca.pk = e.pa
+             JOIN comm cb ON cb.pk = e.pb
+      WHERE ca.c = cb.c GROUP BY 1),
+         dc AS (
+      SELECT comm.c, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(coalesce(deg.k, 0)) AS BIGINT) AS d_c
+      FROM comm LEFT JOIN deg ON deg.pk = comm.pk
+      GROUP BY 1),
+         rows_t AS (
+      SELECT dc.c AS community, dc.n_nodes,
+             coalesce(intra.e_c, 0) AS e_intra, dc.d_c, m.m,
+             CAST(round(1000000.0 * (coalesce(intra.e_c, 0) * 1.0 / m.m
+                  - (dc.d_c / (2.0 * m.m)) * (dc.d_c / (2.0 * m.m))))
+                  AS BIGINT) AS q_contrib_e6
+      FROM dc LEFT JOIN intra ON intra.c = dc.c CROSS JOIN m)
+    SELECT community, n_nodes, e_intra, d_c,
+           q_contrib_e6,
+           CAST(sum(q_contrib_e6) OVER () AS BIGINT) AS q_total_e6
+    FROM rows_t ORDER BY community
+"""
+
+
+@register("q374_copurchase_modularity", _DUCK_MODULARITY)
+def q374_copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (Newman & Girvan, PRE 2004) of the
+    product-category partition on the co-purchase graph: edges =
+    distinct part pairs sharing an order (weight = co-order count),
+    communities = the part-name noun. Q = SUM_c [e_c/m - (d_c/2m)^2]
+    scores how much MORE intra-category co-purchasing happens than a
+    degree-preserving random rewiring expects — the objective Louvain
+    maximizes, here evaluated for a given labeling (the metric that
+    turns q117's market-basket pairs into a category-coherence audit).
+
+    Exactness: edge weights, degrees, and community sums are exact
+    integers; per-community contributions quantize to micro before the
+    window total.
+
+    100 TB shape: pair generation is per-order and basket-bounded
+    (<= (7 choose 2) pairs/order — linear in the fact table, the q117
+    contract); one shuffle to the part-pair edge table, then all
+    modularity terms are |parts|- or |communities|-bounded aggregates
+    with the part->community map broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.select("ok", F.col("pk").alias("pa"))
+    b = op.select(F.col("ok").alias("ok2"), F.col("pk").alias("pb"))
+    e = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    comm = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.element_at(F.split(F.col("p_name"), " "), 2).alias("c"),
+    ).localCheckpoint()
+    m = e.agg(F.sum("w").cast("bigint").alias("m"))
+    deg = (
+        e.select(F.col("pa").alias("pk"), "w")
+        .unionAll(e.select(F.col("pb").alias("pk"), "w"))
+        .groupBy("pk")
+        .agg(F.sum("w").cast("bigint").alias("k"))
+    )
+    intra = (
+        e.join(F.broadcast(comm.withColumnRenamed("pk", "pka").withColumnRenamed("c", "ca")),
+               F.col("pa") == F.col("pka"))
+        .join(F.broadcast(comm.withColumnRenamed("pk", "pkb").withColumnRenamed("c", "cb")),
+              F.col("pb") == F.col("pkb"))
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.sum("w").cast("bigint").alias("e_c"))
+    )
+    dc = (
+        comm.join(deg, "pk", "left")
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("bigint").alias("d_c"),
+        )
+    )
+    rows_t = (
+        dc.join(intra, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").alias("community"),
+            "n_nodes",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("e_intra"),
+            "d_c",
+            F.round(
+                1000000.0
+                * (
+                    F.coalesce(F.col("e_c"), F.lit(0)) * 1.0 / F.col("m")
+                    - (F.col("d_c") / (2.0 * F.col("m")))
+                    * (F.col("d_c") / (2.0 * F.col("m")))
+                )
+            )
+            .cast("bigint")
+            .alias("q_contrib_e6"),
+        )
+    )
+    w = Window.partitionBy()
+    return rows_t.select(
+        "community",
+        "n_nodes",
+        "e_intra",
+        "d_c",
+        "q_contrib_e6",
+        F.sum("q_contrib_e6").over(w).cast("bigint").alias("q_total_e6"),
+    ).orderBy("community")

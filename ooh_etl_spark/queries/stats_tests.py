@@ -2278,3 +2278,103 @@ def q370_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_adj_milli"),
     )
+
+
+# --- q371: Jarque-Bera normality test (round 6) -----------------------------
+_DUCK_JB = """
+    WITH x AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         m AS (
+      SELECT count(*) AS n,
+             sum(c) * 1.0 / count(*) AS mu,
+             sqrt((sum(CAST(c AS HUGEINT) * c) * 1.0 / count(*))
+                  - (sum(c) * 1.0 / count(*)) * (sum(c) * 1.0 / count(*)))
+               AS sd
+      FROM x),
+         z AS (
+      SELECT CAST(round(1000000.0 * ((x.c - m.mu) / m.sd)
+                        * ((x.c - m.mu) / m.sd)
+                        * ((x.c - m.mu) / m.sd)) AS BIGINT) AS z3_u,
+             CAST(round(1000000.0 * ((x.c - m.mu) / m.sd)
+                        * ((x.c - m.mu) / m.sd)
+                        * ((x.c - m.mu) / m.sd)
+                        * ((x.c - m.mu) / m.sd)) AS BIGINT) AS z4_u
+      FROM x CROSS JOIN m),
+         mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(z3_u) * 1.0 / count(*) / 1000000.0 AS skew,
+             sum(z4_u) * 1.0 / count(*) / 1000000.0 AS kurt
+      FROM z)
+    SELECT n,
+           CAST(round(1000000.0 * skew) AS BIGINT) AS skew_e6,
+           CAST(round(1000000.0 * kurt) AS BIGINT) AS kurt_e6,
+           CAST(round(1000.0 * n / 6.0
+                * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0))
+                AS BIGINT) AS jb_milli,
+           CAST(CASE WHEN n / 6.0
+                  * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+                  > 5.991465 THEN 1 ELSE 0 END AS BIGINT) AS reject_normal
+    FROM mom
+"""
+
+
+@register("q371_jarque_bera", _DUCK_JB)
+def q371_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera, Econ.Letters 1980)
+    on order totals: JB = n/6 (S^2 + (K-3)^2/4) from sample skewness
+    and kurtosis, vs the chi-square(2) 5% critical value — the
+    moment-based normality screen that decides whether q192's t-test
+    asymptotics can be trusted, at a cost of two corpus aggregates
+    (where Shapiro-Wilk would need order statistics).
+
+    Exactness: pass 1 computes mu/sd from exact integer cent sums
+    (HUGEINT / decimal(38,0) for the square term); pass 2 quantizes
+    each standardized z^3 and z^4 to micro BEFORE summation — both
+    engines standardize against the SAME doubles derived from the same
+    exact integers, and the moment sums are associative integer sums.
+
+    100 TB shape: two map-side-combinable passes over one narrow
+    column (the classic two-pass moment algorithm; the one-pass
+    higher-moment update is the documented swap if the second scan
+    ever matters — at the cost of the textbook catastrophic-
+    cancellation caveat)."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    m = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("c") * 1.0 / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).cast("double")
+            * 1.0
+            / F.count(F.lit(1))
+            - (F.sum("c") * 1.0 / F.count(F.lit(1)))
+            * (F.sum("c") * 1.0 / F.count(F.lit(1)))
+        ).alias("sd"),
+    )
+    zc = (F.col("c") - F.col("mu")) / F.col("sd")
+    z = x.crossJoin(F.broadcast(m)).select(
+        F.round(1000000.0 * zc * zc * zc).cast("bigint").alias("z3_u"),
+        F.round(1000000.0 * zc * zc * zc * zc).cast("bigint").alias("z4_u"),
+    )
+    mom = z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("z3_u") * 1.0 / F.count(F.lit(1)) / 1000000.0).alias("skew"),
+        (F.sum("z4_u") * 1.0 / F.count(F.lit(1)) / 1000000.0).alias("kurt"),
+    )
+    jb = (
+        F.col("n")
+        / 6.0
+        * (
+            F.col("skew") * F.col("skew")
+            + (F.col("kurt") - 3.0) * (F.col("kurt") - 3.0) / 4.0
+        )
+    )
+    return mom.select(
+        "n",
+        F.round(1000000.0 * F.col("skew")).cast("bigint").alias("skew_e6"),
+        F.round(1000000.0 * F.col("kurt")).cast("bigint").alias("kurt_e6"),
+        F.round(1000.0 * jb).cast("bigint").alias("jb_milli"),
+        F.when(jb > 5.991465, 1).otherwise(0).cast("bigint").alias("reject_normal"),
+    )

@@ -1889,3 +1889,137 @@ def q362_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q372: Ljung-Box portmanteau test (round 6) -----------------------------
+_DUCK_LJUNGBOX = f"""
+    WITH hr AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS x
+      FROM events GROUP BY 1),
+         bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hr),
+         grid AS (
+      SELECT g.h, coalesce(hr.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) g
+      LEFT JOIN hr USING (h)),
+         m AS (SELECT sum(x) * 1.0 / count(*) AS mu,
+                      CAST(count(*) AS BIGINT) AS n FROM grid),
+         den AS (
+      SELECT CAST(sum(CAST(round((x - m.mu) * (x - m.mu) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS d
+      FROM grid CROSS JOIN m),
+         lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS k),
+         num AS (
+      SELECT lags.k,
+             CAST(sum(CAST(round((a.x - m.mu) * (b.x - m.mu) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS nm
+      FROM grid a JOIN lags ON true
+      JOIN grid b ON b.h = a.h + lags.k
+      CROSS JOIN m
+      GROUP BY lags.k),
+         terms AS (
+      SELECT num.k,
+             CAST(round(1000000000.0
+                  * (num.nm * 1.0 / den.d) * (num.nm * 1.0 / den.d)
+                  / (m.n - num.k)) AS BIGINT) AS t_n
+      FROM num CROSS JOIN den CROSS JOIN m)
+    SELECT m.n, CAST({_ACF_MAX_LAG} AS BIGINT) AS h_lags,
+           CAST(round(m.n * (m.n + 2.0) * sum(terms.t_n) / 1000000.0)
+                AS BIGINT) AS q_milli,
+           CAST(CASE WHEN m.n * (m.n + 2.0) * sum(terms.t_n) / 1000000000.0
+                  > 36.41503 THEN 1 ELSE 0 END AS BIGINT)
+             AS reject_white_noise
+    FROM terms CROSS JOIN m GROUP BY m.n
+"""
+
+
+@register("q372_ljung_box", _DUCK_LJUNGBOX)
+def q372_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box, Biometrika 1978):
+    Q = n(n+2) SUM rho_k^2/(n-k) over the first 24 hourly-count
+    autocorrelations, vs chi-square(24) at 5% — the one-number answer
+    to 'is this series white noise?' that q315's per-lag ACF table
+    makes the analyst eyeball. Any hourly seasonality (q229/q284)
+    rejects loudly.
+
+    Exactness: reuses q315's quantized ACF contract (micro-integer
+    numerator/denominator sums over the zero-filled calendar grid);
+    each lag's rho^2/(n-k) term quantizes to nano before the 24-term
+    pool, so the final double touch is one product of exact integers.
+
+    100 TB shape: q315's — one corpus pass to the calendar-bounded
+    hourly grid; the 24 lag joins run on the grid (shifted self-joins
+    on a bounded table), and the pool is a 24-row reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = hr.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        bounds.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+        )
+        .join(hr, "h", "left")
+        .select("h", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+        .localCheckpoint()
+    )
+    m = grid.agg(
+        (F.sum("x") * 1.0 / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cen = grid.crossJoin(F.broadcast(m))
+    den = cen.agg(
+        F.sum(
+            F.round((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")) * 1000000)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    lags = grid.sparkSession.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").alias("k")
+    )
+    a = cen.select("h", "x", "mu")
+    b = grid.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("h") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("mu")) * (F.col("xb") - F.col("mu")) * 1000000
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("nm")
+        )
+    )
+    terms = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n",
+            F.round(
+                1000000000.0
+                * (F.col("nm") * 1.0 / F.col("d"))
+                * (F.col("nm") * 1.0 / F.col("d"))
+                / (F.col("n") - F.col("k"))
+            )
+            .cast("bigint")
+            .alias("t_n"),
+        )
+    )
+    q = F.col("n") * (F.col("n") + 2.0) * F.col("st")
+    return (
+        terms.groupBy("n")
+        .agg(F.sum("t_n").alias("st"))
+        .select(
+            "n",
+            F.lit(_ACF_MAX_LAG).cast("bigint").alias("h_lags"),
+            F.round(q / 1000000.0).cast("bigint").alias("q_milli"),
+            F.when(q / 1000000000.0 > 36.41503, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("reject_white_noise"),
+        )
+    )

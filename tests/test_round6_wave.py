@@ -571,3 +571,59 @@ def test_q370_friedman_shape(spark):
     assert 0 < r.tie_correction_e6 <= 1000000
     # adjusted stat >= raw when ties exist (C <= 1)
     assert r.chi2_adj_milli >= r.chi2_milli
+
+
+def test_q371_jb_moment_identity(spark):
+    r = run(spark, "q371_jarque_bera").collect()[0]
+    assert r.n > 0
+    # standardized kurtosis of any real sample >= 1 (by Cauchy-Schwarz,
+    # E[z^4] >= E[z^2]^2 = 1)
+    assert r.kurt_e6 >= 1000000
+    jb = r.n / 6.0 * (
+        (r.skew_e6 / 1e6) ** 2 + ((r.kurt_e6 / 1e6) - 3.0) ** 2 / 4.0
+    )
+    assert abs(r.jb_milli - round(1000 * jb)) <= 2
+    assert r.reject_normal == (1 if jb > 5.991465 else 0)
+
+
+def test_q372_ljung_box_consistent_with_acf(spark):
+    r = run(spark, "q372_ljung_box").collect()[0]
+    assert r.h_lags == 24
+    assert r.q_milli >= 0
+    # the hourly event series has strong daily seasonality — the
+    # portmanteau must reject white noise on this corpus
+    assert r.reject_white_noise == 1
+    # cross-check order of magnitude against q315's ACF values
+    acf = {row.lag: row.acf_e6 for row in run(spark, "q315_acf").collect()}
+    q_approx = r.n * (r.n + 2.0) * sum(
+        (acf[k] / 1e6) ** 2 / (r.n - k) for k in range(1, 25)
+    )
+    assert abs(r.q_milli / 1000.0 - q_approx) / max(q_approx, 1) < 0.01
+
+
+def test_q373_price_indices_base_month_is_unity(spark):
+    rows = run(spark, "q373_price_indices").collect()
+    assert len(rows) > 12
+    first = rows[0]
+    # in the base month all three indices are exactly 1
+    assert first.laspeyres_e6 == 1000000
+    assert first.paasche_e6 == 1000000
+    assert first.fisher_e6 == 1000000
+    for r in rows:
+        lo, hi = sorted((r.laspeyres_e6, r.paasche_e6))
+        # Fisher is the geometric mean — always between the two
+        assert lo - 1 <= r.fisher_e6 <= hi + 1
+        assert r.n_parts > 0
+
+
+def test_q374_modularity_identities(spark):
+    rows = run(spark, "q374_copurchase_modularity").collect()
+    assert len(rows) >= 2
+    tot = rows[0].q_total_e6
+    assert all(r.q_total_e6 == tot for r in rows)
+    assert abs(tot - sum(r.q_contrib_e6 for r in rows)) <= len(rows)
+    # modularity is bounded in [-1, 1]
+    assert -1000000 <= tot <= 1000000
+    # sum of community degrees = 2m -> sum of (d_c/2m) = 1
+    two_m = sum(r.d_c for r in rows)
+    assert two_m > 0 and two_m % 2 == 0
