@@ -101,6 +101,12 @@ HEADLINE = [
     # HITS: two integer mutual-reinforcement joins on the co-purchase
     # bipartite graph.
     "q333_hits_authority",
+    # late round-6: Arrow pandas-UDF string-similarity path over the
+    # vocab-bounded pair table (the record-linkage UDF hot path).
+    "q361_jaro_winkler_vocab",
+    # late round-6: price-index star — one fact shuffle to
+    # (part, month), broadcast base slice, bounded index arithmetic.
+    "q373_price_indices",
 ]
 
 

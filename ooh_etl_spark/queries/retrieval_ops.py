@@ -774,3 +774,148 @@ def q342_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_doc", "rank")
     )
+
+
+# --- q375: maximal marginal relevance rerank (round 6) ----------------------
+_MMR_POOL = 10  # relevance-ranked candidate pool size
+_MMR_K = 3  # selections
+_MMR_LAMBDA = 0.5  # diversity weight
+
+_DUCK_MMR = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         cand AS (
+      SELECT vec_id, v, rel, row_number() OVER (ORDER BY rel DESC, vec_id)
+               AS rk
+      FROM (SELECT e.vec_id, e.v,
+                   list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))) AS rel
+            FROM e CROSS JOIN q WHERE e.vec_id <> 0) s
+      QUALIFY rk <= {_MMR_POOL}),
+         s1 AS (SELECT vec_id, v, rel FROM cand WHERE rk = 1),
+         m2 AS (
+      SELECT c.vec_id, c.v, c.rel,
+             c.rel - {_MMR_LAMBDA} * (
+               list_dot_product(c.v, s1.v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(s1.v, s1.v)))) AS mmr
+      FROM cand c CROSS JOIN s1 WHERE c.vec_id <> s1.vec_id),
+         s2 AS (SELECT vec_id, v, rel, mmr FROM m2
+                ORDER BY mmr DESC, vec_id LIMIT 1),
+         m3 AS (
+      SELECT c.vec_id, c.rel,
+             c.rel - {_MMR_LAMBDA} * greatest(
+               list_dot_product(c.v, s1.v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(s1.v, s1.v))),
+               list_dot_product(c.v, s2.v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(s2.v, s2.v)))) AS mmr
+      FROM cand c CROSS JOIN s1 CROSS JOIN s2
+      WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+         s3 AS (SELECT vec_id, rel, mmr FROM m3
+                ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS sel_rank, CAST(s1.vec_id AS BIGINT)
+               AS vec_id,
+             CAST(round(10000 * s1.rel) AS BIGINT) AS rel_bp,
+             CAST(round(10000 * s1.rel) AS BIGINT) AS mmr_bp
+      FROM s1
+      UNION ALL
+      SELECT 2, s2.vec_id, CAST(round(10000 * s2.rel) AS BIGINT),
+             CAST(round(10000 * s2.mmr) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, s3.vec_id, CAST(round(10000 * s3.rel) AS BIGINT),
+             CAST(round(10000 * s3.mmr) AS BIGINT) FROM s3)
+    ORDER BY sel_rank
+"""
+
+
+@register("q375_mmr_rerank", _DUCK_MMR)
+def q375_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick K=3 results from the top-10
+    relevance pool, each step maximizing
+    rel - lambda * max-similarity-to-already-selected — the
+    diversity-aware rerank that stops q30's raw top-k from returning
+    three near-duplicates (and the list-construction complement to
+    q342's ColBERT scoring).
+
+    Exactness: relevance and inter-candidate cosines are the q30
+    double-fold contract (identical sequential double sums in both
+    engines); the greedy argmax tie-breaks on (mmr DESC, vec_id) over
+    identical doubles. The oracle unrolls the K=3 greedy steps as
+    CTEs.
+
+    100 TB shape: relevance scoring is the q30 broadcast-scan (one
+    corpus pass, map-side top-k); the greedy loop then runs on the
+    POOL-BOUNDED candidate table — K steps x pool-size cosine
+    evaluations, a q322-style bounded parameter-server pattern whose
+    driver state is K vectors (the selected set), never the corpus."""
+    from ooh_etl_spark.operators.similarity import cosine  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        parallelize_rows(emb.filter(F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine(F.col("embedding"), F.col("qv")).alias("rel"),
+        )
+    )
+    w = Window.orderBy(F.col("rel").desc(), "vec_id")
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .select("vec_id", "embedding", "rel")
+        .localCheckpoint()  # pool-bounded: _MMR_POOL rows
+    )
+    # greedy selection: bounded parameter-server loop (q322 contract —
+    # driver holds K (vec_id, embedding, rel) rows, K = 3)
+    selected = []  # list of Row(vec_id, embedding, rel, mmr)
+    for step in range(_MMR_K):
+        remaining = cand
+        for s in selected:
+            remaining = remaining.filter(F.col("vec_id") != s[0])
+        if not selected:
+            pick = remaining.orderBy(F.col("rel").desc(), "vec_id").limit(1)
+            row = pick.collect()[0]
+            selected.append((row.vec_id, row.embedding, row.rel, row.rel))
+            continue
+        sel_df = F.broadcast(
+            remaining.sparkSession.createDataFrame(
+                [(int(s[0]), s[1]) for s in selected],
+                "sid long, sv array<float>",
+            )
+        )
+        mmr_scored = (
+            remaining.join(sel_df, F.col("vec_id") != F.col("sid"))
+            .withColumn("sim", cosine(F.col("embedding"), F.col("sv")))
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("max_sim"), F.first("embedding").alias("embedding"))
+            .withColumn("mmr", F.col("rel") - _MMR_LAMBDA * F.col("max_sim"))
+        )
+        row = (
+            mmr_scored.orderBy(F.col("mmr").desc(), "vec_id").limit(1).collect()[0]
+        )
+        selected.append((row.vec_id, row.embedding, row.rel, row.mmr))
+    import math  # noqa: PLC0415
+
+    def _half_away(x):
+        # round-half-away-from-zero, the engines' convention (Python's
+        # built-in round is half-to-even and could diverge on exact .5)
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    out = [
+        (i + 1, int(s[0]), _half_away(10000 * s[2]), _half_away(10000 * s[3]))
+        for i, s in enumerate(selected)
+    ]
+    return emb.sparkSession.createDataFrame(
+        out, "sel_rank long, vec_id long, rel_bp long, mmr_bp long"
+    ).orderBy("sel_rank")

@@ -2378,3 +2378,184 @@ def q371_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1000.0 * jb).cast("bigint").alias("jb_milli"),
         F.when(jb > 5.991465, 1).otherwise(0).cast("bigint").alias("reject_normal"),
     )
+
+
+# --- q377: Brown-Forsythe robust variance-homogeneity test (round 6) --------
+_DUCK_BF = """
+    WITH x AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events),
+         med AS (
+      SELECT g, quantile_disc(v_c, 0.5) AS med_c FROM x GROUP BY g),
+         z AS (
+      SELECT x.g, abs(x.v_c - med.med_c) AS z_c
+      FROM x JOIN med USING (g)),
+         grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z_c) AS BIGINT) AS sz,
+             CAST(sum(CAST(z_c AS HUGEINT) * z_c) AS DOUBLE) AS szz
+      FROM z GROUP BY g),
+         tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(sz) AS DOUBLE) AS gsz
+      FROM grp),
+         parts AS (
+      SELECT tot.nn, tot.k,
+             sum(grp.n * (grp.sz * 1.0 / grp.n - tot.gsz / tot.nn)
+                       * (grp.sz * 1.0 / grp.n - tot.gsz / tot.nn)) AS ssb,
+             sum(grp.szz - grp.sz * 1.0 * grp.sz / grp.n) AS ssw
+      FROM grp CROSS JOIN tot GROUP BY tot.nn, tot.k)
+    SELECT k AS n_groups, nn AS n_obs,
+           CAST(round(1000.0 * (ssb / (k - 1)) / (ssw / (nn - k)))
+                AS BIGINT) AS f_milli,
+           CAST(CASE WHEN (ssb / (k - 1)) / (ssw / (nn - k)) > 2.372
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_homogeneity
+    FROM parts
+"""
+
+
+@register("q377_brown_forsythe", _DUCK_BF)
+def q377_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe robust test of variance homogeneity (Brown &
+    Forsythe, JASA 1974 — Levene's test with MEDIAN centering):
+    one-way ANOVA on absolute deviations from each group's median —
+    the precondition check for q325's ANOVA (whose F assumes equal
+    variances) that stays valid under the heavy tails q287/q213 keep
+    finding in event values. Critical value: F(4, inf) at 5%.
+
+    Exactness: medians are exact discrete percentiles of integer
+    cents; |x - med| is an exact integer per row; group sums (and the
+    HUGEINT/decimal square sums) are exact, and both engines run the
+    same closed-form F on them.
+
+    100 TB shape: one pass for per-group exact medians (or the
+    documented approx_percentile swap at extreme cardinality), one
+    map-side-combinable moment pass for the deviations (the median
+    table broadcasts), one 5-row closed form. No per-row double
+    sums anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+    )
+    med = x.groupBy("g").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v_c)").alias("med_c")
+    )
+    z = x.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v_c") - F.col("med_c")).alias("z_c")
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z_c").cast("bigint").alias("sz"),
+        F.sum(F.col("z_c").cast("decimal(38,0)") * F.col("z_c"))
+        .cast("double")
+        .alias("szz"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sz").cast("double").alias("gsz"),
+    )
+    gm = F.col("sz") * 1.0 / F.col("n") - F.col("gsz") / F.col("nn")
+    parts = (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("nn", "k")
+        .agg(
+            F.sum(F.col("n") * gm * gm).alias("ssb"),
+            F.sum(F.col("szz") - F.col("sz") * 1.0 * F.col("sz") / F.col("n")).alias(
+                "ssw"
+            ),
+        )
+    )
+    f_stat = (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nn") - F.col("k")))
+    return parts.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_obs"),
+        F.round(1000.0 * f_stat).cast("bigint").alias("f_milli"),
+        F.when(f_stat > 2.372, 1).otherwise(0).cast("bigint").alias(
+            "reject_homogeneity"
+        ),
+    )
+
+
+# --- q378: Kish design effect of a reweighting (round 6) --------------------
+_DUCK_KISH = """
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      FROM documents GROUP BY source),
+         tot AS (
+      SELECT CAST(sum(n_src) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k FROM src),
+         w AS (
+      -- uniform-target reweighting: weight each doc so every source
+      -- contributes equally (the q83 mixture flattened to uniform)
+      SELECT src.source, src.n_src,
+             CAST(round(1000000.0 * tot.n / (tot.k * src.n_src)) AS BIGINT)
+               AS w_u
+      FROM src CROSS JOIN tot),
+         mom AS (
+      SELECT CAST(sum(n_src * w_u) AS BIGINT) AS sw,
+             CAST(sum(n_src * CAST(w_u AS HUGEINT) * w_u) AS DOUBLE) AS sww,
+             CAST(sum(n_src) AS BIGINT) AS n
+      FROM w)
+    SELECT n,
+           CAST((SELECT k FROM tot) AS BIGINT) AS n_sources,
+           CAST(round(1000000.0 * n * sww / (sw * 1.0 * sw)) AS BIGINT)
+             AS deff_e6,
+           CAST(round(n / (n * sww / (sw * 1.0 * sw)))
+                AS BIGINT) AS n_eff
+    FROM mom
+"""
+
+
+@register("q378_kish_design_effect", _DUCK_KISH)
+def q378_kish_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effect (Kish, 'Survey Sampling' 1965):
+    deff = n SUM(w^2) / (SUM w)^2 = 1 + cv^2(w) of a uniform-target
+    source reweighting over the document corpus, and the effective
+    sample size n/deff — the number that says how much statistical
+    power a q83-style mixture reweighting THROWS AWAY (weights far
+    from uniform inflate estimator variance even as they fix the
+    mix). Every weighted corpus metric upstream (q153 DSIR, q164
+    temperature mixes) should be read against this deff.
+
+    Exactness: weights collapse to one value per source, so the moment
+    sums are exact integer (count x micro-weight) products — the
+    per-row weighted sum reduces to a |sources|-row closed form
+    identical in both engines (the q303 cell-collapse contract).
+
+    100 TB shape: ONE map-side-combinable source-count aggregate;
+    everything else is arithmetic on the |sources|-row table."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    ).localCheckpoint()
+    tot = src.agg(
+        F.sum("n_src").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "n_src",
+        "n",
+        "k",
+        F.round(1000000.0 * F.col("n") / (F.col("k") * F.col("n_src")))
+        .cast("bigint")
+        .alias("w_u"),
+    )
+    mom = w.agg(
+        F.sum(F.col("n_src") * F.col("w_u")).cast("bigint").alias("sw"),
+        F.sum(F.col("n_src") * F.col("w_u").cast("decimal(38,0)") * F.col("w_u"))
+        .cast("double")
+        .alias("sww"),
+        F.sum("n_src").cast("bigint").alias("n"),
+        F.max("k").cast("bigint").alias("k"),
+    )
+    deff = F.col("n") * F.col("sww") / (F.col("sw") * 1.0 * F.col("sw"))
+    return mom.select(
+        "n",
+        F.col("k").alias("n_sources"),
+        F.round(1000000.0 * deff).cast("bigint").alias("deff_e6"),
+        F.round(F.col("n") / deff).cast("bigint").alias("n_eff"),
+    )

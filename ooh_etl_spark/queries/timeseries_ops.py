@@ -2023,3 +2023,159 @@ def q372_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reject_white_noise"),
         )
     )
+
+
+# --- q376: Hurst exponent by rescaled-range analysis (round 6) --------------
+_HURST_WINDOWS = [8, 16, 32, 64, 128]
+
+_DUCK_HURST = f"""
+    WITH hr AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS x
+      FROM events GROUP BY 1),
+         bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hr),
+         grid AS (
+      SELECT g.h - b.lo AS t, CAST(coalesce(hr.x, 0) AS BIGINT) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) g
+      CROSS JOIN bounds b LEFT JOIN hr ON hr.h = g.h),
+         win AS (SELECT unnest(ARRAY{_HURST_WINDOWS}) AS n),
+         blk AS (
+      SELECT win.n, grid.t // win.n AS b, grid.t, grid.x
+      FROM grid CROSS JOIN win),
+         bm AS (
+      SELECT n, b, sum(x) * 1.0 / count(*) AS mu,
+             count(*) AS cnt
+      FROM blk GROUP BY n, b),
+         full_blk AS (
+      SELECT blk.n, blk.b, blk.t, blk.x, bm.mu
+      FROM blk JOIN bm ON bm.n = blk.n AND bm.b = blk.b
+      WHERE bm.cnt = blk.n),
+         z AS (
+      SELECT n, b, t, x, mu,
+             sum(x - mu) OVER (PARTITION BY n, b ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zc
+      FROM full_blk),
+         rs AS (
+      SELECT n, b,
+             max(zc) - min(zc) AS r,
+             sqrt(sum((x - mu) * (x - mu)) / count(*)) AS s
+      FROM z GROUP BY n, b),
+         rsq AS (
+      SELECT n,
+             CAST(round(1000000.0 * r / s) AS BIGINT) AS rs_u
+      FROM rs WHERE s > 0),
+         pern AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(round(sum(rs_u) * 1.0 / count(*)) AS BIGINT) AS rs_mean_u
+      FROM rsq GROUP BY n),
+         pts AS (
+      SELECT n, n_blocks, rs_mean_u,
+             log2(n) AS lx, log2(rs_mean_u / 1000000.0) AS ly
+      FROM pern),
+         fit AS (
+      SELECT (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+               / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)) AS h
+      FROM pts)
+    SELECT CAST(pts.n AS BIGINT) AS window_n, pts.n_blocks, pts.rs_mean_u,
+           CAST(round(1000000.0 * fit.h) AS BIGINT) AS hurst_e6
+    FROM pts CROSS JOIN fit ORDER BY window_n
+"""
+
+
+@register("q376_hurst_rs", _DUCK_HURST)
+def q376_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969): split the hourly count series into
+    complete blocks of n in {8..128}, compute each block's range of
+    mean-adjusted cumulative deviations over its stdev, and read H
+    from the slope of log2 E[R/S] vs log2 n — H > 0.5 means
+    long-range dependence (the persistence q315's fixed-lag ACF can
+    hint at but not summarize), H ~ 0.5 is a memoryless series.
+
+    Exactness: block means/stdevs are rationals of integer counts; the
+    cumulative deviation is an ORDERED window sum (same sequence both
+    engines); per-block R/S quantizes to micro before block averaging,
+    and the log-log OLS runs on the 5-point quantized grid.
+
+    100 TB shape: one corpus pass to the calendar-bounded hourly grid;
+    the window-size explode multiplies the GRID (x5), not the corpus;
+    block stats partition by (n, block) — frames of <= 128 rows, no
+    global window. The 5-point fit is driver-free closed form."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = hr.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        bounds.select(
+            "lo", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+        )
+        .join(hr, "h", "left")
+        .select(
+            (F.col("h") - F.col("lo")).alias("t"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+        .localCheckpoint()
+    )
+    win = grid.sparkSession.createDataFrame(
+        [(int(n),) for n in _HURST_WINDOWS], "n long"
+    )
+    blk = grid.crossJoin(F.broadcast(win)).select(
+        "n", (F.col("t") / F.col("n")).cast("bigint").alias("b"), "t", "x"
+    )
+    bm = blk.groupBy("n", "b").agg(
+        (F.sum("x") * 1.0 / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    full_blk = blk.join(bm, ["n", "b"]).filter(F.col("cnt") == F.col("n"))
+    wz = (
+        Window.partitionBy("n", "b")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    z = full_blk.withColumn("zc", F.sum(F.col("x") - F.col("mu")).over(wz))
+    rs = z.groupBy("n", "b").agg(
+        (F.max("zc") - F.min("zc")).alias("r"),
+        F.sqrt(
+            F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))
+            / F.count(F.lit(1))
+        ).alias("s"),
+    )
+    rsq = rs.filter(F.col("s") > 0).select(
+        "n",
+        F.round(1000000.0 * F.col("r") / F.col("s")).cast("bigint").alias("rs_u"),
+    )
+    pern = rsq.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.round(F.sum("rs_u") * 1.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("rs_mean_u"),
+    )
+    pts = pern.select(
+        "n",
+        "n_blocks",
+        "rs_mean_u",
+        F.log2("n").alias("lx"),
+        F.log2(F.col("rs_mean_u") / 1000000.0).alias("ly"),
+    ).localCheckpoint()
+    fit = pts.agg(
+        (
+            (
+                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("ly"))
+                - F.sum("lx") * F.sum("ly")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("lx"))
+                - F.sum("lx") * F.sum("lx")
+            )
+        ).alias("hh")
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("n").cast("bigint").alias("window_n"),
+            "n_blocks",
+            "rs_mean_u",
+            F.round(1000000.0 * F.col("hh")).cast("bigint").alias("hurst_e6"),
+        )
+        .orderBy("window_n")
+    )

@@ -627,3 +627,51 @@ def test_q374_modularity_identities(spark):
     # sum of community degrees = 2m -> sum of (d_c/2m) = 1
     two_m = sum(r.d_c for r in rows)
     assert two_m > 0 and two_m % 2 == 0
+
+
+def test_q375_mmr_first_pick_is_top_relevance(spark):
+    rows = run(spark, "q375_mmr_rerank").collect()
+    assert [r.sel_rank for r in rows] == [1, 2, 3]
+    # step 1 has no diversity penalty: mmr == rel
+    assert rows[0].mmr_bp == rows[0].rel_bp
+    # later steps: mmr = rel - 0.5 * max_sim with max_sim in [-1, 1],
+    # so mmr differs from rel by at most 5000 bp (negative cosines CAN
+    # push mmr above rel — the penalty becomes a diversity bonus)
+    for r in rows[1:]:
+        assert abs(r.mmr_bp - r.rel_bp) <= 5000
+    # selections are distinct and none is the query itself
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 3 and 0 not in ids
+    # greedy order: later mmr scores are non-increasing
+    assert rows[1].mmr_bp >= rows[2].mmr_bp
+
+
+def test_q376_hurst_in_range_and_blocks_consistent(spark):
+    rows = run(spark, "q376_hurst_rs").collect()
+    assert [r.window_n for r in rows] == [8, 16, 32, 64, 128]
+    h = {r.hurst_e6 for r in rows}
+    assert len(h) == 1  # one global slope repeated per row
+    hurst = h.pop() / 1e6
+    assert 0.0 < hurst < 1.0
+    # R/S grows with window size for any real series
+    rs = [r.rs_mean_u for r in rows]
+    assert rs == sorted(rs)
+    # block counts halve (at least) as windows double
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_blocks <= a.n_blocks
+
+
+def test_q377_brown_forsythe_positive(spark):
+    r = run(spark, "q377_brown_forsythe").collect()[0]
+    assert r.n_groups == 5
+    assert r.f_milli >= 0
+    assert r.reject_homogeneity in (0, 1)
+    assert r.reject_homogeneity == (1 if r.f_milli > 2372 else 0)
+
+
+def test_q378_deff_bounds(spark):
+    r = run(spark, "q378_kish_design_effect").collect()[0]
+    # deff >= 1 always (Cauchy-Schwarz), and n_eff <= n
+    assert r.deff_e6 >= 1000000
+    assert 0 < r.n_eff <= r.n
+    assert r.n_sources == 20
