@@ -970,3 +970,116 @@ def q350_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_doc_id")
     )
+
+
+# --- q379: sparse TF-IDF cosine near-dup pairs (round 6) --------------------
+_SPARSE_COS_MIN_BP = 9000  # report pairs with cosine >= 0.90
+
+_DUCK_SPARSE_COS = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+         tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE w <> '' GROUP BY 1, 2),
+         n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         idf AS (
+      SELECT w, ln(n_docs.n * 1.0 / count(DISTINCT doc_id)) AS idf
+      FROM tf CROSS JOIN n_docs GROUP BY w, n_docs.n),
+         vec AS (
+      SELECT tf.doc_id, tf.w,
+             CAST(round(1000000 * tf.tf * idf.idf) AS BIGINT) AS x_u
+      FROM tf JOIN idf USING (w) WHERE round(1000000 * tf.tf * idf.idf) > 0),
+         nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(sum(CAST(x_u AS HUGEINT) * x_u) AS DOUBLE)) AS nv
+      FROM vec GROUP BY doc_id),
+         dots AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(sum(CAST(a.x_u AS HUGEINT) * b.x_u) AS DOUBLE) AS dot
+      FROM vec a JOIN vec b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         scored AS (
+      SELECT dots.da, dots.db,
+             CAST(round(10000 * dots.dot / (na.nv * nb.nv)) AS BIGINT)
+               AS cos_bp
+      FROM dots JOIN nrm na ON na.doc_id = dots.da
+                JOIN nrm nb ON nb.doc_id = dots.db)
+    SELECT da, db, cos_bp FROM scored
+    WHERE cos_bp >= {_SPARSE_COS_MIN_BP}
+    ORDER BY da, db
+"""
+
+
+@register("q379_sparse_cosine_pairs", _DUCK_SPARSE_COS)
+def q379_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine near-duplicate pairs via the inverted
+    index (Bayardo/Ma/Srikant WWW'07 'all-pairs similarity search';
+    the sparse-retrieval scoring shape behind SPLADE/BM25 hybrids):
+    document pairs share score mass ONLY through shared terms, so the
+    pairwise dot products come from a posting-list self-join on the
+    term key — never a doc x doc cross product — and q27's unweighted
+    Jaccard gains the IDF weighting that stops stopword-heavy docs
+    from looking like duplicates.
+
+    Exactness: tf and df are integers; tf*idf quantizes to micro per
+    (doc, term) BEFORE any sum; dots and norms are exact wide-integer
+    sums of micro products (HUGEINT / decimal(38,0)) and the cosine
+    touches doubles once per pair.
+
+    100 TB shape: two term-keyed aggregates (tf, idf — both map-side
+    combinable) and ONE posting-list self-join co-partitioned on the
+    term key; hot terms (stopwords) are exactly the rows IDF already
+    down-weights, and the classic escalation (drop df > threshold
+    postings — prefix filtering per Bayardo) is documented, not
+    needed at this vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    n_docs = tf.select("doc_id").distinct().count()
+    idf = tf.groupBy("w").agg(
+        F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id")).alias("idf")
+    )
+    vec = (
+        tf.join(idf, "w")
+        .select(
+            "doc_id",
+            "w",
+            F.round(1000000 * F.col("tf") * F.col("idf")).cast("bigint").alias("x_u"),
+        )
+        .filter(F.col("x_u") > 0)
+        .localCheckpoint()
+    )
+    nrm = vec.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.col("x_u").cast("decimal(38,0)") * F.col("x_u")).cast("double")
+        ).alias("nv")
+    )
+    a = vec.select(F.col("doc_id").alias("da"), "w", F.col("x_u").alias("xa"))
+    b = vec.select(F.col("doc_id").alias("db"), F.col("w").alias("wb"), F.col("x_u").alias("xb"))
+    dots = (
+        a.join(b, (F.col("w") == F.col("wb")) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    return (
+        dots.join(F.broadcast(nrm.withColumnRenamed("doc_id", "da").withColumnRenamed("nv", "na")), "da")
+        .join(F.broadcast(nrm.withColumnRenamed("doc_id", "db").withColumnRenamed("nv", "nb")), "db")
+        .select(
+            "da",
+            "db",
+            F.round(10000 * F.col("dot") / (F.col("na") * F.col("nb")))
+            .cast("bigint")
+            .alias("cos_bp"),
+        )
+        .filter(F.col("cos_bp") >= _SPARSE_COS_MIN_BP)
+        .orderBy("da", "db")
+    )

@@ -1612,3 +1612,95 @@ def q347_markov_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("perplexity_milli"),
     )
+
+
+# --- q380: negative-binomial overdispersion fit (round 6) -------------------
+_DUCK_NEGBIN = """
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id),
+         mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS scc
+      FROM per_user),
+         mv AS (
+      SELECT n, sc * 1.0 / n AS mu,
+             (scc - sc * 1.0 * sc / n) / (n - 1) AS var
+      FROM mom)
+    SELECT n AS n_users,
+           CAST(round(1000.0 * mu) AS BIGINT) AS mean_milli,
+           CAST(round(1000.0 * var) AS BIGINT) AS var_milli,
+           CAST(round(1000000.0 * (var - mu) / (mu * mu)) AS BIGINT)
+             AS alpha_e6,
+           CAST(round(1000.0 * (CASE WHEN var > mu
+                  THEN mu * mu / (var - mu) ELSE 0 END)) AS BIGINT)
+             AS r_milli,
+           CAST(round(1000000.0 * (CASE WHEN var > mu
+                  THEN mu / var ELSE 1.0 END)) AS BIGINT) AS p_e6,
+           CAST(CASE WHEN var > mu THEN 1 ELSE 0 END AS BIGINT)
+             AS overdispersed
+    FROM mv
+"""
+
+
+@register("q380_negbin_moments", _DUCK_NEGBIN)
+def q380_negbin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit (Greenwood & Yule,
+    JRSS 1920; Cameron & Trivedi 'Regression Analysis of Count Data')
+    to per-user event counts: alpha = (var - mu)/mu^2 is the
+    overdispersion index (0 = Poisson), r = mu^2/(var - mu) and
+    p = mu/var the NB parameters — the distributional upgrade of
+    q230's Fano factor that q193's Poisson bootstrap implicitly
+    assumes away, and the standard first model for per-user activity
+    heterogeneity.
+
+    Exactness: per-user counts are integers; the three moment sums are
+    exact wide integers; both engines run the same closed form.
+
+    100 TB shape: one map-side-combinable count aggregate keyed on
+    user, one three-number moment reduction. Nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("scc"),
+    )
+    mu = F.col("sc") * 1.0 / F.col("n")
+    var = (F.col("scc") - F.col("sc") * 1.0 * F.col("sc") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    mv = mom.select(F.col("n"), mu.alias("mu"), var.alias("var"))
+    return mv.select(
+        F.col("n").alias("n_users"),
+        F.round(1000.0 * F.col("mu")).cast("bigint").alias("mean_milli"),
+        F.round(1000.0 * F.col("var")).cast("bigint").alias("var_milli"),
+        F.round(1000000.0 * (F.col("var") - F.col("mu")) / (F.col("mu") * F.col("mu")))
+        .cast("bigint")
+        .alias("alpha_e6"),
+        F.round(
+            1000.0
+            * F.when(
+                F.col("var") > F.col("mu"),
+                F.col("mu") * F.col("mu") / (F.col("var") - F.col("mu")),
+            ).otherwise(0.0)
+        )
+        .cast("bigint")
+        .alias("r_milli"),
+        F.round(
+            1000000.0
+            * F.when(F.col("var") > F.col("mu"), F.col("mu") / F.col("var")).otherwise(
+                1.0
+            )
+        )
+        .cast("bigint")
+        .alias("p_e6"),
+        F.when(F.col("var") > F.col("mu"), 1).otherwise(0).cast("bigint").alias(
+            "overdispersed"
+        ),
+    )

@@ -1252,3 +1252,79 @@ def q351_lexicon_flagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q382: leave-one-source-out corpus ablation (round 6) -------------------
+_DUCK_LOO = """
+    WITH per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source),
+         tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+             CAST(sum(sum_chars) AS BIGINT) AS s
+      FROM per_src)
+    SELECT p.source, p.n_docs,
+           CAST(round(1000.0 * p.sum_chars / p.n_docs) AS BIGINT)
+             AS mean_len_milli,
+           CAST(round(1000.0 * tot.s / tot.n) AS BIGINT)
+             AS corpus_mean_milli,
+           CAST(round(1000.0 * (tot.s - p.sum_chars)
+                      / (tot.n - p.n_docs)) AS BIGINT)
+             AS loo_mean_milli,
+           CAST(round(1000.0 * ((tot.s - p.sum_chars) * 1.0
+                                / (tot.n - p.n_docs)
+                                - tot.s * 1.0 / tot.n)) AS BIGINT)
+             AS loo_delta_milli
+    FROM per_src p CROSS JOIN tot
+    ORDER BY loo_delta_milli DESC, source
+"""
+
+
+@register("q382_source_ablation", _DUCK_LOO)
+def q382_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out corpus ablation (the data-ablation table
+    every corpus paper publishes — e.g. the source-removal studies in
+    Gao et al.'s Pile and Penedo et al.'s RefinedWeb): for each
+    source, what happens to the corpus-level metric (here mean doc
+    length) if that source is REMOVED — computed for all sources from
+    ONE aggregate, because LOO statistics of additive metrics are
+    closed-form complements (total minus the group's own sums), not
+    |sources| re-scans. The cheap screen that precedes q205's
+    per-example Shapley valuation.
+
+    Exactness: per-source counts/sums are exact integers; every LOO
+    mean is a rational of those integers.
+
+    100 TB shape: ONE map-side-combinable aggregate keyed on source;
+    the complement arithmetic runs on the |sources|-row table with the
+    1-row total broadcast. Adding metrics (dedup rate, lang purity)
+    adds agg columns, never passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.sum("sum_chars").cast("bigint").alias("s"),
+    )
+    loo_mean = (F.col("s") - F.col("sum_chars")) * 1.0 / (F.col("n") - F.col("n_docs"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(1000.0 * F.col("sum_chars") / F.col("n_docs"))
+            .cast("bigint")
+            .alias("mean_len_milli"),
+            F.round(1000.0 * F.col("s") / F.col("n"))
+            .cast("bigint")
+            .alias("corpus_mean_milli"),
+            F.round(1000.0 * loo_mean).cast("bigint").alias("loo_mean_milli"),
+            F.round(1000.0 * (loo_mean - F.col("s") * 1.0 / F.col("n")))
+            .cast("bigint")
+            .alias("loo_delta_milli"),
+        )
+        .orderBy(F.desc("loo_delta_milli"), "source")
+    )

@@ -2179,3 +2179,128 @@ def q376_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_n")
     )
+
+
+# --- q381: Haar wavelet detail-energy spectrum (round 6) --------------------
+_HAAR_LEVELS = 6  # dyadic scales 2h .. 64h
+
+_DUCK_HAAR = f"""
+    WITH hr AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS x
+      FROM events GROUP BY 1),
+         bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hr),
+         grid AS (
+      SELECT g.h - b.lo AS t, CAST(coalesce(hr.x, 0) AS BIGINT) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) g
+      CROSS JOIN bounds b LEFT JOIN hr ON hr.h = g.h),
+         lev AS (SELECT unnest(generate_series(1, {_HAAR_LEVELS})) AS j),
+         blk AS (
+      SELECT lev.j, grid.t // (1 << lev.j) AS b,
+             (grid.t // (1 << (lev.j - 1))) % 2 AS half,
+             grid.x
+      FROM grid CROSS JOIN lev),
+         pairs AS (
+      SELECT j, b,
+             CAST(sum(CASE WHEN half = 0 THEN x ELSE 0 END) AS BIGINT) AS sl,
+             CAST(sum(CASE WHEN half = 1 THEN x ELSE 0 END) AS BIGINT) AS sr,
+             count(*) AS cnt
+      FROM blk GROUP BY j, b),
+         en AS (
+      SELECT j,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CAST(round(1000.0 * (sl - sr) * (sl - sr)
+                                 / (1 << j)) AS BIGINT)) AS BIGINT) AS e_m
+      FROM pairs WHERE cnt = (1 << j) GROUP BY j)
+    SELECT CAST(j AS BIGINT) AS level,
+           CAST((1 << j) AS BIGINT) AS block_hours,
+           n_blocks, e_m AS energy_milli,
+           CAST(round(10000.0 * e_m / sum(e_m) OVER ()) AS BIGINT)
+             AS energy_share_bp
+    FROM en ORDER BY level
+"""
+
+
+@register("q381_haar_energy", _DUCK_HAAR)
+def q381_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail-energy spectrum (Haar 1910; Percival &
+    Walden, 'Wavelet Methods for Time Series Analysis' 2000) of the
+    hourly event counts: at each dyadic scale 2^j hours, the detail
+    energy sums (S_left - S_right)^2 / 2^j over complete blocks —
+    WHERE the series' variance lives by time scale. The 16-32h levels
+    light up for a daily cycle; q316's Fourier periodogram asks the
+    same question with global sines, the Haar version localizes in
+    time and needs only block sums.
+
+    Exactness: block half-sums are exact integers; each block's energy
+    quantizes to milli before the per-level sum; the share is one
+    window over <=6 rows.
+
+    100 TB shape: one corpus pass to the zero-filled calendar grid;
+    the level explode multiplies the GRID x6; block stats are one
+    aggregate keyed (level, block) — frames never exceed 64 rows and
+    there is no global window except the 6-row share."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = hr.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        bounds.select(
+            "lo", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+        )
+        .join(hr, "h", "left")
+        .select(
+            (F.col("h") - F.col("lo")).alias("t"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+        .localCheckpoint()
+    )
+    lev = grid.sparkSession.range(1, _HAAR_LEVELS + 1).select(
+        F.col("id").cast("int").alias("j")
+    )
+    blk = grid.crossJoin(F.broadcast(lev)).select(
+        "j",
+        (F.col("t") / F.pow(F.lit(2.0), F.col("j")).cast("bigint"))
+        .cast("bigint")
+        .alias("b"),
+        ((F.col("t") / F.pow(F.lit(2.0), F.col("j") - 1).cast("bigint"))
+         .cast("bigint") % 2).alias("half"),
+        "x",
+    )
+    pairs = blk.groupBy("j", "b").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sl"),
+        F.sum(F.when(F.col("half") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sr"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    size = F.pow(F.lit(2.0), F.col("j")).cast("bigint")
+    en = (
+        pairs.filter(F.col("cnt") == size)
+        .groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(
+                F.round(
+                    1000.0
+                    * (F.col("sl") - F.col("sr"))
+                    * (F.col("sl") - F.col("sr"))
+                    / size
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("e_m"),
+        )
+    )
+    w = Window.partitionBy()
+    return en.select(
+        F.col("j").cast("bigint").alias("level"),
+        F.pow(F.lit(2.0), F.col("j")).cast("bigint").alias("block_hours"),
+        "n_blocks",
+        F.col("e_m").alias("energy_milli"),
+        F.round(10000.0 * F.col("e_m") / F.sum("e_m").over(w))
+        .cast("bigint")
+        .alias("energy_share_bp"),
+    ).orderBy("level")

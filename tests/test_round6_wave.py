@@ -675,3 +675,52 @@ def test_q378_deff_bounds(spark):
     assert r.deff_e6 >= 1000000
     assert 0 < r.n_eff <= r.n
     assert r.n_sources == 20
+
+
+def test_q379_sparse_cosine_bounds_and_symmetric_keying(spark):
+    rows = run(spark, "q379_sparse_cosine_pairs").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.da < r.db
+        assert 9000 <= r.cos_bp <= 10000
+
+
+def test_q380_negbin_identities(spark):
+    r = run(spark, "q380_negbin_moments").collect()[0]
+    assert r.n_users > 0
+    # var and mean consistent with the alpha identity
+    mu = r.mean_milli / 1000.0
+    var = r.var_milli / 1000.0
+    assert abs(r.alpha_e6 / 1e6 - (var - mu) / (mu * mu)) < 1e-3
+    if r.overdispersed:
+        assert r.r_milli > 0 and 0 < r.p_e6 < 1000000
+        # NB mean identity: mu = r(1-p)/p
+        rr, p = r.r_milli / 1000.0, r.p_e6 / 1e6
+        assert abs(rr * (1 - p) / p - mu) / mu < 0.01
+
+
+def test_q381_haar_energy_daily_cycle_dominates(spark):
+    rows = run(spark, "q381_haar_energy").collect()
+    assert [r.level for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert [r.block_hours for r in rows] == [2, 4, 8, 16, 32, 64]
+    shares = {r.level: r.energy_share_bp for r in rows}
+    assert abs(sum(shares.values()) - 10000) <= len(shares)
+    for r in rows:
+        assert r.energy_milli >= 0 and r.n_blocks > 0
+    # dyadic blocks: counts (of complete blocks) at least halve per level
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_blocks <= a.n_blocks // 2 + 1
+
+
+def test_q382_loo_weighted_deltas_cancel(spark):
+    rows = run(spark, "q382_source_ablation").collect()
+    assert len(rows) == 20
+    corpus_mean = rows[0].corpus_mean_milli
+    assert all(r.corpus_mean_milli == corpus_mean for r in rows)
+    # deltas sorted descending; a below-average source has positive
+    # delta (removing it raises the mean)
+    deltas = [r.loo_delta_milli for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+    for r in rows:
+        sign_below = r.mean_len_milli < corpus_mean
+        assert (r.loo_delta_milli >= 0) == sign_below or r.loo_delta_milli == 0
