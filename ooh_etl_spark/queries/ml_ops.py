@@ -2247,3 +2247,186 @@ def q364_doubly_robust_ope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dr_e6"),
         )
     )
+
+
+# --- q385: MDLP entropy split with Fayyad-Irani acceptance (round 6) --------
+_DUCK_MDLP = """
+    WITH x AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders),
+         thw AS (
+      SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                              0.6, 0.7, 0.8, 0.9]) AS ts
+      FROM x),
+         th AS (
+      SELECT g.d, thw.ts[g.d] AS t
+      FROM thw CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) g),
+         cnt AS (
+      SELECT th.d, th.t,
+             CAST(sum(CASE WHEN x.v < th.t THEN 1 ELSE 0 END) AS BIGINT)
+               AS nl,
+             CAST(sum(CASE WHEN x.v < th.t AND x.y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pl,
+             CAST(sum(CASE WHEN x.v >= th.t THEN 1 ELSE 0 END) AS BIGINT)
+               AS nr,
+             CAST(sum(CASE WHEN x.v >= th.t AND x.y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pr
+      FROM x CROSS JOIN th GROUP BY th.d, th.t),
+         ent AS (
+      SELECT d, t, nl, nr, pl, pr, nl + nr AS n, pl + pr AS p,
+             -- H(S), H(S_l), H(S_r) with 0 log 0 = 0
+             (CASE WHEN pl + pr = 0 OR pl + pr = nl + nr THEN 0.0 ELSE
+               -((pl + pr) * 1.0 / (nl + nr))
+                 * log2((pl + pr) * 1.0 / (nl + nr))
+               - (1.0 - (pl + pr) * 1.0 / (nl + nr))
+                 * log2(1.0 - (pl + pr) * 1.0 / (nl + nr)) END) AS hs,
+             (CASE WHEN nl = 0 OR pl = 0 OR pl = nl THEN 0.0 ELSE
+               -(pl * 1.0 / nl) * log2(pl * 1.0 / nl)
+               - (1.0 - pl * 1.0 / nl) * log2(1.0 - pl * 1.0 / nl) END)
+               AS hl,
+             (CASE WHEN nr = 0 OR pr = 0 OR pr = nr THEN 0.0 ELSE
+               -(pr * 1.0 / nr) * log2(pr * 1.0 / nr)
+               - (1.0 - pr * 1.0 / nr) * log2(1.0 - pr * 1.0 / nr) END)
+               AS hr,
+             (CASE WHEN pl + pr = 0 OR pl + pr = nl + nr THEN 1 ELSE 2 END)
+               AS k,
+             (CASE WHEN nl = 0 THEN 0
+                   WHEN pl = 0 OR pl = nl THEN 1 ELSE 2 END) AS kl,
+             (CASE WHEN nr = 0 THEN 0
+                   WHEN pr = 0 OR pr = nr THEN 1 ELSE 2 END) AS kr
+      FROM cnt),
+         gain AS (
+      SELECT d, t, n, nl, nr,
+             hs - (nl * 1.0 / n) * hl - (nr * 1.0 / n) * hr AS g,
+             (log2(n - 1.0)
+              + log2(pow(3.0, k) - 2.0) - k * hs + kl * hl + kr * hr) / n
+               AS mdl
+      FROM ent)
+    SELECT CAST(d AS BIGINT) AS decile, t AS threshold_c, nl, nr,
+           CAST(round(1000000.0 * g) AS BIGINT) AS gain_e6,
+           CAST(round(1000000.0 * mdl) AS BIGINT) AS mdl_cost_e6,
+           CAST(CASE WHEN g > mdl THEN 1 ELSE 0 END AS BIGINT) AS accepted
+    FROM gain ORDER BY decile
+"""
+
+
+@register("q385_mdlp_split", _DUCK_MDLP)
+def q385_mdlp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-based supervised discretization with the MDL acceptance
+    rule (Fayyad & Irani, IJCAI 1993 — the binning inside C4.5 and
+    scikit-learn's MDLP packages): for each decile threshold of order
+    value, the information gain of splitting the urgent-flag there,
+    and whether the Minimum-Description-Length criterion says the
+    split pays for itself — the principled alternative to q137's
+    arbitrary-width target-encoding bins.
+
+    Exactness: all split cells are integer counts from one aggregate;
+    entropies/gains are doubles of those exact integers, computed by
+    the same closed form in both engines and quantized to micro.
+
+    100 TB shape: one pass for exact decile thresholds (approx swap
+    documented), one pass for ALL 9 candidate splits at once (the
+    threshold lattice broadcasts; counts are map-side-combinable
+    conditional sums), then 9-row arithmetic. The recursive MDLP
+    cascade is this query re-run per accepted interval — depth
+    bounded, each level one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    ).localCheckpoint()
+    # Spark requires a foldable percentage: compute all nine deciles in
+    # ONE aggregate, then stack the literal columns into (d, t) rows.
+    dec_aggs = [
+        F.expr(
+            f"percentile_disc({d / 10.0}) WITHIN GROUP (ORDER BY v)"
+        ).alias(f"t{d}")
+        for d in range(1, 10)
+    ]
+    wide = x.agg(*dec_aggs)
+    stack_expr = ", ".join(f"{d}L, t{d}" for d in range(1, 10))
+    th = wide.select(
+        F.expr(f"stack(9, {stack_expr}) AS (d, t)")
+    )
+    cnt = (
+        x.crossJoin(F.broadcast(th))
+        .groupBy("d", "t")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(F.when((F.col("v") < F.col("t")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pl"),
+            F.sum(F.when(F.col("v") >= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nr"),
+            F.sum(
+                F.when((F.col("v") >= F.col("t")) & (F.col("y") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pr"),
+        )
+    )
+
+    def _h(p, n):
+        frac = p * 1.0 / n
+        return (
+            F.when((p == 0) | (p == n), F.lit(0.0))
+            .otherwise(-frac * F.log2(frac) - (1.0 - frac) * F.log2(1.0 - frac))
+        )
+
+    ent = cnt.select(
+        "d",
+        "t",
+        "nl",
+        "nr",
+        (F.col("nl") + F.col("nr")).alias("n"),
+        _h(F.col("pl") + F.col("pr"), F.col("nl") + F.col("nr")).alias("hs"),
+        F.when(F.col("nl") == 0, F.lit(0.0))
+        .otherwise(_h(F.col("pl"), F.col("nl")))
+        .alias("hl"),
+        F.when(F.col("nr") == 0, F.lit(0.0))
+        .otherwise(_h(F.col("pr"), F.col("nr")))
+        .alias("hr"),
+        F.when(
+            ((F.col("pl") + F.col("pr")) == 0)
+            | ((F.col("pl") + F.col("pr")) == (F.col("nl") + F.col("nr"))),
+            1,
+        )
+        .otherwise(2)
+        .alias("k"),
+        F.when(F.col("nl") == 0, 0)
+        .when((F.col("pl") == 0) | (F.col("pl") == F.col("nl")), 1)
+        .otherwise(2)
+        .alias("kl"),
+        F.when(F.col("nr") == 0, 0)
+        .when((F.col("pr") == 0) | (F.col("pr") == F.col("nr")), 1)
+        .otherwise(2)
+        .alias("kr"),
+    )
+    g = (
+        F.col("hs")
+        - (F.col("nl") * 1.0 / F.col("n")) * F.col("hl")
+        - (F.col("nr") * 1.0 / F.col("n")) * F.col("hr")
+    )
+    mdl = (
+        F.log2(F.col("n") - 1.0)
+        + F.log2(F.pow(F.lit(3.0), F.col("k")) - 2.0)
+        - F.col("k") * F.col("hs")
+        + F.col("kl") * F.col("hl")
+        + F.col("kr") * F.col("hr")
+    ) / F.col("n")
+    return (
+        ent.select(
+            F.col("d").cast("bigint").alias("decile"),
+            F.col("t").cast("bigint").alias("threshold_c"),
+            "nl",
+            "nr",
+            F.round(1000000.0 * g).cast("bigint").alias("gain_e6"),
+            F.round(1000000.0 * mdl).cast("bigint").alias("mdl_cost_e6"),
+            F.when(g > mdl, 1).otherwise(0).cast("bigint").alias("accepted"),
+        )
+        .orderBy("decile")
+    )

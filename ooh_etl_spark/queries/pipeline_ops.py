@@ -381,3 +381,74 @@ def q223_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- q383: weighted sampling without replacement (round 6) ------------------
+_ES_K = 50  # sample size
+
+_DUCK_ES_SAMPLE = f"""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             -- Knuth-hash uniform in (0,1): engine-portable (q69)
+             (((o_orderkey * 2654435761) % 4294967296) + 0.5) / 4294967296.0
+               AS u
+      FROM orders),
+         scored AS (
+      SELECT o_orderkey, price_c,
+             -ln(u) / price_c AS e
+      FROM keyed),
+         top AS (
+      SELECT o_orderkey, price_c, e,
+             row_number() OVER (ORDER BY e, o_orderkey) AS rk
+      FROM scored QUALIFY rk <= {_ES_K})
+    SELECT CAST(rk AS BIGINT) AS rank, o_orderkey, price_c,
+           CAST(round(1000000000.0 * e) AS BIGINT) AS key_e9
+    FROM top ORDER BY rank
+"""
+
+
+@register("q383_priority_sample", _DUCK_ES_SAMPLE)
+def q383_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential races
+    (Efraimidis & Spirakis, IPL 2006): each order draws
+    e_i = -ln(u_i) / w_i and the k smallest keys ARE a
+    probability-proportional-to-size sample without replacement —
+    the one-pass distributed answer to 'give me 50 orders, big
+    spenders more likely, no duplicates', where q138's with-replacement
+    sampler can repeat rows. u_i comes from the q69 Knuth-hash uniform,
+    so the sample is REPRODUCIBLE across engines, runs, and cluster
+    sizes (randomSplit/rand() are partition-layout-dependent — the
+    production bug this construction exists to kill).
+
+    Exactness: u is a rational of the integer hash; both engines
+    evaluate -ln(u)/w on identical doubles; selection orders raw
+    doubles with a key tiebreak, and the reported key quantizes to
+    nano only for display.
+
+    100 TB shape: a narrow per-row expression then ONE map-side top-k
+    (TakeOrderedAndProject) — no shuffle of anything but k rows per
+    partition; the fully-distributed form of reservoir sampling."""
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)) + 0.5
+    ) / 4294967296.0
+    scored = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        (-F.log(u) / (F.round(F.col("o_totalprice") * 100).cast("bigint"))).alias(
+            "e"
+        ),
+    )
+    w = Window.orderBy("e", "o_orderkey")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ES_K)
+        .select(
+            F.col("rk").cast("bigint").alias("rank"),
+            "o_orderkey",
+            "price_c",
+            F.round(1000000000.0 * F.col("e")).cast("bigint").alias("key_e9"),
+        )
+        .orderBy("rank")
+    )

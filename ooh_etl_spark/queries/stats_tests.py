@@ -2559,3 +2559,249 @@ def q378_kish_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1000000.0 * deff).cast("bigint").alias("deff_e6"),
         F.round(F.col("n") / deff).cast("bigint").alias("n_eff"),
     )
+
+
+# --- q384: Kendall tau-b rank correlation (round 6) -------------------------
+_DUCK_KENDALL = """
+    WITH met AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_c,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+         pairs AS (
+      SELECT CASE WHEN (a.bal_c - b.bal_c) * (a.rev_c - b.rev_c) > 0
+                  THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.bal_c - b.bal_c) * (a.rev_c - b.rev_c) < 0
+                  THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.bal_c = b.bal_c AND a.rev_c <> b.rev_c
+                  THEN 1 ELSE 0 END AS tie_x,
+             CASE WHEN a.rev_c = b.rev_c AND a.bal_c <> b.bal_c
+                  THEN 1 ELSE 0 END AS tie_y
+      FROM met a JOIN met b ON a.nk < b.nk),
+         s AS (
+      SELECT CAST(sum(conc) AS BIGINT) AS nc,
+             CAST(sum(disc) AS BIGINT) AS nd,
+             CAST(sum(tie_x) AS BIGINT) AS tx,
+             CAST(sum(tie_y) AS BIGINT) AS ty,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM met) AS n_groups,
+           nc, nd, n_pairs,
+           CAST(round(1000000.0 * (nc - nd)
+                / sqrt((nc + nd + tx) * 1.0 * (nc + nd + ty)))
+                AS BIGINT) AS tau_b_e6
+    FROM s
+"""
+
+
+@register("q384_kendall_tau", _DUCK_KENDALL)
+def q384_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (Kendall, Biometrika 1938; tau-b
+    tie correction: Kendall 1945) between per-nation account-balance
+    mass and order revenue: the concordant-minus-discordant pair score
+    that q281's Spearman approximates — tau has a direct probabilistic
+    reading (P[concordant] - P[discordant]) and is the standard
+    robustness companion when the 25-group metric table is small
+    enough for exact pairs.
+
+    Exactness: both metrics are exact integer cent sums; concordance
+    is integer sign arithmetic; the only double is the final
+    normalization of five exact integers.
+
+    100 TB shape: ONE fact-side aggregate to the |nations| metric
+    table; the pair join is GROUP-bounded (25^2 pairs regardless of
+    corpus size) — the q330 calendar-bounded pattern with nations in
+    place of days."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    met = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey", "c_acctbal")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_c"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+        .localCheckpoint()
+    )
+    a = met.select(
+        F.col("nk").alias("nka"), F.col("bal_c").alias("ba"), F.col("rev_c").alias("ra")
+    )
+    b = met.select(
+        F.col("nk").alias("nkb"), F.col("bal_c").alias("bb"), F.col("rev_c").alias("rb")
+    )
+    prod = (F.col("ba") - F.col("bb")) * (F.col("ra") - F.col("rb"))
+    s = (
+        a.join(b, F.col("nka") < F.col("nkb"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("nc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("nd"),
+            F.sum(
+                F.when((F.col("ba") == F.col("bb")) & (F.col("ra") != F.col("rb")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tx"),
+            F.sum(
+                F.when((F.col("ra") == F.col("rb")) & (F.col("ba") != F.col("bb")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    ng = met.agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+    return s.crossJoin(F.broadcast(ng)).select(
+        "n_groups",
+        "nc",
+        "nd",
+        "n_pairs",
+        F.round(
+            1000000.0
+            * (F.col("nc") - F.col("nd"))
+            / F.sqrt(
+                (F.col("nc") + F.col("nd") + F.col("tx"))
+                * 1.0
+                * (F.col("nc") + F.col("nd") + F.col("ty"))
+            )
+        )
+        .cast("bigint")
+        .alias("tau_b_e6"),
+    )
+
+
+# --- q386: Wilcoxon signed-rank paired test (round 6) -----------------------
+_DUCK_WILCOXON = """
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk,
+             year(o.o_orderdate) AS yr,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE year(o.o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2),
+         d AS (
+      SELECT nk,
+             max(CASE WHEN yr = 1996 THEN rev_c ELSE 0 END)
+               - max(CASE WHEN yr = 1995 THEN rev_c ELSE 0 END) AS diff
+      FROM rev GROUP BY nk),
+         nz AS (SELECT nk, diff, abs(diff) AS ad FROM d WHERE diff <> 0),
+         rk AS (
+      SELECT nk, diff,
+             rank() OVER (ORDER BY ad) AS rmin,
+             count(*) OVER (PARTITION BY ad) AS tc
+      FROM nz),
+         s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN diff > 0 THEN 2 * rmin + tc - 1
+                           ELSE 0 END) AS BIGINT) AS wplus2
+      FROM rk),
+         ties AS (
+      SELECT CAST(coalesce(sum(c * c * c - c), 0) AS BIGINT) AS tie3
+      FROM (SELECT ad, CAST(count(*) AS BIGINT) AS c
+            FROM nz GROUP BY ad) t),
+         z AS (
+      SELECT s.n, s.wplus2,
+             (s.wplus2 / 2.0 - s.n * (s.n + 1) / 4.0)
+               / sqrt(s.n * (s.n + 1.0) * (2 * s.n + 1) / 24.0
+                      - ties.tie3 / 48.0) AS zval
+      FROM s CROSS JOIN ties)
+    SELECT n AS n_pairs,
+           CAST(round(wplus2 / 2.0) AS BIGINT) AS w_plus,
+           CAST(round(1000.0 * zval) AS BIGINT) AS z_milli,
+           CAST(CASE WHEN abs(zval) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)
+             AS reject_no_shift
+    FROM z
+"""
+
+
+@register("q386_wilcoxon_signed_rank", _DUCK_WILCOXON)
+def q386_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon, Biometrics 1945) on PAIRED
+    per-nation revenue, 1995 vs 1996: rank the absolute year-over-year
+    differences, sum the ranks of the positive ones, and ask whether
+    the median shift is zero — the paired complement of q280's
+    Mann-Whitney (which assumes independent groups and would throw
+    away the nation pairing), with zero-differences dropped and the
+    tie-corrected normal approximation.
+
+    Exactness: differences are exact integer cents; average ranks use
+    the Friedman half-unit-integer trick (2*rank_min + tiecount - 1);
+    tie cubes are integers; one closed form at the end.
+
+    100 TB shape: ONE fact aggregate to the (nation, year) table;
+    ranking and the statistic run on <= |nations| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.filter(F.year("o_orderdate").isin(1995, 1996))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"), F.year("o_orderdate").alias("yr")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    d = rev.groupBy("nk").agg(
+        (
+            F.max(F.when(F.col("yr") == 1996, F.col("rev_c")).otherwise(0))
+            - F.max(F.when(F.col("yr") == 1995, F.col("rev_c")).otherwise(0))
+        ).alias("diff")
+    )
+    nz = d.filter(F.col("diff") != 0).select(
+        "nk", "diff", F.abs(F.col("diff")).alias("ad")
+    ).localCheckpoint()
+    wr = Window.orderBy("ad")
+    wt = Window.partitionBy("ad")
+    rk = nz.select(
+        "diff",
+        F.rank().over(wr).alias("rmin"),
+        F.count(F.lit(1)).over(wt).alias("tc"),
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("diff") > 0, 2 * F.col("rmin") + F.col("tc") - 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("wplus2"),
+    )
+    ties = (
+        nz.groupBy("ad")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie3")
+        )
+    )
+    zval = (F.col("wplus2") / 2.0 - F.col("n") * (F.col("n") + 1) / 4.0) / F.sqrt(
+        F.col("n") * (F.col("n") + 1.0) * (2 * F.col("n") + 1) / 24.0
+        - F.col("tie3") / 48.0
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.col("wplus2") / 2.0).cast("bigint").alias("w_plus"),
+        F.round(1000.0 * zval).cast("bigint").alias("z_milli"),
+        F.when(F.abs(zval) > 1.959964, 1).otherwise(0).cast("bigint").alias(
+            "reject_no_shift"
+        ),
+    )

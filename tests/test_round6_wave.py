@@ -724,3 +724,55 @@ def test_q382_loo_weighted_deltas_cancel(spark):
     for r in rows:
         sign_below = r.mean_len_milli < corpus_mean
         assert (r.loo_delta_milli >= 0) == sign_below or r.loo_delta_milli == 0
+
+
+def test_q383_priority_sample_reproducible_and_biased_to_weight(spark):
+    rows = run(spark, "q383_priority_sample").collect()
+    assert len(rows) == 50
+    assert [r.rank for r in rows] == list(range(1, 51))
+    # keys nondecreasing with rank; all ids distinct (without replacement)
+    keys = [r.key_e9 for r in rows]
+    assert keys == sorted(keys)
+    assert len({r.o_orderkey for r in rows}) == 50
+    # PPS property: the sample's mean price exceeds the corpus mean
+    from ooh_etl_spark.tables import load_table
+
+    corpus_mean = (
+        load_table(spark, SF_DIR, "orders")
+        .agg(F.avg(F.round(F.col("o_totalprice") * 100)))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.price_c for r in rows) / 50
+    assert sample_mean > corpus_mean
+    # reproducibility: a second run returns the identical sample
+    again = run(spark, "q383_priority_sample").collect()
+    assert [r.o_orderkey for r in again] == [r.o_orderkey for r in rows]
+
+
+def test_q384_kendall_tau_bounds(spark):
+    r = run(spark, "q384_kendall_tau").collect()[0]
+    assert r.n_groups == 25
+    assert r.n_pairs == 25 * 24 // 2
+    assert r.nc + r.nd <= r.n_pairs
+    assert -1000000 <= r.tau_b_e6 <= 1000000
+    # balance mass and revenue are strongly related -> positive tau
+    assert r.tau_b_e6 > 0
+
+
+def test_q385_mdlp_grid_and_acceptance(spark):
+    rows = run(spark, "q385_mdlp_split").collect()
+    assert [r.decile for r in rows] == list(range(1, 10))
+    th = [r.threshold_c for r in rows]
+    assert th == sorted(th)
+    for r in rows:
+        assert r.gain_e6 >= 0  # information gain is nonnegative
+        assert r.accepted == (1 if r.gain_e6 > r.mdl_cost_e6 else 0)
+        assert r.nl + r.nr == rows[0].nl + rows[0].nr
+
+
+def test_q386_wilcoxon_identities(spark):
+    r = run(spark, "q386_wilcoxon_signed_rank").collect()[0]
+    assert 0 < r.n_pairs <= 25
+    max_w = r.n_pairs * (r.n_pairs + 1) // 2
+    assert 0 <= r.w_plus <= max_w
+    assert r.reject_no_shift == (1 if abs(r.z_milli) > 1959 else 0)
