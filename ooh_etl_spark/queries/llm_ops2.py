@@ -976,3 +976,275 @@ def q359_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("waste_cut_bp"),
     )
+
+
+# --- q387: prefix-cache savings audit (round 6) -----------------------------
+_PFX_TOKENS = 8  # shared-prefix key length
+
+_DUCK_PREFIX_CACHE = f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents),
+         keyed AS (
+      SELECT doc_id,
+             len(toks) AS n_toks,
+             array_to_string(toks[1:{_PFX_TOKENS}], ' ') AS pfx
+      FROM d WHERE len(toks) >= {_PFX_TOKENS}),
+         grp AS (
+      SELECT pfx, CAST(count(*) AS BIGINT) AS n_prompts,
+             CAST(sum(n_toks) AS BIGINT) AS total_toks,
+             CAST((count(*) - 1) * {_PFX_TOKENS} AS BIGINT) AS saved_toks
+      FROM keyed GROUP BY pfx),
+         agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_prefixes,
+             CAST(sum(n_prompts) AS BIGINT) AS n_prompts,
+             CAST(sum(CASE WHEN n_prompts > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_prefixes,
+             CAST(sum(saved_toks) AS BIGINT) AS saved_toks,
+             CAST(sum(total_toks) AS BIGINT) AS total_toks
+      FROM grp)
+    SELECT n_prompts, n_prefixes, n_shared_prefixes, saved_toks, total_toks,
+           CAST(round(10000.0 * saved_toks / total_toks) AS BIGINT)
+             AS savings_bp
+    FROM agg
+"""
+
+
+@register("q387_prefix_cache_savings", _DUCK_PREFIX_CACHE)
+def q387_prefix_cache_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache (automatic prompt caching) savings audit — the
+    serving-side analysis behind vLLM's prefix caching (Kwon et al.,
+    SOSP 2023) and SGLang's RadixAttention: bucket prompts by their
+    first 8 tokens; every prompt after the first in a bucket re-uses
+    the cached prefix KV, so the saved prefill work is
+    (bucket_size - 1) x prefix_len tokens. Reports the corpus-level
+    fraction of prefill tokens a prefix cache eliminates — the number
+    that decides whether the cache is worth its memory.
+
+    Exactness: pure integer token counts from one aggregate.
+
+    100 TB shape: a narrow per-row prefix-key projection, ONE
+    map-side-combinable aggregate keyed on the prefix, one bounded
+    reduction. The radix-tree generalization (all prefix lengths at
+    once) is the documented escalation: explode per-row into
+    log-spaced prefix depths, same shape x depth count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    keyed = docs.select(
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.slice(toks, 1, _PFX_TOKENS), " ").alias("pfx"),
+    ).filter(F.col("n_toks") >= _PFX_TOKENS)
+    grp = keyed.groupBy("pfx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prompts"),
+        F.sum("n_toks").cast("bigint").alias("total_toks"),
+        ((F.count(F.lit(1)) - 1) * _PFX_TOKENS).cast("bigint").alias("saved_toks"),
+    )
+    agg = grp.agg(
+        F.sum("n_prompts").cast("bigint").alias("n_prompts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_prefixes"),
+        F.sum(F.when(F.col("n_prompts") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared_prefixes"),
+        F.sum("saved_toks").cast("bigint").alias("saved_toks"),
+        F.sum("total_toks").cast("bigint").alias("total_toks"),
+    )
+    return agg.select(
+        "n_prompts",
+        "n_prefixes",
+        "n_shared_prefixes",
+        "saved_toks",
+        "total_toks",
+        F.round(10000.0 * F.col("saved_toks") / F.col("total_toks"))
+        .cast("bigint")
+        .alias("savings_bp"),
+    )
+
+
+# --- q388: speculative-decoding acceptance overlap (round 6) ----------------
+_DUCK_SPEC_OVERLAP = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')),
+         cnt AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY 1, 2),
+         tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+         dist AS (
+      SELECT cnt.w,
+             max(CASE WHEN cnt.source = 'src0'
+                      THEN cnt.c * 1.0 / tot.n ELSE 0 END) AS p,
+             max(CASE WHEN cnt.source = 'src1'
+                      THEN cnt.c * 1.0 / tot.n ELSE 0 END) AS q
+      FROM cnt JOIN tot USING (source) GROUP BY cnt.w),
+         agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CAST(round(1000000000 * least(p, q)) AS BIGINT))
+                  AS BIGINT) AS acc_n,
+             CAST(sum(CAST(round(1000000000 * abs(p - q) / 2) AS BIGINT))
+                  AS BIGINT) AS tv_n
+      FROM dist)
+    SELECT vocab,
+           CAST(round(acc_n / 1000.0) AS BIGINT) AS accept_rate_e6,
+           CAST(round(tv_n / 1000.0) AS BIGINT) AS tv_distance_e6,
+           CAST(round((1000000000 - tv_n) / 1000.0) AS BIGINT)
+             AS one_minus_tv_e6
+    FROM agg
+"""
+
+
+@register("q388_speculative_overlap", _DUCK_SPEC_OVERLAP)
+def q388_speculative_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding acceptance-rate bound (Leviathan et al.,
+    ICML 2023; Chen et al. 2023): when a draft model proposes from q
+    and the target verifies against p, the per-token acceptance
+    probability is SUM_x min(p(x), q(x)) = 1 - TV(p, q). Estimated
+    here between the unigram distributions of two corpus sources — the
+    distribution-overlap computation that decides whether a draft
+    model is close enough to pay for itself, and the serving-side
+    sibling of q241's JSD source-divergence audit.
+
+    Exactness: both distributions are rationals of integer counts over
+    the shared vocab; per-term min/abs-diff quantize to nano before
+    the vocab sum (associative integer pooling), and the identity
+    accept = 1 - TV is visible in the output to 1e-6.
+
+    100 TB shape: one token aggregate per the two sources (map-side
+    combined), a vocab-bounded full-outer alignment, a one-row
+    reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    cnt = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    dist = (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("w")
+        .agg(
+            F.max(
+                F.when(F.col("source") == "src0", F.col("c") * 1.0 / F.col("n"))
+                .otherwise(0.0)
+            ).alias("p"),
+            F.max(
+                F.when(F.col("source") == "src1", F.col("c") * 1.0 / F.col("n"))
+                .otherwise(0.0)
+            ).alias("q"),
+        )
+    )
+    agg = dist.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.round(1000000000 * F.least(F.col("p"), F.col("q"))).cast("bigint"))
+        .cast("bigint")
+        .alias("acc_n"),
+        F.sum(
+            F.round(1000000000 * F.abs(F.col("p") - F.col("q")) / 2).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("tv_n"),
+    )
+    return agg.select(
+        "vocab",
+        F.round(F.col("acc_n") / 1000.0).cast("bigint").alias("accept_rate_e6"),
+        F.round(F.col("tv_n") / 1000.0).cast("bigint").alias("tv_distance_e6"),
+        F.round((1000000000 - F.col("tv_n")) / 1000.0)
+        .cast("bigint")
+        .alias("one_minus_tv_e6"),
+    )
+
+
+# --- q389: rank-disagreement audit via Spearman footrule (round 6) ----------
+_DUCK_FOOTRULE = """
+    WITH feat AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> length(w) >= 6)) AS n_rare
+      FROM documents),
+         rk AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r_len,
+             row_number() OVER (ORDER BY n_rare DESC, doc_id) AS r_rare
+      FROM feat),
+         agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(abs(r_len - r_rare)) AS BIGINT) AS footrule,
+             CAST(sum(CASE WHEN r_len <= 50 AND r_rare <= 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS top50_overlap
+      FROM rk)
+    SELECT n, footrule, top50_overlap,
+           -- normalize by the maximum footrule distance
+           CAST(round(10000.0 * footrule
+                / (CASE WHEN n % 2 = 0 THEN n * 1.0 * n / 2
+                        ELSE (n * 1.0 * n - 1) / 2 END)) AS BIGINT)
+             AS footrule_norm_bp
+    FROM agg
+"""
+
+
+@register("q389_rank_footrule", _DUCK_FOOTRULE)
+def q389_rank_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering disagreement via Spearman's footrule
+    (Spearman 1906; Diaconis & Graham, JRSS-B 1977 prove it is within
+    2x of Kendall distance): rank documents by two difficulty proxies
+    (length vs rare-word count) and sum |rank difference| — plus the
+    top-50 overlap the curriculum actually consumes. The audit that
+    says whether two difficulty scores would produce materially
+    different training orders (q384's tau asks the same of 25 groups;
+    the footrule scales to full-corpus rankings because it needs no
+    pair join).
+
+    Exactness: ranks are integers from deterministic tie-broken
+    orderings; the footrule and its normalizer are exact integers.
+
+    100 TB shape: the two rank windows are the one genuinely global
+    operation (a total order IS the deliverable) — at scale they
+    become q203-style range-partitioned rank (sample boundaries, rank
+    within range partitions, add offsets: one extra pass, no single
+    reducer); the footrule itself is then a narrow per-row |a - b|
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda w: F.length(w) >= 6,
+            )
+        ).alias("n_rare"),
+    )
+    w_len = Window.orderBy(F.desc("n_chars"), "doc_id")
+    w_rare = Window.orderBy(F.desc("n_rare"), "doc_id")
+    rk = feat.select(
+        F.row_number().over(w_len).alias("r_len"),
+        F.row_number().over(w_rare).alias("r_rare"),
+    )
+    agg = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("r_len") - F.col("r_rare")))
+        .cast("bigint")
+        .alias("footrule"),
+        F.sum(
+            F.when((F.col("r_len") <= 50) & (F.col("r_rare") <= 50), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("top50_overlap"),
+    )
+    max_fr = F.when(
+        F.col("n") % 2 == 0, F.col("n") * 1.0 * F.col("n") / 2
+    ).otherwise((F.col("n") * 1.0 * F.col("n") - 1) / 2)
+    return agg.select(
+        "n",
+        "footrule",
+        "top50_overlap",
+        F.round(10000.0 * F.col("footrule") / max_fr)
+        .cast("bigint")
+        .alias("footrule_norm_bp"),
+    )

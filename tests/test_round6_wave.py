@@ -776,3 +776,31 @@ def test_q386_wilcoxon_identities(spark):
     max_w = r.n_pairs * (r.n_pairs + 1) // 2
     assert 0 <= r.w_plus <= max_w
     assert r.reject_no_shift == (1 if abs(r.z_milli) > 1959 else 0)
+
+
+def test_q387_prefix_cache_identities(spark):
+    r = run(spark, "q387_prefix_cache_savings").collect()[0]
+    assert r.n_prefixes <= r.n_prompts
+    assert r.n_shared_prefixes <= r.n_prefixes
+    # savings = (prompts - prefixes) * PFX tokens exactly
+    assert r.saved_toks == (r.n_prompts - r.n_prefixes) * 8
+    assert 0 <= r.savings_bp <= 10000
+
+
+def test_q388_speculative_identity_accept_is_one_minus_tv(spark):
+    r = run(spark, "q388_speculative_overlap").collect()[0]
+    assert r.vocab > 0
+    assert 0 <= r.accept_rate_e6 <= 1000000
+    # accept = 1 - TV, up to nano-quantization slack
+    assert abs(r.accept_rate_e6 - r.one_minus_tv_e6) <= 2
+    assert abs(r.accept_rate_e6 + r.tv_distance_e6 - 1000000) <= 2
+
+
+def test_q389_footrule_bounds(spark):
+    r = run(spark, "q389_rank_footrule").collect()[0]
+    assert r.n > 0
+    assert 0 <= r.footrule_norm_bp <= 10000
+    assert 0 <= r.top50_overlap <= 50
+    # parity-correct maximum
+    max_fr = r.n * r.n // 2 if r.n % 2 == 0 else (r.n * r.n - 1) // 2
+    assert r.footrule <= max_fr
