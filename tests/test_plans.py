@@ -446,3 +446,31 @@ def test_wave10_11_plan_shapes(spark):
     # nested-loop
     plan = plan_of(spark, "q365_rdd_local_linear")
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wave14_16_plan_shapes(spark):
+    # q379: the posting-list self-join must be an EQUI-join on the
+    # term key (hash/merge; Spark may broadcast at the tiny test SF —
+    # the key point is no nested-loop and no cartesian, i.e. the dot
+    # products never enumerate doc x doc)
+    plan = plan_of(spark, "q379_sparse_cosine_pairs")
+    assert not has_cartesian(plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+    # q383: top-k must be a TakeOrderedAndProject (map-side k rows per
+    # partition), not a global sort
+    plan = plan_of(spark, "q383_priority_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+
+    budgets = {
+        "q380_negbin_moments": 2,  # user agg + 1-row reduction
+        "q382_source_ablation": 3,  # source agg + total + sort
+        "q387_prefix_cache_savings": 3,  # prefix agg + reduction
+        "q388_speculative_overlap": 4,  # token agg, totals, align, out
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(spark, name)
+        assert not has_cartesian(plan), name
+        assert shuffle_count(plan) <= budget, (name, shuffle_count(plan))
