@@ -1154,3 +1154,189 @@ def q373_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fisher_e6"),
     ).orderBy("month")
+
+
+# --- q390: Theil / Atkinson inequality indices (round 6) --------------------
+_DUCK_INEQ = """
+    WITH x AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(c) * 1.0 / count(*) AS mu
+      FROM x),
+         terms AS (
+      SELECT CAST(round(1000000.0 * (x.c / m.mu) * ln(x.c / m.mu))
+                  AS BIGINT) AS t_u,
+             CAST(round(1000000.0 * ln(x.c / m.mu)) AS BIGINT) AS l_u,
+             CAST(round(1000000.0 * sqrt(x.c / m.mu)) AS BIGINT) AS s_u
+      FROM x CROSS JOIN m),
+         agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t_u) AS BIGINT) AS st,
+             CAST(sum(l_u) AS BIGINT) AS sl,
+             CAST(sum(s_u) AS BIGINT) AS ss
+      FROM terms)
+    SELECT n,
+           CAST(round(st * 1.0 / n / 1000) AS BIGINT) AS theil_t_e3,
+           CAST(round(-sl * 1.0 / n / 1000) AS BIGINT) AS theil_l_e3,
+           CAST(round(1000.0 * (1.0 - (ss * 1.0 / n / 1000000.0)
+                                      * (ss * 1.0 / n / 1000000.0)))
+                AS BIGINT) AS atkinson_half_e3
+    FROM agg
+"""
+
+
+@register("q390_inequality_indices", _DUCK_INEQ)
+def q390_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-entropy inequality indices over order values —
+    Theil's T and L (Theil, 'Economics and Information Theory' 1967)
+    and the Atkinson index at inequality-aversion 0.5 (Atkinson, JET
+    1970): T = E[(x/mu) ln(x/mu)], L = -E[ln(x/mu)],
+    A_0.5 = 1 - (E[sqrt(x/mu)])^2. Unlike q197's Gini (a rank
+    statistic needing a global sort or all-pairs trick), the entropy
+    family is ONE moment pass — and T is subgroup-DECOMPOSABLE, the
+    property BI teams need to split inequality into between-segment
+    and within-segment parts.
+
+    Exactness: mu is a rational of exact integer cents; each row's
+    three transform terms quantize to micro before summation; finals
+    are double touches on exact integer sums.
+
+    100 TB shape: two map-side-combinable passes (mean, then the three
+    moment sums with the 1-row mean broadcast). No sort, no pairs —
+    the scale advantage over rank-based inequality measures."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        (F.sum("c") * 1.0 / F.count(F.lit(1))).alias("mu"),
+    )
+    r = F.col("c") / F.col("mu")
+    terms = x.crossJoin(F.broadcast(m)).select(
+        F.round(1000000.0 * r * F.log(r)).cast("bigint").alias("t_u"),
+        F.round(1000000.0 * F.log(r)).cast("bigint").alias("l_u"),
+        F.round(1000000.0 * F.sqrt(r)).cast("bigint").alias("s_u"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t_u").cast("bigint").alias("st"),
+        F.sum("l_u").cast("bigint").alias("sl"),
+        F.sum("s_u").cast("bigint").alias("ss"),
+    )
+    smean = F.col("ss") * 1.0 / F.col("n") / 1000000.0
+    return agg.select(
+        "n",
+        F.round(F.col("st") * 1.0 / F.col("n") / 1000).cast("bigint").alias(
+            "theil_t_e3"
+        ),
+        F.round(-F.col("sl") * 1.0 / F.col("n") / 1000).cast("bigint").alias(
+            "theil_l_e3"
+        ),
+        F.round(1000.0 * (1.0 - smean * smean)).cast("bigint").alias(
+            "atkinson_half_e3"
+        ),
+    )
+
+
+# --- q391: inventory reorder points (round 6) -------------------------------
+_ROP_LEAD_DAYS = 7  # replenishment lead time
+_ROP_Z_E6 = 1644854  # z for 95% cycle service level, micro
+
+_DUCK_ROP = f"""
+    WITH daily AS (
+      SELECT l_partkey AS pk,
+             CAST(epoch(CAST(l_shipdate AS DATE)) / 86400 AS BIGINT) AS d,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2),
+         span AS (
+      SELECT CAST(max(d) - min(d) + 1 AS BIGINT) AS n_days FROM daily),
+         mom AS (
+      SELECT pk,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS sqq,
+             CAST(count(*) AS BIGINT) AS active_days
+      FROM daily GROUP BY pk),
+         stats AS (
+      -- zero-filled day grid WITHOUT materializing it: mean and var
+      -- over n_days including zero-demand days, from active-day sums
+      SELECT mom.pk, span.n_days, mom.active_days,
+             mom.sq * 1.0 / span.n_days AS mu,
+             (mom.sqq - mom.sq * 1.0 * mom.sq / span.n_days)
+               / (span.n_days - 1) AS var
+      FROM mom CROSS JOIN span)
+    SELECT pk AS partkey, n_days, active_days,
+           CAST(round(1000.0 * mu) AS BIGINT) AS daily_mean_milli,
+           CAST(round(1000.0 * sqrt(var)) AS BIGINT) AS daily_sd_milli,
+           CAST(ceil(mu * {_ROP_LEAD_DAYS}
+                     + ({_ROP_Z_E6} / 1000000.0)
+                       * sqrt(var * {_ROP_LEAD_DAYS})) AS BIGINT)
+             AS reorder_point_units
+    FROM stats ORDER BY partkey
+"""
+
+
+@register("q391_reorder_points", _DUCK_ROP)
+def q391_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety-stock reorder points (Hadley & Whitin, 'Analysis of
+    Inventory Systems' 1963; the textbook ROP = mu_L + z sigma_L):
+    per-part daily demand mean/variance over the FULL calendar
+    (zero-demand days included — computed from active-day sums plus
+    the span, never by materializing a part x day grid), then
+    ROP = lead-time demand + z * lead-time sigma at a 95% service
+    level. The replenishment-trigger table a supply-chain warehouse
+    recomputes nightly; q64's excess-stock audit is its static
+    complement.
+
+    Exactness: daily quantities are integer sums; the zero-day
+    correction uses exact integer moments and the span scalar; the
+    only doubles are the final mu/var/sqrt on exact integers.
+
+    100 TB shape: one fact shuffle to (part, day) partial sums
+    (map-side combined), one part-keyed moment aggregate, one 1-row
+    span broadcast. The grid is NEVER materialized — the zero-fill is
+    algebra, not rows (n_days >> active_days at deep catalogs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.floor(F.unix_timestamp(F.col("l_shipdate").cast("date")) / 86400)
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    daily = daily.localCheckpoint()
+    span = daily.agg(
+        (F.max("d") - F.min("d") + 1).cast("bigint").alias("n_days")
+    )
+    mom = daily.groupBy("pk").agg(
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+        .cast("double")
+        .alias("sqq"),
+        F.count(F.lit(1)).cast("bigint").alias("active_days"),
+    )
+    stats = mom.crossJoin(F.broadcast(span)).select(
+        "pk",
+        "n_days",
+        "active_days",
+        (F.col("sq") * 1.0 / F.col("n_days")).alias("mu"),
+        (
+            (F.col("sqq") - F.col("sq") * 1.0 * F.col("sq") / F.col("n_days"))
+            / (F.col("n_days") - 1)
+        ).alias("var"),
+    )
+    return stats.select(
+        F.col("pk").alias("partkey"),
+        "n_days",
+        "active_days",
+        F.round(1000.0 * F.col("mu")).cast("bigint").alias("daily_mean_milli"),
+        F.round(1000.0 * F.sqrt(F.col("var"))).cast("bigint").alias(
+            "daily_sd_milli"
+        ),
+        F.ceil(
+            F.col("mu") * _ROP_LEAD_DAYS
+            + (_ROP_Z_E6 / 1000000.0) * F.sqrt(F.col("var") * _ROP_LEAD_DAYS)
+        )
+        .cast("bigint")
+        .alias("reorder_point_units"),
+    ).orderBy("partkey")

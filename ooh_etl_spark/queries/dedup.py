@@ -1083,3 +1083,117 @@ def q379_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_bp") >= _SPARSE_COS_MIN_BP)
         .orderBy("da", "db")
     )
+
+
+# --- q392: cross-source shingle overlap matrix (round 6) --------------------
+_SRC_SHINGLE_N = 5  # word shingle width
+
+_DUCK_SRC_OVERLAP = f"""
+    WITH d AS (
+      SELECT source, string_split(lower(text), ' ') AS toks
+      FROM documents),
+         sh AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(toks[x:x + {_SRC_SHINGLE_N} - 1], ' ')) AS h
+      FROM d CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(toks) - {_SRC_SHINGLE_N} + 2)) AS x)),
+         per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY source),
+         co AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS co
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT co.src_a, co.src_b, co.co,
+           pa.n_shingles AS n_a, pb.n_shingles AS n_b,
+           CAST(round(10000.0 * co.co
+                / (pa.n_shingles + pb.n_shingles - co.co)) AS BIGINT)
+             AS jaccard_bp
+    FROM co JOIN per_src pa ON pa.source = co.src_a
+            JOIN per_src pb ON pb.source = co.src_b
+    WHERE co.co > 0
+    ORDER BY jaccard_bp DESC, src_a, src_b
+"""
+
+
+@register("q392_source_overlap_matrix", _DUCK_SRC_OVERLAP)
+def q392_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix via 5-gram shingle Jaccard
+    (Broder, SEQUENCES 1997 resemblance — applied between SOURCES, not
+    documents): which pairs of corpus sources share verbatim text
+    mass? The corpus-governance audit that catches a crawl source
+    mirroring another (and the cross-SOURCE sibling of q81's
+    train-vs-benchmark decontamination); run before q83/q164 assign
+    mixture weights that double-count mirrored content.
+
+    Exactness: shingle sets are md5-keyed (engine-portable); all
+    counts are integers; Jaccard is one final ratio.
+
+    100 TB shape: shingling is a narrow per-doc transform; ONE
+    distinct on (source, shingle) — map-side combinable; the
+    co-occurrence self-join is keyed on the SHINGLE and bounded by
+    |sources|^2 output and per-key fan-out <= |sources|, never
+    doc-quadratic. Per-source totals reuse the same distinct table
+    (checkpointed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    # NOTE: Spark's sequence(1, 0) is DESCENDING, not empty — docs
+    # shorter than the shingle width must be filtered BEFORE sequence()
+    sh = (
+        docs.filter(
+            F.size(F.split(F.lower(F.col("text")), " ")) >= _SRC_SHINGLE_N
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(lower(text), ' ')) - {_SRC_SHINGLE_N} + 1),"
+                    f" x -> array_join(slice(split(lower(text), ' '), x, {_SRC_SHINGLE_N}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .select("source", F.md5(F.col("g")).alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    per_src = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), F.col("h").alias("hb"))
+    co = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    return (
+        co.join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("src_a"), F.col("n_shingles").alias("n_a")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("src_b"), F.col("n_shingles").alias("n_b")
+                )
+            ),
+            "src_b",
+        )
+        .filter(F.col("co") > 0)
+        .select(
+            "src_a",
+            "src_b",
+            "co",
+            "n_a",
+            "n_b",
+            F.round(10000.0 * F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co")))
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .orderBy(F.desc("jaccard_bp"), "src_a", "src_b")
+    )

@@ -804,3 +804,32 @@ def test_q389_footrule_bounds(spark):
     # parity-correct maximum
     max_fr = r.n * r.n // 2 if r.n % 2 == 0 else (r.n * r.n - 1) // 2
     assert r.footrule <= max_fr
+
+
+def test_q390_inequality_orderings(spark):
+    r = run(spark, "q390_inequality_indices").collect()[0]
+    # all indices nonnegative; Atkinson in [0, 1)
+    assert r.theil_t_e3 >= 0
+    assert r.theil_l_e3 >= 0
+    assert 0 <= r.atkinson_half_e3 < 1000
+
+
+def test_q391_rop_dominates_mean_demand(spark):
+    rows = run(spark, "q391_reorder_points").collect()
+    assert len(rows) > 0
+    for r in rows[:200]:
+        assert 0 < r.active_days <= r.n_days
+        # ROP >= lead-time mean demand (z > 0)
+        assert r.reorder_point_units * 1000 >= r.daily_mean_milli * 7
+        assert r.daily_sd_milli >= 0
+
+
+def test_q392_overlap_jaccard_bounds(spark):
+    rows = run(spark, "q392_source_overlap_matrix").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.co <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_bp <= 10000
+        expected = round(10000.0 * r.co / (r.n_a + r.n_b - r.co))
+        assert abs(r.jaccard_bp - expected) <= 1
