@@ -2956,3 +2956,228 @@ def q368_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("z_milli"),
         )
     )
+
+
+# --- q393: Frisch-Waugh-Lovell partialling-out (round 6) --------------------
+_DUCK_FWL = """
+    WITH d AS (
+      SELECT CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS y,
+             CAST(c.c_nationkey AS BIGINT) AS z
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         zm AS (
+      SELECT z,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM d GROUP BY z),
+         res AS (
+      SELECT d.x - zm.sx * 1.0 / zm.n AS rx,
+             d.y - zm.sy * 1.0 / zm.n AS ry,
+             d.x, d.y
+      FROM d JOIN zm USING (z)),
+         mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(rx * ry / 10000.0) AS BIGINT)) AS BIGINT)
+               AS sxy_r,
+             CAST(sum(CAST(round(rx * rx / 10000.0) AS BIGINT)) AS BIGINT)
+               AS sxx_r,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM res)
+    SELECT n,
+           CAST(round(1000000.0 * sxy_r / sxx_r) AS BIGINT) AS fwl_slope_e6,
+           CAST(round(1000000.0 * (sxy - sx * 1.0 * sy / n)
+                / (sxx - sx * 1.0 * sx / n)) AS BIGINT) AS naive_slope_e6
+    FROM mom
+"""
+
+
+@register("q393_fwl_partial_out", _DUCK_FWL)
+def q393_fwl_partial_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frisch-Waugh-Lovell partialling-out (Frisch & Waugh,
+    Econometrica 1933; Lovell JASA 1963 — the theorem behind modern
+    double/debiased ML, Chernozhukov et al. 2018): the effect of
+    account balance on order value CONTROLLING for nation equals the
+    slope of nation-demeaned y on nation-demeaned x — computed without
+    ever building the nation dummy matrix. Reported next to the naive
+    (unadjusted) slope: the gap IS the confounding through nation.
+
+    Exactness: group means are rationals of exact integer cent sums;
+    residual cross-products quantize to 1e-4-cents^2 units per row
+    before summation; the naive slope uses exact wide-integer raw
+    moments. Both engines: identical closed forms on identical
+    integers.
+
+    100 TB shape: one group-mean aggregate (25 rows, broadcast back),
+    one residual-moment pass (map-side combined) — the FWL trick
+    replaces a |nations|-column regression with two passes; with
+    multiple categorical confounders it iterates (backfitting), each
+    round the same two passes."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    d = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_acctbal", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+        F.col("c_nationkey").cast("bigint").alias("z"),
+    ).localCheckpoint()
+    zm = d.groupBy("z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    res = d.join(F.broadcast(zm), "z").select(
+        (F.col("x") - F.col("sx") * 1.0 / F.col("n")).alias("rx"),
+        (F.col("y") - F.col("sy") * 1.0 / F.col("n")).alias("ry"),
+        "x",
+        "y",
+    )
+    mom = res.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("rx") * F.col("ry") / 10000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("sxy_r"),
+        F.sum(F.round(F.col("rx") * F.col("rx") / 10000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("sxx_r"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return mom.select(
+        "n",
+        F.round(1000000.0 * F.col("sxy_r") / F.col("sxx_r"))
+        .cast("bigint")
+        .alias("fwl_slope_e6"),
+        F.round(
+            1000000.0
+            * (F.col("sxy") - F.col("sx") * 1.0 * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * 1.0 * F.col("sx") / F.col("n"))
+        )
+        .cast("bigint")
+        .alias("naive_slope_e6"),
+    )
+
+
+# --- q394: A/A calibration of the t-test pipeline (round 6) -----------------
+_AA_SPLITS = 20
+
+_DUCK_AA = f"""
+    WITH lab AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+             CAST((o_orderkey * 2654435761) % 4294967296 AS BIGINT)
+               % {_AA_SPLITS} AS exp_id,
+             CAST(((o_orderkey * 2654435761) % 4294967296)
+                  // {_AA_SPLITS} AS BIGINT) % 2 AS arm
+      FROM orders),
+         cells AS (
+      SELECT exp_id, arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM lab GROUP BY 1, 2),
+         wide AS (
+      SELECT exp_id,
+             max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 0 THEN sy END) AS sy0,
+             max(CASE WHEN arm = 0 THEN syy END) AS syy0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN sy END) AS sy1,
+             max(CASE WHEN arm = 1 THEN syy END) AS syy1
+      FROM cells GROUP BY exp_id),
+         t AS (
+      SELECT exp_id,
+             (sy1 * 1.0 / n1 - sy0 * 1.0 / n0)
+               / sqrt((syy0 - sy0 * 1.0 * sy0 / n0) / (n0 - 1) / n0
+                      + (syy1 - sy1 * 1.0 * sy1 / n1) / (n1 - 1) / n1)
+               AS tstat
+      FROM wide)
+    SELECT CAST(count(*) AS BIGINT) AS n_experiments,
+           CAST(sum(CASE WHEN abs(tstat) > 1.959964 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(round(10000.0 * sum(CASE WHEN abs(tstat) > 1.959964
+                                         THEN 1 ELSE 0 END) / count(*))
+                AS BIGINT) AS fp_rate_bp,
+           CAST(round(1000.0 * max(abs(tstat))) AS BIGINT) AS max_abs_t_milli
+    FROM t
+"""
+
+
+@register("q394_aa_calibration", _DUCK_AA)
+def q394_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A-test calibration harness (Kohavi/Tang/Xu, 'Trustworthy
+    Online Controlled Experiments' 2020, ch.19 — run null experiments
+    BEFORE trusting the pipeline): hash orders into 20 pseudo-
+    experiments x 2 arms where NO true effect exists, run the q192
+    Welch t-test in every cell, and report the false-positive rate —
+    a healthy pipeline rejects ~5% at alpha = 0.05; more means broken
+    variance math or dependence, the failure A/A tests exist to catch.
+    Splits use the q69 Knuth-hash so the harness is reproducible
+    across engines and cluster layouts.
+
+    Exactness: all 40 cells are exact integer (n, sum, wide-int
+    sum-of-squares) triples from ONE aggregate; t-stats are double
+    math on exact integers, thresholded identically.
+
+    100 TB shape: ONE map-side-combinable aggregate keyed
+    (experiment, arm) — running 20 experiments costs the same single
+    corpus pass as one; the t table is 20 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    lab = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+        (h % _AA_SPLITS).cast("bigint").alias("exp_id"),
+        (F.floor(h / _AA_SPLITS).cast("bigint") % 2).alias("arm"),
+    )
+    cells = lab.groupBy("exp_id", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    wide = cells.groupBy("exp_id").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("sy"))).alias("sy0"),
+        F.max(F.when(F.col("arm") == 0, F.col("syy"))).alias("syy0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("sy"))).alias("sy1"),
+        F.max(F.when(F.col("arm") == 1, F.col("syy"))).alias("syy1"),
+    )
+    tstat = (
+        F.col("sy1") * 1.0 / F.col("n1") - F.col("sy0") * 1.0 / F.col("n0")
+    ) / F.sqrt(
+        (F.col("syy0") - F.col("sy0") * 1.0 * F.col("sy0") / F.col("n0"))
+        / (F.col("n0") - 1)
+        / F.col("n0")
+        + (F.col("syy1") - F.col("sy1") * 1.0 * F.col("sy1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    t = wide.select("exp_id", tstat.alias("tstat"))
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_experiments"),
+        F.sum(F.when(F.abs(F.col("tstat")) > 1.959964, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.round(
+            10000.0
+            * F.sum(F.when(F.abs(F.col("tstat")) > 1.959964, 1).otherwise(0))
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("fp_rate_bp"),
+        F.round(1000.0 * F.max(F.abs(F.col("tstat"))))
+        .cast("bigint")
+        .alias("max_abs_t_milli"),
+    )

