@@ -2430,3 +2430,267 @@ def q385_mdlp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- q395: PCA top component by unrolled power iteration (round 6) ----------
+_DUCK_PCA_POWER = f"""
+    WITH g AS (
+      SELECT CAST(g1.i - 1 AS BIGINT) AS i, CAST(g2.j - 1 AS BIGINT) AS j,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[g1.i] AS DOUBLE)
+                            * CAST(embedding[g2.j] AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS BIGINT) AS gn
+      FROM embeddings,
+           generate_series(1, {_DIM}) AS g1(i),
+           generate_series(1, {_DIM}) AS g2(j)
+      GROUP BY 1, 2),
+         v1 AS (SELECT i, CAST(sum(gn) AS BIGINT) AS v FROM g GROUP BY i),
+         m1 AS (SELECT max(abs(v)) AS mx FROM v1),
+         v1n AS (
+      SELECT v1.i, CAST(round(1000000.0 * v1.v / m1.mx) AS BIGINT) AS vn
+      FROM v1 CROSS JOIN m1),
+         v2 AS (
+      SELECT g.i,
+             CAST(sum(CAST(round(g.gn * 1.0 * v1n.vn / 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS v
+      FROM g JOIN v1n ON v1n.i = g.j GROUP BY g.i),
+         ray AS (
+      SELECT CAST(sum(v1n.vn * 1.0 * v2.v) AS DOUBLE)
+               / CAST(sum(v1n.vn * 1.0 * v1n.vn) AS DOUBLE) AS lam_n
+      FROM v1n JOIN v2 USING (i)),
+         m2 AS (SELECT max(abs(v)) AS mx FROM v2),
+         top AS (
+      SELECT v2.i AS dim,
+             CAST(round(1000000.0 * v2.v / m2.mx) AS BIGINT) AS loading_e6,
+             row_number() OVER (ORDER BY abs(v2.v) DESC, v2.i) AS rk
+      FROM v2 CROSS JOIN m2 QUALIFY rk <= 5)
+    SELECT CAST(top.rk AS BIGINT) AS rank, top.dim, top.loading_e6,
+           CAST(round(ray.lam_n / 1000000.0) AS BIGINT) AS lambda_milli
+    FROM top CROSS JOIN ray ORDER BY rank
+"""
+
+
+@register("q395_pca_power_step", _DUCK_PCA_POWER)
+def q395_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by two unrolled power-iteration steps on
+    the Gram matrix (von Mises & Pollaczek-Geiringer 1929; the
+    RowMatrix.computePrincipalComponents shape): ONE corpus pass
+    builds X'X (the q209 reduction), then every iteration is a
+    64x64 matvec — corpus-free. Reports the Rayleigh-quotient
+    eigenvalue estimate and the top-5 loading dimensions, the
+    variance-direction summary every embedding-quality dashboard
+    wants next to q104's per-dim stats.
+
+    Exactness: the Gram is nano-floor-quantized exact integers (the
+    q209 contract); each matvec quantizes per-term to integers before
+    the row sum; normalizations divide by the exact integer max; the
+    Rayleigh quotient is one double ratio of exact integer dot
+    products.
+
+    100 TB shape: corpus cost = the single Gram pass (map-side
+    partial outer products); iterations run on d^2 = 4096 rows — more
+    steps cost nothing corpus-side. The deflation for k components is
+    the documented repeat (subtract lambda vv', re-iterate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # full Gram as (i, j, gn) rows via position explode — the
+    # expression twin of q209's numpy path, both triangles
+    pos = emb.select(
+        F.posexplode(F.col("embedding")).alias("i", "xi"), F.col("embedding")
+    )
+    cells = pos.select(
+        "i",
+        F.posexplode(F.col("embedding")).alias("j", "xj"),
+        F.col("xi"),
+    )
+    g = cells.groupBy("i", "j").agg(
+        F.sum(
+            F.floor(
+                F.col("xi").cast("double") * F.col("xj").cast("double") * 1000000000
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("gn")
+    ).localCheckpoint()
+    v1 = g.groupBy("i").agg(F.sum("gn").cast("bigint").alias("v"))
+    m1 = v1.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+    v1n = v1.crossJoin(F.broadcast(m1)).select(
+        "i", F.round(1000000.0 * F.col("v") / F.col("mx")).cast("bigint").alias("vn")
+    ).localCheckpoint()
+    v2 = (
+        g.join(
+            F.broadcast(v1n.select(F.col("i").alias("jj"), "vn")),
+            F.col("j") == F.col("jj"),
+        )
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.round(F.col("gn") * 1.0 * F.col("vn") / 1000000.0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+        .localCheckpoint()
+    )
+    ray = (
+        v1n.join(v2, "i")
+        .agg(
+            (
+                F.sum(F.col("vn") * 1.0 * F.col("v")).cast("double")
+                / F.sum(F.col("vn") * 1.0 * F.col("vn")).cast("double")
+            ).alias("lam_n")
+        )
+    )
+    m2 = v2.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+    w = Window.orderBy(F.abs(F.col("v")).desc(), "i")
+    top = (
+        v2.crossJoin(F.broadcast(m2))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("rk").cast("bigint").alias("rank"),
+            F.col("i").cast("bigint").alias("dim"),
+            F.round(1000000.0 * F.col("v") / F.col("mx"))
+            .cast("bigint")
+            .alias("loading_e6"),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(ray))
+        .select(
+            "rank",
+            "dim",
+            "loading_e6",
+            F.round(F.col("lam_n") / 1000000.0).cast("bigint").alias("lambda_milli"),
+        )
+        .orderBy("rank")
+    )
+
+
+# --- q396: Ledoit-Wolf covariance shrinkage intensity (round 6) -------------
+_DUCK_LW = f"""
+    WITH g AS (
+      SELECT CAST(g1.i - 1 AS BIGINT) AS i, CAST(g2.j - 1 AS BIGINT) AS j,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[g1.i] AS DOUBLE)
+                            * CAST(embedding[g2.j] AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS BIGINT) AS gn
+      FROM embeddings,
+           generate_series(1, {_DIM}) AS g1(i),
+           generate_series(1, {_DIM}) AS g2(j)
+      GROUP BY 1, 2),
+         n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         s AS (
+      -- tr(S) and ||S||_F^2 with S = G/n, G in nano units
+      SELECT CAST(sum(CASE WHEN i = j THEN gn ELSE 0 END) AS BIGINT) AS trg,
+             CAST(sum(CAST(gn AS HUGEINT) * gn) AS DOUBLE) AS gfrob2
+      FROM g),
+         r4 AS (
+      SELECT CAST(sum(CAST(round(pow(list_dot_product(
+               embedding::DOUBLE[], embedding::DOUBLE[]), 2) * 1000)
+               AS BIGINT)) AS BIGINT) AS sum_norm4_m
+      FROM embeddings),
+         terms AS (
+      SELECT n_t.n,
+             s.trg / 1e9 / n_t.n / {_DIM} AS mu,
+             s.gfrob2 / 1e18 / (n_t.n * 1.0 * n_t.n) AS s_frob2,
+             r4.sum_norm4_m / 1000.0 AS sn4
+      FROM n_t CROSS JOIN s CROSS JOIN r4),
+         lw AS (
+      SELECT n, mu, s_frob2,
+             s_frob2 - {_DIM} * mu * mu AS dispersion2,
+             greatest(sn4 / (n * 1.0 * n) - s_frob2 / n, 0.0) AS b2
+      FROM terms)
+    SELECT n,
+           CAST(round(1000000.0 * mu) AS BIGINT) AS mu_e6,
+           CAST(round(1000000.0 * dispersion2) AS BIGINT) AS dispersion2_e6,
+           CAST(round(1000000.0 * b2) AS BIGINT) AS b2_e6,
+           CAST(round(1000000.0 * least(b2 / dispersion2, 1.0)) AS BIGINT)
+             AS shrinkage_e6
+    FROM lw
+"""
+
+
+@register("q396_ledoit_wolf", _DUCK_LW)
+def q396_ledoit_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledoit-Wolf scalar shrinkage intensity (Ledoit & Wolf, J.
+    Multivariate Analysis 2004 — sklearn's LedoitWolf default): how
+    hard to pull the sample covariance toward mu*I, computed entirely
+    from three scalars — tr(S), ||S||_F^2 (both from the q209 Gram)
+    and SUM ||x||^4 (one extra per-row term) — the estimator that
+    makes 64-dim covariance usable when n is small relative to d^2,
+    upstream of any Mahalanobis/whitening step on embeddings.
+
+    Exactness: the Gram is nano-quantized exact integers; ||x||^4
+    quantizes to milli per row; every downstream number is double
+    arithmetic on three exact integer aggregates.
+
+    100 TB shape: one Gram pass + one norm pass (fusable into the
+    same scan); everything else is scalar arithmetic. No d^2 x n
+    blowup anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        F.posexplode(F.col("embedding")).alias("i", "xi"), F.col("embedding")
+    )
+    cells = pos.select(
+        "i", F.posexplode(F.col("embedding")).alias("j", "xj"), F.col("xi")
+    )
+    g = cells.groupBy("i", "j").agg(
+        F.sum(
+            F.floor(
+                F.col("xi").cast("double") * F.col("xj").cast("double") * 1000000000
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("gn")
+    )
+    n_t = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = g.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("gn")).otherwise(0))
+        .cast("bigint")
+        .alias("trg"),
+        F.sum(F.col("gn").cast("decimal(38,0)") * F.col("gn"))
+        .cast("double")
+        .alias("gfrob2"),
+    )
+    norm2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    r4 = emb.agg(
+        F.sum(F.round(F.pow(norm2, 2) * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_norm4_m")
+    )
+    terms = (
+        n_t.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(r4))
+        .select(
+            "n",
+            (F.col("trg") / 1e9 / F.col("n") / _DIM).alias("mu"),
+            (F.col("gfrob2") / 1e18 / (F.col("n") * 1.0 * F.col("n"))).alias(
+                "s_frob2"
+            ),
+            (F.col("sum_norm4_m") / 1000.0).alias("sn4"),
+        )
+    )
+    lw = terms.select(
+        "n",
+        "mu",
+        "s_frob2",
+        (F.col("s_frob2") - _DIM * F.col("mu") * F.col("mu")).alias("dispersion2"),
+        F.greatest(
+            F.col("sn4") / (F.col("n") * 1.0 * F.col("n"))
+            - F.col("s_frob2") / F.col("n"),
+            F.lit(0.0),
+        ).alias("b2"),
+    )
+    return lw.select(
+        "n",
+        F.round(1000000.0 * F.col("mu")).cast("bigint").alias("mu_e6"),
+        F.round(1000000.0 * F.col("dispersion2"))
+        .cast("bigint")
+        .alias("dispersion2_e6"),
+        F.round(1000000.0 * F.col("b2")).cast("bigint").alias("b2_e6"),
+        F.round(1000000.0 * F.least(F.col("b2") / F.col("dispersion2"), F.lit(1.0)))
+        .cast("bigint")
+        .alias("shrinkage_e6"),
+    )
