@@ -363,3 +363,129 @@ def q238_grouped_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _GWS_K)
         .orderBy("lang", "rk")
     )
+
+
+# --- q400: rank-biased overlap between two rankings (round 6) ---------------
+_RBO_P = 0.9
+_RBO_K = 20
+_DUCK_RBO = f"""
+    WITH agg AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_c,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1),
+         ra AS (
+      SELECT pk, row_number() OVER (ORDER BY rev_c DESC, pk) AS r
+      FROM agg QUALIFY r <= {_RBO_K}),
+         rb AS (
+      SELECT pk, row_number() OVER (ORDER BY qty DESC, pk) AS r
+      FROM agg QUALIFY r <= {_RBO_K}),
+         ov AS (
+      SELECT greatest(ra.r, rb.r) AS m
+      FROM ra JOIN rb USING (pk)),
+         grid AS (
+      SELECT unnest(generate_series(1, {_RBO_K})) AS d),
+         xd AS (
+      SELECT grid.d,
+             CAST(coalesce(sum(CASE WHEN ov.m <= grid.d THEN 1 END), 0)
+                  AS BIGINT) AS x_d
+      FROM grid LEFT JOIN ov ON ov.m <= grid.d GROUP BY grid.d),
+         terms AS (
+      SELECT d, x_d,
+             CAST(round(1000000000.0 * power({_RBO_P!r}, d - 1) * x_d / d)
+                  AS BIGINT) AS term_e9
+      FROM xd)
+    SELECT d, x_d, term_e9,
+           CAST(round(sum(term_e9) OVER (ORDER BY d
+                                         ROWS UNBOUNDED PRECEDING)
+                      / 10000.0) AS BIGINT) AS rbo_e6
+    FROM terms ORDER BY d
+"""
+
+
+@register("q400_rank_biased_overlap", _DUCK_RBO)
+def q400_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between two top-20 part rankings — by
+    revenue vs by unit volume (Webber, Moffat & Zobel, TOIS 2010):
+    RBO(p) = (1-p) * sum_d p^(d-1) * |A_1..d ∩ B_1..d| / d, the
+    top-weighted, non-conjoint-safe way to ask "do these two rankings
+    agree", where Kendall/Spearman (q281/q384) need BOTH lists to rank
+    the SAME items. Emitted per depth d with the running RBO, so the
+    curve shows WHERE the rankings diverge (p=0.9 ~ top-10 carries
+    ~86% of the weight).
+
+    Exactness: both rankings rank exact integer aggregates with pk
+    tie-breaks (engine-identical permutations); overlap counts are
+    integers over a K=20 grid; each term quantizes p^(d-1)*X_d/d to
+    1e-9 BEFORE the running sum, which is then exact.
+
+    100 TB shape: each ranking is one map-side-combinable agg + a
+    TakeOrderedAndProject top-K (no global sort); everything after is
+    K-row arithmetic — two K-row lists joined and expanded against a
+    K-row grid, driver-trivial at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_c"),
+        F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    wa = Window.orderBy(F.col("rev_c").desc(), "pk")
+    wb = Window.orderBy(F.col("qty").desc(), "pk")
+    ra = (
+        agg.select("pk", F.row_number().over(wa).alias("r"))
+        .filter(F.col("r") <= _RBO_K)
+        .withColumnRenamed("r", "ra")
+    )
+    rb = (
+        agg.select("pk", F.row_number().over(wb).alias("r"))
+        .filter(F.col("r") <= _RBO_K)
+        .withColumnRenamed("r", "rb")
+    )
+    both = ra.join(rb, "pk").select(
+        F.greatest(F.col("ra"), F.col("rb")).alias("m")
+    )
+    grid = spark.range(1, _RBO_K + 1).select(F.col("id").cast("int").alias("d"))
+    xd = (
+        grid.join(F.broadcast(both), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("m") <= F.col("d"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("x_d")
+        )
+    )
+    terms = xd.select(
+        "d",
+        "x_d",
+        F.round(
+            1000000000.0
+            * F.pow(F.lit(_RBO_P), F.col("d") - 1)
+            * F.col("x_d")
+            / F.col("d")
+        )
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "d",
+        "x_d",
+        "term_e9",
+        # (1-p) * cum_e9 / 1000 == cum_e9 / 10000 for p = 0.9: dividing
+        # the EXACT integer cumsum once keeps .5 ties representable, so
+        # both engines round the identical double (no 0.1-vs-decimal
+        # literal skew).
+        F.round(F.sum("term_e9").over(wcum) / 10000.0)
+        .cast("bigint")
+        .alias("rbo_e6"),
+    ).orderBy("d")

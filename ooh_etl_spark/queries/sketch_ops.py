@@ -755,3 +755,118 @@ def q301_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_bp"),
     ).orderBy("set_label")
+
+
+# --- q399: Lincoln-Petersen capture-recapture distinct estimate (round 6) ---
+_CR_TWO60 = float(1 << 60)
+_DUCK_CR = f"""
+    WITH caught AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                                 '#A')), 1, 15))
+                  AS BIGINT) / {_CR_TWO60!r} < 0.5 AS in_a,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                                 '#B')), 1, 15))
+                  AS BIGINT) / {_CR_TWO60!r} < 0.5 AS in_b
+      FROM documents),
+         tok AS (
+      SELECT DISTINCT d.doc_id, t.term, c.in_a, c.in_b
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS term
+            FROM documents) t
+      JOIN documents d ON t.doc_id = d.doc_id
+      JOIN caught c ON d.doc_id = c.doc_id),
+         term_flags AS (
+      SELECT term,
+             max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN in_b THEN 1 ELSE 0 END) AS b
+      FROM tok GROUP BY term),
+         counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS true_distinct,
+             CAST(sum(a) AS BIGINT) AS n1,
+             CAST(sum(b) AS BIGINT) AS n2,
+             CAST(sum(a * b) AS BIGINT) AS m_both
+      FROM term_flags)
+    SELECT n1, n2, m_both, true_distinct,
+           CAST(round(n1 * 1.0 * n2 / m_both) AS BIGINT) AS lp_estimate,
+           CAST(round((n1 + 1.0) * (n2 + 1.0) / (m_both + 1.0) - 1.0)
+                AS BIGINT) AS chapman_estimate,
+           CAST(round(10000.0 * abs((n1 + 1.0) * (n2 + 1.0) / (m_both + 1.0)
+                                    - 1.0 - true_distinct) / true_distinct)
+                AS BIGINT) AS chapman_err_bp
+    FROM counts
+"""
+
+
+@register("q399_capture_recapture", _DUCK_CR)
+def q399_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture estimate of the
+    distinct-token count (Petersen 1896; Chapman 1951; Seber, "The
+    Estimation of Animal Abundance", 1982): two independent 50% doc
+    samples (independent md5 salts '#A'/'#B' over doc_id — q178's
+    60-bit slice primitive) each "capture" the vocabulary terms they
+    contain; N-hat = n1*n2/m estimates the full vocabulary WITHOUT
+    scanning it — the survey-statistics answer to "how many distinct
+    keys does this corpus have" when even one full-key shuffle (or an
+    HLL pass over every partition, q11b) is more than a pilot budget
+    allows: the samples can be two SMALL doc subsets. Chapman's
+    +1-corrected form removes the classic small-m bias; the err_bp
+    column scores the estimator against the true count, which the
+    fixture is small enough to compute exactly alongside.
+
+    Exactness: capture flags are deterministic md5 comparisons; all
+    counts are exact integers; the two estimators are doubles from
+    four exact integers, rounded once.
+
+    100 TB shape: the intended production use reads ONLY the two doc
+    samples (partition-prunable by the hash bucket); here the true
+    count is computed too (one term shuffle) to score the estimate.
+    The term-flag agg is map-side combinable; heavy-hitter terms that
+    appear in both samples cost one combiner row each."""
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+
+    def _u(salt: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(_CR_TWO60)
+        )
+
+    tok = docs.select(
+        "doc_id",
+        (_u("#A") < 0.5).alias("in_a"),
+        (_u("#B") < 0.5).alias("in_b"),
+        F.explode_outer(tokenize(F.col("text"))).alias("term"),
+    )
+    term_flags = tok.groupBy("term").agg(
+        F.max(F.when(F.col("in_a"), 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("in_b"), 1).otherwise(0)).alias("b"),
+    )
+    counts = term_flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_distinct"),
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n2"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("m_both"),
+    )
+    chapman = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m_both") + 1.0) - 1.0
+    return counts.select(
+        "n1",
+        "n2",
+        "m_both",
+        "true_distinct",
+        F.round(F.col("n1") * 1.0 * F.col("n2") / F.col("m_both"))
+        .cast("bigint")
+        .alias("lp_estimate"),
+        F.round(chapman).cast("bigint").alias("chapman_estimate"),
+        F.round(10000.0 * F.abs(chapman - F.col("true_distinct")) / F.col("true_distinct"))
+        .cast("bigint")
+        .alias("chapman_err_bp"),
+    )

@@ -1566,3 +1566,104 @@ def q367_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr_micro"), "word")
         .limit(10)
     )
+
+
+# --- q398: Flesch readability scoring per source (round 6) ------------------
+_DUCK_FLESCH = f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_DUCK_TOKS}) AS term FROM documents),
+         syl AS (
+      SELECT doc_id, source,
+             greatest(1, len(regexp_extract_all(term, '[aeiouy]+'))) AS syll
+      FROM tok),
+         doc AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(syll) AS BIGINT) AS s
+      FROM syl GROUP BY doc_id, source),
+         scored AS (
+      SELECT source, w, s,
+             CAST(round(1000.0 * (206.835 - 1.015 * w
+                                  - 84.6 * s / w)) AS BIGINT) AS fre_milli,
+             CAST(round(1000.0 * (0.39 * w + 11.8 * s / w - 15.59))
+                  AS BIGINT) AS fk_milli
+      FROM doc)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS sum_words,
+           CAST(sum(s) AS BIGINT) AS sum_syllables,
+           CAST(round(1000.0 * sum(s) / sum(w)) AS BIGINT)
+             AS syll_per_word_milli,
+           CAST(round(sum(fre_milli) * 1.0 / count(*)) AS BIGINT)
+             AS avg_flesch_milli,
+           CAST(round(sum(fk_milli) * 1.0 / count(*)) AS BIGINT)
+             AS avg_fk_grade_milli
+    FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@register("q398_flesch_readability", _DUCK_FLESCH)
+def q398_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per source (Flesch
+    1948; Kincaid et al. 1975): syllables estimated as vowel-group
+    runs [aeiouy]+ (min 1 per word — the standard cheap heuristic),
+    each synthetic document treated as one sentence (the fixture
+    corpus has no sentence punctuation, so words-per-sentence = doc
+    length; documented divergence from prose usage). Readability is a
+    core corpus-quality signal: C4/Gopher-style gates (q79) drop
+    boilerplate by rule, Flesch ranks what remains by audience level.
+
+    Exactness: per-word syllable counts are integers; per-doc scores
+    are doubles from two exact integers quantized to milli BEFORE the
+    per-source average, which is then an exact integer sum / count.
+
+    100 TB shape: one explode + one (doc) agg + one (source) agg, all
+    map-side combinable; no joins, no windows — the same single-pass
+    shape as q23's quality score."""
+    tok = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.explode_outer(tokenize(F.col("text"))).alias("term"),
+    )
+    syl = tok.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(F.col("term"), F.lit("[aeiouy]+"), 0))
+        ).alias("syll"),
+    )
+    doc = syl.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sum("syll").cast("bigint").alias("s"),
+    )
+    scored = doc.select(
+        "source",
+        "w",
+        "s",
+        F.round(
+            1000.0 * (206.835 - 1.015 * F.col("w") - 84.6 * F.col("s") / F.col("w"))
+        )
+        .cast("bigint")
+        .alias("fre_milli"),
+        F.round(1000.0 * (0.39 * F.col("w") + 11.8 * F.col("s") / F.col("w") - 15.59))
+        .cast("bigint")
+        .alias("fk_milli"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("sum_words"),
+            F.sum("s").cast("bigint").alias("sum_syllables"),
+            F.round(1000.0 * F.sum("s") / F.sum("w"))
+            .cast("bigint")
+            .alias("syll_per_word_milli"),
+            F.round(F.sum("fre_milli") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_flesch_milli"),
+            F.round(F.sum("fk_milli") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_fk_grade_milli"),
+        )
+        .orderBy("source")
+    )

@@ -2304,3 +2304,139 @@ def q381_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("energy_share_bp"),
     ).orderBy("level")
+
+
+# --- q397: Durbin-Watson residual autocorrelation (round 6) -----------------
+_DUCK_DW = """
+    WITH day AS (
+      SELECT CAST(epoch(CAST(ts AS DATE)) / 86400 AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         d0 AS (SELECT min(d) AS d0 FROM day),
+         t AS (SELECT d - d0.d0 AS t, y_c FROM day CROSS JOIN d0),
+         s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+             CAST(sum(y_c) AS BIGINT) AS sy,
+             CAST(sum(CAST(t AS HUGEINT) * y_c) AS HUGEINT) AS sty
+      FROM t),
+         fit AS (
+      SELECT n,
+             (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+               / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) AS b
+      FROM s),
+         res AS (
+      SELECT t.t,
+             CAST(round(t.y_c
+                        - ((s.sy - fit.b * s.st) / fit.n + fit.b * t.t))
+                  AS BIGINT) AS e_c
+      FROM t CROSS JOIN s CROSS JOIN fit),
+         lagged AS (
+      SELECT e_c, lag(e_c) OVER (ORDER BY t) AS e_prev FROM res),
+         dw AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             sum(CAST(e_c AS HUGEINT) * e_c) AS see,
+             sum(CASE WHEN e_prev IS NULL THEN CAST(0 AS HUGEINT)
+                      ELSE CAST(e_c - e_prev AS HUGEINT) * (e_c - e_prev)
+                  END) AS sdd
+      FROM lagged)
+    SELECT dw.n_days,
+           CAST(round(1000.0 * fit.b) AS BIGINT) AS slope_cents_milli,
+           CAST(round(1000.0 * CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE))
+                AS BIGINT) AS dw_milli,
+           CAST(round(1000.0 * (1.0 - CAST(sdd AS DOUBLE)
+                                / CAST(see AS DOUBLE) / 2.0))
+                AS BIGINT) AS rho_milli,
+           CAST(CASE WHEN CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) < 1.5
+                     THEN 1 ELSE 0 END AS BIGINT) AS positive_autocorr
+    FROM dw CROSS JOIN fit
+"""
+
+
+@register("q397_durbin_watson", _DUCK_DW)
+def q397_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson test for first-order autocorrelation of OLS
+    residuals (Durbin & Watson, Biometrika 1950/51): detrend daily
+    purchase revenue with the closed-form OLS line, then
+    DW = sum((e_t - e_{t-1})^2) / sum(e_t^2) over the day-ordered
+    residuals. DW ~ 2(1 - rho); DW << 2 means the i.i.d.-error
+    assumption behind q252/q289's OLS inference is false and their
+    standard errors are too small — the diagnostic that decides
+    whether a trend's significance can be trusted, complementing
+    q372's Ljung-Box (which tests the raw series, not residuals).
+
+    Exactness: OLS sums are exact integers (HUGEINT / decimal(38,0)
+    squares); the slope/intercept doubles derive from the same exact
+    integers in both engines (IEEE-deterministic); residuals quantize
+    to integer CENTS before the lag-diff, so both quadratic forms are
+    exact integer sums.
+
+    100 TB shape: one map-side-combinable pass reduces the corpus to
+    the calendar-bounded day grid (~365y rows); the OLS pass, the
+    residual pass, and the single-partition lag window all run on that
+    bounded grid (the q199/q330 parameter-server precedent — the
+    window is NOT over the corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.floor(F.unix_timestamp(F.col("ts").cast("date")) / 86400))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c"))
+    )
+    d0 = day.agg(F.min("d").alias("d0"))
+    t = day.crossJoin(F.broadcast(d0)).select(
+        (F.col("d") - F.col("d0")).alias("t"), "y_c"
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias("stt"),
+        F.sum("y_c").cast("bigint").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y_c")).alias("sty"),
+    )
+    b = (
+        F.col("n") * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st")
+    )
+    fit = s.select("n", "st", "sy", b.alias("b"))
+    res = t.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.round(
+            F.col("y_c")
+            - (
+                (F.col("sy") - F.col("b") * F.col("st")) / F.col("n")
+                + F.col("b") * F.col("t")
+            )
+        )
+        .cast("bigint")
+        .alias("e_c"),
+        "b",
+    )
+    w = Window.partitionBy().orderBy("t")
+    lagged = res.select("e_c", F.lag("e_c").over(w).alias("e_prev"), "b")
+    dw_agg = lagged.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("e_c").cast("decimal(38,0)") * F.col("e_c")).alias("see"),
+        F.sum(
+            F.when(F.col("e_prev").isNull(), F.lit(0).cast("decimal(38,0)"))
+            .otherwise(
+                (F.col("e_c") - F.col("e_prev")).cast("decimal(38,0)")
+                * (F.col("e_c") - F.col("e_prev"))
+            )
+        ).alias("sdd"),
+    )
+    dw = F.col("sdd").cast("double") / F.col("see").cast("double")
+    return dw_agg.select(
+        "n_days",
+        F.round(1000.0 * F.col("b")).cast("bigint").alias("slope_cents_milli"),
+        F.round(1000.0 * dw).cast("bigint").alias("dw_milli"),
+        F.round(1000.0 * (1.0 - dw / 2.0)).cast("bigint").alias("rho_milli"),
+        F.when(dw < 1.5, 1).otherwise(0).cast("bigint").alias("positive_autocorr"),
+    )

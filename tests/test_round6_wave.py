@@ -884,3 +884,52 @@ def test_q396_ledoit_wolf_bounds(spark):
     # identity: shrinkage = min(b2/dispersion2, 1) up to quantization
     expected = min(r.b2_e6 / max(r.dispersion2_e6, 1), 1.0)
     assert abs(r.shrinkage_e6 / 1e6 - expected) < 0.01
+
+
+def test_q397_durbin_watson_bounds(spark):
+    r = run(spark, "q397_durbin_watson").collect()[0]
+    assert r.n_days > 0
+    # DW lives in [0, 4]; rho = 1 - DW/2 in [-1, 1]
+    assert 0 <= r.dw_milli <= 4000
+    assert -1000 <= r.rho_milli <= 1000
+    assert r.positive_autocorr == (1 if r.dw_milli < 1500 else 0)
+    # identity: rho_milli == round(1000*(1 - dw/2)) up to quantization
+    assert abs(r.rho_milli - (1000 - r.dw_milli / 2)) <= 1
+
+
+def test_q398_flesch_per_source(spark):
+    rows = run(spark, "q398_flesch_readability").collect()
+    assert len(rows) == 20  # src0..src19
+    for r in rows:
+        # at least one syllable per word, at most ~all chars
+        assert r.sum_syllables >= r.sum_words
+        assert r.syll_per_word_milli >= 1000
+        # flesch is bounded above by 206.835 - 1.015 - 84.6 (w=1, s=w)
+        assert r.avg_flesch_milli <= 206835
+
+
+def test_q399_capture_recapture_sane(spark):
+    r = run(spark, "q399_capture_recapture").collect()[0]
+    assert 0 < r.n1 <= r.true_distinct
+    assert 0 < r.n2 <= r.true_distinct
+    assert r.m_both <= min(r.n1, r.n2)
+    # Chapman is within [max(n1,n2), everything]; for 50% samples of
+    # a heavy-tailed vocab the estimate is downward-biased (singleton
+    # terms are often missed by both samples) but must be in range
+    assert r.chapman_estimate >= max(r.n1, r.n2) - 1
+    assert r.lp_estimate >= r.chapman_estimate
+
+
+def test_q400_rbo_monotone_and_bounded(spark):
+    rows = sorted(run(spark, "q400_rank_biased_overlap").collect(),
+                  key=lambda r: r.d)
+    assert [r.d for r in rows] == list(range(1, 21))
+    prev_x = 0
+    prev_rbo = 0
+    for r in rows:
+        # overlap is nondecreasing and <= depth
+        assert prev_x <= r.x_d <= r.d
+        assert r.rbo_e6 >= prev_rbo
+        prev_x, prev_rbo = r.x_d, r.rbo_e6
+    # RBO truncated at K=20 with p=.9 can't exceed 1 - p^20 mass seen
+    assert rows[-1].rbo_e6 <= 1000000
