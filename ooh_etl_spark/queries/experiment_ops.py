@@ -3181,3 +3181,173 @@ def q394_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_abs_t_milli"),
     )
+
+
+# --- q402: O'Brien-Fleming group-sequential monitoring (round 6) ------------
+# OBF-shape boundaries z_k = C * sqrt(K / k) with C = z at the final
+# look; C = 2.040 gives overall two-sided alpha ~= 0.05 for K = 5
+# (O'Brien & Fleming, Biometrics 1979; Jennison & Turnbull 2000, ch.2).
+_OBF_C = 2.040
+_OBF_K = 5
+_DUCK_OBF = f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS dt,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR),
+                                                 '#arm')), 1, 15))
+                  AS BIGINT) / {_TWO60!r} < 0.5 AS in_a
+      FROM orders),
+         bounds AS (
+      SELECT quantile_disc(dt, 0.2) AS b1, quantile_disc(dt, 0.4) AS b2,
+             quantile_disc(dt, 0.6) AS b3, quantile_disc(dt, 0.8) AS b4
+      FROM o),
+         looked AS (
+      SELECT o.*, CASE WHEN dt <= b1 THEN 1 WHEN dt <= b2 THEN 2
+                       WHEN dt <= b3 THEN 3 WHEN dt <= b4 THEN 4
+                       ELSE 5 END AS lk
+      FROM o CROSS JOIN bounds),
+         per AS (
+      SELECT lk, in_a,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(price_c) AS BIGINT) AS s,
+             CAST(sum(CAST(price_c AS HUGEINT) * price_c) AS HUGEINT) AS ss
+      FROM looked GROUP BY lk, in_a),
+         cum AS (
+      SELECT lk, in_a,
+             CAST(sum(n) OVER w AS BIGINT) AS n,
+             CAST(sum(s) OVER w AS BIGINT) AS s,
+             CAST(sum(ss) OVER w AS HUGEINT) AS ss
+      FROM per
+      WINDOW w AS (PARTITION BY in_a ORDER BY lk ROWS UNBOUNDED PRECEDING)),
+         wide AS (
+      SELECT lk,
+             max(CASE WHEN in_a THEN n END) AS na,
+             max(CASE WHEN in_a THEN s END) AS sa,
+             max(CASE WHEN in_a THEN ss END) AS ssa,
+             max(CASE WHEN NOT in_a THEN n END) AS nb,
+             max(CASE WHEN NOT in_a THEN s END) AS sb,
+             max(CASE WHEN NOT in_a THEN ss END) AS ssb
+      FROM cum GROUP BY lk),
+         z AS (
+      SELECT lk, na, nb,
+             (sa * 1.0 / na - sb * 1.0 / nb)
+               / sqrt(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+                       / (na - 1)) / na
+                      + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+                         / (nb - 1)) / nb) AS zval
+      FROM wide)
+    SELECT lk AS look, na + nb AS n_cum,
+           CAST(round(1000.0 * zval) AS BIGINT) AS z_milli,
+           CAST(round(1000.0 * {_OBF_C!r} * sqrt({_OBF_K} * 1.0 / lk))
+                AS BIGINT) AS boundary_milli,
+           CAST(CASE WHEN abs(zval) > {_OBF_C!r} * sqrt({_OBF_K} * 1.0 / lk)
+                     THEN 1 ELSE 0 END AS BIGINT) AS crossed
+    FROM z ORDER BY look
+"""
+
+
+@register("q402_obrien_fleming", _DUCK_OBF)
+def q402_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring (O'Brien & Fleming,
+    Biometrics 1979): five calendar looks at a hash-split A/A of order
+    value, each reporting the cumulative Welch z against the
+    OBF-shaped boundary C*sqrt(K/k) — extremely conservative early
+    (4.56 sigma at look 1) and ~nominal at the final look, which is
+    what lets an experimenter PEEK five times while spending only the
+    planned alpha (the fix for q394's peeking problem, which q394
+    quantifies by NOT correcting). Null data: crossings should be
+    rare; the boundary column is the reusable output.
+
+    Exactness: look assignment uses exact discrete date quantiles
+    (q141's percentile contract); per-(look, arm) sums are exact
+    integers (HUGEINT/decimal squares) cumulated over a 10-row grid;
+    z is IEEE-deterministic from those integers, quantized to milli.
+
+    100 TB shape: ONE corpus aggregate to (look, arm) partials —
+    map-side combinable; the cumulative window, pivot, and boundary
+    arithmetic run on a K*2-row grid. The date-quantile pre-pass is
+    an approx-percentile candidate at extreme scale (documented swap,
+    q155 precedent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("bigint")
+        .alias("dt"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("o_orderkey").cast("string"), F.lit("#arm"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(_TWO60)
+            < 0.5
+        ).alias("in_a"),
+    )
+    bounds = o.agg(
+        F.expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY dt)").alias("b1"),
+        F.expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY dt)").alias("b2"),
+        F.expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY dt)").alias("b3"),
+        F.expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY dt)").alias("b4"),
+    )
+    looked = o.crossJoin(F.broadcast(bounds)).select(
+        "price_c",
+        "in_a",
+        F.when(F.col("dt") <= F.col("b1"), 1)
+        .when(F.col("dt") <= F.col("b2"), 2)
+        .when(F.col("dt") <= F.col("b3"), 3)
+        .when(F.col("dt") <= F.col("b4"), 4)
+        .otherwise(5)
+        .alias("lk"),
+    )
+    per = looked.groupBy("lk", "in_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price_c").cast("bigint").alias("s"),
+        F.sum(F.col("price_c").cast("decimal(38,0)") * F.col("price_c")).alias("ss"),
+    )
+    w = (
+        Window.partitionBy("in_a")
+        .orderBy("lk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "lk",
+        "in_a",
+        F.sum("n").over(w).cast("bigint").alias("n"),
+        F.sum("s").over(w).cast("bigint").alias("s"),
+        F.sum("ss").over(w).alias("ss"),
+    )
+    wide = cum.groupBy("lk").agg(
+        F.max(F.when(F.col("in_a"), F.col("n"))).alias("na"),
+        F.max(F.when(F.col("in_a"), F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("in_a"), F.col("ss"))).alias("ssa"),
+        F.max(F.when(~F.col("in_a"), F.col("n"))).alias("nb"),
+        F.max(F.when(~F.col("in_a"), F.col("s"))).alias("sb"),
+        F.max(F.when(~F.col("in_a"), F.col("ss"))).alias("ssb"),
+    )
+    var_a = (
+        F.col("ssa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+    ) / (F.col("na") - 1)
+    var_b = (
+        F.col("ssb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+    ) / (F.col("nb") - 1)
+    zval = (
+        F.col("sa") * 1.0 / F.col("na") - F.col("sb") * 1.0 / F.col("nb")
+    ) / F.sqrt(var_a / F.col("na") + var_b / F.col("nb"))
+    boundary = _OBF_C * F.sqrt(F.lit(_OBF_K) * 1.0 / F.col("lk"))
+    return wide.select(
+        F.col("lk").alias("look"),
+        (F.col("na") + F.col("nb")).alias("n_cum"),
+        F.round(1000.0 * zval).cast("bigint").alias("z_milli"),
+        F.round(1000.0 * boundary).cast("bigint").alias("boundary_milli"),
+        F.when(F.abs(zval) > boundary, 1).otherwise(0).cast("bigint").alias("crossed"),
+    ).orderBy("look")

@@ -919,3 +919,131 @@ def q375_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.sparkSession.createDataFrame(
         out, "sel_rank long, vec_id long, rel_bp long, mmr_bp long"
     ).orderBy("sel_rank")
+
+
+# --- q403: expected reciprocal rank (round 6) -------------------------------
+_ERR_DEPTH = 10
+_ERR_QVEC = 0
+_DUCK_ERR = f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {_ERR_QVEC}),
+         cos AS (
+      SELECT vec_id, label,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings
+            WHERE vec_id != {_ERR_QVEC}) CROSS JOIN q),
+         ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (ORDER BY CAST(round(cos * 10000) AS BIGINT)
+                                  DESC, vec_id) AS r
+      FROM cos QUALIFY r <= {_ERR_DEPTH}),
+         graded AS (
+      SELECT r, vec_id, label % 4 AS grade,
+             CAST(power(2, label % 4) - 1 AS BIGINT) AS r_num,
+             CAST(8 - (power(2, label % 4) - 1) AS BIGINT) AS stop_num
+      FROM ranked),
+         prod AS (
+      SELECT r, vec_id, grade, r_num,
+             coalesce(product(stop_num) OVER (ORDER BY r
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      1.0) AS p_prev
+      FROM graded),
+         terms AS (
+      SELECT r, vec_id, grade,
+             CAST(round(1000000000.0 * r_num * p_prev
+                        / (r * power(8.0, r))) AS BIGINT) AS term_e9
+      FROM prod)
+    SELECT r, vec_id, grade, term_e9,
+           CAST(sum(term_e9) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS err_cum_e9
+    FROM terms ORDER BY r
+"""
+
+
+@register("q403_expected_reciprocal_rank", _DUCK_ERR)
+def q403_expected_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected reciprocal rank of the cosine ranking against query
+    vector 0 (Chapelle, Metzler, Zhang & Grinspan, CIKM 2009):
+    ERR = sum_r (1/r) * R_r * prod_(i<r)(1 - R_i), the cascade-model
+    metric where a strong early result ABSORBS attention that DCG
+    (q236) would still credit to later ranks. Graded relevance
+    g = label % 4, stop probability R = (2^g - 1)/2^gmax — emitted
+    per rank with the running ERR so the curve shows where the
+    cascade saturates.
+
+    Exactness: the ranking permutation is quantized-cosine + vec_id
+    (engine-identical, q158's contract); stop-probability numerators
+    (2^g - 1 in eighths) are exact small integers, so the prefix
+    product (windowed product() <= 8^9, double-exact) and each term's
+    rational are identical doubles; terms quantize to 1e-9 BEFORE the
+    exact running sum.
+
+    100 TB shape: one broadcast-query cosine pass + a top-K
+    TakeOrdered (ANN-cell prunable at scale, q53); everything after
+    is K-row window arithmetic."""
+    from ooh_etl_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _ERR_QVEC).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != _ERR_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    ranked = cos.select(
+        "vec_id",
+        "label",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(F.col("cos") * 10000).cast("bigint").desc(), "vec_id"
+            )
+        )
+        .alias("r"),
+    ).filter(F.col("r") <= _ERR_DEPTH)
+    grade = F.col("label") % 4
+    graded = ranked.select(
+        "r",
+        "vec_id",
+        grade.alias("grade"),
+        (F.pow(F.lit(2), grade) - 1).cast("bigint").alias("r_num"),
+        (8 - (F.pow(F.lit(2), grade) - 1)).cast("bigint").alias("stop_num"),
+    )
+    wprev = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)
+    prod = graded.select(
+        "r",
+        "vec_id",
+        "grade",
+        "r_num",
+        F.coalesce(F.product("stop_num").over(wprev), F.lit(1.0)).alias("p_prev"),
+    )
+    terms = prod.select(
+        "r",
+        "vec_id",
+        "grade",
+        F.round(
+            1000000000.0
+            * F.col("r_num")
+            * F.col("p_prev")
+            / (F.col("r") * F.pow(F.lit(8.0), F.col("r")))
+        )
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    wcum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "r",
+        "vec_id",
+        "grade",
+        "term_e9",
+        F.sum("term_e9").over(wcum).cast("bigint").alias("err_cum_e9"),
+    ).orderBy("r")

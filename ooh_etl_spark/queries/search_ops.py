@@ -489,3 +489,103 @@ def q400_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rbo_e6"),
     ).orderBy("d")
+
+
+# --- q404: Dirichlet-smoothed query-likelihood retrieval (round 6) ----------
+_QL_MU = 10.0
+_QL_TOP = 10
+_DUCK_QL = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+         c AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dl),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         cf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok
+      WHERE term IN ('spark', 'table', 'merge') GROUP BY term),
+         tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE term IN ('spark', 'table', 'merge') GROUP BY doc_id, term),
+         scored AS (
+      SELECT dl.doc_id, dl.dl,
+             CAST(sum(CAST(round(1000000.0 * ln(
+                      (coalesce(tf.tf, 0) + {_QL_MU!r} * cf.cf / c.c_total)
+                      / (dl.dl + {_QL_MU!r}))) AS BIGINT)) AS BIGINT)
+               AS score_e6
+      FROM dl CROSS JOIN cf CROSS JOIN c
+      LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term
+      GROUP BY dl.doc_id, dl.dl)
+    SELECT doc_id, dl, score_e6,
+           row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS r
+    FROM scored QUALIFY r <= {_QL_TOP}
+    ORDER BY r
+"""
+
+
+@register("q404_dirichlet_query_likelihood", _DUCK_QL)
+def q404_dirichlet_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    SIGIR 2001): score(d) = sum_q ln((tf + mu*p_C(q)) / (|d| + mu)) —
+    the language-modeling alternative to q135's BM25, whose smoothing
+    term doubles as a principled length normalizer (long documents
+    need less smoothing). Every document scores every query term
+    (zero-tf docs get pure background mass), so the ranking is total,
+    not posting-limited.
+
+    Exactness: tf/cf/dl/C are exact integers; each per-(doc, term)
+    log term is an IEEE-identical double quantized to 1e-6 BEFORE the
+    per-doc sum (an exact |Q|-term integer sum); ranking breaks ties
+    on doc_id.
+
+    100 TB shape: one tokenize pass feeds dl and the Q-filtered
+    tf/cf aggregates (postings for 3 terms); the scoring join is
+    dl LEFT JOIN tf with the 3-row cf/C broadcast — one doc-keyed
+    shuffle; top-K is TakeOrderedAndProject. The all-docs scoring is
+    the point (LM scoring); posting-only pruning (WAND) is the
+    documented swap when |Q| grows."""
+    d = parallelize_rows(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl")).localCheckpoint()
+    c = dl.agg(F.sum("dl").cast("bigint").alias("c_total"))
+    tok = d.select("doc_id", F.explode_outer("toks").alias("term")).filter(
+        F.col("term").isin(*_QUERY_TERMS)
+    ).localCheckpoint()
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    grid = dl.crossJoin(F.broadcast(cf)).crossJoin(F.broadcast(c))
+    scored = (
+        grid.join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            "dl",
+            F.round(
+                1000000.0
+                * F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0))
+                        + _QL_MU * F.col("cf") / F.col("c_total")
+                    )
+                    / (F.col("dl") + _QL_MU)
+                )
+            )
+            .cast("bigint")
+            .alias("term_e6"),
+        )
+        .groupBy("doc_id", "dl")
+        .agg(F.sum("term_e6").cast("bigint").alias("score_e6"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "dl",
+            "score_e6",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_e6").desc(), "doc_id"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= _QL_TOP)
+        .orderBy("r")
+    )

@@ -2440,3 +2440,131 @@ def q397_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1000.0 * (1.0 - dw / 2.0)).cast("bigint").alias("rho_milli"),
         F.when(dw < 1.5, 1).otherwise(0).cast("bigint").alias("positive_autocorr"),
     )
+
+
+# --- q401: single-changepoint detection via CUSUM argmax (round 6) ----------
+_DUCK_CPT = """
+    WITH day AS (
+      SELECT CAST(epoch(CAST(ts AS DATE)) / 86400 AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         d0 AS (SELECT min(d) AS d0 FROM day),
+         t AS (
+      SELECT row_number() OVER (ORDER BY d) AS t, y_c
+      FROM day CROSS JOIN d0),
+         s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y_c) AS BIGINT) AS tot,
+             CAST(sum(CAST(y_c AS HUGEINT) * y_c) AS HUGEINT) AS sqq
+      FROM t),
+         cum AS (
+      SELECT t, y_c,
+             CAST(sum(y_c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS c
+      FROM t),
+         dstat AS (
+      SELECT cum.t, cum.c,
+             abs(s.n * CAST(cum.c AS HUGEINT) - CAST(cum.t AS HUGEINT) * s.tot)
+               AS absd
+      FROM cum CROSS JOIN s WHERE cum.t < s.n),
+         best AS (
+      SELECT t, c, absd,
+             row_number() OVER (ORDER BY absd DESC, t) AS rk
+      FROM dstat)
+    SELECT s.n AS n_days,
+           best.t AS split_t,
+           CAST(round(best.c * 1.0 / best.t) AS BIGINT) AS pre_mean_c,
+           CAST(round((s.tot - best.c) * 1.0 / (s.n - best.t)) AS BIGINT)
+             AS post_mean_c,
+           CAST(round((s.tot - best.c) * 1.0 / (s.n - best.t)
+                      - best.c * 1.0 / best.t) AS BIGINT) AS shift_c,
+           CAST(round(1000.0 * CAST(best.absd AS DOUBLE)
+                      / (s.n * sqrt((CAST(s.sqq AS DOUBLE)
+                                     - CAST(s.tot AS DOUBLE) * s.tot / s.n)
+                                    / s.n)
+                         * sqrt(s.n))) AS BIGINT) AS cusum_stat_milli
+    FROM best CROSS JOIN s WHERE best.rk = 1
+"""
+
+
+@register("q401_cusum_changepoint", _DUCK_CPT)
+def q401_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection on daily purchase revenue: the
+    first step of binary segmentation (Scott & Knott 1974; Page's
+    CUSUM, Biometrika 1954) — split at argmax_t |S_t| where
+    S_t = cum_t - t*mean, the point whose pre/post split most reduces
+    squared error for a mean-shift model. Reports the split's pre/post
+    means and the normalized statistic max|S_t|/(sd*sqrt(n)) (the
+    Brownian-bridge scaling used for significance thresholds);
+    recursing on each side yields full binary segmentation, each
+    recursion a grid-bounded repeat of this plan.
+
+    Exactness: the argmax compares |n*cum_t - t*total| — EXACT
+    integers (no division before the argmax, so no float tie risk);
+    row_number tie-break on earliest t; means/statistic are doubles
+    from exact integers, quantized once.
+
+    100 TB shape: one map-side pass to the calendar-bounded day grid;
+    cumsum + argmax are single-partition windows over that grid (the
+    q199/q397 parameter-server bound), never over the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.floor(F.unix_timestamp(F.col("ts").cast("date")) / 86400))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c"))
+    )
+    wt = Window.partitionBy().orderBy("d")
+    t = day.select(F.row_number().over(wt).alias("t"), "y_c")
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y_c").cast("bigint").alias("tot"),
+        F.sum(F.col("y_c").cast("decimal(38,0)") * F.col("y_c")).alias("sqq"),
+    )
+    wc = Window.partitionBy().orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = t.select("t", F.sum("y_c").over(wc).cast("bigint").alias("c"))
+    dstat = (
+        cum.crossJoin(F.broadcast(s))
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "t",
+            "c",
+            "n",
+            "tot",
+            "sqq",
+            F.abs(
+                F.col("n") * F.col("c").cast("decimal(38,0)")
+                - F.col("t").cast("decimal(38,0)") * F.col("tot")
+            ).alias("absd"),
+        )
+    )
+    wr = Window.partitionBy().orderBy(F.col("absd").desc(), "t")
+    best = dstat.select(
+        "*", F.row_number().over(wr).alias("rk")
+    ).filter(F.col("rk") == 1)
+    pre = F.col("c") * 1.0 / F.col("t")
+    post = (F.col("tot") - F.col("c")) * 1.0 / (F.col("n") - F.col("t"))
+    sd = F.sqrt(
+        (
+            F.col("sqq").cast("double")
+            - F.col("tot").cast("double") * F.col("tot") / F.col("n")
+        )
+        / F.col("n")
+    )
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.col("t").alias("split_t"),
+        F.round(pre).cast("bigint").alias("pre_mean_c"),
+        F.round(post).cast("bigint").alias("post_mean_c"),
+        F.round(post - pre).cast("bigint").alias("shift_c"),
+        F.round(
+            1000.0
+            * F.col("absd").cast("double")
+            / (F.col("n") * sd * F.sqrt(F.col("n")))
+        )
+        .cast("bigint")
+        .alias("cusum_stat_milli"),
+    )

@@ -933,3 +933,49 @@ def test_q400_rbo_monotone_and_bounded(spark):
         prev_x, prev_rbo = r.x_d, r.rbo_e6
     # RBO truncated at K=20 with p=.9 can't exceed 1 - p^20 mass seen
     assert rows[-1].rbo_e6 <= 1000000
+
+
+def test_q401_changepoint_identities(spark):
+    r = run(spark, "q401_cusum_changepoint").collect()[0]
+    assert 1 <= r.split_t < r.n_days
+    assert r.shift_c == r.post_mean_c - r.pre_mean_c or \
+        abs(r.shift_c - (r.post_mean_c - r.pre_mean_c)) <= 1
+    assert r.cusum_stat_milli >= 0
+
+
+def test_q402_obf_boundaries_monotone(spark):
+    rows = sorted(run(spark, "q402_obrien_fleming").collect(),
+                  key=lambda r: r.look)
+    assert [r.look for r in rows] == [1, 2, 3, 4, 5]
+    # boundary shrinks C*sqrt(K/k): strictly decreasing to C at k=K
+    bs = [r.boundary_milli for r in rows]
+    assert bs == sorted(bs, reverse=True)
+    assert bs[-1] == 2040
+    # n accumulates
+    ns = [r.n_cum for r in rows]
+    assert ns == sorted(ns)
+    # A/A data: the final (least conservative) look shouldn't cross
+    # except with ~5% probability; treat a crossing everywhere as a bug
+    assert sum(r.crossed for r in rows) <= 2
+
+
+def test_q403_err_cascade(spark):
+    rows = sorted(run(spark, "q403_expected_reciprocal_rank").collect(),
+                  key=lambda r: r.r)
+    assert [r.r for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert 0 <= r.grade <= 3
+        assert r.term_e9 >= 0
+    # running ERR is nondecreasing and < 1
+    cums = [r.err_cum_e9 for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] < 10**9
+
+
+def test_q404_dirichlet_ql_ranking(spark):
+    rows = run(spark, "q404_dirichlet_query_likelihood").collect()
+    assert len(rows) == 10
+    scores = [r.score_e6 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # scores are log-probs of 3 terms: strictly negative
+    assert all(s < 0 for s in scores)
