@@ -2805,3 +2805,184 @@ def q386_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_no_shift"
         ),
     )
+
+
+# --- q408: Storey pi0 and q-values over a 25-test family (round 6) ----------
+_ST_TWO60 = float(1 << 60)
+_ST_LAMBDA = 0.5
+_DUCK_STOREY = f"""
+    WITH o AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS vc,
+             CAST(concat('0x', substr(md5(concat(CAST(o.o_orderkey AS VARCHAR),
+                                                 '#storey')), 1, 15))
+                  AS BIGINT) / {_ST_TWO60!r} < 0.5 AS in_a
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         g AS (
+      SELECT nk,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN in_a THEN vc ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN NOT in_a THEN vc ELSE 0 END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN in_a THEN CAST(vc AS HUGEINT) * vc
+                           ELSE 0 END) AS HUGEINT) AS qa,
+             CAST(sum(CASE WHEN NOT in_a THEN CAST(vc AS HUGEINT) * vc
+                           ELSE 0 END) AS HUGEINT) AS qb
+      FROM o GROUP BY nk
+      HAVING least(sum(CASE WHEN in_a THEN 1 ELSE 0 END),
+                   sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)) >= 2),
+         z AS (
+      SELECT nk, na, nb,
+             (sa * 1.0 / na - sb * 1.0 / nb)
+               / sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+                       / (na - 1)) / na
+                      + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+                         / (nb - 1)) / nb) AS zv
+      FROM g),
+         p AS (
+      SELECT nk, zv,
+             least(1.0, 2.0 * exp(-0.717 * abs(zv) - 0.416 * zv * zv)) AS pv
+      FROM z),
+         fam AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             least(1.0, sum(CASE WHEN pv > {_ST_LAMBDA!r} THEN 1 ELSE 0 END)
+                        / ((1.0 - {_ST_LAMBDA!r}) * count(*))) AS pi0
+      FROM p),
+         ranked AS (
+      SELECT nk, zv, pv,
+             CAST(row_number() OVER (ORDER BY pv, nk) AS BIGINT) AS rk
+      FROM p),
+         qv AS (
+      SELECT ranked.nk, ranked.zv, ranked.pv, ranked.rk, fam.m, fam.pi0,
+             min(fam.pi0 * fam.m * ranked.pv / ranked.rk)
+               OVER (ORDER BY ranked.rk
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS qval
+      FROM ranked CROSS JOIN fam)
+    SELECT nk, rk,
+           CAST(round(1000.0 * zv) AS BIGINT) AS z_milli,
+           CAST(round(1000000000.0 * pv) AS BIGINT) AS p_e9,
+           CAST(round(1000000.0 * pi0) AS BIGINT) AS pi0_e6,
+           CAST(round(1000000.0 * least(qval, 1.0)) AS BIGINT) AS q_e6
+    FROM qv ORDER BY rk
+"""
+
+
+@register("q408_storey_qvalues", _DUCK_STOREY)
+def q408_storey_qvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storey's pi0 estimate and q-values (Storey, JRSS-B 2002;
+    Storey & Tibshirani, PNAS 2003) over a 25-test family — per
+    nation, a Welch A/A z on hash-split order values (null by
+    construction, q394's harness). pi0-hat = #{{p > lambda}} /
+    ((1-lambda) m) at lambda = 0.5 estimates the null fraction, and
+    q_i = pi0 * min_{{j >= i}} m p_(j)/j sharpens q295's BH (which
+    fixes pi0 = 1): when most tests are null — the A/A case — the
+    q-values approach the BH values, and pi0_e6 near 1e6 is itself
+    the calibration check.
+
+    Exactness: per-nation sums exact (HUGEINT/decimal squares); z and
+    the Lin'89 tail approximation are the q295 closed form (bit-equal
+    doubles); the running min over m p/r is on identical doubles and
+    the rank permutation is (p, nation)-keyed.
+
+    100 TB shape: ONE (nation, arm)-keyed corpus aggregate after a
+    broadcast customer-dim join; everything downstream (ranking,
+    pi0, the reverse running min) is m-row grid arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("o_orderkey").cast("string"), F.lit("#storey"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(_ST_TWO60)
+            < 0.5
+        ).alias("in_a"),
+    )
+    g = (
+        o.groupBy("nk")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("na"),
+            F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("nb"),
+            F.sum(F.when(F.col("in_a"), F.col("vc")).otherwise(0))
+            .cast("bigint")
+            .alias("sa"),
+            F.sum(F.when(~F.col("in_a"), F.col("vc")).otherwise(0))
+            .cast("bigint")
+            .alias("sb"),
+            F.sum(
+                F.when(
+                    F.col("in_a"), F.col("vc").cast("decimal(38,0)") * F.col("vc")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("qa"),
+            F.sum(
+                F.when(
+                    ~F.col("in_a"), F.col("vc").cast("decimal(38,0)") * F.col("vc")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("qb"),
+        )
+        .filter(F.least(F.col("na"), F.col("nb")) >= 2)
+    )
+    var_a = (
+        F.col("qa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+    ) / (F.col("na") - 1)
+    var_b = (
+        F.col("qb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+    ) / (F.col("nb") - 1)
+    zv = (
+        F.col("sa") * 1.0 / F.col("na") - F.col("sb") * 1.0 / F.col("nb")
+    ) / F.sqrt(var_a / F.col("na") + var_b / F.col("nb"))
+    pv = F.least(
+        F.lit(1.0), 2.0 * F.exp(-0.717 * F.abs(F.col("zv")) - 0.416 * F.col("zv") * F.col("zv"))
+    )
+    p = g.select("nk", zv.alias("zv")).select("nk", "zv", pv.alias("pv"))
+    fam = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.least(
+            F.lit(1.0),
+            F.sum(F.when(F.col("pv") > _ST_LAMBDA, 1).otherwise(0))
+            / ((1.0 - _ST_LAMBDA) * F.count(F.lit(1))),
+        ).alias("pi0"),
+    )
+    ranked = p.select(
+        "nk",
+        "zv",
+        "pv",
+        F.row_number().over(Window.orderBy("pv", "nk")).cast("bigint").alias("rk"),
+    )
+    wrev = Window.orderBy("rk").rowsBetween(0, Window.unboundedFollowing)
+    qv = ranked.crossJoin(F.broadcast(fam)).select(
+        "nk",
+        "zv",
+        "pv",
+        "rk",
+        "pi0",
+        F.min(F.col("pi0") * F.col("m") * F.col("pv") / F.col("rk"))
+        .over(wrev)
+        .alias("qval"),
+    )
+    return qv.select(
+        "nk",
+        "rk",
+        F.round(1000.0 * F.col("zv")).cast("bigint").alias("z_milli"),
+        F.round(1000000000.0 * F.col("pv")).cast("bigint").alias("p_e9"),
+        F.round(1000000.0 * F.col("pi0")).cast("bigint").alias("pi0_e6"),
+        F.round(1000000.0 * F.least(F.col("qval"), F.lit(1.0)))
+        .cast("bigint")
+        .alias("q_e6"),
+    ).orderBy("rk")

@@ -1667,3 +1667,79 @@ def q398_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q407: Chao1 vocabulary richness estimate (round 6) ---------------------
+_DUCK_CHAO1 = f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKS}) AS term FROM documents),
+         tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+         coc AS (
+      SELECT CAST(count(*) AS BIGINT) AS s_obs,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM tf)
+    SELECT s_obs, n_tokens, f1, f2,
+           CAST(round(s_obs + f1 * 1.0 * f1 / (2.0 * greatest(f2, 1)))
+                AS BIGINT) AS chao1,
+           CAST(round(s_obs + f1 * 1.0 * (f1 - 1) / (2.0 * (f2 + 1)))
+                AS BIGINT) AS chao1_bc,
+           CAST(round(10000.0 * (1.0 - f1 * 1.0 / n_tokens)) AS BIGINT)
+             AS coverage_bp
+    FROM coc
+"""
+
+
+@register("q407_chao1_richness", _DUCK_CHAO1)
+def q407_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 nonparametric vocabulary-richness estimate (Chao,
+    Scand.J.Stat 1984; Chao 1987 bias-corrected form): S_chao1 =
+    S_obs + f1^2/(2 f2) from the singleton/doubleton counts alone —
+    the unseen-species bound that says how much vocabulary the corpus
+    has NOT yet shown, plus Good's sample coverage C = 1 - f1/N
+    (Good, Biometrika 1953). Together with q366's Good-Turing
+    counts-of-counts this closes the unseen-mass toolkit: q366
+    re-discounts what was seen, Chao1 sizes what wasn't — the
+    go/no-go signal for whether more crawl will still grow a
+    tokenizer's effective vocab.
+
+    Exactness: every input (S_obs, N, f1, f2) is an exact integer
+    from one term aggregate; the three estimators are single-rounded
+    doubles of those integers.
+
+    100 TB shape: one explode + one term-keyed map-side-combinable
+    agg + one scalar reduce — no joins, no windows; counts-of-counts
+    needs only c∈{{1,2}} flags, never a second shuffle."""
+    tok = _docs(spark, sf_dir).select(
+        F.explode_outer(tokenize(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    coc = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+    )
+    return coc.select(
+        "s_obs",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.round(
+            F.col("s_obs")
+            + F.col("f1") * 1.0 * F.col("f1") / (2.0 * F.greatest(F.col("f2"), F.lit(1)))
+        )
+        .cast("bigint")
+        .alias("chao1"),
+        F.round(
+            F.col("s_obs")
+            + F.col("f1") * 1.0 * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1))
+        )
+        .cast("bigint")
+        .alias("chao1_bc"),
+        F.round(10000.0 * (1.0 - F.col("f1") * 1.0 / F.col("n_tokens")))
+        .cast("bigint")
+        .alias("coverage_bp"),
+    )

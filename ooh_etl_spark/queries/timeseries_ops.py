@@ -2568,3 +2568,259 @@ def q401_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cusum_stat_milli"),
     )
+
+
+# --- q405: Kalman local-level filter (round 6) ------------------------------
+_KALMAN_DAYS = 40  # cap on the unrolled day-grain recursion (q259 contract)
+
+
+def _kalman_oracle() -> str:
+    """DuckDB oracle for q405: the SAME per-step-quantized Kalman
+    recurrence as the driver-side loop, unrolled as a recursive CTE
+    over the bounded day series. State is re-quantized to integer
+    cents / cents^2 after EVERY step (floor(x + 0.5)), so both
+    engines carry identical integers and the gain doubles they derive
+    are bit-equal."""
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS y_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         idx AS MATERIALIZED (
+      SELECT y_c, row_number() OVER (ORDER BY d) AS i FROM daily
+      QUALIFY i <= {_KALMAN_DAYS}),
+         consts AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             greatest(CAST(floor(
+               (sum(CAST(y_c AS HUGEINT) * y_c) * 1.0 / count(*)
+                - (sum(y_c) * 1.0 / count(*)) * (sum(y_c) * 1.0 / count(*)))
+               + 0.5) AS BIGINT), 1) AS r
+      FROM idx),
+         kal(i, a, p) AS (
+      SELECT 1, (SELECT y_c FROM idx WHERE i = 1),
+             (SELECT r FROM consts)
+      UNION ALL
+      SELECT k.i + 1,
+             CAST(floor(k.a + (CAST(k.p + (c.r // 10) AS DOUBLE)
+                               / (k.p + (c.r // 10) + c.r))
+                              * (x.y_c - k.a) + 0.5) AS BIGINT),
+             CAST(floor((1.0 - CAST(k.p + (c.r // 10) AS DOUBLE)
+                               / (k.p + (c.r // 10) + c.r))
+                        * (k.p + (c.r // 10)) + 0.5) AS BIGINT)
+      FROM kal k JOIN idx x ON x.i = k.i + 1 CROSS JOIN consts c
+      WHERE k.i < (SELECT n FROM consts)),
+         last AS (SELECT a, p FROM kal ORDER BY i DESC LIMIT 1)
+    SELECT CAST(c.n AS BIGINT) AS n_days,
+           CAST(l.a AS BIGINT) AS level_c,
+           CAST(l.p AS BIGINT) AS p_c2,
+           CAST(round(1000.0 * CAST(l.p + (c.r // 10) AS DOUBLE)
+                      / (l.p + (c.r // 10) + c.r)) AS BIGINT) AS gain_milli,
+           CAST(l.a AS BIGINT) AS forecast_c
+    FROM last l CROSS JOIN consts c
+    """
+
+
+@register("q405_kalman_local_level", _kalman_oracle())
+def q405_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman filter for the local-level model (Kalman 1960; Harvey,
+    "Forecasting, structural time series models and the Kalman
+    filter", 1989) on daily purchase revenue: state a (level) and
+    variance P, per day predict P+q then update with gain
+    K = P_pred/(P_pred + r). Observation noise r = population
+    variance of the series (one exact pre-pass), process noise
+    q = r/10 (signal-to-noise 0.1) — unlike q126's fixed-alpha EWMA,
+    the gain ADAPTS: large while P is uncertain, converging to the
+    steady state, which is what makes the filter robust to the
+    initial level.
+
+    Exactness: the state is re-quantized to integer cents (a) and
+    cents^2 (P) after EVERY step via floor(x + 0.5); gains are then
+    doubles derived from identical integers in both engines, so the
+    recursion never accumulates float divergence (q259's contract).
+
+    100 TB shape: Spark reduces the corpus to the day-grain series
+    (one calendar-bounded aggregate); the recurrence — sequential by
+    nature, day-count-long, not data-long — runs driver-side against
+    the <= 40-row series, step-matching the oracle's recursive CTE
+    (the q222/q259 division of labor)."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c"))
+        .orderBy("d")
+        .limit(_KALMAN_DAYS)
+    )
+    ys = [int(r["y_c"]) for r in daily.collect()]
+    n = len(ys)
+    mean = sum(ys) * 1.0 / n
+    # exact integer sum of squares FIRST, one double conversion after —
+    # matching the oracle's sum(HUGEINT)*1.0 (per-term double products
+    # would drift an ulp and flip the floor)
+    r = max(
+        int(math.floor((float(sum(y * y for y in ys)) / n - mean * mean) + 0.5)),
+        1,
+    )
+    q_ = r // 10
+    a, p = ys[0], r
+    gain = 0.0
+    for y in ys[1:]:
+        p_pred = p + q_
+        gain = float(p_pred) / (p_pred + r)
+        a = int(math.floor(a + gain * (y - a) + 0.5))
+        p = int(math.floor((1.0 - gain) * p_pred + 0.5))
+    final_gain = float(p + q_) / (p + q_ + r)
+    out = [(n, a, p, int(math.floor(1000.0 * final_gain + 0.5)), a)]
+    return spark.createDataFrame(
+        out, "n_days long, level_c long, p_c2 long, gain_milli long, forecast_c long"
+    )
+
+
+# --- q406: Cook's distance influence screening (round 6) --------------------
+_COOK_TOP = 10
+_DUCK_COOK = f"""
+    WITH day AS (
+      SELECT CAST(epoch(CAST(ts AS DATE)) / 86400 AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         d0 AS (SELECT min(d) AS d0 FROM day),
+         t AS (SELECT d - d0.d0 AS t, y_c FROM day CROSS JOIN d0),
+         s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+             CAST(sum(y_c) AS BIGINT) AS sy,
+             CAST(sum(CAST(t AS HUGEINT) * y_c) AS HUGEINT) AS sty
+      FROM t),
+         fit AS (
+      SELECT n, st, sy,
+             (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+               / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) AS b,
+             (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) AS sxx
+      FROM s),
+         res AS (
+      SELECT t.t,
+             CAST(round(t.y_c - ((f.sy - f.b * f.st) / f.n + f.b * t.t))
+                  AS BIGINT) AS e_c,
+             1.0 / f.n + (t.t - CAST(f.st AS DOUBLE) / f.n)
+                         * (t.t - CAST(f.st AS DOUBLE) / f.n) / f.sxx AS h
+      FROM t CROSS JOIN fit f),
+         mse AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(e_c AS HUGEINT) * e_c) AS sse
+      FROM res),
+         cook AS (
+      SELECT res.t, res.e_c,
+             CAST(round(1000000.0 * res.h) AS BIGINT) AS lev_e6,
+             CAST(round(1000000.0
+                        * (CAST(res.e_c AS DOUBLE) * res.e_c
+                           / (2.0 * (CAST(mse.sse AS DOUBLE) / (mse.n - 2))))
+                        * (res.h / ((1.0 - res.h) * (1.0 - res.h))))
+                  AS BIGINT) AS cook_e6
+      FROM res CROSS JOIN mse)
+    SELECT t, e_c, lev_e6, cook_e6,
+           row_number() OVER (ORDER BY cook_e6 DESC, t) AS r
+    FROM cook QUALIFY r <= {_COOK_TOP}
+    ORDER BY r
+"""
+
+
+@register("q406_cooks_distance", _DUCK_COOK)
+def q406_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence screening (Cook, Technometrics 1977)
+    for the daily-revenue OLS trend: per day,
+    D_i = e_i^2/(p*s^2) * h_i/(1-h_i)^2 with leverage
+    h_i = 1/n + (t_i - tbar)^2/Sxx — the top-10 most INFLUENTIAL days,
+    which is a different question from q287's outlier fences: a
+    mid-series spike has high residual but low leverage; an endpoint
+    drift has both, and it alone can steer q397's slope. Days with
+    D > 4/n conventionally warrant a refit-without.
+
+    Exactness: OLS sums exact; residuals quantize to integer cents
+    before SSE (exact HUGEINT/decimal sum); leverage and D are
+    IEEE-identical doubles from those integers, quantized to 1e-6;
+    ranking breaks ties on day index.
+
+    100 TB shape: the q397 template — one map-side pass to the day
+    grid, two broadcast-scalar passes over it; the top-K is
+    TakeOrderedAndProject on the grid. Nothing corpus-length."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.floor(F.unix_timestamp(F.col("ts").cast("date")) / 86400))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c"))
+    )
+    d0 = day.agg(F.min("d").alias("d0"))
+    t = day.crossJoin(F.broadcast(d0)).select(
+        (F.col("d") - F.col("d0")).alias("t"), "y_c"
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias("stt"),
+        F.sum("y_c").cast("bigint").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y_c")).alias("sty"),
+    )
+    b = (
+        F.col("n") * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st")
+    )
+    sxx = F.col("stt").cast("double") - F.col("st").cast("double") * F.col("st") / F.col("n")
+    fit = s.select("n", "st", "sy", b.alias("b"), sxx.alias("sxx"))
+    res = t.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.round(
+            F.col("y_c")
+            - (
+                (F.col("sy") - F.col("b") * F.col("st")) / F.col("n")
+                + F.col("b") * F.col("t")
+            )
+        )
+        .cast("bigint")
+        .alias("e_c"),
+        (
+            1.0 / F.col("n")
+            + (F.col("t") - F.col("st").cast("double") / F.col("n"))
+            * (F.col("t") - F.col("st").cast("double") / F.col("n"))
+            / F.col("sxx")
+        ).alias("h"),
+    )
+    mse = res.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum(F.col("e_c").cast("decimal(38,0)") * F.col("e_c")).alias("sse"),
+    )
+    cook = res.crossJoin(F.broadcast(mse)).select(
+        "t",
+        "e_c",
+        F.round(1000000.0 * F.col("h")).cast("bigint").alias("lev_e6"),
+        F.round(
+            1000000.0
+            * (
+                F.col("e_c").cast("double")
+                * F.col("e_c")
+                / (2.0 * (F.col("sse").cast("double") / (F.col("nn") - 2)))
+            )
+            * (F.col("h") / ((1.0 - F.col("h")) * (1.0 - F.col("h"))))
+        )
+        .cast("bigint")
+        .alias("cook_e6"),
+    )
+    return (
+        cook.select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("cook_e6").desc(), "t"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= _COOK_TOP)
+        .orderBy("r")
+    )

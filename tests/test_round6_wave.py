@@ -979,3 +979,50 @@ def test_q404_dirichlet_ql_ranking(spark):
     assert scores == sorted(scores, reverse=True)
     # scores are log-probs of 3 terms: strictly negative
     assert all(s < 0 for s in scores)
+
+
+def test_q405_kalman_gain_bounds(spark):
+    r = run(spark, "q405_kalman_local_level").collect()[0]
+    assert r.n_days > 1
+    assert 0 < r.gain_milli < 1000
+    assert r.forecast_c == r.level_c
+    assert r.p_c2 > 0
+
+
+def test_q406_cooks_top10_sorted(spark):
+    rows = run(spark, "q406_cooks_distance").collect()
+    assert len(rows) == 10
+    cooks = [r.cook_e6 for r in rows]
+    assert cooks == sorted(cooks, reverse=True)
+    for r in rows:
+        # leverage in (0, 1]
+        assert 0 < r.lev_e6 <= 1000000
+        assert r.cook_e6 >= 0
+
+
+def test_q407_chao1_ordering(spark):
+    r = run(spark, "q407_chao1_richness").collect()[0]
+    # estimators only ADD unseen mass
+    assert r.chao1 >= r.s_obs
+    assert r.chao1_bc >= r.s_obs
+    # bias-corrected is never larger than classic (f1^2/2f2 vs f1(f1-1)/2(f2+1))
+    assert r.chao1_bc <= r.chao1 + 1
+    assert 0 <= r.coverage_bp <= 10000
+    assert r.f1 + 2 * r.f2 <= r.n_tokens
+
+
+def test_q408_storey_aa_calibrated(spark):
+    rows = sorted(run(spark, "q408_storey_qvalues").collect(),
+                  key=lambda r: r.rk)
+    assert len(rows) == 25
+    ps = [r.p_e9 for r in rows]
+    assert ps == sorted(ps)
+    qs = [r.q_e6 for r in rows]
+    # q-values are monotone nondecreasing in rank and bounded by 1
+    assert qs == sorted(qs)
+    assert all(0 <= q <= 1000000 for q in qs)
+    # A/A family: pi0 should be high (mostly null); > 0.5 is a loose floor
+    assert rows[0].pi0_e6 > 500000
+    # q >= pi0 * p (both e-scaled): q_i >= pi0 * m * p_i / m = pi0*p_i
+    for r in rows:
+        assert r.q_e6 * 1000 + 1000 >= r.pi0_e6 * (r.p_e9 / 10**9) * 1000
