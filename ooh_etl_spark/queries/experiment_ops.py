@@ -3351,3 +3351,107 @@ def q402_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1000.0 * boundary).cast("bigint").alias("boundary_milli"),
         F.when(F.abs(zval) > boundary, 1).otherwise(0).cast("bigint").alias("crossed"),
     ).orderBy("look")
+
+
+# --- q410: delete-one-group jackknife SE of a ratio metric (round 6) --------
+_DUCK_JACK = """
+    WITH o AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS vc
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         g AS (
+      SELECT nk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vc) AS BIGINT) AS s
+      FROM o GROUP BY nk),
+         tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS gg
+      FROM g),
+         loo AS (
+      SELECT g.nk,
+             (tot.ss - g.s) * 1.0 / (tot.nn - g.n) AS r_i
+      FROM g CROSS JOIN tot),
+         jk AS (
+      SELECT CAST(count(*) AS BIGINT) AS gg,
+             avg(r_i) AS rbar,
+             sum((r_i - (SELECT avg(r_i) FROM loo))
+                 * (r_i - (SELECT avg(r_i) FROM loo))) AS ssq
+      FROM loo)
+    SELECT tot.gg AS n_groups,
+           CAST(round(tot.ss * 1.0 / tot.nn) AS BIGINT) AS ratio_c,
+           CAST(round((jk.gg - 1.0) / jk.gg * jk.ssq * 1000000.0)
+                AS BIGINT) AS jack_var_e6,
+           CAST(round(sqrt((jk.gg - 1.0) / jk.gg * jk.ssq) * 1000.0)
+                AS BIGINT) AS jack_se_milli,
+           CAST(round((tot.ss * 1.0 / tot.nn
+                       - 1.959964 * sqrt((jk.gg - 1.0) / jk.gg * jk.ssq)))
+                AS BIGINT) AS ci_lo_c,
+           CAST(round((tot.ss * 1.0 / tot.nn
+                       + 1.959964 * sqrt((jk.gg - 1.0) / jk.gg * jk.ssq)))
+                AS BIGINT) AS ci_hi_c
+    FROM tot CROSS JOIN jk
+"""
+
+
+@register("q410_jackknife_ratio_se", _DUCK_JACK)
+def q410_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the mean-order-
+    value ratio metric (Quenouille 1956; Tukey 1958; the delete-a-
+    group variant is the production form — Google's "infinite
+    jackknife" lineage): each leave-one-nation-out replicate is
+    closed-form from group totals ((S - s_i)/(N - n_i)), so the whole
+    resampling scheme costs ONE group-by — no replay of the corpus
+    per replicate (the same economics as q193's Poisson bootstrap,
+    but deterministic and exactly reproducible). A ratio metric's SE
+    has no closed form (denominator is random); the jackknife is the
+    standard answer.
+
+    Exactness: group sums exact; each replicate ratio is a double of
+    two exact integers; the variance is over g=25 such doubles —
+    identical in both engines — quantized once.
+
+    100 TB shape: one (nation)-keyed corpus aggregate behind a
+    broadcast dim join; replicates and moments are g-row arithmetic.
+    More groups (users, shards) only grows the grid linearly."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+    )
+    g = o.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vc").cast("bigint").alias("s"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("gg"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        ((F.col("ss") - F.col("s")) * 1.0 / (F.col("nn") - F.col("n"))).alias("r_i"),
+    )
+    rbar = loo.agg(F.avg("r_i").alias("rbar"))
+    jk = (
+        loo.crossJoin(F.broadcast(rbar))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("gg2"),
+            F.sum(
+                (F.col("r_i") - F.col("rbar")) * (F.col("r_i") - F.col("rbar"))
+            ).alias("ssq"),
+        )
+    )
+    var_j = (F.col("gg2") - 1.0) / F.col("gg2") * F.col("ssq")
+    ratio = F.col("ss") * 1.0 / F.col("nn")
+    return tot.crossJoin(F.broadcast(jk)).select(
+        F.col("gg").alias("n_groups"),
+        F.round(ratio).cast("bigint").alias("ratio_c"),
+        F.round(var_j * 1000000.0).cast("bigint").alias("jack_var_e6"),
+        F.round(F.sqrt(var_j) * 1000.0).cast("bigint").alias("jack_se_milli"),
+        F.round(ratio - 1.959964 * F.sqrt(var_j)).cast("bigint").alias("ci_lo_c"),
+        F.round(ratio + 1.959964 * F.sqrt(var_j)).cast("bigint").alias("ci_hi_c"),
+    )

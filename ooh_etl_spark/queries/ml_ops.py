@@ -2694,3 +2694,109 @@ def q396_ledoit_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shrinkage_e6"),
     )
+
+
+# --- q411: expected-cost-optimal decision threshold (round 6) ---------------
+_COST_FP = 1
+_COST_FN = 5
+_DUCK_COST_THRESH = f"""
+    WITH scored AS (
+      SELECT CAST(label % 2 AS INT) AS y,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS s
+      FROM embeddings),
+         hist AS (
+      SELECT s, sum(y) AS pos, sum(1 - y) AS neg FROM scored GROUP BY s),
+         tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM hist),
+         cum AS (
+      SELECT s,
+             sum(pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(neg) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM hist),
+         cost AS (
+      SELECT c.s, c.tp, c.fp, t.p, t.n,
+             {_COST_FP} * c.fp + {_COST_FN} * (t.p - c.tp) AS cost
+      FROM cum c CROSS JOIN tot t)
+    SELECT CAST(s AS BIGINT) AS threshold_e6,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(p - tp AS BIGINT) AS fn,
+           CAST(cost AS BIGINT) AS cost,
+           CAST({_COST_FN} * p AS BIGINT) AS cost_reject_all,
+           CAST({_COST_FP} * n AS BIGINT) AS cost_accept_all,
+           CAST(round(10000.0 * (least({_COST_FN} * p, {_COST_FP} * n) - cost)
+                      / least({_COST_FN} * p, {_COST_FP} * n)) AS BIGINT)
+             AS savings_bp
+    FROM cost
+    ORDER BY cost, s
+    LIMIT 1
+"""
+
+
+@register("q411_cost_optimal_threshold", _DUCK_COST_THRESH)
+def q411_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-cost-optimal decision threshold (Elkan, "The
+    Foundations of Cost-Sensitive Learning", IJCAI 2001): sweep every
+    achievable threshold (the distinct-score grid, q274's
+    construction) and pick argmin of FP*c_fp + FN*c_fn with
+    c_fn/c_fp = 5 — the asymmetric-cost answer where q274's Youden J
+    implicitly weights both errors equally. Also reports both trivial
+    policies (reject-all / accept-all) and the saving over the better
+    one, which is the number a deployment review actually asks for.
+
+    Exactness: the entire sweep is INTEGER arithmetic (cumulative
+    counts times integer costs) — the argmin cannot tie-break
+    differently (score tie-break on s ascending).
+
+    100 TB shape: one score histogram (map-side combinable, bounded
+    by distinct quantized scores), one cumulative window over that
+    histogram, one TakeOrdered(1) — the q274 plan with a different
+    objective; no per-row work after the histogram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("label") % 2).cast("int").alias("y"),
+        F.round(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("bigint")
+        .alias("s"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    tot = hist.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
+    wc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "s",
+        F.sum("pos").over(wc).alias("tp"),
+        F.sum("neg").over(wc).alias("fp"),
+    )
+    cost = cum.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "tp",
+        "fp",
+        "p",
+        "n",
+        (_COST_FP * F.col("fp") + _COST_FN * (F.col("p") - F.col("tp"))).alias(
+            "cost"
+        ),
+    )
+    best_triv = F.least(_COST_FN * F.col("p"), _COST_FP * F.col("n"))
+    return (
+        cost.select(
+            F.col("s").cast("bigint").alias("threshold_e6"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            (F.col("p") - F.col("tp")).cast("bigint").alias("fn"),
+            F.col("cost").cast("bigint").alias("cost"),
+            (_COST_FN * F.col("p")).cast("bigint").alias("cost_reject_all"),
+            (_COST_FP * F.col("n")).cast("bigint").alias("cost_accept_all"),
+            F.round(10000.0 * (best_triv - F.col("cost")) / best_triv)
+            .cast("bigint")
+            .alias("savings_bp"),
+        )
+        .orderBy("cost", "threshold_e6")
+        .limit(1)
+    )

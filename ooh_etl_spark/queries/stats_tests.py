@@ -2986,3 +2986,288 @@ def q408_storey_qvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_e6"),
     ).orderBy("rk")
+
+
+# --- q409: Page's trend test across ordered years (round 6) -----------------
+_DUCK_PAGE = """
+    WITH cell AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(round(avg(CAST(round(o.o_totalprice * 100) AS BIGINT)))
+                  AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+         k AS (SELECT CAST(count(DISTINCT yr) AS BIGINT) AS k FROM cell),
+         full_blocks AS (
+      SELECT nk FROM cell GROUP BY nk
+      HAVING count(*) = (SELECT k FROM k)),
+         g AS (
+      SELECT cell.nk, cell.yr, cell.v,
+             CAST(dense_rank() OVER (ORDER BY cell.yr) AS BIGINT) AS j
+      FROM cell JOIN full_blocks USING (nk)),
+         rk AS (
+      SELECT nk, j,
+             rank() OVER (PARTITION BY nk ORDER BY v) AS rmin,
+             count(*) OVER (PARTITION BY nk, v) AS tc
+      FROM g),
+         l AS (
+      SELECT CAST(sum(j * (2 * rmin + tc - 1)) AS BIGINT) AS l2,
+             CAST(count(DISTINCT nk) AS BIGINT) AS b
+      FROM rk),
+         stat AS (
+      SELECT l.b, k.k, l.l2 / 2.0 AS lstat,
+             l.b * k.k * (k.k + 1) * (k.k + 1) / 4.0 AS mean_l,
+             l.b * k.k * k.k * (k.k + 1.0) * (k.k * k.k - 1) / 144.0 AS var_l
+      FROM l CROSS JOIN k)
+    SELECT b AS n_blocks, k AS n_treatments,
+           CAST(round(lstat) AS BIGINT) AS page_l,
+           CAST(round(mean_l) AS BIGINT) AS mean_l,
+           CAST(round(1000.0 * (lstat - mean_l) / sqrt(var_l)) AS BIGINT)
+             AS z_milli,
+           CAST(CASE WHEN abs((lstat - mean_l) / sqrt(var_l)) > 1.959964
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_no_trend
+    FROM stat
+"""
+
+
+@register("q409_page_trend", _DUCK_PAGE)
+def q409_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative (Page, JASA 1963):
+    within each complete nation block, rank the per-year average
+    order values, then L = sum_j j * R_j against its null moments
+    (E[L] = bk(k+1)^2/4, Var[L] = bk^2(k+1)(k^2-1)/144). Where q370's
+    Friedman asks "do years differ at all", Page asks "do they trend
+    in YEAR ORDER" — strictly more powerful when the alternative is
+    monotone (the question a growth analyst actually has). Midranks
+    via the q370 (2*rank + ties - 1)/2 identity; the variance is the
+    no-tie form (ties in quantized cent averages are measure-zero;
+    divergence would only inflate, not bias, z — documented).
+
+    Exactness: cell values are rounded integer cent averages; ranks
+    are integers; 2L is an exact integer sum; moments are rationals
+    of b, k — identical doubles, quantized once.
+
+    100 TB shape: one (nation, year)-keyed aggregate behind a
+    broadcast dim join reduces the corpus to a b*k grid; ranks are
+    windows over k-row partitions of that grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cell = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.round(F.avg(F.round(F.col("o_totalprice") * 100).cast("bigint")))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    k = cell.agg(F.countDistinct("yr").cast("bigint").alias("k"))
+    full_blocks = (
+        cell.groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("ny"))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("ny") == F.col("k"))
+        .select("nk")
+    )
+    g = cell.join(full_blocks, "nk").select(
+        "nk",
+        "v",
+        F.dense_rank().over(Window.orderBy("yr")).cast("bigint").alias("j"),
+    )
+    wr = Window.partitionBy("nk").orderBy("v")
+    wt = Window.partitionBy("nk", "v")
+    rk = g.select(
+        "nk",
+        "j",
+        F.rank().over(wr).alias("rmin"),
+        F.count(F.lit(1)).over(wt).alias("tc"),
+    )
+    l = rk.agg(
+        F.sum(F.col("j") * (2 * F.col("rmin") + F.col("tc") - 1))
+        .cast("bigint")
+        .alias("l2"),
+        F.countDistinct("nk").cast("bigint").alias("b"),
+    )
+    stat = l.crossJoin(F.broadcast(k)).select(
+        "b",
+        "k",
+        (F.col("l2") / 2.0).alias("lstat"),
+        (F.col("b") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1) / 4.0).alias(
+            "mean_l"
+        ),
+        (
+            F.col("b")
+            * F.col("k")
+            * F.col("k")
+            * (F.col("k") + 1.0)
+            * (F.col("k") * F.col("k") - 1)
+            / 144.0
+        ).alias("var_l"),
+    )
+    z = (F.col("lstat") - F.col("mean_l")) / F.sqrt(F.col("var_l"))
+    return stat.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.round(F.col("lstat")).cast("bigint").alias("page_l"),
+        F.round(F.col("mean_l")).cast("bigint").alias("mean_l"),
+        F.round(1000.0 * z).cast("bigint").alias("z_milli"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).cast("bigint").alias(
+            "reject_no_trend"
+        ),
+    )
+
+
+# --- q412: Chow test for a structural break at a known point (round 6) ------
+_DUCK_CHOW = """
+    WITH day AS (
+      SELECT CAST(epoch(CAST(ts AS DATE)) / 86400 AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         d0 AS (SELECT min(d) AS d0 FROM day),
+         t AS (SELECT d - d0.d0 AS t, y_c FROM day CROSS JOIN d0),
+         brk AS (SELECT quantile_disc(t, 0.5) AS tb FROM t),
+         seg AS (
+      SELECT CASE WHEN t.t <= brk.tb THEN 1 ELSE 2 END AS sg, t.t, t.y_c
+      FROM t CROSS JOIN brk),
+         s AS (
+      SELECT sg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+             CAST(sum(y_c) AS BIGINT) AS sy,
+             CAST(sum(CAST(t AS HUGEINT) * y_c) AS HUGEINT) AS sty,
+             CAST(sum(CAST(y_c AS HUGEINT) * y_c) AS HUGEINT) AS syy
+      FROM seg GROUP BY sg),
+         sse AS (
+      SELECT sg, n,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+             - (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+               * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+               / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) AS e
+      FROM s),
+         pooled AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(st) AS BIGINT) AS st,
+             CAST(sum(stt) AS HUGEINT) AS stt,
+             CAST(sum(sy) AS BIGINT) AS sy,
+             CAST(sum(sty) AS HUGEINT) AS sty,
+             CAST(sum(syy) AS HUGEINT) AS syy
+      FROM s),
+         psse AS (
+      SELECT n,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+             - (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+               * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+               / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) AS e
+      FROM pooled),
+         parts AS (
+      SELECT psse.n, psse.e AS e_p,
+             sum(sse.e) AS e_12,
+             max(CASE WHEN sse.sg = 1 THEN sse.n END) AS n1,
+             max(CASE WHEN sse.sg = 2 THEN sse.n END) AS n2
+      FROM sse CROSS JOIN psse GROUP BY psse.n, psse.e)
+    SELECT n1, n2,
+           CAST(round((e_p - e_12) / 1000000.0) AS BIGINT) AS ssr_drop_e6c2,
+           CAST(round(1000.0 * ((e_p - e_12) / 2.0) / (e_12 / (n - 4)))
+                AS BIGINT) AS f_milli,
+           CAST(CASE WHEN ((e_p - e_12) / 2.0) / (e_12 / (n - 4)) > 3.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_stability
+    FROM parts
+"""
+
+
+@register("q412_chow_test", _DUCK_CHOW)
+def q412_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break at a KNOWN split point (Chow,
+    Econometrica 1960): fit the daily-revenue OLS trend pooled and
+    separately on each half (split at the median day), then
+    F = ((SSE_p - SSE_1 - SSE_2)/k) / ((SSE_1 + SSE_2)/(n - 2k)),
+    k = 2. The complement of q401: CUSUM FINDS the most likely break,
+    Chow TESTS a hypothesized one (a deploy date, a policy change) —
+    the difference between exploration and confirmation, with
+    F(2, inf) 5% critical value 3.00.
+
+    Exactness: per-segment moment sums are exact (HUGEINT/decimal
+    squares); each SSE is the closed-form residual quadratic from
+    those integers — identical doubles, one quantization each.
+
+    100 TB shape: one map-side pass to the day grid; the segment
+    moments are ONE more grid aggregate (two groups); everything else
+    is scalar arithmetic. The median-day pre-pass is grid-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.floor(F.unix_timestamp(F.col("ts").cast("date")) / 86400))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c"))
+    )
+    d0 = day.agg(F.min("d").alias("d0"))
+    t = day.crossJoin(F.broadcast(d0)).select(
+        (F.col("d") - F.col("d0")).alias("t"), "y_c"
+    )
+    brk = t.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY t)").alias("tb")
+    )
+    seg = t.crossJoin(F.broadcast(brk)).select(
+        F.when(F.col("t") <= F.col("tb"), 1).otherwise(2).alias("sg"), "t", "y_c"
+    )
+    s = seg.groupBy("sg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias("stt"),
+        F.sum("y_c").cast("bigint").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y_c")).alias("sty"),
+        F.sum(F.col("y_c").cast("decimal(38,0)") * F.col("y_c")).alias("syy"),
+    )
+
+    def _sse_cols(df):
+        sxy = F.col("sty").cast("double") - F.col("st").cast("double") * F.col(
+            "sy"
+        ) / F.col("n")
+        sxx = F.col("stt").cast("double") - F.col("st").cast("double") * F.col(
+            "st"
+        ) / F.col("n")
+        syy_c = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+            "sy"
+        ) / F.col("n")
+        return df.select(
+            *df.columns, (syy_c - sxy * sxy / sxx).alias("e")
+        )
+
+    sse = _sse_cols(s)
+    pooled = _sse_cols(
+        s.agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("st").cast("bigint").alias("st"),
+            F.sum("stt").alias("stt"),
+            F.sum("sy").cast("bigint").alias("sy"),
+            F.sum("sty").alias("sty"),
+            F.sum("syy").alias("syy"),
+        )
+    ).select(F.col("n").alias("np"), F.col("e").alias("e_p"))
+    parts = sse.crossJoin(F.broadcast(pooled)).groupBy("np", "e_p").agg(
+        F.sum("e").alias("e_12"),
+        F.max(F.when(F.col("sg") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("sg") == 2, F.col("n"))).alias("n2"),
+    )
+    fstat = ((F.col("e_p") - F.col("e_12")) / 2.0) / (
+        F.col("e_12") / (F.col("np") - 4)
+    )
+    return parts.select(
+        "n1",
+        "n2",
+        F.round((F.col("e_p") - F.col("e_12")) / 1000000.0)
+        .cast("bigint")
+        .alias("ssr_drop_e6c2"),
+        F.round(1000.0 * fstat).cast("bigint").alias("f_milli"),
+        F.when(fstat > 3.0, 1).otherwise(0).cast("bigint").alias("reject_stability"),
+    )

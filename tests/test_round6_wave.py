@@ -1026,3 +1026,45 @@ def test_q408_storey_aa_calibrated(spark):
     # q >= pi0 * p (both e-scaled): q_i >= pi0 * m * p_i / m = pi0*p_i
     for r in rows:
         assert r.q_e6 * 1000 + 1000 >= r.pi0_e6 * (r.p_e9 / 10**9) * 1000
+
+
+def test_q409_page_trend_moments(spark):
+    r = run(spark, "q409_page_trend").collect()[0]
+    assert r.n_blocks > 0 and r.n_treatments > 1
+    b, k = r.n_blocks, r.n_treatments
+    assert r.mean_l == round(b * k * (k + 1) ** 2 / 4)
+    # L is within its combinatorial range [b*sum asc-worst, b*sum best]
+    lo = b * sum(j * (k + 1 - j) for j in range(1, k + 1))
+    hi = b * sum(j * j for j in range(1, k + 1))
+    assert lo <= r.page_l <= hi
+    assert r.reject_no_trend == (1 if abs(r.z_milli) > 1959 else 0)
+
+
+def test_q410_jackknife_ci_brackets_point(spark):
+    r = run(spark, "q410_jackknife_ratio_se").collect()[0]
+    assert r.n_groups == 25
+    assert r.jack_var_e6 >= 0
+    assert r.ci_lo_c <= r.ratio_c <= r.ci_hi_c
+    # CI width ~ 2*1.96*SE (milli-cents vs cents scaling)
+    width = r.ci_hi_c - r.ci_lo_c
+    assert abs(width - 2 * 1.959964 * r.jack_se_milli / 1000) <= 2
+
+
+def test_q411_cost_threshold_beats_trivial(spark):
+    r = run(spark, "q411_cost_optimal_threshold").collect()[0]
+    assert r.cost <= min(r.cost_reject_all, r.cost_accept_all)
+    assert r.savings_bp >= 0
+    assert r.cost == _COST_FP_ * r.fp + _COST_FN_ * r.fn
+
+
+_COST_FP_ = 1
+_COST_FN_ = 5
+
+
+def test_q412_chow_f_nonnegative(spark):
+    r = run(spark, "q412_chow_test").collect()[0]
+    assert r.n1 > 2 and r.n2 > 2
+    # pooled SSE >= sum of segment SSEs (strictly more parameters)
+    assert r.ssr_drop_e6c2 >= 0
+    assert r.f_milli >= 0
+    assert r.reject_stability == (1 if r.f_milli > 3000 else 0)
