@@ -957,3 +957,98 @@ def q361_jaro_winkler_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word_a", "word_b", "jw_e6", "n_parts_a", "n_parts_b")
         .orderBy("word_a", "word_b")
     )
+
+
+# --- q413: Soundex phonetic blocking audit (round 6) ------------------------
+# Simplified American Soundex, IDENTICALLY expressed in both engines:
+# h/w/y are treated as vowels (code 0, run-separating) rather than the
+# official "transparent h/w" rule — a documented, deterministic variant
+# (Russell & Odell 1918; Knuth TAOCP vol.3 §5.5). Vowel-coded runs
+# still separate consonant codes, so the standard examples agree.
+_SOUNDEX_MAP = ("abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202")
+
+
+def _duck_soundex(col: str) -> str:
+    m = f"translate({col}, '{_SOUNDEX_MAP[0]}', '{_SOUNDEX_MAP[1]}')"
+    m2 = m
+    for d in "0123456":
+        m2 = f"regexp_replace({m2}, '{d}+', '{d}', 'g')"
+    digits_all = f"replace({m2}, '0', '')"
+    digits = (
+        f"CASE WHEN substr({m}, 1, 1) <> '0' THEN substr({digits_all}, 2) "
+        f"ELSE {digits_all} END"
+    )
+    return f"upper(substr({col}, 1, 1)) || rpad(substr({digits}, 1, 3), 3, '0')"
+
+
+_DUCK_SOUNDEX_BLOCK = f"""
+    WITH names AS (
+      SELECT string_split(p_name, ' ')[1] AS w,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1),
+         coded AS (
+      SELECT w, n_parts, {_duck_soundex('w')} AS code FROM names)
+    SELECT code,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(n_parts) AS BIGINT) AS n_parts,
+           CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs,
+           min(w) AS example_a,
+           max(w) AS example_z
+    FROM coded GROUP BY code ORDER BY code
+"""
+
+
+@register("q413_soundex_blocking", _DUCK_SOUNDEX_BLOCK)
+def q413_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic blocking audit (Russell & Odell's 1918 code;
+    Knuth TAOCP v3 §5.5; the default blocking key in record-linkage
+    practice per Christen, "Data Matching", 2012): encode the leading
+    part-name token, block on the 4-char code, and report each
+    block's name count, row mass, and candidate-pair count — the
+    blocking-quality numbers (q307's RR/PC inputs) for a key that
+    catches SPELLING variants equality blocking misses ('Smith' /
+    'Smyth' → S530). The code is built from translate + per-digit
+    run-collapse + vowel strip — pure codegen string ops, no UDF.
+
+    Exactness: every step is a deterministic string transform
+    expressed identically in both engines (the 7 run-collapse
+    regexes avoid backreferences, which RE2 lacks); outputs are
+    integer counts and min/max examples.
+
+    100 TB shape: one (name)-keyed agg collapses the corpus to the
+    vocab, then one (code)-keyed agg over the vocab — both map-side
+    combinable, no joins; the downstream candidate join this key
+    feeds is bounded by block sizes, which is exactly what this
+    audit measures."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select(F.split(F.col("p_name"), " ").getItem(0).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+    m = F.translate(F.col("w"), _SOUNDEX_MAP[0], _SOUNDEX_MAP[1])
+    m2 = m
+    for d in "0123456":
+        m2 = F.regexp_replace(m2, d + "+", d)
+    digits_all = F.replace(m2, F.lit("0"), F.lit(""))
+    digits = F.when(F.substring(m, 1, 1) != "0", F.substring(digits_all, 2, 3)).otherwise(
+        F.substring(digits_all, 1, 3)
+    )
+    code = F.concat(
+        F.upper(F.substring(F.col("w"), 1, 1)),
+        F.rpad(F.substring(digits, 1, 3), 3, "0"),
+    )
+    coded = names.select("w", "n_parts", code.alias("code"))
+    return (
+        coded.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_names"),
+            F.sum("n_parts").cast("bigint").alias("n_parts"),
+            (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.min("w").alias("example_a"),
+            F.max("w").alias("example_z"),
+        )
+        .orderBy("code")
+    )

@@ -2824,3 +2824,104 @@ def q406_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= _COOK_TOP)
         .orderBy("r")
     )
+
+
+# --- q414: Holt-Winters additive seasonal smoothing (round 6) ---------------
+_HW_DAYS = 35  # 5 whole weeks of the unrolled recursion
+_HW_S = 7  # weekly seasonality
+
+
+def _hw_oracle() -> str:
+    """DuckDB oracle for q414: the SAME integer Holt-Winters
+    recurrence as the driver loop, with the 7 seasonal states carried
+    as a LIST column through the recursive CTE. All three updates are
+    floor() of doubles built from exact integers (q259's contract):
+    l' = floor((y - s_head + 3(l+b))/4), b' = floor((l'-l+7b)/8),
+    s' = floor((y - l' + 3 s_head)/4); the list rotates left."""
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS y_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         idx AS MATERIALIZED (
+      SELECT y_c, row_number() OVER (ORDER BY d) AS i FROM daily
+      QUALIFY i <= {_HW_DAYS}),
+         init AS MATERIALIZED (
+      SELECT CAST(floor(avg(y_c) + 0.5) AS BIGINT) AS l0,
+             list(y_c ORDER BY i) AS week1
+      FROM idx WHERE i <= {_HW_S}),
+         n AS MATERIALIZED (SELECT CAST(max(i) AS BIGINT) AS n FROM idx),
+         hw(i, l, b, s) AS (
+      SELECT {_HW_S}, l0, CAST(0 AS BIGINT),
+             [CAST(y - l0 AS BIGINT) FOR y IN week1]
+      FROM init
+      UNION ALL
+      SELECT h.i + 1,
+             CAST(floor((x.y_c - h.s[1] + 3.0 * (h.l + h.b)) / 4.0)
+                  AS BIGINT),
+             CAST(floor((CAST(floor((x.y_c - h.s[1] + 3.0 * (h.l + h.b))
+                                    / 4.0) AS BIGINT) - h.l + 7.0 * h.b)
+                        / 8.0) AS BIGINT),
+             list_append(h.s[2:],
+               CAST(floor((x.y_c
+                           - CAST(floor((x.y_c - h.s[1]
+                                         + 3.0 * (h.l + h.b)) / 4.0)
+                                  AS BIGINT)
+                           + 3.0 * h.s[1]) / 4.0) AS BIGINT))
+      FROM hw h JOIN idx x ON x.i = h.i + 1 CROSS JOIN n
+      WHERE h.i < n.n),
+         last AS (SELECT l, b, s FROM hw ORDER BY i DESC LIMIT 1)
+    SELECT n.n AS n_days,
+           CAST(l AS BIGINT) AS level_c,
+           CAST(b AS BIGINT) AS trend_c,
+           CAST(s[1] AS BIGINT) AS season_next_c,
+           CAST(l + b + s[1] AS BIGINT) AS forecast_1_c
+    FROM last CROSS JOIN n
+    """
+
+
+@register("q414_holt_winters", _hw_oracle())
+def q414_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing (Winters, Mgmt.Sci.
+    1960) on daily purchase revenue with weekly (s=7) seasonality —
+    the completion of the q126 (level) → q259 (level+trend) ladder:
+    a seasonal state per weekday lets the 1-day forecast anticipate
+    the weekend dip that q259's linear trend smears. Gains are exact
+    binary fractions (alpha=1/4, beta=1/8, gamma=1/4) and the state
+    (level, trend, 7 seasonal components) is INTEGER cents after
+    every step, so the recursion is bit-exact on both engines.
+    Initialization: l0 = mean of week 1, b0 = 0, s_i = y_i - l0.
+
+    100 TB shape: Spark reduces the corpus to the day-grain series
+    (calendar-bounded aggregate); the recurrence — sequential,
+    35 steps, 9 integers of state — runs driver-side, step-matching
+    the oracle's recursive CTE whose seasonal vector rides a LIST
+    column (the q259/q405 parameter-server contract)."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c"))
+        .orderBy("d")
+        .limit(_HW_DAYS)
+    )
+    ys = [int(r["y_c"]) for r in daily.collect()]
+    n = len(ys)
+    week1 = ys[:_HW_S]
+    l0 = int(math.floor(sum(week1) / len(week1) + 0.5))
+    l, b = l0, 0
+    s = [y - l0 for y in week1]
+    for y in ys[_HW_S:]:
+        s_head = s[0]
+        l_new = int(math.floor((y - s_head + 3.0 * (l + b)) / 4.0))
+        b = int(math.floor((l_new - l + 7.0 * b) / 8.0))
+        s = s[1:] + [int(math.floor((y - l_new + 3.0 * s_head) / 4.0))]
+        l = l_new
+    out = [(n, l, b, s[0], l + b + s[0])]
+    return spark.createDataFrame(
+        out,
+        "n_days long, level_c long, trend_c long, season_next_c long, "
+        "forecast_1_c long",
+    )

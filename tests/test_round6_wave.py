@@ -1068,3 +1068,46 @@ def test_q412_chow_f_nonnegative(spark):
     assert r.ssr_drop_e6c2 >= 0
     assert r.f_milli >= 0
     assert r.reject_stability == (1 if r.f_milli > 3000 else 0)
+
+
+def test_q413_soundex_codes_wellformed(spark):
+    rows = run(spark, "q413_soundex_blocking").collect()
+    assert len(rows) >= 3
+    import re
+    total_names = 0
+    for r in rows:
+        assert re.fullmatch(r"[A-Z][0-9]{3}", r.code)
+        assert r.n_pairs == r.n_names * (r.n_names - 1) // 2
+        assert r.example_a <= r.example_z
+        # example words actually encode to the block's code prefix
+        assert r.example_a[0].upper() == r.code[0]
+        total_names += r.n_names
+    # blocking partitions the vocab
+    assert total_names == sum(r.n_names for r in rows)
+
+
+def test_q413_soundex_known_values(spark):
+    # classic pairs must collide in the simplified variant too
+    from ooh_etl_spark.queries.linkage_ops import _SOUNDEX_MAP
+
+    def soundex(w):
+        m = "".join(_SOUNDEX_MAP[1][ord(c) - 97] for c in w.lower())
+        m2 = []
+        for c in m:
+            if not m2 or m2[-1] != c:
+                m2.append(c)
+        digits_all = "".join(c for c in m2 if c != "0")
+        digits = digits_all[1:] if m[0] != "0" else digits_all
+        return w[0].upper() + (digits[:3] + "000")[:3]
+
+    assert soundex("robert") == soundex("rupert") == "R163"
+    assert soundex("smith") == soundex("smyth") == "S530"
+    assert soundex("large") == "L620"
+    assert soundex("ashcraft") == "A226"  # simplified variant (official A261)
+
+
+def test_q414_holt_winters_seasonal_state(spark):
+    r = run(spark, "q414_holt_winters").collect()[0]
+    assert r.n_days > 7
+    assert r.forecast_1_c == r.level_c + r.trend_c + r.season_next_c
+    assert r.level_c > 0
