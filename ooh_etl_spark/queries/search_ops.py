@@ -589,3 +589,351 @@ def q404_dirichlet_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("r") <= _QL_TOP)
         .orderBy("r")
     )
+
+
+# --- q415: Rocchio pseudo-relevance-feedback expansion (round 6) ------------
+_PRF_SEED = 10  # round-1 docs treated as pseudo-relevant
+_PRF_EXP = 3  # expansion terms adopted
+_PRF_W = 0.5  # expansion-term weight (original terms weigh 1.0)
+_DUCK_PRF = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         tf_all AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term),
+         df_all AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_all GROUP BY term),
+         r1 AS (
+      SELECT tf.doc_id,
+             CAST(sum(CAST(round(1000000.0
+                 * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * (tf.tf * ({_K1} + 1))
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl
+                                     / (stats.sum_dl * 1.0 / stats.n_docs))))
+               AS BIGINT)) AS BIGINT) AS score_e6
+      FROM tf_all tf
+      JOIN df_all df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      WHERE tf.term IN ('spark', 'table', 'merge')
+      GROUP BY tf.doc_id),
+         seed AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rnk
+        FROM r1 QUALIFY rnk <= {_PRF_SEED})),
+         exp_cand AS (
+      SELECT tf.term,
+             CAST(count(*) AS BIGINT) AS df_r
+      FROM tf_all tf JOIN seed USING (doc_id)
+      WHERE tf.term NOT IN ('spark', 'table', 'merge')
+      GROUP BY tf.term),
+         exp_terms AS (
+      SELECT term, df_r,
+             CAST(round(1000000.0 * df_r
+                        * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1))
+                  AS BIGINT) AS ow_e6,
+             row_number() OVER (ORDER BY CAST(round(1000000.0 * df_r
+                  * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1))
+                  AS BIGINT) DESC, term) AS rk
+      FROM exp_cand JOIN df_all df USING (term) CROSS JOIN stats
+      QUALIFY rk <= {_PRF_EXP}),
+         q2 AS (
+      SELECT term, 1.0 AS w FROM (VALUES ('spark'), ('table'), ('merge'))
+        AS t(term)
+      UNION ALL SELECT term, {_PRF_W!r} AS w FROM exp_terms),
+         r2 AS (
+      SELECT tf.doc_id,
+             CAST(sum(CAST(round(1000000.0 * q2.w
+                 * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * (tf.tf * ({_K1} + 1))
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl
+                                     / (stats.sum_dl * 1.0 / stats.n_docs))))
+               AS BIGINT)) AS BIGINT) AS score_e6
+      FROM tf_all tf
+      JOIN q2 ON tf.term = q2.term
+      JOIN df_all df ON df.term = tf.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT r2.doc_id, r2.score_e6,
+           row_number() OVER (ORDER BY r2.score_e6 DESC, r2.doc_id) AS r,
+           CAST(CASE WHEN seed.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS in_prf_seed
+    FROM r2 LEFT JOIN seed ON r2.doc_id = seed.doc_id
+    QUALIFY r <= {_TOP}
+    ORDER BY r
+"""
+
+
+@register("q415_rocchio_prf", _DUCK_PRF)
+def q415_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971;
+    Robertson's offer weight, J.Doc 1990): BM25 round 1 picks 10
+    pseudo-relevant docs; terms concentrated in them are scored by
+    offer weight df_R * idf; the top 3 join the query at half weight;
+    BM25 round 2 produces the final ranking — the classic two-pass
+    recall amplifier (it finds docs sharing VOCABULARY with good
+    results even when they miss the literal query terms). Output
+    marks which final docs were round-1 seeds.
+
+    Exactness: per-(doc, term) BM25 contributions quantize to 1e-6
+    BEFORE each per-doc sum (exact integer sums, unlike q135's
+    sum-then-quantize — documented difference); both ranking and
+    expansion-term selection order on (quantized value, id).
+
+    100 TB shape: the corpus-wide tf/df tables are one tokenize
+    shuffle (built ONCE, reused by both rounds — checkpointed);
+    round 1 prunes to 3-term postings; the expansion-term agg scans
+    only the 10 seed docs' postings (semi-join); round 2 scans 6-term
+    postings. Nothing rescans the corpus."""
+    d = parallelize_rows(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl")).localCheckpoint()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf_all = (
+        d.select("doc_id", F.explode_outer("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    df_all = tf_all.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    ).localCheckpoint()
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    bm_term = (
+        idf
+        * (F.col("tf") * (_K1 + 1))
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / avgdl))
+    )
+
+    def _scored(tf_subset, weight_col=None):
+        t = (
+            tf_subset.join(F.broadcast(df_all), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        contrib = bm_term if weight_col is None else F.col(weight_col) * bm_term
+        return t.groupBy("doc_id").agg(
+            F.sum(F.round(1000000.0 * contrib).cast("bigint"))
+            .cast("bigint")
+            .alias("score_e6")
+        )
+
+    r1 = _scored(tf_all.filter(F.col("term").isin(*_QUERY_TERMS)))
+    seed = r1.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_e6").desc(), "doc_id"))
+        .alias("r"),
+    ).filter(F.col("r") <= _PRF_SEED).select("doc_id").localCheckpoint()
+    exp_cand = (
+        tf_all.join(seed, "doc_id")
+        .filter(~F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_r"))
+    )
+    ow = F.round(1000000.0 * F.col("df_r") * idf).cast("bigint")
+    exp_terms = (
+        exp_cand.join(F.broadcast(df_all), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", ow.alias("ow_e6"))
+        .select(
+            "term",
+            F.row_number()
+            .over(Window.orderBy(F.col("ow_e6").desc(), "term"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _PRF_EXP)
+        .select("term", F.lit(_PRF_W).alias("w"))
+    )
+    q2 = (
+        spark.createDataFrame(
+            [(t, 1.0) for t in _QUERY_TERMS], "term string, w double"
+        ).unionByName(exp_terms)
+    )
+    r2 = _scored(tf_all.join(F.broadcast(q2), "term"), weight_col="w")
+    return (
+        r2.join(seed.withColumn("in_seed", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "score_e6",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_e6").desc(), "doc_id"))
+            .alias("r"),
+            F.coalesce(F.col("in_seed"), F.lit(0))
+            .cast("bigint")
+            .alias("in_prf_seed"),
+        )
+        .filter(F.col("r") <= _TOP)
+        .orderBy("r")
+    )
+
+
+# --- q416: team-draft interleaving evaluation (round 6) ---------------------
+_TD_DEPTH = 10
+_TD_TRUTH = 5
+_TD_TWO60 = float(1 << 60)
+_DUCK_TEAMDRAFT = f"""
+    WITH RECURSIVE tok AS MATERIALIZED (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+         tfq AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tf_a,
+             CAST(sum(CASE WHEN term = 'table' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tf_b,
+             CAST(sum(CASE WHEN term IN ('spark', 'table', 'merge')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tf_all
+      FROM tok GROUP BY doc_id),
+         la AS MATERIALIZED (
+      SELECT list(doc_id ORDER BY tf_a DESC, doc_id) AS l
+      FROM (SELECT doc_id, tf_a FROM tfq WHERE tf_a > 0
+            ORDER BY tf_a DESC, doc_id LIMIT {_TD_DEPTH})),
+         lb AS MATERIALIZED (
+      SELECT list(doc_id ORDER BY tf_b DESC, doc_id) AS l
+      FROM (SELECT doc_id, tf_b FROM tfq WHERE tf_b > 0
+            ORDER BY tf_b DESC, doc_id LIMIT {_TD_DEPTH})),
+         truth AS MATERIALIZED (
+      SELECT list(doc_id ORDER BY tf_all DESC, doc_id) AS l
+      FROM (SELECT doc_id, tf_all FROM tfq
+            ORDER BY tf_all DESC, doc_id LIMIT {_TD_TRUTH})),
+         draft(pos, picked, na, nb, team, doc) AS (
+      SELECT 0, CAST([] AS BIGINT[]), 0, 0, CAST(NULL AS VARCHAR),
+             CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT d.pos + 1,
+             list_append(d.picked, step.doc),
+             d.na + CASE WHEN step.team = 'A' THEN 1 ELSE 0 END,
+             d.nb + CASE WHEN step.team = 'B' THEN 1 ELSE 0 END,
+             step.team, step.doc
+      FROM draft d
+      CROSS JOIN la CROSS JOIN lb
+      CROSS JOIN LATERAL (
+        SELECT t.team,
+               CASE WHEN t.team = 'A'
+                 THEN coalesce(
+                   list_filter(la.l, x -> NOT list_contains(d.picked, x))[1],
+                   list_filter(lb.l, x -> NOT list_contains(d.picked, x))[1])
+                 ELSE coalesce(
+                   list_filter(lb.l, x -> NOT list_contains(d.picked, x))[1],
+                   list_filter(la.l, x -> NOT list_contains(d.picked, x))[1])
+               END AS doc
+        FROM (SELECT CASE
+                WHEN d.na < d.nb THEN 'A'
+                WHEN d.nb < d.na THEN 'B'
+                WHEN CAST(concat('0x', substr(md5(concat('td#',
+                       CAST(d.pos + 1 AS VARCHAR))), 1, 15)) AS BIGINT)
+                     / {_TD_TWO60!r} < 0.5 THEN 'A'
+                ELSE 'B' END AS team) t) step
+      WHERE d.pos < {_TD_DEPTH}),
+         rows_out AS (
+      SELECT pos, doc, team,
+             CAST(CASE WHEN list_contains(truth.l, doc) THEN 1 ELSE 0 END
+                  AS BIGINT) AS clicked
+      FROM draft CROSS JOIN truth WHERE pos >= 1)
+    SELECT pos, CAST(doc AS BIGINT) AS doc_id, team, clicked,
+           CAST(sum(CASE WHEN team = 'A' THEN clicked ELSE 0 END)
+                  OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS a_clicks_cum,
+           CAST(sum(CASE WHEN team = 'B' THEN clicked ELSE 0 END)
+                  OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS b_clicks_cum
+    FROM rows_out ORDER BY pos
+"""
+
+
+@register("q416_team_draft_interleave", _DUCK_TEAMDRAFT)
+def q416_team_draft_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Team-draft interleaving (Radlinski, Kurup & Joachims, CIKM
+    2008): merge two rankers' top-10 lists by alternating DRAFT picks
+    (the behind team picks; ties broken by a deterministic md5 coin),
+    each team contributing its best not-yet-picked doc — the online-
+    evaluation design that turns ONE result page into a paired
+    ranker comparison, immune to position bias because both teams
+    face the same positions in expectation. Rankers: tf('spark') vs
+    tf('table'); clicks simulated by a tf-total truth top-5; the
+    cumulative per-team click columns ARE the credit assignment.
+
+    Exactness: rankings and truth are integer-tf orderings with
+    doc_id tie-breaks; the draft is a deterministic finite recursion
+    (coin = q178's md5 slice on position), mirrored step-for-step by
+    the oracle's recursive CTE with a LIST pick-state (q414's
+    pattern); clicks and cumulations are integer.
+
+    100 TB shape: corpus cost is one postings aggregate (3-term
+    pruned); the draft itself is a 10-step loop over two 10-id lists
+    — driver-side by construction (the parameter-server bound), as in
+    production interleaving where it runs per-query at serve time."""
+    import hashlib
+
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokenize(F.col("text"))).alias("term")
+    )
+    tfq = tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("term") == "spark", 1).otherwise(0))
+        .cast("bigint")
+        .alias("tf_a"),
+        F.sum(F.when(F.col("term") == "table", 1).otherwise(0))
+        .cast("bigint")
+        .alias("tf_b"),
+        F.sum(F.when(F.col("term").isin(*_QUERY_TERMS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tf_all"),
+    ).localCheckpoint()
+    la = [
+        r.doc_id
+        for r in tfq.filter(F.col("tf_a") > 0)
+        .orderBy(F.col("tf_a").desc(), "doc_id")
+        .limit(_TD_DEPTH)
+        .collect()
+    ]
+    lb = [
+        r.doc_id
+        for r in tfq.filter(F.col("tf_b") > 0)
+        .orderBy(F.col("tf_b").desc(), "doc_id")
+        .limit(_TD_DEPTH)
+        .collect()
+    ]
+    truth = {
+        r.doc_id
+        for r in tfq.orderBy(F.col("tf_all").desc(), "doc_id")
+        .limit(_TD_TRUTH)
+        .collect()
+    }
+
+    def coin(pos: int) -> bool:
+        h = hashlib.md5(f"td#{pos}".encode()).hexdigest()[:15]
+        return int(h, 16) / _TD_TWO60 < 0.5
+
+    picked: list[int] = []
+    na = nb = 0
+    a_cum = b_cum = 0
+    out = []
+    for pos in range(1, _TD_DEPTH + 1):
+        team = "A" if (na < nb or (na == nb and coin(pos))) else "B"
+        primary, backup = (la, lb) if team == "A" else (lb, la)
+        doc = next((x for x in primary if x not in picked), None)
+        if doc is None:
+            doc = next((x for x in backup if x not in picked), None)
+        picked.append(doc)
+        if team == "A":
+            na += 1
+        else:
+            nb += 1
+        clicked = 1 if doc in truth else 0
+        a_cum += clicked if team == "A" else 0
+        b_cum += clicked if team == "B" else 0
+        out.append((pos, doc, team, clicked, a_cum, b_cum))
+    return spark.createDataFrame(
+        out,
+        "pos int, doc_id long, team string, clicked long, "
+        "a_clicks_cum long, b_clicks_cum long",
+    )

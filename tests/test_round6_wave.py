@@ -1111,3 +1111,32 @@ def test_q414_holt_winters_seasonal_state(spark):
     assert r.n_days > 7
     assert r.forecast_1_c == r.level_c + r.trend_c + r.season_next_c
     assert r.level_c > 0
+
+
+def test_q415_prf_contains_seeds_and_expansions(spark):
+    rows = run(spark, "q415_rocchio_prf").collect()
+    assert len(rows) == 10
+    scores = [r.score_e6 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # PRF reranking keeps some seeds but must be ABLE to promote
+    # non-seed docs; both classes present on this corpus
+    seeds = sum(r.in_prf_seed for r in rows)
+    assert 0 < seeds < 10
+
+
+def test_q416_team_draft_balanced(spark):
+    rows = sorted(run(spark, "q416_team_draft_interleave").collect(),
+                  key=lambda r: r.pos)
+    assert [r.pos for r in rows] == list(range(1, 11))
+    # no doc repeats; teams within 1 pick of each other at every prefix
+    docs = [r.doc_id for r in rows]
+    assert len(set(docs)) == 10
+    na = nb = 0
+    for r in rows:
+        if r.team == "A":
+            na += 1
+        else:
+            nb += 1
+        assert abs(na - nb) <= 1
+    assert rows[-1].a_clicks_cum + rows[-1].b_clicks_cum == \
+        sum(r.clicked for r in rows)
