@@ -60,7 +60,7 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: DEBT SCHEDULE (never-driver-seen drains provably, ~146 left after
 #: this window; 44 fresh slots per round). Newest code rotates first:
 #:   r7: the round-6 wave q323–q341 (19, written this round) + the
-#:       late-round-6 waves q342–q377 overflow as slots allow, then the
+#:       late-round-6 waves q342–q416 overflow as slots allow, then the
 #:       q52–q90 relational/TPC-H tail (q52,q53,q54,q56,q58,q61–q65,
 #:       q67,q69,q70,q71,q75,q76,q78,q80,q82–q90 — 25)
 #:   r8: q93–q103 wave + q125–q165 never-seen members (q125–q151,

@@ -3422,19 +3422,23 @@ def q410_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nk"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
     )
+    # 25-row group frame feeds tot, the replicates, and the final
+    # select: checkpoint so the corpus agg runs ONCE (the q296-class
+    # multi-consumer rule)
     g = o.groupBy("nk").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("vc").cast("bigint").alias("s"),
-    )
+    ).localCheckpoint()
     tot = g.agg(
         F.sum("n").cast("bigint").alias("nn"),
         F.sum("s").cast("bigint").alias("ss"),
         F.count(F.lit(1)).cast("bigint").alias("gg"),
     )
+    tot = tot.localCheckpoint()
     loo = g.crossJoin(F.broadcast(tot)).select(
         "nk",
         ((F.col("ss") - F.col("s")) * 1.0 / (F.col("nn") - F.col("n"))).alias("r_i"),
-    )
+    ).localCheckpoint()
     rbar = loo.agg(F.avg("r_i").alias("rbar"))
     jk = (
         loo.crossJoin(F.broadcast(rbar))

@@ -437,17 +437,22 @@ def q400_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qty"),
     )
+    # the part frame feeds both legs: checkpoint once (q296-class);
+    # each leg cuts to K via TakeOrderedAndProject FIRST, so the rank
+    # window runs over K rows, never a single-partition pass over all
+    # parts
+    agg = agg.localCheckpoint()
     wa = Window.orderBy(F.col("rev_c").desc(), "pk")
     wb = Window.orderBy(F.col("qty").desc(), "pk")
     ra = (
-        agg.select("pk", F.row_number().over(wa).alias("r"))
-        .filter(F.col("r") <= _RBO_K)
-        .withColumnRenamed("r", "ra")
+        agg.orderBy(F.col("rev_c").desc(), "pk")
+        .limit(_RBO_K)
+        .select("pk", F.row_number().over(wa).alias("ra"))
     )
     rb = (
-        agg.select("pk", F.row_number().over(wb).alias("r"))
-        .filter(F.col("r") <= _RBO_K)
-        .withColumnRenamed("r", "rb")
+        agg.orderBy(F.col("qty").desc(), "pk")
+        .limit(_RBO_K)
+        .select("pk", F.row_number().over(wb).alias("rb"))
     )
     both = ra.join(rb, "pk").select(
         F.greatest(F.col("ra"), F.col("rb")).alias("m")

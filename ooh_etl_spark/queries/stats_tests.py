@@ -2935,6 +2935,8 @@ def q408_storey_qvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qb"),
         )
         .filter(F.least(F.col("na"), F.col("nb")) >= 2)
+        # 25-row test family feeds fam + ranked: checkpoint (q296-class)
+        .localCheckpoint()
     )
     var_a = (
         F.col("qa").cast("double")
@@ -3066,6 +3068,9 @@ def q409_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("v")
         )
+        # b*k grid feeds k, the block filter, and the rank pass:
+        # checkpoint (q296-class)
+        .localCheckpoint()
     )
     k = cell.agg(F.countDistinct("yr").cast("bigint").alias("k"))
     full_blocks = (
@@ -3209,6 +3214,9 @@ def q412_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d")
         )
         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c"))
+        # the bounded day grid feeds every downstream pass: checkpoint
+        # so the corpus aggregate runs ONCE (q296-class rule)
+        .localCheckpoint()
     )
     d0 = day.agg(F.min("d").alias("d0"))
     t = day.crossJoin(F.broadcast(d0)).select(

@@ -2386,6 +2386,9 @@ def q397_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d")
         )
         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c"))
+        # the bounded day grid feeds every downstream pass: checkpoint
+        # so the corpus aggregate runs ONCE (q296-class rule)
+        .localCheckpoint()
     )
     d0 = day.agg(F.min("d").alias("d0"))
     t = day.crossJoin(F.broadcast(d0)).select(
@@ -2516,6 +2519,8 @@ def q401_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d")
         )
         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c"))
+        # bounded day grid, multiple consumers: checkpoint (q296-class)
+        .localCheckpoint()
     )
     wt = Window.partitionBy().orderBy("d")
     t = day.select(F.row_number().over(wt).alias("t"), "y_c")
@@ -2755,6 +2760,9 @@ def q406_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d")
         )
         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y_c"))
+        # the bounded day grid feeds every downstream pass: checkpoint
+        # so the corpus aggregate runs ONCE (q296-class rule)
+        .localCheckpoint()
     )
     d0 = day.agg(F.min("d").alias("d0"))
     t = day.crossJoin(F.broadcast(d0)).select(
