@@ -49,23 +49,23 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 
 #: The driver's correctness gate checks the FIRST 50 registry entries,
 #: so the head of the registry is chosen deliberately rather than by
-#: module import order. Round-6 rotation (VERDICT r5 items 1+6): keep
+#: module import order. Round-7 rotation (VERDICT r6 item 3): keep
 #: the §2.A reference contract and the streaming trio (6 pinned
-#: slots); ALL 33 round-5 queries (q290–q322 — replica-green but
-#: never driver-seen, the newest code and therefore highest latent
-#: risk) rotate in, plus the next 11 never-driver-seen entries from
-#: the q123–q134 block. Everything rotated out stays green in the
-#: full-registry replica (tools/check_oracle.py --strict).
+#: slots); all 44 fresh slots go to the round-6 wave, newest-first:
+#: q323–q348 + q350–q367 (q349 is rows-only by design — an
+#: oracle-bearing entry makes a stronger driver green, so it drains
+#: with a later block, same call as q125 in r6). Everything rotated
+#: out stays green in the full-registry replica
+#: (tools/check_oracle.py --strict).
 #:
-#: DEBT SCHEDULE (never-driver-seen drains provably, ~146 left after
-#: this window; 44 fresh slots per round). Newest code rotates first:
-#:   r7: the round-6 wave q323–q341 (19, written this round) + the
-#:       late-round-6 waves q342–q416 overflow as slots allow, then the
-#:       q52–q90 relational/TPC-H tail (q52,q53,q54,q56,q58,q61–q65,
-#:       q67,q69,q70,q71,q75,q76,q78,q80,q82–q90 — 25)
-#:   r8: q93–q103 wave + q125–q165 never-seen members (q125–q151,
-#:       q160–q165) + q174/q179–q199 never-seen members
-#:   r9: q200–q263 never-seen members (sketches, time-series,
+#: DEBT SCHEDULE (never-driver-seen: 240 after r6 → 196 after this
+#: window; 44 fresh slots per round; new-query volume capped ≤20/round
+#: per VERDICT r6 item 4 so the debt strictly drains):
+#:   r8: rest of the round-6 wave q368–q416 (49 incl. q349) — minus
+#:       whatever the r7 cap adds, newest first
+#:   r9: the q52–q90 relational/TPC-H tail (25) + q93–q103 wave +
+#:       q125–q151/q160–q165 never-seen members
+#:   r10: q174/q179–q263 never-seen members (sketches, time-series,
 #:       behavioral tails) — after which every registered query has
 #:       driver history and rotation becomes newest-code-first only.
 _DRIVER_WINDOW = [
@@ -77,54 +77,51 @@ _DRIVER_WINDOW = [
     "q33_tumbling_hourly",
     "q36_stream_tumbling",
     "q46_stream_user_profiles",
-    # the full round-5 wave: replica-green, zero driver exposure yet
-    "q290_binary_quantize_hamming",
-    "q291_suffix_lcp_profile",
-    "q292_sequence_pattern",
-    "q293_bayes_ucb_bandit",
-    "q294_isotonic_calibration",
-    "q295_bh_fdr",
-    "q296_symspell_edit_join",
-    "q297_quantile_normalization",
-    "q298_conformal_intervals",
-    "q299_hill_tail_index",
-    "q300_eb_rate_shrinkage",
-    "q301_kmv_set_sketch",
-    "q302_neyman_allocation",
-    "q303_ips_offline_eval",
-    "q304_shapley_attribution",
-    "q305_qini_uplift",
-    "q306_bleu_pairs",
-    "q307_blocking_quality",
-    "q308_wasserstein_drift",
-    "q309_mmd_linear",
-    "q310_map_in_arrow",
-    "q311_observed_metrics",
-    "q312_compaction_planner",
-    "q313_clustering_factor",
-    "q314_zonemap_skipping",
-    "q315_acf",
-    "q316_spectral_power",
-    "q317_rake_keywords",
-    "q318_t_closeness",
-    "q319_fellegi_sunter",
-    "q320_holm_bonferroni",
-    "q321_matching_att",
-    "q322_kcenter_coreset",
-    # next never-driver-seen block (q123–q134)
-    "q123_important_stock",
-    "q124_idle_rich_customers",
-    "q135_bm25_search",  # (q125 is rows-only by design; an
-    # oracle-bearing entry makes a stronger driver green — q125 drains
-    # with the r8 block)
-    "q126_ewma_last20",
-    "q127_mom_growth",
-    "q128_pareto_abc",
-    "q129_funnel_depth",
-    "q131_rank_family",
-    "q132_datetime_gauntlet",
-    "q133_conditional_aggs",
-    "q134_error_bursts",
+    # the round-6 wave, newest-first (44 oracle-bearing first-timers)
+    "q323_mcnemar",
+    "q324_matryoshka_fidelity",
+    "q325_anova_oneway",
+    "q326_kruskal_wallis",
+    "q327_normalized_exact_dedup",
+    "q328_iv_wald",
+    "q329_sort_key_advisor",
+    "q330_theil_sen_trend",
+    "q331_cramer_von_mises",
+    "q332_image_ahash_neardup",
+    "q333_hits_authority",
+    "q334_mutual_nn_pairs",
+    "q335_golden_record",
+    "q336_salted_skew_join",
+    "q337_pivot_segment_matrix",
+    "q338_kneser_ney_bigram",
+    "q339_stratified_kfold",
+    "q340_rendezvous_sharding",
+    "q341_srp_lsh_pairs",
+    "q342_colbert_maxsim",
+    "q343_bcubed_cluster_eval",
+    "q344_coec_position_bias",
+    "q345_dedup_threshold_sweep",
+    "q346_dispersion_dp",
+    "q347_markov_heldout_ppl",
+    "q348_factorial_interaction",
+    "q350_incremental_dedup",
+    "q351_lexicon_flagging",
+    "q352_classical_decomposition",
+    "q353_nucleus_vocab_coverage",
+    "q354_label_spreading",
+    "q355_woe_information_value",
+    "q356_copeland_tournament",
+    "q357_bradley_terry_step",
+    "q358_sink_roundtrip",
+    "q359_length_bucket_packing",
+    "q360_best_of_n_reward",
+    "q361_jaro_winkler_vocab",
+    "q362_mann_kendall",
+    "q363_boxcox_profile",
+    "q364_doubly_robust_ope",
+    "q365_rdd_local_linear",
+    "q366_good_turing",
+    "q367_textrank_keywords",
 ]
 
 #: The driver gate is exactly 50 entries; a 51st silently falls off

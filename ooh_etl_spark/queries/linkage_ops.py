@@ -960,24 +960,50 @@ def q361_jaro_winkler_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q413: Soundex phonetic blocking audit (round 6) ------------------------
-# Simplified American Soundex, IDENTICALLY expressed in both engines:
-# h/w/y are treated as vowels (code 0, run-separating) rather than the
-# official "transparent h/w" rule — a documented, deterministic variant
-# (Russell & Odell 1918; Knuth TAOCP vol.3 §5.5). Vowel-coded runs
-# still separate consonant codes, so the standard examples agree.
-_SOUNDEX_MAP = ("abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202")
+# Standard American Soundex (NARA rules), IDENTICALLY expressed in both
+# engines, INCLUDING the transparent-h/w rule (round-7 fix, ADVICE r6):
+# vowels + y code 0 and separate consonant runs; h/w code 9 and are
+# removed BEFORE run-collapse, so same-code consonants straddling an
+# h/w collapse to one digit ('Ashcraft' → A261, not the A226 the r6
+# variant produced). The first collapsed code (the first letter's run)
+# is dropped unless the first letter is itself h/w, which carries no
+# code. Codes now interoperate with external standard-Soundex systems.
+#   a0 b1 c2 d3 e0 f1 g2 h9 i0 j2 k2 l4 m5 n5 o0 p1 q2 r6 s2 t3 u0 v1
+#   w9 x2 y0 z2
+_SOUNDEX_MAP = ("abcdefghijklmnopqrstuvwxyz", "01230129022455012623019202")
+
+
+def soundex_code(w):
+    """Standard American Soundex of string column ``w`` as a pure
+    codegen Column expression (no UDF): translate to codes (h/w → the
+    '9' marker), strip markers, collapse runs per digit, drop the
+    first letter's run unless the first letter is h/w, strip vowel
+    codes, pad to letter+3."""
+    m = F.translate(F.lower(w), _SOUNDEX_MAP[0], _SOUNDEX_MAP[1])
+    m2 = F.replace(m, F.lit("9"), F.lit(""))  # h/w transparent: strip pre-collapse
+    for d in "0123456":
+        m2 = F.regexp_replace(m2, d + "+", d)
+    dropped = F.when(
+        F.substring(m, 1, 1) != "9", F.substring(m2, 2, 2147483647)
+    ).otherwise(m2)
+    digits = F.replace(dropped, F.lit("0"), F.lit(""))
+    return F.concat(
+        F.upper(F.substring(w, 1, 1)),
+        F.rpad(F.substring(digits, 1, 3), 3, "0"),
+    )
 
 
 def _duck_soundex(col: str) -> str:
-    m = f"translate({col}, '{_SOUNDEX_MAP[0]}', '{_SOUNDEX_MAP[1]}')"
-    m2 = m
+    m = f"translate(lower({col}), '{_SOUNDEX_MAP[0]}', '{_SOUNDEX_MAP[1]}')"
+    nohw = f"replace({m}, '9', '')"
+    m2 = nohw
     for d in "0123456":
         m2 = f"regexp_replace({m2}, '{d}+', '{d}', 'g')"
-    digits_all = f"replace({m2}, '0', '')"
-    digits = (
-        f"CASE WHEN substr({m}, 1, 1) <> '0' THEN substr({digits_all}, 2) "
-        f"ELSE {digits_all} END"
+    dropped = (
+        f"CASE WHEN substr({m}, 1, 1) <> '9' THEN substr({m2}, 2) "
+        f"ELSE {m2} END"
     )
+    digits = f"replace({dropped}, '0', '')"
     return f"upper(substr({col}, 1, 1)) || rpad(substr({digits}, 1, 3), 3, '0')"
 
 
@@ -1007,13 +1033,17 @@ def q413_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     block's name count, row mass, and candidate-pair count — the
     blocking-quality numbers (q307's RR/PC inputs) for a key that
     catches SPELLING variants equality blocking misses ('Smith' /
-    'Smyth' → S530). The code is built from translate + per-digit
-    run-collapse + vowel strip — pure codegen string ops, no UDF.
+    'Smyth' → S530, 'Ashcraft' / 'Ashcroft' → A261). The code is
+    built from translate + h/w strip + per-digit run-collapse +
+    vowel strip — pure codegen string ops, no UDF — and follows the
+    NARA standard including the transparent-h/w rule, so blocking
+    keys interoperate with external standard-Soundex systems.
 
     Exactness: every step is a deterministic string transform
     expressed identically in both engines (the 7 run-collapse
     regexes avoid backreferences, which RE2 lacks); outputs are
-    integer counts and min/max examples.
+    integer counts and min/max examples. Property-tested against
+    the published NARA examples (tests/test_round6_wave.py).
 
     100 TB shape: one (name)-keyed agg collapses the corpus to the
     vocab, then one (code)-keyed agg over the vocab — both map-side
@@ -1026,19 +1056,7 @@ def q413_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
     )
-    m = F.translate(F.col("w"), _SOUNDEX_MAP[0], _SOUNDEX_MAP[1])
-    m2 = m
-    for d in "0123456":
-        m2 = F.regexp_replace(m2, d + "+", d)
-    digits_all = F.replace(m2, F.lit("0"), F.lit(""))
-    digits = F.when(F.substring(m, 1, 1) != "0", F.substring(digits_all, 2, 3)).otherwise(
-        F.substring(digits_all, 1, 3)
-    )
-    code = F.concat(
-        F.upper(F.substring(F.col("w"), 1, 1)),
-        F.rpad(F.substring(digits, 1, 3), 3, "0"),
-    )
-    coded = names.select("w", "n_parts", code.alias("code"))
+    coded = names.select("w", "n_parts", soundex_code(F.col("w")).alias("code"))
     return (
         coded.groupBy("code")
         .agg(

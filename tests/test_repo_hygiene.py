@@ -30,3 +30,41 @@ def test_round_artifacts_are_git_tracked():
         f"round artifacts present but not committed: {untracked} — "
         "run `git add` on them before round close"
     )
+
+
+def test_bench_final_line_fits_driver_tail_buffer():
+    """The driver captures only ~1.5 KB of bench.py's stdout tail; six
+    rounds of `"parsed": null` traced to the final JSON line outgrowing
+    it (VERDICT r6 item 1). Reconstruct the worst-case final line from
+    the current HEADLINE list and assert it stays well under budget,
+    so adding headline queries can never silently re-break the driver's
+    perf pipeline."""
+    import json
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import bench
+
+    def short(name: str) -> str:
+        head = name.split("_", 1)[0]
+        return head if head.startswith("q") and head[1:].isdigit() else name[:12]
+
+    names = [*bench.HEADLINE, "ooh_xml_10k"]
+    shorts = [short(n) for n in names]
+    assert len(set(shorts)) == len(shorts), "short-key collision in HEADLINE"
+    worst = {s: 99999.999 for s in shorts}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": 999999.999,
+            "unit": "sec",
+            "queries": worst,
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1200, (
+        f"bench final line would be {len(line)} bytes — over the ~1.5 KB "
+        "driver tail buffer safety margin; shorten keys or trim HEADLINE"
+    )

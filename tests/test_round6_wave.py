@@ -1087,23 +1087,47 @@ def test_q413_soundex_codes_wellformed(spark):
 
 
 def test_q413_soundex_known_values(spark):
-    # classic pairs must collide in the simplified variant too
+    # Pure-Python mirror of BOTH engine expressions (same map, same
+    # h/w-strip-then-collapse order), checked against the published
+    # NARA standard examples — including the transparent-h/w cases the
+    # r6 variant got wrong (ADVICE r6: Ashcraft was A226, standard is
+    # A261).
     from ooh_etl_spark.queries.linkage_ops import _SOUNDEX_MAP
 
     def soundex(w):
         m = "".join(_SOUNDEX_MAP[1][ord(c) - 97] for c in w.lower())
+        nohw = m.replace("9", "")
         m2 = []
-        for c in m:
+        for c in nohw:
             if not m2 or m2[-1] != c:
                 m2.append(c)
-        digits_all = "".join(c for c in m2 if c != "0")
-        digits = digits_all[1:] if m[0] != "0" else digits_all
+        dropped = m2[1:] if m[0] != "9" else m2
+        digits = "".join(c for c in dropped if c != "0")
         return w[0].upper() + (digits[:3] + "000")[:3]
 
+    # NARA "General Rules" worked examples
+    assert soundex("Washington") == "W252"
+    assert soundex("Lee") == "L000"
+    assert soundex("Gutierrez") == "G362"
+    assert soundex("Pfister") == "P236"  # same-code first-letter run
+    assert soundex("Jackson") == "J250"
+    assert soundex("Tymczak") == "T522"  # vowel separates, y is a vowel
+    assert soundex("Ashcraft") == "A261"  # transparent h: s..c collapse
+    assert soundex("Honeyman") == "H555"  # initial h carries no code
     assert soundex("robert") == soundex("rupert") == "R163"
     assert soundex("smith") == soundex("smyth") == "S530"
     assert soundex("large") == "L620"
-    assert soundex("ashcraft") == "A226"  # simplified variant (official A261)
+
+    # and the production Spark expression agrees with the mirror
+    from pyspark.sql import functions as F
+
+    from ooh_etl_spark.queries.linkage_ops import soundex_code
+
+    words = ["Washington", "Pfister", "Tymczak", "Ashcraft", "Honeyman",
+             "Hwang", "White", "aaa", "b", "quartz"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = dict(df.select("w", soundex_code(F.col("w")).alias("c")).collect())
+    assert got == {w: soundex(w) for w in words}
 
 
 def test_q414_holt_winters_seasonal_state(spark):
