@@ -515,3 +515,89 @@ def test_wave20_25_plan_shapes(spark):
                  "q406_cooks_distance"):
         plan = plan_of(spark, name)
         assert plan.count("Scan parquet") <= 2, (name, plan.count("Scan parquet"))
+
+
+def plan_of_nockpt(spark, name: str) -> str:
+    """Full-lineage plan: localCheckpoint no-op'd so the plan shows
+    every consumer's subtree back to the parquet scans (a checkpointed
+    DataFrame otherwise plans from an ExistingRDD, hiding the fact
+    shuffle the pin wants to assert on)."""
+    from pyspark.sql import DataFrame
+
+    real = DataFrame.localCheckpoint
+    DataFrame.localCheckpoint = lambda self, eager=True: self
+    try:
+        return physical_plan(QUERIES[name].fn(spark, SF_DIR))
+    finally:
+        DataFrame.localCheckpoint = real
+
+
+def _exchange_key_sets(plan: str) -> list[set]:
+    """Column-name sets of every hash exchange in the formatted plan
+    (`hashpartitioning(pk#123, mo#124, 32)` -> {"pk", "mo"})."""
+    import re
+
+    out = []
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        cols = {
+            c.strip().split("#")[0]
+            for c in m.group(1).split(",")
+            if "#" in c
+        }
+        out.append(cols)
+    return out
+
+
+def test_q373_fact_shuffles_only_on_part_month(spark):
+    # q296-style named pin (VERDICT r6 item 9): the price-index star
+    # shuffles lineitem exactly into the (part, month) grid — every
+    # hash exchange in the FULL lineage keys on a subset of
+    # {pk, mo(, base-month twins)}; nothing re-shuffles rows on any
+    # wider key, the base-month slice attaches by broadcast, and the
+    # scan reads only the four needed fact columns.
+    plan = plan_of_nockpt(spark, "q373_price_indices")
+    assert not has_cartesian(plan), plan
+    allowed = {"pk", "mo", "mo0", "p0_c", "q0"}
+    for keys in _exchange_key_sets(plan):
+        assert keys <= allowed, (keys, plan)
+    assert "BroadcastExchange" in plan
+    assert reads_only(
+        plan, {"l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"}
+    ), plan
+
+
+def test_q379_dot_products_only_through_posting_list(spark):
+    # q296-style named pin: the TF-IDF cosine pairs come from ONE
+    # posting-list self-join on the term key. Post-checkpoint the plan
+    # has exactly three joins — the term-keyed dots join plus the two
+    # broadcast norm attachments — and no node may be a nested-loop or
+    # cartesian (doc x doc never enumerates).
+    import re
+
+    plan = plan_of(spark, "q379_sparse_cosine_pairs")
+    assert not has_cartesian(plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = re.findall(
+        r"\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan
+    )
+    assert len(joins) == 3, (joins, plan)
+    non_broadcast = [j for j in joins if j != "BroadcastHashJoin"]
+    assert len(non_broadcast) <= 1, (joins, plan)
+
+
+def test_q361_pair_side_never_shuffles(spark):
+    # q296-style named pin: after the checkpointed vocab aggregate,
+    # the pair table is built by a broadcast nested-loop over the
+    # bounded DISTINCT vocab and scored in place — the ONLY exchange
+    # in the scoring plan is the final presentation sort; usage counts
+    # attach by broadcast hash joins.
+    import re
+
+    plan = plan_of(spark, "q361_jaro_winkler_vocab")
+    assert not has_cartesian(plan), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # numbered detail headers: one per node (the tree section repeats
+    # the names, so a bare substring count double-counts)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert shuffle_count(plan) <= 1, (shuffle_count(plan), plan)
+    assert "rangepartitioning" in plan or shuffle_count(plan) == 0, plan
