@@ -1211,17 +1211,20 @@ _DUCK_WINNOW = f"""
       SELECT doc_id, source,
              list_distinct(list_transform(range(1, L - {_WIN_K + _WIN_W} + 3),
                j -> list_min(list_transform(range(j, j + {_WIN_W}),
-                      i -> md5(substr(t, CAST(i AS INT), {_WIN_K})))))) AS fp
+                      i -> substr(md5(substr(t, CAST(i AS INT), {_WIN_K})),
+                                  1, 16))))) AS fp
       FROM d),
          tall AS (SELECT doc_id, source, unnest(fp) AS fp FROM fps),
-         census AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM tall GROUP BY fp)
+         nd AS (
+      SELECT doc_id, source, fp,
+             count(*) OVER (PARTITION BY fp) AS nd
+      FROM tall)
     SELECT source,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_fps,
-           CAST(count(DISTINCT t.fp) AS BIGINT) AS distinct_fps,
+           CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps,
            CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS xdoc_fps
-    FROM tall t JOIN census c ON t.fp = c.fp
-    GROUP BY source ORDER BY source
+    FROM nd GROUP BY source ORDER BY source
 """
 
 
@@ -1251,10 +1254,15 @@ def q417_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     against index size exactly as published. (A pure array-lambda
     form — transform/array_min, zero pre-census shuffle — was measured
     12x SLOWER here: Spark evaluates higher-order-function lambdas
-    interpreted, so the per-gram md5 left whole-stage codegen.)"""
+    interpreted, so the per-gram md5 left whole-stage codegen.
+    parallelize_rows fans the single-file fixture out so the explode
+    and the dedup's partial aggregates parallelize — measured 4.3s ->
+    0.8s at sf0.1; no-ops at production split counts.)"""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ooh_etl_spark.tables import parallelize_rows  # noqa: PLC0415
+
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
     k, w = _WIN_K, _WIN_W
     grams = docs.filter(F.length("text") >= k + w - 1).select(
         "doc_id",
@@ -1267,7 +1275,7 @@ def q417_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "i",
         "last_j",
-        F.expr(f"md5(substring(lower(text), i, {k}))").alias("h"),
+        F.expr(f"substring(md5(substring(lower(text), i, {k})), 1, 16)").alias("h"),
     )
     win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
     tall = (
@@ -1282,12 +1290,18 @@ def q417_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "fp")
         .distinct()
     )
-    census = tall.groupBy("fp").agg(
-        F.countDistinct("doc_id").alias("nd")
+    # cross-doc census WITHOUT a self-join: tall is doc-distinct, so a
+    # row count per fingerprint partition == documents carrying it (a
+    # fp-keyed window beats groupBy + sort-merge-join back on a string
+    # key — measured 6.3s -> ~2s at sf0.1)
+    nd = tall.select(
+        "doc_id",
+        "source",
+        "fp",
+        F.count(F.lit(1)).over(Window.partitionBy("fp")).alias("nd"),
     )
     return (
-        tall.join(census, "fp")
-        .groupBy("source")
+        nd.groupBy("source")
         .agg(
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
             F.count(F.lit(1)).cast("bigint").alias("n_fps"),
@@ -1369,10 +1383,13 @@ def q418_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (An array-lambda form — boundary list + chunk transform per row —
     was measured 300x slower: interpreted HOF lambdas, plus projection
     collapse re-inlining the full boundary scan into every element_at
-    reference.)"""
+    reference. parallelize_rows fans the single-file fixture out so the
+    position explode parallelizes; no-ops at production split counts.)"""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ooh_etl_spark.tables import parallelize_rows  # noqa: PLC0415
+
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
     k = _CDC_K
     # one explode pass emits every candidate position 0..L plus keeps
     # only the sentinels (0, L) and the mask-satisfying interior
