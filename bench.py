@@ -238,8 +238,10 @@ def main() -> None:
     # names, per-query spreads, rep count — goes to BENCH_DETAIL.json
     # next to this script and to stderr.
     def short(name: str) -> str:
-        head = name.split("_", 1)[0]
-        return head if head.startswith("q") and head[1:].isdigit() else name[:12]
+        import re
+
+        m = re.match(r"q\d+[a-z]?$", name.split("_", 1)[0])
+        return m.group(0) if m else name[:12]
 
     compact = {short(k): v for k, v in timings.items()}
     assert len(compact) == len(timings), "short-key collision in HEADLINE"

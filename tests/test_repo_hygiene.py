@@ -47,8 +47,10 @@ def test_bench_final_line_fits_driver_tail_buffer():
     import bench
 
     def short(name: str) -> str:
-        head = name.split("_", 1)[0]
-        return head if head.startswith("q") and head[1:].isdigit() else name[:12]
+        import re
+
+        m = re.match(r"q\d+[a-z]?$", name.split("_", 1)[0])
+        return m.group(0) if m else name[:12]
 
     names = [*bench.HEADLINE, "ooh_xml_10k"]
     shorts = [short(n) for n in names]
