@@ -49,25 +49,26 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 
 #: The driver's correctness gate checks the FIRST 50 registry entries,
 #: so the head of the registry is chosen deliberately rather than by
-#: module import order. Round-7 rotation (VERDICT r6 item 3): keep
-#: the §2.A reference contract and the streaming trio (6 pinned
-#: slots); all 44 fresh slots go to the round-6 wave, newest-first:
-#: q323–q348 + q350–q367 (q349 is rows-only by design — an
-#: oracle-bearing entry makes a stronger driver green, so it drains
-#: with a later block, same call as q125 in r6). Everything rotated
-#: out stays green in the full-registry replica
-#: (tools/check_oracle.py --strict).
+#: module import order. Round-8 rotation (per the in-file schedule +
+#: VERDICT r6 items 3/4): keep the §2.A reference contract and the
+#: streaming trio (6 pinned slots); the 44 fresh slots take the rest
+#: of the round-6 wave plus the round-7 cap, newest-first:
+#: q419–q376. q349 remains rows-only-by-design and drains with a
+#: later block. Everything rotated out stays green in the
+#: full-registry replica (tools/check_oracle.py --strict).
 #:
-#: DEBT SCHEDULE (never-driver-seen: 240 after r6 → 196 after this
-#: window; 44 fresh slots per round; new-query volume capped ≤20/round
-#: per VERDICT r6 item 4 so the debt strictly drains):
-#:   r8: rest of the round-6 wave q368–q416 (49 incl. q349) — minus
-#:       whatever the r7 cap adds, newest first
-#:   r9: the q52–q90 relational/TPC-H tail (25) + q93–q103 wave +
-#:       q125–q151/q160–q165 never-seen members
-#:   r10: q174/q179–q263 never-seen members (sketches, time-series,
-#:       behavioral tails) — after which every registered query has
-#:       driver history and rotation becomes newest-code-first only.
+#: DEBT SCHEDULE (never-driver-seen: 240 after r6 → ~199 after r7
+#: → ~155 after this window; 44 fresh slots per round; new-query
+#: volume capped ≤20/round per VERDICT r6 item 4 so the debt
+#: strictly drains):
+#:   r9: q368–q375 + q349 leftovers (9), then the q52–q90
+#:       relational/TPC-H tail (25) — the oldest debt — + the head
+#:       of the q93–q103 wave (fills the 44)
+#:   r10: q125–q151/q160–q165 never-seen members + q174/q179+ tail
+#:   r11: remaining q179–q263 never-seen members (sketches,
+#:       time-series, behavioral tails) — after which every
+#:       registered query has driver history and rotation becomes
+#:       newest-code-first only.
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)
     "flagship_doc_scan",
@@ -77,51 +78,51 @@ _DRIVER_WINDOW = [
     "q33_tumbling_hourly",
     "q36_stream_tumbling",
     "q46_stream_user_profiles",
-    # the round-6 wave, newest-first (44 oracle-bearing first-timers)
-    "q323_mcnemar",
-    "q324_matryoshka_fidelity",
-    "q325_anova_oneway",
-    "q326_kruskal_wallis",
-    "q327_normalized_exact_dedup",
-    "q328_iv_wald",
-    "q329_sort_key_advisor",
-    "q330_theil_sen_trend",
-    "q331_cramer_von_mises",
-    "q332_image_ahash_neardup",
-    "q333_hits_authority",
-    "q334_mutual_nn_pairs",
-    "q335_golden_record",
-    "q336_salted_skew_join",
-    "q337_pivot_segment_matrix",
-    "q338_kneser_ney_bigram",
-    "q339_stratified_kfold",
-    "q340_rendezvous_sharding",
-    "q341_srp_lsh_pairs",
-    "q342_colbert_maxsim",
-    "q343_bcubed_cluster_eval",
-    "q344_coec_position_bias",
-    "q345_dedup_threshold_sweep",
-    "q346_dispersion_dp",
-    "q347_markov_heldout_ppl",
-    "q348_factorial_interaction",
-    "q350_incremental_dedup",
-    "q351_lexicon_flagging",
-    "q352_classical_decomposition",
-    "q353_nucleus_vocab_coverage",
-    "q354_label_spreading",
-    "q355_woe_information_value",
-    "q356_copeland_tournament",
-    "q357_bradley_terry_step",
-    "q358_sink_roundtrip",
-    "q359_length_bucket_packing",
-    "q360_best_of_n_reward",
-    "q361_jaro_winkler_vocab",
-    "q362_mann_kendall",
-    "q363_boxcox_profile",
-    "q364_doubly_robust_ope",
-    "q365_rdd_local_linear",
-    "q366_good_turing",
-    "q367_textrank_keywords",
+    # r8: rest of the round-6 wave + round-7 additions, newest-first
+    "q419_fs_em_step",
+    "q418_cdc_chunk_dedup",
+    "q417_winnowing_fingerprints",
+    "q416_team_draft_interleave",
+    "q415_rocchio_prf",
+    "q414_holt_winters",
+    "q413_soundex_blocking",
+    "q412_chow_test",
+    "q411_cost_optimal_threshold",
+    "q410_jackknife_ratio_se",
+    "q409_page_trend",
+    "q408_storey_qvalues",
+    "q407_chao1_richness",
+    "q406_cooks_distance",
+    "q405_kalman_local_level",
+    "q404_dirichlet_query_likelihood",
+    "q403_expected_reciprocal_rank",
+    "q402_obrien_fleming",
+    "q401_cusum_changepoint",
+    "q400_rank_biased_overlap",
+    "q399_capture_recapture",
+    "q398_flesch_readability",
+    "q397_durbin_watson",
+    "q396_ledoit_wolf",
+    "q395_pca_power_step",
+    "q394_aa_calibration",
+    "q393_fwl_partial_out",
+    "q392_source_overlap_matrix",
+    "q391_reorder_points",
+    "q390_inequality_indices",
+    "q389_rank_footrule",
+    "q388_speculative_overlap",
+    "q387_prefix_cache_savings",
+    "q386_wilcoxon_signed_rank",
+    "q385_mdlp_split",
+    "q384_kendall_tau",
+    "q383_priority_sample",
+    "q382_source_ablation",
+    "q381_haar_energy",
+    "q380_negbin_moments",
+    "q379_sparse_cosine_pairs",
+    "q378_kish_design_effect",
+    "q377_brown_forsythe",
+    "q376_hurst_rs",
 ]
 
 #: The driver gate is exactly 50 entries; a 51st silently falls off

@@ -1092,10 +1092,10 @@ _DUCK_FS_EM = f"""
       GROUP BY 1, 2),
          e AS (
       SELECT g1, g2, n,
-             {_EM_P0} * pow({_EM_M0}, g1) * pow(1 - {_EM_M0}, 1 - g1)
-                      * pow({_EM_M0}, g2) * pow(1 - {_EM_M0}, 1 - g2) AS lm,
-             (1 - {_EM_P0}) * pow({_EM_U0}, g1) * pow(1 - {_EM_U0}, 1 - g1)
-                            * pow({_EM_U0}, g2) * pow(1 - {_EM_U0}, 1 - g2) AS lu
+             {_EM_P0!r} * pow({_EM_M0!r}, g1) * pow({1 - _EM_M0!r}, 1 - g1)
+                      * pow({_EM_M0!r}, g2) * pow({1 - _EM_M0!r}, 1 - g2) AS lm,
+             {1 - _EM_P0!r} * pow({_EM_U0!r}, g1) * pow({1 - _EM_U0!r}, 1 - g1)
+                            * pow({_EM_U0!r}, g2) * pow({1 - _EM_U0!r}, 1 - g2) AS lu
       FROM pat),
          w AS (
       SELECT g1, g2, n, lm / (lm + lu) AS wm FROM e),
@@ -1134,7 +1134,12 @@ def q419_fs_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: pairs aggregate to the 2^2-row agreement-pattern table
     with integer counts; E/M arithmetic runs on those 4 rows with one
     identical double-op sequence per engine and quantizes to micro
-    units at the output.
+    units at the output. The complements (1-m0 etc.) are precomputed
+    in Python and interpolated into the oracle SQL via repr() —
+    DuckDB would otherwise fold `1 - 0.9` in DECIMAL to an exact 0.1
+    that differs from Python's 1-0.9 double in the last ulp
+    (ADVICE r7), breaking the bit-identical claim on knife-edge
+    values.
 
     100 TB shape: the ONLY corpus-scale work is the q307-audited
     blocked pair join and its one aggregate to 2^F pattern rows

@@ -521,15 +521,31 @@ def plan_of_nockpt(spark, name: str) -> str:
     """Full-lineage plan: localCheckpoint no-op'd so the plan shows
     every consumer's subtree back to the parquet scans (a checkpointed
     DataFrame otherwise plans from an ExistingRDD, hiding the fact
-    shuffle the pin wants to assert on)."""
-    from pyspark.sql import DataFrame
+    shuffle the pin wants to assert on).
+
+    PySpark 4 gotcha (ADVICE r7): sessions return
+    pyspark.sql.classic.dataframe.DataFrame instances which OVERRIDE
+    localCheckpoint, so patching the pyspark.sql.DataFrame base class
+    is a silent no-op and the pin asserts on an ExistingRDD plan.
+    Patch the classic subclass (as tools/checkpoint_ab.py does) and
+    guard against vacuity: a full-lineage plan must reach parquet.
+    """
+    from pyspark.sql.classic.dataframe import DataFrame
 
     real = DataFrame.localCheckpoint
     DataFrame.localCheckpoint = lambda self, eager=True: self
     try:
-        return physical_plan(QUERIES[name].fn(spark, SF_DIR))
+        plan = physical_plan(QUERIES[name].fn(spark, SF_DIR))
     finally:
         DataFrame.localCheckpoint = real
+    # Anti-vacuity: with checkpoints disabled the lineage MUST root at
+    # the parquet scans; an ExistingRDD-rooted plan means the patch
+    # regressed to a no-op and every downstream assertion is vacuous.
+    assert plan.count("Scan parquet") >= 1, (
+        f"{name}: no parquet scan in full-lineage plan - "
+        "localCheckpoint patch is a no-op again?\n" + plan
+    )
+    return plan
 
 
 def _exchange_key_sets(plan: str) -> list[set]:
@@ -557,9 +573,17 @@ def test_q373_fact_shuffles_only_on_part_month(spark):
     # scan reads only the four needed fact columns.
     plan = plan_of_nockpt(spark, "q373_price_indices")
     assert not has_cartesian(plan), plan
-    allowed = {"pk", "mo", "mo0", "p0_c", "q0"}
+    # Pre-alias the grid agg keys on (l_partkey, month-expr); post-alias
+    # consumers re-key on (pk, mo) subsets only.
+    allowed = {"l_partkey", "_groupingexpression", "pk", "mo", "mo0",
+               "p0_c", "q0"}
     for keys in _exchange_key_sets(plan):
         assert keys <= allowed, (keys, plan)
+    # The fact shuffle itself must exist (anti-vacuity: ADVICE r7).
+    assert any(
+        "l_partkey" in keys or "pk" in keys
+        for keys in _exchange_key_sets(plan)
+    ), plan
     assert "BroadcastExchange" in plan
     assert reads_only(
         plan, {"l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"}
