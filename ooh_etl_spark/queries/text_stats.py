@@ -1743,3 +1743,247 @@ def q407_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coverage_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave: Heaps'-law fit, charset/byte-cost census, bigram
+# document-frequency novelty profile.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q420_heaps_law_fit",
+    f"""
+    WITH d AS (
+      SELECT lang, {_DUCK_TOKS} AS toks FROM documents),
+         p AS (
+      SELECT lang,
+             len(toks) AS n,
+             len(list_distinct(toks)) AS v
+      FROM d)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(10000 * regr_slope(ln(v), ln(n))) AS BIGINT)
+             AS heaps_beta_bp,
+           CAST(round(10000 * regr_intercept(ln(v), ln(n))) AS BIGINT)
+             AS heaps_logk_bp,
+           CAST(sum(v) AS BIGINT) AS sum_types,
+           CAST(sum(n) AS BIGINT) AS sum_tokens
+    FROM p GROUP BY lang ORDER BY lang
+    """,
+)
+def q420_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law (Herdan's law) fit per language: regress ln(types)
+    on ln(tokens) across documents to estimate the vocabulary-growth
+    exponent beta in V = K * N^beta (Heaps 1978; natural text lands
+    around 0.4-0.6, while template/boilerplate corpora collapse toward
+    0 and random token salad toward 1). The corpus-planning companion
+    to q93's Zipf slope and q94's bucketed growth curve: beta predicts
+    how much NEW vocabulary (hence tokenizer pressure and embedding
+    rows) another 10x of data will bring per language.
+
+    Exactness: the regression inputs (n, v) are exact integers
+    computed identically by both tokenizers; ln() and the
+    regr_slope/intercept reduction are one double pipeline each,
+    quantized to basis points at the output (q93 precedent).
+
+    100 TB shape: (n, v) is computed inside the scan stage per doc
+    (array ops in codegen, no explode — the token list never leaves
+    its row); the only shuffle is the |langs|-group regression
+    reduce, which is map-side combinable to 6 floats per partition.
+    """
+    d = _docs(spark, sf_dir).select(
+        "lang", tokenize(F.col("text")).alias("toks")
+    )
+    p = d.select(
+        "lang",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("v"),
+    )
+    return (
+        p.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(10000 * F.regr_slope(F.log("v"), F.log("n")))
+            .cast("bigint")
+            .alias("heaps_beta_bp"),
+            F.round(10000 * F.regr_intercept(F.log("v"), F.log("n")))
+            .cast("bigint")
+            .alias("heaps_logk_bp"),
+            F.sum("v").cast("bigint").alias("sum_types"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NONPRINT_ASCII = "[^\\x20-\\x7E]"  # same class in Java regex and RE2
+
+
+@register(
+    "q421_charset_cost_census",
+    f"""
+    WITH c AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             octet_length(encode(text)) AS n_bytes,
+             length(text) - length(regexp_replace(text, '{_NONPRINT_ASCII}', '', 'g'))
+               AS n_nonascii,
+             CASE WHEN strpos(text, chr(65533)) > 0 THEN 1 ELSE 0 END AS has_repl
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+           CAST(sum(n_nonascii) AS BIGINT) AS sum_nonascii,
+           CAST(sum(has_repl) AS BIGINT) AS n_replacement_docs,
+           CAST(round(1000000.0 * sum(n_bytes) / sum(n_chars)) AS BIGINT)
+             AS bytes_per_char_e6,
+           CAST(round(10000.0 * sum(n_nonascii) / sum(n_chars)) AS BIGINT)
+             AS nonascii_bp
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+)
+def q421_charset_cost_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset / byte-cost census per language: UTF-8 bytes vs
+    codepoints (CJK text costs ~3 bytes and often ~1 token per char,
+    so byte-budgeted ingestion and char-budgeted dedup disagree by 3x
+    — the storage-planning twin of q165's tokenizer fertility),
+    non-printable-ASCII fraction, and U+FFFD replacement-character
+    docs (the standard mojibake/encoding-corruption tripwire a crawl
+    pipeline alerts on; expected 0 on a healthy corpus).
+
+    Exactness: all five signals are exact integers inside the scan
+    stage; the two ratios are one double division each over integer
+    sums, quantized to e6/bp.
+
+    100 TB shape: zero explodes, zero joins — per-doc char-class
+    arithmetic in WholeStageCodegen, then one |langs|-group map-side
+    combinable aggregate. This is the cheapest full-corpus pass in
+    the catalog, which is the point: it is the health check you run
+    on EVERY ingest batch before spending the expensive passes."""
+    c = _docs(spark, sf_dir).select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.octet_length("text").alias("n_bytes"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), _NONPRINT_ASCII, ""))
+        ).alias("n_nonascii"),
+        F.when(F.instr(F.col("text"), "�") > 0, 1).otherwise(0).alias("has_repl"),
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
+            F.sum("n_nonascii").cast("bigint").alias("sum_nonascii"),
+            F.sum("has_repl").cast("bigint").alias("n_replacement_docs"),
+            F.round(1000000.0 * F.sum("n_bytes") / F.sum("n_chars"))
+            .cast("bigint")
+            .alias("bytes_per_char_e6"),
+            F.round(10000.0 * F.sum("n_nonascii") / F.sum("n_chars"))
+            .cast("bigint")
+            .alias("nonascii_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NOVELTY_COMMON_DF = 5
+
+_DUCK_DISTINCT_BIGRAMS = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i + 1]))"
+)
+
+
+@register(
+    "q422_bigram_novelty_profile",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+         b AS (
+      SELECT doc_id, source, unnest({_DUCK_DISTINCT_BIGRAMS}) AS bg FROM d),
+         w AS (
+      SELECT doc_id, source, count(*) OVER (PARTITION BY bg) AS df FROM b),
+         perdoc AS (
+      SELECT doc_id, source,
+             count(*) AS n_bg,
+             sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_uniq,
+             sum(CASE WHEN df >= {_NOVELTY_COMMON_DF} THEN 1 ELSE 0 END) AS n_com
+      FROM w GROUP BY doc_id, source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+           CAST(sum(n_uniq) AS BIGINT) AS n_unique,
+           CAST(sum(n_com) AS BIGINT) AS n_common,
+           CAST(round(10000.0 * sum(n_uniq) / sum(n_bg)) AS BIGINT)
+             AS novelty_bp
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+)
+def q422_bigram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram document-frequency novelty profile per source: for each
+    doc's DISTINCT bigrams, how many appear in exactly one document
+    (novel) vs >= {_NOVELTY_COMMON_DF} documents (stock phrases) —
+    the inverted-index triage that ranks sources by boilerplate /
+    near-duplication risk BEFORE any pairwise dedup runs (a source
+    with low novelty_bp is where q27/q28's pair budget should go
+    first, and a source of pure stock phrases is a candidate to drop
+    wholesale). Per-doc risk scoring without enumerating any doc
+    pair — the linear-cost front half of the dedup funnel.
+
+    Exactness: distinct-bigram sets are engine-identical string
+    lists; df and all census counters are exact integers; novelty_bp
+    is one quantized division.
+
+    100 TB shape: ONE corpus scan and ONE bigram explode — df is a
+    count window over the bigram-keyed shuffle (not a df-table join
+    back onto a second explode, which would scan and re-explode the
+    corpus twice), then a per-doc pre-aggregate (no countDistinct
+    Expand) rolls up map-side-combinably to |sources| rows. Never
+    doc x doc — cost is linear in total distinct bigram occurrences,
+    the same inverted-index discipline as q27/q379."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", tokenize(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+            ),
+        )
+    )
+    b = d.select("doc_id", "source", F.explode(bigrams).alias("bg"))
+    w = b.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1)).over(Window.partitionBy("bg")).alias("df"),
+    )
+    perdoc = w.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_uniq"),
+        F.sum(F.when(F.col("df") >= _NOVELTY_COMMON_DF, 1).otherwise(0)).alias(
+            "n_com"
+        ),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bg").cast("bigint").alias("n_bigrams"),
+            F.sum("n_uniq").cast("bigint").alias("n_unique"),
+            F.sum("n_com").cast("bigint").alias("n_common"),
+            F.round(10000.0 * F.sum("n_uniq") / F.sum("n_bg"))
+            .cast("bigint")
+            .alias("novelty_bp"),
+        )
+        .orderBy("source")
+    )

@@ -625,3 +625,27 @@ def test_q361_pair_side_never_shuffles(spark):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
     assert shuffle_count(plan) <= 1, (shuffle_count(plan), plan)
     assert "rangepartitioning" in plan or shuffle_count(plan) == 0, plan
+
+
+def test_r8_wave_plan_shapes(spark):
+    # q420/q421: pure scan-stage signal extraction + one group-agg —
+    # no joins, no explode (token arrays never leave their row).
+    for name, cols in (
+        ("q420_heaps_law_fit", {"lang", "text"}),
+        ("q421_charset_cost_census", {"lang", "text"}),
+    ):
+        plan = plan_of(spark, name)
+        assert "Join" not in plan, (name, plan)
+        assert "Generate" not in plan, (name, plan)  # no explode
+        assert reads_only(plan, cols), (name, plan)
+    # q422: ONE corpus scan + ONE explode; df comes from a count
+    # window on the bg-keyed exchange, never a second explode joined
+    # back (the double-scan shape this pin forbids).
+    plan = plan_of(spark, "q422_bigram_novelty_profile")
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan  # tree + detail = 1 scan
+    keysets = _exchange_key_sets(plan)
+    assert {"bg"} in keysets, keysets
+    for ks in keysets:
+        assert ks <= {"bg", "doc_id", "source"}, (ks, plan)
+    assert reads_only(plan, {"doc_id", "source", "text"}), plan
