@@ -112,3 +112,33 @@ def test_q422_novelty_extremes(spark, tmp_path):
     assert out["solo"].novelty_bp == 10000
     # the 5-doc stock phrase produces df>=5 bigrams in every stock doc
     assert out["stock"].n_common >= 5 * (len(stock.split()) - 1)
+
+
+def test_q79_alpha_rule_on_mixed_tokens(spark, tmp_path):
+    # Pin the regexp_extract_all n_alpha rewrite (r8: HOF lambdas are
+    # interpreted; the string-expr form stays in codegen) to the
+    # original filter(rlike('^[a-z]+$')) semantics on tokens the
+    # synthetic corpus never produces: digits, embedded punctuation,
+    # mixed alphanumerics, non-ASCII letters, multi-space runs.
+    # 'one two2 thr-ee café  four x9 y' -> alpha tokens: one, four, y
+    # (7 tokens, 3 alpha -> 5*3 < 4*7 fails the 80% rule).
+    rows = [
+        (1, "one two2 thr-ee café  four x9 y", "mixed", "en", 0),
+        (2, "all pure alpha tokens here yes sir indeed ok fine good pal",
+         "clean", "en", 0),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "source", "lang", "n_chars"]
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    (tmp_path / "d").mkdir(exist_ok=True)
+    df.to_parquet(tmp_path / "d" / "documents.parquet", index=False)
+    out = {
+        r["source"]: r
+        for r in run(spark, "q79_quality_rules", str(tmp_path / "d")).collect()
+    }
+    assert out["mixed"].n_fail_alpha == 1      # 3/7 alpha < 80%
+    assert out["mixed"].n_fail_short == 1      # 7 < 10 tokens
+    assert out["clean"].n_fail_alpha == 0      # 12/12 alpha
+    assert out["clean"].n_keep == 1
