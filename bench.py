@@ -115,6 +115,13 @@ HEADLINE = [
     # content-defined chunking: boundary-mask scan + per-doc lag window
     # + chunk-digest census (the LBFS/FastCDC sub-doc dedup shape).
     "q418_cdc_chunk_dedup",
+    # --- round-8 additions (2026-08-15) ---
+    # Heaps'-law exponent: scan-stage (tokens, types) + per-lang
+    # regression reduce — the zero-explode corpus pass.
+    "q420_heaps_law_fit",
+    # bigram df novelty: one explode + count window on the bg key —
+    # the inverted-index front half of the dedup funnel.
+    "q422_bigram_novelty_profile",
 ]
 
 

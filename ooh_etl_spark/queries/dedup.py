@@ -1294,37 +1294,45 @@ def q417_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row count per fingerprint partition == documents carrying it (a
     # fp-keyed window beats groupBy + sort-merge-join back on a string
     # key — measured 6.3s -> ~2s at sf0.1)
-    nd = tall.select(
+    # Census WITHOUT countDistinct: two countDistincts + two plain aggs
+    # in one groupBy plan an Expand that reprocesses the multi-million-
+    # row (doc, fp) table 3x. Instead: (a) flag exactly one row per doc
+    # (its lexicographic-min fingerprint) with a doc-partitioned window
+    # min BEFORE the fp re-shuffle — tall is still doc_id-partitioned
+    # after the doc window and the distinct, so this adds NO exchange
+    # and lets n_docs ride the same aggregation tree instead of a
+    # second corpus scan; (b) pre-aggregate per (source, fp) —
+    # satisfied in-place by the fp window's partitioning — so
+    # distinct_fps is a plain count and xdoc_fps a plain sum.
+    # Plan: zero Expand, zero joins, ONE corpus scan. (At sf0.1 the
+    # delta is inside run noise — the win is the removed 3x Expand
+    # reprocessing and re-scan, which scale with corpus volume.)
+    doc_min = F.min("fp").over(Window.partitionBy("doc_id"))
+    flagged = tall.select(
         "doc_id",
         "source",
         "fp",
+        (F.col("fp") == doc_min).cast("int").alias("is_doc_rep"),
+    )
+    nd = flagged.select(
+        "source",
+        "fp",
+        "is_doc_rep",
         F.count(F.lit(1)).over(Window.partitionBy("fp")).alias("nd"),
     )
-    # Census WITHOUT countDistinct: two countDistincts + two plain aggs
-    # in one groupBy plan an Expand that reprocesses the multi-million-
-    # row (doc, fp) table 3x. Instead pre-aggregate per (source, fp) —
-    # satisfied in-place by the fp window's partitioning, no new
-    # exchange — so distinct_fps is a plain count and xdoc_fps a plain
-    # sum; n_docs comes from a |sources|-row side agg on the filtered
-    # docs, attached by broadcast. (At sf0.1 the delta is inside run
-    # noise — the win is the removed 3x Expand reprocessing, which
-    # scales with corpus fingerprint volume.)
     per_fp = nd.groupBy("source", "fp").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum((F.col("nd") > 1).cast("int")).alias("x_cnt"),
-    )
-    census = per_fp.groupBy("source").agg(
-        F.sum("cnt").cast("bigint").alias("n_fps"),
-        F.count(F.lit(1)).cast("bigint").alias("distinct_fps"),
-        F.sum("x_cnt").cast("bigint").alias("xdoc_fps"),
-    )
-    n_docs = (
-        docs.filter(F.length("text") >= k + w - 1)
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        F.sum("is_doc_rep").alias("n_rep"),
     )
     return (
-        census.join(F.broadcast(n_docs), "source")
+        per_fp.groupBy("source")
+        .agg(
+            F.sum("n_rep").cast("bigint").alias("n_docs"),
+            F.sum("cnt").cast("bigint").alias("n_fps"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_fps"),
+            F.sum("x_cnt").cast("bigint").alias("xdoc_fps"),
+        )
         .select("source", "n_docs", "n_fps", "distinct_fps", "xdoc_fps")
         .orderBy("source")
     )

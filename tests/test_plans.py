@@ -649,3 +649,19 @@ def test_r8_wave_plan_shapes(spark):
     for ks in keysets:
         assert ks <= {"bg", "doc_id", "source"}, (ks, plan)
     assert reads_only(plan, {"doc_id", "source", "text"}), plan
+
+
+def test_q417_single_scan_no_expand_no_join(spark):
+    # q296-style named pin (the winnowing headliner): ONE corpus scan,
+    # the doc->fp->source exchange ladder and nothing else — no Expand
+    # (the dual-countDistinct census shape), no join (the n_docs
+    # side-scan shape), no cartesian. Both alternatives were built and
+    # rejected this round; this pin keeps them out.
+    plan = plan_of(spark, "q417_winnowing_fingerprints")
+    assert plan.count("Scan parquet") <= 2, plan  # tree + detail = 1 scan
+    assert "Expand" not in plan, plan
+    assert "Join" not in plan, plan
+    keysets = _exchange_key_sets(plan)
+    for ks in keysets:
+        assert ks <= {"doc_id", "fp", "source"}, (ks, plan)
+    assert {"fp"} in keysets, keysets
