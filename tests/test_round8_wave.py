@@ -142,3 +142,116 @@ def test_q79_alpha_rule_on_mixed_tokens(spark, tmp_path):
     assert out["mixed"].n_fail_short == 1      # 7 < 10 tokens
     assert out["clean"].n_fail_alpha == 0      # 12/12 alpha
     assert out["clean"].n_keep == 1
+
+
+# --- round-8 wave 2: split leakage audit (q423), C4 line dedup (q424) -------
+
+_KNUTH_A = 2654435761
+_KNUTH_M = 4294967296
+_KNUTH_T = 3435973837
+
+
+def _is_train(doc_id: int) -> bool:
+    return (doc_id * _KNUTH_A) % _KNUTH_M < _KNUTH_T
+
+
+@pytest.mark.parametrize(
+    "name", ["q423_split_leakage_audit", "q424_line_dedup"]
+)
+def test_round8_wave2_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_q423_policy_ladder(spark, tmp_path):
+    # Construct exactly two near-dup pairs, both straddling the Knuth
+    # 80/20 split: one EXACT pair (identical text) and one NEAR pair
+    # (one token differs). The policy ladder is then fully determined:
+    # naive leaks both; exact-cluster de-leaks only the exact pair;
+    # near-dup-component clustering leaks nothing (its structural
+    # guarantee — every pair is intra-component).
+    train_ids = [i for i in range(1, 40) if _is_train(i)]
+    test_ids = [i for i in range(1, 40) if not _is_train(i)]
+    xa, xb = train_ids[0], test_ids[0]  # exact pair, split-straddling
+    na, nb = train_ids[1], test_ids[1]  # near pair, split-straddling
+    x_text = " ".join(f"alpha{j}" for j in range(12))
+    n_base = [f"beta{j}" for j in range(12)]
+    n_text_a = " ".join(n_base)
+    n_text_b = " ".join(n_base[:-1] + ["betaX"])  # 1 token differs
+    rows = [
+        (xa, x_text, "en", "s", 0),
+        (xb, x_text, "en", "s", 0),
+        (na, n_text_a, "en", "s", 0),
+        (nb, n_text_b, "en", "s", 0),
+    ]
+    out = {
+        r["policy"]: r
+        for r in run(
+            spark, "q423_split_leakage_audit", _docs_dir(tmp_path, rows)
+        ).collect()
+    }
+    assert out["a_naive_hash"].n_pairs == 2
+    assert out["a_naive_hash"].leaked_pairs == 2
+    assert out["b_exact_cluster"].leaked_pairs == 1  # near pair still leaks
+    assert out["c_neardup_cluster"].leaked_pairs == 0
+    assert out["c_neardup_cluster"].leak_bp == 0
+
+
+def test_q423_component_policy_never_leaks(spark, tmp_path):
+    # Transitive chains: a~b and b~c near-dup but a,c share a component
+    # only through b. The component policy must keep the WHOLE chain on
+    # one side even when the min-id label travels multiple hops.
+    base = [f"tok{j}" for j in range(12)]
+    chain = [
+        " ".join(base),
+        " ".join(base[:-1] + ["varA"]),
+        " ".join(base[:-2] + ["varA", "varB"]),
+        " ".join(base[:-3] + ["varA", "varB", "varC"]),
+    ]
+    rows = [(i + 1, t, "en", "s", 0) for i, t in enumerate(chain)]
+    out = {
+        r["policy"]: r
+        for r in run(
+            spark, "q423_split_leakage_audit", _docs_dir(tmp_path, rows)
+        ).collect()
+    }
+    assert out["c_neardup_cluster"].n_pairs >= 3  # chain adjacencies found
+    assert out["c_neardup_cluster"].leaked_pairs == 0
+
+
+def test_q424_first_occurrence_census(spark, tmp_path):
+    # doc 1: one 8-token line L. doc 2: L again (removed — doc 1 wins
+    # by doc_id order) + a private 8-token line (kept). doc 3: a
+    # 3-token partial line (kept). Census is per source.
+    line = " ".join(f"w{j}" for j in range(8))
+    private = " ".join(f"p{j}" for j in range(8))
+    rows = [
+        (1, line, "en", "first", 0),
+        (2, line + " " + private, "en", "second", 0),
+        (3, "tiny partial line", "en", "third", 0),
+    ]
+    out = {
+        r["source"]: r
+        for r in run(spark, "q424_line_dedup", _docs_dir(tmp_path, rows)).collect()
+    }
+    assert out["first"].n_lines == 1 and out["first"].n_kept == 1
+    assert out["second"].n_lines == 2 and out["second"].n_kept == 1
+    assert out["second"].retained_lines_bp == 5000
+    assert out["third"].n_lines == 1 and out["third"].n_kept == 1
+    # char retention: doc 2 keeps only the private line's chars
+    assert out["second"].n_chars_kept == len(private)
+    assert out["second"].n_chars == len(line) + len(private)
+
+
+def test_q424_retention_bounded_and_total(spark, tmp_path):
+    # Every distinct line survives exactly once corpus-wide: sum of
+    # kept over sources == number of distinct lines.
+    line_a = " ".join(f"a{j}" for j in range(8))
+    line_b = " ".join(f"b{j}" for j in range(8))
+    rows = [
+        (1, line_a + " " + line_b, "en", "s1", 0),
+        (2, line_b + " " + line_a, "en", "s2", 0),
+        (3, line_a, "en", "s3", 0),
+    ]
+    res = run(spark, "q424_line_dedup", _docs_dir(tmp_path, rows)).collect()
+    assert sum(r["n_kept"] for r in res) == 2  # line_a, line_b
+    assert sum(r["n_lines"] for r in res) == 5
