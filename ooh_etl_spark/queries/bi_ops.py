@@ -916,8 +916,12 @@ def q256_pareto_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_c",
         "n",
         "tot",
+        # decimal(38,0): (n-1)*cum_c is catalog-rank x total-cents and
+        # exceeds BIGINT long before 100 TB; the oracle side is already
+        # HUGEINT (DuckDB window sums). Exact argmax either way.
         (
-            (F.col("n") - 1) * F.col("cum_c") - F.col("tot") * (F.col("i") - 1)
+            (F.col("n") - 1).cast("decimal(38,0)") * F.col("cum_c")
+            - F.col("tot").cast("decimal(38,0)") * (F.col("i") - 1)
         ).alias("cross2"),
     )
     return (

@@ -566,7 +566,12 @@ def q307_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tot = blocks.agg(F.sum("c").cast("bigint").alias("n"))
     cand = blocks.agg(
-        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("n_cand")
+        # c*(c-1) in decimal(38,0): a hot block of ~3e9 members would
+        # overflow the BIGINT product (the q384 class); the /2 of an
+        # even decimal stays exact.
+        F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1) / 2)
+        .cast("bigint")
+        .alias("n_cand")
     )
     v = names.select(
         "name",

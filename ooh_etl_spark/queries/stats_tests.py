@@ -439,20 +439,25 @@ def q210_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("ra") == 0) & (F.col("rb") == 1)).cast("int")).alias("n01"),
         F.sum(((F.col("ra") == 0) & (F.col("rb") == 0)).cast("int")).alias("n00"),
     )
-    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
-        F.col("n01") + F.col("n00")
-    ) * (F.col("n10") + F.col("n00"))
+    # Marginal products in decimal(38,0): exact like the oracle's
+    # HUGEINT sums, and immune to the BIGINT overflow the q384 5x
+    # rerun exposed for products of large per-group counts.
+    _dec = "decimal(38,0)"
+    pe_num = (F.col("n11") + F.col("n10")).cast(_dec) * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")).cast(_dec) * (F.col("n10") + F.col("n00"))
     po_num = F.col("n11") + F.col("n00")
+    n_sq = F.col("n").cast(_dec) * F.col("n")
     return cells.select(
         "lang",
         F.col("n").cast("bigint").alias("n"),
         po_num.cast("bigint").alias("n_agree"),
         F.when(
-            F.col("n") * F.col("n") != pe_num,
+            n_sq != pe_num,
             F.floor(
                 10000.0
-                * (F.col("n") * po_num - pe_num)
-                / (F.col("n") * F.col("n") - pe_num)
+                * (F.col("n").cast(_dec) * po_num - pe_num)
+                / (n_sq - pe_num)
             ),
         )
         .cast("bigint")
@@ -2572,9 +2577,9 @@ _DUCK_KENDALL = """
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY 1),
          pairs AS (
-      SELECT CASE WHEN (a.bal_c - b.bal_c) * (a.rev_c - b.rev_c) > 0
+      SELECT CASE WHEN sign(a.bal_c - b.bal_c) * sign(a.rev_c - b.rev_c) > 0
                   THEN 1 ELSE 0 END AS conc,
-             CASE WHEN (a.bal_c - b.bal_c) * (a.rev_c - b.rev_c) < 0
+             CASE WHEN sign(a.bal_c - b.bal_c) * sign(a.rev_c - b.rev_c) < 0
                   THEN 1 ELSE 0 END AS disc,
              CASE WHEN a.bal_c = b.bal_c AND a.rev_c <> b.rev_c
                   THEN 1 ELSE 0 END AS tie_x,
@@ -2639,12 +2644,20 @@ def q384_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = met.select(
         F.col("nk").alias("nkb"), F.col("bal_c").alias("bb"), F.col("rev_c").alias("rb")
     )
-    prod = (F.col("ba") - F.col("bb")) * (F.col("ra") - F.col("rb"))
+    # Concordance needs only the SIGN of (ba-bb)*(ra-rb); the raw
+    # product of two cent-sum differences overflows BIGINT once the
+    # per-group sums pass ~3e9 cents (caught by the 5x scaling rerun
+    # at sf0.5), so compare the integers directly — exact at any sum
+    # magnitude, no double round-trip.
+    dbal = F.col("ba") - F.col("bb")
+    drev = F.col("ra") - F.col("rb")
+    conc = ((dbal > 0) & (drev > 0)) | ((dbal < 0) & (drev < 0))
+    disc = ((dbal > 0) & (drev < 0)) | ((dbal < 0) & (drev > 0))
     s = (
         a.join(b, F.col("nka") < F.col("nkb"))
         .agg(
-            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("nc"),
-            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("nd"),
+            F.sum(F.when(conc, 1).otherwise(0)).cast("bigint").alias("nc"),
+            F.sum(F.when(disc, 1).otherwise(0)).cast("bigint").alias("nd"),
             F.sum(
                 F.when((F.col("ba") == F.col("bb")) & (F.col("ra") != F.col("rb")), 1)
                 .otherwise(0)
