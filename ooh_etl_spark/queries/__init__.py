@@ -61,7 +61,8 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: → ~155 after this window; 44 fresh slots per round; new-query
 #: volume capped ≤20/round per VERDICT r6 item 4 so the debt
 #: strictly drains):
-#:   r9: q368–q375 + q349 leftovers (9), then the q52–q90
+#:   r9: the round-8 additions q420–q424 (5, newest-first), then
+#:       q368–q375 + q349 leftovers (9), then the q52–q90
 #:       relational/TPC-H tail (25) — the oldest debt — + the head
 #:       of the q93–q103 wave (fills the 44)
 #:   r10: q125–q151/q160–q165 never-seen members + q174/q179+ tail
