@@ -43,8 +43,10 @@ def q54_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_arg_extrema",
     """
     SELECT o_orderpriority,
-           arg_max(o_orderkey, o_totalprice) AS biggest_order,
-           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           (max(struct_pack(p := o_totalprice, k := o_orderkey))).k
+             AS biggest_order,
+           (min(struct_pack(p := o_totalprice, k := o_orderkey))).k
+             AS smallest_order,
            max(o_totalprice) AS max_price,
            min(o_totalprice) AS min_price
     FROM orders
@@ -52,13 +54,20 @@ def q54_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q55_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (argmax aggregation). Safe for the oracle because
-    o_totalprice has no duplicates within a priority group at these SFs
-    — argmax ties would otherwise be engine-arbitrary."""
+    """Argmax aggregation with a DETERMINISTIC tie-break: max/min over
+    a (price, orderkey) struct — lexicographic in both engines — picks
+    the extreme price and, among ties, the extreme key. Plain
+    max_by/arg_max is engine-arbitrary on ties; unique prices at the
+    stock SFs masked that until the 5x-replicated scaling corpus (5
+    copies of every extreme price under different keys) flipped the
+    two engines to different keys (round-8 full-registry 5x sweep).
+    The struct-extremum form is the same one aggregate pass (map-side
+    combinable) with the tie-break carried in the comparator."""
     orders = load_table(spark, sf_dir, "orders")
+    pk = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
     return orders.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max(pk)["k"].alias("biggest_order"),
+        F.min(pk)["k"].alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
