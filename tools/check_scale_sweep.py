@@ -1,0 +1,63 @@
+"""Full-registry 5x sweep with stall detection: runs check_oracle on
+/tmp/sf0.5 for every registered query, restarting past any query that
+stalls >7 min (recorded as TIMEOUT)."""
+import os, re, subprocess, sys, time
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as m  # noqa: E402
+
+ALL = list(m.queries())
+SKIP = {"q379_sparse_cosine_pairs"}  # documented quadratic boundary (SCALE.md r8)
+LOG = "/tmp/check5x_full.log"
+RES = "/tmp/check5x_full_results.txt"
+STALL = 420
+
+done = set()
+if os.path.exists(RES):
+    for line in open(RES):
+        parts = line.split()
+        if len(parts) == 2:
+            done.add(parts[1])
+
+while True:
+    todo = [q for q in ALL if q not in done and q not in SKIP]
+    if not todo:
+        break
+    lf = open(LOG, "w")
+    p = subprocess.Popen(
+        ["python", "tools/check_oracle.py", "/tmp/sf0.5"] + todo,
+        stdout=lf, stderr=subprocess.STDOUT, cwd="/root/repo",
+    )
+    last_size, last_t, stuck = 0, time.time(), False
+    while p.poll() is None:
+        time.sleep(10)
+        size = os.path.getsize(LOG)
+        if size != last_size:
+            last_size, last_t = size, time.time()
+        elif time.time() - last_t > STALL:
+            p.kill()
+            p.wait()
+            stuck = True
+            break
+    lf.close()
+    txt = open(LOG).read()
+    comp = re.findall(r"(OK|FAIL|ROWS-ONLY)\s+(\S+):", txt)
+    with open(RES, "a") as rf:
+        for st, name in comp:
+            if name not in done:
+                done.add(name)
+                rf.write(f"{st} {name}\n")
+        if stuck:
+            for q in todo:
+                if q not in done:
+                    done.add(q)
+                    rf.write(f"TIMEOUT {q}\n")
+                    break
+    if not stuck:
+        break
+
+n = {"OK": 0, "FAIL": 0, "ROWS-ONLY": 0, "TIMEOUT": 0}
+for line in open(RES):
+    st = line.split()[0]
+    n[st] = n.get(st, 0) + 1
+print("SUMMARY", n)
