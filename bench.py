@@ -122,6 +122,9 @@ HEADLINE = [
     # bigram df novelty: one explode + count window on the bg key —
     # the inverted-index front half of the dedup funnel.
     "q422_bigram_novelty_profile",
+    # C4 line dedup: one explode + line-keyed first-occurrence window —
+    # the cross-doc span-dedup shuffle at line granularity.
+    "q424_line_dedup",
 ]
 
 
