@@ -61,10 +61,10 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: → ~155 after this window; 44 fresh slots per round; new-query
 #: volume capped ≤20/round per VERDICT r6 item 4 so the debt
 #: strictly drains):
-#:   r9: the round-8 additions q420–q424 (5, newest-first), then
-#:       q368–q375 + q349 leftovers (9), then the q52–q90
-#:       relational/TPC-H tail (25) — the oldest debt — + the head
-#:       of the q93–q103 wave (fills the 44)
+#:   r9: q376–q380 (displaced by the round-8 wave taking the five
+#:       newest slots), then q368–q375 + q349 leftovers (9), then
+#:       the q52–q90 relational/TPC-H tail (25) — the oldest debt —
+#:       + the head of the q93–q103 wave (fills the 44)
 #:   r10: q125–q151/q160–q165 never-seen members + q174/q179+ tail
 #:   r11: remaining q179–q263 never-seen members (sketches,
 #:       time-series, behavioral tails) — after which every
@@ -79,7 +79,13 @@ _DRIVER_WINDOW = [
     "q33_tumbling_hourly",
     "q36_stream_tumbling",
     "q46_stream_user_profiles",
-    # r8: rest of the round-6 wave + round-7 additions, newest-first
+    # r8: the round-8 wave first (strict newest-first), then the rest
+    # of the round-6 wave + round-7 additions
+    "q424_line_dedup",
+    "q423_split_leakage_audit",
+    "q422_bigram_novelty_profile",
+    "q421_charset_cost_census",
+    "q420_heaps_law_fit",
     "q419_fs_em_step",
     "q418_cdc_chunk_dedup",
     "q417_winnowing_fingerprints",
@@ -119,11 +125,6 @@ _DRIVER_WINDOW = [
     "q383_priority_sample",
     "q382_source_ablation",
     "q381_haar_energy",
-    "q380_negbin_moments",
-    "q379_sparse_cosine_pairs",
-    "q378_kish_design_effect",
-    "q377_brown_forsythe",
-    "q376_hurst_rs",
 ]
 
 #: The driver gate is exactly 50 entries; a 51st silently falls off
