@@ -49,27 +49,27 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 
 #: The driver's correctness gate checks the FIRST 50 registry entries,
 #: so the head of the registry is chosen deliberately rather than by
-#: module import order. Round-8 rotation (per the in-file schedule +
-#: VERDICT r6 items 3/4): keep the §2.A reference contract and the
-#: streaming trio (6 pinned slots); the 44 fresh slots take the rest
-#: of the round-6 wave plus the round-7 cap, newest-first:
-#: q419–q376. q349 remains rows-only-by-design and drains with a
-#: later block. Everything rotated out stays green in the
+#: module import order. Round-9 rotation (per VERDICT r8 item 2): keep
+#: the §2.A reference contract and the streaming trio (6 pinned
+#: slots); the 44 fresh slots are ALL first-time-in-window entries —
+#: first the seven §2.B-mandated names whose "pass" previously rested
+#: only on the local replica (q151/q158/q160/q161/q163/q164/q165),
+#: then the q376–q380 block the round-8 wave displaced, then the
+#: oldest debt: the q52–q98 relational/TPC-H/text tail. Never-seen
+#: drops 160 → 116. Everything rotated out stays green in the
 #: full-registry replica (tools/check_oracle.py --strict).
 #:
-#: DEBT SCHEDULE (never-driver-seen: 240 after r6 → ~199 after r7
-#: → ~155 after this window; 44 fresh slots per round; new-query
-#: volume capped ≤20/round per VERDICT r6 item 4 so the debt
-#: strictly drains):
-#:   r9: q376–q380 (displaced by the round-8 wave taking the five
-#:       newest slots), then q368–q375 + q349 leftovers (9), then
-#:       the q52–q90 relational/TPC-H tail (25) — the oldest debt —
-#:       + the head of the q93–q103 wave (fills the 44)
-#:   r10: q125–q151/q160–q165 never-seen members + q174/q179+ tail
-#:   r11: remaining q179–q263 never-seen members (sketches,
-#:       time-series, behavioral tails) — after which every
-#:       registered query has driver history and rotation becomes
-#:       newest-code-first only.
+#: DEBT SCHEDULE (never-driver-seen: ~199 after r7 → 160 after r8 →
+#: 116 after this window; 44 fresh slots per round; new-query volume
+#: capped ≤20/round per VERDICT r6 item 4 so the debt strictly
+#: drains; the round-9 wave q425+ enters in r10, after the mandated
+#: backlog):
+#:   r10: round-9 wave (q425+), then q99–q103, then the
+#:        q125–q150/q174/q179–q231 never-seen members
+#:   r11: remaining q233–q263/q268/q349/q368–q375 never-seen members
+#:        (sketches, time-series, behavioral tails, stream forms) —
+#:        after which every registered query has driver history and
+#:        rotation becomes newest-code-first only.
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)
     "flagship_doc_scan",
@@ -79,52 +79,54 @@ _DRIVER_WINDOW = [
     "q33_tumbling_hourly",
     "q36_stream_tumbling",
     "q46_stream_user_profiles",
-    # r8: the round-8 wave first (strict newest-first), then the rest
-    # of the round-6 wave + round-7 additions
-    "q424_line_dedup",
-    "q423_split_leakage_audit",
-    "q422_bigram_novelty_profile",
-    "q421_charset_cost_census",
-    "q420_heaps_law_fit",
-    "q419_fs_em_step",
-    "q418_cdc_chunk_dedup",
-    "q417_winnowing_fingerprints",
-    "q416_team_draft_interleave",
-    "q415_rocchio_prf",
-    "q414_holt_winters",
-    "q413_soundex_blocking",
-    "q412_chow_test",
-    "q411_cost_optimal_threshold",
-    "q410_jackknife_ratio_se",
-    "q409_page_trend",
-    "q408_storey_qvalues",
-    "q407_chao1_richness",
-    "q406_cooks_distance",
-    "q405_kalman_local_level",
-    "q404_dirichlet_query_likelihood",
-    "q403_expected_reciprocal_rank",
-    "q402_obrien_fleming",
-    "q401_cusum_changepoint",
-    "q400_rank_biased_overlap",
-    "q399_capture_recapture",
-    "q398_flesch_readability",
-    "q397_durbin_watson",
-    "q396_ledoit_wolf",
-    "q395_pca_power_step",
-    "q394_aa_calibration",
-    "q393_fwl_partial_out",
-    "q392_source_overlap_matrix",
-    "q391_reorder_points",
-    "q390_inequality_indices",
-    "q389_rank_footrule",
-    "q388_speculative_overlap",
-    "q387_prefix_cache_savings",
-    "q386_wilcoxon_signed_rank",
-    "q385_mdlp_split",
-    "q384_kendall_tau",
-    "q383_priority_sample",
-    "q382_source_ablation",
-    "q381_haar_energy",
+    # r9 block 1: the seven §2.B-mandated never-driver-seen names
+    # (BASELINE.json:6 → SURVEY §2.B), per VERDICT r8 item 2
+    "q151_semdedup",
+    "q158_rrf_fusion",
+    "q160_bigram_lm",
+    "q161_ks_test",
+    "q163_dup_span_removal",
+    "q164_temperature_mix",
+    "q165_tokenizer_fertility",
+    # r9 block 2: the q376–q380 block displaced by the round-8 wave
+    "q376_hurst_rs",
+    "q377_brown_forsythe",
+    "q378_kish_design_effect",
+    "q379_sparse_cosine_pairs",
+    "q380_negbin_moments",
+    # r9 block 3: oldest debt — q52–q98 relational/TPC-H/text tail
+    "q52_nation_volume",
+    "q53_ann_ivf",
+    "q54_stat_aggregates",
+    "q56_string_agg",
+    "q58_above_customer_average",
+    "q61_market_share",
+    "q62_small_qty_revenue",
+    "q63_large_volume_customers",
+    "q64_excess_stock_suppliers",
+    "q65_sole_supplier_orders",
+    "q67_sql_api",
+    "q69_hash_split",
+    "q70_fuzzy_match",
+    "q71_pii_redaction",
+    "q75_token_packing",
+    "q76_balanced_corpus",
+    "q78_sessionize_lag",
+    "q80_repetition_stats",
+    "q82_stratified_sample",
+    "q83_domain_reweight",
+    "q84_returned_items",
+    "q85_promo_revenue",
+    "q86_top_supplier",
+    "q87_supplier_part_census",
+    "q88_or_brackets_revenue",
+    "q89_order_count_distribution",
+    "q90_shipping_delay_classes",
+    "q93_zipf_slope",
+    "q94_vocab_growth",
+    "q95_scd2_intervals",
+    "q96_char_trigram_profile",
+    "q98_retention_cohorts",
 ]
 
 #: The driver gate is exactly 50 entries; a 51st silently falls off

@@ -1298,8 +1298,13 @@ def q417_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in one groupBy plan an Expand that reprocesses the multi-million-
     # row (doc, fp) table 3x. Instead: (a) flag exactly one row per doc
     # (its lexicographic-min fingerprint) with a doc-partitioned window
-    # min BEFORE the fp re-shuffle — tall is still doc_id-partitioned
-    # after the doc window and the distinct, so this adds NO exchange
+    # min BEFORE the fp re-shuffle — this adds NO exchange because the
+    # gram window's HashPartitioning(doc_id) satisfies BOTH the
+    # distinct's ClusteredDistribution(doc_id, source, fp) (subset
+    # rule: hash keys ⊆ clustering keys) and the doc-rep window's
+    # doc_id distribution, so Spark replans neither (verified: the
+    # executed plan has exactly ONE doc_id exchange; pinned in
+    # tests/test_plans.py::test_q417_single_scan_no_expand_no_join) —
     # and lets n_docs ride the same aggregation tree instead of a
     # second corpus scan; (b) pre-aggregate per (source, fp) —
     # satisfied in-place by the fp window's partitioning — so
@@ -1526,17 +1531,21 @@ _DUCK_LEAKAGE = f"""
              b.nv AS nv_b, b.xv AS xv_b, b.cv AS cv_b
       FROM pairs p JOIN asg a ON p.id_a = a.doc_id JOIN asg b ON p.id_b = b.doc_id)
     SELECT policy, n_pairs, leaked_pairs,
-           CAST(round(10000.0 * leaked_pairs / n_pairs) AS BIGINT) AS leak_bp
+           CASE WHEN n_pairs = 0 THEN NULL
+                ELSE CAST(round(10000.0 * leaked_pairs / n_pairs) AS BIGINT)
+           END AS leak_bp
     FROM (
       SELECT 'a_naive_hash' AS policy, CAST(count(*) AS BIGINT) AS n_pairs,
-             CAST(sum(CASE WHEN nv_a <> nv_b THEN 1 ELSE 0 END) AS BIGINT)
-               AS leaked_pairs FROM j
+             CAST(coalesce(sum(CASE WHEN nv_a <> nv_b THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS leaked_pairs FROM j
       UNION ALL
       SELECT 'b_exact_cluster', CAST(count(*) AS BIGINT),
-             CAST(sum(CASE WHEN xv_a <> xv_b THEN 1 ELSE 0 END) AS BIGINT) FROM j
+             CAST(coalesce(sum(CASE WHEN xv_a <> xv_b THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM j
       UNION ALL
       SELECT 'c_neardup_cluster', CAST(count(*) AS BIGINT),
-             CAST(sum(CASE WHEN cv_a <> cv_b THEN 1 ELSE 0 END) AS BIGINT) FROM j)
+             CAST(coalesce(sum(CASE WHEN cv_a <> cv_b THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM j)
     ORDER BY policy
 """
 
@@ -1571,11 +1580,18 @@ def q423_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     id. The pair table is checkpointed because it feeds both the
     component loop and the final audit join. The audit itself is one
     explode(array(policy-structs)) + one 3-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _leakage_audit(spark, docs)
+
+
+def _leakage_audit(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Shared core of q423/q423b: the three-policy leakage census over
+    whatever corpus frame the caller supplies (raw for q423, the
+    exact-deduped funnel input for q423b)."""
     from pyspark.sql import Window
 
     from ooh_etl_spark.operators.graph import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
     pairs = (
         jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
         .select("id_a", "id_b")
@@ -1630,17 +1646,67 @@ def q423_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x")
     ).select("x.*")
+    agg = tall.groupBy("policy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("leak").cast("bigint").alias("leaked_pairs"),
+        F.round(10000.0 * F.sum("leak") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("leak_bp"),
+    )
+    # Pair-free guard (ADVICE r8): on a corpus with zero near-dup
+    # pairs the aggregate above is empty while the oracle still emits
+    # its three policy rows — left-join a literal policy frame so both
+    # sides agree (zero counts, NULL leak_bp).
+    policies = spark.createDataFrame(
+        [("a_naive_hash",), ("b_exact_cluster",), ("c_neardup_cluster",)],
+        "policy string",
+    )
     return (
-        tall.groupBy("policy")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.sum("leak").cast("bigint").alias("leaked_pairs"),
-            F.round(10000.0 * F.sum("leak") / F.count(F.lit(1)))
-            .cast("bigint")
-            .alias("leak_bp"),
+        policies.join(F.broadcast(agg), "policy", "left")
+        .select(
+            "policy",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("leaked_pairs", F.lit(0)).cast("bigint").alias("leaked_pairs"),
+            F.col("leak_bp"),
         )
         .orderBy("policy")
     )
+
+
+# q423b funnel-input variant (VERDICT r8 item 4): the same audit run
+# behind the q162 funnel's exact-dedup-first stage. The oracle is the
+# q423 SQL with every corpus reference swapped for the digest-deduped
+# view — textually derived so the two can never drift.
+_DUCK_DD_DOCS = (
+    "(SELECT * FROM documents WHERE doc_id IN "
+    "(SELECT min(doc_id) FROM documents GROUP BY text))"
+)
+_DUCK_LEAKAGE_FUNNEL = _DUCK_LEAKAGE.replace("FROM documents", f"FROM {_DUCK_DD_DOCS}")
+
+
+@register("q423b_split_leakage_audit_funnel", _DUCK_LEAKAGE_FUNNEL)
+def q423b_split_leakage_audit_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q423 behind the q162 funnel ordering: exact-dedup FIRST (q26
+    min-id-per-text), then the near-dup split-leakage audit on the
+    deduped corpus. This is the canonical entry to run at scale —
+    three independent measurements (q27 r7, q379/q423 r8, SCALE.md)
+    showed that duplicate-inflated posting lists and clique-inflated
+    pair components are what break the raw form on replicated input,
+    and the exact-dedup stage is precisely what removes them. Post-
+    dedup, every text is unique, so policy b (exact-cluster hash)
+    coincides with policy a (naive hash) by construction — the audit
+    then isolates the residual NEAR-dup leakage that only policy c
+    fixes, which is the decision a pipeline operator actually faces
+    after exact dedup has already run.
+
+    100 TB shape: one text-keyed exchange for the dedup window (the
+    q26 cost), then the q423 pair-sized pipeline on the SHRUNKEN
+    corpus; the funnel guarantees posting lists at their natural
+    lengths regardless of upstream replication."""
+    docs = exact_dedup(
+        load_table(spark, sf_dir, "documents"), key="text", id_col="doc_id"
+    )
+    return _leakage_audit(spark, docs)
 
 
 _LINE_W = 8  # tokens per synthesized "line" (the corpus has no newlines)

@@ -665,6 +665,11 @@ def test_q417_single_scan_no_expand_no_join(spark):
     for ks in keysets:
         assert ks <= {"doc_id", "fp", "source"}, (ks, plan)
     assert {"fp"} in keysets, keysets
+    # ADVICE r8: key-set whitelisting alone would admit a second
+    # doc_id exchange (e.g. if the distinct stopped riding the gram
+    # window's HashPartitioning(doc_id) via the subset rule). Pin the
+    # single-exchange claim exactly.
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
 
 
 def test_q424_single_scan_line_keyed_window(spark):

@@ -196,6 +196,42 @@ def test_q423_policy_ladder(spark, tmp_path):
     assert out["c_neardup_cluster"].leak_bp == 0
 
 
+def test_q423_pair_free_corpus_matches_oracle(spark, tmp_path):
+    # ADVICE r8: on a corpus with ZERO near-dup pairs the oracle still
+    # emits its three policy rows; the Spark side must too (zero
+    # counts, NULL leak_bp) — guarded by the literal policy frame
+    # left-join. Verified against the actual DuckDB oracle on the same
+    # pair-free corpus, through the driver's canonicalization.
+    import duckdb
+
+    from tools.check_oracle import canon_frame
+
+    from ooh_etl_spark.queries import QUERIES
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(12)), "en", "s", 0)
+        for i in range(1, 6)
+    ]
+    d = _docs_dir(tmp_path, rows)
+    sdf = run(spark, "q423_split_leakage_audit", d)
+    srows = sdf.collect()
+    assert len(srows) == 3
+    for r in srows:
+        assert r.n_pairs == 0 and r.leaked_pairs == 0 and r.leak_bp is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    ores = con.execute(QUERIES["q423_split_leakage_audit"].oracle)
+    ocols = [x[0] for x in ores.description]
+    orows = ores.fetchall()
+    scols = sorted(sdf.columns)
+    assert canon_frame(srows, sdf.columns, scols) == canon_frame(
+        orows, ocols, scols
+    )
+
+
 def test_q423_component_policy_never_leaks(spark, tmp_path):
     # Transitive chains: a~b and b~c near-dup but a,c share a component
     # only through b. The component policy must keep the WHOLE chain on

@@ -47,16 +47,22 @@ while True:
             if name not in done:
                 done.add(name)
                 rf.write(f"{st} {name}\n")
+        missing = [q for q in todo if q not in done]
         if stuck:
-            for q in todo:
-                if q not in done:
-                    done.add(q)
-                    rf.write(f"TIMEOUT {q}\n")
-                    break
-    if not stuck:
+            if missing:
+                done.add(missing[0])
+                rf.write(f"TIMEOUT {missing[0]}\n")
+        elif missing:
+            # Non-stuck exit with unreported queries: check_oracle
+            # crashed mid-list. Record the query it died on as ERROR,
+            # then re-enter the loop to retry the rest — otherwise the
+            # SUMMARY silently under-counts (ADVICE r8).
+            done.add(missing[0])
+            rf.write(f"ERROR {missing[0]}\n")
+    if not stuck and not missing:
         break
 
-n = {"OK": 0, "FAIL": 0, "ROWS-ONLY": 0, "TIMEOUT": 0}
+n = {"OK": 0, "FAIL": 0, "ROWS-ONLY": 0, "TIMEOUT": 0, "ERROR": 0}
 for line in open(RES):
     st = line.split()[0]
     n[st] = n.get(st, 0) + 1
