@@ -125,6 +125,10 @@ HEADLINE = [
     # C4 line dedup: one explode + line-keyed first-occurrence window —
     # the cross-doc span-dedup shuffle at line granularity.
     "q424_line_dedup",
+    # --- round-9 additions (2026-08-15) ---
+    # BOW fingerprint dedup: in-row token sort (no explode) + two
+    # fingerprint windows — the doc-granular twin of q424.
+    "q425_bow_fingerprint_dedup",
 ]
 
 

@@ -1816,3 +1816,358 @@ def q424_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- round-9 wave: q425 BOW dedup, q426 cluster reps, q427 MinHash calib ----
+
+_DUCK_BOW_DEDUP = f"""
+    WITH d AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents),
+         f AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id)
+               AS rn_exact,
+             row_number() OVER (
+               PARTITION BY md5(array_to_string(list_sort(toks), ' '))
+               ORDER BY doc_id) AS rn_bow
+      FROM d)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn_exact = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_kept,
+           CAST(sum(CASE WHEN rn_bow = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bow_kept,
+           CAST(sum(CASE WHEN rn_exact = 1 AND rn_bow > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS reorder_only_dups,
+           CAST(round(10000.0 * sum(CASE WHEN rn_bow > 1 THEN 1 ELSE 0 END)
+                      / count(*)) AS BIGINT) AS bow_dup_bp
+    FROM f GROUP BY source ORDER BY source
+"""
+
+
+@register("q425_bow_fingerprint_dedup", _DUCK_BOW_DEDUP)
+def q425_bow_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup census: fingerprint = md5 of the
+    SORTED token multiset, so two documents that contain the same
+    words in a different order (template re-renders, shuffled list
+    pages, SEO spam permutations) collide even though byte-exact
+    (q26) and whitespace-normalized (q327) dedup both miss them.
+    Reports, per source, the exact-kept and BOW-kept counts plus the
+    interesting difference: ``reorder_only_dups`` — documents exact
+    dedup keeps that BOW dedup drops. First-occurrence keep rule
+    (min doc_id per fingerprint) matches q26/q424.
+
+    Exactness: md5 over the identically-tokenized sorted join on both
+    engines; all outputs are integer counts and one rounded bp ratio.
+
+    100 TB shape: the fingerprint is scan-stage codegen (sort of a
+    ~100-token in-row array is O(L log L) per doc, no explode); the
+    census is two fingerprint-keyed window exchanges + one source
+    aggregate — the q424 line-dedup discipline one level up
+    (doc-granular instead of line-granular), and the cheapest
+    near-dup-class signal the funnel can run before any shingle
+    explode."""
+    from pyspark.sql import Window
+
+    from ooh_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5(F.array_join(F.array_sort(toks), " ")).alias("bow_fp"),
+    )
+    rn_exact = F.row_number().over(
+        Window.partitionBy("text").orderBy("doc_id")
+    )
+    rn_bow = F.row_number().over(
+        Window.partitionBy("bow_fp").orderBy("doc_id")
+    )
+    flagged = base.select(
+        "source", rn_exact.alias("rn_exact"), rn_bow.alias("rn_bow")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("rn_exact") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_exact_kept"),
+            F.sum((F.col("rn_bow") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_bow_kept"),
+            F.sum(
+                ((F.col("rn_exact") == 1) & (F.col("rn_bow") > 1)).cast("int")
+            )
+            .cast("bigint")
+            .alias("reorder_only_dups"),
+            F.round(
+                10000.0
+                * F.sum((F.col("rn_bow") > 1).cast("int"))
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("bow_dup_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+_DUCK_CLUSTER_REPS = f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         pairs AS (
+      SELECT id_a, id_b
+      FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5),
+         edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         cc AS (SELECT a AS doc_id, min(b) AS cl FROM reach GROUP BY a),
+         m AS (
+      SELECT c.cl, doc.doc_id, doc.source, doc.n_chars,
+             row_number() OVER (PARTITION BY c.cl
+                                ORDER BY doc.n_chars DESC, doc.doc_id)
+               AS rn
+      FROM cc c JOIN documents doc ON c.doc_id = doc.doc_id)
+    SELECT CAST(cl AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+           CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+             AS rep_n_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM m GROUP BY cl
+    ORDER BY n_members DESC, cluster_id LIMIT 20
+"""
+
+
+@register("q426_cluster_representatives", _DUCK_CLUSTER_REPS)
+def q426_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: after pair generation (q27
+    inverted index) and connected components (q29-style min-label),
+    pick the document every cluster KEEPS — not the arbitrary min-id
+    the plain dedup census uses, but the highest-quality member
+    (longest text, ties to the smallest doc_id), which is how
+    production pipelines canonicalize crawl clusters (keep the
+    longest/cleanest variant, drop truncated mirrors). Emits the 20
+    largest clusters with their representative and source spread.
+
+    Exactness: the representative is a (n_chars DESC, doc_id ASC)
+    struct extremum — the q55 lesson: never argmax over non-unique
+    values without a total tie-break — so both engines pick the same
+    member at any data.
+
+    100 TB shape: pair table via the inverted index (never doc x doc),
+    CC via the pair-sized pointer-jumping loop, membership attach by
+    one keyed equi-join, representative by a max(struct) aggregate on
+    the cluster key — no window over the corpus, no driver loop. The
+    top-20 is a sort of the CLUSTER-count-sized aggregate, not the
+    corpus."""
+    from ooh_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    cc = connected_components(pairs)
+    members = cc.join(
+        docs.select("doc_id", "source", "n_chars"),
+        cc["id"] == docs["doc_id"],
+    )
+    rep = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid")))
+    return (
+        members.groupBy(F.col("cluster").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (-rep.getField("nid")).cast("bigint").alias("rep_doc_id"),
+            rep.getField("n_chars").cast("bigint").alias("rep_n_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .orderBy(F.desc("n_members"), "cluster_id")
+        .limit(20)
+    )
+
+
+# MinHash calibration constants: K independent universal-hash
+# permutations h_k(x) = (a_k * x + b_k) mod P over md5-derived 32-bit
+# shingle keys, P = 2^31 - 1 (Mersenne). a_k/b_k are fixed Knuth-/
+# Weyl-derived odd constants so both engines evaluate the identical
+# integer arithmetic.
+_MH_P = 2147483647
+_MH_K = 16
+_MH_A = [(2654435761 * (k + 1)) % _MH_P or 1 for k in range(_MH_K)]
+_MH_B = [(40503 * (k + 1) + 7) % _MH_P for k in range(_MH_K)]
+
+_DUCK_MH_SIGS = ",\n             ".join(
+    f"min(({_MH_A[k]} * h + {_MH_B[k]}) % {_MH_P}) AS s{k}"
+    for k in range(_MH_K)
+)
+_DUCK_MH_MATCHES = " + ".join(
+    f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END" for k in range(_MH_K)
+)
+
+_DUCK_MINHASH_CALIB = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+               % {_MH_P} AS h
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM s)),
+         sig AS (
+      SELECT doc_id,
+             {_DUCK_MH_SIGS}
+      FROM inv GROUP BY doc_id),
+         shared AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM s) x
+      JOIN (SELECT doc_id, unnest(sh) AS shingle FROM s) y
+        ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+         pairs AS (
+      SELECT id_a, id_b,
+             CAST(round(round(shared / (sa.sz + sb.sz - shared), 4) * 10000)
+               AS BIGINT) AS j10k
+      FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.2),
+         e AS (
+      SELECT p.j10k, ({_DUCK_MH_MATCHES}) AS matches
+      FROM pairs p JOIN sig a ON p.id_a = a.doc_id
+                   JOIN sig b ON p.id_b = b.doc_id)
+    SELECT CAST(least(j10k // 2000, 4) * 2000 AS BIGINT) AS bucket_lo_bp,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(1.0 * sum(j10k) / count(*)) AS BIGINT) AS mean_true_bp,
+           CAST(round(1.0 * sum(matches * 625) / count(*)) AS BIGINT)
+             AS mean_est_bp,
+           CAST(round(1.0 * sum(abs(matches * 625 - j10k)) / count(*))
+             AS BIGINT) AS mae_bp,
+           CAST(round(1.0 * sum(matches * 625 - j10k) / count(*)) AS BIGINT)
+             AS bias_bp
+    FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q427_minhash_calibration", _DUCK_MINHASH_CALIB)
+def q427_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (Broder 1997, "On the resemblance
+    and containment of documents"): for every candidate pair with true
+    3-shingle Jaccard >= 0.2, compare the exact Jaccard against the
+    K=16-permutation MinHash signature-agreement estimate
+    (matches/K), reporting per-Jaccard-band pair counts, means, MAE
+    and signed bias in basis points — the measurement that tells an
+    operator whether the deployed K is tight enough before trusting
+    LSH band thresholds (q28/q29) at scale.
+
+    Exactness: the whole comparison is integer arithmetic — shingle
+    keys are md5-derived 32-bit ints, permutations are (a*x+b) mod
+    2^31-1 with shared literal constants, the estimate lands on the
+    625-bp grid (matches * 10000/16 exactly) — so both engines agree
+    bit-for-bit; the only doubles are final fixed-denominator means,
+    rounded to integer bp.
+
+    100 TB shape: signatures are ONE groupBy(doc) over the shingle
+    explode (K mins ride one aggregation tree — map-side combinable,
+    K*8 bytes of state per doc); candidate pairs come from the q27
+    inverted index, and the calibration join attaches two K-int
+    signature rows per PAIR — pair-sized, never corpus-quadratic. At
+    scale you run it on a deterministic doc-hash sample; the estimator
+    statistics are sample-invariant."""
+    from ooh_etl_spark.functions.text import tokenize, word_shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    sh = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).select(
+        "doc_id", word_shingles_from_tokens(F.col("toks"), 3).alias("sh")
+    )
+    inv = sh.select(
+        "doc_id", F.explode_outer("sh").alias("shingle")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+            % _MH_P
+        ).alias("h"),
+    )
+    sig = inv.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_MH_A[k]) * F.col("h") + F.lit(_MH_B[k])) % _MH_P)
+            .alias(f"s{k}")
+            for k in range(_MH_K)
+        ]
+    )
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 10000).cast("bigint").alias("j10k"),
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(_MH_K)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(_MH_K)],
+    )
+    matches = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(_MH_K)
+    )
+    e = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("j10k", matches.alias("matches"))
+    )
+    err = F.col("matches") * 625 - F.col("j10k")
+    return (
+        e.groupBy(
+            (F.least(F.floor(F.col("j10k") / 2000), F.lit(4)) * 2000)
+            .cast("bigint")
+            .alias("bucket_lo_bp")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("j10k") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_true_bp"),
+            F.round(F.sum(F.col("matches") * 625) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_est_bp"),
+            F.round(F.sum(F.abs(err)) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mae_bp"),
+            F.round(F.sum(err) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("bias_bp"),
+        )
+        .orderBy("bucket_lo_bp")
+    )

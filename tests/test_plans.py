@@ -672,6 +672,34 @@ def test_q417_single_scan_no_expand_no_join(spark):
     assert plan.count("hashpartitioning(doc_id") == 1, plan
 
 
+def test_q425_single_scan_fingerprint_windows(spark):
+    # BOW dedup census: ONE corpus scan, zero joins, zero Expand, no
+    # explode at all (the fingerprint sorts the token array in-row);
+    # exchanges are the two fingerprint-keyed windows plus the source
+    # aggregate only.
+    plan = plan_of(spark, "q425_bow_fingerprint_dedup")
+    assert plan.count("Scan parquet") <= 2, plan  # tree + detail = 1 scan
+    assert "Join" not in plan, plan
+    assert "Expand" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    keysets = _exchange_key_sets(plan)
+    for ks in keysets:
+        assert ks <= {"text", "bow_fp", "source"}, (ks, plan)
+    assert reads_only(plan, {"doc_id", "source", "text"}), plan
+
+
+def test_q427_signature_rides_one_doc_aggregate(spark):
+    # MinHash calibration: the K=16 signature mins ride ONE
+    # doc_id-keyed aggregate over the shingle explode (no per-k
+    # Expand), and the calibration attach is pair-sized equi-joins —
+    # no cartesian anywhere.
+    plan = plan_of(spark, "q427_minhash_calibration")
+    assert "CartesianProduct" not in plan, plan
+    assert "Expand" not in plan, plan
+    keysets = _exchange_key_sets(plan)
+    assert {"doc_id"} in keysets, keysets  # the signature aggregate
+
+
 def test_q424_single_scan_line_keyed_window(spark):
     # C4 line dedup: ONE corpus scan, ONE explode (doc -> lines), the
     # kept flag from a line-partitioned window — never an
