@@ -1,0 +1,107 @@
+"""Dedup/near-dup family two-point scaling sweep (VERDICT r8 item 6).
+
+Measures, for each corpus (1x = sf0.1, 5x and 10x raw replicas, and
+the 10x exact-deduped funnel input), BOTH the per-stage row counts of
+the shared inverted-index pipeline (postings -> candidate pairs ->
+verified pairs) and n-run median wall times for the family queries —
+converting the "linear in postings" scale claims into measured curves.
+
+Usage: python tools/sweep_dedup_family.py [reps]
+Prints a JSON object; paste the tables into SCALE.md.
+
+Corpora are built by tools/make_replica.py (run it first):
+  python tools/make_replica.py 5 /tmp/sf1x5
+  python tools/make_replica.py 10 /tmp/sf1x10
+"""
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+CORPORA = {
+    "1x": "/root/testdata/sf0.1",
+    "5x": "/tmp/sf1x5",
+    "10x": "/tmp/sf1x10",
+    "10x_dedup": "/tmp/sf1x10_dedup",
+}
+
+FAMILY = [
+    "q26_exact_dedup",
+    "q27_jaccard_pairs",
+    "q417_winnowing_fingerprints",
+    "q418_cdc_chunk_dedup",
+    "q422_bigram_novelty_profile",
+    "q424_line_dedup",
+    "q425_bow_fingerprint_dedup",
+    "q423b_split_leakage_audit_funnel",
+]
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def stage_counts(con: duckdb.DuckDBPyConnection, d: str) -> dict:
+    """Inverted-index pipeline stage row counts (engine-neutral set
+    semantics identical to operators/dedup.py::jaccard_pairs)."""
+    q = f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks
+      FROM read_parquet('{d}/documents.parquet')),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT (SELECT count(*) FROM d) AS n_docs,
+           (SELECT count(DISTINCT doc_id) FROM inv) AS n_docs_shingled,
+           (SELECT count(*) FROM inv) AS n_postings,
+           (SELECT count(*) FROM shared) AS n_candidate_pairs,
+           (SELECT count(*)
+            FROM shared JOIN sz sa ON id_a = sa.doc_id
+                        JOIN sz sb ON id_b = sb.doc_id
+            WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5)
+             AS n_pairs_j50
+    """
+    cols = ["n_docs", "n_docs_shingled", "n_postings", "n_candidate_pairs", "n_pairs_j50"]
+    return dict(zip(cols, con.execute(q).fetchone()))
+
+
+def main() -> int:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    from ooh_etl_spark.queries import QUERIES
+    from ooh_etl_spark.session import get_spark
+
+    spark = get_spark("dedup_family_sweep")
+    con = duckdb.connect()
+    out: dict = {"stage_counts": {}, "timings": {}}
+    for label, d in CORPORA.items():
+        out["stage_counts"][label] = stage_counts(con, d)
+        t: dict = {}
+        for name in FAMILY:
+            runs = []
+            for _ in range(reps):
+                t0 = time.monotonic()
+                QUERIES[name].fn(spark, d).collect()
+                runs.append(round(time.monotonic() - t0, 3))
+            t[name] = statistics.median(runs)
+        out["timings"][label] = t
+        print(label, json.dumps(out["stage_counts"][label]), json.dumps(t), flush=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
