@@ -2171,3 +2171,114 @@ def q427_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo_bp")
     )
+
+
+# --- round-9 wave (cont.): q428 ROUGE-2 overlap on near-dup pairs ----------
+
+_DUCK_ROUGE2 = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         g AS (
+      SELECT doc_id, gram, count(*) AS cnt
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+1], ' ')))
+                     AS gram
+            FROM d)
+      GROUP BY doc_id, gram),
+         tot AS (
+      SELECT doc_id, len(toks) - 1 AS tot FROM d WHERE len(toks) >= 2),
+         ovl AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(least(a.cnt, b.cnt)) AS ovl
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(ovl AS BIGINT) AS ovl,
+           CAST(ta.tot AS BIGINT) AS tot_a,
+           CAST(tb.tot AS BIGINT) AS tot_b,
+           CAST((10000 * ovl) // ta.tot AS BIGINT) AS rouge2_recall_bp,
+           CAST((10000 * ovl) // tb.tot AS BIGINT) AS rouge2_precision_bp,
+           CAST((20000 * ovl) // (ta.tot + tb.tot) AS BIGINT) AS rouge2_f1_bp
+    FROM ovl JOIN tot ta ON id_a = ta.doc_id JOIN tot tb ON id_b = tb.doc_id
+    WHERE (20000 * ovl) // (ta.tot + tb.tot) >= 3000
+    ORDER BY rouge2_f1_bp DESC, id_a, id_b LIMIT 20
+"""
+
+
+@register("q428_rouge2_pair_overlap", _DUCK_ROUGE2)
+def q428_rouge2_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (Lin, ACL-WS 2004) between candidate duplicate pairs:
+    CLIPPED bigram-multiset overlap ``sum(min(cnt_a, cnt_b))`` — unlike
+    q27's Jaccard over shingle SETS, repeated bigrams count up to
+    their occurrence in the other document, the n-gram-recall measure
+    summarization eval and near-dup triage both use. With reference =
+    lower doc_id: recall = ovl/tot_a, precision = ovl/tot_b, and F1
+    collapses to the closed form 2*ovl/(tot_a+tot_b). Top-20 pairs by
+    F1 (full deterministic tie-order), thresholded at F1 >= 0.30.
+
+    Exactness: all outputs are integers; every ratio is an INTEGER
+    floor division (``(10000*ovl) // tot``), so the two engines cannot
+    diverge on rounding edges. The LIMIT is safe because the ORDER BY
+    is a total order (f1, id_a, id_b).
+
+    100 TB shape: identical posting-list discipline to q27 — the
+    gram-count table joins ITSELF on gram (never doc x doc), so
+    candidate volume tracks posting-list sizes; run behind the q162
+    exact-dedup-first funnel (the q423b ordering) so replicated
+    documents cannot quadratically inflate postings. The totals join
+    is doc-keyed (AQE picks broadcast vs SMJ); final top-k is a single
+    ordered LIMIT."""
+    from ooh_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"))
+    grams = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i-1], ' ', toks[i]))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = base.filter(F.size("toks") >= 2).select(
+        "doc_id", (F.size("toks") - 1).cast("bigint").alias("tot")
+    )
+    a = grams.select(
+        F.col("doc_id").alias("id_a"), "gram", F.col("cnt").alias("cnt_a")
+    )
+    b = grams.select(
+        F.col("doc_id").alias("id_b"), "gram", F.col("cnt").alias("cnt_b")
+    )
+    ovl = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("cnt_a", "cnt_b")).cast("bigint").alias("ovl"))
+    )
+    ta = tot.select(F.col("doc_id").alias("id_a"), F.col("tot").alias("tot_a"))
+    tb = tot.select(F.col("doc_id").alias("id_b"), F.col("tot").alias("tot_b"))
+    scored = (
+        ovl.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "ovl",
+            "tot_a",
+            "tot_b",
+            F.expr("(10000 * ovl) div tot_a").alias("rouge2_recall_bp"),
+            F.expr("(10000 * ovl) div tot_b").alias("rouge2_precision_bp"),
+            F.expr("(20000 * ovl) div (tot_a + tot_b)").alias("rouge2_f1_bp"),
+        )
+        .filter(F.col("rouge2_f1_bp") >= 3000)
+    )
+    return scored.orderBy(
+        F.desc("rouge2_f1_bp"), "id_a", "id_b"
+    ).limit(20)

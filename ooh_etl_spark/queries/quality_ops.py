@@ -1338,3 +1338,95 @@ def q382_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("loo_delta_milli"), "source")
     )
+
+
+# --- round-9 wave: q430 Gopher stopword-containment gate -------------------
+
+#: Rae et al., "Scaling Language Models: ... Gopher" (arXiv
+#: 2112.11446), Table A1, rule 8: keep a document only if it contains
+#: at least TWO distinct words from a fixed 8-word English stop list.
+#: The list below is the paper's verbatim set.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_DUCK_STOPWORD_GATE = f"""
+    WITH t AS (
+      SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+         f AS (
+      SELECT source,
+             len(toks) AS n,
+             len(list_filter({list(_GOPHER_STOPS)},
+                             w -> list_contains(toks, w))) AS n_hit,
+             len(list_filter(toks,
+                             t -> list_contains({list(_GOPHER_STOPS)}, t)))
+               AS n_stop
+      FROM t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hit >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(sum(CASE WHEN n_hit < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_stopword,
+           CAST(sum(n_stop) AS BIGINT) AS n_stop_tokens,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST((10000 * sum(n_stop)) // sum(n) AS BIGINT)
+             AS stop_density_bp
+    FROM f GROUP BY source ORDER BY source
+"""
+
+
+@register("q430_stopword_gate", _DUCK_STOPWORD_GATE)
+def q430_stopword_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher stopword-containment gate (Rae et al. 2112.11446, Table
+    A1 rule 8): a document passes only if it contains >= 2 DISTINCT
+    words of the fixed 8-word stop list — the cheapest "is this prose
+    at all" signal, run before any tokenizer or model-based filter.
+    Per-source census: pass/fail counts plus the corpus stopword
+    DENSITY (stop tokens / all tokens, floor-bp), the companion signal
+    CCNet-style pipelines monitor for register drift.
+
+    Exactness: distinct-hit count via set intersection with the
+    literal list on both engines; density uses INTEGER floor division
+    (``(10000*s) // n``), so no float rounding edge exists anywhere.
+
+    100 TB shape: both signals are in-row collection expressions
+    (array_intersect against an 8-element literal, one bounded regexp
+    scan) inside the scan stage — no explode, no HOF lambda on the
+    token array (the q417/q79 interpreted-lambda lesson); the only
+    exchange is the 20-source final aggregate. Embarrassingly parallel
+    at any scale."""
+    t = F.lower(F.trim(F.col("text")))
+    toks = tokenize(F.col("text"))
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    # Stop-TOKEN count as a bounded regexp extraction on the raw
+    # string (group 2; the leading separator is consumed, the trailing
+    # one is a lookahead so consecutive stopwords all match) — stays
+    # in codegen, unlike filter()'s interpreted lambda.
+    stop_alt = "|".join(_GOPHER_STOPS)
+    n_stop = F.expr(
+        rf"size(regexp_extract_all(lower(trim(text)),"
+        rf" '(^|\\s)({stop_alt})(?=\\s|$)', 2))"
+    )
+    f = _docs(spark, sf_dir).select(
+        "source",
+        F.size(F.split(t, r"\s+")).alias("n"),
+        F.size(F.array_intersect(toks, stops)).alias("n_hit"),
+        n_stop.alias("n_stop"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_hit") >= 2).cast("int"))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum((F.col("n_hit") < 2).cast("int"))
+            .cast("bigint")
+            .alias("n_fail_stopword"),
+            F.sum("n_stop").cast("bigint").alias("n_stop_tokens"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.expr("(10000 * sum(n_stop)) div sum(n)")
+            .cast("bigint")
+            .alias("stop_density_bp"),
+        )
+        .orderBy("source")
+    )

@@ -870,3 +870,180 @@ def q399_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chapman_err_bp"),
     )
+
+
+# --- round-9 wave: q429 mergeable two-level quantile summary ---------------
+
+_Q_SHARDS = 32  # stage-1 shards (stand-in for executor partitions)
+_Q_K = 16  # summary points kept per shard
+
+_DUCK_MERGE_QUANT = f"""
+    WITH x AS (
+      SELECT CAST(l_orderkey % {_Q_SHARDS} AS BIGINT) AS shard,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+         n AS (SELECT count(*) AS n FROM x),
+         r AS (
+      SELECT shard, cents,
+             row_number() OVER (PARTITION BY shard ORDER BY cents) AS rk,
+             count(*) OVER (PARTITION BY shard) AS ns
+      FROM x),
+         pts AS (
+      SELECT shard, cents, rk
+      FROM r WHERE (rk * {_Q_K}) // ns > ((rk - 1) * {_Q_K}) // ns),
+         w AS (
+      SELECT shard, cents, rk,
+             rk - coalesce(lag(rk) OVER (PARTITION BY shard ORDER BY rk), 0)
+               AS wt
+      FROM pts),
+         cum AS (
+      SELECT cents, sum(wt) OVER (ORDER BY cents, shard, rk) AS cumw
+      FROM w),
+         grid AS (SELECT unnest(generate_series(1, 9)) AS decile),
+         tgt AS (
+      SELECT decile, (decile * n.n + 9) // 10 AS target_rank
+      FROM grid, n),
+         est AS (
+      SELECT decile, target_rank, min(cents) AS est_cents
+      FROM tgt JOIN cum ON cumw >= target_rank
+      GROUP BY decile, target_rank),
+         cdf AS (
+      SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum
+      FROM (SELECT cents, count(*) AS cnt FROM x GROUP BY cents)),
+         exact AS (
+      SELECT decile, min(cents) AS exact_cents
+      FROM tgt JOIN cdf ON cum >= target_rank
+      GROUP BY decile)
+    SELECT e.decile,
+           CAST(e.target_rank AS BIGINT) AS target_rank,
+           CAST(x.exact_cents AS BIGINT) AS exact_cents,
+           CAST(e.est_cents AS BIGINT) AS est_cents,
+           CAST(e.est_cents - x.exact_cents AS BIGINT) AS err_cents,
+           CAST((10000 * abs(e.est_cents - x.exact_cents)) // x.exact_cents
+             AS BIGINT) AS abs_err_bp
+    FROM est e JOIN exact x USING (decile)
+    ORDER BY decile
+"""
+
+
+@register("q429_mergeable_quantile_summary", _DUCK_MERGE_QUANT)
+def q429_mergeable_quantile_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level distributed quantiles (the mergeable-summary pattern
+    behind t-digest / GK / KLL, here in its exact equi-depth form):
+    stage 1 reduces each of 32 shards to a 16-point
+    equi-depth summary (value at local rank ceil(j*ns/K), carrying the
+    row count it covers); stage 2 merges the tiny summaries by value
+    order and reads decile estimates off the cumulative weight. The
+    estimate is audited against the EXACT decile from a distinct-value
+    CDF. Per decile: target rank, exact vs estimated cents, signed
+    error, abs error in bp. Summary grid and weights are pure integer
+    arithmetic (floor-division bucket boundaries), so both engines
+    select identical summary points; all ratios are integer floor
+    divisions — no rounding edge.
+
+    100 TB shape: this IS the scale pattern for percentiles — a full
+    sort never happens; each shard sorts locally (one exchange +
+    in-partition sort; on a cluster the shard is the partition and the
+    summary falls out of a mapPartitions-shaped pass), and the merge
+    touches SHARDS*K = 512 rows regardless of input
+    size. The exact baseline is itself scale-safe: a value-keyed
+    count (mergeable) + a CDF window over DISTINCT values (bounded by
+    the value domain, ~cents range, not row count). Error bound:
+    est rank is within max_s(ns_s/K) of target — tighten by raising K,
+    cost is K*SHARDS merge rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        (F.col("l_orderkey") % _Q_SHARDS).cast("bigint").alias("shard"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    n = x.agg(F.count(F.lit(1)).alias("n"))
+    by_shard = Window.partitionBy("shard")
+    r = x.select(
+        "shard",
+        "cents",
+        F.row_number().over(by_shard.orderBy("cents")).alias("rk"),
+        F.count(F.lit(1)).over(by_shard).alias("ns"),
+    )
+    pts = r.filter(
+        F.expr(f"(rk * {_Q_K}) div ns > ((rk - 1) * {_Q_K}) div ns")
+    )
+    w = pts.select(
+        "shard",
+        "cents",
+        "rk",
+        (
+            F.col("rk")
+            - F.coalesce(
+                F.lag("rk").over(by_shard.orderBy("rk")), F.lit(0)
+            )
+        ).alias("wt"),
+    )
+    # Merge stage: the summary is SHARDS*K rows by construction, so a
+    # global (unpartitioned) running-sum window over it is driver-knob
+    # small — that smallness is the whole point of the sketch.
+    cum = w.select(
+        "cents",
+        F.sum("wt")
+        .over(
+            Window.orderBy("cents", "shard", "rk").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cumw"),
+    )
+    tgt = (
+        spark.range(1, 10)
+        .select(F.col("id").cast("bigint").alias("decile"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "decile",
+            F.expr("(decile * n + 9) div 10").cast("bigint").alias(
+                "target_rank"
+            ),
+        )
+    )
+    est = (
+        cum.join(F.broadcast(tgt), F.col("cumw") >= F.col("target_rank"))
+        .groupBy("decile", "target_rank")
+        .agg(F.min("cents").alias("est_cents"))
+    )
+    # Exact baseline: distinct-value CDF (value-domain bounded window).
+    cdf = (
+        x.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cents",
+            F.sum("cnt")
+            .over(
+                Window.orderBy("cents").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum"),
+        )
+    )
+    exact = (
+        cdf.join(F.broadcast(tgt), F.col("cum") >= F.col("target_rank"))
+        .groupBy("decile")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, "decile")
+        .select(
+            "decile",
+            "target_rank",
+            F.col("exact_cents").cast("bigint").alias("exact_cents"),
+            F.col("est_cents").cast("bigint").alias("est_cents"),
+            (F.col("est_cents") - F.col("exact_cents"))
+            .cast("bigint")
+            .alias("err_cents"),
+            F.expr("(10000 * abs(est_cents - exact_cents)) div exact_cents")
+            .cast("bigint")
+            .alias("abs_err_bp"),
+        )
+        .orderBy("decile")
+    )

@@ -716,3 +716,45 @@ def test_q424_single_scan_line_keyed_window(spark):
     for ks in keysets:
         assert ks <= {"line", "source"}, (ks, plan)
     assert reads_only(plan, {"doc_id", "source", "text"}), plan
+
+
+def test_q430_scan_stage_signals_single_aggregate(spark):
+    # Gopher stopword gate: both signals are in-row expressions inside
+    # the scan stage — no explode, no join, no HOF lambda; the only
+    # keyed exchange is the 20-source aggregate.
+    plan = plan_of(spark, "q430_stopword_gate")
+    assert plan.count("Scan parquet") <= 2, plan  # tree + detail = 1 scan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "lambdafunction" not in plan, plan  # no interpreted HOF
+    for ks in _exchange_key_sets(plan):
+        assert ks <= {"source"}, (ks, plan)
+    assert reads_only(plan, {"source", "text"}), plan
+
+
+def test_q428_posting_join_never_doc_cross(spark):
+    # ROUGE-2 pairs: candidates come from the gram-keyed posting join
+    # (gram exchange), never a doc x doc cartesian; totals re-attach by
+    # id equi-joins.
+    plan = plan_of(spark, "q428_rouge2_pair_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    keysets = _exchange_key_sets(plan)
+    assert {"gram"} in keysets or {"doc_id", "gram"} in keysets, keysets
+    assert reads_only(plan, {"doc_id", "text"}), plan
+
+
+def test_q429_merge_stage_is_summary_sized(spark):
+    # Mergeable quantiles: stage 1 is shard-keyed windows over the full
+    # table; everything after the summary filter is SHARDS*K-sized —
+    # the only unpartitioned (SinglePartition) exchanges are the
+    # 512-row summary merge and the distinct-value CDF, and the decile
+    # grid attaches via broadcast, never a shuffled join of the data.
+    plan = plan_of(spark, "q429_mergeable_quantile_summary")
+    keysets = _exchange_key_sets(plan)
+    assert {"shard"} in keysets, keysets  # stage-1 local sort/rank
+    # grid attach is broadcast (nested-loop on the range predicate is
+    # fine: build side is the 9-row grid)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert reads_only(plan, {"l_orderkey", "l_extendedprice"}), plan

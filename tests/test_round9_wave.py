@@ -110,6 +110,9 @@ def test_q423b_funnel_shrinks_pair_table_vs_raw(spark, tmp_path):
         "q425_bow_fingerprint_dedup",
         "q426_cluster_representatives",
         "q427_minhash_calibration",
+        "q428_rouge2_pair_overlap",
+        "q429_mergeable_quantile_summary",
+        "q430_stopword_gate",
     ],
 )
 def test_round9_wave_oracle(spark, duck, name):
@@ -216,3 +219,139 @@ def test_q427_estimate_lands_on_625bp_grid(spark, tmp_path):
         assert r.bucket_lo_bp in (2000, 4000, 6000, 8000)
         assert 0 <= r.mean_est_bp <= 10000
         assert abs(r.bias_bp) <= r.mae_bp
+
+
+# --- q428: ROUGE-2 pair overlap ----------------------------------------------
+
+
+def test_q428_clipped_multiset_not_set(spark, tmp_path):
+    # doc 1 repeats the bigram "a b" three times; doc 2 has it twice.
+    # Clipped-count overlap = min(3, 2) = 2 (a SET measure would say 1;
+    # an unclipped product would say 6).
+    rows = [
+        (1, "a b a b a b", "en", "s", 0),   # bigrams: ab,ba,ab,ba,ab -> tot 5
+        (2, "a b c a b", "en", "s", 0),     # ab,bc,ca,ab -> tot 4
+    ]
+    out = run(spark, "q428_rouge2_pair_overlap", _docs_dir(tmp_path, rows))
+    r = out.collect()[0]
+    # shared grams: "a b" min(3,2)=2, "b a" min(2,0)=0 ... plus none else
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["ovl"] == 2 and r["tot_a"] == 5 and r["tot_b"] == 4
+    assert r["rouge2_recall_bp"] == (10000 * 2) // 5
+    assert r["rouge2_precision_bp"] == (10000 * 2) // 4
+    assert r["rouge2_f1_bp"] == (20000 * 2) // 9
+
+
+def test_q428_identical_docs_score_10000(spark, tmp_path):
+    rows = [
+        (1, "x y z w v", "en", "s", 0),
+        (2, "x y z w v", "en", "s", 0),
+    ]
+    r = run(spark, "q428_rouge2_pair_overlap", _docs_dir(tmp_path, rows)).collect()[0]
+    assert r["rouge2_f1_bp"] == 10000
+    assert r["rouge2_recall_bp"] == 10000 and r["rouge2_precision_bp"] == 10000
+
+
+def test_q428_below_threshold_pairs_dropped(spark, tmp_path):
+    # Disjoint vocabularies -> no shared bigram -> no pair at all
+    # (overlap group never forms); near-threshold pair stays out.
+    rows = [
+        (1, "a b c d e f", "en", "s", 0),
+        (2, "p q r s t u", "en", "s", 0),
+    ]
+    assert (
+        run(spark, "q428_rouge2_pair_overlap", _docs_dir(tmp_path, rows)).count()
+        == 0
+    )
+
+
+# --- q429: mergeable quantile summary ----------------------------------------
+
+
+def test_q429_decile_grid_and_rank_error_bound(spark, duck):
+    rows = run(spark, "q429_mergeable_quantile_summary", SF_DIR).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    # The merge counts each summary point's covered rows at its
+    # UPPER-bound value, so cumw understates the true CDF: the
+    # estimate is (a) never below the exact decile and (b) the value
+    # at a rank at most N/K + SHARDS above the target (each of the 32
+    # shards defers < ns/K rows past the selected point). VALUE error
+    # has no a-priori bound (a flat CDF stretch converts rank slack
+    # into price slack), which is why the audit reports it.
+    duck.execute(
+        f"CREATE OR REPLACE VIEW _q429x AS SELECT CAST(round("
+        f"l_extendedprice * 100) AS BIGINT) AS cents FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    (n,) = duck.execute("SELECT count(*) FROM _q429x").fetchone()
+    slack = n // 16 + 32
+    for r in rows:
+        assert r["err_cents"] == r["est_cents"] - r["exact_cents"]
+        assert r["abs_err_bp"] == (
+            10000 * abs(r["err_cents"])
+        ) // r["exact_cents"]
+        assert r["err_cents"] >= 0  # upward bias only
+        hi_rank = min(n, r["target_rank"] + slack)
+        (hi_val,) = duck.execute(
+            "SELECT cents FROM (SELECT cents, row_number() OVER "
+            "(ORDER BY cents) rk FROM _q429x) WHERE rk = ?",
+            [hi_rank],
+        ).fetchone()
+        assert r["est_cents"] <= hi_val
+    # deciles are monotone in both columns
+    assert all(
+        a["exact_cents"] <= b["exact_cents"] and a["est_cents"] <= b["est_cents"]
+        for a, b in zip(rows, rows[1:])
+    )
+
+
+def test_q429_exact_matches_global_sort_quantile(spark, duck):
+    # independent definition of the exact decile: value at rank
+    # ceil(p*N/10) of the fully sorted cents list, computed by a plain
+    # ORDER BY in DuckDB.
+    got = {
+        r["decile"]: r["exact_cents"]
+        for r in run(spark, "q429_mergeable_quantile_summary", SF_DIR).collect()
+    }
+    for p in (1, 5, 9):
+        (want,) = duck.execute(
+            f"""
+            WITH x AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS cents
+                       FROM read_parquet('{SF_DIR}/lineitem.parquet')),
+                 n AS (SELECT count(*) AS n FROM x)
+            SELECT cents FROM (
+              SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM x),
+              n
+            WHERE rk = (({p} * n.n + 9) // 10) LIMIT 1
+            """
+        ).fetchone()
+        assert got[p] == want
+
+
+# --- q430: Gopher stopword gate ----------------------------------------------
+
+
+def test_q430_distinct_hits_not_token_hits(spark, tmp_path):
+    # doc 1: "the the the ..." — many stop TOKENS but only ONE distinct
+    # stop word -> FAILS the >=2-distinct rule; doc 2 has two distinct
+    # stopwords exactly once each -> passes.
+    rows = [
+        (1, "the the the the rock", "en", "s", 0),
+        (2, "of stone and rock here", "en", "s", 0),
+    ]
+    r = run(spark, "q430_stopword_gate", _docs_dir(tmp_path, rows)).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["n_pass"] == 1 and r["n_fail_stopword"] == 1
+    # stop tokens: 4x"the" + "of" + "and" = 6 of 10 tokens
+    assert r["n_stop_tokens"] == 6 and r["n_tokens"] == 10
+    assert r["stop_density_bp"] == (10000 * 6) // 10
+
+
+def test_q430_consecutive_stopwords_all_counted(spark, tmp_path):
+    # regexp token counting consumes only the LEADING separator, so a
+    # run "of the and that" counts every one of them.
+    rows = [(1, "of the and that", "en", "s", 0)]
+    r = run(spark, "q430_stopword_gate", _docs_dir(tmp_path, rows)).collect()[0]
+    assert r["n_stop_tokens"] == 4 and r["n_tokens"] == 4
+    assert r["n_pass"] == 1
