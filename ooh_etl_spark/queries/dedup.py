@@ -2223,56 +2223,25 @@ def q428_rouge2_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a total order (f1, id_a, id_b).
 
     100 TB shape: identical posting-list discipline to q27 — the
-    gram-count table joins ITSELF on gram (never doc x doc), so
-    candidate volume tracks posting-list sizes; run behind the q162
-    exact-dedup-first funnel (the q423b ordering) so replicated
-    documents cannot quadratically inflate postings. The totals join
-    is doc-keyed (AQE picks broadcast vs SMJ); final top-k is a single
-    ordered LIMIT."""
-    from ooh_etl_spark.functions.text import tokenize
+    per-doc gram counts feed gram-keyed posting lists whose ordered
+    in-list expansion emits each pair once (never doc x doc, never a
+    gram-table self-join — the join form re-evaluates the explode per
+    branch; measured 6x slower at sf0.1), so candidate volume tracks
+    posting-list sizes; run behind the q162 exact-dedup-first funnel
+    (the q423b ordering) so replicated documents cannot quadratically
+    inflate postings. Totals ride the pair keys (no join back); final
+    top-k is a single ordered LIMIT."""
+    from ooh_etl_spark.operators.dedup import clipped_overlap_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    base = docs.select("doc_id", toks.alias("toks"))
-    grams = (
-        base.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> concat(toks[i-1], ' ', toks[i]))"
-                )
-            ).alias("gram"),
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    tot = base.filter(F.size("toks") >= 2).select(
-        "doc_id", (F.size("toks") - 1).cast("bigint").alias("tot")
-    )
-    a = grams.select(
-        F.col("doc_id").alias("id_a"), "gram", F.col("cnt").alias("cnt_a")
-    )
-    b = grams.select(
-        F.col("doc_id").alias("id_b"), "gram", F.col("cnt").alias("cnt_b")
-    )
-    ovl = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.least("cnt_a", "cnt_b")).cast("bigint").alias("ovl"))
-    )
-    ta = tot.select(F.col("doc_id").alias("id_a"), F.col("tot").alias("tot_a"))
-    tb = tot.select(F.col("doc_id").alias("id_b"), F.col("tot").alias("tot_b"))
+    pairs = clipped_overlap_pairs(docs, "text", "doc_id")
     scored = (
-        ovl.join(ta, "id_a")
-        .join(tb, "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
-            "ovl",
-            "tot_a",
-            "tot_b",
+            F.col("ovl").cast("bigint").alias("ovl"),
+            F.col("tot_a").cast("bigint").alias("tot_a"),
+            F.col("tot_b").cast("bigint").alias("tot_b"),
             F.expr("(10000 * ovl) div tot_a").alias("rouge2_recall_bp"),
             F.expr("(10000 * ovl) div tot_b").alias("rouge2_precision_bp"),
             F.expr("(20000 * ovl) div (tot_a + tot_b)").alias("rouge2_f1_bp"),
@@ -2282,3 +2251,87 @@ def q428_rouge2_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("rouge2_f1_bp"), "id_a", "id_b"
     ).limit(20)
+
+
+# --- round-9 wave (cont.): q431 shingle containment --------------------------
+
+_DUCK_CONTAINMENT = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(sa.sz AS BIGINT) AS sz_a,
+           CAST(sb.sz AS BIGINT) AS sz_b,
+           CAST(CASE WHEN sa.sz < sb.sz OR (sa.sz = sb.sz) THEN id_a
+                     ELSE id_b END AS BIGINT) AS contained_id,
+           CAST((10000 * shared) // least(sa.sz, sb.sz) AS BIGINT)
+             AS containment_bp,
+           CAST((10000 * shared) // (sa.sz + sb.sz - shared) AS BIGINT)
+             AS jaccard_bp
+    FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+    WHERE (10000 * shared) // least(sa.sz, sb.sz) >= 7000
+    ORDER BY containment_bp DESC, id_a, id_b
+"""
+
+
+@register("q431_shingle_containment", _DUCK_CONTAINMENT)
+def q431_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT (Broder, SEQUENCES'97 distinguishes
+    resemblance from containment): ``shared / min(|A|, |B|)`` — the
+    asymmetric near-dup measure that catches quote inclusion and
+    wrapper/boilerplate pages, where a short document's shingles sit
+    almost wholly inside a long one while Jaccard stays far below any
+    dedup threshold (the union is dominated by the long side). Emits
+    pairs at containment >= 0.70 with the contained side identified
+    (the smaller shingle set; ties to id_a) and the Jaccard alongside
+    for contrast.
+
+    Exactness: same 3-shingle SET construction as q27 (one shared
+    definition in both engines); all ratios are INTEGER floor
+    divisions — no rounding edge.
+
+    100 TB shape: identical posting-list pipeline to q27/q428 (gram
+    self-join, never doc x doc; run behind the q162 exact-dedup-first
+    funnel). Containment needs no extra pass: it reads off the same
+    shared-count aggregate with a different denominator."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=None, raw_counts=True
+    )
+    c = (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.col("sz_b").cast("bigint").alias("sz_b"),
+        )
+        .select(
+            "*",
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .cast("bigint")
+            .alias("contained_id"),
+            F.expr("(10000 * shared) div least(sz_a, sz_b)").alias(
+                "containment_bp"
+            ),
+            F.expr("(10000 * shared) div (sz_a + sz_b - shared)").alias(
+                "jaccard_bp"
+            ),
+        )
+        .filter(F.col("containment_bp") >= 7000)
+    )
+    return c.orderBy(F.desc("containment_bp"), "id_a", "id_b")

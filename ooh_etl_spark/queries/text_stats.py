@@ -1987,3 +1987,122 @@ def q422_bigram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- round-9 wave: q432 per-source Jensen-Shannon divergence ----------------
+
+_DUCK_SOURCE_JS = f"""
+    WITH t AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents),
+         st AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         sn AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+         ct AS (SELECT tok, sum(c) AS cc FROM st GROUP BY 1),
+         n AS (SELECT sum(c) AS n FROM st),
+         terms AS (
+      SELECT st.source,
+             st.c / sn.ns AS p,
+             ct.cc / n.n AS q
+      FROM st JOIN sn USING (source) JOIN ct USING (tok), n),
+         agg AS (
+      SELECT source,
+             sum(p * log2(2 * p / (p + q))) AS kl_p,
+             sum(q * log2(2 * q / (p + q))) AS kl_q_present,
+             sum(q) AS q_present,
+             count(*) AS vocab
+      FROM terms GROUP BY source)
+    SELECT a.source,
+           CAST(sn.ns AS BIGINT) AS n_tokens,
+           CAST(a.vocab AS BIGINT) AS vocab,
+           CAST(round(10000 * (1 - a.q_present)) AS BIGINT)
+             AS absent_mass_bp,
+           CAST(round(1000 * 0.5 * (a.kl_p + a.kl_q_present
+                                    + (1 - a.q_present))) AS BIGINT)
+             AS js_milli
+    FROM agg a JOIN sn ON a.source = sn.source
+    ORDER BY a.source
+"""
+
+
+@register("q432_source_js_divergence", _DUCK_SOURCE_JS)
+def q432_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the pooled corpus distribution (Lin, IEEE-IT 1991) — the
+    drift monitor a mixture pipeline runs per ingest batch: a source
+    whose JS jumps is changing register/domain and needs its mixture
+    weight re-fit. Reports per source: token count, vocabulary,
+    corpus-mass on tokens ABSENT from the source, and JS in milli-bits.
+
+    The absent-token trick keeps the computation on PRESENT
+    (source, token) pairs only: for a token with p_t = 0 the KL(q||m)
+    term is q_t*log2(q_t/(q_t/2)) = q_t, so the whole absent tail
+    collapses to the closed form (1 - sum_present q_t) — no
+    vocab x source densification, no outer join.
+
+    Exactness: both engines sum identical IEEE terms; the only float
+    output is quantized to milli-bits (the q23/q61 precedent; log2 ulp
+    differences sit ~6 orders below the quantum).
+
+    100 TB shape: one explode -> ONE (source, token)-keyed aggregate;
+    both marginals are windows over that vocab-bounded table and the
+    scalar total is a no-explode map-side aggregate, so the corpus is
+    never re-exploded per marginal; per-source reduction ends at 20
+    rows. No stage touches doc x vocab."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "source", F.explode_outer(tokenize(F.col("text"))).alias("tok")
+    )
+    # ONE corpus explode -> (source, tok) counts; every marginal the
+    # formula needs is then a WINDOW over this vocab-bounded table
+    # (never a second corpus pass): ns = per-source mass, cc = token
+    # marginal. A naive sn/ct/n-as-separate-aggregates plan re-derives
+    # the explode once per marginal (measured: 4 Generate subtrees).
+    st = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ns_w = F.sum("c").over(Window.partitionBy("source"))
+    cc_w = F.sum("c").over(Window.partitionBy("tok"))
+    # The corpus total is a SCALAR: take it from a no-explode map-side
+    # aggregate over the scan (sum of in-row token counts) instead of
+    # a single-partition window over st.
+    n = docs.agg(
+        F.sum(F.size(tokenize(F.col("text")))).cast("double").alias("n")
+    )
+    terms = (
+        st.select("source", "tok", "c", ns_w.alias("ns"))
+        .select("source", "c", "ns", cc_w.alias("cc"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("ns"),
+            (F.col("c") / F.col("ns")).alias("p"),
+            (F.col("cc") / F.col("n")).alias("q"),
+        )
+    )
+    agg = terms.groupBy("source", "ns").agg(
+        F.sum(F.col("p") * F.log2(2 * F.col("p") / (F.col("p") + F.col("q"))))
+        .alias("kl_p"),
+        F.sum(F.col("q") * F.log2(2 * F.col("q") / (F.col("p") + F.col("q"))))
+        .alias("kl_q_present"),
+        F.sum("q").alias("q_present"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    return (
+        agg.select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            F.round(10000 * (1 - F.col("q_present")))
+            .cast("bigint")
+            .alias("absent_mass_bp"),
+            F.round(
+                1000
+                * 0.5
+                * (
+                    F.col("kl_p")
+                    + F.col("kl_q_present")
+                    + (1 - F.col("q_present"))
+                )
+            )
+            .cast("bigint")
+            .alias("js_milli"),
+        )
+        .orderBy("source")
+    )

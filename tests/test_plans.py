@@ -758,3 +758,28 @@ def test_q429_merge_stage_is_summary_sized(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert reads_only(plan, {"l_orderkey", "l_extendedprice"}), plan
+
+
+def test_q431_rides_the_single_posting_pipeline(spark):
+    # Containment reads off jaccard_pairs' raw-counts prefix: one
+    # shingle-keyed exchange + one pair-keyed aggregate, no joins at
+    # all (sizes ride the keys), no cartesian.
+    plan = plan_of(spark, "q431_shingle_containment")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    keysets = _exchange_key_sets(plan)
+    assert {"shingle"} in keysets, keysets
+    assert reads_only(plan, {"doc_id", "text"}), plan
+
+
+def test_q432_no_doc_x_vocab_densification(spark):
+    # JS divergence: the absent-mass closed form keeps every stage on
+    # PRESENT (source, token) pairs — no outer join, no cross join of
+    # sources against the vocabulary; the corpus total attaches as a
+    # 1-row broadcast.
+    plan = plan_of(spark, "q432_source_js_divergence")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Generate") <= 2, plan  # tree + detail = 1 explode
+    keysets = _exchange_key_sets(plan)
+    assert {"source", "tok"} in keysets, keysets
+    assert reads_only(plan, {"source", "text"}), plan

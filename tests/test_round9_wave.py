@@ -113,6 +113,8 @@ def test_q423b_funnel_shrinks_pair_table_vs_raw(spark, tmp_path):
         "q428_rouge2_pair_overlap",
         "q429_mergeable_quantile_summary",
         "q430_stopword_gate",
+        "q431_shingle_containment",
+        "q432_source_js_divergence",
     ],
 )
 def test_round9_wave_oracle(spark, duck, name):
@@ -355,3 +357,78 @@ def test_q430_consecutive_stopwords_all_counted(spark, tmp_path):
     r = run(spark, "q430_stopword_gate", _docs_dir(tmp_path, rows)).collect()[0]
     assert r["n_stop_tokens"] == 4 and r["n_tokens"] == 4
     assert r["n_pass"] == 1
+
+
+# --- q431: shingle containment -----------------------------------------------
+
+
+def test_q431_containment_catches_what_jaccard_misses(spark, tmp_path):
+    # doc 2 is doc 1 plus a long unrelated tail: every shingle of the
+    # short doc appears in the long one (containment = 1.0) while
+    # Jaccard is diluted far below the 0.5 dedup threshold.
+    short = [f"tok{j}" for j in range(8)]
+    tail = [f"zz{j}" for j in range(40)]
+    rows = [
+        (1, " ".join(short), "en", "s", 0),
+        (2, " ".join(short + tail), "en", "s", 0),
+    ]
+    out = run(spark, "q431_shingle_containment", _docs_dir(tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["contained_id"] == 1
+    assert r["containment_bp"] == 10000
+    assert r["jaccard_bp"] < 5000
+    assert r["sz_a"] == 6 and r["sz_b"] == 46  # 3-shingle set sizes
+
+
+def test_q431_tie_sizes_contained_is_id_a(spark, tmp_path):
+    base = [f"w{j}" for j in range(12)]
+    rows = [
+        (5, " ".join(base), "en", "s", 0),
+        (9, " ".join(base), "en", "s", 0),
+    ]
+    r = run(spark, "q431_shingle_containment", _docs_dir(tmp_path, rows)).collect()[0]
+    assert (r["id_a"], r["id_b"], r["contained_id"]) == (5, 9, 5)
+
+
+# --- q432: per-source JS divergence ------------------------------------------
+
+
+def test_q432_identical_sources_have_zero_js(spark, tmp_path):
+    # two sources with the SAME token distribution -> each equals the
+    # pooled corpus -> JS = 0 and no corpus mass is absent.
+    rows = [
+        (1, "a b c d", "en", "s1", 0),
+        (2, "a b c d", "en", "s2", 0),
+    ]
+    out = run(spark, "q432_source_js_divergence", _docs_dir(tmp_path, rows)).collect()
+    assert [r["source"] for r in out] == ["s1", "s2"]
+    for r in out:
+        assert r["js_milli"] == 0 and r["absent_mass_bp"] == 0
+        assert r["n_tokens"] == 4 and r["vocab"] == 4
+
+
+def test_q432_disjoint_source_approaches_one_bit(spark, tmp_path):
+    # a source sharing NO tokens with the rest of the corpus: as its
+    # share of the pool shrinks, JS(p, corpus) -> 1 bit. With a 50/50
+    # split JS = 1 - 0.5*log2(4/3)... compute the closed form instead:
+    # p uniform on {a,b}, corpus = 0.5*p + 0.5*q with q uniform on
+    # {x,y}: JS(p, corpus) here is KL terms with q_t = 1/4 for all.
+    rows = [
+        (1, "a b a b", "en", "s1", 0),
+        (2, "x y x y", "en", "s2", 0),
+    ]
+    out = {r["source"]: r for r in run(
+        spark, "q432_source_js_divergence", _docs_dir(tmp_path, rows)
+    ).collect()}
+    import math
+    # p_t = 1/2 (2 tokens), corpus q_t = 1/4 (4 tokens, each source
+    # holds half the pool mass). JS = 0.5*sum[p log2(2p/(p+q))]
+    #   + 0.5*(sum_present[q log2(2q/(p+q))] + absent_mass)
+    p, q = 0.5, 0.25
+    js = 0.5 * (2 * p * math.log2(2 * p / (p + q))) + 0.5 * (
+        2 * q * math.log2(2 * q / (p + q)) + 0.5
+    )
+    for r in out.values():
+        assert r["absent_mass_bp"] == 5000  # half the corpus mass absent
+        assert r["js_milli"] == round(1000 * js)

@@ -31,16 +31,34 @@ CORPORA = {
     "10x_dedup": "/tmp/sf1x10_dedup",
 }
 
-FAMILY = [
+#: Linear-pipeline members (postings/scan-bounded): measured on every
+#: corpus, including raw replicas — their cost tracks corpus volume.
+FAMILY_LINEAR = [
     "q26_exact_dedup",
-    "q27_jaccard_pairs",
     "q417_winnowing_fingerprints",
     "q418_cdc_chunk_dedup",
     "q422_bigram_novelty_profile",
     "q424_line_dedup",
     "q425_bow_fingerprint_dedup",
+]
+
+#: Pair-graph members: candidate volume is quadratic in per-key
+#: replication, so raw replicated corpora are exactly the measured
+#: SCALE.md pathology. q27 is kept on raw replicas as the probe that
+#: MEASURES the pathology; the others run only where they are
+#: specified to run at scale — behind the exact-dedup funnel.
+FAMILY_PAIR_PROBE = ["q27_jaccard_pairs"]
+FAMILY_PAIR_FUNNEL_ONLY = [
+    "q428_rouge2_pair_overlap",
     "q423b_split_leakage_audit_funnel",
 ]
+
+
+def family_for(label: str) -> list:
+    fam = FAMILY_LINEAR + FAMILY_PAIR_PROBE
+    if label in ("1x",) or label.endswith("_dedup"):
+        fam = fam + FAMILY_PAIR_FUNNEL_ONLY
+    return fam
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
@@ -90,9 +108,10 @@ def main() -> int:
     for label, d in CORPORA.items():
         out["stage_counts"][label] = stage_counts(con, d)
         t: dict = {}
-        for name in FAMILY:
+        for name in family_for(label):
             runs = []
-            for _ in range(reps):
+            r = 1 if label == "10x" and name in FAMILY_PAIR_PROBE else reps
+            for _ in range(r):
                 t0 = time.monotonic()
                 QUERIES[name].fn(spark, d).collect()
                 runs.append(round(time.monotonic() - t0, 3))
