@@ -315,73 +315,3 @@ def simhash_pairs(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
 
-
-def clipped_overlap_pairs(
-    df: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
-    """Clipped bigram-MULTISET overlap for all co-occurring pairs:
-    ``ovl = sum_g min(cnt_a(g), cnt_b(g))`` (the ROUGE/BLEU clipped
-    count), plus each side's total bigram count. Same single-pipeline
-    posting-list shape as :func:`jaccard_pairs` — scan → per-doc gram
-    counts (map-side combinable) → gram-keyed posting lists → in-list
-    ordered pair expansion → pair-keyed sum — never a join of the gram
-    table against itself (a plain self-join re-evaluates the explode
-    per branch and re-shuffles the full gram table twice; measured 6x
-    slower at sf0.1).
-
-    Returns (id_a, id_b, ovl, tot_a, tot_b) with id_a < id_b.
-    """
-    toks = tokenize(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        toks.alias("toks"),
-    ).select(
-        "id",
-        (F.size("toks") - 1).cast("bigint").alias("tot"),
-        F.explode_outer(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> concat(toks[i-1], ' ', toks[i]))"
-            )
-        ).alias("gram"),
-    ).filter(F.col("gram").isNotNull())
-    # Per-doc multiset counts; tot rides the key (functionally
-    # dependent on id) so no join re-attaches it later.
-    cnts = base.groupBy("id", "tot", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    members = cnts.groupBy("gram").agg(
-        F.array_sort(F.collect_list(F.struct("id", "tot", "cnt"))).alias(
-            "ids"
-        )
-    )
-    pairs = (
-        members.filter(F.size("ids") >= 2)
-        .select(
-            F.explode_outer(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda b: F.struct(
-                                a.getField("id").alias("id_a"),
-                                a.getField("tot").alias("tot_a"),
-                                b.getField("id").alias("id_b"),
-                                b.getField("tot").alias("tot_b"),
-                                F.least(
-                                    a.getField("cnt"), b.getField("cnt")
-                                ).alias("ovl_g"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.tot_a", "p.id_b", "p.tot_b", "p.ovl_g")
-    )
-    return (
-        pairs.groupBy("id_a", "tot_a", "id_b", "tot_b")
-        .agg(F.sum("ovl_g").cast("bigint").alias("ovl"))
-        .select("id_a", "id_b", "ovl", "tot_a", "tot_b")
-    )

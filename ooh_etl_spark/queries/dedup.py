@@ -2178,6 +2178,23 @@ def q427_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_ROUGE2 = f"""
     WITH d AS (
       SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         cand AS (
+      SELECT id_a, id_b
+      FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5),
          g AS (
       SELECT doc_id, gram, count(*) AS cnt
       FROM (SELECT doc_id,
@@ -2189,64 +2206,103 @@ _DUCK_ROUGE2 = f"""
          tot AS (
       SELECT doc_id, len(toks) - 1 AS tot FROM d WHERE len(toks) >= 2),
          ovl AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             sum(least(a.cnt, b.cnt)) AS ovl
-      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      SELECT c.id_a, c.id_b, sum(least(a.cnt, b.cnt)) AS ovl
+      FROM cand c JOIN g a ON a.doc_id = c.id_a
+                  JOIN g b ON b.doc_id = c.id_b AND b.gram = a.gram
       GROUP BY 1, 2)
-    SELECT id_a, id_b,
-           CAST(ovl AS BIGINT) AS ovl,
+    SELECT o.id_a, o.id_b,
+           CAST(o.ovl AS BIGINT) AS ovl,
            CAST(ta.tot AS BIGINT) AS tot_a,
            CAST(tb.tot AS BIGINT) AS tot_b,
-           CAST((10000 * ovl) // ta.tot AS BIGINT) AS rouge2_recall_bp,
-           CAST((10000 * ovl) // tb.tot AS BIGINT) AS rouge2_precision_bp,
-           CAST((20000 * ovl) // (ta.tot + tb.tot) AS BIGINT) AS rouge2_f1_bp
-    FROM ovl JOIN tot ta ON id_a = ta.doc_id JOIN tot tb ON id_b = tb.doc_id
-    WHERE (20000 * ovl) // (ta.tot + tb.tot) >= 3000
-    ORDER BY rouge2_f1_bp DESC, id_a, id_b LIMIT 20
+           CAST((10000 * o.ovl) // ta.tot AS BIGINT) AS rouge2_recall_bp,
+           CAST((10000 * o.ovl) // tb.tot AS BIGINT) AS rouge2_precision_bp,
+           CAST((20000 * o.ovl) // (ta.tot + tb.tot) AS BIGINT) AS rouge2_f1_bp
+    FROM ovl o JOIN tot ta ON o.id_a = ta.doc_id JOIN tot tb ON o.id_b = tb.doc_id
+    ORDER BY rouge2_f1_bp DESC, o.id_a, o.id_b LIMIT 20
 """
 
 
 @register("q428_rouge2_pair_overlap", _DUCK_ROUGE2)
 def q428_rouge2_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROUGE-2 (Lin, ACL-WS 2004) between candidate duplicate pairs:
-    CLIPPED bigram-multiset overlap ``sum(min(cnt_a, cnt_b))`` — unlike
-    q27's Jaccard over shingle SETS, repeated bigrams count up to
-    their occurrence in the other document, the n-gram-recall measure
+    """ROUGE-2 (Lin, ACL-WS 2004) RE-RANK of the near-dup candidate
+    funnel: for each q27 Jaccard candidate pair, the CLIPPED
+    bigram-multiset overlap ``sum(min(cnt_a, cnt_b))`` — unlike
+    Jaccard over shingle SETS, repeated bigrams count up to their
+    occurrence in the other document, the n-gram-recall measure
     summarization eval and near-dup triage both use. With reference =
     lower doc_id: recall = ovl/tot_a, precision = ovl/tot_b, and F1
-    collapses to the closed form 2*ovl/(tot_a+tot_b). Top-20 pairs by
-    F1 (full deterministic tie-order), thresholded at F1 >= 0.30.
+    collapses to the closed form 2*ovl/(tot_a+tot_b). Top-20 by F1
+    under a full deterministic tie-order.
 
     Exactness: all outputs are integers; every ratio is an INTEGER
     floor division (``(10000*ovl) // tot``), so the two engines cannot
     diverge on rounding edges. The LIMIT is safe because the ORDER BY
     is a total order (f1, id_a, id_b).
 
-    100 TB shape: identical posting-list discipline to q27 — the
-    per-doc gram counts feed gram-keyed posting lists whose ordered
-    in-list expansion emits each pair once (never doc x doc, never a
-    gram-table self-join — the join form re-evaluates the explode per
-    branch; measured 6x slower at sf0.1), so candidate volume tracks
-    posting-list sizes; run behind the q162 exact-dedup-first funnel
-    (the q423b ordering) so replicated documents cannot quadratically
-    inflate postings. Totals ride the pair keys (no join back); final
-    top-k is a single ordered LIMIT."""
-    from ooh_etl_spark.operators.dedup import clipped_overlap_pairs
+    100 TB shape — candidates-then-rerank, NOT all-pairs: bigram
+    posting lists are Zipf-hot (sf0.1: 931 distinct bigrams, hottest
+    df 338, so ALL co-occurring pairs = 36.5M pair-gram rows / 10.3M
+    distinct pairs to emit 20 — measured 31s, the same sf-bounded
+    wall q334/q379 document). Instead the pair set comes from the q27
+    shingle funnel (pair-sized by construction, run behind the q162
+    exact-dedup-first ordering) and the clipped counts attach by TWO
+    keyed equi-joins (id_a, then id_b+gram), so the rerank cost is
+    candidates x doc-length, linear in the funnel output. This is the
+    standing LSH-candidates -> exact-verify discipline (q31/q53)
+    applied to an overlap SCORE instead of a boolean."""
+    from ooh_etl_spark.functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = clipped_overlap_pairs(docs, "text", "doc_id")
+    cand = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    base = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            tokenize(F.col("text")).alias("toks"),
+        )
+        .select(
+            "id",
+            (F.size("toks") - 1).cast("bigint").alias("tot"),
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i-1], ' ', toks[i]))"
+                )
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+    g = base.groupBy("id", "tot", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = g.select(
+        F.col("id").alias("id_a"),
+        F.col("tot").alias("tot_a"),
+        "gram",
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = g.select(
+        F.col("id").alias("id_b"),
+        F.col("tot").alias("tot_b"),
+        "gram",
+        F.col("cnt").alias("cnt_b"),
+    )
     scored = (
-        pairs.select(
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "gram"])
+        .groupBy("id_a", "id_b", "tot_a", "tot_b")
+        .agg(F.sum(F.least("cnt_a", "cnt_b")).cast("bigint").alias("ovl"))
+        .select(
             "id_a",
             "id_b",
-            F.col("ovl").cast("bigint").alias("ovl"),
+            "ovl",
             F.col("tot_a").cast("bigint").alias("tot_a"),
             F.col("tot_b").cast("bigint").alias("tot_b"),
             F.expr("(10000 * ovl) div tot_a").alias("rouge2_recall_bp"),
             F.expr("(10000 * ovl) div tot_b").alias("rouge2_precision_bp"),
             F.expr("(20000 * ovl) div (tot_a + tot_b)").alias("rouge2_f1_bp"),
         )
-        .filter(F.col("rouge2_f1_bp") >= 3000)
     )
     return scored.orderBy(
         F.desc("rouge2_f1_bp"), "id_a", "id_b"

@@ -732,15 +732,18 @@ def test_q430_scan_stage_signals_single_aggregate(spark):
     assert reads_only(plan, {"source", "text"}), plan
 
 
-def test_q428_posting_join_never_doc_cross(spark):
-    # ROUGE-2 pairs: candidates come from the gram-keyed posting join
-    # (gram exchange), never a doc x doc cartesian; totals re-attach by
-    # id equi-joins.
+def test_q428_candidates_then_rerank_never_doc_cross(spark):
+    # ROUGE-2 rerank: the pair set comes from the q27 shingle funnel
+    # (the {shingle} exchange), clipped counts attach by keyed
+    # equi-joins — never a doc x doc cartesian and never an all-pairs
+    # gram expansion (no pair-sized exchange keyed on gram alone).
     plan = plan_of(spark, "q428_rouge2_pair_overlap")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     keysets = _exchange_key_sets(plan)
-    assert {"gram"} in keysets or {"doc_id", "gram"} in keysets, keysets
+    assert {"shingle"} in keysets, keysets  # the candidate funnel
+    assert {"gram", "id", "tot"} in keysets, keysets  # per-doc counts
+    assert {"gram"} not in keysets, keysets  # no all-pairs posting agg
     assert reads_only(plan, {"doc_id", "text"}), plan
 
 

@@ -227,21 +227,24 @@ def test_q427_estimate_lands_on_625bp_grid(spark, tmp_path):
 
 
 def test_q428_clipped_multiset_not_set(spark, tmp_path):
-    # doc 1 repeats the bigram "a b" three times; doc 2 has it twice.
-    # Clipped-count overlap = min(3, 2) = 2 (a SET measure would say 1;
-    # an unclipped product would say 6).
+    # Shared 12-token prefix makes the pair a Jaccard candidate
+    # (3-shingle J = 12/17); the suffixes then differ in bigram
+    # MULTIPLICITY: doc 1 carries "a b" three times, doc 2 twice.
+    # Clipped overlap counts min(3, 2) = 2 for it (a SET measure would
+    # say 1; an unclipped product would say 6).
+    pre = [f"w{j}" for j in range(12)]
     rows = [
-        (1, "a b a b a b", "en", "s", 0),   # bigrams: ab,ba,ab,ba,ab -> tot 5
-        (2, "a b c a b", "en", "s", 0),     # ab,bc,ca,ab -> tot 4
+        (1, " ".join(pre + ["a", "b", "a", "b", "a", "b"]), "en", "s", 0),
+        (2, " ".join(pre + ["a", "b", "c", "a", "b"]), "en", "s", 0),
     ]
     out = run(spark, "q428_rouge2_pair_overlap", _docs_dir(tmp_path, rows))
     r = out.collect()[0]
-    # shared grams: "a b" min(3,2)=2, "b a" min(2,0)=0 ... plus none else
     assert (r["id_a"], r["id_b"]) == (1, 2)
-    assert r["ovl"] == 2 and r["tot_a"] == 5 and r["tot_b"] == 4
-    assert r["rouge2_recall_bp"] == (10000 * 2) // 5
-    assert r["rouge2_precision_bp"] == (10000 * 2) // 4
-    assert r["rouge2_f1_bp"] == (20000 * 2) // 9
+    # shared: 11 prefix bigrams + "w11 a" + min(3,2) of "a b" = 14
+    assert r["ovl"] == 14 and r["tot_a"] == 17 and r["tot_b"] == 16
+    assert r["rouge2_recall_bp"] == (10000 * 14) // 17
+    assert r["rouge2_precision_bp"] == (10000 * 14) // 16
+    assert r["rouge2_f1_bp"] == (20000 * 14) // 33
 
 
 def test_q428_identical_docs_score_10000(spark, tmp_path):
