@@ -129,6 +129,10 @@ HEADLINE = [
     # BOW fingerprint dedup: in-row token sort (no explode) + two
     # fingerprint windows — the doc-granular twin of q424.
     "q425_bow_fingerprint_dedup",
+    # Mergeable two-level quantile summary: shard-local equi-depth
+    # sketches + 512-row merge vs the distinct-value-CDF exact
+    # baseline — the distributed-percentile pattern.
+    "q429_mergeable_quantile_summary",
 ]
 
 
