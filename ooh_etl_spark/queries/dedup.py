@@ -1614,6 +1614,12 @@ def _leakage_audit(spark: SparkSession, docs: DataFrame) -> DataFrame:
             _knuth(F.col("xcl")).alias("xv"),
             _knuth(F.coalesce(F.col("cluster"), F.col("doc_id"))).alias("cv"),
         )
+        # asg feeds BOTH pair sides (a and b): without a checkpoint
+        # Spark re-runs the corpus-wide text window + cc join once per
+        # side (non-cached subtrees are re-executed per consumer — the
+        # round-6 union-recompute audit class). The checkpointed frame
+        # is narrow: doc_id + three ints.
+        .localCheckpoint()
     )
     a = asg.select(
         F.col("doc_id").alias("id_a"),
