@@ -145,3 +145,122 @@ def test_word_count_map_matches_python_counter(spark, words):
     text = " ".join(words)
     [m] = run_batch(spark, [text], word_count_map)
     assert m == dict(Counter(re.split(r"[ \t\n\x0b\f\r]+", text)))
+
+
+# --- round-9 wave math (pure-python mirrors of the engine-shared forms) ------
+
+_K9 = 16  # q429 summary points per shard
+
+
+def _q429_selected(ns: int) -> list[int]:
+    """Mirror of the q429 grid predicate both engines run:
+    rank r is a summary point iff (r*K)//ns > ((r-1)*K)//ns."""
+    return [r for r in range(1, ns + 1) if (r * _K9) // ns > ((r - 1) * _K9) // ns]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=5000))
+def test_q429_grid_selects_min_k_ns_points_covering_all_rows(ns):
+    sel = _q429_selected(ns)
+    # exactly min(K, ns) points, the last at rank ns (full coverage),
+    # and every inter-point gap (= the weight both engines assign)
+    # at most ceil(ns/K)
+    assert len(sel) == min(_K9, ns)
+    assert sel[-1] == ns
+    gaps = [b - a for a, b in zip([0] + sel, sel)]
+    assert sum(gaps) == ns
+    assert max(gaps) <= -(-ns // _K9)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=8),
+)
+def test_q429_two_level_estimate_rank_bound(values, n_shards):
+    # Full simulation of the q429 algorithm on an arbitrary multiset
+    # and arbitrary sharding: the merged estimate is never below the
+    # exact type-1 quantile and never beyond rank t + N//K + S.
+    shards = [sorted(values[i::n_shards]) for i in range(n_shards)]
+    shards = [s for s in shards if s]
+    pts = []  # (value, weight)
+    for s in shards:
+        sel = _q429_selected(len(s))
+        for prev, r in zip([0] + sel, sel):
+            pts.append((s[r - 1], r - prev))
+    pts.sort()
+    allv = sorted(values)
+    n = len(allv)
+    for p in range(1, 10):
+        t = (p * n + 9) // 10
+        cum, est = 0, None
+        for v, w in pts:
+            cum += w
+            if cum >= t:
+                est = v
+                break
+        exact = allv[t - 1]
+        hi = allv[min(n, t + n // _K9 + len(shards)) - 1]
+        assert exact <= est <= hi
+
+
+def _js_closed_form(src_counts: dict, corpus_counts: dict) -> float:
+    """Mirror of the q432 closed form: KL terms over PRESENT tokens
+    plus the absent-mass term (1 - q_present)."""
+    import math
+
+    ns = sum(src_counts.values())
+    n = sum(corpus_counts.values())
+    kl_p = kl_q = q_present = 0.0
+    for tok, c in src_counts.items():
+        p = c / ns
+        q = corpus_counts[tok] / n
+        kl_p += p * math.log2(2 * p / (p + q))
+        kl_q += q * math.log2(2 * q / (p + q))
+        q_present += q
+    return 0.5 * (kl_p + kl_q + (1 - q_present))
+
+
+def _js_naive(src_counts: dict, corpus_counts: dict) -> float:
+    """Textbook JS over the FULL vocabulary (densified), the form the
+    closed form must equal."""
+    import math
+
+    ns = sum(src_counts.values())
+    n = sum(corpus_counts.values())
+    js = 0.0
+    for tok, cc in corpus_counts.items():
+        p = src_counts.get(tok, 0) / ns
+        q = cc / n
+        m = (p + q) / 2
+        if p:
+            js += 0.5 * p * math.log2(p / m)
+        if q:
+            js += 0.5 * q * math.log2(q / m)
+    return js
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=20,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=1, max_value=50),
+        max_size=20,
+    ),
+)
+def test_q432_absent_mass_closed_form_equals_naive_js(src, other):
+    # corpus = src + an arbitrary other source; every src token is in
+    # the corpus by construction (the q432 precondition).
+    corpus = dict(other)
+    for t, c in src.items():
+        corpus[t] = corpus.get(t, 0) + c
+    a = _js_closed_form(src, corpus)
+    b = _js_naive(src, corpus)
+    assert abs(a - b) < 1e-9
+    assert -1e-12 <= a <= 1.0 + 1e-12  # JS (base 2) is bounded by 1 bit
