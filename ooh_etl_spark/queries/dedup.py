@@ -166,7 +166,9 @@ _DUCK_SEMDEDUP = f"""
 """
 
 
-def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _semdedup(
+    spark: SparkSession, sf_dir: str, k: int, dedup_first: bool = False
+) -> DataFrame:
     """Shared SemDeDup pipeline, parameterized on the centroid count K.
 
     Clustering: nearest of the first-K vectors (deterministic, q102's
@@ -182,6 +184,18 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 
     emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    if dedup_first:
+        # Exact VECTOR dedup (q26's min-id rule keyed on the vector
+        # VALUE): byte-identical embeddings collapse to one carrier
+        # before clustering ever runs, so duplicate concentration
+        # cannot inflate any cluster (SCALE.md r9: 199.6s -> ~1x cost
+        # on 10x replicated embeddings). Grouping is by the array
+        # value itself — at production scale key on xxhash64(digest)
+        # instead to keep the shuffle narrow; the survivor rule is
+        # identical.
+        v = v.groupBy("e").agg(F.min("vec_id").alias("vec_id")).select(
+            "vec_id", "e"
+        )
     c = v.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
@@ -295,6 +309,37 @@ def q151_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     machine-checked equal to this query when forced to K=8 (see
     tests/test_llm_ops.py)."""
     return _semdedup(spark, sf_dir, _SEM_K)
+
+
+#: q151c oracle: the q151 SQL with the corpus view swapped for its
+#: exact-vector-deduped form — textually derived so the two can never
+#: drift (the q423b discipline).
+_DUCK_SEMDEDUP_FUNNEL = _DUCK_SEMDEDUP.replace(
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),",
+    "WITH v AS (SELECT min(vec_id) AS vec_id, e FROM (SELECT vec_id,"
+    " embedding::DOUBLE[] AS e FROM embeddings) GROUP BY e),",
+)
+assert _DUCK_SEMDEDUP_FUNNEL != _DUCK_SEMDEDUP
+
+
+@register("q151c_semdedup_funnel", _DUCK_SEMDEDUP_FUNNEL)
+def q151c_semdedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q151 behind the funnel ordering: exact VECTOR dedup first (the
+    q26 min-id survivor rule keyed on the embedding value), then
+    SemDeDup on the collapsed corpus — the embedding-space twin of
+    q423b. Motivated by measurement, not caution: on 10x replicated
+    embeddings q151's fixture sizing degrades to 199.6s because exact
+    duplicate vectors concentrate inside single clusters and the
+    within-cluster pair pass grows with the square of per-cluster
+    replication; the dedup stage removes the concentration by
+    construction, restoring ~1x cost on the same corpus (SCALE.md r9
+    ANN table). On an already-unique corpus this is q151 plus one
+    no-op-sized aggregate.
+
+    100 TB shape: one vector-value-keyed exchange (digest-keyed in
+    production) + the q151 cluster-bucketed pipeline on the shrunken
+    corpus."""
+    return _semdedup(spark, sf_dir, _SEM_K, dedup_first=True)
 
 
 @register("q151b_semdedup_scaled", None)  # K depends on n → rows-only

@@ -435,3 +435,69 @@ def test_q432_disjoint_source_approaches_one_bit(spark, tmp_path):
     for r in out.values():
         assert r["absent_mass_bp"] == 5000  # half the corpus mass absent
         assert r["js_milli"] == round(1000 * js)
+
+
+# --- q151c: SemDeDup behind exact vector dedup --------------------------------
+
+
+def _emb_dir(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    d = tmp_path / "emb9"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_q151c_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q151c_semdedup_funnel")
+
+
+def test_q151c_replicated_vectors_collapse_to_base_output(spark, tmp_path):
+    # The SCALE.md pathology in miniature: 3 byte-identical copies of
+    # each base vector (new ids). The funnel form's output on the
+    # replicated corpus must equal its output on the base corpus —
+    # duplicate concentration never reaches the clustering stage.
+    import math
+
+    base = []
+    for i in range(12):
+        v = [math.cos(0.7 * i + 0.1 * j) for j in range(8)]
+        base.append((i, v))
+    rep = [(i + 100 * (c + 1), v) for c in range(2) for i, v in base]
+    out_base = run(
+        spark, "q151c_semdedup_funnel", _emb_dir(tmp_path, base)
+    ).collect()
+    d2 = tmp_path / "r2"
+    d2.mkdir()
+    out_rep = run(
+        spark,
+        "q151c_semdedup_funnel",
+        _emb_dir(d2, base + rep),
+    ).collect()
+    assert sorted(map(tuple, out_rep)) == sorted(map(tuple, out_base))
+
+
+def test_q151c_equals_q151_on_unique_corpus(spark, tmp_path):
+    # On an already-unique corpus the funnel stage is a no-op: both
+    # entries must emit identical rows.
+    import math
+
+    rows = [
+        (i, [math.sin(0.3 * i + 0.2 * j) for j in range(8)])
+        for i in range(15)
+    ]
+    d = _emb_dir(tmp_path, rows)
+    a = sorted(map(tuple, run(spark, "q151_semdedup", d).collect()))
+    b = sorted(map(tuple, run(spark, "q151c_semdedup_funnel", d).collect()))
+    assert a == b
