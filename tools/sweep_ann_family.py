@@ -38,6 +38,7 @@ FAMILY = [
     "q341_srp_lsh_pairs",
     "q151_semdedup",
     "q151b_semdedup_scaled",
+    "q151c_semdedup_funnel",
 ]
 
 
