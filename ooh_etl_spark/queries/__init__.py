@@ -64,8 +64,8 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: capped ≤20/round per VERDICT r6 item 4 so the debt strictly
 #: drains; the round-9 wave q425+ enters in r10, after the mandated
 #: backlog):
-#:   r10: round-9 wave (q425–q432 plus the funnel variants q423b and
-#:        q151c — 11 entries), then q99–q103, then the
+#:   r10: round-9 wave (q425–q432 plus the funnel variants q423b,
+#:        q151c, and q27b — 12 entries), then q99–q103, then the
 #:        q125–q150/q174/q179–q231 never-seen members
 #:   r11: remaining q233–q263/q268/q349/q368–q375 never-seen members
 #:        (sketches, time-series, behavioral tails, stream forms) —

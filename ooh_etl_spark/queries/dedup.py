@@ -75,6 +75,33 @@ def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
+#: q27b oracle: the q27 SQL on the exact-deduped corpus view —
+#: textually derived like q423b's, so the two can never drift.
+_DUCK_JACCARD_FUNNEL = _DUCK_JACCARD.replace(
+    "FROM documents",
+    "FROM (SELECT * FROM documents WHERE doc_id IN "
+    "(SELECT min(doc_id) FROM documents GROUP BY text))",
+)
+assert _DUCK_JACCARD_FUNNEL != _DUCK_JACCARD
+
+
+@register("q27b_jaccard_pairs_funnel", _DUCK_JACCARD_FUNNEL)
+def q27b_jaccard_pairs_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q27 behind the q162 funnel ordering (VERDICT r8 item 4 names
+    q27 alongside q423): exact dedup FIRST (q26's min-id rule), then
+    the near-dup pair scan on the collapsed corpus — the canonical
+    at-scale entry for the pair pipeline. On replicated input the raw
+    form's candidate volume grows with the SQUARE of per-key
+    replication (SCALE.md r9: 90.8s at raw 10x vs 1.35s behind the
+    funnel on the SAME corpus, 67x); on duplicate-free input the
+    funnel stage is a no-op-sized window and the pair set is q27's
+    minus exact-duplicate pairs (which exact dedup owns)."""
+    docs = exact_dedup(
+        load_table(spark, sf_dir, "documents"), key="text", id_col="doc_id"
+    )
+    return jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
 @register("q73_jaccard_prefix_filter", _DUCK_JACCARD)
 def q73_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same exact result as q27 via prefix filtering (Bayardo WWW'07):

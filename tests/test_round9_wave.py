@@ -501,3 +501,39 @@ def test_q151c_equals_q151_on_unique_corpus(spark, tmp_path):
     a = sorted(map(tuple, run(spark, "q151_semdedup", d).collect()))
     b = sorted(map(tuple, run(spark, "q151c_semdedup_funnel", d).collect()))
     assert a == b
+
+
+# --- q27b: jaccard pairs behind the exact-dedup funnel -----------------------
+
+
+def test_q27b_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q27b_jaccard_pairs_funnel")
+
+
+def test_q27b_funnel_drops_clique_inflation(spark, tmp_path):
+    # 3x-replicated corpus: raw q27 sees the full clique of exact
+    # copies; the funnel form sees only the natural near-dup pair.
+    base = [f"w{j}" for j in range(12)]
+    texts = [" ".join(base), " ".join(base[:-1] + ["varA"])]
+    rows = [
+        (copy * 10 + i, t, "en", "s", 0)
+        for copy in range(3)
+        for i, t in enumerate(texts)
+    ]
+    d = _docs_dir(tmp_path, rows)
+    assert run(spark, "q27_jaccard_pairs", d).count() == 15  # C(6,2)
+    fun = run(spark, "q27b_jaccard_pairs_funnel", d).collect()
+    assert [(r.id_a, r.id_b) for r in fun] == [(0, 1)]
+
+
+def test_q27b_equals_q27_on_unique_corpus(spark, tmp_path):
+    base = [f"t{j}" for j in range(12)]
+    rows = [
+        (1, " ".join(base), "en", "s", 0),
+        (2, " ".join(base[:-1] + ["varB"]), "en", "s", 0),
+        (3, " ".join(f"z{j}" for j in range(12)), "en", "s", 0),
+    ]
+    d = _docs_dir(tmp_path, rows)
+    a = sorted(map(tuple, run(spark, "q27_jaccard_pairs", d).collect()))
+    b = sorted(map(tuple, run(spark, "q27b_jaccard_pairs_funnel", d).collect()))
+    assert a == b
