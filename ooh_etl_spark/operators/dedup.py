@@ -56,6 +56,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index.
 
+    ``threshold=None`` is only meaningful with ``raw_counts=True``
+    (unthresholded counts); with ``raw_counts=False`` it would reach
+    ``filter(jaccard >= NULL)`` and silently return an empty frame, so
+    that combination is rejected up front.
+
     explode(shingles) → self-join on shingle with id_a < id_b → shared
     counts → |A∩B| / (|A|+|B|-|A∩B|). The join key is the shingle, so
     co-occurring docs meet without a cross join; hot shingles are the
@@ -76,6 +81,11 @@ def jaccard_pairs(
     production scale the old shape's extra 2 corpus scans + 2
     shuffled joins dominate a fixed 8-byte-per-posting overhead.
     """
+    if threshold is None and not raw_counts:
+        raise ValueError(
+            "jaccard_pairs: threshold=None requires raw_counts=True "
+            "(a NULL threshold filter would silently drop every pair)"
+        )
     # One evaluation of the (expensive) shingle expression: id, set
     # size, and the exploded shingle come out of a single projection.
     # A naive self-join re-evaluates it per plan branch (4-6x).

@@ -2355,9 +2355,16 @@ def q428_rouge2_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id",
             (F.size("toks") - 1).cast("bigint").alias("tot"),
             F.explode_outer(
+                # Guarded like text_stats' bigram census: size=1 would
+                # make sequence(1, 0) DESCEND to [1, 0] and toks[1]
+                # raise under Spark 4 ANSI mode (DuckDB's
+                # generate_series(1, 0) is empty, so the oracle is
+                # already safe on 1-token docs).
                 F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
+                    "CASE WHEN size(toks) >= 2 THEN"
+                    " transform(sequence(1, size(toks) - 1),"
                     " i -> concat(toks[i-1], ' ', toks[i]))"
+                    " ELSE array() END"
                 )
             ).alias("gram"),
         )

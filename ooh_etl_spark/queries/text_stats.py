@@ -2050,7 +2050,12 @@ def q432_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     t = docs.select(
         "source", F.explode_outer(tokenize(F.col("text"))).alias("tok")
-    )
+    ).filter(F.col("tok").isNotNull())
+    # ^ explode_outer keeps InferFiltersFromGenerate from re-deriving
+    # the tokenize below the exchange, but a NULL text row would then
+    # emit one null-token row that DuckDB's unnest(NULL) does not —
+    # the explicit post-explode null filter (plan-neutral: it sits
+    # above Generate) keeps the two engines identical on such rows.
     # ONE corpus explode -> (source, tok) counts; every marginal the
     # formula needs is then a WINDOW over this vocab-bounded table
     # (never a second corpus pass): ns = per-source mass, cc = token

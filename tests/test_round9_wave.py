@@ -537,3 +537,63 @@ def test_q27b_equals_q27_on_unique_corpus(spark, tmp_path):
     a = sorted(map(tuple, run(spark, "q27_jaccard_pairs", d).collect()))
     b = sorted(map(tuple, run(spark, "q27b_jaccard_pairs_funnel", d).collect()))
     assert a == b
+
+
+# --- round-10 ADVICE regressions ---------------------------------------------
+
+
+def test_q428_single_token_doc_does_not_crash(spark, tmp_path):
+    # ADVICE r9 (medium): sequence(1, size-1) with size=1 DESCENDS to
+    # [1, 0] and toks[1] raises under Spark 4 ANSI mode. A 1-token doc
+    # has zero bigrams: it must contribute nothing, not crash.
+    rows = [
+        (1, "solo", "en", "s", 0),
+        (2, "alpha beta gamma delta alpha beta gamma delta", "en", "s", 0),
+        (3, "alpha beta gamma delta alpha beta gamma echo", "en", "s", 0),
+    ]
+    out = run(spark, "q428_rouge2_pair_overlap", _docs_dir(tmp_path, rows)).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in out}
+    assert all(1 not in pair for pair in ids)
+
+
+def test_q432_null_text_row_contributes_nothing(spark, tmp_path):
+    # ADVICE r9 (low): explode_outer on a NULL text would emit one
+    # null-token row that DuckDB's unnest never does; the post-explode
+    # filter must keep per-source masses identical to the no-null run.
+    rows_base = [
+        (1, "aa bb cc dd", "en", "s1", 0),
+        (2, "aa bb cc ee", "en", "s2", 0),
+    ]
+    base = {
+        r["source"]: r["n_tokens"]
+        for r in run(
+            spark, "q432_source_js_divergence", _docs_dir(tmp_path, rows_base)
+        ).collect()
+    }
+    import pandas as pd
+
+    df = pd.DataFrame(
+        rows_base + [(3, None, "en", "s1", 0)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df["n_chars"] = 0
+    d = tmp_path / "docs_null"
+    d.mkdir(exist_ok=True)
+    df.to_parquet(d / "documents.parquet", index=False)
+    withnull = {
+        r["source"]: r["n_tokens"]
+        for r in run(spark, "q432_source_js_divergence", str(d)).collect()
+    }
+    assert withnull == base
+
+
+def test_jaccard_pairs_rejects_null_threshold_without_raw_counts(spark):
+    # ADVICE r9 (low): threshold=None + raw_counts=False would filter
+    # on NULL and silently return an empty frame.
+    import pytest as _pytest
+
+    from ooh_etl_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="raw_counts"):
+        jaccard_pairs(df, "text", "doc_id", threshold=None)
