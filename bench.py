@@ -210,6 +210,15 @@ def main() -> None:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
+    # The sf0.001 loop above compiles every plan, but the FIRST timed
+    # query at sf_dir still paid JIT C2 promotion + cold parquet
+    # listing for the large inputs: flagship_doc_scan (always first)
+    # recorded a 266.8% five-run spread in r9 with zero code change
+    # (VERDICT r9 item 4). One untimed execution of the first headline
+    # entry AT sf_dir absorbs that, so rep 1 of the timed loop starts
+    # from the same steady state as reps 2-5.
+    qs[HEADLINE[0]](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     spread_pct: dict[str, float] = {}
 

@@ -49,28 +49,26 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 
 #: The driver's correctness gate checks the FIRST 50 registry entries,
 #: so the head of the registry is chosen deliberately rather than by
-#: module import order. Round-9 rotation (per VERDICT r8 item 2): keep
-#: the §2.A reference contract and the streaming trio (6 pinned
-#: slots); the 44 fresh slots are ALL first-time-in-window entries —
-#: first the seven §2.B-mandated names whose "pass" previously rested
-#: only on the local replica (q151/q158/q160/q161/q163/q164/q165),
-#: then the q376–q380 block the round-8 wave displaced, then the
-#: oldest debt: the q52–q98 relational/TPC-H/text tail. Never-seen
-#: drops 160 → 116. Everything rotated out stays green in the
-#: full-registry replica (tools/check_oracle.py --strict).
+#: module import order. Round-10 rotation (per VERDICT r9 item 2,
+#: executing the schedule below verbatim): keep the §2.A reference
+#: contract and the streaming trio (6 pinned slots); the 44 fresh
+#: slots are ALL first-time-in-window entries — first the complete
+#: round-9 wave (q423b/q425–q432/q151c/q27b, 11 entries — the funnel
+#: variants that SCALE.md's 67x/28x cure claims rest on), then the
+#: q99–q103 never-seen members, then the oldest debt tail in
+#: registry-number order: q125–q150, q174, q179–q191. Never-seen
+#: drops 127 → 83 (new r10 queries excluded; they enter in r11).
+#: Everything rotated out stays green in the full-registry replica
+#: (tools/check_oracle.py --strict).
 #:
-#: DEBT SCHEDULE (never-driver-seen: ~199 after r7 → 160 after r8 →
-#: 116 after this window; 44 fresh slots per round; new-query volume
+#: DEBT SCHEDULE (never-driver-seen: 160 after r8 → 127 after r9 →
+#: 83 after this window; 44 fresh slots per round; new-query volume
 #: capped ≤20/round per VERDICT r6 item 4 so the debt strictly
-#: drains; the round-9 wave q425+ enters in r10, after the mandated
-#: backlog):
-#:   r10: round-9 wave (q425–q432 plus the funnel variants q423b,
-#:        q151c, and q27b — 12 entries), then q99–q103, then the
-#:        q125–q150/q174/q179–q231 never-seen members
-#:   r11: remaining q233–q263/q268/q349/q368–q375 never-seen members
-#:        (sketches, time-series, behavioral tails, stream forms) —
-#:        after which every registered query has driver history and
-#:        rotation becomes newest-code-first only.
+#: drains):
+#:   r11: q192–q231 never-seen members, q233–q263/q266/q268 tail,
+#:        q349/q368–q375, the b-variants (q72b/q139b/q149b), and the
+#:        round-10 wave (q191b + new entries) — takes never-seen to
+#:        ~0–5; r12 rotation becomes newest-code-first only.
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)
     "flagship_doc_scan",
@@ -80,54 +78,54 @@ _DRIVER_WINDOW = [
     "q33_tumbling_hourly",
     "q36_stream_tumbling",
     "q46_stream_user_profiles",
-    # r9 block 1: the seven §2.B-mandated never-driver-seen names
-    # (BASELINE.json:6 → SURVEY §2.B), per VERDICT r8 item 2
-    "q151_semdedup",
-    "q158_rrf_fusion",
-    "q160_bigram_lm",
-    "q161_ks_test",
-    "q163_dup_span_removal",
-    "q164_temperature_mix",
-    "q165_tokenizer_fertility",
-    # r9 block 2: the q376–q380 block displaced by the round-8 wave
-    "q376_hurst_rs",
-    "q377_brown_forsythe",
-    "q378_kish_design_effect",
-    "q379_sparse_cosine_pairs",
-    "q380_negbin_moments",
-    # r9 block 3: oldest debt — q52–q98 relational/TPC-H/text tail
-    "q52_nation_volume",
-    "q53_ann_ivf",
-    "q54_stat_aggregates",
-    "q56_string_agg",
-    "q58_above_customer_average",
-    "q61_market_share",
-    "q62_small_qty_revenue",
-    "q63_large_volume_customers",
-    "q64_excess_stock_suppliers",
-    "q65_sole_supplier_orders",
-    "q67_sql_api",
-    "q69_hash_split",
-    "q70_fuzzy_match",
-    "q71_pii_redaction",
-    "q75_token_packing",
-    "q76_balanced_corpus",
-    "q78_sessionize_lag",
-    "q80_repetition_stats",
-    "q82_stratified_sample",
-    "q83_domain_reweight",
-    "q84_returned_items",
-    "q85_promo_revenue",
-    "q86_top_supplier",
-    "q87_supplier_part_census",
-    "q88_or_brackets_revenue",
-    "q89_order_count_distribution",
-    "q90_shipping_delay_classes",
-    "q93_zipf_slope",
-    "q94_vocab_growth",
-    "q95_scd2_intervals",
-    "q96_char_trigram_profile",
-    "q98_retention_cohorts",
+    # r10 block 1: the complete round-9 wave — never driver-seen; the
+    # funnel variants carry the measured 67x/28x scale-cure claims
+    "q423b_split_leakage_audit_funnel",
+    "q425_bow_fingerprint_dedup",
+    "q426_cluster_representatives",
+    "q427_minhash_calibration",
+    "q428_rouge2_pair_overlap",
+    "q429_mergeable_quantile_summary",
+    "q430_stopword_gate",
+    "q431_shingle_containment",
+    "q432_source_js_divergence",
+    "q151c_semdedup_funnel",
+    "q27b_jaccard_pairs_funnel",
+    # r10 block 2: q99–q103 never-seen members
+    "q99_transition_matrix",
+    "q100_first_touch_attribution",
+    "q101_growth_accounting",
+    "q103_power_iteration",
+    # r10 block 3: oldest debt — q125–q150/q174/q179–q191 never-seen
+    "q125_compression_quality",
+    "q136_association_rules",
+    "q137_target_encoding",
+    "q138_weighted_sample",
+    "q139_equi_depth_histogram",
+    "q140_wilson_ctr",
+    "q141_time_to_convert",
+    "q142_k_anonymity",
+    "q143_interval_overlap",
+    "q144_zorder_clustering",
+    "q145_chi_square",
+    "q146_mutual_information",
+    "q147_benford_digits",
+    "q148_binary_encoding",
+    "q149_id_gap_detection",
+    "q150_pythagorean_means",
+    "q174_stream_session",
+    "q179_collation_group",
+    "q180_multimodal_resize",
+    "q181_video_frame_sample",
+    "q182_three_valued_logic",
+    "q184_cuped_adjustment",
+    "q185_k_core",
+    "q186_bfs_hops",
+    "q187_naive_bayes_train",
+    "q188_naive_bayes_classify",
+    "q189_fd_histogram",
+    "q190_skyline",
+    "q191_link_prediction",
 ]
 
 #: The driver gate is exactly 50 entries; a 51st silently falls off

@@ -503,6 +503,130 @@ def q191_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LP_CAP = 32
+
+_DUCK_LINKPRED_CAPPED = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         ew AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+         und AS (SELECT u AS z, v AS x, w FROM ew
+                 UNION ALL SELECT v, u, w FROM ew),
+         deg AS (SELECT z AS n, count(*) AS d FROM und GROUP BY 1),
+         capped AS (
+      SELECT z, x FROM (
+        SELECT z, x,
+               row_number() OVER (PARTITION BY z ORDER BY w DESC, x) AS rn
+        FROM und)
+      WHERE rn <= {_LP_CAP}),
+         common AS (
+      SELECT a.x AS part_a, b.x AS part_b, count(*) AS common_n
+      FROM capped a JOIN capped b ON a.z = b.z AND a.x < b.x
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, common_n,
+           CAST(round(1000000.0 * common_n / (da.d + db.d - common_n))
+                AS BIGINT) AS jacc_ppm
+    FROM common
+    JOIN deg da ON da.n = part_a
+    JOIN deg db ON db.n = part_b
+    ORDER BY jacc_ppm DESC, part_a, part_b
+    LIMIT {_LP_TOP}
+"""
+
+
+@register("q191b_link_prediction_capped", _DUCK_LINKPRED_CAPPED)
+def q191b_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q191 behind a DEGREE CAP — the production link-prediction scale
+    cure (VERDICT r9 item 3). q191's wedge volume is Σ deg² over
+    wedge-center nodes: exact, but quadratic in per-key replication
+    (measured 647s at 5x, SCALE.md r9 — the one query family whose
+    scale wall had no registered cure). The standard fix used by
+    production systems (e.g. Twitter's RealGraph / GraphJet candidate
+    generation) is to bound each node's ADJACENCY LIST to its top-K
+    neighbors before wedge generation, making wedge volume ≤ |V|·K²
+    regardless of skew.
+
+    Semantics: wedges form only through each center z's top-K (K=32)
+    neighbors by (co-purchase weight DESC, neighbor id) — a TOTAL
+    order (the id is unique within z), so the cap is deterministic and
+    engine-identical. Jaccard denominators keep the EXACT degrees
+    (the cheap part — one keyed count), so only common_n is capped:
+    scores are a lower bound that EQUALS q191 exactly whenever every
+    degree ≤ K. That equality is machine-checked on a cap-free corpus
+    (tests/test_linkage_ml.py), the q27b/q151c funnel-variant
+    discipline.
+
+    100 TB shape: one weighted-edge aggregate (same shuffle as q191's
+    distinct), one per-node top-K window (keyed exchange, no
+    explosion), then the wedge join runs on lists of ≤ K — a hot hub
+    contributes K² wedges instead of deg², so the 5x/10x sweep curve
+    stays bounded (SCALE.md r10) where q191's blew the stall cap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    # Weighted co-purchase edges: same shuffle as q191's DISTINCT,
+    # carrying the multiplicity the cap's preference order needs.
+    ew = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = (
+        ew.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("z"), F.col("v").alias("x"), F.col("w")
+                    ),
+                    F.struct(
+                        F.col("v").alias("z"), F.col("u").alias("x"), F.col("w")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.z", "e.x", "e.w")
+        .localCheckpoint()
+    )
+    deg = und.groupBy(F.col("z").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    rn = F.row_number().over(
+        Window.partitionBy("z").orderBy(F.col("w").desc(), "x")
+    )
+    capped = (
+        und.withColumn("rn", rn).filter(F.col("rn") <= _LP_CAP).select("z", "x")
+    )
+    wa = capped.select("z", F.col("x").alias("part_a"))
+    wb = capped.select(F.col("z").alias("z2"), F.col("x").alias("part_b"))
+    common = (
+        wa.join(wb, (F.col("z") == F.col("z2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("common_n"))
+    )
+    da = deg.select(F.col("n").alias("part_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("part_b"), F.col("d").alias("db"))
+    return (
+        common.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "common_n",
+            F.round(
+                1_000_000.0
+                * F.col("common_n")
+                / (F.col("da") + F.col("db") - F.col("common_n"))
+            )
+            .cast("bigint")
+            .alias("jacc_ppm"),
+        )
+        .orderBy(F.col("jacc_ppm").desc(), "part_a", "part_b")
+        .limit(_LP_TOP)
+    )
+
+
 _CF_TOP = 15
 
 
