@@ -64,3 +64,93 @@ def reads_only(plan: str, cols: set[str]) -> bool:
         if not fields <= cols:
             return False
     return True
+
+
+def _tree_lines(plan_str: str) -> list[tuple[int, str]]:
+    """Parse a ``plan.toString()`` tree into (depth, node_text) pairs.
+
+    Depth is the character position of the node marker (``+-`` or
+    ``:-``); the root line has no marker and gets depth -1. Children
+    sit exactly 3 columns deeper, so "subtree of node at depth d" is
+    the run of following lines with depth > d.
+    """
+    import re
+
+    out: list[tuple[int, str]] = []
+    for line in plan_str.splitlines():
+        if not line.strip():
+            continue
+        m = re.search(r"(\+-|:-) ", line)
+        if m:
+            out.append((m.start(), line[m.end():]))
+        else:
+            out.append((-1, line.strip()))
+    return out
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split ``[..], [..], [..]`` into its top-level bracket groups."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+#: Node names whose presence below a global window proves the frame
+#: was already REDUCED before the single-partition exchange: grouped
+#: aggregation collapses to |keys| rows, limits/top-k are explicitly
+#: bounded. (A join or project preserves cardinality and does NOT
+#: count.)
+_REDUCING_NODES = (
+    "HashAggregate(",
+    "SortAggregate(",
+    "ObjectHashAggregate(",
+    "TakeOrderedAndProject(",
+    "GlobalLimit ",
+    "CollectLimit ",
+)
+
+
+def unreduced_global_windows(df: DataFrame) -> list[str]:
+    """Return the node text of every UNPARTITIONED Window in the
+    physical plan whose input subtree contains no reducing node.
+
+    This is the repo's scale posture as an assertion (SCALE.md:
+    "global windows only over already-reduced frames"): a
+    ``Window.orderBy`` with no ``partitionBy`` forces an Exchange
+    SinglePartition, which is only acceptable when what flows into it
+    is provably small — i.e. some aggregation or limit sits between
+    the window and the scans. Callers whitelist the documented
+    value-domain-bounded exceptions by query name.
+    """
+    lines = _tree_lines(df._jdf.queryExecution().executedPlan().toString())
+    bad = []
+    for i, (depth, text) in enumerate(lines):
+        if not text.startswith("Window ["):
+            continue
+        groups = _top_level_groups(text[len("Window "):])
+        if len(groups) >= 3:
+            continue  # partitioned
+        subtree = []
+        for d2, t2 in lines[i + 1:]:
+            if d2 <= depth:
+                break
+            subtree.append(t2)
+        if not any(
+            t2.startswith(marker) or marker in t2
+            for t2 in subtree
+            for marker in _REDUCING_NODES
+        ):
+            bad.append(text[:120])
+    return bad

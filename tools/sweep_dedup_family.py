@@ -51,6 +51,26 @@ FAMILY_PAIR_PROBE = ["q27_jaccard_pairs"]
 FAMILY_PAIR_FUNNEL_ONLY = [
     "q428_rouge2_pair_overlap",
     "q423b_split_leakage_audit_funnel",
+    # round-10 additions (VERDICT r9 item 6): the remaining r9-wave
+    # pair-graph members — all three run jaccard_pairs on their input
+    # verbatim, so raw replicas are the documented clique pathology
+    # and their at-scale spec is the funnel corpus.
+    "q426_cluster_representatives",
+    "q427_minhash_calibration",
+    "q431_shingle_containment",
+]
+
+#: Funnel-INTERNAL members (round-10 addition): these run exact dedup
+#: themselves before the pair stage, so raw replicas are exactly the
+#: input they are specified to absorb — measured on every raw corpus
+#: to record the cure's own scaling curve (the 10x cells reproduce
+#: SCALE.md r9's 67x/28x differentials; the 1x cells are the
+#: previously-missing baselines). Not run on the *_dedup corpus: the
+#: external funnel would be a no-op twice over (and the _dedup dir
+#: carries no embeddings table for q151c).
+FAMILY_FUNNEL_INTERNAL = [
+    "q27b_jaccard_pairs_funnel",
+    "q151c_semdedup_funnel",
 ]
 
 
@@ -58,6 +78,8 @@ def family_for(label: str) -> list:
     fam = FAMILY_LINEAR + FAMILY_PAIR_PROBE
     if label in ("1x",) or label.endswith("_dedup"):
         fam = fam + FAMILY_PAIR_FUNNEL_ONLY
+    if not label.endswith("_dedup"):
+        fam = fam + FAMILY_FUNNEL_INTERNAL
     return fam
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
