@@ -122,17 +122,26 @@ _REDUCING_NODES = (
 )
 
 
-def unreduced_global_windows(df: DataFrame) -> list[str]:
-    """Return the node text of every UNPARTITIONED Window in the
-    physical plan whose input subtree contains no reducing node.
+def unreduced_global_windows(df: DataFrame) -> list[tuple[str, str]]:
+    """Classify every UNPARTITIONED Window in the physical plan whose
+    input subtree contains no reducing node. Returns
+    ``[(kind, node_text), ...]`` where kind is:
+
+    - ``"raw"`` — the window's input subtree reaches a parquet
+      FileScan with no aggregation/limit in between: the global sort
+      moves CORPUS-sized data to one partition. This is the failure
+      the audit exists to catch.
+    - ``"checkpointed"`` — the input is a ``Scan ExistingRDD`` (a
+      localCheckpoint cut the lineage), so the plan alone cannot show
+      the reduction that produced it. These need a by-name whitelist
+      entry documenting the frame's bound.
 
     This is the repo's scale posture as an assertion (SCALE.md:
     "global windows only over already-reduced frames"): a
     ``Window.orderBy`` with no ``partitionBy`` forces an Exchange
     SinglePartition, which is only acceptable when what flows into it
     is provably small — i.e. some aggregation or limit sits between
-    the window and the scans. Callers whitelist the documented
-    value-domain-bounded exceptions by query name.
+    the window and the scans.
     """
     lines = _tree_lines(df._jdf.queryExecution().executedPlan().toString())
     bad = []
@@ -141,16 +150,27 @@ def unreduced_global_windows(df: DataFrame) -> list[str]:
             continue
         groups = _top_level_groups(text[len("Window "):])
         if len(groups) >= 3:
-            continue  # partitioned
+            continue  # partitioned (exprs, partitionSpec, orderSpec)
+        # Two groups is EITHER unpartitioned-ordered (exprs, orderSpec)
+        # or partitioned-unordered (exprs, partitionSpec) — e.g. an
+        # avg().over(partitionBy(k)) running aggregate. Only the former
+        # moves all data to one partition; an order spec is
+        # recognizable by its per-column sort direction markers.
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # partitioned, no ordering
         subtree = []
         for d2, t2 in lines[i + 1:]:
             if d2 <= depth:
                 break
             subtree.append(t2)
-        if not any(
+        if any(
             t2.startswith(marker) or marker in t2
             for t2 in subtree
             for marker in _REDUCING_NODES
         ):
-            bad.append(text[:120])
+            continue  # provably reduced below the window
+        raw = any("FileScan" in t2 for t2 in subtree)
+        bad.append(("raw" if raw else "checkpointed", text[:120]))
     return bad
