@@ -133,6 +133,15 @@ HEADLINE = [
     # sketches + 512-row merge vs the distinct-value-CDF exact
     # baseline — the distributed-percentile pattern.
     "q429_mergeable_quantile_summary",
+    # --- round-10 additions (2026-08-15) ---
+    # DSIR importance weights: one corpus explode reduced to
+    # (doc, hashed-bucket, cnt), 1024-row bucket models broadcast
+    # back — the corpus-selection scorer shape.
+    "q433_dsir_importance",
+    # IVF nprobe recall curve: broadcast-centroid argmax assignment +
+    # cell-equi-joined candidates at 4 probe depths — the ANN tuning
+    # measurement as a query.
+    "q437_ivf_recall_curve",
 ]
 
 

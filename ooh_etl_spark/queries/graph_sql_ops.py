@@ -505,7 +505,10 @@ def q191_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LP_CAP = 32
 
-_DUCK_LINKPRED_CAPPED = f"""
+#: Shared CTE core for the capped link-prediction family: q191b's
+#: oracle and q436's are both TEXTUALLY derived from this string (the
+#: funnel-variant discipline — the pair cannot drift apart).
+_DUCK_LP_CAPPED_CORE = f"""
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          ew AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
@@ -524,16 +527,24 @@ _DUCK_LINKPRED_CAPPED = f"""
          common AS (
       SELECT a.x AS part_a, b.x AS part_b, count(*) AS common_n
       FROM capped a JOIN capped b ON a.z = b.z AND a.x < b.x
-      GROUP BY 1, 2)
-    SELECT part_a, part_b, common_n,
-           CAST(round(1000000.0 * common_n / (da.d + db.d - common_n))
-                AS BIGINT) AS jacc_ppm
-    FROM common
-    JOIN deg da ON da.n = part_a
-    JOIN deg db ON db.n = part_b
+      GROUP BY 1, 2),
+         scored AS (
+      SELECT part_a, part_b, common_n,
+             CAST(round(1000000.0 * common_n / (da.d + db.d - common_n))
+                  AS BIGINT) AS jacc_ppm
+      FROM common
+      JOIN deg da ON da.n = part_a
+      JOIN deg db ON db.n = part_b)
+"""
+
+_DUCK_LINKPRED_CAPPED = (
+    _DUCK_LP_CAPPED_CORE
+    + f"""
+    SELECT part_a, part_b, common_n, jacc_ppm FROM scored
     ORDER BY jacc_ppm DESC, part_a, part_b
     LIMIT {_LP_TOP}
 """
+)
 
 
 @register("q191b_link_prediction_capped", _DUCK_LINKPRED_CAPPED)
@@ -563,6 +574,17 @@ def q191b_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion), then the wedge join runs on lists of ≤ K — a hot hub
     contributes K² wedges instead of deg², so the 5x/10x sweep curve
     stays bounded (SCALE.md r10) where q191's blew the stall cap."""
+    return (
+        _capped_link_scores(spark, sf_dir)
+        .orderBy(F.col("jacc_ppm").desc(), "part_a", "part_b")
+        .limit(_LP_TOP)
+    )
+
+
+def _capped_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared degree-capped neighborhood-Jaccard pair scores (the
+    Spark twin of _DUCK_LP_CAPPED_CORE): q191b takes the global
+    top-10, q436 the per-node top-k."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
@@ -622,8 +644,69 @@ def q191b_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("jacc_ppm"),
         )
-        .orderBy(F.col("jacc_ppm").desc(), "part_a", "part_b")
-        .limit(_LP_TOP)
+    )
+
+
+_LINK_TOPK = 3
+
+_DUCK_LINK_TOPK = (
+    _DUCK_LP_CAPPED_CORE
+    + f"""
+    , und2 AS (
+      SELECT part_a AS node, part_b AS cand, common_n, jacc_ppm FROM scored
+      UNION ALL
+      SELECT part_b, part_a, common_n, jacc_ppm FROM scored),
+      r AS (
+      SELECT node, cand, common_n, jacc_ppm,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY jacc_ppm DESC, cand) AS rank
+      FROM und2)
+    SELECT node, rank, cand, common_n, jacc_ppm FROM r
+    WHERE rank <= {_LINK_TOPK}
+    ORDER BY node, rank
+"""
+)
+
+
+@register("q436_link_topk_per_node", _DUCK_LINK_TOPK)
+def q436_link_topk_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node top-3 link predictions — the 'related items' /
+    'people you may know' SERVING table, built from the q191b
+    degree-capped pair scores (its oracle SQL is textually derived
+    from the same CTE core, so the two queries cannot drift). The
+    global top-10 (q191b) answers "strongest links anywhere"; serving
+    needs the per-NODE ranking, which is a keyed window — no global
+    sort at any size.
+
+    100 TB shape: symmetrizing the pair table is an in-row explode
+    (2x rows, no shuffle beyond the window's node-keyed exchange);
+    the per-node top-k window is partitioned by node. Output is
+    |V| x k — the bounded serving table a recommender materializes."""
+    scored = _capped_link_scores(spark, sf_dir)
+    und2 = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("node"),
+                    F.col("part_b").alias("cand"),
+                    F.col("common_n"),
+                    F.col("jacc_ppm"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("node"),
+                    F.col("part_a").alias("cand"),
+                    F.col("common_n"),
+                    F.col("jacc_ppm"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.node", "e.cand", "e.common_n", "e.jacc_ppm")
+    w = Window.partitionBy("node").orderBy(F.col("jacc_ppm").desc(), "cand")
+    return (
+        und2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LINK_TOPK)
+        .select("node", "rank", "cand", "common_n", "jacc_ppm")
+        .orderBy("node", "rank")
     )
 
 

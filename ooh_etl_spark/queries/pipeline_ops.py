@@ -452,3 +452,236 @@ def q383_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- round-10 wave: q433 DSIR importance weights ------------------------
+
+_DSIR_B = 1024  # hashed feature buckets
+_DSIR_TARGET = ("src1", "src2", "src3")  # curated-proxy target slice
+_DSIR_TOP = 20
+
+_DUCK_TOKS_R10 = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_DUCK_DSIR = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_DUCK_TOKS_R10} AS toks FROM documents),
+         g AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END) AS bg
+      FROM d),
+         b AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(bg), 1, 8)) AS BIGINT)
+               % {_DSIR_B} AS bucket
+      FROM g),
+         dbc AS (
+      SELECT doc_id, source, bucket, count(*) AS cnt
+      FROM b GROUP BY 1, 2, 3),
+         stats AS (
+      SELECT bucket,
+             sum(cnt) AS c_all,
+             sum(CASE WHEN source IN ('src1', 'src2', 'src3')
+                      THEN cnt ELSE 0 END) AS c_tgt
+      FROM dbc GROUP BY bucket),
+         tot AS (
+      SELECT sum(c_all) AS n_all, sum(c_tgt) AS n_tgt FROM stats),
+         w AS (
+      SELECT bucket,
+             CAST(round(1000000 * ln(
+               ((c_tgt + 1.0) / (n_tgt + {_DSIR_B}))
+               / ((c_all + 1.0) / (n_all + {_DSIR_B})))) AS BIGINT)
+               AS term_micro
+      FROM stats CROSS JOIN tot)
+    SELECT doc_id, source,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(sum(cnt * term_micro) AS BIGINT) AS logratio_micro
+    FROM dbc JOIN w USING (bucket)
+    GROUP BY doc_id, source
+    ORDER BY logratio_micro DESC, doc_id
+    LIMIT {_DSIR_TOP}
+"""
+
+
+@register("q433_dsir_importance", _DUCK_DSIR)
+def q433_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed n-gram profile
+    is — log p_target(features)/p_raw(features) under bag-of-hashed-
+    bigram unigram models — and take the top slice. The target here
+    is the curated-proxy source set {src1,src2,src3}; features are
+    bigrams hashed into 1024 buckets (the md5-prefix idiom, engine-
+    identical); both bucket models are add-one smoothed.
+
+    Exactness: per-bucket log-ratio terms are quantized to integer
+    MICRO-NATS before any cross-row sum (the q347 pre-sum contract),
+    so each document's score is an exact integer dot product
+    cnt·term_micro and the top-20 cut (score DESC, doc_id) is a total
+    order — engine-identical through ties.
+
+    100 TB shape: ONE corpus explode reduced immediately to
+    (doc, bucket, cnt); the 1024-row bucket-model table aggregates
+    from that reduced frame and BROADCASTS back onto it; the per-doc
+    score is one keyed sum. No stage is wider than the (doc x
+    distinct-bucket) table — the estimator's whole point is that
+    corpus selection runs at hashed-feature, not vocabulary, width.
+
+    Bigram sequence is guarded for 1-token docs (the q428 ANSI-mode
+    lesson: sequence(1, 0) descends)."""
+    from ooh_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    d = docs.select("doc_id", "source", toks.alias("toks"))
+    bg = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(toks[i-1], ' ', toks[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dbc = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode_outer(bg).alias("bg"),
+        )
+        .filter(F.col("bg").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint")
+                % _DSIR_B
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # feeds the bucket models AND the scorer
+    )
+    stats = dbc.groupBy("bucket").agg(
+        F.sum("cnt").alias("c_all"),
+        F.sum(
+            F.when(F.col("source").isin(*_DSIR_TARGET), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("c_tgt"),
+    )
+    tot = stats.agg(
+        F.sum("c_all").alias("n_all"), F.sum("c_tgt").alias("n_tgt")
+    )
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            1_000_000
+            * F.log(
+                ((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + _DSIR_B))
+                / ((F.col("c_all") + 1.0) / (F.col("n_all") + _DSIR_B))
+            )
+        )
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    return (
+        dbc.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("term_micro"))
+            .cast("bigint")
+            .alias("logratio_micro"),
+        )
+        .orderBy(F.desc("logratio_micro"), "doc_id")
+        .limit(_DSIR_TOP)
+    )
+
+
+# --- round-10 wave: q435 data-constrained epoch allocation ---------------
+
+_EPOCH_CAP_MILLI = 4000  # max 4 epochs (Muennighoff et al. 2023, fig. 3)
+_BUDGET_X_MILLI = 2500  # token budget = 2.5x the corpus
+
+_DUCK_EPOCHS = f"""
+    WITH t AS (
+      SELECT source, len({_DUCK_TOKS_R10}) AS n FROM documents),
+         s AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS tokens FROM t GROUP BY 1),
+         tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS corpus,
+             count(*) AS n_src FROM s),
+         alloc AS (
+      SELECT source, tokens,
+             (corpus * {_BUDGET_X_MILLI} // 1000) // n_src AS target_alloc,
+             least({_EPOCH_CAP_MILLI},
+                   (1000 * ((corpus * {_BUDGET_X_MILLI} // 1000) // n_src))
+                     // tokens) AS epochs_milli
+      FROM s CROSS JOIN tot)
+    SELECT source, tokens,
+           CAST(target_alloc AS BIGINT) AS target_alloc,
+           CAST(epochs_milli AS BIGINT) AS epochs_milli,
+           CAST(tokens * epochs_milli // 1000 AS BIGINT) AS served_tokens,
+           CAST(target_alloc - tokens * epochs_milli // 1000 AS BIGINT)
+             AS unfilled_tokens
+    FROM alloc
+    ORDER BY source
+"""
+
+
+@register("q435_token_budget_epochs", _DUCK_EPOCHS)
+def q435_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture allocation (Muennighoff et al.,
+    NeurIPS 2023 "Scaling Data-Constrained Language Models"): given a
+    token budget of 2.5x the corpus and a uniform per-source target,
+    each source serves min(4, target/tokens) epochs — the paper's
+    finding that up to ~4 repeats substitute for fresh data at almost
+    no loss penalty, beyond which extra epochs are wasted. Reports
+    per-source epochs (milli), tokens actually served, and the
+    unfilled remainder the mixture must source elsewhere.
+
+    Exactness: all arithmetic is INTEGER division on exact token
+    counts (milli-epoch fixed point; SQL ``//`` = Spark ``div``) —
+    float division here would hit the cast-rounding divergence
+    (DuckDB rounds double->bigint, Spark truncates).
+
+    100 TB shape: identical to q164 — one map-side-combined per-source
+    token census, a 2-value broadcast total, and the allocation math
+    runs on the |sources|-row table."""
+    from ooh_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(tokenize(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("tokens"))
+    )
+    tot = s.agg(
+        F.sum("tokens").cast("bigint").alias("corpus"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    target = F.expr(f"(corpus * {_BUDGET_X_MILLI} div 1000) div n_src")
+    a = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        target.cast("bigint").alias("target_alloc"),
+        F.least(
+            F.lit(_EPOCH_CAP_MILLI).cast("bigint"),
+            F.expr(
+                f"(1000 * ((corpus * {_BUDGET_X_MILLI} div 1000) div n_src))"
+                " div tokens"
+            ),
+        )
+        .cast("bigint")
+        .alias("epochs_milli"),
+    )
+    served = F.expr("(tokens * epochs_milli) div 1000").cast("bigint")
+    return a.select(
+        "source",
+        "tokens",
+        "target_alloc",
+        "epochs_milli",
+        served.alias("served_tokens"),
+        (F.col("target_alloc") - served).cast("bigint").alias("unfilled_tokens"),
+    ).orderBy("source")

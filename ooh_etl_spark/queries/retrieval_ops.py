@@ -1047,3 +1047,124 @@ def q403_expected_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame
         "term_e9",
         F.sum("term_e9").over(wcum).cast("bigint").alias("err_cum_e9"),
     ).orderBy("r")
+
+
+# --- round-10 wave: q434 BM25 hard-negative mining ------------------------
+
+_HN_TERMS = (
+    (1, "spark"), (1, "table"), (1, "merge"),
+    (2, "hash"), (2, "join"), (2, "filter"),
+    (3, "stream"), (3, "window"), (3, "batch"),
+)
+_HN_DEPTH = 4  # rank 1 = positive, ranks 2..4 = hard negatives
+
+_DUCK_HARD_NEG = f"""
+    WITH qt (qid, term) AS (
+      VALUES {", ".join(f"({q}, '{t}')" for q, t in _HN_TERMS)}),
+         d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         bm AS (
+      SELECT qt.qid, tf.doc_id,
+             sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * (tf.tf * ({_K1} + 1))
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl
+                                     / (stats.sum_dl * 1.0 / stats.n_docs))))
+               AS score
+      FROM qt JOIN tf USING (term)
+      JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats GROUP BY qt.qid, tf.doc_id),
+         ranked AS (
+      SELECT qid, doc_id,
+             CAST(round(score * 10000) AS BIGINT) AS score_e4,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY CAST(round(score * 10000) AS BIGINT) DESC, doc_id)
+               AS rank
+      FROM bm)
+    SELECT qid, rank, doc_id, score_e4,
+           CASE WHEN rank = 1 THEN 'pos' ELSE 'neg' END AS label
+    FROM ranked WHERE rank <= {_HN_DEPTH}
+    ORDER BY qid, rank
+"""
+
+
+@register("q434_bm25_hard_negatives", _DUCK_HARD_NEG)
+def q434_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining (Karpukhin et al., EMNLP 2020 — DPR
+    trains with "the highest-ranked BM25 passages that do not contain
+    the answer" as negatives): for each query, the BM25 top-1 is the
+    positive and ranks 2..4 are the hard negatives — the training-
+    triple construction every dense-retriever pipeline runs over the
+    whole corpus before training. Three fixed 3-term queries; scoring
+    is q158's BM25 expression joined through a 9-row (qid, term)
+    broadcast, so one tf/df pass serves all queries.
+
+    Exactness: ranks are computed on e4-quantized scores with doc_id
+    tie-breaks (q158's oracle-green contract), so the pos/neg cut is
+    engine-identical through ties.
+
+    100 TB shape: tf is restricted to query terms AT THE SCAN (a
+    9-value IN filter on the exploded stream — postings for 9 terms,
+    not the corpus vocabulary); df is |terms| rows; the per-query
+    ranking is a keyed window over docs that matched at least one
+    term. Work scales with matching postings — the inverted-index
+    cost model — never corpus x queries."""
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    qt = F.broadcast(
+        spark.createDataFrame(list(_HN_TERMS), "qid int, term string")
+    )
+    terms = tuple({t for _, t in _HN_TERMS})
+
+    d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("dl")).localCheckpoint()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        d.select("doc_id", F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # feeds df AND the scorer (the q158 fix)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = (
+        idf
+        * (F.col("tf") * (_K1 + 1))
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / avgdl))
+    )
+    bm = (
+        tf.join(qt, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    score_e4 = F.round(F.col("score") * 10000).cast("bigint")
+    ranked = bm.select(
+        "qid",
+        "doc_id",
+        score_e4.alias("score_e4"),
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(score_e4.desc(), "doc_id"))
+        .alias("rank"),
+    ).filter(F.col("rank") <= _HN_DEPTH)
+    return ranked.select(
+        "qid",
+        "rank",
+        "doc_id",
+        "score_e4",
+        F.when(F.col("rank") == 1, F.lit("pos")).otherwise(F.lit("neg")).alias(
+            "label"
+        ),
+    ).orderBy("qid", "rank")

@@ -264,3 +264,211 @@ def q243_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_at10_bp"),
     )
+
+
+# --- round-10 wave: q437 IVF nprobe recall curve ---------------------------
+
+_RC_C = 8  # coarse centroids: the first 8 vec_ids (q53's deterministic rule)
+_RC_NQ = 5  # query panel: vec_id < 5 (q30's convention)
+_RC_K = 10  # rank cutoff for recall@k
+_RC_PROBES = (1, 2, 4, 8)
+
+_DUCK_RECALL_CURVE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < {_RC_C}),
+         corpus AS (
+      SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings),
+         q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_RC_NQ}),
+         ca AS (
+      SELECT nid, cell FROM (
+        SELECT nid, cent_id AS cell,
+               row_number() OVER (PARTITION BY nid ORDER BY
+                 CAST(round(1000000 * list_dot_product(nv, cv)
+                   / (sqrt(list_dot_product(nv, nv))
+                      * sqrt(list_dot_product(cv, cv)))) AS BIGINT) DESC,
+                 cent_id) AS rn
+        FROM corpus CROSS JOIN cents)
+      WHERE rn = 1),
+         qc AS (
+      SELECT qid, cent_id AS cell,
+             row_number() OVER (PARTITION BY qid ORDER BY
+               CAST(round(1000000 * list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv)))) AS BIGINT) DESC,
+               cent_id) AS probe_rank
+      FROM q CROSS JOIN cents),
+         truth AS (
+      SELECT qid, nid FROM (
+        SELECT q.qid, corpus.nid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 CAST(round(1000000 * list_dot_product(qv, nv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(nv, nv)))) AS BIGINT) DESC,
+                 corpus.nid) AS rank
+        FROM q JOIN corpus ON qid != nid)
+      WHERE rank <= {_RC_K}),
+         probes (nprobe) AS (
+      VALUES {", ".join(f"({p})" for p in _RC_PROBES)}),
+         cand AS (
+      SELECT probes.nprobe, q.qid, ca.nid,
+             CAST(round(1000000 * list_dot_product(qv, nv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(nv, nv)))) AS BIGINT) AS cos_e6
+      FROM probes
+      JOIN qc ON qc.probe_rank <= probes.nprobe
+      JOIN ca ON ca.cell = qc.cell
+      JOIN q ON q.qid = qc.qid
+      JOIN corpus ON corpus.nid = ca.nid
+      WHERE q.qid != ca.nid),
+         ann AS (
+      SELECT nprobe, qid, nid FROM (
+        SELECT nprobe, qid, nid,
+               row_number() OVER (PARTITION BY nprobe, qid
+                                  ORDER BY cos_e6 DESC, nid) AS rank
+        FROM cand)
+      WHERE rank <= {_RC_K}),
+         agg AS (
+      SELECT ann.nprobe,
+             count(truth.nid) AS hits
+      FROM ann LEFT JOIN truth
+        ON ann.qid = truth.qid AND ann.nid = truth.nid
+      GROUP BY ann.nprobe),
+         vol AS (
+      SELECT nprobe, count(*) AS n_candidates FROM cand GROUP BY nprobe)
+    SELECT vol.nprobe,
+           CAST(vol.n_candidates AS BIGINT) AS n_candidates,
+           CAST(agg.hits AS BIGINT) AS hits,
+           CAST((10000 * agg.hits) // ({_RC_NQ} * {_RC_K}) AS BIGINT)
+             AS recall_bp
+    FROM vol JOIN agg USING (nprobe)
+    ORDER BY nprobe
+"""
+
+
+@register("q437_ivf_recall_curve", _DUCK_RECALL_CURVE)
+def q437_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning curve: recall@10 (vs exact brute force) and
+    candidate volume at nprobe in {1,2,4,8} over q53's deterministic
+    IVF (centroids = first 8 vec_ids). THE knob every 100 TB ANN
+    deployment tunes — how many inverted lists to probe buys how much
+    recall for how much scan — here measured as a query, so the
+    engine can answer it on the actual corpus instead of folklore. At
+    nprobe = C the candidate set is the whole corpus minus self and
+    recall is 10000 bp by construction (pinned in tests alongside
+    monotonicity in nprobe).
+
+    Exactness: EVERY ranking (cell assignment, probe order, truth,
+    ANN) ranks on e6-quantized cosines with id tie-breaks — unlike
+    q53's raw-float ordering (rows-only for that reason), the curve
+    is fully oracle-checkable; recall is integer basis points via
+    integer division.
+
+    100 TB shape: assignment is a broadcast-centroid argmax in the
+    scan stage (|corpus| x C narrow rows, reduced by a vec-keyed
+    window); candidates are cell-equi-joined (the IVF point: probed
+    cells, never corpus x queries); the truth pass is brute force
+    over the FIXED 5-query panel — q30's bounded oracle baseline, not
+    the corpus-pair scan. The curve table itself is |probes| rows."""
+    from ooh_etl_spark.operators.similarity import cosine
+    from ooh_etl_spark.tables import parallelize_rows
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < _RC_C).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+        )
+    )
+    corpus = parallelize_rows(emb).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")
+    )
+    qs = emb.filter(F.col("vec_id") < _RC_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    def e6(a, b):
+        return F.round(1_000_000 * cosine(a, b)).cast("bigint")
+
+    ca = (
+        corpus.join(cents, F.lit(True))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nid").orderBy(
+                    e6(F.col("nv"), F.col("cv")).desc(), "cent_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("nid", "nv", F.col("cent_id").alias("cell"))
+        .localCheckpoint()  # feeds truth join AND every probe level
+    )
+    qc = (
+        qs.join(cents, F.lit(True))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    e6(F.col("qv"), F.col("cv")).desc(), "cent_id"
+                )
+            ),
+        )
+        .select("qid", "qv", F.col("cent_id").alias("cell"), "probe_rank")
+    )
+    truth = (
+        qs.join(ca, F.col("qid") != F.col("nid"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    e6(F.col("qv"), F.col("nv")).desc(), "nid"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= _RC_K)
+        .select("qid", "nid")
+    )
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _RC_PROBES])).alias("nprobe")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(qc, F.col("probe_rank") <= F.col("nprobe"))
+        .join(ca, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("nprobe", "qid", "nid", e6(F.col("qv"), F.col("nv")).alias("cos_e6"))
+        .localCheckpoint()  # feeds the ANN ranking AND the volume count
+    )
+    ann = (
+        cand.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "qid").orderBy(
+                    F.col("cos_e6").desc(), "nid"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= _RC_K)
+        .select("nprobe", "qid", "nid")
+    )
+    agg = (
+        ann.join(truth.withColumn("hit", F.lit(1)), ["qid", "nid"], "left")
+        .groupBy("nprobe")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+    )
+    vol = cand.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        vol.join(agg, "nprobe")
+        .select(
+            "nprobe",
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("hits").cast("bigint").alias("hits"),
+            F.expr(f"(10000 * hits) div ({_RC_NQ} * {_RC_K})")
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+        .orderBy("nprobe")
+    )

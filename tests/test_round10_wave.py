@@ -78,3 +78,92 @@ def test_q191b_cap_bites_on_hub_and_only_lowers_scores(spark, tmp_path):
     for k in overlap:
         assert capped[k]["common_n"] <= exact[k]["common_n"]
         assert capped[k]["jacc_ppm"] <= exact[k]["jacc_ppm"]
+
+
+# --- round-10 wave: oracle + property pins -----------------------------------
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q433_dsir_importance",
+        "q434_bm25_hard_negatives",
+        "q435_token_budget_epochs",
+        "q436_link_topk_per_node",
+        "q437_ivf_recall_curve",
+    ],
+)
+def test_round10_wave_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_q433_target_like_doc_outscores_raw_like(spark, tmp_path):
+    # Target sources write pattern-A bigrams, the rest pattern B. A
+    # doc in a NON-target source whose text is pattern A must score
+    # above every pattern-B doc: DSIR ranks by target-likeness of
+    # content, not by source label.
+    a_text = "alpha beta gamma delta alpha beta gamma delta"
+    b_text = "omega psi chi phi omega psi chi phi"
+    rows = [
+        (1, a_text, "en", "src1", 0),
+        (2, a_text, "en", "src2", 0),
+        (3, a_text, "en", "src3", 0),
+        (4, a_text, "en", "src9", 0),  # target-LIKE, non-target source
+        (5, b_text, "en", "src9", 0),
+        (6, b_text, "en", "src8", 0),
+    ]
+    out = run(spark, "q433_dsir_importance", _docs_dir(tmp_path, rows)).collect()
+    score = {r["doc_id"]: r["logratio_micro"] for r in out}
+    assert score[4] > score[5]
+    assert score[4] > score[6]
+    assert score[4] == score[1]  # same content, same hashed features
+
+
+def test_q434_one_pos_per_query_and_scores_dominate(spark):
+    rows = run(spark, "q434_bm25_hard_negatives").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["label"] for r in rs][0] == "pos"
+        assert all(lbl == "neg" for lbl in [r["label"] for r in rs][1:])
+        scores = [r["score_e4"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_q435_epoch_cap_and_budget_accounting(spark):
+    rows = run(spark, "q435_token_budget_epochs").collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert 0 <= r["epochs_milli"] <= 4000
+        assert r["served_tokens"] + r["unfilled_tokens"] == r["target_alloc"]
+        # served never exceeds what the cap allows
+        assert r["served_tokens"] <= 4 * r["tokens"]
+
+
+def test_q436_per_node_ranking_structure(spark):
+    rows = run(spark, "q436_link_topk_per_node").collect()
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r["node"], []).append(r)
+    for node, rs in by_node.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        keys = [(-r["jacc_ppm"], r["cand"]) for r in rs]
+        assert keys == sorted(keys), f"rank order broken at node {node}"
+
+
+def test_q437_recall_monotone_and_exhaustive_at_full_probe(spark):
+    rows = {r["nprobe"]: r for r in run(spark, "q437_ivf_recall_curve").collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    rec = [rows[p]["recall_bp"] for p in (1, 2, 4, 8)]
+    vol = [rows[p]["n_candidates"] for p in (1, 2, 4, 8)]
+    assert rec == sorted(rec), f"recall not monotone in nprobe: {rec}"
+    assert vol == sorted(vol), f"candidates not monotone in nprobe: {vol}"
+    # probing every cell IS brute force: recall must be exactly 1
+    assert rec[-1] == 10000
