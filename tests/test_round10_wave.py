@@ -17,6 +17,18 @@ def run(spark, name, sf_dir=SF_DIR):
     return QUERIES[name].fn(spark, sf_dir)
 
 
+def _docs_dir(tmp_path, rows):
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    d = tmp_path / "docs10"
+    d.mkdir(exist_ok=True)
+    df.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
 def _lineitem_dir(tmp_path, pairs):
     """Write a minimal lineitem parquet of (l_orderkey, l_partkey)."""
     df = pd.DataFrame(pairs, columns=["l_orderkey", "l_partkey"])
