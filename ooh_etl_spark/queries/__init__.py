@@ -62,13 +62,15 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: (tools/check_oracle.py --strict).
 #:
 #: DEBT SCHEDULE (never-driver-seen: 160 after r8 → 127 after r9 →
-#: 83 after this window; 44 fresh slots per round; new-query volume
-#: capped ≤20/round per VERDICT r6 item 4 so the debt strictly
-#: drains):
-#:   r11: q192–q231 never-seen members, q233–q263/q266/q268 tail,
-#:        q349/q368–q375, the b-variants (q72b/q139b/q149b), and the
-#:        round-10 wave (q191b + new entries) — takes never-seen to
-#:        ~0–5; r12 rotation becomes newest-code-first only.
+#: 89 after this window, counting the six r10 additions q191b/
+#: q433–q437; 44 fresh slots per round; new-query volume capped
+#: ≤20/round per VERDICT r6 item 4 so the debt strictly drains):
+#:   r11: the round-10 wave first (q191b, q433–q437 — 6 entries,
+#:        newest-code-first), then q192–q231 never-seen members in
+#:        number order — takes never-seen to ~45.
+#:   r12: q233–q263/q266/q268 tail, q349/q368–q375, the b-variants
+#:        (q72b/q139b/q149b) — drains to ~0, after which rotation
+#:        becomes newest-code-first only.
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)
     "flagship_doc_scan",

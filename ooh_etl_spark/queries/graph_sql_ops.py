@@ -452,7 +452,10 @@ def q191_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: wedge volume is bounded by Σ deg² — a hot hub is an
     AQE skew-split; beyond that the standard escape is neighborhood
     MinHash (q28's machinery applied to adjacency sets), which this
-    exact-form query is the oracle for."""
+    exact-form query is the oracle for. Measured wall (SCALE.md r9/
+    r10): 647s at 5x replication — the REGISTERED scale path is
+    q191b_link_prediction_capped (top-K=32 wedge cap, 12.2s at the
+    same 5x, machine-checked equal on cap-free graphs)."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
