@@ -472,3 +472,129 @@ def q437_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# --- round-10 wave: q31b deterministic SRP-LSH (oracle-checkable) ----------
+
+def _srp_planes(n_planes: int = 6, dim: int = 64) -> list[list[int]]:
+    """Deterministic random-hyperplane components in [-1000, 1000]:
+    md5-derived integers, generated identically at import time and
+    inlined as LITERALS into both the Spark expression and the oracle
+    SQL — the two engines cannot disagree about the planes because
+    they never compute them."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2001
+            - 1000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_SRP_P = 6  # 2^6 = 64 buckets over ~500-2000 vectors: real candidate lists
+_SRP_DIM = 64
+_SRP_PLANES = _srp_planes(_SRP_P, _SRP_DIM)
+_SRP_K = 5
+_SRP_NQ = 5
+
+
+def _duck_bucket(vec: str) -> str:
+    terms = []
+    for p, plane in enumerate(_SRP_PLANES):
+        lst = "[" + ", ".join(str(h) for h in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {_SRP_DIM}),"
+            f" d -> CAST(round(1000000 * {vec}[d] * ({lst})[d]) AS BIGINT)))"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_DUCK_SRP_DET = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_duck_bucket("(embedding::DOUBLE[])")} AS bucket
+      FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
+               WHERE vec_id < {_SRP_NQ}),
+         cand AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(round(1000000 * list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(v, v)))) AS BIGINT) AS cos_e6
+      FROM q JOIN e USING (bucket)
+      WHERE q.query_id != e.vec_id)
+    SELECT query_id, rank, neighbor_id, cos_e6 FROM (
+      SELECT query_id, neighbor_id, cos_e6,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_e6 DESC, neighbor_id) AS rank
+      FROM cand)
+    WHERE rank <= {_SRP_K}
+    ORDER BY query_id, rank
+"""
+
+
+@register("q31b_ann_lsh_det", _DUCK_SRP_DET)
+def q31b_ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH (Charikar, STOC'02) made fully
+    ORACLE-CHECKABLE — the deterministic twin of q31 (rows-only
+    because spark.ml's hashing is engine-private): hyperplane
+    components are md5-derived integer literals inlined into both
+    engines, each sign bit comes from an integer dot product (per-term
+    e6 quantization BEFORE the sum, so the fold is an order-free
+    integer sum, not an order-dependent float reduction), and the
+    in-bucket rerank ranks on e6-quantized cosines with id tie-breaks.
+    6 planes = 64 buckets; multi-band OR-amplification is q28's
+    machinery.
+
+    100 TB shape: bucket assignment is an in-row codegen fold over the
+    embedding (no explode, no UDF); candidates meet through the
+    bucket equi-join — the sublinear LSH point — and the rerank is a
+    bucket-keyed window. The 1x/5x/10x SRP curve is measured in
+    SCALE.md (q31 row: 2.6x at 10x)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def bucket_col():
+        terms = []
+        for p, plane in enumerate(_SRP_PLANES):
+            arr = ", ".join(str(h) for h in plane)
+            terms.append(
+                f"(CASE WHEN aggregate(zip_with(embedding, array({arr}),"
+                f" (x, h) -> CAST(round(1000000 * x * h) AS BIGINT)),"
+                f" 0L, (acc, t) -> acc + t) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return F.expr("(" + " + ".join(terms) + ")")
+
+    from ooh_etl_spark.operators.similarity import cosine
+    from ooh_etl_spark.tables import parallelize_rows
+    from pyspark.sql import Window
+
+    e = parallelize_rows(emb).select(
+        "vec_id", "embedding", bucket_col().alias("bucket")
+    )
+    q = e.filter(F.col("vec_id") < _SRP_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+    )
+    cand = (
+        q.join(e, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(1_000_000 * cosine(F.col("qv"), F.col("embedding")))
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SRP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_e6")
+        .orderBy("query_id", "rank")
+    )

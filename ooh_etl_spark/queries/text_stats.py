@@ -2111,3 +2111,126 @@ def q432_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- round-10 wave: q438 WIMBD n-gram corpus census -------------------------
+
+_WIMBD_N = 5
+_WIMBD_TOP = 20
+
+_DUCK_WIMBD = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {_WIMBD_N}
+                    THEN list_transform(
+                           generate_series(1, len(toks) - {_WIMBD_N - 1}),
+                           i -> array_to_string(toks[i:i + {_WIMBD_N - 1}], ' '))
+                    ELSE [] END) AS gram
+      FROM d),
+         dg AS (
+      SELECT gram, doc_id, count(*) AS cnt FROM g GROUP BY 1, 2),
+         census AS (
+      SELECT gram, sum(cnt) AS occurrences, count(*) AS n_docs
+      FROM dg GROUP BY gram),
+         tot AS (
+      SELECT sum(CASE WHEN len(toks) >= {_WIMBD_N}
+                 THEN len(toks) - {_WIMBD_N - 1} ELSE 0 END) AS total
+      FROM d),
+         top AS (
+      SELECT gram, occurrences, n_docs,
+             row_number() OVER (ORDER BY occurrences DESC, gram) AS rank
+      FROM census
+      ORDER BY occurrences DESC, gram LIMIT {_WIMBD_TOP})
+    SELECT rank, gram,
+           CAST(occurrences AS BIGINT) AS occurrences,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((10000 * occurrences) // total AS BIGINT) AS share_bp,
+           CAST((10000 * sum(occurrences) OVER (ORDER BY rank)) // total
+                AS BIGINT) AS cum_share_bp
+    FROM top CROSS JOIN tot
+    ORDER BY rank
+"""
+
+
+@register("q438_wimbd_ngram_census", _DUCK_WIMBD)
+def q438_wimbd_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIMBD most-common-n-grams census (Elazar et al., ICLR 2024
+    "What's In My Big Data?" — the audit that surfaced boilerplate
+    floods in C4/mC4/OSCAR): the top-20 5-grams by occurrence with
+    document spread, each gram's share of ALL 5-gram positions, and
+    the cumulative share of the head — the number that says how much
+    of the corpus is template text. Counting n-grams at corpus scale
+    IS the WIMBD workload (they built a map-reduce for it; here it is
+    a query).
+
+    Exactness: counts are integers; shares are INTEGER basis-point
+    floor divisions; the top-20 cut orders by (occurrences DESC,
+    gram) — total. The cumulative window runs over the 20-row head.
+
+    100 TB shape: one guarded in-row gram expansion -> explode ->
+    (gram, doc) pre-aggregate (map-side combinable) -> gram census;
+    the scalar denominator is a NO-explode map-side sum of in-row
+    position counts; the only global window sits above LIMIT 20.
+    Zipf-hot grams are exactly what the census is FOR — they are
+    keys with big counts, never join fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    grams = F.when(
+        F.size("toks") >= _WIMBD_N,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {_WIMBD_N - 1}),"
+            f" i -> array_join(slice(toks, i, {_WIMBD_N}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (
+        d.select("doc_id", F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    census = dg.groupBy("gram").agg(
+        F.sum("cnt").alias("occurrences"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = d.agg(
+        F.sum(
+            F.when(
+                F.size("toks") >= _WIMBD_N, F.size("toks") - (_WIMBD_N - 1)
+            ).otherwise(F.lit(0))
+        ).alias("total")
+    )
+    top = (
+        census.orderBy(F.desc("occurrences"), "gram")
+        .limit(_WIMBD_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("occurrences"), "gram")),
+        )
+    )
+    cum = F.sum("occurrences").over(
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "gram",
+            F.col("occurrences").cast("bigint").alias("occurrences"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("(10000 * occurrences) div total")
+            .cast("bigint")
+            .alias("share_bp"),
+            (F.lit(10000) * cum).cast("bigint").alias("__cum"),
+            F.col("total"),
+        )
+        .select(
+            "rank",
+            "gram",
+            "occurrences",
+            "n_docs",
+            "share_bp",
+            F.expr("__cum div total").cast("bigint").alias("cum_share_bp"),
+        )
+        .orderBy("rank")
+    )

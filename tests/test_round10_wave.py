@@ -105,6 +105,8 @@ import pytest  # noqa: E402
         "q435_token_budget_epochs",
         "q436_link_topk_per_node",
         "q437_ivf_recall_curve",
+        "q31b_ann_lsh_det",
+        "q438_wimbd_ngram_census",
     ],
 )
 def test_round10_wave_oracle(spark, duck, name):
@@ -179,3 +181,55 @@ def test_q437_recall_monotone_and_exhaustive_at_full_probe(spark):
     assert vol == sorted(vol), f"candidates not monotone in nprobe: {vol}"
     # probing every cell IS brute force: recall must be exactly 1
     assert rec[-1] == 10000
+
+
+def test_q31b_structure_and_bounded_by_exact(spark):
+    # In-bucket rerank can never beat the exact top-1 cosine, and each
+    # query's ranking must be contiguous and sorted.
+    exact = {
+        r["query_id"]: r["cos_sim"]
+        for r in run(spark, "q30_knn_cosine").collect()
+        if r["rank"] == 1
+    }
+    rows = run(spark, "q31b_ann_lsh_det").collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cs = [r["cos_e6"] for r in rs]
+        assert cs == sorted(cs, reverse=True)
+        # e6-quantized LSH top-1 <= e6-quantized exact top-1 (+1 ulp of
+        # the two quantizations)
+        assert cs[0] <= round(exact[qid] * 1e6 * 1.0001) + 100
+
+
+def test_q438_share_accounting(spark, tmp_path):
+    rows = run(spark, "q438_wimbd_ngram_census").collect()
+    assert len(rows) == 20
+    cums = [r["cum_share_bp"] for r in rows]
+    assert cums == sorted(cums), "cumulative share must be nondecreasing"
+    assert cums[-1] <= 10000
+    for r in rows:
+        assert r["n_docs"] <= r["occurrences"]
+        assert r["share_bp"] <= r["cum_share_bp"]
+    # constructed corpus: one 5-gram repeated across two docs dominates
+    t = "aa bb cc dd ee"
+    rows2 = run(
+        spark,
+        "q438_wimbd_ngram_census",
+        _docs_dir(
+            tmp_path,
+            [
+                (1, t + " " + t, "en", "s", 0),
+                (2, t, "en", "s", 0),
+                (3, "zz yy xx ww vv", "en", "s", 0),
+            ],
+        ),
+    ).collect()
+    top = rows2[0]
+    assert top["gram"] == "aa bb cc dd ee"
+    assert top["occurrences"] == 3  # doc1 has 2 (positions 1 and 6), doc2 has 1
+    assert top["n_docs"] == 2
