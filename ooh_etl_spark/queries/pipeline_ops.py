@@ -656,6 +656,7 @@ def q435_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.size(tokenize(F.col("text"))).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").cast("bigint").alias("tokens"))
+        .localCheckpoint()  # |sources| rows; feeds the total AND the alloc
     )
     tot = s.agg(
         F.sum("tokens").cast("bigint").alias("corpus"),

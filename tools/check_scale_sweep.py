@@ -7,7 +7,14 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as m  # noqa: E402
 
 ALL = list(m.queries())
-SKIP = {"q379_sparse_cosine_pairs"}  # documented quadratic boundary (SCALE.md r8)
+SKIP = {
+    # documented quadratic boundary (SCALE.md r8)
+    "q379_sparse_cosine_pairs",
+    # documented Σdeg² wall, measured twice (647s at 5x, r9+r10);
+    # q191b_link_prediction_capped is the registered scale path and
+    # IS in the sweep (SCALE.md r10)
+    "q191_link_prediction",
+}
 LOG = "/tmp/check5x_full.log"
 RES = "/tmp/check5x_full_results.txt"
 STALL = 420
