@@ -62,12 +62,12 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: (tools/check_oracle.py --strict).
 #:
 #: DEBT SCHEDULE (never-driver-seen: 160 after r8 → 127 after r9 →
-#: 91 after this window, counting the eight r10 additions q191b/
-#: q433–q438/q31b; 44 fresh slots per round; new-query volume capped
+#: 92 after this window, counting the nine r10 additions q191b/
+#: q433–q439/q31b; 44 fresh slots per round; new-query volume capped
 #: ≤20/round per VERDICT r6 item 4 so the debt strictly drains):
-#:   r11: the round-10 wave first (q191b, q433–q438, q31b — 8 entries,
+#:   r11: the round-10 wave first (q191b, q433–q439, q31b — 9 entries,
 #:        newest-code-first), then q192–q231 never-seen members in
-#:        number order — takes never-seen to ~47.
+#:        number order — takes never-seen to ~48.
 #:   r12: q233–q263/q266/q268 tail, q349/q368–q375, the b-variants
 #:        (q72b/q139b/q149b) — drains to ~0, after which rotation
 #:        becomes newest-code-first only.

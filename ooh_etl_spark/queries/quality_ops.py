@@ -1430,3 +1430,107 @@ def q430_stopword_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- round-10 wave: q439 filter-ensemble agreement census -------------------
+
+_DUCK_ENSEMBLE = f"""
+    WITH t AS (
+      SELECT {_DUCK_TOKS} AS toks FROM documents),
+         f AS (
+      SELECT len(toks) AS n,
+             list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+               AS sum_len,
+             len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+               AS n_alpha,
+             len(list_filter({list(_GOPHER_STOPS)},
+                             w -> list_contains(toks, w))) AS n_hit
+      FROM t),
+         g AS (
+      SELECT n,
+             (CASE WHEN n >= 10 THEN 1 ELSE 0 END)
+             + (CASE WHEN sum_len >= 2 * n AND sum_len <= 12 * n
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN 5 * n_alpha >= 4 * n THEN 1 ELSE 0 END)
+             + (CASE WHEN n_hit >= 2 THEN 1 ELSE 0 END) AS n_pass
+      FROM f),
+         tot AS (
+      SELECT count(*) AS docs, sum(n) AS toks FROM g)
+    SELECT n_pass,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((10000 * count(*)) // tot.docs AS BIGINT) AS docs_bp,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST((10000 * sum(n)) // tot.toks AS BIGINT) AS tokens_bp
+    FROM g CROSS JOIN tot
+    GROUP BY n_pass, tot.docs, tot.toks
+    ORDER BY n_pass
+"""
+
+
+@register("q439_filter_ensemble_census", _DUCK_ENSEMBLE)
+def q439_filter_ensemble_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ensemble agreement census (the FineWeb ablation habit —
+    Penedo et al., NeurIPS 2024 D&B — of measuring how much corpus
+    each heuristic gate removes and how the gates OVERLAP before
+    shipping a pipeline): four standard gates — C4 min-length,
+    Gopher mean-token-length band, C4 alpha-token share, Gopher
+    stopword containment (exactly q79's and q430's pinned
+    expressions) — scored per document, reported as the distribution
+    over agreement levels 0..4 in documents and tokens. The k=4 row
+    is the corpus the full conjunction keeps; the k=3 rows are what
+    each marginal gate is arguing about.
+
+    Exactness: every gate is an integer cross-multiplication; shares
+    are integer basis-point floor divisions of exact counts.
+
+    100 TB shape: all four signals evaluate IN-ROW in the scan stage
+    (plain string expressions, not HOF lambdas — the q417/q79
+    lesson), so the whole census is one map-side-combinable aggregate
+    over at most 5 grouping keys; the totals broadcast back onto a
+    5-row frame."""
+    t = F.lower(F.trim(F.col("text")))
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    f = _docs(spark, sf_dir).select(
+        F.size(F.split(t, r"\s+")).alias("n"),
+        F.length(F.regexp_replace(t, r"\s+", "")).alias("sum_len"),
+        F.expr(
+            r"size(regexp_extract_all(lower(trim(text)),"
+            r" '(^|\\s)([a-z]+)(?=\\s|$)', 2))"
+        ).alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(t, r"\s+")),
+                F.expr(f"array({stops})"),
+            )
+        ).alias("n_hit"),
+    )
+    g = f.select(
+        "n",
+        (
+            (F.col("n") >= 10).cast("int")
+            + (
+                (F.col("sum_len") >= 2 * F.col("n"))
+                & (F.col("sum_len") <= 12 * F.col("n"))
+            ).cast("int")
+            + (5 * F.col("n_alpha") >= 4 * F.col("n")).cast("int")
+            + (F.col("n_hit") >= 2).cast("int")
+        ).alias("n_pass"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n").alias("toks")
+    )
+    return (
+        g.groupBy("n_pass")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_pass",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("(10000 * n_docs) div docs").cast("bigint").alias("docs_bp"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("(10000 * n_tokens) div toks")
+            .cast("bigint")
+            .alias("tokens_bp"),
+        )
+        .orderBy("n_pass")
+    )

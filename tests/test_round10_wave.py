@@ -233,3 +233,34 @@ def test_q438_share_accounting(spark, tmp_path):
     assert top["gram"] == "aa bb cc dd ee"
     assert top["occurrences"] == 3  # doc1 has 2 (positions 1 and 6), doc2 has 1
     assert top["n_docs"] == 2
+
+
+def test_q439_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q439_filter_ensemble_census")
+
+
+def test_q439_single_gate_failures_land_at_k3(spark, tmp_path):
+    # Construct one doc per single-gate failure plus one all-pass doc:
+    # the census must put exactly three docs at k=3 and one at k=4.
+    # (All-pass needs: >=10 tokens, mean len in [2,12], >=80% alpha,
+    # >=2 distinct Gopher stopwords.)
+    good = "the cat sat of the mat and dogs ran far"  # 10 toks, 3 stops
+    short = "the of cat"  # fails min-length only
+    nonalpha = "the of 11 22 33 44 55 66 77 88"  # fails alpha only
+    nostop = "cat sat mat dog ran far big red car pig"  # fails stopword only
+    rows = [
+        (1, good, "en", "s", 0),
+        (2, short, "en", "s", 0),
+        (3, nonalpha, "en", "s", 0),
+        (4, nostop, "en", "s", 0),
+    ]
+    out = {
+        r["n_pass"]: r
+        for r in run(
+            spark, "q439_filter_ensemble_census", _docs_dir(tmp_path, rows)
+        ).collect()
+    }
+    assert out[4]["n_docs"] == 1
+    assert out[3]["n_docs"] == 3
+    assert sum(r["n_docs"] for r in out.values()) == 4
+    assert sum(r["docs_bp"] for r in out.values()) <= 10000
