@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Round-close verification ritual (SCALE.md "verification footprint").
+# Run from /root/repo on a QUIET box (no other Spark), in this order —
+# the timed steps come first so contention never pollutes them.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1. bench (timed — run first, quiet box) =="
+python bench.py || exit 1
+
+echo "== 2. full pytest =="
+python -m pytest tests/ -q || exit 1
+
+echo "== 3. full-registry oracle differential, sf0.001 then sf0.01 =="
+python tools/check_oracle.py /root/testdata/sf0.001 || exit 1
+python tools/check_oracle.py /root/testdata/sf0.01 || exit 1
+
+echo "== 4. strict dtype gate over all oracles =="
+python tools/check_oracle.py /root/testdata/sf0.001 --strict flagship_doc_scan || exit 1
+
+echo "== 5. full-registry 5x sweep (longest; stall-capped) =="
+rm -f /tmp/check5x_full_results.txt /tmp/check5x_full.log
+python tools/check_scale_sweep.py
+
+echo "== 6. dedup/ANN family curves (needs tools/make_replica.py corpora) =="
+echo "   python tools/make_replica.py 5 /tmp/sf1x5 && python tools/make_replica.py 10 /tmp/sf1x10"
+echo "   python tools/sweep_dedup_family.py 3"
+echo "   python tools/sweep_ann_family.py"
+echo "Record results + dispositions in SCALE.md; commit artifacts."
