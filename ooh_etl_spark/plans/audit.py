@@ -160,17 +160,60 @@ def unreduced_global_windows(df: DataFrame) -> list[tuple[str, str]]:
             " ASC" in groups[1] or " DESC" in groups[1]
         ):
             continue  # partitioned, no ordering
-        subtree = []
-        for d2, t2 in lines[i + 1:]:
-            if d2 <= depth:
-                break
-            subtree.append(t2)
-        if any(
-            t2.startswith(marker) or marker in t2
-            for t2 in subtree
-            for marker in _REDUCING_NODES
-        ):
+        end = i + 1
+        while end < len(lines) and lines[end][0] > depth:
+            end += 1
+        if end > i + 1 and _reduced_output(lines, i + 1, end):
             continue  # provably reduced below the window
+        subtree = [t2 for _, t2 in lines[i + 1:end]]
         raw = any("FileScan" in t2 for t2 in subtree)
         bad.append(("raw" if raw else "checkpointed", text[:120]))
     return bad
+
+
+#: Nodes whose output cardinality is the PRODUCT/SUM of several
+#: inputs: crediting a reduction found in ONE branch would be a false
+#: negative (ADVICE r10 — a join of a reduced branch with an unreduced
+#: FileScan branch is still corpus-sized). All branches must be
+#: reduced for the node's output to count as reduced.
+_MULTI_INPUT_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Union",
+)
+
+
+def _reduced_output(lines: list[tuple[int, str]], lo: int, hi: int) -> bool:
+    """True if the node at ``lines[lo]`` (subtree in ``lines[lo+1:hi]``)
+    provably emits an already-reduced (bounded) frame.
+
+    Walks the DIRECT input path instead of grepping the whole subtree:
+    a reducing node credits its ancestors only through unary operators
+    (project/filter/exchange/sort preserve or shrink cardinality); at a
+    join/union, every branch must independently be reduced, because the
+    output is as large as its largest (or, for joins, the product of
+    its) inputs. This closes the reduced-branch x FileScan-branch false
+    negative the posture audit exists to catch.
+    """
+    text = lines[lo][1]
+    if any(m in text for m in _REDUCING_NODES):
+        return True
+    # Locate direct children: the nodes at minimal depth in the run.
+    children: list[tuple[int, int]] = []  # (child_lo, child_hi)
+    j = lo + 1
+    while j < hi:
+        d2 = lines[j][0]
+        k = j + 1
+        while k < hi and lines[k][0] > d2:
+            k += 1
+        children.append((j, k))
+        j = k
+    if not children:
+        return False  # leaf: FileScan / Scan ExistingRDD / reused exchange
+    verdicts = [_reduced_output(lines, clo, chi) for clo, chi in children]
+    if any(m in text for m in _MULTI_INPUT_NODES):
+        return all(verdicts)
+    return any(verdicts)

@@ -1504,16 +1504,25 @@ def q439_filter_ensemble_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_hit"),
     )
+    # NULL-safe gate scoring (ADVICE r10, medium): a NULL text makes
+    # every signal NULL, and a raw boolean cast would propagate that
+    # into an n_pass=NULL group — while the DuckDB oracle's
+    # CASE WHEN ... ELSE 0 scores the same doc n_pass=0. Wrap each
+    # gate in when().otherwise(0) so both engines agree (the q432
+    # null-drift class; test_q439_null_text_row_scores_zero).
+    def _gate(cond):
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
     g = f.select(
         "n",
         (
-            (F.col("n") >= 10).cast("int")
-            + (
+            _gate(F.col("n") >= 10)
+            + _gate(
                 (F.col("sum_len") >= 2 * F.col("n"))
                 & (F.col("sum_len") <= 12 * F.col("n"))
-            ).cast("int")
-            + (5 * F.col("n_alpha") >= 4 * F.col("n")).cast("int")
-            + (F.col("n_hit") >= 2).cast("int")
+            )
+            + _gate(5 * F.col("n_alpha") >= 4 * F.col("n"))
+            + _gate(F.col("n_hit") >= 2)
         ).alias("n_pass"),
     )
     tot = g.agg(

@@ -550,10 +550,15 @@ def q31b_ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 planes = 64 buckets; multi-band OR-amplification is q28's
     machinery.
 
-    100 TB shape: bucket assignment is an in-row codegen fold over the
-    embedding (no explode, no UDF); candidates meet through the
-    bucket equi-join — the sublinear LSH point — and the rerank is a
-    bucket-keyed window. The 1x/5x/10x SRP curve is measured in
+    100 TB shape: bucket assignment is an in-row fold over the
+    embedding (no explode, no UDF, no shuffle) — note the
+    aggregate/zip_with lambdas evaluate INTERPRETED outside
+    whole-stage codegen (the q417/q79 lesson), an accepted cost here
+    because the fold runs once per row against a 16-element literal
+    array (6 planes x 16 mults), orders of magnitude below the
+    shuffle it replaces; candidates meet through the bucket equi-join
+    — the sublinear LSH point — and the rerank is a bucket-keyed
+    window. The 1x/5x/10x SRP curve is measured in
     SCALE.md (q31 row: 2.6x at 10x)."""
     emb = load_table(spark, sf_dir, "embeddings")
 

@@ -73,6 +73,23 @@ CHECKPOINTED_WHITELIST = {
     "q408_storey_qvalues",
     # Calibration bin table: bounded bin count.
     "q294_isotonic_calibration",
+    # --- surfaced by the r11 stricter branch walk (ADVICE r10: a join
+    # of reduced x checkpointed branches no longer credits the window
+    # through the reduced branch alone). Each of these is a
+    # (checkpointed bounded grid) crossJoin (broadcast 1-row scalar):
+    # the window runs over the grid, not the corpus.
+    # File-inventory day grid (one row per date partition).
+    "q312_compaction_planner",
+    # Hour-of-day grid: calendar-bounded at any corpus size.
+    "q352_classical_decomposition",
+    # 8-row WOE bin table (_WOE_BINS).
+    "q355_woe_information_value",
+    # Reward histogram keyed by integer cents: value-domain bounded.
+    "q360_best_of_n_reward",
+    # Day grid of OLS residuals (~365 rows/year).
+    "q397_durbin_watson",
+    # nation x year grid (b*k rows).
+    "q409_page_trend",
 }
 
 

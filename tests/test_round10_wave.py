@@ -264,3 +264,48 @@ def test_q439_single_gate_failures_land_at_k3(spark, tmp_path):
     assert out[3]["n_docs"] == 3
     assert sum(r["n_docs"] for r in out.values()) == 4
     assert sum(r["docs_bp"] for r in out.values()) <= 10000
+
+
+def test_q439_null_text_row_scores_zero(spark, tmp_path):
+    # ADVICE r10 (medium): a NULL text makes every gate signal NULL;
+    # raw boolean casts would park the doc in an n_pass=NULL group,
+    # while the DuckDB oracle's CASE WHEN ... ELSE 0 scores it
+    # n_pass=0. Both engines must agree: run the registered oracle SQL
+    # on the same fixture and compare frames exactly.
+    import duckdb
+
+    good = "the cat sat of the mat and dogs ran far"
+    df = pd.DataFrame(
+        [(1, good, "en", "s", 0), (2, None, "en", "s", 0)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    d = tmp_path / "docs_null439"
+    d.mkdir(exist_ok=True)
+    df.to_parquet(d / "documents.parquet", index=False)
+
+    out = {
+        r["n_pass"]: (r["n_docs"], r["n_tokens"], r["docs_bp"])
+        for r in run(spark, "q439_filter_ensemble_census", str(d)).collect()
+    }
+    assert 0 in out and out[0][0] == 1, f"NULL doc must score n_pass=0: {out}"
+    assert None not in out, "no n_pass=NULL group may exist"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    # oracle column order: n_pass, n_docs, docs_bp, n_tokens, tokens_bp
+    oracle = {
+        int(r[0]): (int(r[1]), int(r[3] or 0), int(r[2] if r[2] is not None else 0))
+        for r in con.execute(
+            QUERIES["q439_filter_ensemble_census"].oracle
+        ).fetchall()
+    }
+    spark_cmp = {
+        k: (v[0], v[1] or 0, v[2] if v[2] is not None else 0)
+        for k, v in out.items()
+    }
+    assert spark_cmp == oracle

@@ -74,3 +74,9 @@ for line in open(RES):
     st = line.split()[0]
     n[st] = n.get(st, 0) + 1
 print("SUMMARY", n)
+# Gate (ADVICE r10): FAIL/ERROR must fail the round-close ritual like
+# every other step. TIMEOUT (stall-cap) entries do NOT gate — each
+# carries a measured disposition in SCALE.md (q334/q194/q423 class);
+# a FAIL is a correctness drift and an ERROR is a crashed compare.
+if n["FAIL"] or n["ERROR"]:
+    sys.exit(1)

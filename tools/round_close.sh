@@ -20,7 +20,9 @@ python tools/check_oracle.py /root/testdata/sf0.001 --strict flagship_doc_scan |
 
 echo "== 5. full-registry 5x sweep (longest; stall-capped) =="
 rm -f /tmp/check5x_full_results.txt /tmp/check5x_full.log
-python tools/check_scale_sweep.py
+# check_scale_sweep.py exits 1 on any FAIL/ERROR (TIMEOUT stall-caps
+# carry SCALE.md dispositions and do not gate) — ADVICE r10.
+python tools/check_scale_sweep.py || exit 1
 
 echo "== 6. dedup/ANN family curves (needs tools/make_replica.py corpora) =="
 echo "   python tools/make_replica.py 5 /tmp/sf1x5 && python tools/make_replica.py 10 /tmp/sf1x10"
