@@ -219,14 +219,16 @@ def main() -> None:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
-    # The sf0.001 loop above compiles every plan, but the FIRST timed
-    # query at sf_dir still paid JIT C2 promotion + cold parquet
-    # listing for the large inputs: flagship_doc_scan (always first)
-    # recorded a 266.8% five-run spread in r9 with zero code change
-    # (VERDICT r9 item 4). One untimed execution of the first headline
-    # entry AT sf_dir absorbs that, so rep 1 of the timed loop starts
-    # from the same steady state as reps 2-5.
-    qs[HEADLINE[0]](spark, sf_dir).count()
+    # The sf0.001 loop above compiles every plan, but the first timed
+    # run of EACH query at sf_dir still paid JIT C2 promotion + cold
+    # parquet listing for the large inputs: flagship_doc_scan recorded
+    # a 266.8% five-run spread in r9 (VERDICT r9 item 4), and the r10
+    # fix — warming only HEADLINE[0] — just RELOCATED the cost onto the
+    # next query (q01 moved 0.810s -> 1.426s, VERDICT r10 item 3). One
+    # untimed execution of EVERY headline entry at sf_dir puts all
+    # timed reps in the same steady state.
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     spread_pct: dict[str, float] = {}

@@ -49,28 +49,25 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 
 #: The driver's correctness gate checks the FIRST 50 registry entries,
 #: so the head of the registry is chosen deliberately rather than by
-#: module import order. Round-10 rotation (per VERDICT r9 item 2,
-#: executing the schedule below verbatim): keep the §2.A reference
+#: module import order. Round-11 rotation (per VERDICT r10 item 2,
+#: executing the in-file schedule verbatim): keep the §2.A reference
 #: contract and the streaming trio (6 pinned slots); the 44 fresh
 #: slots are ALL first-time-in-window entries — first the complete
-#: round-9 wave (q423b/q425–q432/q151c/q27b, 11 entries — the funnel
-#: variants that SCALE.md's 67x/28x cure claims rest on), then the
-#: q99–q103 never-seen members, then the oldest debt tail in
-#: registry-number order: q125–q150, q174, q179–q191. Never-seen
-#: drops 127 → 83 (new r10 queries excluded; they enter in r11).
+#: round-10 wave (q191b, q433–q439, q31b — 9 entries, newest-code-
+#: first; judge-verified at sf0.01 in VERDICT r10 but never driver-
+#: confirmed), then the first 35 never-seen members of q192–q231 in
+#: registry-number order (q229/q230/q231 roll to r12). Never-seen
+#: drops 92 → 48 (new r11 queries excluded; they enter in r12).
 #: Everything rotated out stays green in the full-registry replica
 #: (tools/check_oracle.py --strict).
 #:
 #: DEBT SCHEDULE (never-driver-seen: 160 after r8 → 127 after r9 →
-#: 92 after this window, counting the nine r10 additions q191b/
-#: q433–q439/q31b; 44 fresh slots per round; new-query volume capped
-#: ≤20/round per VERDICT r6 item 4 so the debt strictly drains):
-#:   r11: the round-10 wave first (q191b, q433–q439, q31b — 9 entries,
-#:        newest-code-first), then q192–q231 never-seen members in
-#:        number order — takes never-seen to ~48.
-#:   r12: q233–q263/q266/q268 tail, q349/q368–q375, the b-variants
-#:        (q72b/q139b/q149b) — drains to ~0, after which rotation
-#:        becomes newest-code-first only.
+#: 92 after r10 → 48 after this window; 44 fresh slots per round;
+#: new-query volume capped ≤20/round per VERDICT r6 item 4 so the
+#: debt strictly drains):
+#:   r12: q229–q231, q233–q263/q266/q268 tail, q349/q368–q375, the
+#:        b-variants (q72b/q139b/q149b), then the r11 wave — drains
+#:        to ~0, after which rotation becomes newest-code-first only.
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)
     "flagship_doc_scan",
@@ -80,54 +77,54 @@ _DRIVER_WINDOW = [
     "q33_tumbling_hourly",
     "q36_stream_tumbling",
     "q46_stream_user_profiles",
-    # r10 block 1: the complete round-9 wave — never driver-seen; the
-    # funnel variants carry the measured 67x/28x scale-cure claims
-    "q423b_split_leakage_audit_funnel",
-    "q425_bow_fingerprint_dedup",
-    "q426_cluster_representatives",
-    "q427_minhash_calibration",
-    "q428_rouge2_pair_overlap",
-    "q429_mergeable_quantile_summary",
-    "q430_stopword_gate",
-    "q431_shingle_containment",
-    "q432_source_js_divergence",
-    "q151c_semdedup_funnel",
-    "q27b_jaccard_pairs_funnel",
-    # r10 block 2: q99–q103 never-seen members
-    "q99_transition_matrix",
-    "q100_first_touch_attribution",
-    "q101_growth_accounting",
-    "q103_power_iteration",
-    # r10 block 3: oldest debt — q125–q150/q174/q179–q191 never-seen
-    "q125_compression_quality",
-    "q136_association_rules",
-    "q137_target_encoding",
-    "q138_weighted_sample",
-    "q139_equi_depth_histogram",
-    "q140_wilson_ctr",
-    "q141_time_to_convert",
-    "q142_k_anonymity",
-    "q143_interval_overlap",
-    "q144_zorder_clustering",
-    "q145_chi_square",
-    "q146_mutual_information",
-    "q147_benford_digits",
-    "q148_binary_encoding",
-    "q149_id_gap_detection",
-    "q150_pythagorean_means",
-    "q174_stream_session",
-    "q179_collation_group",
-    "q180_multimodal_resize",
-    "q181_video_frame_sample",
-    "q182_three_valued_logic",
-    "q184_cuped_adjustment",
-    "q185_k_core",
-    "q186_bfs_hops",
-    "q187_naive_bayes_train",
-    "q188_naive_bayes_classify",
-    "q189_fd_histogram",
-    "q190_skyline",
-    "q191_link_prediction",
+    # r11 block 1: the complete round-10 wave — newest code first
+    # (judge-verified sf0.01 in VERDICT r10; driver confirmation here)
+    "q191b_link_prediction_capped",
+    "q433_dsir_importance",
+    "q434_bm25_hard_negatives",
+    "q435_token_budget_epochs",
+    "q436_link_topk_per_node",
+    "q437_ivf_recall_curve",
+    "q438_wimbd_ngram_census",
+    "q439_filter_ensemble_census",
+    "q31b_ann_lsh_det",
+    # r11 block 2: oldest debt — first 35 never-seen members of
+    # q192–q231 in registry-number order (q229–q231 roll to r12)
+    "q192_welch_t_test",
+    "q193_poisson_bootstrap",
+    "q194_dbscan",
+    "q195_collocations_pmi",
+    "q196_roc_auc",
+    "q197_gini_by_nation",
+    "q198_cusum_changepoint",
+    "q199_mase_seasonal",
+    "q200_hhi_concentration",
+    "q201_bpe_merge_pairs",
+    "q202_negative_sampling",
+    "q203_epoch_shuffle",
+    "q204_join_size_estimate",
+    "q205_knn_shapley",
+    "q206_quality_yield_curve",
+    "q207_decayed_trending",
+    "q208_weighted_median",
+    "q210_cohens_kappa",
+    "q211_kaplan_meier",
+    "q212_event_path_trigrams",
+    "q213_mad_outliers",
+    "q214_luhn_check_digits",
+    "q215_bpe_merge_round",
+    "q217_unigram_viterbi",
+    "q218_audio_frame_features",
+    "q219_image_luma_histogram",
+    "q220_stream_static_enrich",
+    "q221_hll_registers",
+    "q222_markov_attribution",
+    "q223_pseudonymized_join",
+    "q224_video_motion_energy",
+    "q225_dp_noisy_counts",
+    "q226_msprt_sequential",
+    "q227_quantile_treatment_effect",
+    "q228_item_cf_cosine",
 ]
 
 #: The driver gate is exactly 50 entries; a 51st silently falls off
