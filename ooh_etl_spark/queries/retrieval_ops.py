@@ -501,6 +501,199 @@ def q334_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q334b: LSH-candidate mutual-NN funnel (round 11) -----------------------
+# Multi-band sign-random-projection blocking: 4 bands x 4 hyperplanes
+# (q28's OR-amplification over q31b's deterministic SRP machinery).
+# Plane components are md5-derived integer literals with an
+# "mnn"-scoped seed (independent of q31b's planes), inlined into BOTH
+# engines so they never compute them.
+_MNN_BANDS = 4
+_MNN_BITS = 4
+_MNN_DIM = 64
+
+
+def _mnn_planes() -> list[list[list[int]]]:
+    import hashlib
+
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"mnn{b}:{p}:{d}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 2001
+                - 1000
+                for d in range(_MNN_DIM)
+            ]
+            for p in range(_MNN_BITS)
+        ]
+        for b in range(_MNN_BANDS)
+    ]
+
+
+_MNN_PLANES = _mnn_planes()
+
+
+def _mnn_duck_bucket(band: int, vec: str) -> str:
+    terms = []
+    for p, plane in enumerate(_MNN_PLANES[band]):
+        lst = "[" + ", ".join(str(h) for h in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {_MNN_DIM}),"
+            f" d -> CAST(round(1000000 * {vec}[d] * ({lst})[d]) AS BIGINT)))"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_DUCK_MNN_FUNNEL = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {", ".join(_mnn_duck_bucket(b, "(embedding::DOUBLE[])") + f" AS bk{b}" for b in range(_MNN_BANDS))}
+      FROM embeddings),
+         a AS (SELECT vec_id AS ida, v AS va, bk0, bk1, bk2, bk3 FROM e
+               WHERE vec_id % 2 = 0),
+         b AS (SELECT vec_id AS idb, v AS vb, bk0, bk1, bk2, bk3 FROM e
+               WHERE vec_id % 2 = 1),
+         cand AS (
+      SELECT DISTINCT ida, idb,
+             CAST(round(1000000.0 * list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va))
+                  * sqrt(list_dot_product(vb, vb)))) AS BIGINT) AS cos_e6
+      FROM a JOIN b ON (a.bk0 = b.bk0 OR a.bk1 = b.bk1
+                        OR a.bk2 = b.bk2 OR a.bk3 = b.bk3)),
+         nn_ab AS (
+      SELECT ida, idb, cos_e6 FROM (
+        SELECT *, row_number() OVER (PARTITION BY ida
+                                     ORDER BY cos_e6 DESC, idb) AS rk
+        FROM cand) WHERE rk = 1),
+         nn_ba AS (
+      SELECT ida, idb FROM (
+        SELECT *, row_number() OVER (PARTITION BY idb
+                                     ORDER BY cos_e6 DESC, ida) AS rk
+        FROM cand) WHERE rk = 1)
+    SELECT nn_ab.ida AS id_a, nn_ab.idb AS id_b, nn_ab.cos_e6
+    FROM nn_ab JOIN nn_ba ON nn_ab.ida = nn_ba.ida AND nn_ab.idb = nn_ba.idb
+    ORDER BY id_a
+"""
+
+
+@register("q334b_mutual_nn_funnel", _DUCK_MNN_FUNNEL)
+def q334b_mutual_nn_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor mining through an LSH candidate funnel
+    — the scale-path twin of q334 (VERDICT r10 item 4: the last
+    all-pairs disposition without a registered machine-checked cure
+    of itself; the q27b/q151c/q423b/q191b funnel discipline): instead
+    of the |A| x |B| score cross product, candidate pairs come from a
+    4-band x 4-bit deterministic sign-random-projection blocking
+    (Charikar STOC'02 sign bits; q28's band-OR amplification; q31b's
+    inlined-integer-literal plane trick makes it oracle-checkable),
+    each candidate is verified with the EXACT e6-quantized cosine,
+    and the per-side argmax + mutuality filter run on the verified
+    candidate table. Same output contract as q334; the funnel is a
+    recall<=1 approximation whose argmaxes equal q334's whenever each
+    side's true best collides in >=1 band — machine-checked equal on
+    a corpus where collision is guaranteed by construction
+    (tests/test_round11_wave.py::test_q334b_equals_q334_when_recall_is_total).
+
+    Determinism: plane components are md5-derived integer literals
+    inlined into both engines; sign bits come from order-free integer
+    sums (per-term e6 quantization BEFORE the sum, on the DOUBLE-cast
+    vector so float32 inputs widen identically); cosines quantize to
+    e6 with id tie-breaks before the argmax windows.
+
+    100 TB shape: each vector emits 4 (band, bucket) keys; candidates
+    meet through the band-bucket equi-join — shuffle volume is the
+    posting lists, never |A| x |B| — and the two argmax windows
+    partition by ida / idb (no global window). This replaces q334's
+    crossJoin score table (the documented q334 stall-cap cure,
+    SCALE.md); q334 itself stays registered as the exact oracle
+    baseline."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def band_bucket(band: int):
+        terms = []
+        for p, plane in enumerate(_MNN_PLANES[band]):
+            arr = ", ".join(str(h) for h in plane)
+            terms.append(
+                f"(CASE WHEN aggregate(zip_with(v, array({arr}),"
+                f" (x, h) -> CAST(round(1000000 * x * h) AS BIGINT)),"
+                f" 0L, (acc, t) -> acc + t) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return F.expr("(" + " + ".join(terms) + ")")
+
+    keyed = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(b).alias("bkt"),
+                    )
+                    for b in range(_MNN_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "v", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt"))
+    a = keyed.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"), "band", "bkt"
+    )
+    b = keyed.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"), "band", "bkt"
+    )
+    d = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, z: s + z
+    )
+    cand = (
+        a.join(b, ["band", "bkt"])
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                1000000.0
+                * d(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(d(F.col("va"), F.col("va")))
+                    * F.sqrt(d(F.col("vb"), F.col("vb")))
+                )
+            )
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+        .distinct()  # a pair colliding in several bands scores once
+        .localCheckpoint()  # verified candidates feed BOTH argmaxes
+    )
+    wa = Window.partitionBy("ida").orderBy(F.desc("cos_e6"), F.asc("idb"))
+    wb = Window.partitionBy("idb").orderBy(F.desc("cos_e6"), F.asc("ida"))
+    nn_ab = (
+        cand.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("ida", "idb", "cos_e6")
+    )
+    nn_ba = (
+        cand.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(F.col("ida").alias("ida2"), F.col("idb").alias("idb2"))
+    )
+    return (
+        nn_ab.join(
+            nn_ba,
+            (F.col("ida") == F.col("ida2")) & (F.col("idb") == F.col("idb2")),
+        )
+        .select(
+            F.col("ida").alias("id_a"),
+            F.col("idb").alias("id_b"),
+            "cos_e6",
+        )
+        .orderBy("id_a")
+    )
+
+
 # --- q341: signed-random-projection cosine LSH (round 6) -------------------
 _SRP_BITS = 16
 _SRP_DIM = 64
