@@ -304,7 +304,36 @@ def q173_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q185_k_core", None)  # iterative peel, data-dependent rounds → rows-only
+_Q185_SIG = "count(*) || ':' || sum(l_partkey)"
+
+
+def _duck_golden_185() -> str:
+    from ooh_etl_spark.queries._golden import GOLDEN_Q185
+
+    rows = ",\n        ".join(
+        f"('{sig}', {n}, {d})"
+        for sig, rs in GOLDEN_Q185.items()
+        for n, d in rs
+    )
+    return f"""
+    WITH sig AS (SELECT {_Q185_SIG} AS s FROM lineitem)
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(core_degree AS BIGINT) AS core_degree
+    FROM (VALUES {rows}) g(gsig, node, core_degree)
+    WHERE gsig = (SELECT s FROM sig)
+    ORDER BY node
+    """
+
+
+from ooh_etl_spark.queries._golden import GOLDEN_Q185 as _G185  # noqa: E402
+
+
+@register(
+    "q185_k_core",
+    _duck_golden_185(),
+    golden_guard=f"SELECT {_Q185_SIG} FROM lineitem",
+    golden_domain=frozenset(_G185),
+)
 def q185_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the co-purchase graph: the maximal
     induced subgraph where every part keeps >= k co-purchase partners
@@ -319,11 +348,17 @@ def q185_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     and annihilating above the threshold at some scale. The
     median is an exact percentile over the degree table (|V| rows —
     driver-cheap at any corpus size; the full graph never leaves the
-    executors). Rows-only by design: both k and the peel's round count
-    are data-dependent, which a fixed SQL text cannot express; pytest
-    pins the defining properties instead — every surviving node's
-    induced degree >= k, and the output is a fixpoint (re-peeling
-    changes nothing)."""
+    executors).
+
+    Correctness: both k and the peel's round count are data-dependent,
+    which no fixed recomputing SQL can express — the oracle is a
+    GOLDEN VALUES table (VERDICT r10 item 6): the exact surviving
+    (node, core_degree) set computed by the pure-Python set-based peel
+    in tools/make_golden.py (no Spark) and pinned per lineitem
+    signature, with a guard falling back to rows-only on unpinned
+    corpora. pytest additionally pins the defining properties — every
+    surviving node's induced degree >= k, and the output is a fixpoint
+    (re-peeling changes nothing)."""
     import math
 
     from ooh_etl_spark.operators.graph import k_core

@@ -387,16 +387,50 @@ def _compression_ratio(texts):
     return pd.Series([ratio(t) for t in texts])
 
 
-@register("q125_compression_quality", None)  # zlib has no DuckDB twin → rows-only
+_Q125_SIG = "count(*) || ':' || sum(n_chars) || ':' || sum(doc_id)"
+
+
+def _duck_golden_125() -> str:
+    from ooh_etl_spark.queries._golden import GOLDEN_Q125
+
+    rows = ",\n        ".join(
+        f"('{sig}', '{s}', '{b}', {n})"
+        for sig, rs in GOLDEN_Q125.items()
+        for s, b, n in rs
+    )
+    return f"""
+    WITH sig AS (SELECT {_Q125_SIG} AS s FROM documents)
+    SELECT source, bucket, CAST(n_docs AS BIGINT) AS n_docs
+    FROM (VALUES {rows}) g(gsig, source, bucket, n_docs)
+    WHERE gsig = (SELECT s FROM sig)
+    ORDER BY source, bucket
+    """
+
+
+from ooh_etl_spark.queries._golden import GOLDEN_Q125 as _G125  # noqa: E402
+
+
+@register(
+    "q125_compression_quality",
+    _duck_golden_125(),
+    golden_guard=f"SELECT {_Q125_SIG} FROM documents",
+    golden_domain=frozenset(_G125),
+)
 def q125_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal (Gopher Table A1: highly
     compressible text is repetitive boilerplate; near-incompressible
     is noise): deflate ratio per doc via an Arrow-batched pandas UDF —
     the designated slow-path pattern for logic with no Spark-native
-    expression — bucketed into a per-source census. Rows-only check
-    (DuckDB ships no deflate), but the bucketing thresholds are exact
-    comparisons on the deterministic 4-dp ratio, and
-    test_compression_quality_buckets pins the semantics."""
+    expression — bucketed into a per-source census.
+
+    Correctness: DuckDB ships no deflate, so the oracle is a GOLDEN
+    VALUES table (VERDICT r10 item 6) — the census computed by the
+    pure-Python sequential reference in tools/make_golden.py (pyarrow
+    + zlib, no Spark) and pinned per fixture signature; the guard
+    falls back to rows-only on unpinned corpora (5x-sweep replicas).
+    The differential is real: distributed Arrow-UDF batching +
+    aggregation vs a one-process reference over the same bytes.
+    test_compression_quality_buckets pins the bucket semantics."""
     docs = _docs(spark, sf_dir)
     r = docs.select("source", _compression_ratio(F.col("text")).alias("ratio"))
     bucket = (

@@ -23,18 +23,40 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None → rows-only check
     doc: str = ""
+    #: GOLDEN oracles (VERDICT r10 item 6): an oracle whose SQL is a
+    #: fixture-pinned VALUES table (rows computed by an independent
+    #: pure-Python reference, tools/make_golden.py) is only valid at
+    #: the pinned corpora. ``golden_guard`` is a DuckDB probe SQL
+    #: returning one corpus-signature value; when its result is not in
+    #: ``golden_domain``, harnesses fall back to the rows-only check
+    #: (the 5x-sweep replicas are not pinned corpora). None = the
+    #: oracle recomputes the answer and is valid everywhere.
+    golden_guard: str | None = None
+    golden_domain: frozenset[str] | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None = None,
+    golden_guard: str | None = None,
+    golden_domain: frozenset[str] | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn`` as query ``name`` with optional oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        QUERIES[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            golden_guard=golden_guard,
+            golden_domain=golden_domain,
+        )
         return fn
 
     return deco

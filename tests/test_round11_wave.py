@@ -61,6 +61,28 @@ def test_q334b_equals_q334_when_recall_is_total(spark, tmp_path):
     assert funnel == exact
 
 
+def test_q125_matches_golden_oracle(spark, duck):
+    # VERDICT r10 item 6: zlib census vs the pure-Python reference
+    # (tools/make_golden.py), pinned as a guard-gated VALUES oracle.
+    assert_matches_oracle(spark, duck, "q125_compression_quality")
+
+
+def test_q185_matches_golden_oracle(spark, duck):
+    # k-core fixpoint vs the pure-Python set-based peel reference.
+    assert_matches_oracle(spark, duck, "q185_k_core")
+
+
+def test_golden_oracles_are_guard_gated():
+    # A golden VALUES oracle is only valid at its pinned corpora; the
+    # guard + two-signature domain is what lets the 5x sweep fall back
+    # to rows-only instead of failing on unpinned replicas.
+    for name in ("q125_compression_quality", "q185_k_core"):
+        spec = QUERIES[name]
+        assert spec.oracle is not None
+        assert spec.golden_guard is not None
+        assert spec.golden_domain is not None and len(spec.golden_domain) == 2
+
+
 def test_q334b_is_subset_of_exact_candidates(spark):
     # On the real fixture the funnel's recall is < 1 by design, but
     # every pair it DOES emit must carry the exact cosine and appear

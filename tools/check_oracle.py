@@ -128,6 +128,12 @@ def dtype_gate(con, oracles) -> list:
     return bad
 
 
+def _specs():
+    from ooh_etl_spark.queries import QUERIES
+
+    return QUERIES
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     strict = "--strict" in sys.argv[1:]
@@ -178,6 +184,20 @@ def main() -> int:
             status = "ROWS-ONLY"
             print(f"{status:>9} {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             continue
+        # GOLDEN oracles are VALUES tables pinned to fixture corpora
+        # (tools/make_golden.py); on any other corpus (5x-sweep
+        # replicas, /tmp/sf0.5) the guard probe misses the pinned
+        # domain and the check falls back to rows-only.
+        spec = _specs().get(name)
+        if spec is not None and spec.golden_guard is not None:
+            probe = str(con.execute(spec.golden_guard).fetchone()[0])
+            if probe not in (spec.golden_domain or frozenset()):
+                print(
+                    f"ROWS-ONLY {name}: {len(srows)} rows "
+                    f"(golden oracle not pinned for this corpus)  "
+                    f"({time.time()-t0:.1f}s)"
+                )
+                continue
         try:
             ores = con.execute(oracles[name])
             odesc = ores.description

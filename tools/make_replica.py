@@ -52,6 +52,27 @@ def main() -> int:
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
+    # lineitem replica (VERDICT r10 item 5: gives the lineitem-backed
+    # graph family q191b/q436 their 10x curve points). Offsetting BOTH
+    # l_orderkey and l_partkey makes each copy a DISJOINT co-purchase
+    # graph — pure linear scale-up, the same replica semantics as
+    # documents (distinct ids, identical content) — rather than
+    # densifying the original graph's part nodes with n-fold wedges.
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey + c.i * (SELECT max(l_orderkey) + 1
+                                     FROM read_parquet('{base}/lineitem.parquet'))
+                   AS l_orderkey,
+                 l_partkey + c.i * (SELECT max(l_partkey) + 1
+                                    FROM read_parquet('{base}/lineitem.parquet'))
+                   AS l_partkey,
+                 * EXCLUDE (l_orderkey, l_partkey)
+          FROM read_parquet('{base}/lineitem.parquet'),
+               (SELECT unnest(generate_series(0, {n - 1})) AS i) c
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
     con.execute(
         f"""
         COPY (
