@@ -2488,3 +2488,114 @@ def q431_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment_bp") >= 7000)
     )
     return c.orderBy(F.desc("containment_bp"), "id_a", "id_b")
+
+
+# --- round-11 wave: q442 soft deduplication (reweight, don't remove) --------
+
+_SD_N = 2  # bigram commonness: the shortest gram with cross-doc signal
+
+
+_DUCK_SOFTDEDUP = f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+         g AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(1, len(toks) - {_SD_N - 1}),
+               i -> array_to_string(toks[i:i+{_SD_N - 1}], ' '))) AS gram
+      FROM t WHERE len(toks) >= {_SD_N}),
+         freq AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+         per_doc AS (
+      SELECT g.doc_id, g.source,
+             count(*) AS n_g,
+             sum(f.c) AS sum_c
+      FROM g JOIN freq f USING (gram)
+      GROUP BY g.doc_id, g.source),
+         w AS (
+      SELECT doc_id, source, n_g,
+             (1000 * n_g) // sum_c AS w_milli
+      FROM per_doc)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_g) AS BIGINT) AS n_grams,
+           CAST(sum(n_g * w_milli) AS BIGINT) AS eff_grams_milli,
+           CAST(10000 - (10000 * sum(n_g * w_milli)) // (1000 * sum(n_g))
+                AS BIGINT) AS downweight_bp
+    FROM w GROUP BY source ORDER BY source
+"""
+
+
+@register("q442_softdedup_weights", _DUCK_SOFTDEDUP)
+def q442_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication by commonness reweighting (He et al. 2024,
+    'SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    Language Model Pretraining', arXiv:2407.06654 — instead of
+    REMOVING near-duplicates, keep every doc but downweight its
+    sampling probability by how common its n-grams are): per doc the
+    inverse mean corpus frequency of its bigrams, w = n_grams /
+    sum(freq), in exact milli units (w = 1000 exactly when every gram
+    is unique; duplicated boilerplate drives w toward 0), then a
+    per-source census of effective (weighted) gram mass and the
+    implied downweight in basis points. The census is the
+    sampling-temperature input a soft-dedup training mix needs, and
+    the per-source downweight ranks sources by internal redundancy —
+    the same signal q26/q151 act on destructively, preserved here as
+    a weight.
+
+    Exactness: gram frequencies are integers; per-doc weights are
+    truncating integer divisions at milli scale; source rollups are
+    integer sums with one final basis-point division (div-// pair).
+
+    100 TB shape: the gram frequency table is one map-side-combinable
+    aggregate; the join back is keyed by gram — the q152 inverted-
+    index shape, shuffling (gram, count) pairs only — and the census
+    is a |sources|-key rollup. Nothing quadratic: redundancy is
+    measured per GRAM, never per document pair."""
+    from ooh_etl_spark.tables import parallelize_rows
+
+    docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
+    from ooh_etl_spark.functions.text import tokenize
+
+    t = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
+    idx = F.when(
+        F.size("toks") >= _SD_N,
+        F.sequence(F.lit(1), F.size("toks") - (_SD_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    g = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.col("toks")[i - 1], F.col("toks")[i]
+                ),
+            )
+        ).alias("gram"),
+    ).localCheckpoint()  # gram stream feeds the freq table AND the join back
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        g.join(freq, "gram")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_g"), F.sum("c").alias("sum_c"))
+    )
+    w = per_doc.select(
+        "source",
+        "n_g",
+        F.expr("(1000 * n_g) div sum_c").alias("w_milli"),
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_g").cast("bigint").alias("n_grams"),
+            F.sum(F.col("n_g") * F.col("w_milli"))
+            .cast("bigint")
+            .alias("eff_grams_milli"),
+            F.expr(
+                "CAST(10000 - (10000 * sum(n_g * w_milli))"
+                " div (1000 * sum(n_g)) AS BIGINT)"
+            ).alias("downweight_bp"),
+        )
+        .orderBy("source")
+    )

@@ -686,3 +686,205 @@ def q435_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         served.alias("served_tokens"),
         (F.col("target_alloc") - served).cast("bigint").alias("unfilled_tokens"),
     ).orderBy("source")
+
+
+# --- round-11 wave: q445 sequence-packing efficiency -------------------------
+
+_PACK_L = 128  # context length in tokens (fixture docs are short)
+
+_DUCK_PACKING = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n
+      FROM documents),
+         o AS (
+      SELECT doc_id, source, n,
+             coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS off
+      FROM t),
+         f AS (
+      SELECT source, n,
+             ((n + {_PACK_L} - 1) // {_PACK_L}) * {_PACK_L} - n AS pad_waste,
+             CASE WHEN (off % {_PACK_L}) + n > {_PACK_L} THEN 1 ELSE 0 END
+               AS fragmented
+      FROM o)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(pad_waste) AS BIGINT) AS pad_waste_tokens,
+           CAST((10000 * sum(pad_waste))
+                // (sum(n) + sum(pad_waste)) AS BIGINT) AS pad_waste_bp,
+           CAST(sum(fragmented) AS BIGINT) AS n_fragmented_docs,
+           CAST((sum(n) + {_PACK_L} - 1) // {_PACK_L} AS BIGINT) AS n_chunks
+    FROM f GROUP BY source ORDER BY source
+"""
+
+
+@register("q445_packing_efficiency", _DUCK_PACKING)
+def q445_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency census — the padding-vs-
+    fragmentation accounting every pretraining data loader does when
+    fitting documents into fixed {_PACK_L}-token contexts (the
+    'pack vs pad' trade studied in Krell et al. 2021, 'Efficient
+    Sequence Packing without Cross-contamination', and revisited by
+    every LLM data report since GPT-3's 'we pack documents'): per
+    source, (a) the token waste of PAD-TO-BOUNDARY (each doc rounded
+    up to a multiple of L) in exact tokens and basis points, and (b)
+    under CONCAT-AND-CHUNK (zero padding), how many docs get split
+    across a context boundary (cross-contamination sites) given the
+    deterministic doc_id packing order, plus the resulting chunk
+    count. The two policies bracket the design space; the census says
+    what each costs on THIS corpus.
+
+    Exactness: everything is integer arithmetic on token counts; the
+    running offset is an integer window sum.
+
+    100 TB shape: one length projection in the scan stage, one
+    per-SOURCE window (keyed exchange — never global: the packing
+    order is defined within a source shard, matching how loaders
+    shard by source), one census aggregate. At a real corpus the
+    per-source window would sub-shard (source, file) — same plan
+    shape, more keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.select(
+        "source",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off"),
+    )
+    f = o.select(
+        "source",
+        "n",
+        (
+            ((F.col("n") + _PACK_L - 1) / _PACK_L).cast("bigint") * _PACK_L
+            - F.col("n")
+        ).alias("pad_waste"),
+        F.when(
+            (F.col("off") % _PACK_L) + F.col("n") > _PACK_L, 1
+        )
+        .otherwise(0)
+        .alias("fragmented"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum("pad_waste").cast("bigint").alias("pad_waste_tokens"),
+            F.expr(
+                "(10000 * sum(pad_waste)) div (sum(n) + sum(pad_waste))"
+            )
+            .cast("bigint")
+            .alias("pad_waste_bp"),
+            F.sum("fragmented").cast("bigint").alias("n_fragmented_docs"),
+            F.expr(f"(sum(n) + {_PACK_L} - 1) div {_PACK_L}")
+            .cast("bigint")
+            .alias("n_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- round-11 wave: q447 sampling-temperature mixture curve ------------------
+
+_TAU_MILLI = (1000, 1430, 2000, 3330)  # tau=1 (natural) .. 3.33 (near-uniform)
+
+_DUCK_TAU = f"""
+    WITH t AS (
+      SELECT source,
+             sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS toks
+      FROM documents GROUP BY source),
+         tot AS (SELECT sum(toks) AS total FROM t),
+         grid AS (SELECT unnest([{", ".join(str(x) for x in _TAU_MILLI)}]) AS tau_milli),
+         w AS (
+      SELECT tau_milli, source, toks, total,
+             CAST(round(1000000000 * pow(1.0 * toks / total,
+                                         1000.0 / tau_milli)) AS BIGINT) AS w_e9
+      FROM t CROSS JOIN tot CROSS JOIN grid),
+         sw AS (
+      SELECT tau_milli, sum(w_e9) AS s FROM w GROUP BY tau_milli)
+    SELECT w.tau_milli, w.source,
+           CAST(w.toks AS BIGINT) AS n_tokens,
+           CAST((10000 * w.w_e9) // sw.s AS BIGINT) AS weight_bp,
+           CAST((1000 * CAST(w.w_e9 AS HUGEINT) * w.total)
+                // (sw.s * w.toks) AS BIGINT) AS epochs_milli
+    FROM w JOIN sw USING (tau_milli)
+    ORDER BY tau_milli, source
+"""
+
+
+@register("q447_temperature_mixture_curve", _DUCK_TAU)
+def q447_temperature_mixture_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-temperature mixture curve (the p_i^(1/tau) source
+    reweighting of multilingual/multi-source pretraining — mT5's
+    alpha sweep, Gopher Table A3, and the 'how hot do we sample the
+    tail' knob behind q164's fixed-temperature design): for each
+    temperature in a {len(_TAU_MILLI)}-point grid, the normalized
+    source weights and the EFFECTIVE EPOCHS each source would see at
+    a budget of one full corpus pass — the quantity that says which
+    tau starts re-reading small sources often enough to memorize
+    (Muennighoff 2023's 4-epoch cliff, q435's constraint).
+
+    Determinism: shares are exact integer ratios; pow runs on
+    identical doubles in both engines (the q187 libm contract);
+    weights quantize to e9 integers BEFORE the per-tau normalization
+    sum, so no cross-row float reduction exists; epochs use
+    HUGEINT/decimal(38,0) intermediates (the q397 overflow contract).
+
+    100 TB shape: ONE map-side-combinable token census (|sources|
+    rows), a literal tau grid crossed in-memory, and |sources|-keyed
+    integer arithmetic — the whole curve costs one corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("toks")
+    )
+    tot = t.agg(F.sum("toks").alias("total"))
+    grid = F.explode(
+        F.array(*[F.lit(x) for x in _TAU_MILLI])
+    ).alias("tau_milli")
+    w = (
+        t.crossJoin(F.broadcast(tot))
+        .select("source", "toks", "total", grid)
+        .select(
+            "tau_milli",
+            "source",
+            "toks",
+            "total",
+            F.round(
+                1000000000
+                * F.pow(
+                    1.0 * F.col("toks") / F.col("total"),
+                    1000.0 / F.col("tau_milli"),
+                )
+            )
+            .cast("bigint")
+            .alias("w_e9"),
+        )
+    )
+    sw = w.groupBy("tau_milli").agg(F.sum("w_e9").alias("s"))
+    return (
+        w.join(F.broadcast(sw), "tau_milli")
+        .select(
+            F.col("tau_milli").cast("int").alias("tau_milli"),
+            "source",
+            F.col("toks").cast("bigint").alias("n_tokens"),
+            F.expr("(10000 * w_e9) div s").cast("bigint").alias("weight_bp"),
+            F.expr(
+                "CAST((1000 * CAST(w_e9 AS DECIMAL(38,0)) * total)"
+                " div (CAST(s AS DECIMAL(38,0)) * toks) AS BIGINT)"
+            ).alias("epochs_milli"),
+        )
+        .orderBy("tau_milli", "source")
+    )

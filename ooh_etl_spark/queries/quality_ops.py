@@ -1577,3 +1577,252 @@ def q439_filter_ensemble_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_pass")
     )
+
+
+# --- round-11 wave: q443 character-entropy gate ------------------------------
+
+_ENT_LOW_E9 = 2_000_000_000  # 2.0 bits in e9 units: the junk threshold
+
+
+_DUCK_CHAR_ENTROPY = f"""
+    WITH t AS (
+      SELECT doc_id, source, lower(trim(text)) AS s FROM documents),
+         ch AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, length(s)),
+                                   i -> substr(s, i, 1))) AS c
+      FROM t),
+         hist AS (
+      SELECT doc_id, source, c, count(*) AS k
+      FROM ch GROUP BY doc_id, source, c),
+         n AS (
+      SELECT doc_id, sum(k) AS n FROM hist GROUP BY doc_id),
+         term AS (
+      SELECT h.doc_id, h.source,
+             CAST(round(1000000000.0 * h.k / n.n
+                        * log2(1.0 * n.n / h.k)) AS BIGINT) AS t_e9
+      FROM hist h JOIN n USING (doc_id)),
+         ent AS (
+      SELECT doc_id, source, sum(t_e9) AS h_e9
+      FROM term GROUP BY doc_id, source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h_e9 < {_ENT_LOW_E9} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_entropy,
+           CAST(sum(h_e9) // (1000 * count(*)) AS BIGINT) AS mean_entropy_e6
+    FROM ent GROUP BY source ORDER BY source
+"""
+
+
+@register("q443_char_entropy_gate", _DUCK_CHAR_ENTROPY)
+def q443_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate (the low-entropy junk filter in
+    CCNet-descended pipelines — RefinedWeb §3.1 and MassiveText both
+    gate on repetition-adjacent signals; char unigram entropy is the
+    cheapest: keyboard mashing, progress bars, and base64 blobs sit
+    far from prose's ~4 bits/char): per doc the Shannon entropy of
+    the character unigram distribution, a per-source census of docs
+    under 2.0 bits, and the mean entropy.
+
+    Determinism: each (char, count) term quantizes to an e9 integer
+    BEFORE the per-doc sum (log2 of an exact integer ratio — the q187
+    libm contract: identical doubles in, identical doubles out), so
+    cross-row reduction order never touches a float.
+
+    100 TB shape: the char explode happens in the scan stage and
+    collapses immediately to per-(doc, char) counts (alphabet-bounded:
+    <= |charset| rows per doc survive the map-side combine); the rest
+    is two keyed aggregates. The gate threshold is an integer compare
+    on the e9 sum."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.lower(F.trim(F.col("text"))).alias("s")
+    )
+    # sequence(1, 0) DESCENDS in Spark (the q428 ANSI lesson): guard
+    # empty/NULL strings to an empty index array explicitly.
+    idx = F.when(
+        F.length("s") >= 1, F.sequence(F.lit(1), F.length("s"))
+    ).otherwise(F.array().cast("array<int>"))
+    ch = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(idx, lambda i: F.expr("s").substr(i, F.lit(1)))
+        ).alias("c"),
+    )
+    hist = ch.groupBy("doc_id", "source", "c").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    n = hist.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    term = hist.join(n, "doc_id").select(
+        "doc_id",
+        "source",
+        F.round(
+            1000000000.0
+            * F.col("k")
+            / F.col("n")
+            * F.log2(1.0 * F.col("n") / F.col("k"))
+        )
+        .cast("bigint")
+        .alias("t_e9"),
+    )
+    ent = term.groupBy("doc_id", "source").agg(F.sum("t_e9").alias("h_e9"))
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("h_e9") < _ENT_LOW_E9).cast("int"))
+            .cast("bigint")
+            .alias("n_low_entropy"),
+            F.expr("sum(h_e9) div (1000 * count(*))")
+            .cast("bigint")
+            .alias("mean_entropy_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- round-11 wave: q444 broadcast-Bloom decontamination ---------------------
+
+_BLOOM_M = 16384  # 2^14 bits
+_BLOOM_K = 3  # hash slices of md5: positions from hex chars 1-8, 9-16, 17-24
+
+
+def _duck_bloom_pos(j: int, gram: str) -> str:
+    return (
+        f"(('0x' || substr(md5({gram}), {1 + 8 * j}, 8))::BIGINT % {_BLOOM_M})"
+    )
+
+
+_DUCK_BLOOM = f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+         g AS (
+      SELECT doc_id, source, unnest({_DUCK_TRIGRAMS}) AS gram FROM t),
+         bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+         bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{", ".join(_duck_bloom_pos(j, "gram") for j in range(_BLOOM_K))}])
+          AS pos FROM bench)),
+         corpus AS (
+      SELECT doc_id, source, gram,
+             {" AND ".join(f"{_duck_bloom_pos(j, 'gram')} IN (SELECT pos FROM bits)" for j in range(_BLOOM_K))}
+               AS bloom_hit,
+             gram IN (SELECT gram FROM bench) AS exact_hit
+      FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+         per_doc AS (
+      SELECT doc_id, source,
+             sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS n_bloom,
+             sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS n_exact
+      FROM corpus GROUP BY doc_id, source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_bloom >= {_MIN_SHARED} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged_bloom,
+           CAST(sum(CASE WHEN n_exact >= {_MIN_SHARED} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged_exact,
+           CAST(sum(CASE WHEN n_bloom >= {_MIN_SHARED}
+                          AND n_exact < {_MIN_SHARED} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("q444_bloom_decontaminate", _DUCK_BLOOM)
+def q444_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a BROADCAST BLOOM FILTER —
+    the way q81's exact n-gram collision is actually deployed at
+    corpus scale (AI2's Dolma/BFF 'bloom filter filtering' tooling;
+    Soldaini et al. 2024 §4): the benchmark's trigram set compiles to
+    a {_BLOOM_M}-bit Bloom filter ({_BLOOM_K} md5-slice hashes) that
+    ships to every executor, and each corpus gram probes k bit
+    positions in-memory — no shuffle of the corpus, no join against
+    the benchmark TEXT. A doc is flagged when >= {_MIN_SHARED} of its
+    grams hit all {_BLOOM_K} positions. The census reports, per
+    source, bloom-flagged vs exact-flagged (q81's rule against ANY
+    bench doc) and the resulting false-positive docs — the
+    operational question (is 2^14 bits enough for this bench set?)
+    answered with exact counts.
+
+    Determinism: bit positions are md5 hex slices parsed as integers
+    — engine-identical by construction (the conv/0x-parse pair is
+    machine-checked in tests); every census value is an integer
+    count.
+
+    100 TB shape: the bit SET (<= 3 x |bench grams| distinct
+    positions, here << 2^14) and the exact bench gram set are both
+    broadcast; the corpus side evaluates membership in the scan
+    stage and reduces to a per-doc counter — the filter never
+    shuffles, which is exactly why production decontamination uses
+    blooms instead of q81's join."""
+    docs = _docs(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.explode_outer(_trigrams(toks)).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+
+    def pos(j: int) -> Column:
+        return F.expr(
+            f"CAST(conv(substring(md5(gram), {1 + 8 * j}, 8), 16, 10)"
+            f" AS BIGINT) % {_BLOOM_M}"
+        )
+
+    bench = (
+        g.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+    )
+    bits = (
+        bench.select(
+            F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("pos")
+        )
+        .distinct()
+        .withColumn("bit_set", F.lit(1))
+    )
+    corpus = g.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    probed = corpus
+    for j in range(_BLOOM_K):
+        probed = probed.withColumn(f"p{j}", pos(j))
+    for j in range(_BLOOM_K):
+        probed = probed.join(
+            F.broadcast(
+                bits.select(
+                    F.col("pos").alias(f"p{j}"), F.col("bit_set").alias(f"b{j}")
+                )
+            ),
+            f"p{j}",
+            "left",
+        )
+    bloom_hit = F.expr(
+        " AND ".join(f"b{j} IS NOT NULL" for j in range(_BLOOM_K))
+    )
+    exact = bench.withColumn("exact_set", F.lit(1))
+    per_doc = (
+        probed.join(F.broadcast(exact), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(bloom_hit.cast("int")).alias("n_bloom"),
+            F.sum(F.col("exact_set").isNotNull().cast("int")).alias("n_exact"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_bloom") >= _MIN_SHARED).cast("int"))
+            .cast("bigint")
+            .alias("n_flagged_bloom"),
+            F.sum((F.col("n_exact") >= _MIN_SHARED).cast("int"))
+            .cast("bigint")
+            .alias("n_flagged_exact"),
+            F.sum(
+                (
+                    (F.col("n_bloom") >= _MIN_SHARED)
+                    & (F.col("n_exact") < _MIN_SHARED)
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_false_positive"),
+        )
+        .orderBy("source")
+    )

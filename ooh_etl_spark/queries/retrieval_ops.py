@@ -579,6 +579,41 @@ _DUCK_MNN_FUNNEL = f"""
 """
 
 
+def mnn_planes_for(bands: int, bits: int, dim: int = _MNN_DIM) -> list:
+    """Deterministic band planes for ``mutual_nn_funnel`` at any
+    (bands, bits) — the SCALE knob: per-band candidate volume is
+    ~|A|·|B|/2^bits, so holding per-bucket occupancy constant as the
+    corpus grows means bits ∝ log2(n) (standard LSH sizing; measured
+    in SCALE.md r11). The registered q334b pins (4, 4) so its oracle
+    literals stay fixed."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"mnn{b}:{p}:{d}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 2001
+                - 1000
+                for d in range(dim)
+            ]
+            for p in range(bits)
+        ]
+        for b in range(bands)
+    ]
+
+
+def mutual_nn_funnel(
+    spark: SparkSession, sf_dir: str, planes: list
+) -> DataFrame:
+    """The q334b plan with caller-sized SRP band planes (see
+    ``mnn_planes_for``); q334b itself calls this with the pinned
+    4-band x 4-bit planes its VALUES-free DuckDB oracle mirrors."""
+    return _mutual_nn_funnel_impl(spark, sf_dir, planes)
+
+
 @register("q334b_mutual_nn_funnel", _DUCK_MNN_FUNNEL)
 def q334b_mutual_nn_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-nearest-neighbor mining through an LSH candidate funnel
@@ -609,14 +644,21 @@ def q334b_mutual_nn_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by ida / idb (no global window). This replaces q334's
     crossJoin score table (the documented q334 stall-cap cure,
     SCALE.md); q334 itself stays registered as the exact oracle
-    baseline."""
+    baseline. Band WIDTH is the at-scale knob — see
+    ``mnn_planes_for`` (bits ∝ log2 n keeps candidates linear)."""
+    return _mutual_nn_funnel_impl(spark, sf_dir, _MNN_PLANES)
+
+
+def _mutual_nn_funnel_impl(
+    spark: SparkSession, sf_dir: str, planes: list
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
     def band_bucket(band: int):
         terms = []
-        for p, plane in enumerate(_MNN_PLANES[band]):
+        for p, plane in enumerate(planes[band]):
             arr = ", ".join(str(h) for h in plane)
             terms.append(
                 f"(CASE WHEN aggregate(zip_with(v, array({arr}),"
@@ -635,7 +677,7 @@ def q334b_mutual_nn_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(b).alias("band"),
                         band_bucket(b).alias("bkt"),
                     )
-                    for b in range(_MNN_BANDS)
+                    for b in range(len(planes))
                 ]
             )
         ).alias("bb"),
@@ -1361,3 +1403,182 @@ def q434_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label"
         ),
     ).orderBy("qid", "rank")
+
+
+# --- round-11 wave: q446 PQ asymmetric-distance recall -----------------------
+
+_ADC_NQ = 5  # fixed query panel (q31b's convention)
+_ADC_K = 10  # recall@10
+
+_DUCK_ADC = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+         sub AS (
+      SELECT vec_id, s, e[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sub
+      FROM v CROSS JOIN s),
+         cb AS (
+      SELECT vec_id AS code_id, s, sub AS csub FROM sub
+      WHERE vec_id < {_PQ_K}),
+         dist AS (
+      SELECT sub.vec_id, sub.s, cb.code_id,
+             list_aggregate(
+               list_transform(generate_series(1, {_PQ_D}),
+                 i -> (sub[i] - csub[i]) * (sub[i] - csub[i])), 'sum') AS d
+      FROM sub JOIN cb USING (s)),
+         codes AS (
+      SELECT vec_id, s, code_id FROM (
+        SELECT vec_id, s, code_id, row_number() OVER (
+                 PARTITION BY vec_id, s ORDER BY d, code_id) AS rk
+        FROM dist) WHERE rk = 1),
+         lut AS (
+      SELECT sub.vec_id AS qid, sub.s, cb.code_id,
+             CAST(round(1000000000 * list_aggregate(
+               list_transform(generate_series(1, {_PQ_D}),
+                 i -> (sub[i] - csub[i]) * (sub[i] - csub[i])), 'sum'))
+               AS BIGINT) AS d_nano
+      FROM sub JOIN cb USING (s) WHERE sub.vec_id < {_ADC_NQ}),
+         adc AS (
+      SELECT l.qid, c.vec_id,
+             sum(l.d_nano) AS adc_nano
+      FROM codes c JOIN lut l ON l.s = c.s AND l.code_id = c.code_id
+      WHERE c.vec_id <> l.qid
+      GROUP BY l.qid, c.vec_id),
+         adc_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+                 PARTITION BY qid ORDER BY adc_nano, vec_id) AS rk
+        FROM adc) WHERE rk <= {_ADC_K}),
+         exact AS (
+      SELECT q.vec_id AS qid, x.vec_id,
+             CAST(round(1000000000 * list_aggregate(
+               list_transform(generate_series(1, 64),
+                 i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i])), 'sum'))
+               AS BIGINT) AS d_nano
+      FROM v q CROSS JOIN v x
+      WHERE q.vec_id < {_ADC_NQ} AND x.vec_id <> q.vec_id),
+         exact_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+                 PARTITION BY qid ORDER BY d_nano, vec_id) AS rk
+        FROM exact) WHERE rk <= {_ADC_K})
+    SELECT a.qid AS query_id,
+           CAST(count(e.vec_id) AS BIGINT) AS hits,
+           CAST((10000 * count(e.vec_id)) // {_ADC_K} AS BIGINT) AS recall_bp
+    FROM adc_top a LEFT JOIN exact_top e USING (qid, vec_id)
+    GROUP BY a.qid
+    ORDER BY query_id
+"""
+
+
+@register("q446_pq_adc_recall", _DUCK_ADC)
+def q446_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) recall@{_ADC_K} — the measurement
+    that closes the repo's IVF-PQ stack (Jégou et al., TPAMI 2011
+    §III.B: at search time the QUERY stays uncompressed; distance to a
+    coded vector is the sum of per-subspace lookup-table entries —
+    'asymmetric' beats symmetric because only one side carries
+    quantization error): q159 gives the codes, q53/q437 the cells;
+    this answers 'what does 32x compression COST in recall'. For a
+    fixed {_ADC_NQ}-query panel, build each query's {_PQ_M}x{_PQ_K}
+    distance LUT, score every coded corpus vector by LUT sum, and
+    compare ADC top-{_ADC_K} against the exact-L2 top-{_ADC_K}.
+
+    Determinism: LUT entries quantize to nano integers BEFORE the
+    cross-subspace sum (order-free); both rankings tie-break on
+    vec_id; recall is an exact integer ratio.
+
+    100 TB shape: the LUT (|Q| x M x K = {_ADC_NQ * _PQ_M * _PQ_K}
+    rows) broadcasts; ADC scoring is a broadcast join against the
+    corpus CODES (M small ints per vector — the point of PQ: the
+    floats never move) reduced map-side to (query, vec) sums; the
+    exact pass is bounded to the fixed panel (q30's contract). The
+    per-query top-k is a keyed window over |Q| partitions."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    subs = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("e", s * _PQ_D + 1, _PQ_D) for s in range(_PQ_M)])
+        ).alias("s", "sub"),
+    ).localCheckpoint()  # feeds codes AND the query LUT
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code_id"),
+        F.col("s").alias("cs"),
+        F.col("sub").alias("csub"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        subs.join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .withColumn("d", d2)
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "code_id")).alias("m"))
+        .select("vec_id", "s", F.col("m.code_id").alias("code_id"))
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < _ADC_NQ)
+        .join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "s",
+            "code_id",
+            F.round(d2 * 1000000000).cast("bigint").alias("d_nano"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code_id"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d_nano").alias("adc_nano"))
+    )
+    wr = Window.partitionBy("qid").orderBy("adc_nano", "vec_id")
+    adc_top = (
+        adc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _ADC_K)
+        .select("qid", "vec_id")
+    )
+    q = v.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qe", "e", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * 1000000000
+            )
+            .cast("bigint")
+            .alias("d_nano"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy("d_nano", "vec_id")
+    exact_top = (
+        exact.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= _ADC_K)
+        .select("qid", F.col("vec_id").alias("evec"), F.lit(1).alias("hit"))
+    )
+    return (
+        adc_top.join(
+            exact_top,
+            (adc_top.qid == exact_top.qid) & (adc_top.vec_id == exact_top.evec),
+            "left",
+        )
+        .groupBy(adc_top.qid.alias("query_id"))
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"),
+            F.expr(f"CAST((10000 * sum(coalesce(hit, 0))) div {_ADC_K} AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -2234,3 +2234,130 @@ def q438_wimbd_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- round-11 wave: q441 cross-source n-gram overlap matrix -----------------
+
+_OVL_N = 3  # gram length: 3-grams separate boilerplate from topic overlap
+
+_DUCK_OVERLAP = f"""
+    WITH t AS (
+      SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+         g AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(
+               generate_series(1, len(toks) - {_OVL_N - 1}),
+               i -> array_to_string(toks[i:i+{_OVL_N - 1}], ' '))) AS gram
+      FROM t WHERE len(toks) >= {_OVL_N}),
+         sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+         pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           CAST(sa.n_grams AS BIGINT) AS grams_a,
+           CAST(sb.n_grams AS BIGINT) AS grams_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST((10000 * n_shared) // least(sa.n_grams, sb.n_grams) AS BIGINT)
+             AS containment_bp,
+           CAST((10000 * n_shared)
+                // (sa.n_grams + sb.n_grams - n_shared) AS BIGINT)
+             AS jaccard_bp
+    FROM pair
+    JOIN sz sa ON sa.source = source_a
+    JOIN sz sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+"""
+
+
+@register("q441_source_overlap_matrix", _DUCK_OVERLAP)
+def q441_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix (the 'corpus contamination
+    between datasets' analysis of WIMBD §4.4, Elazar et al., ICLR 2024
+    — before mixing sources into a pretraining run, measure how much
+    of each is already inside the others): per source the DISTINCT
+    3-gram vocabulary, then for every source pair the shared-gram
+    count, containment (shared / smaller vocabulary) and Jaccard, in
+    exact integer basis points. High containment with low Jaccard
+    says one source is nearly a subset of the other — the mixture
+    designer's cue to drop or downweight it (q164/q435 feed from
+    this).
+
+    100 TB shape: the distinct (source, gram) incidence list is one
+    shuffle (map-side combine collapses within-source repeats); the
+    pair counts come from grouping the incidence list BY GRAM and
+    emitting each gram's source-pair combinations (<= |sources|^2 per
+    gram, tiny) — never a corpus x corpus join; the matrix itself is
+    |sources|^2 rows."""
+    t = _docs(spark, sf_dir).select("source", tokenize(F.col("text")).alias("toks"))
+    idx = F.when(
+        F.size("toks") >= _OVL_N,
+        F.sequence(F.lit(1), F.size("toks") - (_OVL_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    g = (
+        t.select(
+            "source",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("toks")[i - 1],
+                        F.col("toks")[i],
+                        F.col("toks")[i + 1],
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint()  # incidence list feeds sizes AND pair counts
+    )
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    pair = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pair.join(
+            F.broadcast(
+                sz.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_grams").alias("grams_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sz.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_grams").alias("grams_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("grams_a").cast("bigint").alias("grams_a"),
+            F.col("grams_b").cast("bigint").alias("grams_b"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr("(10000 * n_shared) div least(grams_a, grams_b)")
+            .cast("bigint")
+            .alias("containment_bp"),
+            F.expr("(10000 * n_shared) div (grams_a + grams_b - n_shared)")
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -582,3 +582,100 @@ def q324_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- round-11 wave: q440 corpus diversity coefficient -----------------------
+
+_DUCK_DIVCOEF = """
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (
+      SELECT label,
+             list_transform(
+               e, x -> CAST(round(1000000 * x
+                                  / sqrt(list_dot_product(e, e))) AS BIGINT))
+               AS qv
+      FROM v),
+         ex AS (
+      SELECT label, d, qv[d] AS qd
+      FROM q, (SELECT unnest(generate_series(1, 64)) AS d) dd),
+         dim AS (
+      SELECT label, d,
+             sum(qd) AS s,
+             sum(CAST(qd AS HUGEINT) * qd) AS ss
+      FROM ex GROUP BY label, d),
+         agg AS (
+      SELECT label,
+             sum(CAST(s AS HUGEINT) * s) AS num,
+             sum(ss) AS diag
+      FROM dim GROUP BY label),
+         cnt AS (SELECT label, count(*) AS n FROM q GROUP BY label)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST((num - diag) // (n * (n - 1) * 1000000) AS BIGINT)
+             AS mean_cos_e6,
+           CAST(1000000 - (num - diag) // (n * (n - 1) * 1000000) AS BIGINT)
+             AS diversity_e6
+    FROM agg JOIN cnt USING (label)
+    ORDER BY label
+"""
+
+
+@register("q440_diversity_coefficient", _DUCK_DIVCOEF)
+def q440_diversity_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity coefficient per label group (the Task2Vec-style
+    data-diversity measure of Miranda et al. 2023, 'Beyond Scale: the
+    Diversity Coefficient as a Data Quality Metric' — mean pairwise
+    embedding distance as a pretraining-mix health check): diversity =
+    1 - mean pairwise cosine. The naive form is an n^2 self-join; this
+    uses the MOMENT IDENTITY sum_{i!=j} v_i.v_j = ||sum_i v_i||^2 -
+    sum_i ||v_i||^2 for unit vectors, collapsing all-pairs similarity
+    to ONE per-dimension sum — the classic sum-of-squares trick that
+    turns a quadratic statistic into a linear aggregate.
+
+    Exactness: vectors normalize per row, then quantize each component
+    to e6 integers, so every cross-row reduction is an order-free
+    integer sum; squares accumulate in decimal(38,0)/HUGEINT (the q397
+    overflow contract) and the final mean is a truncating integer
+    division (div/// pair) at e6.
+
+    100 TB shape: one posexplode to (label, dim, q) — 64 narrow rows
+    per vector produced IN the scan stage — then two map-side-
+    combinable aggregates with (label, dim) and (label) keys: no
+    self-join, no |n|^2 anything, no window. The identity is what
+    makes corpus-level diversity even computable at 10^9 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("bigint").alias("label"), _e().alias("e")
+    )
+    withq = emb.select(
+        "label",
+        F.expr(
+            "transform(e, x -> CAST(round(1000000 * x"
+            " / sqrt(aggregate(zip_with(e, e, (a, b) -> a * b),"
+            " 0D, (s, t) -> s + t))) AS BIGINT))"
+        ).alias("qv"),
+    )
+    ex = withq.select("label", F.posexplode("qv").alias("d", "qd"))
+    dim = ex.groupBy("label", "d").agg(
+        F.sum("qd").alias("s"),
+        F.sum(F.col("qd").cast("decimal(20,0)") * F.col("qd")).alias("ss"),
+    )
+    agg = dim.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(20,0)") * F.col("s")).alias("num"),
+        F.sum("ss").alias("diag"),
+    )
+    cnt = withq.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    den = "(CAST(n AS DECIMAL(38,0)) * (n - 1) * 1000000)"
+    return (
+        agg.join(cnt, "label")
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.expr(f"CAST((num - diag) div {den} AS BIGINT)").alias(
+                "mean_cos_e6"
+            ),
+            F.expr(
+                f"CAST(1000000 - (num - diag) div {den} AS BIGINT)"
+            ).alias("diversity_e6"),
+        )
+        .orderBy("label")
+    )
