@@ -1588,20 +1588,18 @@ _DUCK_CHAR_ENTROPY = f"""
     WITH t AS (
       SELECT doc_id, source, lower(trim(text)) AS s FROM documents),
          ch AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, length(s) AS n,
              unnest(list_transform(generate_series(1, length(s)),
                                    i -> substr(s, i, 1))) AS c
       FROM t),
          hist AS (
-      SELECT doc_id, source, c, count(*) AS k
-      FROM ch GROUP BY doc_id, source, c),
-         n AS (
-      SELECT doc_id, sum(k) AS n FROM hist GROUP BY doc_id),
+      SELECT doc_id, source, n, c, count(*) AS k
+      FROM ch GROUP BY doc_id, source, n, c),
          term AS (
-      SELECT h.doc_id, h.source,
-             CAST(round(1000000000.0 * h.k / n.n
-                        * log2(1.0 * n.n / h.k)) AS BIGINT) AS t_e9
-      FROM hist h JOIN n USING (doc_id)),
+      SELECT doc_id, source,
+             CAST(round(1000000000.0 * k / n
+                        * log2(1.0 * n / k)) AS BIGINT) AS t_e9
+      FROM hist),
          ent AS (
       SELECT doc_id, source, sum(t_e9) AS h_e9
       FROM term GROUP BY doc_id, source)
@@ -1642,18 +1640,21 @@ def q443_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(
         F.length("s") >= 1, F.sequence(F.lit(1), F.length("s"))
     ).otherwise(F.array().cast("array<int>"))
+    # n (total chars) is just length(s): carrying it through the
+    # grouping keys saves the per-doc re-aggregate + join the naive
+    # form pays (one keyed shuffle instead of three).
     ch = t.select(
         "doc_id",
         "source",
+        F.length("s").alias("n"),
         F.explode(
             F.transform(idx, lambda i: F.expr("s").substr(i, F.lit(1)))
         ).alias("c"),
     )
-    hist = ch.groupBy("doc_id", "source", "c").agg(
+    hist = ch.groupBy("doc_id", "source", "n", "c").agg(
         F.count(F.lit(1)).alias("k")
     )
-    n = hist.groupBy("doc_id").agg(F.sum("k").alias("n"))
-    term = hist.join(n, "doc_id").select(
+    term = hist.select(
         "doc_id",
         "source",
         F.round(
@@ -1770,7 +1771,11 @@ def q444_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     bench = (
-        g.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+        g.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+        .localCheckpoint()  # tiny; feeds 3 bit-probe joins + the exact
+        # probe — without the cut each would re-scan the corpus
     )
     bits = (
         bench.select(

@@ -98,3 +98,178 @@ def test_q334b_is_subset_of_exact_candidates(spark):
         k = (r["id_a"], r["id_b"])
         if k in exact:
             assert r["cos_e6"] == exact[k]
+
+
+# --- r11 new-query wave: oracle fidelity at SF_DIR ---------------------------
+
+
+def test_q440_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q440_diversity_coefficient")
+
+
+def test_q441_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q441_source_overlap_matrix")
+
+
+def test_q442_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q442_softdedup_weights")
+
+
+def test_q443_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q443_char_entropy_gate")
+
+
+def test_q444_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q444_bloom_decontaminate")
+
+
+def test_q445_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q445_packing_efficiency")
+
+
+def test_q446_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q446_pq_adc_recall")
+
+
+def test_q447_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q447_temperature_mixture_curve")
+
+
+# --- semantic pins ------------------------------------------------------------
+
+
+def test_q440_identical_vs_orthogonal_groups(spark, tmp_path):
+    # label 0: 4 identical vectors -> mean pairwise cos = 1e6 exactly,
+    # diversity 0. label 1: 4 pairwise-orthogonal basis vectors ->
+    # mean cos 0, diversity 1e6.
+    same = np.zeros(64); same[0] = 1.0
+    vecs, labels = [], []
+    for _ in range(4):
+        vecs.append(same); labels.append(0)
+    for i in range(4):
+        e = np.zeros(64); e[i + 1] = 1.0
+        vecs.append(e); labels.append(1)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(8, dtype="int64"),
+            "embedding": [np.asarray(v, dtype="float32") for v in vecs],
+            "label": np.asarray(labels, dtype="int32"),
+        }
+    )
+    d = tmp_path / "emb440"
+    d.mkdir(exist_ok=True)
+    df.to_parquet(d / "embeddings.parquet", index=False)
+    out = {
+        r["label"]: r
+        for r in run(spark, "q440_diversity_coefficient", str(d)).collect()
+    }
+    assert out[0]["mean_cos_e6"] == 1000000 and out[0]["diversity_e6"] == 0
+    assert out[1]["mean_cos_e6"] == 0 and out[1]["diversity_e6"] == 1000000
+
+
+def test_q441_containment_vs_jaccard(spark, tmp_path):
+    # source B's grams are a strict subset of A's -> containment 100%,
+    # Jaccard < 100%.
+    a_text = "w1 w2 w3 w4 w5 w6 w7 w8"  # grams: 6
+    b_text = "w1 w2 w3 w4 w5"  # grams: 3, all inside A's
+    rows = [(1, a_text, "en", "a", 0), (2, b_text, "en", "b", 0)]
+    out = run(spark, "q441_source_overlap_matrix", _docs_dir2(tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("a", "b")
+    assert r["n_shared"] == 3 and r["containment_bp"] == 10000
+    assert r["jaccard_bp"] == 10000 * 3 // 6
+
+
+def test_q442_duplicates_downweight(spark, tmp_path):
+    # source 'dup' holds two identical docs; 'uniq' two disjoint docs.
+    # Every dup gram has corpus frequency 2 -> w = 500 milli ->
+    # downweight 5000bp; every uniq gram is unique -> w = 1000, 0bp.
+    rows = [
+        (1, "aa bb cc dd ee", "en", "dup", 0),
+        (2, "aa bb cc dd ee", "en", "dup", 0),
+        (3, "ff gg hh ii jj", "en", "uniq", 0),
+        (4, "kk ll mm nn oo", "en", "uniq", 0),
+    ]
+    out = {
+        r["source"]: r
+        for r in run(spark, "q442_softdedup_weights", _docs_dir2(tmp_path, rows)).collect()
+    }
+    assert out["dup"]["downweight_bp"] == 5000
+    assert out["uniq"]["downweight_bp"] == 0
+
+
+def test_q443_flags_low_entropy(spark, tmp_path):
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaa", "en", "junk", 0),  # H = 0 bits
+        (2, "the quick brown fox jumps over the lazy dog", "en", "prose", 0),
+    ]
+    out = {
+        r["source"]: r
+        for r in run(spark, "q443_char_entropy_gate", _docs_dir2(tmp_path, rows)).collect()
+    }
+    assert out["junk"]["n_low_entropy"] == 1
+    assert out["junk"]["mean_entropy_e6"] == 0
+    assert out["prose"]["n_low_entropy"] == 0
+    assert out["prose"]["mean_entropy_e6"] > 3000000  # prose ~4 bits/char
+
+
+def test_q444_exact_contamination_is_bloom_flagged(spark, tmp_path):
+    # doc 97 (97 % 97 == 0) is the benchmark; doc 1 repeats its text ->
+    # every gram exact-hits, so it must be flagged by BOTH paths (a
+    # bloom never false-negatives); doc 2 is clean prose.
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (97, bench, "en", "b", 0),
+        (1, bench, "en", "c", 0),
+        (2, "one two three four five six seven eight", "en", "c", 0),
+    ]
+    out = {
+        r["source"]: r
+        for r in run(spark, "q444_bloom_decontaminate", _docs_dir2(tmp_path, rows)).collect()
+    }
+    c = out["c"]
+    assert c["n_flagged_exact"] == 1
+    assert c["n_flagged_bloom"] >= 1  # superset of exact, never below
+    assert c["n_false_positive"] == c["n_flagged_bloom"] - c["n_flagged_exact"]
+
+
+def test_q445_pad_and_fragment_arithmetic(spark, tmp_path):
+    # 130 tokens at L=128: pad waste 126, doc crosses one boundary,
+    # concat needs 2 chunks.
+    text = " ".join(f"t{i}" for i in range(130))
+    rows = [(1, text, "en", "s", 0)]
+    r = run(spark, "q445_packing_efficiency", _docs_dir2(tmp_path, rows)).collect()[0]
+    assert r["n_tokens"] == 130
+    assert r["pad_waste_tokens"] == 126
+    assert r["n_fragmented_docs"] == 1
+    assert r["n_chunks"] == 2
+
+
+def test_q446_recall_is_exact_ratio(spark):
+    for r in run(spark, "q446_pq_adc_recall").collect():
+        assert 0 <= r["hits"] <= 10
+        assert r["recall_bp"] == 10000 * r["hits"] // 10
+
+
+def test_q447_higher_tau_flattens_weights(spark):
+    rows = run(spark, "q447_temperature_mixture_curve").collect()
+    by_tau = {}
+    for r in rows:
+        by_tau.setdefault(r["tau_milli"], []).append(r["weight_bp"])
+    for tau, ws in by_tau.items():
+        assert abs(sum(ws) - 10000) <= len(ws)  # truncation slack
+    assert max(by_tau[1000]) >= max(by_tau[3330])  # hotter = flatter
+    assert min(by_tau[1000]) <= min(by_tau[3330])
+
+
+def _docs_dir2(tmp_path, rows):
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    d = tmp_path / "docs11"
+    d.mkdir(exist_ok=True)
+    df.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
