@@ -142,6 +142,14 @@ HEADLINE = [
     # cell-equi-joined candidates at 4 probe depths — the ANN tuning
     # measurement as a query.
     "q437_ivf_recall_curve",
+    # --- round-11 additions (2026-08-16) ---
+    # diversity coefficient: the all-pairs-as-one-aggregate moment
+    # identity — posexplode + two keyed integer sums, no self-join.
+    "q440_diversity_coefficient",
+    # broadcast-Bloom decontamination: md5-slice bit probes evaluated
+    # against a broadcast position set in the scan stage — the
+    # no-corpus-shuffle contamination filter shape.
+    "q444_bloom_decontaminate",
 ]
 
 
