@@ -2599,3 +2599,91 @@ def q442_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- round-11 wave 2: q450 normalization-dedup yield ladder -------------------
+
+_DUCK_NORM_LADDER = """
+    WITH n AS (
+      SELECT doc_id,
+             text AS raw,
+             lower(trim(text)) AS lo,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ws,
+             regexp_replace(regexp_replace(lower(trim(text)),
+                            '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g') AS al
+      FROM documents),
+         u AS (
+      SELECT 0 AS rung, 'raw' AS policy, count(*) AS n_docs,
+             count(DISTINCT raw) AS n_distinct FROM n
+      UNION ALL
+      SELECT 1, 'lower_trim', count(*), count(DISTINCT lo) FROM n
+      UNION ALL
+      SELECT 2, 'ws_collapse', count(*), count(DISTINCT ws) FROM n
+      UNION ALL
+      SELECT 3, 'alnum_only', count(*), count(DISTINCT al) FROM n)
+    SELECT CAST(rung AS BIGINT) AS rung, policy,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_docs - n_distinct AS BIGINT) AS n_removed,
+           CAST((10000 * (n_docs - n_distinct)) // n_docs AS BIGINT)
+             AS removed_bp
+    FROM u ORDER BY rung
+"""
+
+
+@register("q450_norm_dedup_ladder", _DUCK_NORM_LADDER)
+def q450_norm_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-dedup yield ladder — the ablation behind choosing
+    an exact-dedup KEY (CCNet dedups lowercased-digit-stripped
+    paragraphs; C4 dedups raw lines; Dolma documents the choice
+    explicitly): exact-duplicate yield under four successively
+    coarser normalizations (raw, lower+trim, whitespace-collapse,
+    alphanumeric-only). Yield is monotone non-decreasing down the
+    ladder BY CONSTRUCTION (each rung's key is a function of the
+    previous rung's); the interesting number is the GAP between rungs
+    — how many dups only a coarser key catches — which prices what
+    q327's digest normalization buys before committing a 100 TB pass
+    to it.
+
+    100 TB shape: the four keys are scan-stage string expressions; in
+    production each count(DISTINCT key) is one hash aggregate — here
+    they union into one pass of four aggregates over the same scan
+    (Spark reuses the underlying exchange); nothing beyond
+    (key)-keyed shuffles of digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    lo = F.lower(F.trim(F.col("text")))
+    ws = F.regexp_replace(lo, r"\s+", " ")
+    al = F.regexp_replace(
+        F.regexp_replace(lo, "[^a-z0-9 ]", ""), r"\s+", " "
+    )
+    n = docs.select(
+        F.col("text").alias("raw"),
+        lo.alias("lo"),
+        ws.alias("ws"),
+        al.alias("al"),
+    ).localCheckpoint()  # four rungs read the same normalized frame
+
+    def rung(i, name, col):
+        return n.agg(
+            F.lit(i).cast("bigint").alias("rung"),
+            F.lit(name).alias("policy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+        )
+
+    u = (
+        rung(0, "raw", "raw")
+        .unionAll(rung(1, "lower_trim", "lo"))
+        .unionAll(rung(2, "ws_collapse", "ws"))
+        .unionAll(rung(3, "alnum_only", "al"))
+    )
+    return u.select(
+        "rung",
+        "policy",
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).cast("bigint").alias("n_removed"),
+        F.expr("(10000 * (n_docs - n_distinct)) div n_docs")
+        .cast("bigint")
+        .alias("removed_bp"),
+    ).orderBy("rung")

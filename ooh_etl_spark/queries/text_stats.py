@@ -2361,3 +2361,129 @@ def q441_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- round-11 wave 2: q448 domain affinity matrix ----------------------------
+
+_DUCK_AFFINITY = f"""
+    WITH d AS (SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+         bg AS (
+      SELECT source, toks[i] AS head, toks[i + 1] AS nxt
+      FROM d CROSS JOIN unnest(generate_series(1, len(toks) - 1)) AS t(i)),
+         tr_bg AS (
+      SELECT source AS s, head, nxt, count(*) AS c_hn
+      FROM bg GROUP BY source, head, nxt),
+         tr_h AS (SELECT s, head, sum(c_hn) AS c_h FROM tr_bg GROUP BY s, head),
+         tr_v AS (
+      SELECT source AS s, count(DISTINCT term) AS v
+      FROM (SELECT source, unnest(toks) AS term FROM d) GROUP BY source),
+         ev AS (
+      SELECT source AS e, head, nxt, count(*) AS m
+      FROM bg GROUP BY source, head, nxt),
+         pair AS (
+      SELECT ev.e, tr_v.s, ev.head, ev.nxt, ev.m,
+             coalesce(tb.c_hn, 0) AS c_hn,
+             coalesce(th.c_h, 0) AS c_h,
+             tr_v.v AS v
+      FROM ev CROSS JOIN tr_v
+      LEFT JOIN tr_bg tb ON tb.s = tr_v.s AND tb.head = ev.head
+                         AND tb.nxt = ev.nxt
+      LEFT JOIN tr_h th ON th.s = tr_v.s AND th.head = ev.head),
+         term AS (
+      SELECT e, s, m,
+             CAST(round(-1000000 * ln((c_hn + 1.0) / (c_h + v)))
+                  AS BIGINT) AS t_micro
+      FROM pair)
+    SELECT s AS train_source, e AS eval_source,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           CAST(sum(m * t_micro) // (1000 * sum(m)) AS BIGINT)
+             AS xent_milli_nats
+    FROM term GROUP BY s, e ORDER BY train_source, eval_source
+"""
+
+
+@register("q448_domain_affinity_matrix", _DUCK_AFFINITY)
+def q448_domain_affinity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain affinity matrix — cross-entropy of every source under
+    every OTHER source's bigram LM (the data-selection affinity signal
+    behind DoGE/DoReMi-style mixture optimization and Moore-Lewis
+    selection generalized to a matrix: low H(e|s) means source s's
+    model explains source e's text, so they share a domain): train an
+    add-one bigram LM per source (q160's estimator, per-source), then
+    score every source's bigram stream under every model. The diagonal
+    is each source's self-entropy (its intrinsic predictability —
+    q155's signal); off-diagonal asymmetries say which sources
+    subsume which.
+
+    Determinism: per-bigram surprisals are ln of exact integer ratios
+    (the q187 libm contract), quantized to integer micro-nats BEFORE
+    the occurrence-weighted sum; the final per-cell mean is a
+    truncating integer division at milli scale.
+
+    100 TB shape: ONE bigram census keyed (source, head, nxt) serves
+    as both the per-source training counts and the eval streams; the
+    scoring join is eval-census x |sources| (a bounded fan-out of the
+    CENSUS, never of the corpus) joined back on (source, head, nxt) /
+    (source, head) keys. The matrix is |sources|^2 rows."""
+    d = _docs(spark, sf_dir).select(
+        "source", tokenize(F.col("text")).alias("toks")
+    )
+    bg = d.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda h, n: F.struct(h.alias("head"), n.alias("nxt")),
+            )
+        ).alias("b"),
+    ).select("source", "b.head", "b.nxt")
+    census = (
+        bg.groupBy("source", "head", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # one corpus pass serves train AND eval sides
+    )
+    tr_bg = census.select(
+        F.col("source").alias("s"), "head", "nxt", F.col("c").alias("c_hn")
+    )
+    tr_h = tr_bg.groupBy("s", "head").agg(F.sum("c_hn").alias("c_h"))
+    tr_v = (
+        d.select("source", F.explode("toks").alias("term"))
+        .groupBy("source")
+        .agg(F.countDistinct("term").alias("v"))
+        .select(F.col("source").alias("s"), "v")
+    )
+    ev = census.select(
+        F.col("source").alias("e"), "head", "nxt", F.col("c").alias("m")
+    )
+    pair = (
+        ev.crossJoin(F.broadcast(tr_v))
+        .join(tr_bg, ["s", "head", "nxt"], "left")
+        .join(tr_h, ["s", "head"], "left")
+        .select(
+            "e",
+            "s",
+            "m",
+            F.round(
+                -1000000.0
+                * F.log(
+                    (F.coalesce(F.col("c_hn"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c_h"), F.lit(0)) + F.col("v"))
+                )
+            )
+            .cast("bigint")
+            .alias("t_micro"),
+        )
+    )
+    return (
+        pair.groupBy(
+            F.col("s").alias("train_source"), F.col("e").alias("eval_source")
+        )
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.expr("sum(m * t_micro) div (1000 * sum(m))")
+            .cast("bigint")
+            .alias("xent_milli_nats"),
+        )
+        .orderBy("train_source", "eval_source")
+    )

@@ -1077,3 +1077,96 @@ def q358_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = fingerprint(df, fmt)
         out = part if out is None else out.unionByName(part)
     return out.orderBy("format")
+
+
+# --- round-11 wave 2: q449 hash-partition skew audit --------------------------
+
+_SKEW_P = 32  # shard count: the local[32] / shuffle-partition analogue
+
+
+def _duck_shard(key: str) -> str:
+    return f"(('0x' || substr(md5({key}), 1, 8))::BIGINT % {_SKEW_P})"
+
+
+_DUCK_SKEW = f"""
+    WITH pol AS (
+      SELECT 'by_source' AS policy, {_duck_shard("source")} AS shard
+      FROM documents
+      UNION ALL
+      SELECT 'by_source_salt8' AS policy,
+             {_duck_shard("source || ':' || CAST(doc_id % 8 AS VARCHAR)")}
+               AS shard
+      FROM documents
+      UNION ALL
+      SELECT 'by_doc' AS policy,
+             {_duck_shard("CAST(doc_id AS VARCHAR)")} AS shard
+      FROM documents),
+         s AS (
+      SELECT policy, shard, count(*) AS rows_in
+      FROM pol GROUP BY policy, shard)
+    SELECT policy,
+           CAST(count(*) AS BIGINT) AS shards_used,
+           CAST(max(rows_in) AS BIGINT) AS max_shard_rows,
+           CAST((10000 * {_SKEW_P} * max(rows_in)) // sum(rows_in) AS BIGINT)
+             AS skew_bp
+    FROM s GROUP BY policy ORDER BY policy
+"""
+
+
+@register("q449_partition_skew_audit", _DUCK_SKEW)
+def q449_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partition skew audit — the pre-shuffle question every
+    100 TB job should ask before it runs ('will one reducer get the
+    whole corpus?'): simulate hashing into {_SKEW_P} shards under
+    three keying policies — the natural-but-skewed key (source: few
+    distinct values, so whole sources land on single shards), the
+    salted key (source x doc_id%8 — the standard skew cure this repo
+    applies in its own join strategies), and the uniform key (doc_id)
+    — and report shards used, the largest shard, and skew in basis
+    points of the uniform ideal (10000 = perfectly balanced;
+    {_SKEW_P}0000 = everything on one shard). The md5-derived shard
+    function is engine-identical (the q444 hex-parse pair), so the
+    audit itself is oracle-checked.
+
+    100 TB shape: three scan-stage hash projections and one
+    (policy, shard) aggregate — the audit costs one corpus pass and
+    answers whether the NEXT job's exchange will stall on a hot
+    shard; at a real deployment the policies are the candidate
+    shuffle keys of that job."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def shard(key):
+        return F.expr(
+            f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_SKEW_P}"
+        )
+
+    pol = (
+        docs.select(F.lit("by_source").alias("policy"), shard("source").alias("shard"))
+        .unionAll(
+            docs.select(
+                F.lit("by_source_salt8").alias("policy"),
+                shard(
+                    "source || ':' || CAST(doc_id % 8 AS STRING)"
+                ).alias("shard"),
+            )
+        )
+        .unionAll(
+            docs.select(
+                F.lit("by_doc").alias("policy"),
+                shard("CAST(doc_id AS STRING)").alias("shard"),
+            )
+        )
+    )
+    s = pol.groupBy("policy", "shard").agg(F.count(F.lit(1)).alias("rows_in"))
+    return (
+        s.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shards_used"),
+            F.max("rows_in").cast("bigint").alias("max_shard_rows"),
+            F.expr(f"(10000 * {_SKEW_P} * max(rows_in)) div sum(rows_in)")
+            .cast("bigint")
+            .alias("skew_bp"),
+        )
+        .orderBy("policy")
+    )

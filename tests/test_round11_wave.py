@@ -273,3 +273,73 @@ def _docs_dir2(tmp_path, rows):
     d.mkdir(exist_ok=True)
     df.to_parquet(d / "documents.parquet", index=False)
     return str(d)
+
+
+# --- r11 wave 2: q448-q450 ----------------------------------------------------
+
+
+def test_q448_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q448_domain_affinity_matrix")
+
+
+def test_q449_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q449_partition_skew_audit")
+
+
+def test_q450_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q450_norm_dedup_ladder")
+
+
+def test_q448_self_entropy_is_lowest_for_twin_sources(spark, tmp_path):
+    # Two sources with DISJOINT vocabularies: each source's stream must
+    # be cheaper (lower cross-entropy) under its own LM than under the
+    # other's, where every bigram is unseen.
+    rows = [
+        (1, "aa bb cc aa bb cc aa bb", "en", "s1", 0),
+        (2, "aa bb cc aa bb cc aa cc", "en", "s1", 0),
+        (3, "xx yy zz xx yy zz xx yy", "en", "s2", 0),
+        (4, "xx yy zz xx yy zz xx zz", "en", "s2", 0),
+    ]
+    out = {
+        (r["train_source"], r["eval_source"]): r["xent_milli_nats"]
+        for r in run(
+            spark, "q448_domain_affinity_matrix", _docs_dir2(tmp_path, rows)
+        ).collect()
+    }
+    assert out[("s1", "s1")] < out[("s2", "s1")]
+    assert out[("s2", "s2")] < out[("s1", "s2")]
+
+
+def test_q449_salting_cures_source_skew(spark):
+    out = {
+        r["policy"]: r
+        for r in run(spark, "q449_partition_skew_audit").collect()
+    }
+    # 20 sources into 32 shards: by_source uses at most 20 shards and
+    # carries structural skew; salting multiplies the key domain by 8
+    # and must strictly reduce the max shard.
+    assert out["by_source"]["shards_used"] <= 20
+    assert (
+        out["by_source_salt8"]["max_shard_rows"]
+        < out["by_source"]["max_shard_rows"]
+    )
+    assert out["by_source_salt8"]["skew_bp"] < out["by_source"]["skew_bp"]
+    assert out["by_doc"]["skew_bp"] < out["by_source"]["skew_bp"]
+
+
+def test_q450_yield_is_monotone_down_the_ladder(spark, tmp_path):
+    # 'A  b' and 'a b' collide only after ws-collapse; 'a-b' and 'ab'
+    # only after alnum-stripping... construct one new dup per rung.
+    rows = [
+        (1, "alpha beta", "en", "s", 0),
+        (2, "alpha beta", "en", "s", 0),         # raw dup
+        (3, "Alpha Beta", "en", "s", 0),         # joins at lower_trim
+        (4, "alpha  beta", "en", "s", 0),        # joins at ws_collapse
+        (5, "alpha, beta", "en", "s", 0),        # joins at alnum_only
+        (6, "unique text here", "en", "s", 0),
+    ]
+    out = {
+        r["rung"]: r["n_removed"]
+        for r in run(spark, "q450_norm_dedup_ladder", _docs_dir2(tmp_path, rows)).collect()
+    }
+    assert out[0] == 1 and out[1] == 2 and out[2] == 3 and out[3] == 4
