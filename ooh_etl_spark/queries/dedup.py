@@ -2687,3 +2687,200 @@ def q450_norm_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("removed_bp"),
     ).orderBy("rung")
+
+
+# --- round-11 wave 3: q451 LSH S-curve expected recall ------------------------
+
+#: K = b*r = 16 hash budget split four ways (the q427/q28 sizing space).
+_SCURVE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+#: Jaccard grid denominator: buckets i/20, i in 0..20.
+_SCURVE_G = 20
+#: Shared exact denominator 20^16 (every config has r*b = 16).
+_SCURVE_D = _SCURVE_G ** 16
+
+
+def _scurve_rows() -> list[tuple[int, int, int, int]]:
+    """Exact collision probabilities p = 1 - (1 - s^r)^b at s = i/20,
+    as basis points — PURE INTEGER arithmetic (Python bignums), so the
+    same literal grid inlines into both engines with zero libm risk
+    (the q31b md5-literal discipline applied to the S-curve)."""
+    rows = []
+    for b, r in _SCURVE_CONFIGS:
+        for i in range(5, _SCURVE_G + 1):  # buckets at jaccard >= 0.25
+            miss = (_SCURVE_G ** r - i ** r) ** b  # (1-s^r)^b numerator
+            p_bp = (10000 * (_SCURVE_D - miss)) // _SCURVE_D
+            rows.append((b, r, i, p_bp))
+    return rows
+
+
+_SCURVE_VALUES = ", ".join(f"({b}, {r}, {i}, {p})" for b, r, i, p in _scurve_rows())
+
+_DUCK_SCURVE = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         bkt AS (
+      SELECT (20 * shared) // (sa.sz + sb.sz - shared) AS i,
+             count(*) AS cnt
+      FROM shared JOIN sz sa ON id_a = sa.doc_id
+                  JOIN sz sb ON id_b = sb.doc_id
+      WHERE (20 * shared) // (sa.sz + sb.sz - shared) >= 5
+      GROUP BY 1),
+         grid(bands, rows_per_band, i, p_bp) AS (VALUES {_SCURVE_VALUES})
+    SELECT bands, rows_per_band,
+           CAST(sum(cnt) AS BIGINT) AS n_pairs,
+           CAST(sum(cnt * p_bp) // 10 AS BIGINT) AS exp_caught_milli,
+           CAST(sum(cnt * p_bp) // sum(cnt) AS BIGINT) AS exp_recall_bp
+    FROM grid JOIN bkt USING (i)
+    GROUP BY 1, 2
+    ORDER BY bands
+"""
+
+
+@register("q451_lsh_scurve_recall", _DUCK_SCURVE)
+def q451_lsh_scurve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve parameter advisor — expected MinHash-LSH recall of
+    the corpus's OBSERVED near-dup pair population under every (bands,
+    rows-per-band) split of a K=16 hash budget (Leskovec-Rajaraman-
+    Ullman ch.3 S-curve, evaluated against real data instead of a
+    textbook threshold): collision probability p(s) = 1 - (1 - s^r)^b
+    is computed EXACTLY (Python-bignum integer grid, the q31b
+    inline-literal discipline — NO pow/libm in either engine) at
+    Jaccard buckets i/20, and the exact q27 pair table supplies how
+    much pair mass sits in each bucket. The output says which (b, r)
+    to configure q28's LSH with to hit a target recall on THIS corpus
+    — the measured answer to the sizing question q427 calibrates.
+
+    Determinism: pair buckets are integer divisions of exact shingle
+    counts ((20*shared) div (union)); the p_bp grid is 64 inlined
+    integer literals; every aggregate is an integer sum.
+
+    100 TB shape: the pair table is the q27 inverted-index shape (at
+    production scale swap in q27b's exact-dedup-first funnel — same
+    raw-counts prefix); the grid join is a broadcast of 64 literal
+    rows; output is |configs| = 4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=None, raw_counts=True
+    )
+    bkt = (
+        raw.select(
+            F.expr("(20 * shared) div (sz_a + sz_b - shared)").alias("i")
+        )
+        .filter(F.col("i") >= 5)
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = spark.createDataFrame(
+        _scurve_rows(), "bands INT, rows_per_band INT, i BIGINT, p_bp BIGINT"
+    )
+    return (
+        bkt.join(F.broadcast(grid), "i")
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_pairs"),
+            F.expr("sum(cnt * p_bp) div 10").cast("bigint").alias("exp_caught_milli"),
+            F.expr("sum(cnt * p_bp) div sum(cnt)")
+            .cast("bigint")
+            .alias("exp_recall_bp"),
+        )
+        .orderBy("bands")
+    )
+
+
+# --- round-11 wave 3: q454 dedup scope census ---------------------------------
+
+_DUCK_SCOPE = """
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS k FROM documents),
+         ks AS (
+      SELECT k, source, min(doc_id) AS mdoc, count(*) AS c
+      FROM d GROUP BY k, source),
+         kg AS (
+      SELECT k, min_by(source, mdoc) AS owner FROM ks GROUP BY k),
+         owned AS (
+      SELECT owner AS source, count(*) AS keys_owned FROM kg GROUP BY owner),
+         per_src AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM ks GROUP BY source)
+    SELECT p.source,
+           p.n_docs,
+           CAST(p.n_docs - p.n_keys AS BIGINT) AS removed_within,
+           CAST(p.n_docs - coalesce(o.keys_owned, 0) AS BIGINT) AS removed_global,
+           CAST((p.n_docs - coalesce(o.keys_owned, 0))
+                - (p.n_docs - p.n_keys) AS BIGINT) AS removed_cross_only
+    FROM per_src p LEFT JOIN owned o USING (source)
+    ORDER BY p.source
+"""
+
+
+@register("q454_dedup_scope_census", _DUCK_SCOPE)
+def q454_dedup_scope_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SCOPE ablation — what global (cross-source) exact dedup
+    removes beyond within-source dedup, per source (the policy choice
+    Dolma documents explicitly: its exact dedup ran within-source
+    only, while C4/RefinedWeb dedup globally; the gap is exactly the
+    cross-source duplicate mass this census measures). Survivor rule
+    is q26's min-doc_id, extended to scope: a doc is removed GLOBALLY
+    iff its digest's corpus-wide min doc_id lies elsewhere, WITHIN
+    iff its digest's min doc_id in its own source lies elsewhere —
+    so removed_cross_only = docs only a global pass would catch.
+
+    All counts derive from ONE (digest, source) census: within-source
+    removals are n_docs - n_keys per source; global removals are
+    n_docs minus the keys whose corpus-wide survivor (min_by
+    (mdoc, source) struct extremum — the q55 tie-break discipline;
+    doc_id is unique so no source tie exists) lives in the source.
+    No join back to the corpus.
+
+    100 TB shape: one digest-keyed map-side-combinable aggregate
+    (shuffles md5 digests, never text), one |distinct-digests|-row
+    reduce, and a broadcast join of two |sources|-row frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.md5(F.col("text")).alias("k"))
+    ks = d.groupBy("k", "source").agg(
+        F.min("doc_id").alias("mdoc"), F.count(F.lit(1)).alias("c")
+    )
+    kg = ks.groupBy("k").agg(
+        F.min(F.struct(F.col("mdoc"), F.col("source"))).alias("m")
+    )
+    owned = kg.groupBy(F.col("m.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("keys_owned")
+    )
+    per_src = ks.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return (
+        per_src.join(F.broadcast(owned), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_keys"))
+            .cast("bigint")
+            .alias("removed_within"),
+            (F.col("n_docs") - F.coalesce(F.col("keys_owned"), F.lit(0)))
+            .cast("bigint")
+            .alias("removed_global"),
+            (
+                (F.col("n_docs") - F.coalesce(F.col("keys_owned"), F.lit(0)))
+                - (F.col("n_docs") - F.col("n_keys"))
+            )
+            .cast("bigint")
+            .alias("removed_cross_only"),
+        )
+        .orderBy("source")
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ooh_etl_spark.functions.text import tokenize
 from ooh_etl_spark.queries.registry import register
 from ooh_etl_spark.tables import load_table, parallelize_rows
 
@@ -887,4 +888,139 @@ def q447_temperature_mixture_curve(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("epochs_milli"),
         )
         .orderBy("tau_milli", "source")
+    )
+
+
+# --- round-11 wave 3: q453 DoReMi-style mixture reweighting step ---------------
+
+_DUCK_DOREMI = """
+    WITH st AS (
+      SELECT source, t.term, count(*) AS m
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(term)
+      GROUP BY source, t.term),
+         tk AS (
+      SELECT term, sum(m) AS c, sum(sum(m)) OVER () AS n
+      FROM st GROUP BY term),
+         u AS (
+      SELECT term, c, n,
+             CAST(round(1000000 * ln((1.0 * n) / c)) AS BIGINT) AS u_micro
+      FROM tk),
+         src AS (
+      SELECT st.source,
+             CAST(sum(st.m) AS BIGINT) AS toks,
+             CAST(sum(st.m * u.u_micro) // sum(st.m) AS BIGINT) AS xent_micro,
+             CAST(sum(sum(st.m * u.u_micro)) OVER ()
+                  // sum(sum(st.m)) OVER () AS BIGINT) AS corpus_micro
+      FROM st JOIN u USING (term)
+      GROUP BY st.source),
+         w AS (
+      SELECT source, toks, xent_micro,
+             xent_micro - corpus_micro AS excess_micro,
+             CAST(round(1000000000 * exp(
+                 0.5 * (xent_micro - corpus_micro) / 1000000.0))
+                  AS BIGINT) AS f_e9
+      FROM src)
+    SELECT source,
+           toks AS n_tokens,
+           xent_micro,
+           excess_micro,
+           CAST((10000 * toks) // sum(toks) OVER () AS BIGINT) AS w_old_bp,
+           CAST((10000 * CAST(toks AS HUGEINT) * f_e9)
+                // sum(CAST(toks AS HUGEINT) * f_e9) OVER () AS BIGINT)
+               AS w_new_bp
+    FROM w
+    ORDER BY source
+"""
+
+
+@register("q453_doremi_mixture_step", _DUCK_DOREMI)
+def q453_doremi_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture reweighting step (Xie NeurIPS'23 domain
+    reweighting with multiplicative weights; Moore-Lewis ACL'10
+    supplies the excess-loss proxy): each source's EXCESS LOSS is its
+    mean token surprisal under the POOLED unigram LM minus the corpus
+    mean (sources whose text the corpus model explains poorly are
+    up-weighted — they carry information the mixture under-serves),
+    and one multiplicative-weights step reweights the token-mass
+    prior: w' ∝ w * exp(eta * excess), eta = 0.5. Output: old and new
+    mixture weights in bp per source — the single-step version of the
+    DoReMi loop whose fixed point is the training mixture.
+
+    Determinism: surprisals are ln of exact integer ratios quantized
+    to integer micro-nats PRE-sum (the q187 libm contract); the exp
+    factor runs on identical doubles built from the SAME integer
+    excess (the q447 pow discipline), quantized to e9 before the
+    normalization sum; weights use HUGEINT/decimal(38,0) products
+    (the q397 overflow contract).
+
+    100 TB shape: ONE (source, term) census serves both the pooled LM
+    (term-keyed window over the vocab-bounded census — the q432
+    marginal pattern) and the per-source scoring sum; everything
+    after is |sources|-row integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    tk = st.groupBy("term").agg(F.sum("m").alias("c"))
+    # n (corpus token total) is a 1-row aggregate broadcast back — no
+    # single-partition window anywhere in the plan (the q447 scalar
+    # discipline); the census itself is never re-scanned.
+    n_tot = tk.agg(F.sum("c").alias("n"))
+    u = tk.crossJoin(F.broadcast(n_tot)).select(
+        "term",
+        F.expr("CAST(round(1000000 * ln((1.0 * n) / c)) AS BIGINT)").alias(
+            "u_micro"
+        ),
+    )
+    src = (
+        st.join(u, "term")
+        .groupBy("source")
+        .agg(
+            F.sum("m").cast("bigint").alias("toks"),
+            F.expr("sum(m * u_micro) div sum(m)")
+            .cast("bigint")
+            .alias("xent_micro"),
+            F.sum(F.expr("m * u_micro")).alias("wsum"),
+        )
+        .localCheckpoint()  # |sources| rows feed three scalar reuses
+    )
+    tot = src.agg(
+        F.sum("wsum").alias("wsum_all"), F.sum("toks").alias("toks_all")
+    )
+    src = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "corpus_micro", F.expr("wsum_all div toks_all").cast("bigint")
+        )
+        .withColumn("excess_micro", F.col("xent_micro") - F.col("corpus_micro"))
+        .withColumn(
+            "f_e9",
+            F.expr(
+                "CAST(round(1000000000 * exp(0.5 * excess_micro / 1000000.0))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    den = src.agg(
+        F.expr("sum(CAST(toks AS DECIMAL(38,0)) * f_e9)").alias("den_new")
+    )
+    return (
+        src.crossJoin(F.broadcast(den))
+        .select(
+            "source",
+            F.col("toks").alias("n_tokens"),
+            "xent_micro",
+            "excess_micro",
+            F.expr("(10000 * toks) div toks_all")
+            .cast("bigint")
+            .alias("w_old_bp"),
+            F.expr(
+                "CAST((10000 * CAST(toks AS DECIMAL(38,0)) * f_e9)"
+                " div den_new AS BIGINT)"
+            ).alias("w_new_bp"),
+        )
+        .orderBy("source")
     )

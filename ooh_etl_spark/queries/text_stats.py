@@ -2487,3 +2487,144 @@ def q448_domain_affinity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_source", "eval_source")
     )
+
+
+# --- round-11 wave 3: q455 deleted-interpolation EM step -----------------------
+
+_DUCK_JM = """
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+         trb AS (
+      SELECT toks[i] AS h, toks[i+1] AS nxt, count(*) AS c2
+      FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2) = 0
+      GROUP BY 1, 2),
+         trh AS (SELECT h, sum(c2) AS c1h FROM trb GROUP BY h),
+         tru AS (
+      SELECT t.term, count(*) AS c1
+      FROM d, unnest(toks) AS t(term)
+      WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2) = 0
+      GROUP BY 1),
+         sc AS (SELECT sum(c1) AS n, count(*) AS v FROM tru),
+         ho AS (
+      SELECT source, toks[i] AS h, toks[i+1] AS nxt, count(*) AS m
+      FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2) = 1
+      GROUP BY 1, 2, 3),
+         r AS (
+      SELECT ho.source, ho.m,
+             CASE WHEN coalesce(trb.c2, 0) > 0 THEN 1 ELSE 0 END AS seen,
+             CAST((1000000000 * (3 * CAST(coalesce(trb.c2, 0) AS HUGEINT)
+                                   * (sc.n + sc.v)))
+                  // (3 * CAST(coalesce(trb.c2, 0) AS HUGEINT) * (sc.n + sc.v)
+                      + CAST(coalesce(tru.c1, 0) + 1 AS HUGEINT)
+                        * coalesce(trh.c1h, 1)) AS BIGINT) AS resp_e9
+      FROM ho
+      LEFT JOIN trb ON ho.h = trb.h AND ho.nxt = trb.nxt
+      LEFT JOIN trh ON ho.h = trh.h
+      LEFT JOIN tru ON ho.nxt = tru.term
+      CROSS JOIN sc)
+    SELECT source,
+           CAST(sum(m) AS BIGINT) AS n_positions,
+           CAST((10000 * sum(m * seen)) // sum(m) AS BIGINT) AS seen_bigram_bp,
+           CAST(750 AS BIGINT) AS lambda0_milli,
+           CAST(sum(CAST(m AS HUGEINT) * resp_e9)
+                // (sum(m) * 1000000) AS BIGINT) AS lambda1_milli
+    FROM r
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("q455_deleted_interpolation", _DUCK_JM)
+def q455_deleted_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deleted-interpolation / Jelinek-Mercer EM step (Jelinek & Mercer
+    1980; the classical way to fit the bigram-vs-unigram mixing weight
+    every interpolated LM needs, including q338's smoothing family):
+    train MLE bigram + add-one unigram models on the EVEN doc_ids,
+    then run one EM E-step on the ODD held-out stream — each position's
+    responsibility lambda*p_bi / (lambda*p_bi + (1-lambda)*p_uni) at
+    lambda0 = 3/4 — and report the M-step's new lambda per source.
+    Sources whose held-out bigrams the training half already covers
+    pull lambda up; novel-bigram sources pull it down.
+
+    Determinism: with p_bi = a/b and p_uni = c/d exact integer count
+    ratios, the responsibility at lambda = 3/4 is EXACTLY
+    3ad / (3ad + cb) — the whole EM step is integer arithmetic
+    (HUGEINT/decimal(38,0) products, the q397 overflow contract;
+    quantized to e9 per POSITION-CLASS before the weighted sum). No
+    libm call in either engine.
+
+    100 TB shape: one (h, nxt) train census + one (source, h, nxt)
+    held-out census (both map-side-combinable); scoring is census x
+    census equi-joins on (h, nxt) / (h) / (nxt) keys — the q448
+    pattern: fan-out of the CENSUS, never of the corpus; scalars
+    (N, V) broadcast from a 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda h, n: F.struct(h.alias("h"), n.alias("nxt")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "b.h", "b.nxt")
+    trb = (
+        bg.filter(F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2") == 0)
+        .groupBy("h", "nxt")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    trh = trb.groupBy("h").agg(F.sum("c2").alias("c1h"))
+    tru = (
+        d.filter(F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2") == 0)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    sc = tru.agg(F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v"))
+    ho = (
+        bg.filter(F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2") == 1)
+        .groupBy("source", "h", "nxt")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    r = (
+        ho.join(trb, ["h", "nxt"], "left")
+        .join(trh, "h", "left")
+        .join(tru, ho["nxt"] == tru["term"], "left")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "source",
+            "m",
+            F.when(F.coalesce(F.col("c2"), F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .alias("seen"),
+            F.expr(
+                "CAST((1000000000 *"
+                " (3 * CAST(coalesce(c2, 0) AS DECIMAL(38,0)) * (n + v)))"
+                " div (3 * CAST(coalesce(c2, 0) AS DECIMAL(38,0)) * (n + v)"
+                "      + CAST(coalesce(c1, 0) + 1 AS DECIMAL(38,0))"
+                "        * coalesce(c1h, 1)) AS BIGINT)"
+            ).alias("resp_e9"),
+        )
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_positions"),
+            F.expr("(10000 * sum(m * seen)) div sum(m)")
+            .cast("bigint")
+            .alias("seen_bigram_bp"),
+            F.lit(750).cast("bigint").alias("lambda0_milli"),
+            F.expr(
+                "CAST(sum(CAST(m AS DECIMAL(38,0)) * resp_e9)"
+                " div (sum(m) * 1000000) AS BIGINT)"
+            ).alias("lambda1_milli"),
+        )
+        .orderBy("source")
+    )

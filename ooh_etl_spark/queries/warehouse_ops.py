@@ -1170,3 +1170,118 @@ def q449_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("policy")
     )
+
+
+# --- round-11 wave 3: q452 join strategy advisor -------------------------------
+
+#: Broadcast-row threshold for the advisor (a literal stand-in for
+#: spark.sql.autoBroadcastJoinThreshold expressed in rows; the real
+#: knob is bytes — rows are what the census measures exactly).
+_ADVISOR_BCAST_ROWS = 50000
+
+_ADVISOR_JOINS = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+)
+
+
+def _advisor_duck() -> str:
+    parts = []
+    for name, lt, lk, rt, rk in _ADVISOR_JOINS:
+        parts.append(f"""
+    SELECT '{name}' AS join_name,
+           l.rows_l AS left_rows, r.rows_r AS right_rows,
+           l.keys_l AS left_keys, r.keys_r AS right_keys,
+           CAST((l.rows_l * r.rows_r)
+                // (CASE WHEN l.keys_l > r.keys_r THEN l.keys_l
+                         ELSE r.keys_r END) AS BIGINT) AS est_out_rows,
+           CASE WHEN r.rows_r <= {_ADVISOR_BCAST_ROWS} THEN 'broadcast_right'
+                WHEN l.rows_l <= {_ADVISOR_BCAST_ROWS} THEN 'broadcast_left'
+                ELSE 'shuffle' END AS strategy,
+           CAST(CASE WHEN r.rows_r <= {_ADVISOR_BCAST_ROWS}
+                       OR l.rows_l <= {_ADVISOR_BCAST_ROWS} THEN 0
+                     ELSE l.rows_l + r.rows_r END AS BIGINT) AS shuffled_rows,
+           CAST(CASE WHEN r.rows_r <= {_ADVISOR_BCAST_ROWS} THEN r.rows_r
+                     WHEN l.rows_l <= {_ADVISOR_BCAST_ROWS} THEN l.rows_l
+                     ELSE 0 END AS BIGINT) AS broadcast_rows
+    FROM (SELECT CAST(count(*) AS BIGINT) AS rows_l,
+                 CAST(count(DISTINCT {lk}) AS BIGINT) AS keys_l
+          FROM {lt}) l
+    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS rows_r,
+                       CAST(count(DISTINCT {rk}) AS BIGINT) AS keys_r
+                FROM {rt}) r""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY join_name"
+
+
+@register("q452_join_strategy_advisor", _advisor_duck())
+def q452_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy advisor — the pre-flight planning question a
+    100 TB job asks of every join ('broadcast, or shuffle both
+    sides?') answered from exact per-table censuses, for the three
+    canonical TPC-H FK joins: row counts and distinct join keys per
+    side, the System-R output estimate |L|*|R| / max(d_L, d_R)
+    (Selinger SIGMOD'79 — the uniform-key independence estimate AQE
+    refines at runtime), the chosen strategy under a literal
+    broadcast row threshold, and what each choice moves (shuffled
+    rows vs broadcast rows). This is the advisory twin of what
+    Catalyst does with autoBroadcastJoinThreshold + AQE: the query
+    MAKES the decision visible and oracle-checkable.
+
+    Determinism: counts and distinct counts are exact integers; the
+    estimate is an integer floor division.
+
+    100 TB shape: two map-side-combinable censuses per join (the
+    exact countDistinct shuffles the key column once — at production
+    swap approx_count_distinct, q11b's HLL path, for a scan-stage
+    sketch); the advisor's own output is |joins| = 3 rows."""
+    out = None
+    for name, lt, lk, rt, rk in _ADVISOR_JOINS:
+        la = (
+            load_table(spark, sf_dir, lt)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("rows_l"),
+                F.countDistinct(F.col(lk)).cast("bigint").alias("keys_l"),
+            )
+        )
+        ra = (
+            load_table(spark, sf_dir, rt)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("rows_r"),
+                F.countDistinct(F.col(rk)).cast("bigint").alias("keys_r"),
+            )
+        )
+        row = la.crossJoin(ra).select(
+            F.lit(name).alias("join_name"),
+            F.col("rows_l").alias("left_rows"),
+            F.col("rows_r").alias("right_rows"),
+            F.col("keys_l").alias("left_keys"),
+            F.col("keys_r").alias("right_keys"),
+            F.expr(
+                "(rows_l * rows_r) div"
+                " (CASE WHEN keys_l > keys_r THEN keys_l ELSE keys_r END)"
+            )
+            .cast("bigint")
+            .alias("est_out_rows"),
+            F.expr(
+                f"CASE WHEN rows_r <= {_ADVISOR_BCAST_ROWS} THEN 'broadcast_right'"
+                f" WHEN rows_l <= {_ADVISOR_BCAST_ROWS} THEN 'broadcast_left'"
+                " ELSE 'shuffle' END"
+            ).alias("strategy"),
+            F.expr(
+                f"CASE WHEN rows_r <= {_ADVISOR_BCAST_ROWS}"
+                f" OR rows_l <= {_ADVISOR_BCAST_ROWS} THEN 0"
+                " ELSE rows_l + rows_r END"
+            )
+            .cast("bigint")
+            .alias("shuffled_rows"),
+            F.expr(
+                f"CASE WHEN rows_r <= {_ADVISOR_BCAST_ROWS} THEN rows_r"
+                f" WHEN rows_l <= {_ADVISOR_BCAST_ROWS} THEN rows_l"
+                " ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("broadcast_rows"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("join_name")

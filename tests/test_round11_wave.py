@@ -343,3 +343,150 @@ def test_q450_yield_is_monotone_down_the_ladder(spark, tmp_path):
         for r in run(spark, "q450_norm_dedup_ladder", _docs_dir2(tmp_path, rows)).collect()
     }
     assert out[0] == 1 and out[1] == 2 and out[2] == 3 and out[3] == 4
+
+
+# --- r11 wave 3: q451-q455 ----------------------------------------------------
+
+
+def test_q451_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q451_lsh_scurve_recall")
+
+
+def test_q452_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q452_join_strategy_advisor")
+
+
+def test_q453_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q453_doremi_mixture_step")
+
+
+def test_q454_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q454_dedup_scope_census")
+
+
+def test_q455_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q455_deleted_interpolation")
+
+
+def test_q451_grid_is_exact_scurve():
+    # The inlined literal grid IS 1 - (1 - s^r)^b: spot-check against
+    # float math away from rounding boundaries, and pin the exact
+    # endpoints (s=1 collides always; the grid is monotone in s for
+    # every config — the S in S-curve).
+    from ooh_etl_spark.queries.dedup import _SCURVE_CONFIGS, _scurve_rows
+
+    rows = _scurve_rows()
+    by_cfg = {}
+    for b, r, i, p in rows:
+        by_cfg.setdefault((b, r), []).append((i, p))
+    assert set(by_cfg) == set(_SCURVE_CONFIGS)
+    for (b, r), pts in by_cfg.items():
+        pts.sort()
+        assert pts[-1] == (20, 10000)  # s = 1.0 -> certain collision
+        assert [p for _, p in pts] == sorted(p for _, p in pts)  # monotone
+        for i, p in pts:
+            s = i / 20
+            expect = 1 - (1 - s**r) ** b
+            assert abs(p - 10000 * expect) <= 1.0
+
+
+def test_q451_identical_docs_expect_full_recall(spark, tmp_path):
+    # Two identical docs land in Jaccard bucket 20 where every (b, r)
+    # config has p = 10000 bp: expected recall of the observed pair
+    # population is exactly 100% for all four configs.
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "srcA", 0),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "srcA", 0),
+        (2, "totally different words here now yes", "en", "srcB", 0),
+    ]
+    out = run(spark, "q451_lsh_scurve_recall", _docs_dir2(tmp_path, rows)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_pairs == 1
+        assert r.exp_recall_bp == 10000
+
+
+def test_q452_fk_joins_estimate_left_rows(spark):
+    # For a foreign-key join the PK side has distinct == rows, so the
+    # System-R estimate |L|*|R|/max(dL,dR) collapses to exactly |L| —
+    # the advisor must reproduce the textbook identity on all three
+    # TPC-H FK joins (and pick broadcast at fixture scale).
+    for r in run(spark, "q452_join_strategy_advisor").collect():
+        assert r.right_keys == r.right_rows  # PK side
+        assert r.est_out_rows == r.left_rows
+        assert r.strategy == "broadcast_right"
+        assert r.shuffled_rows == 0
+        assert r.broadcast_rows == r.right_rows
+
+
+def test_q453_rare_vocab_source_is_upweighted(spark, tmp_path):
+    # A source whose tokens are globally rare has positive excess loss
+    # under the pooled LM and must gain mixture weight; the stock
+    # source loses. Token masses are equal so w_old is 5000/5000.
+    common = " ".join(["the"] * 12)
+    rare = " ".join(f"xq{i}" for i in range(12))
+    rows = [
+        (0, common, "en", "stock", 0),
+        (1, common, "en", "stock", 0),
+        (2, rare, "en", "novel", 0),
+        (3, " ".join(f"zq{i}" for i in range(12)), "en", "novel", 0),
+    ]
+    out = {
+        r.source: r
+        for r in run(
+            spark, "q453_doremi_mixture_step", _docs_dir2(tmp_path, rows)
+        ).collect()
+    }
+    assert out["stock"].w_old_bp == out["novel"].w_old_bp
+    assert out["novel"].excess_micro > 0 > out["stock"].excess_micro
+    assert out["novel"].w_new_bp > out["novel"].w_old_bp
+    assert out["stock"].w_new_bp < out["stock"].w_old_bp
+
+
+def test_q454_scope_split(spark, tmp_path):
+    # srcA doc1 duplicates srcA doc0 (within); srcB doc2 duplicates
+    # srcA doc0 (cross-source only: B's own pass keeps it, the global
+    # pass removes it); doc3 is unique.
+    rows = [
+        (0, "dup text body", "en", "srcA", 0),
+        (1, "dup text body", "en", "srcA", 0),
+        (2, "dup text body", "en", "srcB", 0),
+        (3, "unique text body", "en", "srcB", 0),
+    ]
+    out = {
+        r.source: r
+        for r in run(
+            spark, "q454_dedup_scope_census", _docs_dir2(tmp_path, rows)
+        ).collect()
+    }
+    a, b = out["srcA"], out["srcB"]
+    assert (a.removed_within, a.removed_global, a.removed_cross_only) == (1, 1, 0)
+    assert (b.removed_within, b.removed_global, b.removed_cross_only) == (0, 1, 1)
+
+
+def test_q455_lambda_moves_with_bigram_coverage(spark, tmp_path):
+    # Held-out bigrams fully covered by training -> responsibilities
+    # near 1 -> lambda rises well above 750. Disjoint-vocab held-out
+    # (no trained bigram fires) -> responsibilities 0 -> lambda 0.
+    # doc_ids are chosen for the md5-parity split: parity(0)=0,
+    # parity(1)=0 (train side); parity(2)=1, parity(4)=1 (held side).
+    covered = "a b a b a b a b a b"
+    for needle, expect_high in ((covered, True), ("p q p q r s r s", False)):
+        rows = [
+            (0, covered, "en", "s", 0),   # train (parity 0)
+            (1, covered, "en", "s", 0),   # train (parity 0)
+            (2, needle if expect_high else "zz yy zz yy xx ww", "en", "s", 0),
+            (4, needle if expect_high else "vv uu vv uu tt ss", "en", "s", 0),
+        ]
+        out = run(
+            spark, "q455_deleted_interpolation", _docs_dir2(tmp_path, rows)
+        ).collect()
+        assert len(out) == 1
+        lam = out[0].lambda1_milli
+        if expect_high:
+            # 2-token vocab caps p_uni at ~1/2 -> resp <= 6/7 = 857 milli
+            assert lam > 800
+            assert out[0].seen_bigram_bp == 10000
+        else:
+            assert lam == 0
+            assert out[0].seen_bigram_bp == 0
