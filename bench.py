@@ -150,6 +150,10 @@ HEADLINE = [
     # against a broadcast position set in the scan stage — the
     # no-corpus-shuffle contamination filter shape.
     "q444_bloom_decontaminate",
+    # DoReMi mixture step: ONE (source, term) census serving both the
+    # pooled LM and the per-source scoring sum, scalars broadcast —
+    # the census-reuse discipline as a headline entry.
+    "q453_doremi_mixture_step",
 ]
 
 

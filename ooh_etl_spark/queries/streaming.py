@@ -272,7 +272,7 @@ def _protobuf_ok() -> bool:
     # query registers only where the dependency actually works
     # (the operator itself lives in streaming/stateful.py regardless).
     # Re-probed each round per VERDICT: still absent as of round 11
-    # (2026-08-15, `No module named 'google'`; `grpc` also missing).
+    # (2026-08-16, `No module named 'google'`; `grpc` also missing).
     try:
         from google.protobuf import descriptor  # noqa: F401
 
