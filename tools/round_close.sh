@@ -19,6 +19,10 @@ echo "== 4. strict dtype gate over all oracles =="
 python tools/check_oracle.py /root/testdata/sf0.001 --strict flagship_doc_scan || exit 1
 
 echo "== 5. full-registry 5x sweep (longest; stall-capped) =="
+# The sweep target corpus does not survive /tmp wipes between rounds —
+# build it if absent (r11 lesson: 49 spurious ERRORs from a missing
+# /tmp/sf0.5 before this guard existed).
+[ -f /tmp/sf0.5/region.parquet ] || python tools/make_full_replica.py 5 /tmp/sf0.5 || exit 1
 rm -f /tmp/check5x_full_results.txt /tmp/check5x_full.log
 # check_scale_sweep.py exits 1 on any FAIL/ERROR (TIMEOUT stall-caps
 # carry SCALE.md dispositions and do not gate) — ADVICE r10.
