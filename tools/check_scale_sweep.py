@@ -14,6 +14,11 @@ SKIP = {
     # q191b_link_prediction_capped is the registered scale path and
     # IS in the sweep (SCALE.md r10)
     "q191_link_prediction",
+    # documented O(n^2) exact-kNN baseline (587.7s quiet-box at 5x,
+    # r10 — always past the 420s cap); q334b_mutual_nn_funnel is the
+    # registered machine-checked scale path and IS in the sweep,
+    # green at 5x (SCALE.md r11)
+    "q334_mutual_nn_pairs",
 }
 LOG = "/tmp/check5x_full.log"
 RES = "/tmp/check5x_full_results.txt"
