@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ooh_etl_spark.operators.dedup import (
+    _shingle_sets,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -2883,4 +2884,258 @@ def q454_dedup_scope_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("removed_cross_only"),
         )
         .orderBy("source")
+    )
+
+
+# --- round-11 wave 4: q456 SemDeDup K sizing curve ----------------------------
+
+_SEMK_GRID = (2, 4, 8, 16)
+
+_DUCK_SEMK = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {max(_SEMK_GRID)}),
+         al AS (
+      SELECT v.vec_id, c.cid,
+             CAST(round(1000000 * list_aggregate(
+                 list_transform(generate_series(1, len(e)),
+                                i -> (e[i] - ce[i]) * (e[i] - ce[i])),
+                 'sum')) AS BIGINT) AS d2
+      FROM v CROSS JOIN c),
+         grid AS (SELECT unnest([{", ".join(str(k) for k in _SEMK_GRID)}]) AS k),
+         asg AS (
+      SELECT g.k, a.vec_id, a.cid, a.d2,
+             row_number() OVER (PARTITION BY g.k, a.vec_id
+                                ORDER BY a.d2, a.cid) AS rn
+      FROM al a JOIN grid g ON a.cid < g.k),
+         cl AS (
+      SELECT k, cid, count(*) AS sz, sum(d2) AS s2
+      FROM asg WHERE rn = 1 GROUP BY k, cid)
+    SELECT k,
+           CAST(sum(sz) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS clusters_used,
+           CAST(max(sz) AS BIGINT) AS max_cluster,
+           CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(sum(s2) AS BIGINT) AS inertia_e6
+    FROM cl GROUP BY k ORDER BY k
+"""
+
+
+@register("q456_semdedup_k_curve", _DUCK_SEMK)
+def q456_semdedup_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup K sizing curve — the measurement behind choosing the
+    centroid count (Abbas'23 clusters with k-means K in the tens of
+    thousands at web scale; q151 pins K=8 for its oracle and q151b
+    argues K ~ sqrt(n)): for each K in {_SEMK_GRID}, assign every
+    embedding to its nearest first-K centroid (q151's deterministic
+    rule) and report what K buys — within-cluster candidate-pair
+    volume sum sz*(sz-1)/2 (the cost SemDeDup's pairwise pass
+    actually pays, computed from cluster SIZES without materializing
+    a single pair), inertia (e6-quantized squared distance, the
+    cluster-quality side of the trade), and the max cluster (the
+    straggler that bounds the slowest task). The K-grid is NESTED
+    (first-2 ⊂ first-4 ⊂ ...), so ONE distance evaluation against the
+    16-centroid panel serves every K — four curves from one corpus
+    pass. This closes the knob-sizing quartet: q427 calibrates
+    MinHash, q437 tunes IVF nprobe, q451 sizes LSH bands, q456 sizes
+    SemDeDup K.
+
+    Determinism: per-(vector, centroid) squared distances are
+    index-ordered folds (the q151/q102 engine-identical contract),
+    e6-quantized BEFORE any cross-row sum; argmin ties break on cid
+    via struct ordering = the oracle's ORDER BY d2, cid.
+
+    100 TB shape: the centroid panel is collect_list'd to ONE row and
+    broadcast (K <= 16 here; K ~ sqrt(n) stays broadcastable); each
+    vector computes all 16 distances and all four argmins IN-ROW (no
+    crossJoin row expansion); the only shuffles carry (k, cid, d2) —
+    4 rows per vector — into two keyed integer aggregates."""
+    from ooh_etl_spark.tables import parallelize_rows
+
+    kmax = max(_SEMK_GRID)
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    c = v.filter(F.col("vec_id") < kmax).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    cagg = c.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    ds = v.crossJoin(F.broadcast(cagg)).select(
+        "vec_id",
+        F.expr(
+            "transform(cents, c -> named_struct("
+            " 'cid', c.cid,"
+            " 'd2', CAST(round(1000000 * aggregate("
+            "   zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),"
+            "   CAST(0 AS DOUBLE), (a, t) -> a + t)) AS BIGINT)))"
+        ).alias("ds"),
+    )
+    rows = ds.select(
+        "vec_id",
+        F.expr(
+            f"explode(transform(array({', '.join(str(k) for k in _SEMK_GRID)}),"
+            " k -> named_struct('k', k, 'a',"
+            "   array_min(transform(filter(ds, d -> d.cid < k),"
+            "     d -> named_struct('d2', d.d2, 'cid', d.cid))))))"
+        ).alias("p"),
+    ).select(F.col("p.k").alias("k"), F.col("p.a.cid").alias("cid"), F.col("p.a.d2").alias("d2"))
+    cl = rows.groupBy("k", "cid").agg(
+        F.count(F.lit(1)).alias("sz"), F.sum("d2").alias("s2")
+    )
+    return (
+        cl.groupBy("k")
+        .agg(
+            F.sum("sz").cast("bigint").alias("n_vecs"),
+            F.count(F.lit(1)).cast("bigint").alias("clusters_used"),
+            F.max("sz").cast("bigint").alias("max_cluster"),
+            F.expr("sum((sz * (sz - 1)) div 2)")
+            .cast("bigint")
+            .alias("candidate_pairs"),
+            F.sum("s2").cast("bigint").alias("inertia_e6"),
+        )
+        .orderBy("k")
+    )
+
+
+# --- round-11 wave 4: q457 stop-shingle df-cap ablation -----------------------
+
+#: df caps for the ablation: uncapped sentinel, then the two realistic
+#: stop-shingle cut levels.
+_DFCAP_GRID = (1000000000, 64, 16)
+
+_DUCK_DFCAP = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM d),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         dft AS (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle),
+         caps AS (SELECT unnest([{", ".join(str(x) for x in _DFCAP_GRID)}]) AS cap_df),
+         vol AS (
+      SELECT cap_df,
+             CAST(count(*) AS BIGINT) AS n_shingles_kept,
+             CAST(sum((df * (df - 1)) // 2) AS BIGINT) AS candidate_pairs
+      FROM dft JOIN caps ON df <= cap_df GROUP BY cap_df),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         tp AS (
+      SELECT id_a, id_b
+      FROM shared JOIN sz sa ON id_a = sa.doc_id
+                  JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5),
+         ps AS (
+      SELECT t.id_a, t.id_b, min(f.df) AS mindf
+      FROM tp t
+      JOIN inv a ON a.doc_id = t.id_a
+      JOIN inv b ON b.doc_id = t.id_b AND b.shingle = a.shingle
+      JOIN dft f ON f.shingle = a.shingle
+      GROUP BY 1, 2),
+         ntp AS (SELECT count(*) AS n FROM tp),
+         cov AS (
+      SELECT c.cap_df, count(*) AS covered
+      FROM ps CROSS JOIN caps c
+      WHERE ps.mindf <= c.cap_df
+      GROUP BY c.cap_df)
+    SELECT v.cap_df,
+           v.n_shingles_kept,
+           v.candidate_pairs,
+           CAST(ntp.n AS BIGINT) AS true_pairs,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_true_pairs,
+           CAST(CASE WHEN ntp.n = 0 THEN 10000
+                     ELSE (10000 * coalesce(cov.covered, 0)) // ntp.n
+                END AS BIGINT) AS coverage_bp
+    FROM vol v LEFT JOIN cov ON v.cap_df = cov.cap_df CROSS JOIN ntp
+    ORDER BY v.cap_df DESC
+"""
+
+
+@register("q457_stop_shingle_ablation", _DUCK_DFCAP)
+def q457_stop_shingle_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle df-cap ablation — SCALE.md's standing scale note
+    for the q27 inverted index ("at extreme scale drop stop-shingles
+    by document frequency first") turned into a measurement, exactly
+    as q307 measures the RR/PC tension for linkage blocking: for each
+    df cap, (a) the CANDIDATE-PAIR VOLUME the index would generate,
+    computed from the df census alone as sum df*(df-1)/2 over
+    surviving shingles — no pair is ever materialized for the cost
+    side — and (b) the RECALL side: how many of the corpus's TRUE
+    near-dup pairs (exact Jaccard >= 0.5, q27's definition) still
+    share at least one surviving shingle (min shared-shingle df <=
+    cap). Dropping hot shingles collapses candidate volume
+    super-linearly (the hottest lists are quadratic contributors)
+    while true pairs survive as long as ONE rare shared shingle
+    remains — the measured justification for the stop-shingle cut.
+
+    Determinism: all counts integer; coverage is an integer bp ratio.
+
+    100 TB shape: the cost curve needs only the (shingle, df) census
+    — one explode + one keyed aggregate; the recall audit joins
+    postings restricted to docs already in the (small) true-pair set,
+    so its pair expansion is bounded by the true-dup population, not
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_sets(docs, "text", "doc_id", 3)
+    inv = sh.select(F.col("id"), F.explode_outer("sh").alias("shingle"))
+    dft = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    caps = spark.createDataFrame(
+        [(c,) for c in _DFCAP_GRID], "cap_df BIGINT"
+    )
+    vol = (
+        dft.join(F.broadcast(caps), F.col("df") <= F.col("cap_df"))
+        .groupBy("cap_df")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles_kept"),
+            F.expr("sum((df * (df - 1)) div 2)")
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+    )
+    tp = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    invdf = inv.join(dft, "shingle")
+    a = invdf.select(
+        F.col("id").alias("id_a"), "shingle", F.col("df").alias("df_a")
+    )
+    b = invdf.select(F.col("id").alias("id_b2"), F.col("shingle").alias("sh_b"))
+    ps = (
+        tp.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("id_b2"))
+            & (F.col("shingle") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("df_a").alias("mindf"))
+    )
+    ntp = tp.agg(F.count(F.lit(1)).alias("n"))
+    cov = (
+        ps.crossJoin(F.broadcast(caps))
+        .filter(F.col("mindf") <= F.col("cap_df"))
+        .groupBy("cap_df")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    return (
+        vol.join(cov, "cap_df", "left")
+        .crossJoin(F.broadcast(ntp))
+        .select(
+            "cap_df",
+            "n_shingles_kept",
+            "candidate_pairs",
+            F.col("n").cast("bigint").alias("true_pairs"),
+            F.coalesce(F.col("covered"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_true_pairs"),
+            F.expr(
+                "CAST(CASE WHEN n = 0 THEN 10000"
+                " ELSE (10000 * coalesce(covered, 0)) div n END AS BIGINT)"
+            ).alias("coverage_bp"),
+        )
+        .orderBy(F.col("cap_df").desc())
     )

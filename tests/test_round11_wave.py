@@ -490,3 +490,84 @@ def test_q455_lambda_moves_with_bigram_coverage(spark, tmp_path):
         else:
             assert lam == 0
             assert out[0].seen_bigram_bp == 0
+
+
+# --- r11 wave 4: q456-q457 ----------------------------------------------------
+
+
+def test_q456_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q456_semdedup_k_curve")
+
+
+def test_q457_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q457_stop_shingle_ablation")
+
+
+def test_q456_inertia_monotone_and_accounting(spark):
+    # The K grid is NESTED (first-2 subset of first-4 ...), so each
+    # vector's min distance can only fall as K grows: inertia is
+    # monotone non-increasing in K. Accounting: every vector assigned
+    # at every K; clusters_used <= k.
+    out = sorted(run(spark, "q456_semdedup_k_curve").collect(), key=lambda r: r.k)
+    n = out[0].n_vecs
+    last = None
+    for r in out:
+        assert r.n_vecs == n
+        assert r.clusters_used <= r.k
+        assert r.max_cluster <= r.n_vecs
+        if last is not None:
+            assert r.inertia_e6 <= last
+        last = r.inertia_e6
+
+
+def test_q456_zero_inertia_when_vectors_are_centroids(spark, tmp_path):
+    # 2 distinct unit vectors, each duplicated: with K >= 2 every
+    # vector IS one of the first-2 centroids -> inertia exactly 0, and
+    # the two clusters split 2/2 (candidate_pairs = 1 + 1 = 2).
+    e0 = np.zeros(8); e0[0] = 1.0
+    e1 = np.zeros(8); e1[1] = 1.0
+    d = _emb_dir(tmp_path, [e0, e1, e0, e1])
+    for r in run(spark, "q456_semdedup_k_curve", d).collect():
+        assert r.inertia_e6 == 0
+        if r.k >= 2:
+            assert r.clusters_used == 2
+            assert r.candidate_pairs == 2
+
+
+def test_q457_uncapped_covers_everything(spark):
+    # A true pair has jaccard >= 0.5 > 0, so it shares >= 1 shingle;
+    # with the sentinel cap every shared shingle survives ->
+    # coverage_bp == 10000. Candidate volume and kept shingles are
+    # monotone non-increasing as the cap tightens.
+    out = sorted(
+        run(spark, "q457_stop_shingle_ablation").collect(),
+        key=lambda r: -r.cap_df,
+    )
+    assert out[0].cap_df == 1000000000
+    assert out[0].coverage_bp == 10000
+    for prev, cur in zip(out, out[1:]):
+        assert cur.n_shingles_kept <= prev.n_shingles_kept
+        assert cur.candidate_pairs <= prev.candidate_pairs
+        assert cur.covered_true_pairs <= prev.covered_true_pairs
+
+
+def test_q457_hot_shingle_dropped_pair_survives(spark, tmp_path):
+    # Docs 0/1 are identical (a true pair; their shingles have df=2).
+    # 20 filler docs all share one hot template shingle (df=20) and
+    # nothing else. At cap 16 the hot shingle is dropped: candidate
+    # volume collapses from C(20,2)+rare to rare-only, while the true
+    # pair stays covered through its rare df=2 shingles.
+    pair = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, pair, "en", "s", 0), (1, pair, "en", "s", 0)]
+    for i in range(20):
+        rows.append((2 + i, f"hot template shingle u{i} v{i} w{i}", "en", "s", 0))
+    out = {
+        r.cap_df: r
+        for r in run(
+            spark, "q457_stop_shingle_ablation", _docs_dir2(tmp_path, rows)
+        ).collect()
+    }
+    unc, capped = out[1000000000], out[16]
+    assert unc.true_pairs == 1 and unc.covered_true_pairs == 1
+    assert capped.covered_true_pairs == 1  # rare shingles carry the pair
+    assert capped.candidate_pairs < unc.candidate_pairs  # hot list gone
