@@ -67,7 +67,7 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: debt strictly drains):
 #:   r12: q229–q231, q233–q263/q266/q268 tail, q349/q368–q375, the
 #:        b-variants (q72b/q139b/q149b), then the r11 wave (q334b,
-#:        q440–q457 — 19 entries) — drains to ~0, after which
+#:        q440–q458 — 20 entries) — drains to ~0, after which
 #:        rotation becomes newest-code-first only.
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)

@@ -3139,3 +3139,120 @@ def q457_stop_shingle_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cap_df").desc())
     )
+
+
+# --- round-11 wave 4: q458 IVF centroid drift census --------------------------
+
+_DRIFT_K = 8
+
+_DUCK_DRIFT = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ca AS (
+      SELECT vec_id AS cid, e AS ce,
+             row_number() OVER (ORDER BY vec_id) AS rk
+      FROM v WHERE vec_id % 2 = 0),
+         pa AS (SELECT cid, ce FROM ca WHERE rk <= {_DRIFT_K}),
+         pb AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_DRIFT_K}),
+         da AS (
+      SELECT v.vec_id, p.cid,
+             CAST(round(1000000 * list_aggregate(
+                 list_transform(generate_series(1, len(e)),
+                                i -> (e[i] - ce[i]) * (e[i] - ce[i])),
+                 'sum')) AS BIGINT) AS d2,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY CAST(round(1000000 * list_aggregate(
+                                    list_transform(generate_series(1, len(e)),
+                                                   i -> (e[i] - ce[i]) * (e[i] - ce[i])),
+                                    'sum')) AS BIGINT), p.cid) AS rn
+      FROM v CROSS JOIN pa p),
+         db AS (
+      SELECT v.vec_id, p.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY CAST(round(1000000 * list_aggregate(
+                                    list_transform(generate_series(1, len(e)),
+                                                   i -> (e[i] - ce[i]) * (e[i] - ce[i])),
+                                    'sum')) AS BIGINT), p.cid) AS rn
+      FROM v CROSS JOIN pb p),
+         j AS (
+      SELECT a.vec_id, a.cid AS cell_old, b.cid AS cell_new
+      FROM (SELECT vec_id, cid FROM da WHERE rn = 1) a
+      JOIN (SELECT vec_id, cid FROM db WHERE rn = 1) b USING (vec_id))
+    SELECT cell_old,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN cell_old <> cell_new THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST((10000 * sum(CASE WHEN cell_old <> cell_new THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS moved_bp
+    FROM j GROUP BY cell_old ORDER BY cell_old
+"""
+
+
+@register("q458_ivf_centroid_drift", _DUCK_DRIFT)
+def q458_ivf_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid drift census — the index-staleness measurement an
+    ANN serving stack needs before deciding to re-train (FAISS's
+    standing operational question; Lance/Milvus re-index triggers):
+    assign every vector to its nearest cell under the OLD centroid
+    panel (first-{_DRIFT_K} of the even-id half — the index built on
+    yesterday's data) and under the NEW panel (first-{_DRIFT_K}
+    overall — today's rebuild), and report per-old-cell how many
+    vectors would CHANGE cells. High churn cells are where recall
+    degrades if the stale index keeps serving (their posting lists no
+    longer match the true partition); near-zero churn says the
+    rebuild can wait. Cells are compared by centroid vec_id, which
+    both panels draw from the same id space.
+
+    Determinism: the q456/q151 contract — index-ordered squared-
+    distance folds, e6-quantized BEFORE the argmin, ties to the
+    smaller cid.
+
+    100 TB shape: both panels collapse to one broadcast row each;
+    both argmins are computed IN-ROW against the {2 * _DRIFT_K}
+    combined centroids in a single corpus pass; the only shuffle
+    carries (cell_old, moved-bit) into one {_DRIFT_K}-row
+    aggregate."""
+    from ooh_etl_spark.tables import parallelize_rows
+
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # First-K even ids: vec_ids are dense from 0, so this is simply
+    # vec_id % 2 = 0 AND vec_id < 2K — no global window needed.
+    pa = v.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * _DRIFT_K)
+    ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    pb = v.filter(F.col("vec_id") < _DRIFT_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    panels = pa.agg(F.collect_list(F.struct("cid", "ce")).alias("pa")).crossJoin(
+        pb.agg(F.collect_list(F.struct("cid", "ce")).alias("pb"))
+    )
+    argmin = (
+        "array_min(transform({panel}, c -> named_struct("
+        " 'd2', CAST(round(1000000 * aggregate("
+        "   zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),"
+        "   CAST(0 AS DOUBLE), (a, t) -> a + t)) AS BIGINT),"
+        " 'cid', c.cid))).cid"
+    )
+    j = v.crossJoin(F.broadcast(panels)).select(
+        "vec_id",
+        F.expr(argmin.format(panel="pa")).alias("cell_old"),
+        F.expr(argmin.format(panel="pb")).alias("cell_new"),
+    )
+    return (
+        j.groupBy("cell_old")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("cell_old") != F.col("cell_new"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_moved"),
+            F.expr(
+                "(10000 * sum(CASE WHEN cell_old <> cell_new THEN 1 ELSE 0 END))"
+                " div count(*)"
+            )
+            .cast("bigint")
+            .alias("moved_bp"),
+        )
+        .orderBy("cell_old")
+    )

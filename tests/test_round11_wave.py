@@ -571,3 +571,41 @@ def test_q457_hot_shingle_dropped_pair_survives(spark, tmp_path):
     assert unc.true_pairs == 1 and unc.covered_true_pairs == 1
     assert capped.covered_true_pairs == 1  # rare shingles carry the pair
     assert capped.candidate_pairs < unc.candidate_pairs  # hot list gone
+
+
+def test_q458_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q458_ivf_centroid_drift")
+
+
+def test_q458_accounting(spark):
+    from ooh_etl_spark.tables import load_table
+
+    out = run(spark, "q458_ivf_centroid_drift").collect()
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vecs for r in out) == n_corpus  # every vector assigned once
+    for r in out:
+        assert r.cell_old % 2 == 0 and r.cell_old < 16  # old-panel ids
+        assert 0 <= r.n_moved <= r.n_vecs
+        assert r.moved_bp == 10000 * r.n_moved // r.n_vecs
+
+
+def test_q458_zero_churn_when_panels_agree(spark, tmp_path):
+    # Construct a corpus where both panels resolve to the SAME
+    # (cid -> vector) map: basis vectors live at the shared even ids
+    # 0/2/4/6; every other id (including the panels' non-shared
+    # members 1,3,5,7 and 8,10,12,14) is an exact copy of one basis,
+    # so each vector's argmin ties at d2=0 and breaks to the shared
+    # smallest cid under BOTH panels -> zero movement everywhere.
+    basis = []
+    for i in range(4):
+        e = np.zeros(16); e[i] = 1.0
+        basis.append(e)
+    vecs = []
+    for vid in range(24):
+        vecs.append(basis[(vid // 2) % 4] if vid % 2 == 0 or vid < 8 else basis[vid % 4])
+    # make ids 0/2/4/6 the four distinct bases explicitly
+    for j in range(4):
+        vecs[2 * j] = basis[j]
+    d = _emb_dir(tmp_path, vecs)
+    for r in run(spark, "q458_ivf_centroid_drift", d).collect():
+        assert r.n_moved == 0 and r.moved_bp == 0
