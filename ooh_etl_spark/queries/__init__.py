@@ -49,26 +49,41 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 
 #: The driver's correctness gate checks the FIRST 50 registry entries,
 #: so the head of the registry is chosen deliberately rather than by
-#: module import order. Round-11 rotation (per VERDICT r10 item 2,
+#: module import order. Round-12 rotation (per VERDICT r11 items 2–3,
 #: executing the in-file schedule verbatim): keep the §2.A reference
 #: contract and the streaming trio (6 pinned slots); the 44 fresh
 #: slots are ALL first-time-in-window entries — first the complete
-#: round-10 wave (q191b, q433–q439, q31b — 9 entries, newest-code-
-#: first; judge-verified at sf0.01 in VERDICT r10 but never driver-
-#: confirmed), then the first 35 never-seen members of q192–q231 in
-#: registry-number order (q229/q230/q231 roll to r12). Never-seen
-#: drops 92 → 48 (new r11 queries excluded; they enter in r12).
-#: Everything rotated out stays green in the full-registry replica
-#: (tools/check_oracle.py --strict).
+#: round-11 wave (q334b, q440–q458 — 20 entries, newest-code-first;
+#: judge-verified at sf0.01 in VERDICT r11 but never driver-
+#: confirmed), then the first 24 never-seen members of the old-debt
+#: tail in registry-number order (q229–q253). Never-seen drops
+#: 68 → 24 old + any new r12 queries; everything rotated out stays
+#: green in the full-registry replica (tools/check_oracle.py --strict).
 #:
 #: DEBT SCHEDULE (never-driver-seen: 160 after r8 → 127 after r9 →
-#: 92 after r10 → 48 after this window; 44 fresh slots per round;
-#: new-query volume capped ≤20/round per VERDICT r6 item 4 so the
-#: debt strictly drains):
-#:   r12: q229–q231, q233–q263/q266/q268 tail, q349/q368–q375, the
-#:        b-variants (q72b/q139b/q149b), then the r11 wave (q334b,
-#:        q440–q458 — 20 entries) — drains to ~0, after which
-#:        rotation becomes newest-code-first only.
+#: 92 after r10 → 68 after r11 → 24 old after this window; 44 fresh
+#: slots per round; new-query volume capped ≤20/round per VERDICT r6
+#: item 4 so the debt strictly drains):
+#:   r13: the old-debt remainder (q254–q263, q266, q268, q349,
+#:        q368–q375, and the b-variants q72b/q139b/q149b — 24
+#:        entries) plus the r12 wave — drains to 0.
+#:
+#: POST-DEBT ROTATION POLICY (standing, activates once never-seen
+#: hits 0 — VERDICT r11 item 3). Each round's 50-slot window is:
+#:   1. PINS (6): the §2.A contract trio (flagship_doc_scan,
+#:      q_ooh_records, q_ooh_report) and the streaming trio
+#:      (q33/q36/q46) — every round, no exceptions.
+#:   2. NEWEST-CODE-FIRST: every query added or materially modified
+#:      since the last driver window (the round's wave), so new code
+#:      gets driver confirmation the round after it lands.
+#:   3. ROUND-ROBIN over the remaining registry in a fixed cursor
+#:      order (registry-number order, wrapping): the leftover slots
+#:      re-confirm previously-green rows so none goes stale. With
+#:      ~420 non-pinned, non-wave rows and ~24–44 revisit slots per
+#:      round, every row is re-confirmed at least once every ~10–17
+#:      rounds. The cursor position is recorded here each round:
+#:        r13 cursor: start at q01 (registry head) after the debt
+#:        remainder is drained.
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)
     "flagship_doc_scan",
@@ -78,54 +93,54 @@ _DRIVER_WINDOW = [
     "q33_tumbling_hourly",
     "q36_stream_tumbling",
     "q46_stream_user_profiles",
-    # r11 block 1: the complete round-10 wave — newest code first
-    # (judge-verified sf0.01 in VERDICT r10; driver confirmation here)
-    "q191b_link_prediction_capped",
-    "q433_dsir_importance",
-    "q434_bm25_hard_negatives",
-    "q435_token_budget_epochs",
-    "q436_link_topk_per_node",
-    "q437_ivf_recall_curve",
-    "q438_wimbd_ngram_census",
-    "q439_filter_ensemble_census",
-    "q31b_ann_lsh_det",
-    # r11 block 2: oldest debt — first 35 never-seen members of
-    # q192–q231 in registry-number order (q229–q231 roll to r12)
-    "q192_welch_t_test",
-    "q193_poisson_bootstrap",
-    "q194_dbscan",
-    "q195_collocations_pmi",
-    "q196_roc_auc",
-    "q197_gini_by_nation",
-    "q198_cusum_changepoint",
-    "q199_mase_seasonal",
-    "q200_hhi_concentration",
-    "q201_bpe_merge_pairs",
-    "q202_negative_sampling",
-    "q203_epoch_shuffle",
-    "q204_join_size_estimate",
-    "q205_knn_shapley",
-    "q206_quality_yield_curve",
-    "q207_decayed_trending",
-    "q208_weighted_median",
-    "q210_cohens_kappa",
-    "q211_kaplan_meier",
-    "q212_event_path_trigrams",
-    "q213_mad_outliers",
-    "q214_luhn_check_digits",
-    "q215_bpe_merge_round",
-    "q217_unigram_viterbi",
-    "q218_audio_frame_features",
-    "q219_image_luma_histogram",
-    "q220_stream_static_enrich",
-    "q221_hll_registers",
-    "q222_markov_attribution",
-    "q223_pseudonymized_join",
-    "q224_video_motion_energy",
-    "q225_dp_noisy_counts",
-    "q226_msprt_sequential",
-    "q227_quantile_treatment_effect",
-    "q228_item_cf_cosine",
+    # r12 block 1: the complete round-11 wave — newest code first
+    # (judge-verified sf0.001+sf0.01 in VERDICT r11; driver confirmation here)
+    "q458_ivf_centroid_drift",
+    "q457_stop_shingle_ablation",
+    "q456_semdedup_k_curve",
+    "q455_deleted_interpolation",
+    "q454_dedup_scope_census",
+    "q453_doremi_mixture_step",
+    "q452_join_strategy_advisor",
+    "q451_lsh_scurve_recall",
+    "q450_norm_dedup_ladder",
+    "q449_partition_skew_audit",
+    "q448_domain_affinity_matrix",
+    "q447_temperature_mixture_curve",
+    "q446_pq_adc_recall",
+    "q445_packing_efficiency",
+    "q444_bloom_decontaminate",
+    "q443_char_entropy_gate",
+    "q442_softdedup_weights",
+    "q441_source_overlap_matrix",
+    "q440_diversity_coefficient",
+    "q334b_mutual_nn_funnel",
+    # r12 block 2: oldest debt — first 24 never-seen members of
+    # the q229–q253 tail in registry-number order (q254+ roll to r13)
+    "q229_seasonal_profile",
+    "q230_fano_burstiness",
+    "q231_pysource_stream",
+    "q233_lift_gains_table",
+    "q234_embedding_correlation",
+    "q235_diff_in_differences",
+    "q236_retrieval_eval",
+    "q237_langid_f1",
+    "q238_grouped_weighted_sample",
+    "q239_dynamic_gap_sessions",
+    "q240_asof_forward",
+    "q241_source_jsd",
+    "q242_leakage_safe_labels",
+    "q243_ndcg_eval",
+    "q244_seasonal_anomalies",
+    "q245_cdc_apply_deletes",
+    "q246_bloom_from_primitives",
+    "q247_audio_tone_detect",
+    "q248_twap",
+    "q249_slo_burn_rate",
+    "q250_audience_overlap",
+    "q251_readability",
+    "q252_price_elasticity",
+    "q253_crosslingual_dupes",
 ]
 
 #: The driver gate is exactly 50 entries; a 51st silently falls off

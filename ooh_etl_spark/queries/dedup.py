@@ -2760,9 +2760,17 @@ def q451_lsh_scurve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed EXACTLY (Python-bignum integer grid, the q31b
     inline-literal discipline — NO pow/libm in either engine) at
     Jaccard buckets i/20, and the exact q27 pair table supplies how
-    much pair mass sits in each bucket. The output says which (b, r)
-    to configure q28's LSH with to hit a target recall on THIS corpus
-    — the measured answer to the sizing question q427 calibrates.
+    much pair mass sits in each bucket. POPULATION FLOOR (ADVICE
+    r11): "observed pair population" means pairs with Jaccard >=
+    0.25 (bucket i >= 5) — both engines truncate the bucket grid
+    there, so exp_recall_bp is recall OF THAT POPULATION and
+    overstates whole-corpus recall for low-band configs whose misses
+    concentrate below the floor. The floor keeps the p_bp literal
+    grid at 4x16 entries and matches the q28 candidate-generation
+    regime (sub-0.25 pairs are never LSH targets). The output says
+    which (b, r) to configure q28's LSH with to hit a target recall
+    on THIS corpus — the measured answer to the sizing question q427
+    calibrates.
 
     Determinism: pair buckets are integer divisions of exact shingle
     counts ((20*shared) div (union)); the p_bp grid is 64 inlined
@@ -3042,16 +3050,18 @@ _DUCK_DFCAP = f"""
       FROM ps CROSS JOIN caps c
       WHERE ps.mindf <= c.cap_df
       GROUP BY c.cap_df)
-    SELECT v.cap_df,
-           v.n_shingles_kept,
-           v.candidate_pairs,
+    SELECT c.cap_df,
+           CAST(coalesce(v.n_shingles_kept, 0) AS BIGINT) AS n_shingles_kept,
+           CAST(coalesce(v.candidate_pairs, 0) AS BIGINT) AS candidate_pairs,
            CAST(ntp.n AS BIGINT) AS true_pairs,
            CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_true_pairs,
            CAST(CASE WHEN ntp.n = 0 THEN 10000
                      ELSE (10000 * coalesce(cov.covered, 0)) // ntp.n
                 END AS BIGINT) AS coverage_bp
-    FROM vol v LEFT JOIN cov ON v.cap_df = cov.cap_df CROSS JOIN ntp
-    ORDER BY v.cap_df DESC
+    FROM caps c LEFT JOIN vol v ON c.cap_df = v.cap_df
+                LEFT JOIN cov ON c.cap_df = cov.cap_df
+                CROSS JOIN ntp
+    ORDER BY c.cap_df DESC
 """
 
 
@@ -3086,15 +3096,25 @@ def q457_stop_shingle_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = spark.createDataFrame(
         [(c,) for c in _DFCAP_GRID], "cap_df BIGINT"
     )
-    vol = (
+    # caps is the preserved side: a cap that kills EVERY shingle still
+    # emits a 0-kept / 0-candidate row (ADVICE r11) — aggregate the
+    # inner join first (bounded |grid| rows), then left-join from caps.
+    volagg = (
         dft.join(F.broadcast(caps), F.col("df") <= F.col("cap_df"))
         .groupBy("cap_df")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles_kept"),
-            F.expr("sum((df * (df - 1)) div 2)")
-            .cast("bigint")
-            .alias("candidate_pairs"),
+            F.count(F.lit(1)).cast("bigint").alias("kept_nn"),
+            F.expr("sum((df * (df - 1)) div 2)").cast("bigint").alias("cand_nn"),
         )
+    )
+    vol = caps.join(volagg, "cap_df", "left").select(
+        "cap_df",
+        F.coalesce(F.col("kept_nn"), F.lit(0))
+        .cast("bigint")
+        .alias("n_shingles_kept"),
+        F.coalesce(F.col("cand_nn"), F.lit(0))
+        .cast("bigint")
+        .alias("candidate_pairs"),
     )
     tp = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).select(
         "id_a", "id_b"
@@ -3215,11 +3235,15 @@ def q458_ivf_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    # First-K even ids: vec_ids are dense from 0, so this is simply
-    # vec_id % 2 = 0 AND vec_id < 2K — no global window needed.
-    pa = v.filter(
-        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * _DRIFT_K)
-    ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    # First-K even ids BY RANK (TakeOrderedAndProject top-K, not a
+    # density assumption): matches the oracle's row_number() rule on
+    # id spaces with gaps in the low even ids.
+    pa = (
+        v.filter(F.col("vec_id") % 2 == 0)
+        .orderBy("vec_id")
+        .limit(_DRIFT_K)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
     pb = v.filter(F.col("vec_id") < _DRIFT_K).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )

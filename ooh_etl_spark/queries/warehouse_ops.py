@@ -1193,7 +1193,7 @@ def _advisor_duck() -> str:
     SELECT '{name}' AS join_name,
            l.rows_l AS left_rows, r.rows_r AS right_rows,
            l.keys_l AS left_keys, r.keys_r AS right_keys,
-           CAST((l.rows_l * r.rows_r)
+           CAST((CAST(l.rows_l AS HUGEINT) * r.rows_r)
                 // (CASE WHEN l.keys_l > r.keys_r THEN l.keys_l
                          ELSE r.keys_r END) AS BIGINT) AS est_out_rows,
            CASE WHEN r.rows_r <= {_ADVISOR_BCAST_ROWS} THEN 'broadcast_right'
@@ -1257,8 +1257,12 @@ def q452_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rows_r").alias("right_rows"),
             F.col("keys_l").alias("left_keys"),
             F.col("keys_r").alias("right_keys"),
+            # DECIMAL(38,0) product (HUGEINT in the oracle): at ~1e9–
+            # 1e10 rows/side the BIGINT product overflows 2^63 — the
+            # q397 overflow contract q453/q455 already follow (ADVICE
+            # r11). The quotient fits BIGINT again after the divide.
             F.expr(
-                "(rows_l * rows_r) div"
+                "CAST(CAST(rows_l AS DECIMAL(38,0)) * rows_r AS DECIMAL(38,0)) div"
                 " (CASE WHEN keys_l > keys_r THEN keys_l ELSE keys_r END)"
             )
             .cast("bigint")
