@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 FEATURE_DIM = 8
 
 FEATURES_SCHEMA = (
-    "doc_id long, mime string, n_bytes long, features array<float>"
+    "doc_id long, mime string, n_bytes long, features array<float>,"
+    " chunk_sums array<long>"
 )
 
 
@@ -58,6 +59,17 @@ def _decode_stub(payload: bytes) -> np.ndarray:
     a = np.frombuffer(payload, dtype=np.uint8)
     chunks = np.array_split(a, FEATURE_DIM)
     return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
+
+
+def _chunk_sums(payload: bytes) -> list[int]:
+    """Exact int64 per-chunk byte sums under the SAME np.array_split
+    chunking as :func:`_decode_stub` — the integer digest that makes
+    the stub path oracle-checkable (q32b): DuckDB recomputes the sums
+    closed-form from the payload bytes."""
+    if payload is None or len(payload) == 0:
+        return [0] * FEATURE_DIM
+    a = np.frombuffer(payload, dtype=np.uint8)
+    return [int(c.sum()) for c in np.array_split(a, FEATURE_DIM)]
 
 
 # ---------------------------------------------------------------------------
@@ -203,6 +215,10 @@ def extract_features(payloads: DataFrame) -> DataFrame:
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
                     "features": [list(_decode_stub(p)) for p in pdf["payload"]],
+                    # Exact int64 per-chunk byte sums (the integers the
+                    # stub means derive from) — the oracle-checkable
+                    # digest of the same np.array_split chunking.
+                    "chunk_sums": [_chunk_sums(p) for p in pdf["payload"]],
                 }
             )
 

@@ -712,7 +712,38 @@ _UNI_MAX_PIECE = 4
 _UNI_TOP_PIECES = 200
 
 
-@register("q217_unigram_viterbi", None)  # per-word DP → rows-only
+_Q217_SIG = "count(*) || ':' || sum(n_chars) || ':' || sum(doc_id)"
+
+
+def _duck_golden_217() -> str:
+    from ooh_etl_spark.queries._golden import GOLDEN_Q217
+
+    rows = ",\n        ".join(
+        f"('{sig}', '{w}', {f}, '{s}', {n}, {sc})"
+        for sig, rs in GOLDEN_Q217.items()
+        for w, f, s, n, sc in rs
+    )
+    return f"""
+    WITH sig AS (SELECT {_Q217_SIG} AS s FROM documents)
+    SELECT word, CAST(freq AS BIGINT) AS freq, segmentation,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(score_micro AS BIGINT) AS score_micro
+    FROM (VALUES {rows})
+         g(gsig, word, freq, segmentation, n_pieces, score_micro)
+    WHERE gsig = (SELECT s FROM sig)
+    ORDER BY freq DESC, word
+    """
+
+
+from ooh_etl_spark.queries._golden import GOLDEN_Q217 as _G217  # noqa: E402
+
+
+@register(
+    "q217_unigram_viterbi",
+    _duck_golden_217(),
+    golden_guard=f"SELECT {_Q217_SIG} FROM documents",
+    golden_domain=frozenset(_G217),
+)
 def q217_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenization (Kudo 2018, SentencePiece's model): the
     E-step of unigram tokenizer training — Viterbi-segment every word
@@ -736,8 +767,13 @@ def q217_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact, the k-means-centroid precedent — and rides into an
     Arrow-batched mapInPandas closure that runs the O(len·L) Viterbi
     per distinct word. Python touches ONLY vocabulary-sized data; at
-    100 TB the corpus pass stays JVM-side. Rows-only by design: a
-    sequential DP has no SQL oracle; optimality is pinned in pytest by
+    100 TB the corpus pass stays JVM-side. GOLDEN-ORACLE-CHECKED
+    since r12 (VERDICT r11 item 6, the q125/q185 method): no SQL can
+    run a sequential DP, so tools/make_golden.py recomputes the whole
+    pipeline — vocab induction through Viterbi, same tie-break
+    contract — in one pure-Python process and pins the result per
+    fixture signature; off the pinned corpora the guard falls back to
+    rows-only. Optimality is additionally pinned in pytest by
     brute-force enumeration on short words plus coverage/score
     invariants on all.
     """

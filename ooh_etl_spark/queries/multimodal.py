@@ -27,16 +27,44 @@ def q32_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("doc_id", F.col("meta.mime").alias("mime"), F.col("meta.n_bytes").alias("n_bytes"))
 
 
-@register("q32b_multimodal_features", None)  # stub decoder → rows-only
+_DUCK_FEATURES = """
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(8 AS BIGINT) AS n_features,
+           array_to_string(
+             list_transform(generate_series(0, 7), i ->
+               CAST(coalesce(list_aggregate(
+                 list_transform(
+                   generate_series(1,
+                     CASE WHEN i < length(text) % 8 THEN length(text) // 8 + 1
+                          ELSE length(text) // 8 END),
+                   j -> ascii(substr(text,
+                          CASE WHEN i < length(text) % 8
+                               THEN i * (length(text) // 8 + 1)
+                               ELSE (length(text) % 8) * (length(text) // 8 + 1)
+                                    + (i - length(text) % 8) * (length(text) // 8)
+                          END + j, 1))),
+                 'sum'), 0) AS VARCHAR)), ',') AS chunk_sums_csv
+    FROM documents
+"""
+
+
+@register("q32b_multimodal_features", _DUCK_FEATURES)
 def q32b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over binary payloads via
     mapInPandas (Arrow batches) — the decode step is a deterministic
     stub (no image libs in this container); schema, batching, and
     partitioning are the real plumbing under test.
 
-    The feature vector is serialized to a fixed-format string for the
-    output (the harness canonicalizer cannot hash raw array columns);
-    the mapInPandas stage still produces and tests array<float>."""
+    ORACLE-CHECKED since r12 (VERDICT r11 item 6): the stub stage now
+    also emits the exact int64 per-chunk byte sums its float means
+    derive from, and the oracle recomputes them closed-form from the
+    payload bytes (np.array_split boundary semantics: first L%8
+    chunks get one extra byte; documents.text is ASCII so byte ==
+    code point). A chunking, batching, or schema bug in the
+    mapInPandas stage breaks the value hash; n_features asserts the
+    float array really is produced 8-long per row."""
     from ooh_etl_spark.tables import parallelize_rows
 
     docs = parallelize_rows(load_table(spark, sf_dir, "documents"))
@@ -45,9 +73,10 @@ def q32b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "mime",
         "n_bytes",
+        F.size("features").cast("bigint").alias("n_features"),
         F.array_join(
-            F.transform(F.col("features"), lambda x: F.format_string("%.2f", x)), ","
-        ).alias("features_csv"),
+            F.transform(F.col("chunk_sums"), lambda x: x.cast("string")), ","
+        ).alias("chunk_sums_csv"),
     )
 
 

@@ -13,6 +13,12 @@ reference.
 - q185_k_core: co-purchase graph peel to the true fixpoint with
   k = ceil(0.55 * percentile_disc(0.5) of the multi-edge degree) —
   set-based Python peel vs Spark's iterative join/aggregate loop.
+- q217_unigram_viterbi: the full unigram-LM tokenization pipeline
+  (vocab induction + per-word Viterbi DP, Kudo 2018) recomputed
+  sequentially — one Python process, Counters and an explicit DP —
+  against Spark's shuffle + driver-collected-vocab + mapInPandas
+  pipeline. Same tie-break contract (score, fewer pieces,
+  lexicographic), same integer micro-nat scores.
 
 Usage: python tools/make_golden.py   (writes the module, prints counts)
 """
@@ -97,6 +103,62 @@ def q185_reference(d: str) -> list[tuple[int, int]]:
     return sorted((n, len(adj[n] & alive)) for n in alive), k
 
 
+def q217_reference(d: str) -> list[tuple[str, int, str, int, int]]:
+    import re
+
+    t = pq.read_table(f"{d}/documents.parquet", columns=["text"])
+    freq: Counter = Counter()
+    for txt in t["text"].to_pylist():
+        for w in re.split(r"\s+", (txt or "").lower()):
+            if w:
+                freq[w] += 1
+    # Candidate substrings len 2..4, frequency-weighted over distinct words
+    subs: Counter = Counter()
+    for w, f in freq.items():
+        for piece_len in range(2, 5):
+            if len(w) >= piece_len:
+                for i in range(len(w) - piece_len + 1):
+                    subs[w[i : i + piece_len]] += f
+    top = sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    chars: Counter = Counter()
+    for w, f in freq.items():
+        for ch in w:
+            chars[ch] += f
+    pieces: dict = dict(chars)
+    for p, c in top:
+        pieces[p] = max(pieces.get(p, 0), c)
+    total = sum(pieces.values())
+    score = {
+        p: int(round(1_000_000 * math.log(c / total))) for p, c in pieces.items()
+    }
+    rows = []
+    for w, f in freq.items():
+        dp = [None] * (len(w) + 1)
+        dp[0] = (0, 0, ())
+        for i in range(1, len(w) + 1):
+            best = None
+            for piece_len in range(1, min(4, i) + 1):
+                p = w[i - piece_len : i]
+                prev = dp[i - piece_len]
+                if prev is None or p not in score:
+                    continue
+                cand = (prev[0] + score[p], prev[1] - 1, prev[2] + (p,))
+                if (
+                    best is None
+                    or (cand[0], cand[1]) > (best[0], best[1])
+                    or (
+                        (cand[0], cand[1]) == (best[0], best[1])
+                        and cand[2] < best[2]
+                    )
+                ):
+                    best = cand
+            dp[i] = best
+        fin = dp[len(w)]
+        rows.append((w, f, "|".join(fin[2]), -fin[1], fin[0]))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:50]
+
+
 def main() -> int:
     lines = [
         '"""GENERATED by tools/make_golden.py — do not edit by hand.',
@@ -108,17 +170,22 @@ def main() -> int:
     ]
     g125 = {}
     g185 = {}
+    g217 = {}
     for sf, d in SFS.items():
         sig = doc_signature(d)
         g125[sig] = q125_reference(d)
         lsig = li_signature(d)
         core, k = q185_reference(d)
         g185[lsig] = core
+        g217[sig] = q217_reference(d)
         print(f"{sf}: q125 {len(g125[sig])} census rows (sig {sig}); "
-              f"q185 k={k}, {len(core)} core nodes (sig {lsig})")
+              f"q185 k={k}, {len(core)} core nodes (sig {lsig}); "
+              f"q217 {len(g217[sig])} rows")
     lines.append(f"GOLDEN_Q125 = {g125!r}")
     lines.append("")
     lines.append(f"GOLDEN_Q185 = {g185!r}")
+    lines.append("")
+    lines.append(f"GOLDEN_Q217 = {g217!r}")
     lines.append("")
     with open("/root/repo/ooh_etl_spark/queries/_golden.py", "w") as f:
         f.write("\n".join(lines))
