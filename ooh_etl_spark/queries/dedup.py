@@ -3280,3 +3280,260 @@ def q458_ivf_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_old")
     )
+
+
+# --- round-12 wave: q463 splice-boundary overlap audit ------------------------
+
+_SPLICE_K = 3  # boundary key length in tokens (non-degenerate at fixture sfs)
+_SPLICE_TOP = 20
+
+_DUCK_SPLICE = f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         keys AS (
+      SELECT doc_id,
+             array_to_string(toks[1:{_SPLICE_K}], ' ') AS pre,
+             array_to_string(toks[len(toks) - {_SPLICE_K} + 1:len(toks)], ' ')
+               AS suf
+      FROM d WHERE len(toks) >= {_SPLICE_K}),
+         pc AS (SELECT pre AS k, count(*) AS n_pre,
+                       sum(CASE WHEN pre = suf THEN 1 ELSE 0 END) AS self_c
+                FROM keys GROUP BY pre),
+         sc AS (SELECT suf AS k, count(*) AS n_suf FROM keys GROUP BY suf),
+         m AS (
+      SELECT pc.k, n_pre, n_suf,
+             CAST(n_suf * n_pre - self_c AS BIGINT) AS splice_pairs
+      FROM pc JOIN sc ON pc.k = sc.k)
+    SELECT k AS boundary_key,
+           CAST(n_pre AS BIGINT) AS n_prefix_docs,
+           CAST(n_suf AS BIGINT) AS n_suffix_docs,
+           splice_pairs
+    FROM m WHERE splice_pairs > 0
+    ORDER BY splice_pairs DESC, boundary_key LIMIT {_SPLICE_TOP}
+"""
+
+
+@register("q463_splice_boundary_overlap", _DUCK_SPLICE)
+def q463_splice_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splice-boundary overlap audit — the chunking-artifact detector
+    for corpora assembled from sliding windows or re-joined fragments
+    (the q468/q74 chunkers create them; Lee et al. 2022 §5 notes
+    boundary duplicates evade whole-doc dedup): a document whose
+    {_SPLICE_K}-token SUFFIX equals another document's {_SPLICE_K}-
+    token PREFIX is a splice candidate — the two are adjacent windows
+    of one original. Reported per boundary key with the pair volume
+    n_suf * n_pre (minus self-pairs where one doc's own prefix equals
+    its own suffix), top-{_SPLICE_TOP} hottest keys.
+
+    Determinism: exact token-key equality; integer counts; total
+    order on (pairs desc, key).
+
+    100 TB shape: NO pair is materialized — two key censuses and one
+    key-equi-join between them (both sides map-side combined to
+    |distinct keys| rows); the pair count is a product of the two
+    census columns. The quadratic object stays arithmetic."""
+    from ooh_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= _SPLICE_K
+    )
+    keys = toks.select(
+        F.array_join(F.slice("toks", 1, _SPLICE_K), " ").alias("pre"),
+        F.array_join(
+            F.slice("toks", -_SPLICE_K, _SPLICE_K), " "
+        ).alias("suf"),
+    )
+    pc = keys.groupBy(F.col("pre").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_pre"),
+        F.sum(F.when(F.col("pre") == F.col("suf"), 1).otherwise(0)).alias(
+            "self_c"
+        ),
+    )
+    sc = keys.groupBy(F.col("suf").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_suf")
+    )
+    return (
+        pc.join(sc, "k")
+        .select(
+            F.col("k").alias("boundary_key"),
+            F.col("n_pre").cast("bigint").alias("n_prefix_docs"),
+            F.col("n_suf").cast("bigint").alias("n_suffix_docs"),
+            (F.col("n_suf") * F.col("n_pre") - F.col("self_c"))
+            .cast("bigint")
+            .alias("splice_pairs"),
+        )
+        .filter(F.col("splice_pairs") > 0)
+        .orderBy(F.col("splice_pairs").desc(), "boundary_key")
+        .limit(_SPLICE_TOP)
+    )
+
+
+# --- round-12 wave: q464 cross-source duplicate matrix ------------------------
+
+_DUCK_BOW = (
+    "md5(array_to_string(list_sort(list_distinct("
+    + _DUCK_TOKS
+    + ")), ' '))"
+)
+
+
+def _bow_digest() -> "F.Column":
+    """Bag-of-words content fingerprint: md5 of the sorted distinct
+    token set — canonical under token re-ordering (mirror/template
+    detection, the rung above q450's whitespace/alnum ladder)."""
+    from ooh_etl_spark.functions.text import tokenize
+
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokenize(F.col("text")))), " ")
+    )
+
+_DUCK_DUPMATRIX = f"""
+    WITH ks AS (
+      SELECT DISTINCT {_DUCK_BOW} AS k, source FROM documents),
+         pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+      FROM ks a JOIN ks b ON a.k = b.k AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared_digests
+    FROM pairs ORDER BY shared_digests DESC, source_a, source_b
+"""
+
+
+@register("q464_cross_source_dup_matrix", _DUCK_DUPMATRIX)
+def q464_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate provenance matrix — WHICH sources share
+    content with which (the Dolma/RedPajama curation question behind
+    q454's scope census: q454 says how much cross-source mass exists;
+    this says where it flows, e.g. a mirror site or a crawl overlap
+    between two specific feeds): per unordered source pair, the count
+    of shared content fingerprints. The fingerprint is the BAG-OF-
+    WORDS digest (md5 of the sorted distinct token set) — the
+    normalization rung above q450's ladder that catches re-ordered /
+    re-templated mirrors exact-byte digests miss (and the rung that
+    is actually non-trivial on this fixture: its byte-exact dup count
+    is zero).
+
+    Determinism: md5 over a SORTED token set — order-canonical in
+    both engines; integer counts, total output order.
+
+    100 TB shape: the corpus collapses to the DISTINCT (digest,
+    source) census first (map-side combinable, never ships text);
+    the self-join is digest-keyed and its per-key fan-out is bounded
+    by |sources| (<= 20 here), so pair expansion is |dup keys| x
+    O(|sources|^2) worst case — independent of corpus row count;
+    output <= C(|sources|, 2) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ks = docs.select(_bow_digest().alias("k"), "source").distinct()
+    a = ks.select(F.col("k"), F.col("source").alias("source_a"))
+    b = ks.select(F.col("k"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_digests"))
+        .orderBy(F.col("shared_digests").desc(), "source_a", "source_b")
+    )
+
+
+# --- round-12 wave: q466 dedup survivor-policy ablation -----------------------
+
+_DUCK_SURVIVOR = f"""
+    WITH d AS (
+      SELECT doc_id, n_chars, {_DUCK_BOW} AS k FROM documents),
+         grp AS (
+      SELECT k, count(*) AS sz,
+             min(doc_id) AS min_id,
+             sum(n_chars) AS chars_all
+      FROM d GROUP BY k HAVING count(*) > 1),
+         ranked AS (
+      SELECT d.k, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY d.k
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM d JOIN grp USING (k)),
+         pol AS (
+      SELECT g.k, g.sz,
+             mi.n_chars AS minid_chars,
+             mx.doc_id AS maxlen_id, mx.n_chars AS maxlen_chars,
+             g.min_id
+      FROM grp g
+      JOIN d mi ON mi.k = g.k AND mi.doc_id = g.min_id
+      JOIN (SELECT k, doc_id, n_chars FROM ranked WHERE rk = 1) mx
+        ON mx.k = g.k)
+    SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+           CAST(sum(sz) AS BIGINT) AS n_dup_docs,
+           CAST(sum(CASE WHEN maxlen_id <> min_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_divergent,
+           CAST(sum(minid_chars) AS BIGINT) AS minid_kept_chars,
+           CAST(sum(maxlen_chars) AS BIGINT) AS maxlen_kept_chars,
+           CAST(sum(maxlen_chars) - sum(minid_chars) AS BIGINT)
+             AS extra_chars_kept,
+           CAST((10000 * sum(CASE WHEN maxlen_id <> min_id THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS divergent_bp
+    FROM pol
+"""
+
+
+@register("q466_dedup_survivor_policy", _DUCK_SURVIVOR)
+def q466_dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor-policy ablation — WHICH copy to keep (q26 keeps
+    min-doc_id, the reproducibility default; RefinedWeb/CCNet keep
+    the LONGEST copy, betting truncated mirrors are the duplicates):
+    over every duplicate group under the bag-of-words fingerprint
+    (q464's mirror-detection rung — the groups where copies really DO
+    differ in length), compare the two policies — how often they pick
+    different survivors, and how much content mass (chars) the
+    longest-copy policy retains over min-id. A high divergent_bp with
+    positive extra_chars_kept is the measured case for the quality-
+    aware survivor rule.
+
+    Determinism: the longest-copy survivor is rank-1 under the TOTAL
+    order (n_chars desc, doc_id) — no engine-specific max_by
+    tie-break; all outputs integer.
+
+    100 TB shape: one digest-keyed census (shuffles md5 + two ints,
+    never text); the survivor window is PARTITIONED BY digest and its
+    input is pre-filtered to duplicate groups only; single-row
+    output."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "n_chars", _bow_digest().alias("k"))
+    grp = (
+        d.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .filter(F.col("sz") > 1)
+    )
+    dup = d.join(grp, "k")
+    wk = Window.partitionBy("k").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = dup.withColumn("rk", F.row_number().over(wk))
+    mx = ranked.filter(F.col("rk") == 1).select(
+        "k",
+        F.col("doc_id").alias("maxlen_id"),
+        F.col("n_chars").alias("maxlen_chars"),
+    )
+    mi = dup.filter(F.col("doc_id") == F.col("min_id")).select(
+        "k", F.col("n_chars").alias("minid_chars")
+    )
+    pol = grp.join(mi, "k").join(mx, "k")
+    return pol.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_groups"),
+        F.sum("sz").cast("bigint").alias("n_dup_docs"),
+        F.sum(F.when(F.col("maxlen_id") != F.col("min_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_divergent"),
+        F.sum("minid_chars").cast("bigint").alias("minid_kept_chars"),
+        F.sum("maxlen_chars").cast("bigint").alias("maxlen_kept_chars"),
+        (F.sum("maxlen_chars") - F.sum("minid_chars"))
+        .cast("bigint")
+        .alias("extra_chars_kept"),
+        F.expr(
+            "(10000 * sum(CASE WHEN maxlen_id <> min_id THEN 1 ELSE 0 END))"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("divergent_bp"),
+    )

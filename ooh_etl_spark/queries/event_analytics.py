@@ -1704,3 +1704,171 @@ def q380_negbin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overdispersed"
         ),
     )
+
+
+# --- round-12 wave: q459 trigger-interval sizing curve ------------------------
+
+_TRIGGER_GRID = (60, 300, 900, 3600)  # seconds
+
+_DUCK_TRIGGER = f"""
+    WITH g AS (SELECT unnest([{", ".join(str(x) for x in _TRIGGER_GRID)}])
+                 AS trigger_s),
+         b AS (
+      SELECT g.trigger_s,
+             CAST(floor(epoch(ts)) AS BIGINT) // g.trigger_s AS batch,
+             user_id
+      FROM read_parquet_events e CROSS JOIN g),
+         per_batch AS (
+      SELECT trigger_s, batch,
+             count(*) AS ev,
+             count(DISTINCT user_id) AS touched
+      FROM b GROUP BY trigger_s, batch)
+    SELECT trigger_s,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST((1000 * sum(ev)) // count(*) AS BIGINT) AS ev_per_batch_milli,
+           CAST(max(ev) AS BIGINT) AS ev_per_batch_max,
+           CAST((1000 * sum(touched)) // count(*) AS BIGINT)
+             AS state_updates_milli
+    FROM per_batch GROUP BY trigger_s ORDER BY trigger_s
+""".replace("read_parquet_events", "events")
+
+
+@register("q459_trigger_interval_curve", _DUCK_TRIGGER)
+def q459_trigger_interval_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch trigger-interval sizing curve — the Structured
+    Streaming capacity question ('Trigger.ProcessingTime of what?')
+    answered from the event history: for each candidate interval,
+    the non-empty micro-batch count, events per batch (mean/max — the
+    per-batch work the sink must absorb), and per-batch distinct-key
+    touches (the state-store update volume a q46-style stateful agg
+    would pay). Long triggers amortize fixed batch overhead but grow
+    the max-batch spike the executor must fit; this is the measured
+    trade-off curve.
+
+    Determinism: batch = floor-epoch-seconds div interval — pure
+    integer arithmetic; all outputs are integer counts or integer
+    milli-ratios.
+
+    100 TB shape: one pass, map-side-combinable (interval, batch)
+    aggregate (|grid| x corpus rows in the explode, but each is a
+    narrow int pair), then a |grid|-row reduce. No joins, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = spark.createDataFrame(
+        [(s,) for s in _TRIGGER_GRID], "trigger_s BIGINT"
+    )
+    b = ev.crossJoin(F.broadcast(grid)).select(
+        "trigger_s",
+        (F.unix_timestamp("ts").cast("bigint") / F.col("trigger_s"))
+        .cast("bigint")
+        .alias("batch"),
+        "user_id",
+    )
+    per_batch = b.groupBy("trigger_s", "batch").agg(
+        F.count(F.lit(1)).alias("ev"),
+        F.countDistinct("user_id").alias("touched"),
+    )
+    return (
+        per_batch.groupBy("trigger_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.expr("(1000 * sum(ev)) div count(*)")
+            .cast("bigint")
+            .alias("ev_per_batch_milli"),
+            F.max("ev").cast("bigint").alias("ev_per_batch_max"),
+            F.expr("(1000 * sum(touched)) div count(*)")
+            .cast("bigint")
+            .alias("state_updates_milli"),
+        )
+        .orderBy("trigger_s")
+    )
+
+
+# --- round-12 wave: q467 stateful-stream TTL sizing curve ---------------------
+
+_TTL_GRID = (3600, 21600, 86400, 259200)  # seconds: 1h / 6h / 24h / 72h
+
+_DUCK_TTL = f"""
+    WITH g AS (SELECT CAST(unnest([{", ".join(str(x) for x in _TTL_GRID)}])
+                 AS BIGINT) AS ttl_s),
+         e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         gaps AS (
+      SELECT user_id, us,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap_us
+      FROM e),
+         per_user AS (
+      SELECT g.ttl_s, user_id,
+             max(us) AS last_us,
+             count(*) FILTER (WHERE gap_us > g.ttl_s * 1000000) AS recreations
+      FROM gaps CROSS JOIN g GROUP BY g.ttl_s, user_id),
+         mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+    SELECT ttl_s,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE last_us >= m - ttl_s * 1000000)
+                AS BIGINT) AS live_at_end,
+           CAST(sum(recreations) AS BIGINT) AS recreations,
+           CAST(count(*) + sum(recreations) AS BIGINT) AS total_creations
+    FROM per_user CROSS JOIN mx
+    GROUP BY ttl_s ORDER BY ttl_s
+"""
+
+
+@register("q467_state_ttl_curve", _DUCK_TTL)
+def q467_state_ttl_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-stream TTL sizing curve — the state-store eviction
+    question a q46/q122-style per-key aggregation must answer
+    ('what TTL keeps memory bounded without churning state?'): for
+    each candidate TTL, how many key states are still live at the end
+    of the history, and how many times a state would have been
+    evicted-then-recreated (an inter-event gap exceeding the TTL —
+    each recreation is a lost accumulator plus a state-store write).
+    Short TTLs bound memory but pay recreation churn; this measures
+    both sides.
+
+    Determinism: all arithmetic on exact microsecond epochs
+    (unix_micros / epoch_us); outputs are integer counts.
+
+    100 TB shape: the lag window is PARTITIONED BY the state key
+    (user) — the same key the state store shards on, so the window
+    never concentrates; the TTL grid joins the |users|-row gap census,
+    not the event stream; the global max-ts is a broadcast scalar."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # ts may arrive as TIMESTAMP_NTZ (fixture encoding); unix_micros
+    # requires TIMESTAMP — session TZ is pinned UTC so the cast is exact.
+    e = ev.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = e.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    grid = spark.createDataFrame([(s,) for s in _TTL_GRID], "ttl_s BIGINT")
+    per_user = (
+        gaps.crossJoin(F.broadcast(grid))
+        .groupBy("ttl_s", "user_id")
+        .agg(
+            F.max("us").alias("last_us"),
+            F.sum(
+                F.when(F.col("gap_us") > F.col("ttl_s") * 1000000, 1).otherwise(0)
+            ).alias("recreations"),
+        )
+    )
+    mx = e.agg(F.max("us").alias("m"))
+    return (
+        per_user.crossJoin(F.broadcast(mx))
+        .groupBy("ttl_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(
+                F.when(
+                    F.col("last_us") >= F.col("m") - F.col("ttl_s") * 1000000, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("live_at_end"),
+            F.sum("recreations").cast("bigint").alias("recreations"),
+            (F.count(F.lit(1)) + F.sum("recreations"))
+            .cast("bigint")
+            .alias("total_creations"),
+        )
+        .orderBy("ttl_s")
+    )

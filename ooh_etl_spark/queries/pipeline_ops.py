@@ -1024,3 +1024,231 @@ def q453_doremi_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- round-12 wave: q460 truncation-loss curve --------------------------------
+
+_TRUNC_GRID = (32, 64, 128, 256)
+
+_DUCK_TRUNC = f"""
+    WITH g AS (SELECT unnest([{", ".join(str(x) for x in _TRUNC_GRID)}])
+                 AS max_len),
+         d AS (
+      SELECT source, len({_DUCK_TOKS_R10}) AS n FROM documents)
+    SELECT source, CAST(max_len AS BIGINT) AS max_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS truncated_docs,
+           CAST(sum(n) AS BIGINT) AS tokens_total,
+           CAST(sum(least(n, max_len)) AS BIGINT) AS tokens_kept,
+           CAST((10000 * (sum(n) - sum(least(n, max_len)))) // sum(n)
+                AS BIGINT) AS loss_bp
+    FROM d CROSS JOIN g
+    GROUP BY source, max_len ORDER BY source, max_len
+"""
+
+
+@register("q460_truncation_loss_curve", _DUCK_TRUNC)
+def q460_truncation_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length truncation-loss curve — the max_seq_len sizing
+    question every pretraining run answers before tokenizing 100 TB
+    (longer contexts cost quadratic attention; shorter ones discard
+    the document tails this measures): per source and candidate
+    max-length, how many documents get truncated and what fraction of
+    the token mass is lost. The per-source split matters because long-
+    document sources (books vs web) lose disproportionally — exactly
+    the signal that routes them to a long-context mixture instead
+    (q445's packing is the downstream consumer).
+
+    Determinism: pure integer token counts and integer bp division.
+
+    100 TB shape: ONE length census (map-side combinable on source),
+    fanned out over the |grid| in-row — the grid multiplies the
+    |sources|-row census, never the corpus; output |sources|x|grid|."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = spark.createDataFrame([(x,) for x in _TRUNC_GRID], "max_len BIGINT")
+    d = docs.select("source", F.size(tokenize(F.col("text"))).alias("n"))
+    return (
+        d.crossJoin(F.broadcast(grid))
+        .groupBy("source", "max_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n") > F.col("max_len"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("truncated_docs"),
+            F.sum("n").cast("bigint").alias("tokens_total"),
+            F.sum(F.least(F.col("n"), F.col("max_len")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.expr(
+                "(10000 * (sum(n) - sum(least(n, max_len)))) div sum(n)"
+            )
+            .cast("bigint")
+            .alias("loss_bp"),
+        )
+        .orderBy("source", "max_len")
+    )
+
+
+# --- round-12 wave: q462 curriculum quartile schedule -------------------------
+
+_DUCK_CURRICULUM = f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             len({_DUCK_TOKS_R10}) AS n_toks
+      FROM documents),
+         q AS (
+      SELECT *, ntile(4) OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS quartile
+      FROM d),
+         r AS (
+      SELECT *, row_number() OVER (PARTITION BY source, quartile
+                                   ORDER BY n_chars DESC, doc_id) - 1 AS pos
+      FROM q)
+    SELECT source, CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS tokens,
+           CAST((1000 * sum(pos * 4 + quartile - 1)) // count(*) AS BIGINT)
+             AS sched_pos_milli,
+           CAST(min(pos * 4 + quartile - 1) AS BIGINT) AS first_pos
+    FROM r GROUP BY source, quartile ORDER BY source, quartile
+"""
+
+
+@register("q462_curriculum_quartile_schedule", _DUCK_CURRICULUM)
+def q462_curriculum_quartile_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum data-ordering schedule (Bengio et al. ICML'09
+    applied to corpus prep): rank documents within each source by a
+    quality proxy (n_chars here — the fixture's stand-in for a
+    quality-classifier score), split into quartiles, and emit the
+    INTERLEAVED round-robin schedule position (pos*4 + quartile-1) —
+    one document from each quality tier per cycle, so every training
+    window sees the full quality mix while higher tiers still lead
+    each cycle. The census audits the schedule: per (source,
+    quartile), document/token mass and mean/first schedule position.
+
+    Determinism: ntile + row_number over a TOTAL order (score desc,
+    doc_id) — identical bucket-fill semantics in both engines; all
+    outputs integer.
+
+    100 TB shape: both windows are PARTITIONED BY source (and
+    quartile) — the per-source ordering a curriculum needs anyway;
+    at production the score sort rides the existing per-source shard
+    sort. No global window, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", "n_chars",
+        F.size(tokenize(F.col("text"))).alias("n_toks"),
+    )
+    wq = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    q = d.withColumn("quartile", F.ntile(4).over(wq))
+    wr = Window.partitionBy("source", "quartile").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    r = q.withColumn("pos", F.row_number().over(wr) - 1).withColumn(
+        "sched", F.col("pos") * 4 + F.col("quartile") - 1
+    )
+    return (
+        r.groupBy("source", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens"),
+            F.expr("(1000 * sum(sched)) div count(*)")
+            .cast("bigint")
+            .alias("sched_pos_milli"),
+            F.min("sched").cast("bigint").alias("first_pos"),
+        )
+        .select(
+            "source",
+            F.col("quartile").cast("bigint").alias("quartile"),
+            "n_docs", "tokens", "sched_pos_milli", "first_pos",
+        )
+        .orderBy("source", "quartile")
+    )
+
+
+# --- round-12 wave: q468 RAG chunk-stride cost curve --------------------------
+
+_CHUNK_W = 64
+_STRIDE_GRID = (64, 48, 32, 16)
+
+_DUCK_STRIDE = f"""
+    WITH g AS (SELECT unnest([{", ".join(str(x) for x in _STRIDE_GRID)}])
+                 AS stride),
+         d AS (SELECT len({_DUCK_TOKS_R10}) AS n FROM documents),
+         c AS (
+      SELECT stride, n,
+             CASE WHEN n <= {_CHUNK_W} THEN 1
+                  ELSE 1 + CAST(ceil((n - {_CHUNK_W}) * 1.0 / stride) AS BIGINT)
+             END AS chunks
+      FROM d CROSS JOIN g),
+         e AS (
+      SELECT stride, n, chunks,
+             {_CHUNK_W} * (chunks - 1) + n - stride * (chunks - 1) AS emitted
+      FROM c)
+    SELECT CAST(stride AS BIGINT) AS stride,
+           CAST(sum(chunks) AS BIGINT) AS n_chunks,
+           CAST(sum(n) AS BIGINT) AS tokens_raw,
+           CAST(sum(emitted) AS BIGINT) AS tokens_emitted,
+           CAST((10000 * (sum(emitted) - sum(n))) // sum(n) AS BIGINT)
+             AS overlap_bp
+    FROM e GROUP BY stride ORDER BY stride DESC
+"""
+
+
+@register("q468_chunk_stride_cost", _DUCK_STRIDE)
+def q468_chunk_stride_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking cost curve — the RAG-ingest sizing
+    question (window {_CHUNK_W} tokens, stride of what?): smaller
+    strides reduce boundary-split answers but re-emit overlapping
+    tokens, multiplying embedding/index cost. Chunk and emitted-token
+    counts come CLOSED-FORM from the per-doc length (chunks = 1 +
+    ceil((n-W)/S); the final chunk is the only partial one), so the
+    curve costs one length census — no chunk is ever materialized.
+
+    Determinism: integer closed forms; ceil over exact integer ratio.
+
+    100 TB shape: one map-side-combinable length census fanned out
+    over the |grid| in-row; output |grid| rows. The actual chunker
+    (q74) pays the emitted volume this curve predicts."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = spark.createDataFrame([(x,) for x in _STRIDE_GRID], "stride BIGINT")
+    d = docs.select(F.size(tokenize(F.col("text"))).alias("n"))
+    c = d.crossJoin(F.broadcast(grid)).select(
+        "stride",
+        "n",
+        F.when(F.col("n") <= _CHUNK_W, F.lit(1).cast("bigint"))
+        .otherwise(
+            1
+            + F.ceil(
+                (F.col("n") - _CHUNK_W) / F.col("stride").cast("double")
+            ).cast("bigint")
+        )
+        .alias("chunks"),
+    )
+    e = c.withColumn(
+        "emitted",
+        _CHUNK_W * (F.col("chunks") - 1)
+        + F.col("n")
+        - F.col("stride") * (F.col("chunks") - 1),
+    )
+    return (
+        e.groupBy("stride")
+        .agg(
+            F.sum("chunks").cast("bigint").alias("n_chunks"),
+            F.sum("n").cast("bigint").alias("tokens_raw"),
+            F.sum("emitted").cast("bigint").alias("tokens_emitted"),
+            F.expr("(10000 * (sum(emitted) - sum(n))) div sum(n)")
+            .cast("bigint")
+            .alias("overlap_bp"),
+        )
+        .select(
+            F.col("stride").cast("bigint").alias("stride"),
+            "n_chunks", "tokens_raw", "tokens_emitted", "overlap_bp",
+        )
+        .orderBy(F.col("stride").desc())
+    )

@@ -1831,3 +1831,161 @@ def q444_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- round-12 wave: q465 filter-agreement matrix ------------------------------
+
+_AGREE_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+_AGREE_TOKS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _duck_agree() -> str:
+    sw = ", ".join(f"'{w}'" for w in _AGREE_STOPWORDS)
+    pairs = [
+        ("len", "entropy"), ("len", "stopword"), ("len", "repetition"),
+        ("entropy", "stopword"), ("entropy", "repetition"),
+        ("stopword", "repetition"),
+    ]
+    rows = "\nUNION ALL\n".join(
+        f"""
+      SELECT '{a}' AS filter_a, '{b}' AS filter_b,
+             CAST((10000 * sum(CASE WHEN g_{a} = g_{b} THEN 1 ELSE 0 END))
+                  // count(*) AS BIGINT) AS agree_bp,
+             CAST(sum(CASE WHEN g_{a} = 0 AND g_{b} = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_kill,
+             CAST(sum(CASE WHEN g_{a} = 0 AND g_{b} = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS only_a_kills,
+             CAST(sum(CASE WHEN g_{a} = 1 AND g_{b} = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS only_b_kills
+      FROM gates"""
+        for a, b in pairs
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_AGREE_TOKS_DUCK} AS toks, text FROM documents),
+         feat AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             len(list_distinct(list_transform(
+                 generate_series(1, length(text)), i -> text[i:i])))
+               AS n_alpha,
+             len(list_filter(toks, t -> t IN ({sw}))) AS n_stop,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c FROM unnest(toks) AS u(t) GROUP BY t))
+               AS top_tok
+      FROM d),
+         gates AS (
+      SELECT doc_id,
+             CASE WHEN n_toks >= 20 THEN 1 ELSE 0 END AS g_len,
+             CASE WHEN n_alpha >= 12 THEN 1 ELSE 0 END AS g_entropy,
+             CASE WHEN (10000 * n_stop) // n_toks >= 100 THEN 1 ELSE 0 END
+               AS g_stopword,
+             CASE WHEN (10000 * top_tok) // n_toks <= 2000 THEN 1 ELSE 0 END
+               AS g_repetition
+      FROM feat)
+    {rows}
+    ORDER BY filter_a, filter_b
+    """
+
+
+@register("q465_filter_agreement_matrix", _duck_agree())
+def q465_filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter agreement matrix — the filter-redundancy audit
+    behind ensemble pruning (Dolma ran ~10 heuristic gates; FineWeb's
+    ablations ask which ones pay their way; q439 counts the ensemble's
+    kills, THIS asks which members duplicate each other): four
+    deterministic gates per document (length >= 20 tokens, alphabet
+    size >= 12 distinct chars, stopword ratio >= 1%, top-token share
+    <= 20% — the Gopher repetition rule), then for each of the six
+    filter pairs the agreement rate and the kill overlap split
+    (both / only-A / only-B). A pair agreeing at ~10000 bp is
+    redundant — drop the costlier member; a filter whose kills are
+    all 'only' kills is the ensemble's unique contributor.
+
+    Determinism: all gates integer-threshold on exact counts; bp
+    integer division.
+
+    100 TB shape: gates are per-row expressions in one corpus scan;
+    the six matrix cells are ONE 6-accumulator aggregate (stack of
+    sums) — no joins, no second pass; output is 6 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _AGREE_STOPWORDS)
+    feat = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n_toks"),
+        # split('') appends a trailing "" in Spark; remove it so the
+        # distinct-char count matches DuckDB's per-char slicer exactly.
+        F.size(
+            F.array_remove(F.array_distinct(F.split(F.col("text"), "")), "")
+        ).alias("n_alpha"),
+        F.expr(
+            f"size(filter(split(lower(trim(text)), '\\\\s+'),"
+            f" t -> t IN ({sw})))"
+        ).alias("n_stop"),
+        # Top-token count via a sorted-run fold: O(n log n) in-row,
+        # constant-size accumulator (no per-row map rebuild).
+        F.expr(
+            "aggregate(array_sort(split(lower(trim(text)), '\\\\s+')),"
+            " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+            " (acc, t) -> named_struct("
+            "   'prev', t,"
+            "   'run', CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+            "               THEN acc.run + 1 ELSE 1 END,"
+            "   'best', greatest(acc.best,"
+            "     CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+            "          THEN acc.run + 1 ELSE 1 END)),"
+            " acc -> acc.best)"
+        ).alias("top_tok"),
+    )
+    gates = feat.select(
+        F.when(F.col("n_toks") >= 20, 1).otherwise(0).alias("g_len"),
+        F.when(F.col("n_alpha") >= 12, 1).otherwise(0).alias("g_entropy"),
+        F.when(
+            F.expr("(10000 * n_stop) div n_toks") >= 100, 1
+        ).otherwise(0).alias("g_stopword"),
+        F.when(
+            F.expr("(10000 * top_tok) div n_toks") <= 2000, 1
+        ).otherwise(0).alias("g_repetition"),
+    )
+    agg = gates.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col(f"g_{a}") == va) & (F.col(f"g_{b}") == vb), 1
+                ).otherwise(0)
+            ).alias(f"{a}_{b}_{va}{vb}")
+            for a, b in (
+                ("len", "entropy"), ("len", "stopword"), ("len", "repetition"),
+                ("entropy", "stopword"), ("entropy", "repetition"),
+                ("stopword", "repetition"),
+            )
+            for va, vb in ((0, 0), (0, 1), (1, 0), (1, 1))
+        ],
+    )
+    stack_parts = ", ".join(
+        f"'{a}', '{b}',"
+        f" (10000 * ({a}_{b}_00 + {a}_{b}_11)) div n,"
+        f" {a}_{b}_00, {a}_{b}_01, {a}_{b}_10"
+        for a, b in (
+            ("len", "entropy"), ("len", "stopword"), ("len", "repetition"),
+            ("entropy", "stopword"), ("entropy", "repetition"),
+            ("stopword", "repetition"),
+        )
+    )
+    return (
+        agg.select(
+            F.expr(
+                f"stack(6, {stack_parts})"
+                " AS (filter_a, filter_b, agree_bp, both_kill,"
+                " only_a_kills, only_b_kills)"
+            )
+        )
+        .select(
+            "filter_a", "filter_b",
+            F.col("agree_bp").cast("bigint").alias("agree_bp"),
+            F.col("both_kill").cast("bigint").alias("both_kill"),
+            F.col("only_a_kills").cast("bigint").alias("only_a_kills"),
+            F.col("only_b_kills").cast("bigint").alias("only_b_kills"),
+        )
+        .orderBy("filter_a", "filter_b")
+    )

@@ -679,3 +679,192 @@ def q440_diversity_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- round-12 wave: q461 IVF posting-list balance audit -----------------------
+
+_PB_K = 16
+
+_DUCK_PB = f"""
+    WITH v AS (SELECT vec_id, {_DUCK_E} FROM embeddings),
+         ranked AS (
+      SELECT vec_id AS cid, e AS ce,
+             row_number() OVER (ORDER BY vec_id) AS rk
+      FROM v),
+         panel AS (SELECT cid, ce FROM ranked WHERE rk <= {_PB_K}),
+         assign AS (
+      SELECT v.vec_id, p.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY CAST(round(1000000 * list_aggregate(
+                                    list_transform(generate_series(1, len(e)),
+                                                   i -> (e[i] - ce[i]) * (e[i] - ce[i])),
+                                    'sum')) AS BIGINT), p.cid) AS rn
+      FROM v CROSS JOIN panel p),
+         cells AS (
+      SELECT cid AS cell, count(*) AS n_vecs
+      FROM assign WHERE rn = 1 GROUP BY cid),
+         tot AS (SELECT sum(n_vecs) AS t, count(*) AS k FROM cells)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST((10000 * n_vecs) // t AS BIGINT) AS share_bp,
+           CAST((10000 * n_vecs * k) // t AS BIGINT) AS load_factor_bp
+    FROM cells CROSS JOIN tot
+    ORDER BY cell
+"""
+
+
+@register("q461_ivf_posting_balance", _DUCK_PB)
+def q461_ivf_posting_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF posting-list balance audit — the index-health measurement
+    next to q458's drift census (FAISS operational lore: a cell
+    holding 10x its fair share makes every probe of it 10x the work,
+    and nprobe tuning (q437) assumes near-uniform cells): assign every
+    vector to its nearest centroid in the first-{_PB_K} panel and
+    report per-cell posting size, corpus share, and load factor
+    (10000 = perfectly balanced). A load factor far above 10000 says
+    re-train or split the cell before it dominates query latency.
+
+    Determinism: the q458 contract — rank-based panel, e6-quantized
+    squared distances BEFORE the argmin, ties to the smaller cid; all
+    outputs integer counts/bp.
+
+    100 TB shape: the panel is one broadcast row; assignment is an
+    IN-ROW argmin over {_PB_K} centroids in the scan stage; the only
+    shuffle carries (cell) into a {_PB_K}-row aggregate; the
+    share/load division joins two broadcast scalars."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    panel = (
+        v.orderBy("vec_id")
+        .limit(_PB_K)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .agg(F.collect_list(F.struct("cid", "ce")).alias("panel"))
+    )
+    argmin = (
+        "array_min(transform(panel, c -> named_struct("
+        " 'd2', CAST(round(1000000 * aggregate("
+        "   zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),"
+        "   CAST(0 AS DOUBLE), (a, t) -> a + t)) AS BIGINT),"
+        " 'cid', c.cid))).cid"
+    )
+    cells = (
+        v.crossJoin(F.broadcast(panel))
+        .select(F.expr(argmin).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    tot = cells.agg(
+        F.sum("n_vecs").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.expr("(10000 * n_vecs) div t").cast("bigint").alias("share_bp"),
+            F.expr("(10000 * n_vecs * k) div t")
+            .cast("bigint")
+            .alias("load_factor_bp"),
+        )
+        .orderBy("cell")
+    )
+
+
+# --- round-12 wave: q469 embedding sanity gate --------------------------------
+
+_DUCK_NORMGATE = f"""
+    WITH v AS (SELECT vec_id, label, {_DUCK_E} FROM embeddings),
+         n AS (
+      SELECT label,
+             CASE WHEN len(list_filter(e, x -> isnan(x) OR x IS NULL)) > 0
+                  THEN -1
+                  ELSE CAST(round(1000000 * list_aggregate(
+                      list_transform(e, x -> x * x), 'sum')) AS BIGINT)
+             END AS sq_e6,
+             CASE WHEN len(list_filter(e, x -> isnan(x) OR x IS NULL)) > 0
+                  THEN 1 ELSE 0 END AS has_nan
+      FROM v)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN sq_e6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_norm,
+           CAST(sum(CASE WHEN sq_e6 > 0 AND sq_e6 < 250000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_norm,
+           CAST(sum(CASE WHEN sq_e6 > 4000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_norm,
+           CAST(sum(has_nan) AS BIGINT) AS nan_vecs,
+           CAST((10000 * sum(CASE WHEN sq_e6 >= 250000 AND sq_e6 <= 4000000
+                                       AND has_nan = 0
+                                  THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS pass_bp
+    FROM n GROUP BY label ORDER BY label
+"""
+
+
+@register("q469_embedding_norm_gate", _DUCK_NORMGATE)
+def q469_embedding_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity gate — the pre-indexing QA census every vector
+    pipeline runs before building an ANN index (zero vectors collapse
+    cosine to NaN, near-zero norms amplify quantization error in the
+    q159/q446 PQ path, NaNs poison every distance): per label, counts
+    of zero-norm, low-norm (||x||^2 < 0.25), high-norm (||x||^2 > 4),
+    and NaN/NULL-element vectors (pyarrow writes NaN into nested
+    lists as NULL, so a real ingest shows both), plus the pass rate of the gate. Embedding
+    batches with a falling pass_bp are the upstream-encoder-regression
+    signal.
+
+    Determinism: squared norms e6-quantized to BIGINT before every
+    threshold compare (the q458 discipline); thresholds are squared so
+    no sqrt enters either engine.
+
+    100 TB shape: map-only per-row fold + one label-keyed map-side-
+    combinable aggregate; |labels| output rows; no joins."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    # NaN-bearing vectors get sq_e6 = -1 (a sentinel no norm bucket
+    # matches) instead of quantizing NaN — CAST(NaN AS BIGINT) is
+    # engine-divergent (Spark 0, DuckDB range error).
+    n = emb.select(
+        "label",
+        F.expr(
+            "CASE WHEN exists(cast(embedding AS array<double>),"
+            " x -> isnan(x) OR x IS NULL) THEN CAST(-1 AS BIGINT)"
+            " ELSE CAST(round(1000000 * aggregate(transform("
+            "  cast(embedding AS array<double>), x -> x * x),"
+            "  CAST(0 AS DOUBLE), (a, t) -> a + t)) AS BIGINT) END"
+        ).alias("sq_e6"),
+        F.expr(
+            "CASE WHEN exists(cast(embedding AS array<double>),"
+            " x -> isnan(x) OR x IS NULL) THEN 1 ELSE 0 END"
+        ).alias("has_nan"),
+    )
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("sq_e6") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("zero_norm"),
+            F.sum(
+                F.when((F.col("sq_e6") > 0) & (F.col("sq_e6") < 250000), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("low_norm"),
+            F.sum(F.when(F.col("sq_e6") > 4000000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_norm"),
+            F.sum("has_nan").cast("bigint").alias("nan_vecs"),
+            F.expr(
+                "(10000 * sum(CASE WHEN sq_e6 >= 250000 AND sq_e6 <= 4000000"
+                " AND has_nan = 0 THEN 1 ELSE 0 END)) div count(*)"
+            )
+            .cast("bigint")
+            .alias("pass_bp"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_vecs", "zero_norm", "low_norm", "high_norm", "nan_vecs",
+            "pass_bp",
+        )
+        .orderBy("label")
+    )

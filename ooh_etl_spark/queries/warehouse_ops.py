@@ -1289,3 +1289,89 @@ def q452_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("join_name")
+
+
+# --- round-12 wave: q470 bucket-count sizing advisor --------------------------
+
+_BUCKET_GRID = (8, 32, 128)
+
+_DUCK_BUCKETS = f"""
+    WITH g AS (SELECT unnest([{", ".join(str(x) for x in _BUCKET_GRID)}])
+                 AS n_buckets),
+         h AS (
+      SELECT g.n_buckets,
+             ((l_orderkey * 2654435761) % 4294967296) % g.n_buckets AS bucket
+      FROM lineitem CROSS JOIN g),
+         per_bucket AS (
+      SELECT n_buckets, bucket, count(*) AS rows_in
+      FROM h GROUP BY n_buckets, bucket),
+         stats AS (
+      SELECT n_buckets,
+             count(*) AS filled,
+             sum(rows_in) AS total,
+             max(rows_in) AS max_rows
+      FROM per_bucket GROUP BY n_buckets)
+    SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(filled AS BIGINT) AS filled_buckets,
+           CAST(total // n_buckets AS BIGINT) AS mean_rows,
+           CAST(max_rows AS BIGINT) AS max_rows,
+           CAST((10000 * max_rows * n_buckets) // total AS BIGINT)
+             AS skew_bp
+    FROM stats ORDER BY n_buckets
+"""
+
+
+@register("q470_bucket_sizing_advisor", _DUCK_BUCKETS)
+def q470_bucket_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count sizing advisor — the bucketed-table DDL question
+    (`CLUSTERED BY (l_orderkey) INTO how-many BUCKETS`?) that decides
+    whether the q452 advisor's shuffle joins can become bucketed
+    co-located joins: for each candidate bucket count, the fill rate,
+    mean and max rows per bucket, and the skew factor (10000 =
+    perfectly uniform). Too few buckets → each bucket file exceeds
+    the task-memory budget; too many → small-file overhead; a high
+    skew_bp at every count says the key itself is hot and needs
+    salting (q336) rather than more buckets.
+
+    Hashing is the q69 Knuth multiplicative scheme — pure BIGINT
+    arithmetic, so the census is engine-reproducible (Spark's own
+    bucket hash is Murmur3, but the BALANCE statistics of any good
+    hash agree; the advisor measures the key distribution, not the
+    hash function).
+
+    Determinism: integer hashing, integer counts, integer bp.
+
+    100 TB shape: one map-side-combinable (count, bucket) aggregate
+    per grid entry over narrow int pairs, then a |grid|-row reduce —
+    the same shape the real bucketed write's shuffle would have, run
+    as a cheap census before committing to the DDL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = spark.createDataFrame(
+        [(x,) for x in _BUCKET_GRID], "n_buckets BIGINT"
+    )
+    h = li.crossJoin(F.broadcast(grid)).select(
+        "n_buckets",
+        (
+            ((F.col("l_orderkey") * F.lit(2654435761)) % F.lit(4294967296))
+            % F.col("n_buckets")
+        ).alias("bucket"),
+    )
+    per_bucket = h.groupBy("n_buckets", "bucket").agg(
+        F.count(F.lit(1)).alias("rows_in")
+    )
+    return (
+        per_bucket.groupBy("n_buckets")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("filled_buckets"),
+            F.expr("sum(rows_in) div n_buckets").cast("bigint").alias("mean_rows"),
+            F.max("rows_in").cast("bigint").alias("max_rows"),
+            F.expr("(10000 * max(rows_in) * n_buckets) div sum(rows_in)")
+            .cast("bigint")
+            .alias("skew_bp"),
+        )
+        .select(
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            "filled_buckets", "mean_rows", "max_rows", "skew_bp",
+        )
+        .orderBy("n_buckets")
+    )

@@ -8,6 +8,11 @@ whose inputs are those tables can sweep here (graph family reads
 lineitem; dedup/ANN read documents/embeddings).
 
 Usage: python tools/sweep_queries.py q191b_link_prediction_capped ... [--reps N]
+       [--dirs 1x=/root/testdata/sf0.1,5x=/tmp/sf0.5,10x=/tmp/sf1.0]
+
+--dirs overrides the corpus map — point it at the make_full_replica.py
+corpora (ALL tables FK-offset-replicated) for queries that read beyond
+documents/embeddings/lineitem (q452 reads five relational tables).
 """
 from __future__ import annotations
 
@@ -26,17 +31,29 @@ CORPORA = {
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args = []
     reps = 3
-    for a in sys.argv[1:]:
+    corpora = dict(CORPORA)
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--reps"):
-            reps = int(a.split("=")[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            reps = int(a.split("=")[1] if "=" in a else argv[i + 1])
+            i += 1 if "=" in a else 2
+        elif a.startswith("--dirs"):
+            spec = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            corpora = dict(kv.split("=", 1) for kv in spec.split(","))
+            i += 1 if "=" in a else 2
+        else:
+            args.append(a)
+            i += 1
     from ooh_etl_spark.queries import QUERIES
     from ooh_etl_spark.session import get_spark
 
     spark = get_spark("query_sweep")
     out: dict = {}
-    for label, d in CORPORA.items():
+    for label, d in corpora.items():
         t: dict = {}
         for name in args:
             QUERIES[name].fn(spark, d).count()  # untimed warm pass
