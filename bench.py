@@ -154,6 +154,14 @@ HEADLINE = [
     # pooled LM and the per-source scoring sum, scalars broadcast —
     # the census-reuse discipline as a headline entry.
     "q453_doremi_mixture_step",
+    # --- round-12 additions (2026-08-16) ---
+    # filter-agreement matrix: four per-row integer gates + ONE
+    # 24-accumulator aggregate unpivoted to the 6 matrix cells — the
+    # single-pass ensemble-audit shape.
+    "q465_filter_agreement_matrix",
+    # IVF posting balance: broadcast-panel in-row argmin in the scan
+    # stage + a K-row cell census — the index-health audit shape.
+    "q461_ivf_posting_balance",
 ]
 
 

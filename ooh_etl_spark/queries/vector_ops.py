@@ -753,11 +753,16 @@ def q461_ivf_posting_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
-    tot = cells.agg(
-        F.sum("n_vecs").alias("t"), F.count(F.lit(1)).alias("k")
+    # Totals via an unpartitioned window over the ALREADY-REDUCED
+    # {K}-row cell frame (posture-audit-safe) — a scalar crossJoin
+    # would re-execute the whole assignment subtree (the q296
+    # multi-consumer recompute class).
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        cells.crossJoin(F.broadcast(tot))
+        cells.withColumn("t", F.sum("n_vecs").over(wall))
+        .withColumn("k", F.count(F.lit(1)).over(wall))
         .select(
             F.col("cell").cast("bigint").alias("cell"),
             F.col("n_vecs").cast("bigint").alias("n_vecs"),
