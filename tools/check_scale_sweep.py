@@ -29,6 +29,14 @@ SKIP = {
     # registered machine-checked scale path and IS in the sweep,
     # green at 5x (SCALE.md r11)
     "q334_mutual_nn_pairs",
+    # DuckDB-ORACLE-side walls (r10/r11 TIMEOUT dispositions; the
+    # Spark plans are fine): q423's all-pairs density probe spills
+    # DuckDB temp until the disk fills (r12: transient ENOSPC at 5x),
+    # q194's recursive-CTE reachability stalls past the cap. The
+    # registered funnel twin q423b IS in the sweep and green; q194's
+    # Spark side is pinned by its own fixture tests.
+    "q423_split_leakage_audit",
+    "q194_dbscan",
 }
 #: True-pair-audit queries: swept against the deduped replica view.
 DEDUP_QUERIES = {"q451_lsh_scurve_recall", "q457_stop_shingle_ablation"}
