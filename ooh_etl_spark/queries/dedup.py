@@ -3537,3 +3537,124 @@ def q466_dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("divergent_bp"),
     )
+
+
+# --- round-12 wave: q472 in-batch duplicate collision curve -------------------
+
+_BATCH_GRID = (8, 32, 128)
+_COLL_SHARDS = 8
+
+_DUCK_COLLISION = f"""
+    WITH g AS (SELECT unnest([{", ".join(str(x) for x in _BATCH_GRID)}])
+                 AS batch_size),
+         d AS (
+      SELECT doc_id, {_DUCK_BOW} AS fp,
+             md5(concat('epoch0#', CAST(doc_id AS VARCHAR))) AS h
+      FROM documents),
+         placed AS (
+      SELECT doc_id, fp, h,
+             CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % {_COLL_SHARDS}
+               AS shard
+      FROM d),
+         pos AS (
+      SELECT fp, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS p
+      FROM placed),
+         batched AS (
+      SELECT g.batch_size, shard, (p - 1) // g.batch_size AS batch, fp
+      FROM pos CROSS JOIN g),
+         per_fp AS (
+      SELECT batch_size, shard, batch, count(*) AS c
+      FROM batched GROUP BY batch_size, shard, batch, fp),
+         per_batch AS (
+      SELECT batch_size, shard, batch,
+             sum((c * (c - 1)) // 2) AS pairs
+      FROM per_fp GROUP BY batch_size, shard, batch)
+    SELECT CAST(batch_size AS BIGINT) AS batch_size,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(CASE WHEN pairs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS colliding_batches,
+           CAST(sum(pairs) AS BIGINT) AS dup_pairs_in_batch,
+           CAST((10000 * sum(CASE WHEN pairs > 0 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS colliding_bp
+    FROM per_batch GROUP BY batch_size ORDER BY batch_size
+"""
+
+
+@register("q472_inbatch_collision_curve", _DUCK_COLLISION)
+def q472_inbatch_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch duplicate collision curve — the contrastive-training
+    batch-size question (SimCLR/CLIP-style in-batch negatives treat
+    every other batch member as a negative; a DUPLICATE in the batch
+    is a false negative that actively corrupts the loss): under
+    q203's deterministic sharded epoch shuffle, for each candidate
+    batch size, how many batches contain at least two documents with
+    the same content fingerprint (q464's bag-of-words rung) and how
+    many duplicate pairs land in-batch. Bigger batches collide more —
+    this prices that against the batch-size benefit, and says whether
+    near-dedup must run BEFORE contrastive pretraining at this
+    duplication level.
+
+    Determinism: q203's shuffle exactly (md5 position key, hash-slice
+    shard, rank within shard — no RNG); integer pair counts.
+
+    100 TB shape: the shuffle windows are PARTITIONED BY shard
+    (q203's scale argument); the collision census is one
+    (batch_size, shard, batch, fp) map-side-combinable aggregate
+    whose pair counts come from group sizes — no pair materialized;
+    output |grid| rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        _bow_digest().alias("fp"),
+        F.md5(F.concat(F.lit("epoch0#"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    placed = d.withColumn(
+        "shard",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % _COLL_SHARDS,
+    )
+    wp = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = placed.select("fp", "shard", F.row_number().over(wp).alias("p"))
+    grid = spark.createDataFrame(
+        [(x,) for x in _BATCH_GRID], "batch_size BIGINT"
+    )
+    per_fp = (
+        pos.crossJoin(F.broadcast(grid))
+        .select(
+            "batch_size",
+            "shard",
+            F.expr("(p - 1) div batch_size").alias("batch"),
+            "fp",
+        )
+        .groupBy("batch_size", "shard", "batch", "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_batch = per_fp.groupBy("batch_size", "shard", "batch").agg(
+        F.expr("sum((c * (c - 1)) div 2)").alias("pairs")
+    )
+    return (
+        per_batch.groupBy("batch_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum(F.when(F.col("pairs") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("colliding_batches"),
+            F.sum("pairs").cast("bigint").alias("dup_pairs_in_batch"),
+            F.expr(
+                "(10000 * sum(CASE WHEN pairs > 0 THEN 1 ELSE 0 END))"
+                " div count(*)"
+            )
+            .cast("bigint")
+            .alias("colliding_bp"),
+        )
+        .select(
+            F.col("batch_size").cast("bigint").alias("batch_size"),
+            "n_batches", "colliding_batches", "dup_pairs_in_batch",
+            "colliding_bp",
+        )
+        .orderBy("batch_size")
+    )

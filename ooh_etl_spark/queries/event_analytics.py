@@ -1872,3 +1872,104 @@ def q467_state_ttl_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ttl_s")
     )
+
+
+# --- round-12 wave: q471 stream-join state peak curve -------------------------
+
+_JSTATE_GRID = (5, 60, 360)  # retention delays in MINUTES
+
+_DUCK_JSTATE = f"""
+    WITH g AS (SELECT unnest([{", ".join(str(x) for x in _JSTATE_GRID)}])
+                 AS delay_min),
+         census AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m, count(*) AS c
+      FROM events GROUP BY 1),
+         contrib AS (
+      SELECT g.delay_min, u.am, census.c
+      FROM census CROSS JOIN g
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(
+          census.m, census.m + g.delay_min - 1)) AS am) u),
+         sums AS (
+      SELECT delay_min, am, sum(c) AS live
+      FROM contrib GROUP BY delay_min, am),
+         state AS (
+      SELECT s.delay_min, s.am, s.live
+      FROM sums s JOIN census ON s.am = census.m)
+    SELECT CAST(delay_min * 60 AS BIGINT) AS delay_s,
+           CAST(count(*) AS BIGINT) AS minutes_observed,
+           CAST(max(live) AS BIGINT) AS peak_state_rows,
+           CAST((1000 * sum(live)) // count(*) AS BIGINT)
+             AS mean_state_milli
+    FROM state GROUP BY delay_min ORDER BY delay_s
+"""
+
+
+@register("q471_join_state_peak_curve", _DUCK_JSTATE)
+def q471_join_state_peak_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join state sizing curve — the memory question
+    behind q118's interval join (each side buffers every row until
+    the watermark passes its join window; Spark's own
+    stateOperators metrics report this AFTER deployment, this
+    predicts it BEFORE): for each candidate retention delay, the
+    peak and mean number of concurrently-buffered rows, evaluated at
+    minute resolution over the event history. State only grows at
+    arrivals, so evaluating at observed minutes catches every peak;
+    mean is over observed minutes (documented — idle minutes would
+    only dilute it).
+
+    Determinism: minute buckets are integer epoch divisions; all
+    outputs integer counts / milli-ratios.
+
+    100 TB shape: the corpus reduces to the minute census FIRST (one
+    map-side-combinable aggregate, |minutes| rows — bounded by the
+    time span, not the event count); each census row then EXPLODES
+    into the delay_min anchor minutes it contributes to and the
+    sliding sums are ONE keyed hash aggregate — no census self-join
+    (the range-join form planned as a BroadcastNestedLoopJoin,
+    quadratic in |minutes|: 25s at a month of minutes, unusable at a
+    year). Explosion volume = |minutes| x sum(grid) narrow int pairs,
+    map-side combined; the final semi-join restricting anchors to
+    observed minutes is census-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    census = (
+        ev.select(
+            (F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint") / 60)
+            .cast("bigint")
+            .alias("m")
+        )
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = spark.createDataFrame(
+        [(x,) for x in _JSTATE_GRID], "delay_min BIGINT"
+    )
+    sums = (
+        census.crossJoin(F.broadcast(grid))
+        .select(
+            "delay_min",
+            "c",
+            F.explode(
+                F.sequence(F.col("m"), F.col("m") + F.col("delay_min") - 1)
+            ).alias("am"),
+        )
+        .groupBy("delay_min", "am")
+        .agg(F.sum("c").alias("live"))
+    )
+    state = sums.join(
+        census.select(F.col("m").alias("am")), "am"
+    )
+    return (
+        state.groupBy("delay_min")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("minutes_observed"),
+            F.max("live").cast("bigint").alias("peak_state_rows"),
+            F.expr("(1000 * sum(live)) div count(*)")
+            .cast("bigint")
+            .alias("mean_state_milli"),
+        )
+        .select(
+            (F.col("delay_min") * 60).cast("bigint").alias("delay_s"),
+            "minutes_observed", "peak_state_rows", "mean_state_milli",
+        )
+        .orderBy("delay_s")
+    )

@@ -29,6 +29,8 @@ WAVE = [
     "q468_chunk_stride_cost",
     "q469_embedding_norm_gate",
     "q470_bucket_sizing_advisor",
+    "q471_join_state_peak_curve",
+    "q472_inbatch_collision_curve",
 ]
 
 
@@ -235,6 +237,60 @@ def test_q469_flags_constructed_pathologies(spark, tmp_path):
         5, 1, 1, 1, 1,
     )
     assert r.pass_bp == (10000 * 1) // 5
+
+
+# --- q471: join-state curve invariants -------------------------------------
+
+
+def test_q471_state_monotone_in_delay(spark):
+    rows = sorted(
+        run(spark, "q471_join_state_peak_curve").collect(), key=lambda r: r.delay_s
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.minutes_observed == b.minutes_observed  # census invariant
+        assert a.peak_state_rows <= b.peak_state_rows  # longer retention
+        assert a.mean_state_milli <= b.mean_state_milli
+    for r in rows:
+        assert r.peak_state_rows >= r.mean_state_milli // 1000
+
+
+def test_q471_one_minute_delay_equals_minute_census_max(spark, duck):
+    # delay of 1 minute would equal the raw minute census; the smallest
+    # grid entry (5 min) must dominate the busiest single minute.
+    import duckdb
+
+    mx = (
+        duckdb.connect()
+        .execute(
+            "SELECT max(c) FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT)"
+            " // 60 AS m, count(*) AS c FROM"
+            f" read_parquet('{SF_DIR}/events.parquet') GROUP BY 1)"
+        )
+        .fetchone()[0]
+    )
+    rows = sorted(
+        run(spark, "q471_join_state_peak_curve").collect(), key=lambda r: r.delay_s
+    )
+    assert rows[0].peak_state_rows >= mx
+
+
+# --- q472: in-batch collision invariants -----------------------------------
+
+
+def test_q472_collisions_monotone_in_batch_size(spark):
+    rows = sorted(
+        run(spark, "q472_inbatch_collision_curve").collect(),
+        key=lambda r: r.batch_size,
+    )
+    total_docs_lb = rows[0].n_batches  # B=8 batches x >=1 doc
+    assert total_docs_lb > 0
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_batches >= b.n_batches  # bigger batches, fewer of them
+        # coarser batching can only merge batches -> pair count grows
+        assert a.dup_pairs_in_batch <= b.dup_pairs_in_batch
+    for r in rows:
+        assert r.colliding_batches <= r.n_batches
+        assert r.colliding_bp == (10000 * r.colliding_batches) // r.n_batches
 
 
 # --- q470: bucket advisor invariants ---------------------------------------
