@@ -52,6 +52,29 @@ def test_all_wave_queries_registered_with_oracles(spark):
         assert QUERIES[name].oracle is not None, f"{name} must be oracle-backed"
 
 
+# --- q217 golden conversion (r12, VERDICT r11 item 6) -----------------------
+
+
+def test_q217_matches_golden_oracle(spark, duck):
+    # Unigram Viterbi vs the pure-Python sequential reference
+    # (tools/make_golden.py::q217_reference), pinned as a guard-gated
+    # VALUES oracle — the q125/q185 mechanism.
+    assert_matches_oracle(spark, duck, "q217_unigram_viterbi")
+
+
+def test_q217_golden_is_guard_gated():
+    spec = QUERIES["q217_unigram_viterbi"]
+    assert spec.oracle is not None
+    assert spec.golden_guard is not None
+    assert spec.golden_domain is not None and len(spec.golden_domain) == 2
+
+
+def test_q32b_matches_oracle(spark, duck):
+    # The stub-decoder plumbing is oracle-checked through the exact
+    # int64 chunk sums (r12 conversion).
+    assert_matches_oracle(spark, duck, "q32b_multimodal_features")
+
+
 # --- q459: trigger-interval curve invariants -------------------------------
 
 
