@@ -3487,38 +3487,42 @@ def q466_dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive extra_chars_kept is the measured case for the quality-
     aware survivor rule.
 
-    Determinism: the longest-copy survivor is rank-1 under the TOTAL
-    order (n_chars desc, doc_id) — no engine-specific max_by
-    tie-break; all outputs integer.
+    Determinism: both survivors are struct extrema under TOTAL orders
+    — min-id survivor = min(doc_id, n_chars), longest survivor =
+    max(n_chars, -doc_id, doc_id) (largest n_chars, tie to the
+    SMALLER doc_id) — no engine-specific max_by tie-break; all
+    outputs integer.
 
-    100 TB shape: one digest-keyed census (shuffles md5 + two ints,
-    never text); the survivor window is PARTITIONED BY digest and its
-    input is pre-filtered to duplicate groups only; single-row
-    output."""
-    from pyspark.sql import Window
-
+    100 TB shape: ONE corpus scan, ONE digest-keyed map-side-
+    combinable aggregate carrying both survivors as struct extrema
+    (shuffles md5 + three ints, never text — no join-back to the
+    corpus, no per-group window), then a single-row reduce over the
+    duplicate groups."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", "n_chars", _bow_digest().alias("k"))
-    grp = (
+    pol = (
         d.groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("sz"),
             F.min("doc_id").alias("min_id"),
+            F.min(F.struct("doc_id", "n_chars"))
+            .getField("n_chars")
+            .alias("minid_chars"),
+            F.max(
+                F.struct(
+                    "n_chars", (-F.col("doc_id")).alias("nid"), "doc_id"
+                )
+            ).alias("mx"),
         )
         .filter(F.col("sz") > 1)
+        .select(
+            "sz",
+            "min_id",
+            "minid_chars",
+            F.col("mx.doc_id").alias("maxlen_id"),
+            F.col("mx.n_chars").alias("maxlen_chars"),
+        )
     )
-    dup = d.join(grp, "k")
-    wk = Window.partitionBy("k").orderBy(F.col("n_chars").desc(), "doc_id")
-    ranked = dup.withColumn("rk", F.row_number().over(wk))
-    mx = ranked.filter(F.col("rk") == 1).select(
-        "k",
-        F.col("doc_id").alias("maxlen_id"),
-        F.col("n_chars").alias("maxlen_chars"),
-    )
-    mi = dup.filter(F.col("doc_id") == F.col("min_id")).select(
-        "k", F.col("n_chars").alias("minid_chars")
-    )
-    pol = grp.join(mi, "k").join(mx, "k")
     return pol.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dup_groups"),
         F.sum("sz").cast("bigint").alias("n_dup_docs"),
