@@ -3328,9 +3328,11 @@ def q463_splice_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: exact token-key equality; integer counts; total
     order on (pairs desc, key).
 
-    100 TB shape: NO pair is materialized — two key censuses and one
-    key-equi-join between them (both sides map-side combined to
-    |distinct keys| rows); the pair count is a product of the two
+    100 TB shape: NO pair is materialized — each doc emits its two
+    (key, role) markers in-row and ONE key-grouped aggregate carries
+    both censuses plus the self-pair correction (a pc-join-sc form
+    would re-run the tokenize scan on both sides — the q296
+    multi-consumer class); the pair count is a product of the two
     census columns. The quadratic object stays arithmetic."""
     from ooh_etl_spark.functions.text import tokenize
 
@@ -3344,17 +3346,33 @@ def q463_splice_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("toks", -_SPLICE_K, _SPLICE_K), " "
         ).alias("suf"),
     )
-    pc = keys.groupBy(F.col("pre").alias("k")).agg(
-        F.count(F.lit(1)).alias("n_pre"),
-        F.sum(F.when(F.col("pre") == F.col("suf"), 1).otherwise(0)).alias(
-            "self_c"
-        ),
+    marks = keys.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pre").alias("k"),
+                    F.lit(1).alias("is_pre"),
+                    F.lit(0).alias("is_suf"),
+                    F.when(F.col("pre") == F.col("suf"), 1)
+                    .otherwise(0)
+                    .alias("self_m"),
+                ),
+                F.struct(
+                    F.col("suf").alias("k"),
+                    F.lit(0).alias("is_pre"),
+                    F.lit(1).alias("is_suf"),
+                    F.lit(0).alias("self_m"),
+                ),
+            )
+        ).alias("m")
     )
-    sc = keys.groupBy(F.col("suf").alias("k")).agg(
-        F.count(F.lit(1)).alias("n_suf")
+    census = marks.groupBy(F.col("m.k").alias("k")).agg(
+        F.sum("m.is_pre").alias("n_pre"),
+        F.sum("m.is_suf").alias("n_suf"),
+        F.sum("m.self_m").alias("self_c"),
     )
     return (
-        pc.join(sc, "k")
+        census.filter((F.col("n_pre") > 0) & (F.col("n_suf") > 0))
         .select(
             F.col("k").alias("boundary_key"),
             F.col("n_pre").cast("bigint").alias("n_prefix_docs"),
@@ -3417,19 +3435,31 @@ def q464_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: md5 over a SORTED token set — order-canonical in
     both engines; integer counts, total output order.
 
-    100 TB shape: the corpus collapses to the DISTINCT (digest,
-    source) census first (map-side combinable, never ships text);
-    the self-join is digest-keyed and its per-key fan-out is bounded
-    by |sources| (<= 20 here), so pair expansion is |dup keys| x
-    O(|sources|^2) worst case — independent of corpus row count;
-    output <= C(|sources|, 2) rows."""
+    100 TB shape: ONE corpus scan collapses to the digest-keyed
+    source-set census (collect_set is bounded by |sources| <= 20 per
+    key, map-side combinable, never ships text); the pair expansion
+    is an IN-ROW combination explode of that bounded set — no
+    self-join, so the census is computed once (a ks-vs-ks join would
+    re-execute the digest scan on both sides, the q296 multi-consumer
+    class); output <= C(|sources|, 2) rows."""
     docs = load_table(spark, sf_dir, "documents")
-    ks = docs.select(_bow_digest().alias("k"), "source").distinct()
-    a = ks.select(F.col("k"), F.col("source").alias("source_a"))
-    b = ks.select(F.col("k"), F.col("source").alias("source_b"))
+    ks = (
+        docs.select(_bow_digest().alias("k"), "source")
+        .groupBy("k")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = ks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (a, i) ->"
+                " transform(slice(ss, i + 2, size(ss) - i - 1),"
+                " b -> struct(a AS source_a, b AS source_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "k")
-        .filter(F.col("source_a") < F.col("source_b"))
+        pairs.select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_digests"))
         .orderBy(F.col("shared_digests").desc(), "source_a", "source_b")
