@@ -239,6 +239,22 @@ def test_headline_shuffle_budgets(spark):
         # newpairs / totals subtrees (ReuseExchange dedupes at exec)
         "q216_simpsons_paradox": 3,  # ONE year agg + 1-row pooled
         # margin + sort
+        # round-12 wave (counts include the fixture round-robin and
+        # the final presentation sort where present)
+        "q459_trigger_interval_curve": 4,  # (trigger,batch) agg + trigger agg + sort
+        "q460_truncation_loss_curve": 2,  # ONE (source,len) agg + sort
+        "q461_ivf_posting_balance": 3,  # cell agg + bounded window + sort
+        "q462_curriculum_quartile_schedule": 2,  # source windows share ONE exchange + final agg
+        "q463_splice_boundary_overlap": 1,  # ONE key census (top-k: no sort shuffle)
+        "q464_cross_source_dup_matrix": 3,  # digest census + pair agg + sort
+        "q465_filter_agreement_matrix": 0,  # per-row gates + single agg: map-side only
+        "q466_dedup_survivor_policy": 1,  # ONE digest agg; single-row reduce
+        "q467_state_ttl_curve": 3,  # user window + (ttl,user) agg + ttl agg
+        "q468_chunk_stride_cost": 2,  # ONE stride agg + sort
+        "q469_embedding_norm_gate": 3,  # round-robin + label agg + sort
+        "q470_bucket_sizing_advisor": 3,  # (b,bucket) agg + b agg + sort
+        "q471_join_state_peak_curve": 5,  # minute census + anchor agg + semi-join side + delay agg + sort
+        "q472_inbatch_collision_curve": 3,  # shard rank window + fp census + final agg
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)
