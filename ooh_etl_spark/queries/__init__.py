@@ -66,8 +66,8 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: item 4 so the debt strictly drains):
 #:   r13: the old-debt remainder (q254–q263, q266, q268, q349,
 #:        q368–q375, and the b-variants q72b/q139b/q149b — 24
-#:        entries) plus the r12 wave (q459–q472 — 14 entries) = 38
-#:        of the 44 fresh slots — drains to 0 with 6 slots left for
+#:        entries) plus the r12 wave (q459–q474 — 16 entries) = 40
+#:        of the 44 fresh slots — drains to 0 with 4 slots left for
 #:        the round-robin cursor below.
 #:
 #: POST-DEBT ROTATION POLICY (standing, activates once never-seen

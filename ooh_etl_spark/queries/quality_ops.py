@@ -1989,3 +1989,146 @@ def q465_filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("filter_a", "filter_b")
     )
+
+
+# --- round-12 wave 2: q473 decontamination n-gram-order curve ---------------
+
+#: Gram orders probed. The knob the big runs disagree on: GPT-3 used
+#: 13-grams (Brown et al. 2020 App. C), PaLM 8-grams, FLAN/Llama eval
+#: decontamination varies 8-13. Fixture docs are ~16 words, so the
+#: grid tops out at 8 (a 13-gram would never fire here); the CURVE
+#: shape, not the absolute order, is the measurement.
+_DECON_NGRID = [2, 3, 4, 5, 8]
+
+_DUCK_DECON_ORDER = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         grid AS (SELECT unnest([{", ".join(str(n) for n in _DECON_NGRID)}]) AS n),
+         g AS (
+      SELECT t.doc_id, grid.n,
+             array_to_string(toks[i:i+grid.n-1], ' ') AS gram
+      FROM t CROSS JOIN grid
+      CROSS JOIN unnest(generate_series(1, len(toks) - grid.n + 1)) AS s(i)
+      WHERE len(toks) >= grid.n),
+         bench AS (
+      SELECT DISTINCT n, gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+         bsz AS (SELECT n, count(*) AS bench_grams FROM bench GROUP BY n),
+         csz AS (SELECT count(*) AS corpus_docs FROM t
+                 WHERE doc_id % {_BENCH_MOD} <> 0),
+         hits AS (
+      SELECT c.n,
+             count(DISTINCT c.doc_id) AS flagged_docs,
+             count(*) AS hit_occurrences
+      FROM g c JOIN bench b ON b.n = c.n AND b.gram = c.gram
+      WHERE c.doc_id % {_BENCH_MOD} <> 0
+      GROUP BY c.n)
+    SELECT CAST(grid.n AS BIGINT) AS gram_order,
+           CAST(coalesce(bsz.bench_grams, 0) AS BIGINT) AS bench_grams,
+           CAST(csz.corpus_docs AS BIGINT) AS corpus_docs,
+           CAST(coalesce(hits.flagged_docs, 0) AS BIGINT) AS flagged_docs,
+           CAST(coalesce(hits.hit_occurrences, 0) AS BIGINT)
+             AS hit_occurrences,
+           CAST((10000 * coalesce(hits.flagged_docs, 0)) // csz.corpus_docs
+                AS BIGINT) AS flagged_bp
+    FROM grid LEFT JOIN bsz ON bsz.n = grid.n
+              LEFT JOIN hits ON hits.n = grid.n
+              CROSS JOIN csz
+    ORDER BY gram_order
+"""
+
+
+def _order_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, gram) incidence for every order in _DECON_NGRID —
+    grams materialize IN the scan stage (explode of an in-row
+    transform), no shuffle."""
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(n) for n in _DECON_NGRID])
+        ).alias("n"),
+        "toks",
+    ).select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.when(
+                F.size("toks") >= F.col("n"),
+                F.expr(
+                    "transform(sequence(1, size(toks) - n + 1),"
+                    " i -> concat_ws(' ', slice(toks, i, n)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+
+
+@register("q473_decon_order_curve", _DUCK_DECON_ORDER)
+def q473_decon_order_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination n-gram-ORDER sensitivity curve — the knob the
+    frontier runs disagree on (GPT-3 removes 13-gram collisions,
+    Brown et al. 2020 App. C; PaLM 8-grams; FineWeb/Llama eval decon
+    sweeps 8-13): per gram order n, how many corpus docs would the
+    q81/q444 benchmark-collision rule flag, and how many distinct
+    benchmark grams exist at that order. Small n over-flags (common
+    phrases collide), large n under-flags (only verbatim spans
+    survive) — the curve is the measured basis for choosing q444's
+    gram order on THIS corpus, the same corpus-specific sizing move
+    as q451 (LSH bands) and q456 (SemDeDup K). Benchmark set =
+    doc_id % {_BENCH_MOD} == 0, the q81/q444 convention.
+
+    Determinism: every output is an integer count over exact string
+    equality; rate is truncating basis points.
+
+    100 TB shape: the benchmark side is a SEPARATE scan of the tiny
+    bench slice (1/{_BENCH_MOD} of docs — filter in the scan stage,
+    distinct over bench grams only), broadcast to the corpus probe;
+    the corpus side explodes (n, gram) in its scan stage and probes
+    the broadcast hash — the corpus never shuffles for the join, and
+    the only wide stages are the per-n flagged-doc distinct (bounded
+    by hit volume) and the |grid|-row final joins. Reference shape:
+    q444's broadcast-probe discipline extended across an order grid
+    in one pass."""
+    docs = _docs(spark, sf_dir)
+    g = _order_grams(docs)
+    bench = (
+        _order_grams(docs.filter(F.col("doc_id") % _BENCH_MOD == 0))
+        .select("n", "gram")
+        .distinct()
+    )
+    bsz = bench.groupBy("n").agg(F.count(F.lit(1)).alias("bench_grams"))
+    corp = g.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    hits = (
+        corp.join(F.broadcast(bench), ["n", "gram"])
+        .groupBy("n")
+        .agg(
+            F.countDistinct("doc_id").alias("flagged_docs"),
+            F.count(F.lit(1)).alias("hit_occurrences"),
+        )
+    )
+    csz = docs.filter(F.col("doc_id") % _BENCH_MOD != 0).agg(
+        F.count(F.lit(1)).alias("corpus_docs")
+    )
+    grid = spark.createDataFrame([(n,) for n in _DECON_NGRID], "n INT")
+    return (
+        grid.join(F.broadcast(bsz), "n", "left")
+        .join(F.broadcast(hits), "n", "left")
+        .crossJoin(F.broadcast(csz))
+        .select(
+            F.col("n").cast("bigint").alias("gram_order"),
+            F.coalesce(F.col("bench_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("bench_grams"),
+            F.col("corpus_docs").cast("bigint").alias("corpus_docs"),
+            F.coalesce(F.col("flagged_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("flagged_docs"),
+            F.coalesce(F.col("hit_occurrences"), F.lit(0))
+            .cast("bigint")
+            .alias("hit_occurrences"),
+            F.expr(
+                "CAST((10000 * coalesce(flagged_docs, 0)) div corpus_docs"
+                " AS BIGINT)"
+            ).alias("flagged_bp"),
+        )
+        .orderBy("gram_order")
+    )

@@ -873,3 +873,157 @@ def q469_embedding_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- round-12 wave 2: q474 embedding label-separability (pseudo-F) -----------
+
+_DUCK_SEPARABILITY = """
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (
+      SELECT label,
+             list_transform(
+               e, x -> CAST(round(1000000 * x
+                                  / sqrt(list_dot_product(e, e))) AS BIGINT))
+               AS qv
+      FROM v),
+         ex AS (
+      SELECT label, d, qv[d] AS qd
+      FROM q, (SELECT unnest(generate_series(1, 64)) AS d) dd),
+         dim AS (
+      SELECT label, d,
+             sum(qd) AS s,
+             sum(CAST(qd AS HUGEINT) * qd) AS ssq
+      FROM ex GROUP BY label, d),
+         cnt AS (SELECT label, count(*) AS n FROM q GROUP BY label),
+         lab AS (
+      SELECT label,
+             sum(CAST(s AS HUGEINT) * s) AS num,
+             sum(ssq) AS sumsq
+      FROM dim GROUP BY label),
+         labm AS (
+      SELECT lab.label, cnt.n,
+             num // cnt.n AS between_term,
+             sumsq - num // cnt.n AS within_ss
+      FROM lab JOIN cnt USING (label)),
+         gdim AS (SELECT d, sum(s) AS gs FROM dim GROUP BY d),
+         gtot AS (
+      SELECT (SELECT sum(CAST(gs AS HUGEINT) * gs) FROM gdim) AS gnum,
+             (SELECT sum(n) FROM cnt) AS nn,
+             (SELECT count(*) FROM cnt) AS k,
+             (SELECT sum(between_term) FROM labm) AS bt,
+             (SELECT sum(within_ss) FROM labm) AS wt),
+         chv AS (
+      SELECT CAST((1000 * (bt - gnum // nn) * (nn - k))
+                  // ((k - 1) * wt) AS BIGINT) AS ch_index_milli,
+             CAST(bt - gnum // nn AS HUGEINT) AS between_total,
+             wt AS within_total
+      FROM gtot)
+    SELECT CAST(labm.label AS BIGINT) AS label,
+           CAST(labm.n AS BIGINT) AS n_vectors,
+           CAST(labm.between_term // labm.n AS BIGINT) AS centroid_sq_e12,
+           CAST(labm.within_ss // labm.n AS BIGINT) AS within_mean_e12,
+           CAST((10000 * labm.within_ss) // chv.within_total AS BIGINT)
+             AS within_share_bp,
+           chv.ch_index_milli
+    FROM labm CROSS JOIN chv
+    ORDER BY label
+"""
+
+
+@register("q474_embedding_separability", _DUCK_SEPARABILITY)
+def q474_embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label separability of the embedding space — the Calinski-
+    Harabasz pseudo-F (Calinski & Harabasz, Comm. Stat. 1974):
+    between-label scatter over within-label scatter, the ANOVA
+    decomposition applied to the corpus's declared domains. The
+    data-curation question it answers: do the embedding clusters
+    actually SEPARATE the label/domain partition the mixture design
+    (q164/q448/q453) and SemDeDup clustering (q151/q456) assume? A
+    CH index near 0 says domain-aware curation is operating on noise;
+    the per-label within/between split names which domain is the
+    blur. Same moment discipline as q440: NO pairwise or per-vector
+    distance — everything derives from per-(label, dim) sums, because
+    sum_i ||x_i - mu||^2 = sum_i ||x_i||^2 - ||sum_i x_i||^2 / n.
+
+    Exactness: vectors normalize per row and quantize to e6 integers
+    (the q440 contract), so scatter terms are order-free integer sums
+    in decimal(38,0)/HUGEINT; every division is a truncating integral
+    div on non-negative operands — engine-identical.
+
+    100 TB shape: one posexplode to (label, dim, q) in the scan stage,
+    then map-side-combinable aggregates keyed (label, dim) -> (label)
+    -> (dim): the widest state is |labels| x 64 rows. No join touches
+    the corpus; the CH scalar broadcasts back onto the |labels|-row
+    output. At 10^9 vectors this is the same ONE linear pass as q440."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("label").cast("bigint").alias("label"), _e().alias("e")
+    )
+    withq = emb.select(
+        "label",
+        F.expr(
+            "transform(e, x -> CAST(round(1000000 * x"
+            " / sqrt(aggregate(zip_with(e, e, (a, b) -> a * b),"
+            " 0D, (s, t) -> s + t))) AS BIGINT))"
+        ).alias("qv"),
+    )
+    ex = withq.select("label", F.posexplode("qv").alias("d", "qd"))
+    # n rides the (label, d) aggregate (every dim sees every vector of
+    # its label), so no separate per-label count pass over the corpus.
+    dim = ex.groupBy("label", "d").agg(
+        F.sum("qd").alias("s"),
+        F.sum(F.col("qd").cast("decimal(20,0)") * F.col("qd")).alias("ssq"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    lab = dim.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(20,0)") * F.col("s")).alias("num"),
+        F.sum("ssq").alias("sumsq"),
+        F.max("c").alias("n"),
+    )
+    labm = lab.select(
+        "label",
+        "n",
+        F.expr("num div n").alias("between_term"),
+        F.expr("sumsq - num div n").alias("within_ss"),
+    )
+    gdim = dim.groupBy("d").agg(F.sum("s").alias("gs"))
+    gnum = gdim.agg(
+        F.sum(F.col("gs").cast("decimal(20,0)") * F.col("gs")).alias("gnum")
+    )
+    glob = (
+        labm.agg(
+            F.sum("between_term").alias("bt"),
+            F.sum("within_ss").alias("wt"),
+            F.sum("n").alias("nn"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .crossJoin(F.broadcast(gnum))
+        .select(
+            # DECIMAL(38,0) product (HUGEINT in the oracle, the q397
+            # contract): scatter totals are e12-scaled, so the milli
+            # numerator can pass 2^63 on big corpora.
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0))"
+                " * (bt - gnum div nn) * (nn - k))"
+                " div ((k - 1) * wt) AS BIGINT)"
+            ).alias("ch_index_milli"),
+            F.col("wt").alias("within_total"),
+        )
+    )
+    return (
+        labm.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.expr("CAST(between_term div n AS BIGINT)").alias(
+                "centroid_sq_e12"
+            ),
+            F.expr("CAST(within_ss div n AS BIGINT)").alias(
+                "within_mean_e12"
+            ),
+            F.expr(
+                "CAST((10000 * within_ss) div within_total AS BIGINT)"
+            ).alias("within_share_bp"),
+            "ch_index_milli",
+        )
+        .orderBy("label")
+    )

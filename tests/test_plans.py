@@ -255,6 +255,12 @@ def test_headline_shuffle_budgets(spark):
         "q470_bucket_sizing_advisor": 3,  # (b,bucket) agg + b agg + sort
         "q471_join_state_peak_curve": 5,  # minute census + anchor agg + semi-join side + delay agg + sort
         "q472_inbatch_collision_curve": 3,  # shard rank window + fp census + final agg
+        # round-12 wave 2 (counts include duplicated subtrees that
+        # ReuseExchange dedupes at execution — the q215 precedent)
+        "q473_decon_order_curve": 10,  # bench/corpus gram scans + distinct
+        # + per-n countDistinct (2-phase) + bounded grid joins + sort
+        "q474_embedding_separability": 10,  # ONE (label,dim) census feeds
+        # label/global scatter subtrees; every exchange past it is <= (k+1)x64 rows
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)

@@ -31,6 +31,8 @@ WAVE = [
     "q470_bucket_sizing_advisor",
     "q471_join_state_peak_curve",
     "q472_inbatch_collision_curve",
+    "q473_decon_order_curve",
+    "q474_embedding_separability",
 ]
 
 
@@ -329,3 +331,41 @@ def test_q470_bucket_stats(spark):
     bs = sorted(rows)
     for a, b in zip(bs, bs[1:]):
         assert rows[a].max_rows >= rows[b].max_rows
+
+
+# --- q473: decontamination order curve invariants ---------------------------
+
+
+def test_q473_flagged_non_increasing_in_order(spark):
+    # A benchmark n-gram hit implies benchmark (n-1)-gram hits (every
+    # sub-span of a bench gram is itself a bench gram), so the flagged
+    # set can only shrink as the order grows.
+    rows = run(spark, "q473_decon_order_curve").collect()
+    assert len(rows) == 5
+    flagged = [r.flagged_docs for r in rows]  # rows ordered by gram_order
+    assert flagged == sorted(flagged, reverse=True), flagged
+    cd = {r.corpus_docs for r in rows}
+    assert len(cd) == 1  # corpus size is order-independent
+    for r in rows:
+        assert r.flagged_bp == (10000 * r.flagged_docs) // r.corpus_docs
+        assert r.flagged_docs <= r.hit_occurrences or r.flagged_docs == 0
+
+
+# --- q474: embedding separability invariants --------------------------------
+
+
+def test_q474_scatter_decomposition(spark):
+    rows = run(spark, "q474_embedding_separability").collect()
+    assert len(rows) >= 2
+    # one global CH index, repeated per label row
+    assert len({r.ch_index_milli for r in rows}) == 1
+    assert rows[0].ch_index_milli >= 0
+    # within shares partition the within-scatter (truncating bp)
+    share = sum(r.within_share_bp for r in rows)
+    assert 10000 - len(rows) <= share <= 10000, share
+    for r in rows:
+        # unit vectors at e6: per-vector scatter terms are bounded by
+        # the squared norm 1e12
+        assert 0 <= r.within_mean_e12 <= 10**12
+        assert 0 <= r.centroid_sq_e12 <= 10**12
+        assert r.n_vectors > 0
