@@ -66,9 +66,9 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: item 4 so the debt strictly drains):
 #:   r13: the old-debt remainder (q254–q263, q266, q268, q349,
 #:        q368–q375, and the b-variants q72b/q139b/q149b — 24
-#:        entries) plus the r12 wave (q459–q474 — 16 entries) = 40
-#:        of the 44 fresh slots — drains to 0 with 4 slots left for
-#:        the round-robin cursor below.
+#:        entries) plus the r12 wave (q459–q478 — 20 entries,
+#:        exactly the cap) = all 44 fresh slots — drains to 0; the
+#:        round-robin cursor starts in r14.
 #:
 #: POST-DEBT ROTATION POLICY (standing, activates once never-seen
 #: hits 0 — VERDICT r11 item 3). Each round's 50-slot window is:
@@ -84,8 +84,9 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #:      ~420 non-pinned, non-wave rows and ~24–44 revisit slots per
 #:      round, every row is re-confirmed at least once every ~10–17
 #:      rounds. The cursor position is recorded here each round:
-#:        r13 cursor: start at q01 (registry head) after the debt
-#:        remainder is drained.
+#:        r13 fills all 44 fresh slots with the debt remainder +
+#:        the 20-query r12 wave; the cursor starts at q01 (registry
+#:        head) in r14.
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)
     "flagship_doc_scan",

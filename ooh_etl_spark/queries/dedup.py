@@ -3692,3 +3692,168 @@ def q472_inbatch_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_size")
     )
+
+
+# --- round-12 wave 3: q477 D4 prototypicality pruning ladder ------------------
+
+#: drop fractions (percent) for the prototypicality prune.
+_D4_GRID = (10, 25, 50)
+_D4_K = 16  # centroid panel size (q456's kmax / q151 first-K rule)
+_D4_BUCKET = 1000  # e6-distance bucket width for the threshold census
+
+_DUCK_D4 = f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS (
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_D4_K}),
+         d AS (
+      SELECT v.vec_id, v.label, c.cid,
+             CAST(round(1000000 * list_aggregate(
+               list_transform(generate_series(1, 64),
+                 i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])), 'sum'))
+               AS BIGINT) AS d2
+      FROM v CROSS JOIN c),
+         asn AS (
+      SELECT vec_id, label, cid, d2 // {_D4_BUCKET} AS bucket FROM (
+        SELECT vec_id, label, cid, d2, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM d) WHERE rk = 1),
+         c3 AS (
+      SELECT cid, bucket, label, count(*) AS c
+      FROM asn GROUP BY cid, bucket, label),
+         cb AS (SELECT cid, bucket, sum(c) AS c FROM c3 GROUP BY cid, bucket),
+         n AS (SELECT cid, sum(c) AS n FROM cb GROUP BY cid),
+         cum AS (
+      SELECT cid, bucket,
+             sum(c) OVER (PARTITION BY cid ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM cb),
+         g AS (SELECT unnest([{", ".join(str(x) for x in _D4_GRID)}])
+                 AS p_pct),
+         thr AS (
+      SELECT g.p_pct, cum.cid, min(cum.bucket) AS thr_bucket
+      FROM cum JOIN n USING (cid) CROSS JOIN g
+      WHERE 100 * cum.cum >= g.p_pct * n.n
+      GROUP BY g.p_pct, cum.cid)
+    SELECT CAST(t.p_pct AS BIGINT) AS p_pct,
+           CAST(c3.label AS BIGINT) AS label,
+           CAST(sum(c3.c) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN c3.bucket <= t.thr_bucket THEN c3.c ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST((10000 * sum(CASE WHEN c3.bucket <= t.thr_bucket
+                                  THEN c3.c ELSE 0 END)) // sum(c3.c)
+                AS BIGINT) AS drop_bp
+    FROM c3 JOIN thr t USING (cid)
+    GROUP BY t.p_pct, c3.label
+    ORDER BY p_pct, label
+"""
+
+
+@register("q477_prototypicality_prune", _DUCK_D4)
+def q477_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style PROTOTYPICALITY pruning ladder — the diversification
+    half of Tirumala et al. (NeurIPS 2023): after SemDeDup removes
+    semantic duplicates, D4 additionally drops the most PROTOTYPICAL
+    points (smallest distance to their cluster centroid — Sorscher et
+    al., NeurIPS 2022's SSL-prototypes rule) because they carry the
+    least marginal information. For each drop fraction p in
+    {_D4_GRID}%, every embedding is assigned to its nearest first-
+    {_D4_K} centroid (the q151/q456 deterministic panel) and the
+    per-cluster distance threshold that prunes the closest ~p% is
+    derived from a BUCKETED distance census — the per-(p, label)
+    drop census shows which declared domain the prune concentrates
+    on (the mixture-shift question a D4 deployment must audit before
+    training, cf. q164/q453).
+
+    Determinism: distances are index-ordered e6-quantized folds (the
+    q456 contract); the prune rule is bucket-exact — thr(cid, p) =
+    smallest {_D4_BUCKET}-wide e6-distance bucket whose cumulative
+    count reaches p% of the cluster, drop iff bucket <= thr — so both
+    engines agree without ordering WITHIN a bucket (achieved drop_bp
+    overshoots p by at most one bucket's mass, reported exactly).
+
+    100 TB shape: ONE corpus pass computes all {_D4_K} distances
+    in-row against the broadcast panel (no crossJoin expansion) and
+    reduces to a (cid, bucket, label) census — every later stage
+    (cumulative window PARTITIONED BY cid, threshold join, final
+    census x threshold aggregate) rides censuses bounded by
+    {_D4_K} x buckets x labels, never the corpus."""
+    from ooh_etl_spark.tables import parallelize_rows
+
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    c = v.filter(F.col("vec_id") < _D4_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    cagg = c.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    asn = v.crossJoin(F.broadcast(cagg)).select(
+        "label",
+        F.expr(
+            "array_min(transform(cents, c -> named_struct("
+            " 'd2', CAST(round(1000000 * aggregate("
+            "   zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),"
+            "   CAST(0 AS DOUBLE), (a, t) -> a + t)) AS BIGINT),"
+            " 'cid', c.cid)))"
+        ).alias("a"),
+    ).select(
+        "label",
+        F.col("a.cid").alias("cid"),
+        F.expr(f"a.d2 div {_D4_BUCKET}").alias("bucket"),
+    )
+    c3 = (
+        asn.groupBy("cid", "bucket", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # <= K x buckets x labels rows; feeds the
+        # threshold derivation AND the final census — without the cut
+        # each branch would re-run the corpus assignment pass
+    )
+    cb = c3.groupBy("cid", "bucket").agg(F.sum("c").alias("c"))
+    n = cb.groupBy("cid").agg(F.sum("c").alias("n"))
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("cid")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cb.select("cid", "bucket", F.sum("c").over(wcum).alias("cum"))
+    grid = spark.createDataFrame([(p,) for p in _D4_GRID], "p_pct BIGINT")
+    thr = (
+        cum.join(F.broadcast(n), "cid")
+        .crossJoin(F.broadcast(grid))
+        .filter(100 * F.col("cum") >= F.col("p_pct") * F.col("n"))
+        .groupBy("p_pct", "cid")
+        .agg(F.min("bucket").alias("thr_bucket"))
+    )
+    return (
+        c3.join(F.broadcast(thr), "cid")
+        .groupBy("p_pct", "label")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("bucket") <= F.col("thr_bucket"), F.col("c"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.expr(
+                "(10000 * sum(CASE WHEN bucket <= thr_bucket THEN c ELSE 0"
+                " END)) div sum(c)"
+            )
+            .cast("bigint")
+            .alias("drop_bp"),
+        )
+        .select(
+            F.col("p_pct").cast("bigint").alias("p_pct"),
+            F.col("label").cast("bigint").alias("label"),
+            "n_vecs",
+            "n_dropped",
+            "drop_bp",
+        )
+        .orderBy("p_pct", "label")
+    )

@@ -1973,3 +1973,113 @@ def q471_join_state_peak_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delay_s")
     )
+
+
+# --- round-12 wave 3: q476 watermark-lateness drop curve ----------------------
+
+#: candidate watermark delays (seconds); the synthetic arrival jitter
+#: is bounded by _WM_JITTER_S, so the curve spans none-to-all dropping.
+_WM_GRID = (60, 300, 900, 1800)
+_WM_JITTER_S = 1800
+
+_DUCK_WM = f"""
+    WITH e AS (
+      SELECT epoch_us(ts) AS us,
+             epoch_us(ts) + ((event_id * 7919) % {_WM_JITTER_S}) * 1000000
+               AS arrival_us
+      FROM events),
+         ev AS (
+      SELECT us, arrival_us // 60000000 AS arr_min FROM e),
+         census AS (
+      SELECT arr_min, max(us) AS mx FROM ev GROUP BY arr_min),
+         wm AS (
+      SELECT arr_min,
+             coalesce(max(mx) OVER (ORDER BY arr_min
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -4611686018427387904) AS wm_base
+      FROM census),
+         g AS (SELECT unnest([{", ".join(str(x) for x in _WM_GRID)}])
+                 AS delay_s),
+         j AS (
+      SELECT g.delay_s, ev.us, wm.wm_base
+      FROM ev JOIN wm USING (arr_min) CROSS JOIN g)
+    SELECT CAST(delay_s AS BIGINT) AS delay_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN us < wm_base - delay_s * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST((10000 * sum(CASE WHEN us < wm_base - delay_s * 1000000
+                                  THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS dropped_bp
+    FROM j GROUP BY delay_s ORDER BY delay_s
+"""
+
+
+@register("q476_watermark_lateness_curve", _DUCK_WM)
+def q476_watermark_lateness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sizing curve — the `withWatermark` question the
+    streaming trio (q33/q36/q46) leaves to folklore ('how much
+    lateness tolerance before the state store explodes?') answered
+    from the event history with the OTHER side of the trade-off
+    measured: for each candidate delay, how many events a
+    Structured-Streaming watermark would DROP as too-late (Akidau et
+    al., VLDB 2015 §2.3 — the watermark/lateness trade is the core of
+    the Dataflow model; Spark SS adopts it per SPARK-18124). Arrival
+    order is synthesized deterministically (arrival = event time +
+    (event_id * 7919) % {_WM_JITTER_S} s jitter — int64-exact to
+    ~1e15 ids) and the watermark advances per arrival-minute, the
+    micro-batch granularity: wm(minute) = max event time seen in
+    EARLIER arrival minutes − delay; an event is dropped when its
+    event time is behind the watermark at its own arrival minute.
+    Completes the streaming-ops sizing set: q459 trigger interval,
+    q467 state TTL, q471 join-state retention, q476 watermark delay.
+
+    Determinism: all arithmetic on exact microsecond epochs and int64
+    jitter; outputs are integer counts and truncating-div basis
+    points; the first arrival minute coalesces to -2^62 (no prior
+    watermark -> nothing drops).
+
+    100 TB shape: ONE pass builds the |arrival minutes|-row census;
+    the prefix max runs on that CENSUS (input-bounded window over an
+    aggregate — the posture the audit whitelists structurally, not a
+    corpus sort); the watermark table then BROADCASTS back onto the
+    corpus, so the event stream itself never shuffles — the x|grid|
+    expansion feeds one map-side-combinable aggregate keyed by
+    delay."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") * 7919) % _WM_JITTER_S * 1000000
+        ).alias("arrival_us"),
+    )
+    evm = ev.select("us", F.expr("arrival_us div 60000000").alias("arr_min"))
+    census = evm.groupBy("arr_min").agg(F.max("us").alias("mx"))
+    w = (
+        Window.orderBy("arr_min")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = census.select(
+        "arr_min",
+        F.coalesce(
+            F.max("mx").over(w), F.lit(-4611686018427387904)
+        ).alias("wm_base"),
+    )
+    grid = spark.createDataFrame([(s,) for s in _WM_GRID], "delay_s BIGINT")
+    j = evm.join(F.broadcast(wm), "arr_min").crossJoin(F.broadcast(grid))
+    dropped = F.when(
+        F.col("us") < F.col("wm_base") - F.col("delay_s") * 1000000, 1
+    ).otherwise(0)
+    return (
+        j.groupBy("delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.expr(
+                "(10000 * sum(CASE WHEN us < wm_base - delay_s * 1000000"
+                " THEN 1 ELSE 0 END)) div count(*)"
+            )
+            .cast("bigint")
+            .alias("dropped_bp"),
+        )
+        .orderBy("delay_s")
+    )

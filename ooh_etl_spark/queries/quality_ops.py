@@ -2132,3 +2132,189 @@ def q473_decon_order_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gram_order")
     )
+
+
+# --- round-12 wave 3: q475 decontamination-bloom sizing advisor ---------------
+
+#: (m_bits, k_hashes) grid: three filter sizes x two hash counts. md5
+#: yields four independent 32-bit slices, so k <= 4.
+_BFS_GRID = ((4096, 2), (4096, 4), (16384, 2), (16384, 4), (65536, 2), (65536, 4))
+
+_DUCK_BFS = f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         g AS (
+      SELECT doc_id, unnest({_DUCK_TRIGRAMS}) AS gram FROM t),
+         bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+         n_ins AS (SELECT count(*) AS n FROM bench),
+         grid AS (
+      SELECT * FROM (VALUES {", ".join(f"({m}, {k})" for m, k in _BFS_GRID)})
+        AS v(m_bits, k_hashes)),
+         bits AS (
+      SELECT DISTINCT grid.m_bits, grid.k_hashes,
+             ('0x' || substr(md5(gram), 1 + 8 * j, 8))::BIGINT % grid.m_bits
+               AS pos
+      FROM bench CROSS JOIN grid
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(0, grid.k_hashes - 1))
+                            AS j) u),
+         cg AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+         absent AS (
+      SELECT gram FROM cg WHERE gram NOT IN (SELECT gram FROM bench)),
+         pr AS (
+      SELECT grid.m_bits, grid.k_hashes, a.gram,
+             ('0x' || substr(md5(a.gram), 1 + 8 * j, 8))::BIGINT % grid.m_bits
+               AS pos
+      FROM absent a CROSS JOIN grid
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(0, grid.k_hashes - 1))
+                            AS j) u),
+         per_gram AS (
+      SELECT pr.m_bits, pr.k_hashes, pr.gram,
+             min(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS maybe
+      FROM pr LEFT JOIN bits
+        ON bits.m_bits = pr.m_bits AND bits.k_hashes = pr.k_hashes
+       AND bits.pos = pr.pos
+      GROUP BY 1, 2, 3)
+    SELECT CAST(m_bits AS BIGINT) AS m_bits,
+           CAST(k_hashes AS BIGINT) AS k_hashes,
+           CAST(n_ins.n AS BIGINT) AS n_inserted,
+           CAST(count(*) AS BIGINT) AS n_absent,
+           CAST(sum(maybe) AS BIGINT) AS n_false_pos,
+           CAST((10000 * sum(maybe)) // count(*) AS BIGINT) AS fpr_bp,
+           CAST(round(10000 * pow(1.0 - exp(-CAST(k_hashes AS DOUBLE)
+                                            * n_ins.n / m_bits),
+                                  CAST(k_hashes AS DOUBLE))) AS BIGINT)
+             AS theory_bp,
+           CAST((1000 * m_bits) // n_ins.n AS BIGINT) AS bits_per_key_milli
+    FROM per_gram CROSS JOIN n_ins
+    GROUP BY m_bits, k_hashes, n_ins.n
+    ORDER BY m_bits, k_hashes
+"""
+
+
+@register("q475_bloom_sizing_advisor", _DUCK_BFS)
+def q475_bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination-bloom SIZING curve — the knob q444 pins at 2^14
+    bits, measured across a (m, k) grid so the operator that deploys a
+    BFF-style filter (Soldaini et al. 2024, Dolma §4; Bloom, CACM
+    1970) can pick bits-per-key from DATA instead of folklore: for
+    each filter size m in {{2^12, 2^14, 2^16}} and hash count k in
+    {{2, 4}}, the bench trigram set is inserted (k md5-slice
+    positions, the q444 hashing contract) and every ABSENT corpus
+    gram probes its k bits; the measured gram-level false-positive
+    rate sits next to the textbook (1 - e^(-kn/m))^k so the gap
+    (hash-slice correlation, integer-mod bias) is visible. Extends
+    the advisor series: q427 MinHash bands, q451 LSH S-curve, q452
+    join strategy, q456 SemDeDup K, q470 bucket count — this one
+    sizes the decontamination filter itself.
+
+    Determinism: positions are md5 hex slices parsed as integers (the
+    q444 conv/0x contract, machine-checked in tests); measured cells
+    are integer counts and truncating-div basis points; the only
+    float is the closed-form theory column (exp/pow on integer
+    inputs, the q246 precedent).
+
+    100 TB shape: the corpus text is scanned ONCE into a distinct-
+    gram census (map-side-combinable distinct — gram cardinality, not
+    corpus size); the x18 (grid x hashes) explode rides the CENSUS,
+    never the corpus; bench gram set and all six bit sets are
+    broadcast (<= 4 x |bench grams| positions each). No corpus-side
+    shuffle beyond the census distinct."""
+    docs = _docs(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    g = docs.select(
+        "doc_id", F.explode_outer(_trigrams(toks)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    bench = (
+        g.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+        .localCheckpoint()  # tiny; feeds the bit build, the exact-set
+        # probe AND the n_inserted scalar without re-scanning the corpus
+    )
+    nins = bench.agg(F.count(F.lit(1)).alias("n_ins"))
+    grid = spark.createDataFrame(
+        list(_BFS_GRID), "m_bits BIGINT, k_hashes BIGINT"
+    )
+    pos = F.expr(
+        "CAST(conv(substring(md5(gram), CAST(1 + 8 * j AS INT), 8), 16, 10)"
+        " AS BIGINT) % m_bits"
+    )
+    bits = (
+        bench.crossJoin(F.broadcast(grid))
+        .select(
+            "m_bits",
+            "k_hashes",
+            F.explode(
+                F.sequence(F.lit(0), F.col("k_hashes") - 1)
+            ).alias("j"),
+            "gram",
+        )
+        .select("m_bits", "k_hashes", pos.alias("pos"))
+        .distinct()
+        .withColumn("bit_set", F.lit(1))
+    )
+    absent = (
+        g.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .select("gram")
+        .distinct()
+        .join(F.broadcast(bench.withColumn("in_bench", F.lit(1))), "gram", "left")
+        .filter(F.col("in_bench").isNull())
+        .select("gram")
+    )
+    probes = (
+        absent.crossJoin(F.broadcast(grid))
+        .select(
+            "m_bits",
+            "k_hashes",
+            F.explode(
+                F.sequence(F.lit(0), F.col("k_hashes") - 1)
+            ).alias("j"),
+            "gram",
+        )
+        .select("m_bits", "k_hashes", "gram", pos.alias("pos"))
+    )
+    per_gram = (
+        probes.join(F.broadcast(bits), ["m_bits", "k_hashes", "pos"], "left")
+        .groupBy("m_bits", "k_hashes", "gram")
+        .agg(
+            F.min(F.col("bit_set").isNotNull().cast("int")).alias("maybe")
+        )
+    )
+    return (
+        per_gram.groupBy("m_bits", "k_hashes")
+        .agg(
+            F.count(F.lit(1)).alias("n_absent_raw"),
+            F.sum("maybe").alias("n_fp_raw"),
+        )
+        .crossJoin(F.broadcast(nins))
+        .select(
+            F.col("m_bits").cast("bigint").alias("m_bits"),
+            F.col("k_hashes").cast("bigint").alias("k_hashes"),
+            F.col("n_ins").cast("bigint").alias("n_inserted"),
+            F.col("n_absent_raw").cast("bigint").alias("n_absent"),
+            F.col("n_fp_raw").cast("bigint").alias("n_false_pos"),
+            F.expr("(10000 * n_fp_raw) div n_absent_raw")
+            .cast("bigint")
+            .alias("fpr_bp"),
+            F.round(
+                10000
+                * F.pow(
+                    1.0
+                    - F.exp(
+                        -F.col("k_hashes").cast("double")
+                        * F.col("n_ins")
+                        / F.col("m_bits")
+                    ),
+                    F.col("k_hashes").cast("double"),
+                )
+            )
+            .cast("bigint")
+            .alias("theory_bp"),
+            F.expr("(1000 * m_bits) div n_ins")
+            .cast("bigint")
+            .alias("bits_per_key_milli"),
+        )
+        .orderBy("m_bits", "k_hashes")
+    )

@@ -1582,3 +1582,161 @@ def q446_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- round-12 wave 3: q478 int8 scalar-quantization recall --------------------
+
+_SQ_NQ = 5  # fixed query panel (q446/q31b convention)
+_SQ_K = 10  # recall@10
+
+_DUCK_SQ = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(1000000 * x) AS BIGINT)) AS x6
+      FROM embeddings),
+         ex AS (
+      SELECT vec_id, d, x6[d] AS x
+      FROM v, (SELECT unnest(generate_series(1, 64)) AS d) dd),
+         cen AS (
+      SELECT d, min(x) AS mn, max(x) - min(x) AS span
+      FROM ex GROUP BY d),
+         recon AS (
+      SELECT ex.vec_id, ex.d,
+             cen.mn + ((((ex.x - cen.mn) * 255) // greatest(cen.span, 1))
+                       * cen.span) // 255 AS r
+      FROM ex JOIN cen USING (d)),
+         qx AS (SELECT vec_id AS qid, d, x FROM ex WHERE vec_id < {_SQ_NQ}),
+         dist AS (
+      SELECT qx.qid, recon.vec_id,
+             sum((qx.x - recon.r) * (qx.x - recon.r)) AS adc
+      FROM qx JOIN recon USING (d)
+      WHERE recon.vec_id <> qx.qid
+      GROUP BY qx.qid, recon.vec_id),
+         exact AS (
+      SELECT qx.qid, ex.vec_id,
+             sum((qx.x - ex.x) * (qx.x - ex.x)) AS ed
+      FROM qx JOIN ex USING (d)
+      WHERE ex.vec_id <> qx.qid
+      GROUP BY qx.qid, ex.vec_id),
+         ranked AS (
+      SELECT dist.qid, dist.vec_id,
+             row_number() OVER (PARTITION BY dist.qid
+                                ORDER BY dist.adc, dist.vec_id) AS rk_adc,
+             row_number() OVER (PARTITION BY dist.qid
+                                ORDER BY exact.ed, exact.vec_id) AS rk_exact
+      FROM dist JOIN exact
+        ON exact.qid = dist.qid AND exact.vec_id = dist.vec_id)
+    SELECT CAST(qid AS BIGINT) AS query_id,
+           CAST(sum(CASE WHEN rk_adc <= {_SQ_K} AND rk_exact <= {_SQ_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           CAST((10000 * sum(CASE WHEN rk_adc <= {_SQ_K}
+                                   AND rk_exact <= {_SQ_K}
+                                  THEN 1 ELSE 0 END)) // {_SQ_K} AS BIGINT)
+             AS recall_bp
+    FROM ranked GROUP BY qid ORDER BY query_id
+"""
+
+
+@register("q478_sq_int8_recall", _DUCK_SQ)
+def q478_sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar-quantization recall@{_SQ_K} — the 4x-compression
+    rung that completes the repo's vector-compression ladder (PQ
+    codes q159 / ADC q446 at 32x, 1-bit sign quantization q290 at
+    32x, matryoshka truncation q324): per-dimension min/max scalar
+    quantization (the SQ8 scheme of FAISS's ScalarQuantizer and
+    Milvus/pgvector's halfvec/int8 paths; Jégou et al. TPAMI 2011
+    §II situates SQ as the baseline PQ improves on) maps each
+    coordinate to an 8-bit code; search stays ASYMMETRIC — the query
+    keeps full precision and scores against per-dim DEQUANTIZED
+    codes, so only the corpus side carries quantization error. For
+    the fixed {_SQ_NQ}-query panel, SQ top-{_SQ_K} is compared to the
+    exact-L2 top-{_SQ_K}; recall says whether 8 bits/dim is enough
+    for this embedding distribution (for near-uniform dims it is —
+    the curve to q290's sign-bit answer is the design space).
+
+    Determinism: inputs e6-quantize BEFORE the min/max census (the
+    q440 contract); codes and dequantized values are pure integer
+    arithmetic (truncating div, span-0 dims code to 0); both
+    rankings tie-break on vec_id; recall is an exact integer ratio.
+
+    100 TB shape: the 64-row min/max census is one map-side-
+    combinable pass; it broadcasts back as a single array row, so
+    quantize + dequantize + both distances all evaluate IN-ROW in
+    the scan stage (zip_with folds — no per-dim explode of the
+    corpus); the x{_SQ_NQ} panel expansion feeds two keyed windows
+    over |Q| partitions (the q446 precedent — at production scale
+    the IVF cells of q53/q437 bound the rerank set instead)."""
+    emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(round(1000000 * x) AS BIGINT))"
+        ).alias("x6"),
+    ).localCheckpoint()  # feeds the census, the panel AND the scan pass
+    cen = (
+        v.select(F.posexplode("x6").alias("d0", "x"))
+        .groupBy((F.col("d0") + 1).alias("d"))
+        .agg(F.min("x").alias("mn"), (F.max("x") - F.min("x")).alias("span"))
+    )
+    cen1 = cen.agg(
+        F.array_sort(F.collect_list(F.struct("d", "mn", "span"))).alias("cen")
+    )
+    recon = v.crossJoin(F.broadcast(cen1)).select(
+        "vec_id",
+        "x6",
+        F.expr(
+            "transform(sequence(1, 64), i -> cen[i - 1].mn"
+            " + ((((x6[i - 1] - cen[i - 1].mn) * 255)"
+            "     div greatest(cen[i - 1].span, 1))"
+            "    * cen[i - 1].span) div 255)"
+        ).alias("r"),
+    )
+    panel = (
+        v.filter(F.col("vec_id") < _SQ_NQ)
+        .select(F.struct(F.col("vec_id").alias("qid"), F.col("x6").alias("q6")).alias("q"))
+        .agg(F.collect_list("q").alias("qs"))
+    )
+    pairs = (
+        recon.crossJoin(F.broadcast(panel))
+        .select("vec_id", "x6", "r", F.explode("qs").alias("q"))
+        .filter(F.col("vec_id") != F.col("q.qid"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(q.q6, r, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (s, t) -> s + t)"
+            ).alias("adc"),
+            F.expr(
+                "aggregate(zip_with(q.q6, x6, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (s, t) -> s + t)"
+            ).alias("ed"),
+        )
+    )
+    wa = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    we = Window.partitionBy("qid").orderBy("ed", "vec_id")
+    ranked = pairs.select(
+        "qid",
+        F.row_number().over(wa).alias("rk_adc"),
+        F.row_number().over(we).alias("rk_exact"),
+    )
+    both = (F.col("rk_adc") <= _SQ_K) & (F.col("rk_exact") <= _SQ_K)
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.sum(both.cast("int")).cast("bigint").alias("hits"),
+            F.expr(
+                f"CAST((10000 * sum(CASE WHEN rk_adc <= {_SQ_K}"
+                f" AND rk_exact <= {_SQ_K} THEN 1 ELSE 0 END))"
+                f" div {_SQ_K} AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+        .select(
+            F.col("qid").cast("bigint").alias("query_id"),
+            "hits",
+            "recall_bp",
+        )
+        .orderBy("query_id")
+    )

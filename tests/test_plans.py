@@ -261,6 +261,15 @@ def test_headline_shuffle_budgets(spark):
         # + per-n countDistinct (2-phase) + bounded grid joins + sort
         "q474_embedding_separability": 10,  # ONE (label,dim) census feeds
         # label/global scatter subtrees; every exchange past it is <= (k+1)x64 rows
+        # round-12 wave 3
+        "q475_bloom_sizing_advisor": 5,  # bench/corpus gram distincts +
+        # per-(grid,gram) min agg + grid agg + sort; bit sets broadcast
+        "q476_watermark_lateness_curve": 3,  # minute census + delay agg
+        # + sort; watermark table broadcasts back (corpus never shuffles)
+        "q477_prototypicality_prune": 6,  # ONE corpus assignment census
+        # (checkpointed) + census-sized rollups/threshold join + sort
+        "q478_sq_int8_recall": 3,  # 64-row min/max census + the two
+        # per-query rank windows sharing one exchange + final agg
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)

@@ -33,6 +33,10 @@ WAVE = [
     "q472_inbatch_collision_curve",
     "q473_decon_order_curve",
     "q474_embedding_separability",
+    "q475_bloom_sizing_advisor",
+    "q476_watermark_lateness_curve",
+    "q477_prototypicality_prune",
+    "q478_sq_int8_recall",
 ]
 
 
@@ -369,3 +373,89 @@ def test_q474_scatter_decomposition(spark):
         assert 0 <= r.within_mean_e12 <= 10**12
         assert 0 <= r.centroid_sq_e12 <= 10**12
         assert r.n_vectors > 0
+
+
+# --- q475: bloom sizing curve invariants -------------------------------------
+
+
+def test_q475_fpr_monotone_and_theory_tracks(spark):
+    rows = run(spark, "q475_bloom_sizing_advisor").collect()
+    assert len(rows) == 6
+    # one bench set, one absent-gram census — constant across the grid
+    assert len({r.n_inserted for r in rows}) == 1
+    assert len({r.n_absent for r in rows}) == 1
+    by = {(r.m_bits, r.k_hashes): r for r in rows}
+    # at fixed k, a bigger filter can only lower the measured FPR
+    for k in (2, 4):
+        fprs = [by[(m, k)].fpr_bp for m in (4096, 16384, 65536)]
+        assert fprs == sorted(fprs, reverse=True), fprs
+    for r in rows:
+        assert 0 <= r.n_false_pos <= r.n_absent
+        assert r.fpr_bp == (10000 * r.n_false_pos) // r.n_absent
+        assert 0 <= r.theory_bp <= 10000
+        assert r.bits_per_key_milli == (1000 * r.m_bits) // r.n_inserted
+    # the measurement exists to sit NEXT to the formula: on a hash
+    # this uniform the two agree within a small absolute band at the
+    # fixture scale (else the md5-slice contract is broken)
+    for r in rows:
+        assert abs(r.fpr_bp - r.theory_bp) <= max(50, r.theory_bp // 2), (
+            r.m_bits,
+            r.k_hashes,
+            r.fpr_bp,
+            r.theory_bp,
+        )
+
+
+# --- q476: watermark lateness curve invariants -------------------------------
+
+
+def test_q476_drop_curve_monotone_and_bounded(spark):
+    rows = run(spark, "q476_watermark_lateness_curve").collect()
+    assert [r.delay_s for r in rows] == [60, 300, 900, 1800]
+    assert len({r.n_events for r in rows}) == 1
+    drops = [r.n_dropped for r in rows]
+    # a longer allowed lateness can only drop fewer events
+    assert drops == sorted(drops, reverse=True), drops
+    # the jitter is bounded by 1800s, so a 1800s watermark delay
+    # provably drops NOTHING (the docstring's proof)
+    assert drops[-1] == 0
+    for r in rows:
+        assert r.dropped_bp == (10000 * r.n_dropped) // r.n_events
+
+
+# --- q477: D4 prototypicality prune invariants -------------------------------
+
+
+def test_q477_prune_overshoots_target_and_is_monotone(spark):
+    rows = run(spark, "q477_prototypicality_prune").collect()
+    ps = sorted({r.p_pct for r in rows})
+    assert ps == [10, 25, 50]
+    # per-cluster rule: 100*cum >= p*n at the threshold bucket ->
+    # summed over clusters the GLOBAL drop always reaches the target
+    for p in ps:
+        tot_n = sum(r.n_vecs for r in rows if r.p_pct == p)
+        tot_d = sum(r.n_dropped for r in rows if r.p_pct == p)
+        assert 100 * tot_d >= p * tot_n, (p, tot_d, tot_n)
+    # per-label monotonicity in p (thresholds only grow with p)
+    labels = {r.label for r in rows}
+    for lab in labels:
+        seq = [r.n_dropped for p in ps for r in rows
+               if r.p_pct == p and r.label == lab]
+        assert seq == sorted(seq), (lab, seq)
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_vecs
+        assert r.drop_bp == (10000 * r.n_dropped) // r.n_vecs
+
+
+# --- q478: int8 SQ recall invariants -----------------------------------------
+
+
+def test_q478_recall_structurally_exact(spark):
+    rows = run(spark, "q478_sq_int8_recall").collect()
+    assert [r.query_id for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert 0 <= r.hits <= 10
+        assert r.recall_bp == 1000 * r.hits
+        # 8 bits/dim on near-unit embeddings is close to lossless;
+        # anything under half recall means the dequantize contract broke
+        assert r.hits >= 5, (r.query_id, r.hits)
