@@ -612,7 +612,39 @@ _TONE_BASE = 400.0
 _TONE_STEP = 100.0
 
 
-@register("q247_audio_tone_detect", None)  # DSP recurrence → rows-only
+_DUCK_TONE = f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < 200),
+         samp AS (
+      SELECT doc_id, i,
+             CAST(round(800.0 * sin(2 * pi()
+                    * ({_TONE_BASE} + {_TONE_STEP} * (doc_id % {_TONE_BINS}))
+                    * i / {_SR}.0)) AS BIGINT)
+             + ((doc_id * 7 + i * 13) % 64 - 32) AS x
+      FROM ids, (SELECT unnest(generate_series(0, {_N_SAMP - 1})) AS i) ii),
+         pw AS (
+      SELECT doc_id, k,
+             power(sum(x * cos(2 * pi() * ({_TONE_BASE} + {_TONE_STEP} * k)
+                               * i / {_SR}.0)), 2)
+           + power(sum(x * sin(2 * pi() * ({_TONE_BASE} + {_TONE_STEP} * k)
+                               * i / {_SR}.0)), 2) AS p
+      FROM samp, (SELECT unnest(generate_series(0, {_TONE_BINS - 1})) AS k) kk
+      GROUP BY doc_id, k),
+         rk AS (
+      SELECT doc_id, k, p,
+             row_number() OVER (PARTITION BY doc_id ORDER BY p DESC, k) AS r
+      FROM pw)
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+           CAST(a.doc_id % {_TONE_BINS} AS BIGINT) AS true_bin,
+           CAST(a.k AS BIGINT) AS detected_bin,
+           CAST(round(10000 * 10.0 * log10(a.p / greatest(b.p, 1e-12)))
+                AS BIGINT) AS margin_dmdb
+    FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND a.r = 1 AND b.r = 2
+    ORDER BY a.doc_id
+"""
+
+
+@register("q247_audio_tone_detect", _DUCK_TONE)
 def q247_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tone detection over decoded audio — the Goertzel/DTMF primitive
     of every telephony and audio-QA pipeline: each document embeds a
@@ -620,8 +652,14 @@ def q247_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic noise, the payload round-trips through the REAL WAV
     codec (q157), and a single-bin DFT projection scores all 8
     candidate frequencies; the argmax bin and the top-to-second power
-    ratio (in dB decimillibels) are emitted. Rows-only by design (a
-    DSP recurrence has no SQL oracle) but SELF-VALIDATING: the
+    ratio (in dB decimillibels) are emitted. ORACLE-CHECKED since r12
+    (previously rows-only): the synthesis is a pure function of
+    doc_id and the PCM16 roundtrip is the identity on these bounded
+    samples, so DuckDB recomputes the whole DFT analytically
+    (trig sums over generate_series) — the tone-rounding inputs have
+    zero exact-.5 samples and every emitted margin sits >= 1e-3 dmdb
+    from its rounding boundary (measured over the id domain), so the
+    float compare is stable across engines. Also SELF-VALIDATING: the
     embedded frequency is known per doc, and pytest asserts the
     detector recovers it for every document with a positive margin —
     a decode off-by-one, endianness bug, or projection error breaks

@@ -459,3 +459,16 @@ def test_q478_recall_structurally_exact(spark):
         # 8 bits/dim on near-unit embeddings is close to lossless;
         # anything under half recall means the dequantize contract broke
         assert r.hits >= 5, (r.query_id, r.hits)
+
+
+# --- q247 rows-only -> analytic-oracle conversion (r12 wave 3) ---------------
+
+
+def test_q247_matches_analytic_oracle(spark, duck):
+    # The DFT is recomputed in DuckDB from the same pure-function-of-
+    # doc_id synthesis; the WAV roundtrip is identity on these samples.
+    assert_matches_oracle(spark, duck, "q247_audio_tone_detect")
+
+
+def test_q247_is_oracle_backed():
+    assert QUERIES["q247_audio_tone_detect"].oracle is not None
