@@ -162,6 +162,10 @@ HEADLINE = [
     # IVF posting balance: broadcast-panel in-row argmin in the scan
     # stage + a K-row cell census — the index-health audit shape.
     "q461_ivf_posting_balance",
+    # bloom sizing advisor: corpus reduced ONCE to a distinct-gram
+    # census; the (m, k)-grid bit probes ride the census against six
+    # broadcast bit sets — the measured-vs-theory advisor shape.
+    "q475_bloom_sizing_advisor",
 ]
 
 
