@@ -2186,7 +2186,8 @@ _DUCK_BFS = f"""
                                             * n_ins.n / m_bits),
                                   CAST(k_hashes AS DOUBLE))) AS BIGINT)
              AS theory_bp,
-           CAST((1000 * m_bits) // n_ins.n AS BIGINT) AS bits_per_key_milli
+           CAST((1000 * m_bits) // greatest(n_ins.n, 1) AS BIGINT)
+             AS bits_per_key_milli
     FROM per_gram CROSS JOIN n_ins
     GROUP BY m_bits, k_hashes, n_ins.n
     ORDER BY m_bits, k_hashes
@@ -2312,7 +2313,7 @@ def q475_bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("theory_bp"),
-            F.expr("(1000 * m_bits) div n_ins")
+            F.expr("(1000 * m_bits) div greatest(n_ins, 1)")
             .cast("bigint")
             .alias("bits_per_key_milli"),
         )

@@ -259,8 +259,10 @@ def test_headline_shuffle_budgets(spark):
         # ReuseExchange dedupes at execution — the q215 precedent)
         "q473_decon_order_curve": 10,  # bench/corpus gram scans + distinct
         # + per-n countDistinct (2-phase) + bounded grid joins + sort
-        "q474_embedding_separability": 10,  # ONE (label,dim) census feeds
-        # label/global scatter subtrees; every exchange past it is <= (k+1)x64 rows
+        "q474_embedding_separability": 2,  # r12 rewrite: ONE 66-accumulator
+        # (label)-keyed aggregate (census checkpointed); + final sort
+        "q440_diversity_coefficient": 3,  # r12 rewrite: ONE 130-accumulator
+        # (label)-keyed aggregate, num fold in-row on the census; + sort
         # round-12 wave 3
         "q475_bloom_sizing_advisor": 5,  # bench/corpus gram distincts +
         # per-(grid,gram) min agg + grid agg + sort; bit sets broadcast

@@ -68,8 +68,8 @@ def main() -> int:
     ratios = {
         name: {
             lbl: round(out[lbl][name]["sec"] / out["1x"][name]["sec"], 2)
-            for lbl in ("5x", "10x")
-            if lbl in out
+            for lbl in out
+            if lbl != "1x"
         }
         for name in args
     }
