@@ -658,8 +658,9 @@ def q247_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples, so DuckDB recomputes the whole DFT analytically
     (trig sums over generate_series) — the tone-rounding inputs have
     zero exact-.5 samples and every emitted margin sits >= 1e-3 dmdb
-    from its rounding boundary (measured over the id domain), so the
-    float compare is stable across engines. Also SELF-VALIDATING: the
+    from its rounding boundary (measured over the id domain and
+    machine-checked in tests/test_rounding_guards.py, per ADVICE
+    r12), so the float compare is stable across engines. Also SELF-VALIDATING: the
     embedded frequency is known per doc, and pytest asserts the
     detector recovers it for every document with a positive margin —
     a decode off-by-one, endianness bug, or projection error breaks

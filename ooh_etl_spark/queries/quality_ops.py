@@ -2214,7 +2214,9 @@ def q475_bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     q444 conv/0x contract, machine-checked in tests); measured cells
     are integer counts and truncating-div basis points; the only
     float is the closed-form theory column (exp/pow on integer
-    inputs, the q246 precedent).
+    inputs, the q246 precedent — every theory value's distance from
+    its rounding boundary is machine-checked across all three test
+    SFs in tests/test_rounding_guards.py, per ADVICE r12).
 
     100 TB shape: the corpus text is scanned ONCE into a distinct-
     gram census (map-side-combinable distinct — gram cardinality, not

@@ -1660,11 +1660,14 @@ def q478_sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (truncating div, span-0 dims code to 0); both
     rankings tie-break on vec_id; recall is an exact integer ratio.
 
-    100 TB shape: the 64-row min/max census is one map-side-
-    combinable pass; it broadcasts back as a single array row, so
-    quantize + dequantize + both distances all evaluate IN-ROW in
-    the scan stage (zip_with folds — no per-dim explode of the
-    corpus); the x{_SQ_NQ} panel expansion feeds two keyed windows
+    100 TB shape: the per-dim min/max census is ONE global
+    aggregate carrying 128 codegen accumulators (min+max per
+    dimension, the q440/q474 columnar-census treatment — zero row
+    expansion; the first draft posexploded 64 rows/vector through
+    the hash aggregate and was rewritten per ADVICE r12); the
+    single census row broadcasts back, so quantize + dequantize +
+    both distances all evaluate IN-ROW in the scan stage (zip_with
+    folds); the x{_SQ_NQ} panel expansion feeds two keyed windows
     over |Q| partitions (the q446 precedent — at production scale
     the IVF cells of q53/q437 bound the rerank set instead)."""
     emb = parallelize_rows(load_table(spark, sf_dir, "embeddings"))
@@ -1675,13 +1678,22 @@ def q478_sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> CAST(round(1000000 * x) AS BIGINT))"
         ).alias("x6"),
     ).localCheckpoint()  # feeds the census, the panel AND the scan pass
-    cen = (
-        v.select(F.posexplode("x6").alias("d0", "x"))
-        .groupBy((F.col("d0") + 1).alias("d"))
-        .agg(F.min("x").alias("mn"), (F.max("x") - F.min("x")).alias("span"))
-    )
-    cen1 = cen.agg(
-        F.array_sort(F.collect_list(F.struct("d", "mn", "span"))).alias("cen")
+    # 128 in-row accumulators (min+max per dim) in ONE global agg —
+    # the q440/q474 columnar-census shape; no per-dim row explosion.
+    cen1 = v.agg(
+        *[F.min(F.element_at("x6", d + 1)).alias(f"mn{d}") for d in range(64)],
+        *[F.max(F.element_at("x6", d + 1)).alias(f"mx{d}") for d in range(64)],
+    ).select(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d + 1).alias("d"),
+                    F.col(f"mn{d}").alias("mn"),
+                    (F.col(f"mx{d}") - F.col(f"mn{d}")).alias("span"),
+                )
+                for d in range(64)
+            ]
+        ).alias("cen")
     )
     recon = v.crossJoin(F.broadcast(cen1)).select(
         "vec_id",

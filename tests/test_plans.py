@@ -270,8 +270,9 @@ def test_headline_shuffle_budgets(spark):
         # + sort; watermark table broadcasts back (corpus never shuffles)
         "q477_prototypicality_prune": 6,  # ONE corpus assignment census
         # (checkpointed) + census-sized rollups/threshold join + sort
-        "q478_sq_int8_recall": 3,  # 64-row min/max census + the two
-        # per-query rank windows sharing one exchange + final agg
+        "q478_sq_int8_recall": 3,  # r13 rewrite: ONE 128-accumulator
+        # global min/max census (no posexplode) + the two per-query
+        # rank windows sharing one exchange + final agg
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)
