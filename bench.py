@@ -327,6 +327,49 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+
+    # BENCH_SPREADS.json (VERDICT r12 item 4b): the driver's own bench
+    # run overwrites BENCH_DETAIL.json, losing the 5-run spreads that
+    # adjudicate regression-vs-noise at the round boundary. This file
+    # is MERGE-mode — every run (builder's or driver's) appends an
+    # entry keyed by timestamp+git-sha instead of clobbering — so the
+    # spread history survives the deposit. Bounded to the last 40 runs.
+    spreads_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREADS.json"
+    )
+    hist: dict = {}
+    if os.path.exists(spreads_path):
+        try:
+            with open(spreads_path) as f:
+                hist = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            hist = {}
+    import subprocess
+    import datetime
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip() or "nogit"
+    except OSError:
+        sha = "nogit"
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    hist[f"{stamp}@{sha}"] = {
+        "total": result["value"],
+        "sf": sf_val,
+        "n": n_reps,
+        "queries": timings,
+        "spread_pct": spread_pct,
+    }
+    hist = dict(sorted(hist.items())[-40:])
+    with open(spreads_path, "w") as f:
+        json.dump(hist, f, indent=1)
     line = json.dumps(result, separators=(",", ":"))
     print(f"# detail -> {detail_path}; final line {len(line)} bytes", file=sys.stderr)
     # Emit the metric as the LAST stdout line, after flushing both

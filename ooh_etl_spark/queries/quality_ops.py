@@ -2321,3 +2321,433 @@ def q475_bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m_bits", "k_hashes")
     )
+
+
+# --- round-13 capstone: q479 end-to-end corpus-build funnel -------------------
+
+#: Funnel bloom sizing: q475's advisor measured m=2^16, k=2 at ~0.5%
+#: gram-level FPR on this corpus (vs q444's saturated 2^14 default) —
+#: the funnel deploys the advised size.
+_FUN_M = 65536
+_FUN_K = 2
+_FUN_PACK_L = 128  # q445's context length
+
+
+def _duck_fun_pos(j: int, gram: str) -> str:
+    return f"(('0x' || substr(md5({gram}), {1 + 8 * j}, 8))::BIGINT % {_FUN_M})"
+
+
+_DUCK_CORPUS_FUNNEL = f"""
+    WITH d0 AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents),
+         bench AS (
+      SELECT DISTINCT unnest({_DUCK_TRIGRAMS}) AS gram
+      FROM d0 WHERE doc_id % {_BENCH_MOD} = 0),
+         raw AS (SELECT * FROM d0 WHERE doc_id % {_BENCH_MOD} <> 0),
+         feat AS (
+      SELECT doc_id, source, text, toks, len(toks) AS n_toks,
+             len(list_distinct(list_transform(
+                 generate_series(1, length(text)), i -> text[i:i])))
+               AS n_alpha,
+             len(list_filter(toks, t -> t IN ({", ".join(f"'{w}'" for w in _AGREE_STOPWORDS)}))) AS n_stop,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c FROM unnest(toks) AS u(t) GROUP BY t))
+               AS top_tok
+      FROM raw),
+         q AS (
+      SELECT doc_id, source, text, toks FROM feat
+      WHERE n_toks >= 20 AND n_alpha >= 12
+        AND (10000 * n_stop) // n_toks >= 100
+        AND (10000 * top_tok) // n_toks <= 2000),
+         ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+         exd AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+         sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM exd),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         dropped AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM shared JOIN sz sa ON id_a = sa.doc_id
+                  JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5),
+         nd AS (
+      SELECT exd.* FROM exd LEFT JOIN dropped USING (doc_id)
+      WHERE dropped.doc_id IS NULL),
+         bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{", ".join(_duck_fun_pos(j, "gram") for j in range(_FUN_K))}])
+          AS pos FROM bench)),
+         cg AS (
+      SELECT nd.doc_id, unnest({_DUCK_TRIGRAMS}) AS gram FROM nd),
+         hits AS (
+      SELECT doc_id, count(*) AS n_hit FROM cg
+      WHERE {" AND ".join(f"{_duck_fun_pos(j, 'gram')} IN (SELECT pos FROM bits)" for j in range(_FUN_K))}
+      GROUP BY doc_id),
+         fin AS (
+      SELECT nd.* FROM nd LEFT JOIN hits USING (doc_id)
+      WHERE coalesce(hits.n_hit, 0) < {_MIN_SHARED}),
+         srcs AS (SELECT DISTINCT source FROM raw),
+         rawc AS (SELECT source, count(*) AS n, sum(len(toks)) AS tk
+                  FROM raw GROUP BY source),
+         qc   AS (SELECT source, count(*) AS n, sum(len(toks)) AS tk
+                  FROM q GROUP BY source),
+         exc  AS (SELECT source, count(*) AS n, sum(len(toks)) AS tk
+                  FROM exd GROUP BY source),
+         ndc  AS (SELECT source, count(*) AS n, sum(len(toks)) AS tk
+                  FROM nd GROUP BY source),
+         finc AS (SELECT source, count(*) AS n, sum(len(toks)) AS tk
+                  FROM fin GROUP BY source),
+         st AS (
+      SELECT source, t.term, count(*) AS m
+      FROM fin, unnest(toks) AS t(term) GROUP BY source, t.term),
+         tk2 AS (
+      SELECT term, sum(m) AS c, sum(sum(m)) OVER () AS n
+      FROM st GROUP BY term),
+         u AS (
+      SELECT term, CAST(round(1000000 * ln((1.0 * n) / c)) AS BIGINT)
+               AS u_micro
+      FROM tk2),
+         srcx AS (
+      SELECT st.source,
+             CAST(sum(st.m) AS BIGINT) AS toks_m,
+             CAST(sum(st.m * u.u_micro) // sum(st.m) AS BIGINT) AS xent_micro,
+             CAST(sum(sum(st.m * u.u_micro)) OVER ()
+                  // sum(sum(st.m)) OVER () AS BIGINT) AS corpus_micro
+      FROM st JOIN u USING (term)
+      GROUP BY st.source),
+         wmix AS (
+      SELECT source, toks_m,
+             CAST(round(1000000000 * exp(
+                 0.5 * (xent_micro - corpus_micro) / 1000000.0))
+                  AS BIGINT) AS f_e9
+      FROM srcx),
+         wnorm AS (
+      SELECT source,
+             CAST((10000 * CAST(toks_m AS HUGEINT) * f_e9)
+                  // sum(CAST(toks_m AS HUGEINT) * f_e9) OVER () AS BIGINT)
+               AS w_new_bp
+      FROM wmix),
+         pk AS (
+      SELECT source,
+             CAST((10000 * sum(((n + {_FUN_PACK_L - 1}) // {_FUN_PACK_L}) * {_FUN_PACK_L} - n))
+                  // (sum(n) + sum(((n + {_FUN_PACK_L - 1}) // {_FUN_PACK_L}) * {_FUN_PACK_L} - n))
+                  AS BIGINT) AS pad_bp
+      FROM (SELECT source, len(toks) AS n FROM fin) GROUP BY source)
+    SELECT CAST(stage AS BIGINT) AS stage, stage_name, source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(metric_bp AS BIGINT) AS metric_bp
+    FROM (
+      SELECT 0 AS stage, 'raw' AS stage_name, source, n AS n_docs,
+             tk AS n_tokens, 10000 AS metric_bp
+      FROM rawc
+      UNION ALL
+      SELECT 1, 'quality', s.source, coalesce(c.n, 0), coalesce(c.tk, 0),
+             (10000 * coalesce(c.n, 0)) // r.n
+      FROM srcs s JOIN rawc r USING (source) LEFT JOIN qc c USING (source)
+      UNION ALL
+      SELECT 2, 'exact_dedup', s.source, coalesce(c.n, 0), coalesce(c.tk, 0),
+             (10000 * coalesce(c.n, 0)) // r.n
+      FROM srcs s JOIN rawc r USING (source) LEFT JOIN exc c USING (source)
+      UNION ALL
+      SELECT 3, 'neardup', s.source, coalesce(c.n, 0), coalesce(c.tk, 0),
+             (10000 * coalesce(c.n, 0)) // r.n
+      FROM srcs s JOIN rawc r USING (source) LEFT JOIN ndc c USING (source)
+      UNION ALL
+      SELECT 4, 'decontam', s.source, coalesce(c.n, 0), coalesce(c.tk, 0),
+             (10000 * coalesce(c.n, 0)) // r.n
+      FROM srcs s JOIN rawc r USING (source) LEFT JOIN finc c USING (source)
+      UNION ALL
+      SELECT 5, 'mixture', s.source, coalesce(c.n, 0), coalesce(c.tk, 0),
+             coalesce(w.w_new_bp, 0)
+      FROM srcs s LEFT JOIN finc c USING (source) LEFT JOIN wnorm w USING (source)
+      UNION ALL
+      SELECT 6, 'packing', s.source, coalesce(c.n, 0), coalesce(c.tk, 0),
+             coalesce(p.pad_bp, 0)
+      FROM srcs s LEFT JOIN finc c USING (source) LEFT JOIN pk p USING (source)
+    )
+    ORDER BY stage, source
+"""
+
+
+@register("q479_corpus_build_funnel", _DUCK_CORPUS_FUNNEL)
+def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CORPUS-BUILD funnel over the modern operator set —
+    the 100 TB descendant of both q162 (the r1 funnel) and the
+    reference's own scan→parse→project→filter→sink pipeline
+    (/root/reference/index.js:135-183), chaining each stage exactly
+    as its standalone query defines it: (1) the four q465 quality
+    gates (length / alphabet / stopword / Gopher-repetition, all must
+    pass) → (2) exact dedup, q26's min-id survivor rule (the policy
+    q466's ablation baselines) → (3) near-dup removal, q27b's
+    exact-dedup-first Jaccard-0.5 3-shingle pass dropping the larger
+    id → (4) decontamination through a broadcast Bloom filter (q444's
+    md5-slice contract at the q475-ADVISED size m=2^16, k=2; docs
+    with >= {_MIN_SHARED} hit grams drop) → (5) one DoReMi mixture
+    step (q453's multiplicative-weights arithmetic) on the surviving
+    corpus → (6) the q445 pad-to-{_FUN_PACK_L} packing audit. Output:
+    one row per (stage, source) with surviving docs/tokens and a
+    stage metric (survival bp vs raw for stages 0-4; w_new_bp for
+    mixture; pad_waste_bp for packing) — the per-stage yield curve a
+    data team reads before committing a training run. The bench
+    split (doc_id % {_BENCH_MOD} == 0) never enters the corpus; its
+    trigrams define the contamination filter.
+
+    Determinism: gates, dedup rules, and yields are exact integer
+    arithmetic; bloom positions are the machine-checked conv/0x
+    md5-slice pair; DoReMi reuses q453's micro-nat quantization +
+    e9-quantized exp + DECIMAL(38,0) products; Jaccard reuses q27's
+    round-4dp threshold. Zero-surviving sources still emit rows
+    (left joins from the source list — the q457 preserved-side
+    lesson).
+
+    100 TB shape: stages SHRINK the corpus monotonically and each
+    runs its standalone query's plan: gates are scan-stage row
+    expressions; exact dedup is one text-keyed shuffle; the Jaccard
+    pass runs on collapsed survivors only (the q27b funnel
+    discipline — candidate volume is bucket-bounded, never raw
+    all-pairs); the bloom bit set and bench gram set broadcast so
+    decontamination never shuffles the corpus; mixture and packing
+    reduce to |sources|-row frames. Stage boundaries localCheckpoint
+    exactly where a production funnel would write intermediates;
+    every census after stage 4 rides frames bounded by |sources| or
+    the vocab."""
+    from ooh_etl_spark.operators.dedup import exact_dedup, jaccard_pairs
+
+    d0 = _docs(spark, sf_dir).select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("toks")
+    )
+    bench = (
+        d0.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode_outer(_trigrams(F.col("toks"))).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+        .localCheckpoint()  # tiny; feeds the bit build only
+    )
+
+    def pos(j: int) -> Column:
+        return F.expr(
+            f"CAST(conv(substring(md5(gram), {1 + 8 * j}, 8), 16, 10)"
+            f" AS BIGINT) % {_FUN_M}"
+        )
+
+    bits = (
+        bench.select(
+            F.explode(F.array(*[pos(j) for j in range(_FUN_K)])).alias("pos")
+        )
+        .distinct()
+        .withColumn("bit_set", F.lit(1))
+    )
+    raw = d0.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    sw = ", ".join(f"'{w}'" for w in _AGREE_STOPWORDS)
+    feat = raw.select(
+        "doc_id",
+        "source",
+        "text",
+        "toks",
+        F.size("toks").alias("n_toks"),
+        F.size(
+            F.array_remove(F.array_distinct(F.split(F.col("text"), "")), "")
+        ).alias("n_alpha"),
+        F.expr(f"size(filter(toks, t -> t IN ({sw})))").alias("n_stop"),
+        # q465's sorted-run fold, on the already-materialized toks
+        F.expr(
+            "aggregate(array_sort(toks),"
+            " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+            " (acc, t) -> named_struct("
+            "   'prev', t,"
+            "   'run', CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+            "               THEN acc.run + 1 ELSE 1 END,"
+            "   'best', greatest(acc.best,"
+            "     CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+            "          THEN acc.run + 1 ELSE 1 END)),"
+            " acc -> acc.best)"
+        ).alias("top_tok"),
+    )
+    q = (
+        feat.filter(
+            (F.col("n_toks") >= 20)
+            & (F.col("n_alpha") >= 12)
+            & (F.expr("(10000 * n_stop) div n_toks") >= 100)
+            & (F.expr("(10000 * top_tok) div n_toks") <= 2000)
+        )
+        .select("doc_id", "source", "text", "toks")
+        .localCheckpoint()  # stage boundary: feeds dedup AND the census
+    )
+    exd = exact_dedup(q, key="text", id_col="doc_id").localCheckpoint()
+    dropped = (
+        jaccard_pairs(exd, "text", "doc_id", n=3, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = exd.join(dropped, "doc_id", "left_anti").localCheckpoint()
+    cg = nd.select(
+        "doc_id", F.explode_outer(_trigrams(F.col("toks"))).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    probed = cg
+    for j in range(_FUN_K):
+        probed = probed.withColumn(f"p{j}", pos(j)).join(
+            F.broadcast(
+                bits.select(
+                    F.col("pos").alias(f"p{j}"), F.col("bit_set").alias(f"b{j}")
+                )
+            ),
+            f"p{j}",
+            "left",
+        )
+    flagged = (
+        probed.filter(
+            F.expr(" AND ".join(f"b{j} IS NOT NULL" for j in range(_FUN_K)))
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") >= _MIN_SHARED)
+        .select("doc_id")
+    )
+    fin = nd.join(flagged, "doc_id", "left_anti").localCheckpoint()
+
+    def census(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("toks")).cast("bigint").alias("tk"),
+        )
+
+    rawc = census(raw).localCheckpoint()  # |sources| rows, reused 6x
+    srcs = rawc.select("source", F.col("n").alias("n_raw"))
+
+    def stage_row(stage: int, name: str, c: DataFrame) -> DataFrame:
+        return (
+            srcs.join(F.broadcast(c), "source", "left")
+            .select(
+                F.lit(stage).cast("bigint").alias("stage"),
+                F.lit(name).alias("stage_name"),
+                "source",
+                F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+                F.coalesce(F.col("tk"), F.lit(0))
+                .cast("bigint")
+                .alias("n_tokens"),
+                F.expr("(10000 * coalesce(n, 0)) div n_raw")
+                .cast("bigint")
+                .alias("metric_bp"),
+            )
+        )
+
+    finc = census(fin).localCheckpoint()  # feeds stages 4, 5 and 6
+
+    # stage 5: one DoReMi multiplicative-weights step (q453 contract)
+    st = (
+        fin.select("source", F.explode("toks").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    tk2 = st.groupBy("term").agg(F.sum("m").alias("c"))
+    ntot = tk2.agg(F.sum("c").alias("n"))
+    u = tk2.crossJoin(F.broadcast(ntot)).select(
+        "term",
+        F.expr("CAST(round(1000000 * ln((1.0 * n) / c)) AS BIGINT)").alias(
+            "u_micro"
+        ),
+    )
+    srcx = (
+        st.join(u, "term")
+        .groupBy("source")
+        .agg(
+            F.sum("m").cast("bigint").alias("toks_m"),
+            F.expr("sum(m * u_micro) div sum(m)")
+            .cast("bigint")
+            .alias("xent_micro"),
+            F.sum(F.expr("m * u_micro")).alias("wsum"),
+        )
+        .localCheckpoint()  # |sources| rows feed the scalar + the weights
+    )
+    tot = srcx.agg(
+        F.sum("wsum").alias("wsum_all"), F.sum("toks_m").alias("toks_all")
+    )
+    wmix = (
+        srcx.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "excess_micro",
+            F.col("xent_micro") - F.expr("wsum_all div toks_all").cast("bigint"),
+        )
+        .withColumn(
+            "f_e9",
+            F.expr(
+                "CAST(round(1000000000 * exp(0.5 * excess_micro / 1000000.0))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    den = wmix.agg(
+        F.expr("sum(CAST(toks_m AS DECIMAL(38,0)) * f_e9)").alias("den_new")
+    )
+    wnorm = wmix.crossJoin(F.broadcast(den)).select(
+        "source",
+        F.expr(
+            "CAST((10000 * CAST(toks_m AS DECIMAL(38,0)) * f_e9)"
+            " div den_new AS BIGINT)"
+        ).alias("w_new_bp"),
+    )
+    mix_row = (
+        srcs.join(F.broadcast(finc), "source", "left")
+        .join(F.broadcast(wnorm), "source", "left")
+        .select(
+            F.lit(5).cast("bigint").alias("stage"),
+            F.lit("mixture").alias("stage_name"),
+            "source",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("tk"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("w_new_bp"), F.lit(0))
+            .cast("bigint")
+            .alias("metric_bp"),
+        )
+    )
+
+    # stage 6: q445 pad-to-boundary waste on the final corpus
+    pad = (
+        F.expr(
+            f"((n + {_FUN_PACK_L - 1}) div {_FUN_PACK_L}) * {_FUN_PACK_L} - n"
+        )
+    )
+    pk = (
+        fin.select("source", F.size("toks").alias("n"))
+        .select("source", "n", pad.alias("pad"))
+        .groupBy("source")
+        .agg(
+            F.expr("(10000 * sum(pad)) div (sum(n) + sum(pad))")
+            .cast("bigint")
+            .alias("pad_bp")
+        )
+    )
+    pack_row = (
+        srcs.join(F.broadcast(finc), "source", "left")
+        .join(F.broadcast(pk), "source", "left")
+        .select(
+            F.lit(6).cast("bigint").alias("stage"),
+            F.lit("packing").alias("stage_name"),
+            "source",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("tk"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("pad_bp"), F.lit(0))
+            .cast("bigint")
+            .alias("metric_bp"),
+        )
+    )
+    return (
+        stage_row(0, "raw", rawc)
+        .unionByName(stage_row(1, "quality", census(q)))
+        .unionByName(stage_row(2, "exact_dedup", census(exd)))
+        .unionByName(stage_row(3, "neardup", census(nd)))
+        .unionByName(stage_row(4, "decontam", finc))
+        .unionByName(mix_row)
+        .unionByName(pack_row)
+        .orderBy("stage", "source")
+    )

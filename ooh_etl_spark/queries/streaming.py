@@ -271,7 +271,7 @@ def _protobuf_ok() -> bool:
     # protocol; this container ships a broken protobuf install, so the
     # query registers only where the dependency actually works
     # (the operator itself lives in streaming/stateful.py regardless).
-    # Re-probed each round per VERDICT: still absent as of round 12
+    # Re-probed each round per VERDICT: still absent as of round 13
     # (2026-08-16, `No module named 'google'`; `grpc` also missing).
     try:
         from google.protobuf import descriptor  # noqa: F401

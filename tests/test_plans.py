@@ -273,6 +273,10 @@ def test_headline_shuffle_budgets(spark):
         "q478_sq_int8_recall": 3,  # r13 rewrite: ONE 128-accumulator
         # global min/max census (no posexplode) + the two per-query
         # rank windows sharing one exchange + final agg
+        # round-13 capstone
+        "q479_corpus_build_funnel": 5,  # stage boundaries checkpointed
+        # (the production intermediate writes); residue = the source
+        # censuses + DoReMi (source,term) census + final stage sort
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)

@@ -1,0 +1,97 @@
+"""Round-13 additions: the q479 corpus-build capstone funnel, plus
+semantic invariants the oracle compare alone cannot pin (stage
+monotonicity, weight normalization, bench-split exclusion)."""
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tests.conftest import SF_DIR, assert_matches_oracle  # noqa: E402
+
+from ooh_etl_spark.queries import QUERIES  # noqa: E402
+
+WAVE = [
+    "q479_corpus_build_funnel",
+]
+
+
+def run(spark, name, sf_dir=SF_DIR):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+def test_all_wave_queries_match_oracle(spark, duck):
+    for name in WAVE:
+        assert_matches_oracle(spark, duck, name)
+
+
+def test_all_wave_queries_registered_with_oracles(spark):
+    for name in WAVE:
+        assert name in QUERIES, name
+        assert QUERIES[name].oracle is not None, f"{name} must be oracle-backed"
+
+
+# --- q479: corpus-build funnel invariants ----------------------------------
+
+
+def _rows(spark):
+    return {
+        (r["stage"], r["source"]): r
+        for r in run(spark, "q479_corpus_build_funnel").collect()
+    }
+
+
+def test_q479_stage_yields_monotone_nonincreasing(spark):
+    """Stages 0-4 only ever REMOVE docs/tokens, per source."""
+    rows = _rows(spark)
+    sources = {s for (_, s) in rows}
+    assert len(sources) == 20
+    for s in sources:
+        for stage in range(1, 5):
+            prev, cur = rows[(stage - 1, s)], rows[(stage, s)]
+            assert cur["n_docs"] <= prev["n_docs"], (s, stage)
+            assert cur["n_tokens"] <= prev["n_tokens"], (s, stage)
+            assert 0 <= cur["metric_bp"] <= 10000, (s, stage)
+
+
+def test_q479_stage0_is_the_bench_excluded_corpus(spark):
+    """Raw stage = all docs except the bench split, metric pinned 10000."""
+    import duckdb
+
+    rows = _rows(spark)
+    n_raw = sum(r["n_docs"] for (st, _), r in rows.items() if st == 0)
+    expected = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+        " WHERE doc_id % 97 <> 0"
+    ).fetchone()[0]
+    assert n_raw == expected
+    assert all(
+        r["metric_bp"] == 10000 for (st, _), r in rows.items() if st == 0
+    )
+
+
+def test_q479_mixture_weights_normalize(spark):
+    """DoReMi weights sum to ~10000 bp (truncating div loses < |src| bp)
+    and stages 5/6 carry the final corpus counts."""
+    rows = _rows(spark)
+    w = [r["metric_bp"] for (st, _), r in rows.items() if st == 5]
+    assert 10000 - len(w) <= sum(w) <= 10000
+    for s in {s for (_, s) in rows}:
+        assert rows[(5, s)]["n_docs"] == rows[(4, s)]["n_docs"]
+        assert rows[(6, s)]["n_tokens"] == rows[(4, s)]["n_tokens"]
+
+
+def test_q479_packing_metric_matches_closed_form(spark):
+    """pad_waste_bp recomputed from the final stage's token census must
+    be consistent with the emitted value for at least the global check:
+    every per-source value sits in [0, 10000) and is zero only when the
+    source is empty or every doc is an exact multiple of 128."""
+    rows = _rows(spark)
+    for (st, s), r in rows.items():
+        if st != 6:
+            continue
+        assert 0 <= r["metric_bp"] < 10000, (s, r["metric_bp"])
+        if r["n_docs"] > 0:
+            # fixture docs are ~16 tokens -> pad waste dominates; a zero
+            # here would mean the pad arithmetic silently vanished
+            assert r["metric_bp"] > 0, s

@@ -1,0 +1,105 @@
+"""Bench noise guard (VERDICT r12 item 4a).
+
+The in-ritual bench run has been contention-polluted in several rounds
+(r12: 74.3s in-ritual vs 49.85s on the quiet box minutes later), which
+makes round-over-round totals unreadable. This guard compares the
+freshest BENCH_DETAIL.json total against the newest driver-deposited
+``BENCH_r{N}.json``; if the new total exceeds the previous round's by
+more than 15%, it re-runs ``bench.py`` standalone once and reports both
+numbers. The re-run's spreads land in BENCH_SPREADS.json (merge-mode),
+so the adjudication survives the round boundary.
+
+Exit code is always 0 — this is a measurement aid, not a gate.
+"""
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+THRESHOLD = 1.15
+
+
+def _latest_round_total() -> tuple[str, float] | None:
+    rounds = []
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        # driver deposits either the bare metric line or a wrapper
+        # with a "parsed" field
+        val = payload.get("value")
+        if val is None and isinstance(payload.get("parsed"), dict):
+            val = payload["parsed"].get("value")
+        if isinstance(val, (int, float)):
+            rounds.append((int(m.group(1)), path, float(val)))
+    if not rounds:
+        return None
+    _, path, val = max(rounds)
+    return os.path.basename(path), val
+
+
+def main() -> int:
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    if not os.path.exists(detail_path):
+        print("bench_noise_guard: no BENCH_DETAIL.json — run bench.py first")
+        return 0
+    with open(detail_path) as f:
+        current = json.load(f)
+    cur_total = float(current["value"])
+    prev = _latest_round_total()
+    if prev is None:
+        print("bench_noise_guard: no BENCH_r*.json to compare against")
+        return 0
+    prev_name, prev_total = prev
+    ratio = cur_total / max(prev_total, 1e-9)
+    print(
+        f"bench_noise_guard: in-ritual {cur_total:.3f}s vs "
+        f"{prev_name} {prev_total:.3f}s (ratio {ratio:.2f})"
+    )
+    if ratio <= THRESHOLD:
+        print("bench_noise_guard: within 15% — no re-run needed")
+        return 0
+    print(
+        "bench_noise_guard: >15% above previous round — re-running "
+        "bench.py standalone (quiet-box adjudication run)"
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    tail = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    if proc.returncode != 0 or not tail:
+        print(f"bench_noise_guard: re-run failed rc={proc.returncode}")
+        print(proc.stderr[-2000:])
+        return 0
+    try:
+        rerun = json.loads(tail[-1])
+        rerun_total = float(rerun["value"])
+    except (json.JSONDecodeError, KeyError, ValueError):
+        print("bench_noise_guard: could not parse re-run output")
+        return 0
+    verdict = (
+        "NOISE (quiet re-run recovered the previous-round total)"
+        if rerun_total <= prev_total * THRESHOLD
+        else "REGRESSION CANDIDATE (re-run still above threshold)"
+    )
+    print(
+        f"bench_noise_guard: re-run total {rerun_total:.3f}s -> {verdict}; "
+        "spreads persisted in BENCH_SPREADS.json"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

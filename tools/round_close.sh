@@ -8,6 +8,9 @@ cd "$(dirname "$0")/.."
 echo "== 1. bench (timed — run first, quiet box) =="
 python bench.py || exit 1
 
+echo "== 1b. bench noise guard (VERDICT r12 item 4: auto re-run if >15% above prev round) =="
+python tools/bench_noise_guard.py
+
 echo "== 2. full pytest =="
 python -m pytest tests/ -q || exit 1
 
