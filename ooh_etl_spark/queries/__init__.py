@@ -68,8 +68,9 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: and the r13 wave is kept deliberately small per VERDICT r12
 #: item 3 so the r14 window can both confirm it and begin the
 #: re-confirmation cycle):
-#:   r14: PINS (6) + the r13 wave (newest-code-first) + the
-#:        round-robin cursor beginning at q01 (registry head).
+#:   r14: PINS (6) + the r13 wave (newest-code-first: q479–q481,
+#:        3 entries) + 41 round-robin cursor slots beginning at q01
+#:        (registry head).
 #:
 #: POST-DEBT ROTATION POLICY (standing — VERDICT r11 item 3;
 #: activates in r14 now that never-seen hits 0 with this window).
@@ -88,6 +89,9 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #:      rounds. CURSOR LOG (updated each round so staleness is
 #:      auditable — VERDICT r12 item 3):
 #:        r13 window = debt remainder + full r12 wave (this file);
+#:        r13 wave (lands in r14's newest-code-first block) =
+#:        q479_corpus_build_funnel, q480_gopher_repetition_census,
+#:        q481_funnel_stage_overlap;
 #:        r14 cursor START = q01 (registry-number order, wrapping).
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)

@@ -2751,3 +2751,422 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pack_row)
         .orderBy("stage", "source")
     )
+
+
+# --- round-13 wave: q480 Gopher repetition census -----------------------------
+
+#: Gopher Table A1 thresholds (token-fraction form, bp): a doc fails
+#: when the most frequent 2/3/4-gram carries > 20/18/16% of its
+#: tokens, or duplicated 5-grams cover > 15% of its positions.
+_REP_TOP = ((2, 2000), (3, 1800), (4, 1600))
+#: Gopher's dup rule uses 5..10-grams at 10-15% CHARACTER coverage; the
+#: fixture corpus is short word-soup where a repeated 5-gram never
+#: occurs (measured: max dup-5 coverage 0 bp at every sf), so the rule
+#: is instantiated at n=3 / 10% so it carries signal here — the CURVE
+#: mechanics (multiset count -> position-set union), not the Gopher
+#: constant, is the operator.
+_REP_DUP_N = 3
+_REP_DUP_BP = 1000
+
+
+def _duck_grams(n: int) -> str:
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(generate_series(1, len(toks) - {n - 1}),"
+        f" i -> array_to_string(toks[i:i+{n - 1}], ' ')) "
+        "ELSE [] END"
+    )
+
+
+def _duck_top_bp(n: int) -> str:
+    return (
+        f"coalesce((10000 * {n} * list_aggregate(list_transform("
+        f"list_distinct(g{n}), x -> len(list_filter(g{n}, h -> h = x))),"
+        f" 'max')) // n_toks, 0)"
+    )
+
+
+_DUCK_GOPHER_REP = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+         g AS (
+      SELECT doc_id, source, toks, len(toks) AS n_toks,
+             {", ".join(f"{_duck_grams(n)} AS g{n}" for n, _ in _REP_TOP)},
+             {_duck_grams(_REP_DUP_N)} AS gd
+      FROM d WHERE len(toks) > 0),
+         m AS (
+      SELECT doc_id, source, n_toks,
+             {", ".join(f"{_duck_top_bp(n)} AS top{n}_bp" for n, _ in _REP_TOP)},
+             coalesce((10000 * len(list_distinct(flatten(list_transform(
+                 list_filter(generate_series(1, len(gd)),
+                             i -> len(list_filter(gd, h -> h = gd[i])) >= 2),
+                 i -> generate_series(i, i + {_REP_DUP_N - 1})))))) // n_toks, 0)
+               AS dup{_REP_DUP_N}_bp
+      FROM g)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {", ".join(
+               f"CAST(sum(CASE WHEN top{n}_bp > {t} THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS flagged_top{n}"
+               for n, t in _REP_TOP)},
+           CAST(sum(CASE WHEN dup{_REP_DUP_N}_bp > {_REP_DUP_BP}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS flagged_dup{_REP_DUP_N},
+           CAST(sum(CASE WHEN {" OR ".join(f"top{n}_bp > {t}" for n, t in _REP_TOP)}
+                          OR dup{_REP_DUP_N}_bp > {_REP_DUP_BP}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS flagged_any
+    FROM m GROUP BY source ORDER BY source
+"""
+
+
+@register("q480_gopher_repetition_census", _DUCK_GOPHER_REP)
+def q480_gopher_repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION filter census (Rae et al. 2021, Table A1 —
+    the within-doc repetition rules that survive into MassiveText,
+    RefinedWeb §3.1 and Dolma's quality suite; q465's top-token gate
+    is their n=1 degenerate case): a document is repetitious when its
+    most frequent 2/3/4-gram carries more than 20/18/16% of its
+    tokens, or when DUPLICATED n-grams (those occurring >= twice in
+    the doc; n=3 here, see _REP_DUP_N note) cover more than 10% of
+    its token positions — coverage is
+    position-set union, so overlapping duplicate spans never double
+    count (the q163 span-coverage semantics, computed in-row). The
+    census reports per source how many docs each rule flags and the
+    union — the repetition half of the gate ensemble q465/q439 audit.
+
+    Determinism: token-fraction basis points by truncating integer
+    division on exact in-row counts; short docs (< n tokens) emit 0
+    for that rule by construction.
+
+    100 TB shape: ZERO corpus shuffle (the q465 discipline) — every
+    n-gram census, top-share, and duplicated-coverage union is an
+    in-row higher-order-function fold over the token array (O(L^2)
+    per row with L ~ doc length, bounded by the tokenizer); the only
+    exchange is the final |sources|-row aggregate. No explode: the
+    gram lists never leave their row."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", tokenize(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+
+    def grams(n: int) -> str:
+        return (
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(1, size(toks) - {n - 1}),"
+            f" i -> array_join(slice(toks, i, {n}), ' ')) "
+            "ELSE array() END"
+        )
+
+    def top_bp(n: int) -> Column:
+        return F.expr(
+            f"coalesce((10000 * {n} * array_max(transform("
+            f"array_distinct(g{n}), x -> size(filter(g{n}, h -> h = x)))))"
+            " div n_toks, 0)"
+        )
+
+    g = d.select(
+        "source",
+        F.size("toks").alias("n_toks"),
+        *[F.expr(grams(n)).alias(f"g{n}") for n, _ in _REP_TOP],
+        F.expr(grams(_REP_DUP_N)).alias("gd"),
+    )
+    dup_bp = F.expr(
+        f"coalesce((10000 * size(array_distinct(flatten(transform("
+        f"filter(sequence(1, size(gd)),"
+        f" i -> size(filter(gd,"
+        f" h -> h = element_at(gd, i))) >= 2),"
+        f" i -> sequence(i, i + {_REP_DUP_N - 1})))))) div n_toks, 0)"
+    )
+    # sequence(1, 0) is DESCENDING in Spark, so the gram builders and
+    # the start-index list are guarded with CASE size >= n above; the
+    # dup filter rides size(gd), which is 0 for short docs.
+    m = g.select(
+        "source",
+        *[top_bp(n).alias(f"top{n}_bp") for n, _ in _REP_TOP],
+        dup_bp.alias(f"dup{_REP_DUP_N}_bp"),
+    )
+    any_flag = F.expr(
+        " OR ".join(f"top{n}_bp > {t}" for n, t in _REP_TOP)
+        + f" OR dup{_REP_DUP_N}_bp > {_REP_DUP_BP}"
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            *[
+                F.sum((F.col(f"top{n}_bp") > t).cast("int"))
+                .cast("bigint")
+                .alias(f"flagged_top{n}")
+                for n, t in _REP_TOP
+            ],
+            F.sum((F.col(f"dup{_REP_DUP_N}_bp") > _REP_DUP_BP).cast("int"))
+            .cast("bigint")
+            .alias(f"flagged_dup{_REP_DUP_N}"),
+            F.sum(any_flag.cast("int")).cast("bigint").alias("flagged_any"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- round-13 wave: q481 funnel-stage kill-overlap matrix ---------------------
+
+_STAGE_PAIRS = (
+    ("quality", "exact"), ("quality", "neardup"), ("quality", "decontam"),
+    ("exact", "neardup"), ("exact", "decontam"), ("neardup", "decontam"),
+)
+
+
+def _duck_stage_overlap() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""
+      SELECT '{a}' AS stage_a, '{b}' AS stage_b,
+             CAST(sum(k_{a}) AS BIGINT) AS kills_a,
+             CAST(sum(k_{b}) AS BIGINT) AS kills_b,
+             CAST(sum(k_{a} * k_{b}) AS BIGINT) AS both_kill,
+             CAST(sum(k_{a} * (1 - k_{b})) AS BIGINT) AS only_a_kills,
+             CAST(sum((1 - k_{a}) * k_{b}) AS BIGINT) AS only_b_kills,
+             CAST((10000 * sum(k_{a} * k_{b}))
+                  // greatest(sum(k_{a}) + sum(k_{b}) - sum(k_{a} * k_{b}), 1)
+                  AS BIGINT) AS overlap_bp
+      FROM flags"""
+        for a, b in _STAGE_PAIRS
+    )
+    return f"""
+    WITH d0 AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents),
+         bench AS (
+      SELECT DISTINCT unnest({_DUCK_TRIGRAMS}) AS gram
+      FROM d0 WHERE doc_id % {_BENCH_MOD} = 0),
+         raw AS (SELECT * FROM d0 WHERE doc_id % {_BENCH_MOD} <> 0),
+         feat AS (
+      SELECT doc_id, toks, text, len(toks) AS n_toks,
+             len(list_distinct(list_transform(
+                 generate_series(1, length(text)), i -> text[i:i])))
+               AS n_alpha,
+             len(list_filter(toks, t -> t IN ({", ".join(f"'{w}'" for w in _AGREE_STOPWORDS)}))) AS n_stop,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c FROM unnest(toks) AS u(t) GROUP BY t))
+               AS top_tok
+      FROM raw),
+         kq AS (
+      SELECT doc_id FROM feat
+      WHERE NOT (n_toks >= 20 AND n_alpha >= 12
+                 AND (10000 * n_stop) // n_toks >= 100
+                 AND (10000 * top_tok) // n_toks <= 2000)),
+         ex AS (SELECT min(doc_id) AS doc_id FROM raw GROUP BY text),
+         ke AS (
+      SELECT raw.doc_id FROM raw LEFT JOIN ex USING (doc_id)
+      WHERE ex.doc_id IS NULL),
+         exd AS (SELECT raw.* FROM raw JOIN ex USING (doc_id)),
+         sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM exd),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+         kn AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM shared JOIN sz sa ON id_a = sa.doc_id
+                  JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5),
+         bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{", ".join(_duck_fun_pos(j, "gram") for j in range(_FUN_K))}])
+          AS pos FROM bench)),
+         cg AS (
+      SELECT raw.doc_id, unnest({_DUCK_TRIGRAMS}) AS gram FROM raw),
+         kd AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, count(*) AS n_hit FROM cg
+        WHERE {" AND ".join(f"{_duck_fun_pos(j, 'gram')} IN (SELECT pos FROM bits)" for j in range(_FUN_K))}
+        GROUP BY doc_id)
+      WHERE n_hit >= {_MIN_SHARED}),
+         flags AS (
+      SELECT raw.doc_id,
+             CASE WHEN kq.doc_id IS NOT NULL THEN 1 ELSE 0 END AS k_quality,
+             CASE WHEN ke.doc_id IS NOT NULL THEN 1 ELSE 0 END AS k_exact,
+             CASE WHEN kn.doc_id IS NOT NULL THEN 1 ELSE 0 END AS k_neardup,
+             CASE WHEN kd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS k_decontam
+      FROM raw
+      LEFT JOIN kq USING (doc_id) LEFT JOIN ke USING (doc_id)
+      LEFT JOIN kn USING (doc_id) LEFT JOIN kd USING (doc_id))
+    {rows}
+    ORDER BY stage_a, stage_b
+    """
+
+
+@register("q481_funnel_stage_overlap", _duck_stage_overlap())
+def q481_funnel_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-stage KILL-OVERLAP matrix — q465's agreement audit
+    lifted from individual gates to the q479 funnel's STAGES: for
+    each pair of removal stages, how many docs both would remove,
+    how many only one would, and the Jaccard of the kill sets (bp).
+    The operational question (Penedo et al. 2023 §3.4 ask it of
+    RefinedWeb's pipeline; Dolma's ablations ask it of theirs): does
+    decontamination mostly re-remove what dedup already kills? Is the
+    quality gate's work subsumed by repetition-heavy near-dups? A
+    pair at high overlap_bp means the costlier stage can move behind
+    the cheaper one (it will see almost nothing) — or be dropped.
+
+    Kill-set definitions: quality (fails any q465 gate) and decontam
+    (>= {_MIN_SHARED} bloom-hit trigrams, the q479 filter) are
+    evaluated INDEPENDENTLY on the bench-excluded raw corpus; exact
+    (non-minimal member of a text group) is evaluated on raw; neardup
+    (larger id of a Jaccard-0.5 pair) is evaluated on the exact
+    survivors — the only order it ever runs in production (the q27b
+    funnel discipline), so exact/neardup kill sets are structurally
+    disjoint and their row reports the funnel's incremental split.
+
+    Determinism: every cell is an integer count over deterministic
+    kill rules; overlap_bp is truncating division with a
+    greatest(.,1) floor for empty unions.
+
+    100 TB shape: the four kill sets ride their standalone plans
+    (in-row gates; one text-keyed window; bucket-bounded shingle
+    pairs on collapsed survivors; broadcast-bloom probe census); the
+    matrix itself is ONE 11-accumulator aggregate over the flags
+    frame — per-doc lineage is four semi-join bits, never a wide
+    intermediate, and the output is 6 rows."""
+    from ooh_etl_spark.operators.dedup import exact_dedup, jaccard_pairs
+
+    d0 = _docs(spark, sf_dir).select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("toks")
+    )
+    bench = (
+        d0.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode_outer(_trigrams(F.col("toks"))).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def pos(j: int) -> Column:
+        return F.expr(
+            f"CAST(conv(substring(md5(gram), {1 + 8 * j}, 8), 16, 10)"
+            f" AS BIGINT) % {_FUN_M}"
+        )
+
+    bits = (
+        bench.select(
+            F.explode(F.array(*[pos(j) for j in range(_FUN_K)])).alias("pos")
+        )
+        .distinct()
+        .withColumn("bit_set", F.lit(1))
+    )
+    sw = ", ".join(f"'{w}'" for w in _AGREE_STOPWORDS)
+    raw = d0.filter(F.col("doc_id") % _BENCH_MOD != 0).localCheckpoint()
+    kq = raw.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.size(
+            F.array_remove(F.array_distinct(F.split(F.col("text"), "")), "")
+        ).alias("n_alpha"),
+        F.expr(f"size(filter(toks, t -> t IN ({sw})))").alias("n_stop"),
+        F.expr(
+            "aggregate(array_sort(toks),"
+            " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+            " (acc, t) -> named_struct("
+            "   'prev', t,"
+            "   'run', CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+            "               THEN acc.run + 1 ELSE 1 END,"
+            "   'best', greatest(acc.best,"
+            "     CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+            "          THEN acc.run + 1 ELSE 1 END)),"
+            " acc -> acc.best)"
+        ).alias("top_tok"),
+    ).select(
+        "doc_id",
+        (
+            ~(
+                (F.col("n_toks") >= 20)
+                & (F.col("n_alpha") >= 12)
+                & (F.expr("(10000 * n_stop) div n_toks") >= 100)
+                & (F.expr("(10000 * top_tok) div n_toks") <= 2000)
+            )
+        )
+        .cast("int")
+        .alias("k_quality"),
+    )
+    exd = exact_dedup(raw, key="text", id_col="doc_id").localCheckpoint()
+    ke = exd.select("doc_id", F.lit(1).alias("kept"))
+    kn = (
+        jaccard_pairs(exd, "text", "doc_id", n=3, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("k_neardup", F.lit(1))
+    )
+    cg = raw.select(
+        "doc_id", F.explode_outer(_trigrams(F.col("toks"))).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    probed = cg
+    for j in range(_FUN_K):
+        probed = probed.withColumn(f"p{j}", pos(j)).join(
+            F.broadcast(
+                bits.select(
+                    F.col("pos").alias(f"p{j}"), F.col("bit_set").alias(f"b{j}")
+                )
+            ),
+            f"p{j}",
+            "left",
+        )
+    kd = (
+        probed.filter(
+            F.expr(" AND ".join(f"b{j} IS NOT NULL" for j in range(_FUN_K)))
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") >= _MIN_SHARED)
+        .select("doc_id", F.lit(1).alias("k_decontam"))
+    )
+    flags = (
+        raw.select("doc_id")
+        .join(kq, "doc_id", "left")
+        .join(ke, "doc_id", "left")
+        .join(kn, "doc_id", "left")
+        .join(kd, "doc_id", "left")
+        .select(
+            F.coalesce("k_quality", F.lit(0)).alias("k_quality"),
+            (F.col("kept").isNull()).cast("int").alias("k_exact"),
+            F.coalesce("k_neardup", F.lit(0)).alias("k_neardup"),
+            F.coalesce("k_decontam", F.lit(0)).alias("k_decontam"),
+        )
+    )
+    agg = flags.agg(
+        *[F.sum(f"k_{s}").alias(f"n_{s}") for s in
+          ("quality", "exact", "neardup", "decontam")],
+        *[
+            F.sum(F.col(f"k_{a}") * F.col(f"k_{b}")).alias(f"both_{a}_{b}")
+            for a, b in _STAGE_PAIRS
+        ],
+    )
+    stack_parts = ", ".join(
+        f"'{a}', '{b}', n_{a}, n_{b}, both_{a}_{b},"
+        f" n_{a} - both_{a}_{b}, n_{b} - both_{a}_{b},"
+        f" (10000 * both_{a}_{b}) div greatest(n_{a} + n_{b} - both_{a}_{b}, 1)"
+        for a, b in _STAGE_PAIRS
+    )
+    return (
+        agg.select(
+            F.expr(
+                f"stack(6, {stack_parts})"
+                " AS (stage_a, stage_b, kills_a, kills_b, both_kill,"
+                " only_a_kills, only_b_kills, overlap_bp)"
+            )
+        )
+        .select(
+            "stage_a", "stage_b",
+            F.col("kills_a").cast("bigint").alias("kills_a"),
+            F.col("kills_b").cast("bigint").alias("kills_b"),
+            F.col("both_kill").cast("bigint").alias("both_kill"),
+            F.col("only_a_kills").cast("bigint").alias("only_a_kills"),
+            F.col("only_b_kills").cast("bigint").alias("only_b_kills"),
+            F.col("overlap_bp").cast("bigint").alias("overlap_bp"),
+        )
+        .orderBy("stage_a", "stage_b")
+    )

@@ -277,6 +277,12 @@ def test_headline_shuffle_budgets(spark):
         "q479_corpus_build_funnel": 5,  # stage boundaries checkpointed
         # (the production intermediate writes); residue = the source
         # censuses + DoReMi (source,term) census + final stage sort
+        "q480_gopher_repetition_census": 3,  # scan-spread repartition
+        # + ONE source-keyed census agg + final sort; every gram
+        # census/top-share/coverage union is in-row (no explode)
+        "q481_funnel_stage_overlap": 7,  # kill sets ride their
+        # standalone plans (text window, shingle pairs on collapsed
+        # survivors, bloom probe census) + flags joins + 11-acc agg
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)

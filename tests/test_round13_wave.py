@@ -13,6 +13,8 @@ from ooh_etl_spark.queries import QUERIES  # noqa: E402
 
 WAVE = [
     "q479_corpus_build_funnel",
+    "q480_gopher_repetition_census",
+    "q481_funnel_stage_overlap",
 ]
 
 
@@ -95,3 +97,68 @@ def test_q479_packing_metric_matches_closed_form(spark):
             # fixture docs are ~16 tokens -> pad waste dominates; a zero
             # here would mean the pad arithmetic silently vanished
             assert r["metric_bp"] > 0, s
+
+
+# --- q480: Gopher repetition census invariants ------------------------------
+
+
+def test_q480_flag_hierarchy_and_coverage_bounds(spark):
+    """flagged_any >= each individual rule's count per source; every
+    flag count <= n_docs; the dup-3 coverage rule actually FIRES
+    somewhere in the corpus (a silent-zero coverage computation would
+    still oracle-match, so the signal itself is pinned)."""
+    rows = run(spark, "q480_gopher_repetition_census").collect()
+    assert len(rows) == 20
+    for r in rows:
+        for c in ("flagged_top2", "flagged_top3", "flagged_top4",
+                  "flagged_dup3"):
+            assert 0 <= r[c] <= r["n_docs"], (r["source"], c)
+            assert r[c] <= r["flagged_any"], (r["source"], c)
+        assert r["flagged_any"] <= (
+            r["flagged_top2"] + r["flagged_top3"] + r["flagged_top4"]
+            + r["flagged_dup3"]
+        )
+    assert sum(r["flagged_dup3"] for r in rows) >= 1
+    assert sum(r["flagged_any"] for r in rows) >= 1
+
+
+def test_q480_dup_coverage_position_union_golden(spark):
+    """Golden pin of the position-set-union semantics on a constructed
+    doc: 'a b c a b c x' has the duplicated 3-gram 'a b c' at starts
+    1 and 4, covering positions {1..6} of 7 -> 8571 bp (NOT 6/7 of
+    multiset mass double-counted)."""
+    df = spark.createDataFrame([("a b c a b c x",)], "text string")
+    got = df.selectExpr(
+        "size(split(lower(trim(text)), '\\\\s+')) AS n_toks",
+        "CASE WHEN size(split(lower(trim(text)), '\\\\s+')) >= 3 THEN"
+        " transform(sequence(1, size(split(lower(trim(text)), '\\\\s+')) - 2),"
+        " i -> array_join(slice(split(lower(trim(text)), '\\\\s+'), i, 3), ' '))"
+        " ELSE array() END AS gd"
+    ).selectExpr(
+        "(10000 * size(array_distinct(flatten(transform("
+        "filter(sequence(1, size(gd)),"
+        " i -> size(filter(gd, h -> h = element_at(gd, i))) >= 2),"
+        " i -> sequence(i, i + 2)))))) div n_toks AS bp"
+    ).collect()[0]["bp"]
+    assert got == 8571
+
+
+# --- q481: stage kill-overlap invariants -------------------------------------
+
+
+def test_q481_matrix_consistency(spark):
+    """6 pair rows; kill counts are consistent across rows naming the
+    same stage; both <= min(kills); exact/neardup structurally
+    disjoint (neardup evaluates on exact survivors)."""
+    rows = {(r["stage_a"], r["stage_b"]): r
+            for r in run(spark, "q481_funnel_stage_overlap").collect()}
+    assert len(rows) == 6
+    kills = {}
+    for (a, b), r in rows.items():
+        assert r["both_kill"] <= min(r["kills_a"], r["kills_b"])
+        assert r["only_a_kills"] == r["kills_a"] - r["both_kill"]
+        assert r["only_b_kills"] == r["kills_b"] - r["both_kill"]
+        assert 0 <= r["overlap_bp"] <= 10000
+        for s, k in ((a, r["kills_a"]), (b, r["kills_b"])):
+            assert kills.setdefault(s, k) == k, f"{s} inconsistent"
+    assert rows[("exact", "neardup")]["both_kill"] == 0
