@@ -166,6 +166,13 @@ HEADLINE = [
     # census; the (m, k)-grid bit probes ride the census against six
     # broadcast bit sets — the measured-vs-theory advisor shape.
     "q475_bloom_sizing_advisor",
+    # --- round-13 addition (2026-08-16) — reported separately from the
+    # pinned common set when comparing round-over-round totals ---
+    # the corpus-build capstone: gates -> exact dedup -> near-dup
+    # funnel -> broadcast-bloom decontamination -> DoReMi mixture ->
+    # packing audit, stage-checkpointed end to end; the engine's
+    # flagship composition as ONE timed entry.
+    "q479_corpus_build_funnel",
 ]
 
 
