@@ -162,3 +162,18 @@ def test_q481_matrix_consistency(spark):
         for s, k in ((a, r["kills_a"]), (b, r["kills_b"])):
             assert kills.setdefault(s, k) == k, f"{s} inconsistent"
     assert rows[("exact", "neardup")]["both_kill"] == 0
+
+
+def test_q479_checkpoint_cuts_hold(spark):
+    """The funnel's stage boundaries must stay checkpointed: the final
+    plan roots at ExistingRDD scans with a bounded exchange residue.
+    Measured r13: checkpoints no-op'd -> 216 parquet scans / 427
+    exchanges (every census re-derives the lineage); with the cuts ->
+    zero parquet scans in the final plan and <= 5 exchanges."""
+    from ooh_etl_spark.plans.audit import physical_plan, shuffle_count
+
+    plan = physical_plan(
+        QUERIES["q479_corpus_build_funnel"].fn(spark, SF_DIR)
+    )
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert shuffle_count(plan) <= 5, shuffle_count(plan)
