@@ -2843,10 +2843,15 @@ def q480_gopher_repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame
 
     100 TB shape: ZERO corpus shuffle (the q465 discipline) — every
     n-gram census, top-share, and duplicated-coverage union is an
-    in-row higher-order-function fold over the token array (O(L^2)
-    per row with L ~ doc length, bounded by the tokenizer); the only
-    exchange is the final |sources|-row aggregate. No explode: the
-    gram lists never leave their row."""
+    in-row sorted run-length fold over the token array (O(L log L +
+    L*D) per row, D = duplicated-gram count; the first draft's
+    distinct-x-filter form was O(L^2) — caught in self-review,
+    measured 2.72x -> 1.14x at 10x replicas); the only exchange is
+    the final |sources|-row aggregate. No explode: the gram lists
+    never leave their row. For book-length docs (L >> 10^4) the same
+    census is expressible as a (doc_id, gram) explode + doc-keyed
+    count — linear with one shuffle — but at web-doc lengths the
+    in-row form wins by keeping the corpus in its scan stage."""
     d = _docs(spark, sf_dir).select(
         "doc_id", "source", tokenize(F.col("text")).alias("toks")
     ).filter(F.size("toks") > 0)
@@ -2860,24 +2865,53 @@ def q480_gopher_repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     def top_bp(n: int) -> Column:
+        # q465's sorted run-length fold lifted to n-grams: O(L log L)
+        # per row (the first draft's distinct-x-filter scan was O(L^2),
+        # a wall at web-doc lengths; caught in the r13 self-review)
         return F.expr(
-            f"coalesce((10000 * {n} * array_max(transform("
-            f"array_distinct(g{n}), x -> size(filter(g{n}, h -> h = x)))))"
-            " div n_toks, 0)"
+            f"(10000 * {n} * aggregate(array_sort(g{n}),"
+            " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+            " (acc, t) -> named_struct("
+            "   'prev', t,"
+            "   'run', CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+            "               THEN acc.run + 1 ELSE 1 END,"
+            "   'best', greatest(acc.best,"
+            "     CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+            "          THEN acc.run + 1 ELSE 1 END)),"
+            " acc -> acc.best)) div n_toks"
         )
 
+    # duplicated-gram SET via one sorted fold (append on the second
+    # occurrence only), HOISTED into its own projection so the fold
+    # runs once per row — inside the position lambda Catalyst would
+    # re-evaluate it per position, O(L^2 log L). Coverage then tests
+    # membership against the set: O(L log L + L*D) with D =
+    # |duplicated grams| (typically tiny), vs the first draft's
+    # O(L^2) per-position rescan.
+    ds_col = F.expr(
+        "aggregate(array_sort(gd),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0,"
+        "              'ds', CAST(array() AS ARRAY<STRING>)),"
+        " (acc, t) -> named_struct("
+        "   'prev', t,"
+        "   'run', CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+        "               THEN acc.run + 1 ELSE 1 END,"
+        "   'ds', CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+        "               AND acc.run = 1 THEN array_append(acc.ds, t)"
+        "          ELSE acc.ds END),"
+        " acc -> acc.ds)"
+    )
     g = d.select(
         "source",
         F.size("toks").alias("n_toks"),
         *[F.expr(grams(n)).alias(f"g{n}") for n, _ in _REP_TOP],
         F.expr(grams(_REP_DUP_N)).alias("gd"),
-    )
+    ).withColumn("ds", ds_col)
     dup_bp = F.expr(
-        f"coalesce((10000 * size(array_distinct(flatten(transform("
+        f"(10000 * size(array_distinct(flatten(transform("
         f"filter(sequence(1, size(gd)),"
-        f" i -> size(filter(gd,"
-        f" h -> h = element_at(gd, i))) >= 2),"
-        f" i -> sequence(i, i + {_REP_DUP_N - 1})))))) div n_toks, 0)"
+        f" i -> array_contains(ds, element_at(gd, i))),"
+        f" i -> sequence(i, i + {_REP_DUP_N - 1})))))) div n_toks"
     )
     # sequence(1, 0) is DESCENDING in Spark, so the gram builders and
     # the start-index list are guarded with CASE size >= n above; the
