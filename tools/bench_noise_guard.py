@@ -47,6 +47,31 @@ def _latest_round_total() -> tuple[str, float] | None:
     return os.path.basename(path), val
 
 
+def _common_subset_totals(current: dict, prev_payload: dict) -> tuple[float, float] | None:
+    """Like-for-like totals over the query keys BOTH rounds timed —
+    headline additions land at the end of the list, so raw totals
+    inflate by exactly the new entries (the judge compares common
+    subsets for the same reason)."""
+    cur_q = current.get("queries") or {}
+    prev_q = prev_payload.get("queries") or {}
+    if isinstance(prev_payload.get("parsed"), dict):
+        prev_q = prev_payload["parsed"].get("queries") or prev_q
+    # BENCH_DETAIL carries full names; BENCH_r* carries qNNN shorts —
+    # translate via key_map when present, else compare keys as-is.
+    key_map = current.get("key_map") or {}
+    if key_map:
+        cur_short = {s: cur_q[full] for s, full in key_map.items() if full in cur_q}
+    else:
+        cur_short = dict(cur_q)
+    common = set(cur_short) & set(prev_q)
+    if not common:
+        return None
+    return (
+        sum(cur_short[k] for k in common),
+        sum(prev_q[k] for k in common),
+    )
+
+
 def main() -> int:
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
     if not os.path.exists(detail_path):
@@ -60,10 +85,18 @@ def main() -> int:
         print("bench_noise_guard: no BENCH_r*.json to compare against")
         return 0
     prev_name, prev_total = prev
+    with open(os.path.join(REPO, prev_name)) as f:
+        prev_payload = json.load(f)
+    subset = _common_subset_totals(current, prev_payload)
+    if subset is not None:
+        cur_total, prev_total = subset
+        basis = "common-subset"
+    else:
+        basis = "raw-total"
     ratio = cur_total / max(prev_total, 1e-9)
     print(
         f"bench_noise_guard: in-ritual {cur_total:.3f}s vs "
-        f"{prev_name} {prev_total:.3f}s (ratio {ratio:.2f})"
+        f"{prev_name} {prev_total:.3f}s ({basis}, ratio {ratio:.2f})"
     )
     if ratio <= THRESHOLD:
         print("bench_noise_guard: within 15% — no re-run needed")
