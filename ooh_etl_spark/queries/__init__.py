@@ -68,8 +68,8 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #: and the r13 wave is kept deliberately small per VERDICT r12
 #: item 3 so the r14 window can both confirm it and begin the
 #: re-confirmation cycle):
-#:   r14: PINS (6) + the r13 wave (newest-code-first: q479–q481,
-#:        3 entries) + 41 round-robin cursor slots beginning at q01
+#:   r14: PINS (6) + the r13 wave (newest-code-first: q479–q482,
+#:        4 entries) + 40 round-robin cursor slots beginning at q01
 #:        (registry head).
 #:
 #: POST-DEBT ROTATION POLICY (standing — VERDICT r11 item 3;
@@ -91,7 +91,7 @@ from ooh_etl_spark.queries import windows  # noqa: E402,F401
 #:        r13 window = debt remainder + full r12 wave (this file);
 #:        r13 wave (lands in r14's newest-code-first block) =
 #:        q479_corpus_build_funnel, q480_gopher_repetition_census,
-#:        q481_funnel_stage_overlap;
+#:        q481_funnel_stage_overlap, q482_gate_threshold_curve;
 #:        r14 cursor START = q01 (registry-number order, wrapping).
 _DRIVER_WINDOW = [
     # reference surface + flagship analog (§2.A contract, every round)

@@ -3207,3 +3207,156 @@ def q481_funnel_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_a", "stage_b")
     )
+
+
+# --- round-13 wave: q482 quality-gate threshold sensitivity curve -------------
+
+#: Per-gate threshold grids; while one gate sweeps, the other three
+#: hold their q465 defaults (len>=20, alpha>=12, stop>=100bp,
+#: rep<=2000bp), so each curve shows the MARGINAL cost of moving one
+#: knob inside the deployed ensemble.
+_GATE_GRIDS = (
+    ("len", (5, 10, 20, 40, 80)),
+    ("alpha", (4, 8, 12, 16, 20)),
+    ("stopword", (0, 50, 100, 200, 400)),
+    ("repetition", (1000, 2000, 3000, 5000, 10000)),
+)
+
+
+def _duck_gate_curve() -> str:
+    sw = ", ".join(f"'{w}'" for w in _AGREE_STOPWORDS)
+    grid_rows = ", ".join(
+        f"('{g}', {t})" for g, ts in _GATE_GRIDS for t in ts
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks, text FROM documents),
+         feat AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             len(list_distinct(list_transform(
+                 generate_series(1, length(text)), i -> text[i:i])))
+               AS n_alpha,
+             (10000 * len(list_filter(toks, t -> t IN ({sw})))) // len(toks)
+               AS stop_bp,
+             (10000 * (SELECT max(c) FROM (
+                SELECT count(*) AS c FROM unnest(toks) AS u(t) GROUP BY t)))
+               // len(toks) AS rep_bp
+      FROM d WHERE len(toks) > 0),
+         grid AS (
+      SELECT * FROM (VALUES {grid_rows}) AS v(gate, thr)),
+         ev AS (
+      SELECT g.gate, g.thr, f.n_toks,
+             CASE WHEN (CASE WHEN g.gate = 'len' THEN f.n_toks >= g.thr
+                             ELSE f.n_toks >= 20 END)
+                   AND (CASE WHEN g.gate = 'alpha' THEN f.n_alpha >= g.thr
+                             ELSE f.n_alpha >= 12 END)
+                   AND (CASE WHEN g.gate = 'stopword' THEN f.stop_bp >= g.thr
+                             ELSE f.stop_bp >= 100 END)
+                   AND (CASE WHEN g.gate = 'repetition' THEN f.rep_bp <= g.thr
+                             ELSE f.rep_bp <= 2000 END)
+                  THEN 1 ELSE 0 END AS pass
+      FROM feat f CROSS JOIN grid g)
+    SELECT gate, CAST(thr AS BIGINT) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pass) AS BIGINT) AS n_survivors,
+           CAST((10000 * sum(pass)) // count(*) AS BIGINT) AS survival_bp,
+           CAST(sum(pass * n_toks) AS BIGINT) AS tokens_survive
+    FROM ev GROUP BY gate, thr ORDER BY gate, threshold
+"""
+
+
+@register("q482_gate_threshold_curve", _duck_gate_curve())
+def q482_gate_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate threshold SENSITIVITY curves — the per-knob
+    ablation behind FineWeb's filter tuning (Penedo et al. 2024 §3.3
+    sweep each heuristic and keep the settings that move downstream
+    loss; Dolma and RefinedWeb publish their chosen constants with no
+    curve): for each of the four q465 gates, sweep its threshold over
+    a 5-point grid while the OTHER three hold the deployed defaults,
+    reporting surviving docs and token yield at every grid point —
+    the marginal price of tightening one knob inside the ensemble,
+    measured before committing a corpus build (q479 consumes these
+    gates at their defaults). Completes the advisor series: q427
+    bands, q451 S-curve, q456 K, q470 buckets, q475 bloom bits, q460
+    truncation — this one prices the gates themselves.
+
+    Determinism: the four per-doc statistics are exact integers
+    (token counts, distinct chars, truncating-div basis points); the
+    grid evaluation is pure comparisons; every output cell is an
+    integer count or truncating-div bp.
+
+    100 TB shape: ONE corpus scan computes the 4-statistic per-doc
+    census in-row (the q465 gate expressions); the x20 (gate, thr)
+    fan-out rides each row into a 20-group map-side-combined
+    aggregate (the q460 grid discipline — grid cardinality, never
+    corpus cardinality, reaches the shuffle); output is 20 rows."""
+    docs = _docs(spark, sf_dir)
+    sw = ", ".join(f"'{w}'" for w in _AGREE_STOPWORDS)
+    feat = (
+        docs.select(
+            "doc_id",
+            tokenize(F.col("text")).alias("toks"),
+            "text",
+        )
+        .filter(F.size("toks") > 0)
+        .select(
+            F.size("toks").alias("n_toks"),
+            F.size(
+                F.array_remove(F.array_distinct(F.split(F.col("text"), "")), "")
+            ).alias("n_alpha"),
+            F.expr(
+                f"(10000 * size(filter(split(lower(trim(text)), '\\\\s+'),"
+                f" t -> t IN ({sw})))) div size(toks)"
+            ).alias("stop_bp"),
+            F.expr(
+                "(10000 * aggregate(array_sort(split(lower(trim(text)),"
+                " '\\\\s+')),"
+                " named_struct('prev', CAST(NULL AS STRING), 'run', 0,"
+                "              'best', 0),"
+                " (acc, t) -> named_struct("
+                "   'prev', t,"
+                "   'run', CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+                "               THEN acc.run + 1 ELSE 1 END,"
+                "   'best', greatest(acc.best,"
+                "     CASE WHEN acc.prev IS NOT NULL AND acc.prev = t"
+                "          THEN acc.run + 1 ELSE 1 END)),"
+                " acc -> acc.best)) div size(toks)"
+            ).alias("rep_bp"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(g, t) for g, ts in _GATE_GRIDS for t in ts], "gate string, thr long"
+    )
+    passes = (
+        F.when(F.col("gate") == "len", F.col("n_toks") >= F.col("thr"))
+        .otherwise(F.col("n_toks") >= 20)
+        & F.when(F.col("gate") == "alpha", F.col("n_alpha") >= F.col("thr"))
+        .otherwise(F.col("n_alpha") >= 12)
+        & F.when(F.col("gate") == "stopword", F.col("stop_bp") >= F.col("thr"))
+        .otherwise(F.col("stop_bp") >= 100)
+        & F.when(
+            F.col("gate") == "repetition", F.col("rep_bp") <= F.col("thr")
+        ).otherwise(F.col("rep_bp") <= 2000)
+    )
+    return (
+        feat.crossJoin(F.broadcast(grid))
+        .select("gate", "thr", "n_toks", passes.cast("int").alias("pass"))
+        .groupBy("gate", "thr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pass").cast("bigint").alias("n_survivors"),
+            F.expr("(10000 * sum(pass)) div count(*)")
+            .cast("bigint")
+            .alias("survival_bp"),
+            F.sum(F.expr("pass * n_toks")).cast("bigint").alias("tokens_survive"),
+        )
+        .select(
+            "gate",
+            F.col("thr").cast("bigint").alias("threshold"),
+            "n_docs",
+            "n_survivors",
+            "survival_bp",
+            "tokens_survive",
+        )
+        .orderBy("gate", "threshold")
+    )

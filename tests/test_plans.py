@@ -283,6 +283,9 @@ def test_headline_shuffle_budgets(spark):
         "q481_funnel_stage_overlap": 7,  # kill sets ride their
         # standalone plans (text window, shingle pairs on collapsed
         # survivors, bloom probe census) + flags joins + 11-acc agg
+        "q482_gate_threshold_curve": 3,  # scan-spread + ONE 20-group
+        # map-side-combined (gate,thr) agg + final sort; the grid is
+        # broadcast and the 4-stat census is in-row
     }
     for name, budget in budgets.items():
         plan = plan_of(spark, name)

@@ -15,6 +15,7 @@ WAVE = [
     "q479_corpus_build_funnel",
     "q480_gopher_repetition_census",
     "q481_funnel_stage_overlap",
+    "q482_gate_threshold_curve",
 ]
 
 
@@ -177,3 +178,37 @@ def test_q479_checkpoint_cuts_hold(spark):
     )
     assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
     assert shuffle_count(plan) <= 5, shuffle_count(plan)
+
+
+# --- q482: gate threshold curve invariants -----------------------------------
+
+
+def test_q482_monotone_and_anchored(spark):
+    """Survivors are monotone in the swept threshold (non-increasing
+    for the >= gates, non-decreasing for the <= repetition gate), and
+    every gate's curve at its deployed default equals the all-default
+    ensemble survivor count (the q465/q479 gate composition)."""
+    rows = run(spark, "q482_gate_threshold_curve").collect()
+    assert len(rows) == 20
+    by_gate = {}
+    for r in rows:
+        by_gate.setdefault(r["gate"], []).append(r)
+    defaults = {"len": 20, "alpha": 12, "stopword": 100, "repetition": 2000}
+    anchor = None
+    for gate, rs in by_gate.items():
+        rs.sort(key=lambda r: r["threshold"])
+        surv = [r["n_survivors"] for r in rs]
+        toks = [r["tokens_survive"] for r in rs]
+        if gate == "repetition":
+            assert surv == sorted(surv), (gate, surv)
+            assert toks == sorted(toks), (gate, toks)
+        else:
+            assert surv == sorted(surv, reverse=True), (gate, surv)
+            assert toks == sorted(toks, reverse=True), (gate, toks)
+        at_default = [
+            r["n_survivors"] for r in rs if r["threshold"] == defaults[gate]
+        ]
+        assert len(at_default) == 1, gate
+        anchor = anchor if anchor is not None else at_default[0]
+        assert at_default[0] == anchor, (gate, at_default[0], anchor)
+        assert len({r["n_docs"] for r in rs}) == 1
