@@ -366,57 +366,79 @@ def q437_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fully oracle-checkable; recall is integer basis points via
     integer division.
 
-    100 TB shape: assignment is a broadcast-centroid argmax in the
-    scan stage (|corpus| x C narrow rows, reduced by a vec-keyed
-    window); candidates are cell-equi-joined (the IVF point: probed
-    cells, never corpus x queries); the truth pass is brute force
-    over the FIXED 5-query panel — q30's bounded oracle baseline, not
-    the corpus-pair scan. The curve table itself is |probes| rows."""
-    from ooh_etl_spark.operators.similarity import cosine
+    100 TB shape: assignment is an IN-ROW argmin over the broadcast
+    {C}-centroid panel in the scan stage (the q461 pattern; r13 opt —
+    previously a corpus x C cross join reduced by a vec-keyed window,
+    i.e. an 8x row expansion through an extra exchange + sort);
+    candidates are cell-equi-joined (the IVF point: probed cells,
+    never corpus x queries); the truth pass is brute force over the
+    FIXED 5-query panel — q30's bounded oracle baseline, not the
+    corpus-pair scan. The curve table itself is |probes| rows.
+
+    r13 opt, per-pair arithmetic: every vector's double upcast and
+    l2 norm are computed ONCE per row and carried, so each scored
+    pair evaluates one zip_with+aggregate dot and a scalar divide
+    (3 interpreted HOF passes) instead of re-deriving two casts and
+    two norms per pair (~6 passes) — bit-identical float sequence
+    (same fold order, same norm product order), verified against the
+    oracle at both sfs."""
     from ooh_etl_spark.tables import parallelize_rows
     from pyspark.sql import Window
 
+    dd = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    l2 = "sqrt(aggregate({v}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
+
+    def e6(qv: str, qn: str, nv: str, nn: str) -> str:
+        # round(1e6 * (dot / (|a| * |b|))) — identical expression tree
+        # to round(1_000_000 * cosine(a, b)) over pre-cast arrays.
+        return (
+            f"CAST(round(1000000 * (aggregate(zip_with({qv}, {nv},"
+            f" (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            f" / ({qn} * {nn}))) AS BIGINT)"
+        )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        emb.filter(F.col("vec_id") < _RC_C).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
-        )
+    cents = (
+        emb.filter(F.col("vec_id") < _RC_C)
+        .select(F.col("vec_id").alias("cent_id"), F.expr(dd).alias("cv"))
+        .withColumn("cn", F.expr(l2.format(v="cv")))
     )
-    corpus = parallelize_rows(emb).select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")
+    panel = cents.agg(
+        F.collect_list(F.struct("cent_id", "cv", "cn")).alias("panel")
     )
-    qs = emb.filter(F.col("vec_id") < _RC_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    corpus = (
+        parallelize_rows(emb)
+        .select(F.col("vec_id").alias("nid"), F.expr(dd).alias("nv"))
+        .withColumn("nn", F.expr(l2.format(v="nv")))
     )
-
-    def e6(a, b):
-        return F.round(1_000_000 * cosine(a, b)).cast("bigint")
-
+    qs = (
+        emb.filter(F.col("vec_id") < _RC_NQ)
+        .select(F.col("vec_id").alias("qid"), F.expr(dd).alias("qv"))
+        .withColumn("qn", F.expr(l2.format(v="qv")))
+    )
+    # argmax by (cos_e6 DESC, cent_id ASC) == array_min of
+    # struct(-cos_e6, cent_id): bigint negation is exact.
+    argmin = (
+        "array_min(transform(panel, c -> named_struct("
+        f" 'neg', -{e6('nv', 'nn', 'c.cv', 'c.cn')},"
+        " 'cid', c.cent_id))).cid"
+    )
     ca = (
-        corpus.join(cents, F.lit(True))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("nid").orderBy(
-                    e6(F.col("nv"), F.col("cv")).desc(), "cent_id"
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("nid", "nv", F.col("cent_id").alias("cell"))
+        corpus.crossJoin(F.broadcast(panel))
+        .select("nid", "nv", "nn", F.expr(argmin).alias("cell"))
         .localCheckpoint()  # feeds truth join AND every probe level
     )
     qc = (
-        qs.join(cents, F.lit(True))
+        qs.join(F.broadcast(cents), F.lit(True))
         .withColumn(
             "probe_rank",
             F.row_number().over(
                 Window.partitionBy("qid").orderBy(
-                    e6(F.col("qv"), F.col("cv")).desc(), "cent_id"
+                    F.expr(e6("qv", "qn", "cv", "cn")).desc(), "cent_id"
                 )
             ),
         )
-        .select("qid", "qv", F.col("cent_id").alias("cell"), "probe_rank")
+        .select("qid", "qv", "qn", F.col("cent_id").alias("cell"), "probe_rank")
     )
     truth = (
         qs.join(ca, F.col("qid") != F.col("nid"))
@@ -424,7 +446,7 @@ def q437_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.row_number().over(
                 Window.partitionBy("qid").orderBy(
-                    e6(F.col("qv"), F.col("nv")).desc(), "nid"
+                    F.expr(e6("qv", "qn", "nv", "nn")).desc(), "nid"
                 )
             ),
         )
@@ -439,7 +461,12 @@ def q437_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qc, F.col("probe_rank") <= F.col("nprobe"))
         .join(ca, "cell")
         .filter(F.col("qid") != F.col("nid"))
-        .select("nprobe", "qid", "nid", e6(F.col("qv"), F.col("nv")).alias("cos_e6"))
+        .select(
+            "nprobe",
+            "qid",
+            "nid",
+            F.expr(e6("qv", "qn", "nv", "nn")).alias("cos_e6"),
+        )
         .localCheckpoint()  # feeds the ANN ranking AND the volume count
     )
     ann = (
