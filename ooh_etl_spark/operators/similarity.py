@@ -51,20 +51,42 @@ def knn_brute_force(
 
     queries (small) is broadcast; scoring is a per-row expression over
     the corpus scan; ranking shuffles only (query_id, score) pairs.
+
+    r13 opt: both sides pre-cast to double and carry their l2 norm as
+    a per-ROW column, so each scored pair evaluates one
+    zip_with+aggregate dot and a scalar divide instead of re-deriving
+    two casts and two norms per pair (HOF lambdas are interpreted —
+    CodegenFallback — so array passes per pair are the cost driver).
+    The float sequence is bit-identical: same fold order, same
+    |q|*|c| product order as cosine().
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"),
+            _to_double(F.col(vec_col)).alias("q_vec"),
+        ).withColumn(
+            "qn",
+            F.expr("sqrt(aggregate(q_vec, CAST(0 AS DOUBLE),"
+                   " (acc, x) -> acc + x * x))"),
         )
     )
     from ooh_etl_spark.tables import parallelize_rows
 
     c = parallelize_rows(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("c_vec"),
+    ).withColumn(
+        "cn",
+        F.expr("sqrt(aggregate(c_vec, CAST(0 AS DOUBLE),"
+               " (acc, x) -> acc + x * x))"),
     )
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos",
+            F.expr("aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y),"
+                   " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (qn * cn)"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

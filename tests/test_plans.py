@@ -362,7 +362,11 @@ def test_q296_single_join_subtree(spark):
     # The neighbor census must come from ONE explode over the pair
     # set, not a unionAll of two projections — the union form executed
     # the variant self-join TWICE (round-5 verdict: both Union
-    # branches carried the full join subtree).
+    # branches carried the full join subtree). r13 opt: the variant
+    # self-join is GONE entirely — candidates now come from one
+    # posting-list aggregate keyed on xxhash64(variant) expanded by
+    # stacked Generate operators (the jaccard_pairs shape), so the
+    # plan must contain ZERO join nodes and exactly one customer scan.
     import re
 
     plan = plan_of(spark, "q296_symspell_edit_join")
@@ -374,7 +378,9 @@ def test_q296_single_join_subtree(spark):
             plan,
         )
     )
-    assert n_joins == 1, (n_joins, plan)
+    assert n_joins == 0, (n_joins, plan)
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, (n_scans, plan)
 
 
 def test_q304_lattice_stays_broadcast(spark):
