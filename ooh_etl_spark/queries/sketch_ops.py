@@ -960,7 +960,7 @@ def q429_mergeable_quantile_summary(
         (F.col("l_orderkey") % _Q_SHARDS).cast("bigint").alias("shard"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
-    n = x.agg(F.count(F.lit(1)).alias("n"))
+    # n rides the coarse bucket census below (one fewer corpus scan)
     by_shard = Window.partitionBy("shard")
     r = x.select(
         "shard",
@@ -995,6 +995,30 @@ def q429_mergeable_quantile_summary(
         )
         .alias("cumw"),
     )
+    # Exact baseline, bucketed two-pass CDF (r13 opt, guide §2.2/§2.4).
+    # The old form ran a SinglePartition running-sum window over EVERY
+    # distinct cents value (583k rows at sf0.1 — cents are near-unique,
+    # so the "value-domain bounded" window was really a full single-
+    # threaded sort) and then a BroadcastNestedLoopJoin of that CDF
+    # against the 9-target grid (~2.2M predicate matches re-aggregated
+    # to 9 rows). Two-pass replacement: (1) a coarse census of
+    # cents-div-B buckets (map-side combined to ~|domain|/B rows) with
+    # a tiny ordered window locates, IN-ROW via integer arithmetic,
+    # which bucket each decile's target rank falls in; (2) only rows
+    # of the <= 9 selected buckets (broadcast-semi-joined) are grouped
+    # by exact cents and scanned with a bucket-partitioned window.
+    # Decile d's target (d*n+9) div 10 lies in (cum_prev, cum] iff
+    # (10*cum_prev) div n < d <= (10*cum) div n — the explode of that
+    # integer range replaces the theta-join, emitting each decile
+    # EXACTLY once, so the result is provably identical.
+    _B = 4096  # cents per coarse bucket
+    xb = (
+        x.groupBy(F.expr(f"cents div {_B}").alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .localCheckpoint()  # ~|domain|/B rows; feeds n, the decile
+        # bucket locator, AND (via the broadcast sel) the fine pass
+    )
+    n = xb.agg(F.sum("bcnt").cast("bigint").alias("n"))
     tgt = (
         spark.range(1, 10)
         .select(F.col("id").cast("bigint").alias("decile"))
@@ -1011,28 +1035,70 @@ def q429_mergeable_quantile_summary(
         .groupBy("decile", "target_rank")
         .agg(F.min("cents").alias("est_cents"))
     )
-    # Exact baseline: distinct-value CDF (value-domain bounded window).
-    cdf = (
-        x.groupBy("cents")
+    bcum = xb.select(
+        "bkt",
+        "bcnt",
+        F.sum("bcnt")
+        .over(
+            Window.orderBy("bkt").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("bcum"),
+    )
+    sel = (
+        bcum.crossJoin(F.broadcast(n))
+        .select(
+            "bkt",
+            (F.col("bcum") - F.col("bcnt")).alias("off"),
+            F.expr("(10 * (bcum - bcnt)) div n + 1").alias("d_lo"),
+            F.expr("least((10 * bcum) div n, 9)").alias("d_hi"),
+        )
+        .filter((F.col("d_lo") <= F.col("d_hi")) & (F.col("d_lo") <= 9))
+        .select("bkt", "off")
+    )
+    x_sel = x.join(
+        F.broadcast(sel), F.expr(f"cents div {_B}") == F.col("bkt")
+    )
+    fine = (
+        x_sel.groupBy("bkt", "off", "cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "cents",
-            F.sum("cnt")
-            .over(
-                Window.orderBy("cents").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
+            "cnt",
+            (
+                F.col("off")
+                + F.sum("cnt").over(
+                    Window.partitionBy("bkt")
+                    .orderBy("cents")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 )
-            )
-            .alias("cum"),
+            ).alias("cum"),
         )
     )
     exact = (
-        cdf.join(F.broadcast(tgt), F.col("cum") >= F.col("target_rank"))
-        .groupBy("decile")
-        .agg(F.min("cents").alias("exact_cents"))
+        fine.crossJoin(F.broadcast(n))
+        .select(
+            "cents",
+            F.expr("(10 * (cum - cnt)) div n + 1").alias("d_lo"),
+            F.expr("least((10 * cum) div n, 9)").alias("d_hi"),
+        )
+        # guarded sequence: start > stop DESCENDS in Spark (the q428
+        # ANSI lesson), so empty ranges must short-circuit to []
+        .select(
+            "cents",
+            F.explode(
+                F.when(
+                    F.col("d_lo") <= F.col("d_hi"),
+                    F.sequence(F.col("d_lo"), F.col("d_hi")),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+            ).alias("decile"),
+        )
+        .select(F.col("decile").cast("bigint").alias("decile"),
+                F.col("cents").alias("exact_cents"))
     )
     return (
-        est.join(exact, "decile")
+        est.join(F.broadcast(exact), "decile")
         .select(
             "decile",
             "target_rank",
