@@ -938,9 +938,13 @@ def q361_jaro_winkler_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     use = words.groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts")
     ).localCheckpoint()
-    vocab = use.select("w")
-    a = vocab.select(F.col("w").alias("word_a"))
-    b = vocab.select(F.col("w").alias("word_b"))
+    # r13 opt: carry each side's usage count THROUGH the vocab pair
+    # join instead of re-attaching it with two more broadcast joins
+    # (and their two broadcast-build jobs) after the UDF filter — the
+    # pair table is vocab-bounded, so two extra bigint columns through
+    # the Arrow stage are free. Same pairs, same counts.
+    a = use.select(F.col("w").alias("word_a"), F.col("n_parts").alias("n_parts_a"))
+    b = use.select(F.col("w").alias("word_b"), F.col("n_parts").alias("n_parts_b"))
     pairs = a.join(F.broadcast(b), F.col("word_a") < F.col("word_b"))
 
     # note: no type annotations on the UDF — this module has
@@ -960,17 +964,7 @@ def q361_jaro_winkler_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jw_e6", jw_e6(F.col("word_a"), F.col("word_b"))
     ).filter(F.col("jw_e6") >= 600000)
     return (
-        scored.join(
-            F.broadcast(use.select(F.col("w").alias("word_a"),
-                                   F.col("n_parts").alias("n_parts_a"))),
-            "word_a",
-        )
-        .join(
-            F.broadcast(use.select(F.col("w").alias("word_b"),
-                                   F.col("n_parts").alias("n_parts_b"))),
-            "word_b",
-        )
-        .select("word_a", "word_b", "jw_e6", "n_parts_a", "n_parts_b")
+        scored.select("word_a", "word_b", "jw_e6", "n_parts_a", "n_parts_b")
         .orderBy("word_a", "word_b")
     )
 

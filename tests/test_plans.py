@@ -666,8 +666,11 @@ def test_q361_pair_side_never_shuffles(spark):
     # q296-style named pin: after the checkpointed vocab aggregate,
     # the pair table is built by a broadcast nested-loop over the
     # bounded DISTINCT vocab and scored in place — the ONLY exchange
-    # in the scoring plan is the final presentation sort; usage counts
-    # attach by broadcast hash joins.
+    # in the scoring plan is the final presentation sort. r13 opt:
+    # usage counts now ride THROUGH the pair join (two bigint columns
+    # on the vocab sides) instead of re-attaching by two broadcast
+    # hash joins after the UDF filter — the scoring plan has ZERO
+    # hash joins left.
     import re
 
     plan = plan_of(spark, "q361_jaro_winkler_vocab")
@@ -675,7 +678,7 @@ def test_q361_pair_side_never_shuffles(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     # numbered detail headers: one per node (the tree section repeats
     # the names, so a bare substring count double-counts)
-    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 0, plan
     assert shuffle_count(plan) <= 1, (shuffle_count(plan), plan)
     assert "rangepartitioning" in plan or shuffle_count(plan) == 0, plan
 
