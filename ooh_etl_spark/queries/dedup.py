@@ -753,14 +753,21 @@ def q291_suffix_lcp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix equality is monotone in length, so the bucket equals
     # 5 x (leading equal 5-char blocks) — 8 substring compares per
     # adjacent pair instead of 40 (-45% wall on the sf0.1 bench).
-    lcps = adj.withColumn(
-        "lcp_bucket",
-        F.expr(
-            f"5 * array_max(transform(sequence(1, {_SUF_CHARS} div 5), "
-            "b -> IF(substr(suffix, 1, 5 * b) = substr(prev_suffix, 1, 5 * b),"
-            " b, 0)))"
-        ),
-    ).filter(F.col("lcp_bucket") >= _SUF_MIN_LCP)
+    # r13 opt (guide §4.1): the compares were an array_max(transform(
+    # sequence...)) higher-order fold — CodegenFallback, interpreted
+    # per pair. Monotonicity means the bucket is 5*(first differing
+    # block - 1), so a static CASE chain from the SHORTEST block up is
+    # equivalent, stays in whole-stage codegen, and short-circuits at
+    # the first mismatch (most adjacent pairs share < 5 chars).
+    n_blocks = _SUF_CHARS // 5
+    lcp_case = "CASE " + " ".join(
+        f"WHEN substr(suffix, 1, {5 * b}) <> substr(prev_suffix, 1, {5 * b})"
+        f" THEN {5 * (b - 1)}"
+        for b in range(1, n_blocks + 1)
+    ) + f" ELSE {5 * n_blocks} END"
+    lcps = adj.withColumn("lcp_bucket", F.expr(lcp_case)).filter(
+        F.col("lcp_bucket") >= _SUF_MIN_LCP
+    )
     return (
         lcps.groupBy(
             F.col("lcp_bucket").cast("bigint").alias("lcp_bucket")
