@@ -1526,14 +1526,34 @@ def q418_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # r13 opt (guide §2.3 "shuffle keys and metadata, not payloads"):
+    # the boundary window previously carried the FULL text column, so
+    # each document's text crossed the doc-keyed exchange once PER
+    # SURVIVING BOUNDARY (~L/16 copies — O(L^2/16) shuffle bytes per
+    # doc, quadratic in doc length at scale). Now the text is attached
+    # ONLY to the i=0 sentinel row (every doc has one) and
+    # reconstructed inside the window with a running
+    # first_value(ignorenulls) over the same partition/order — one
+    # copy per doc crosses the exchange, no join-back (a join-back
+    # variant A/B-measured ~0.4s slower at sf0.1).
     win = Window.partitionBy("doc_id").orderBy("i")
     chunks = (
         bnd.select(
             "doc_id",
             "source",
-            "text",
+            "i",
+            F.when(F.col("i") == 0, F.col("text")).alias("t0"),
+        )
+        .select(
+            "doc_id",
+            "source",
             "i",
             F.lag("i").over(win).alias("prev"),
+            F.first("t0", ignorenulls=True)
+            .over(
+                win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("text"),
         )
         .filter(F.col("prev").isNotNull() & (F.col("i") > F.col("prev")))
         .select(
@@ -1542,6 +1562,11 @@ def q418_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("md5(substring(text, int(prev + 1), int(i - prev)))").alias("h"),
         )
     )
+    # (An Expand-free census rollup — (source, digest) pre-aggregate +
+    # scan-side n_docs — was four-arm A/B-measured 0.45s SLOWER at
+    # sf0.1 than this single groupBy: the Expand's 3x row replication
+    # is linear and map-local, while the rollup added a whole extra
+    # shuffle stage. Left as-is per guide §1.1.)
     return (
         chunks
         .groupBy("source")
