@@ -1106,10 +1106,15 @@ def q373_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; index arithmetic runs on |parts| x |months| rows. The
     Fisher sqrt is a per-month scalar."""
     li = load_table(spark, sf_dir, "lineitem")
+    # r13 opt (guide §2.3 narrower types / §1.2 per-task work): group on
+    # the INTEGER month key year*100+month — two cheap field extracts
+    # per row instead of a per-row DateTimeFormatter, and an 8-byte
+    # shuffle key instead of a 7-char string. The 'yyyy-MM' string is
+    # re-derived bijectively on the ~84 output rows only.
     pm = (
         li.groupBy(
             F.col("l_partkey").alias("pk"),
-            F.date_format("l_shipdate", "yyyy-MM").alias("mo"),
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("mo"),
         )
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
@@ -1150,7 +1155,7 @@ def q373_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("ptqt_cc") * 1.0 / F.sum("p0qt_cc")).alias("paas"),
     )
     return idx.select(
-        F.col("mo").alias("month"),
+        F.format_string("%04d-%02d", F.expr("mo div 100"), F.expr("mo % 100")).alias("month"),
         "n_parts",
         F.round(1000000.0 * F.col("lasp")).cast("bigint").alias("laspeyres_e6"),
         F.round(1000000.0 * F.col("paas")).cast("bigint").alias("paasche_e6"),
