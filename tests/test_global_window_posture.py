@@ -90,6 +90,13 @@ CHECKPOINTED_WHITELIST = {
     "q397_durbin_watson",
     # nation x year grid (b*k rows).
     "q409_page_trend",
+    # r13 opt: the exact-CDF coarse bucket census (cents div 4096 —
+    # value-domain/4096 bounded, ~2.5k rows at sf0.1) is checkpointed
+    # because it feeds n, the decile locator AND the fine pass; the
+    # ordered window runs over that census, never the corpus. (The
+    # 583k-row distinct-value CDF window this REPLACED was the real
+    # single-partition hazard.)
+    "q429_mergeable_quantile_summary",
 }
 
 
