@@ -16,6 +16,8 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1781,6 +1783,12 @@ def q444_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # tiny; feeds 3 bit-probe joins + the exact
         # probe — without the cut each would re-scan the corpus
     )
+    # localCheckpoint (r13 opt): the k probe joins each broadcast a
+    # projection of this frame, and WITHOUT the cut each broadcast
+    # build re-ran the whole position-distinct subtree (plan audit:
+    # 3 identical Generate+HashAggregate+Exchange trees, no
+    # ReuseExchange) — the cut computes the distinct ONCE and the
+    # builds read a <= k x |bench grams|-row RDD.
     bits = (
         bench.withColumn("h", F.md5("gram"))
         .select(
@@ -1788,6 +1796,7 @@ def q444_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .withColumn("bit_set", F.lit(1))
+        .localCheckpoint()
     )
     corpus = g.filter(F.col("doc_id") % _BENCH_MOD != 0)
     probed = corpus.withColumn("h", F.md5("gram"))
@@ -2229,7 +2238,13 @@ def q475_bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size); the x18 (grid x hashes) explode rides the CENSUS,
     never the corpus; bench gram set and all six bit sets are
     broadcast (<= 4 x |bench grams| positions each). No corpus-side
-    shuffle beyond the census distinct."""
+    shuffle beyond the census distinct. (r13 note: an in-row kmax
+    per-slice probe-join form — the q444 shape, removing the
+    (m, k, gram) re-group exchange — was interleaved-A/B-measured 20%
+    SLOWER at sf0.1 (old med 2.68s vs new 3.34s, identical rows): the
+    four broadcast-build jobs cost more than the census-sized
+    exchange saves at fixture scale; reverted, same verdict class as
+    the packed-bitmask attempt.)"""
     docs = _docs(spark, sf_dir)
     toks = tokenize(F.col("text"))
     g = docs.select(
@@ -2535,18 +2550,21 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab. Measured checkpoint payoff (r13): without the stage
     cuts Spark plans this funnel as 216 parquet scans / 427
     exchanges (every stage census re-derives the whole upstream
-    lineage); with them, 5 residual exchanges."""
+    lineage); with them, 5 residual exchanges. Checkpoints with no
+    mutual lineage (bench grams / gate survivors / raw census, and
+    decontam census / DoReMi model) materialize as CONCURRENT jobs
+    (guide §2.6) so later independent stages back-fill the idle tail
+    of earlier ones; per-stage plans and contents are unchanged."""
     from ooh_etl_spark.operators.dedup import exact_dedup, jaccard_pairs
 
     d0 = _docs(spark, sf_dir).select(
         "doc_id", "source", "text", tokenize(F.col("text")).alias("toks")
     )
-    bench = (
+    bench_plan = (
         d0.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode_outer(_trigrams(F.col("toks"))).alias("gram"))
         .filter(F.col("gram").isNotNull())
         .distinct()
-        .localCheckpoint()  # tiny; feeds the bit build only
     )
 
     # ONE md5 per gram row, k slice-probes off it (r13 opt — the q444
@@ -2557,14 +2575,6 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS BIGINT) % {_FUN_M}"
         )
 
-    bits = (
-        bench.withColumn("h", F.md5("gram"))
-        .select(
-            F.explode(F.array(*[pos(j) for j in range(_FUN_K)])).alias("pos")
-        )
-        .distinct()
-        .withColumn("bit_set", F.lit(1))
-    )
     raw = d0.filter(F.col("doc_id") % _BENCH_MOD != 0)
     sw = ", ".join(f"'{w}'" for w in _AGREE_STOPWORDS)
     feat = raw.select(
@@ -2591,16 +2601,49 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " acc -> acc.best)"
         ).alias("top_tok"),
     )
-    q = (
-        feat.filter(
-            (F.col("n_toks") >= 20)
-            & (F.col("n_alpha") >= 12)
-            & (F.expr("(10000 * n_stop) div n_toks") >= 100)
-            & (F.expr("(10000 * top_tok) div n_toks") <= 2000)
+    q_plan = feat.filter(
+        (F.col("n_toks") >= 20)
+        & (F.col("n_alpha") >= 12)
+        & (F.expr("(10000 * n_stop) div n_toks") >= 100)
+        & (F.expr("(10000 * top_tok) div n_toks") <= 2000)
+    ).select("doc_id", "source", "text", "toks")
+
+    def census(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("toks")).cast("bigint").alias("tk"),
         )
-        .select("doc_id", "source", "text", "toks")
-        .localCheckpoint()  # stage boundary: feeds dedup AND the census
+
+    # r13 opt (guide §2.6 "overlap independent jobs"): the three
+    # stage-0 materializations — the bench gram set (bit-build side),
+    # the quality-gate survivors (stage-1 boundary), and the raw
+    # source census (reused by every stage row) — share no lineage
+    # below the scan, so their eager localCheckpoints run as
+    # concurrent jobs instead of three sequential job launches. On a
+    # cluster the later jobs' tasks back-fill executors left idle by
+    # the earlier jobs' stage tails; plans and results are unchanged
+    # (each checkpoint materializes the same frame it did serially).
+    # The bench gram set has exactly ONE consumer (the bit build), so
+    # the cut sits at `bits` itself — one checkpoint job materializes
+    # the whole bench->positions subtree, and both probe-join
+    # broadcasts below build from the tiny checkpointed RDD instead of
+    # re-running the distinct (the q444 plan-audit lesson).
+    bits_plan = (
+        bench_plan.withColumn("h", F.md5("gram"))
+        .select(
+            F.explode(F.array(*[pos(j) for j in range(_FUN_K)])).alias("pos")
+        )
+        .distinct()
+        .withColumn("bit_set", F.lit(1))
     )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_bits = pool.submit(lambda: bits_plan.localCheckpoint())
+        f_q = pool.submit(lambda: q_plan.localCheckpoint())
+        f_rawc = pool.submit(lambda: census(raw).localCheckpoint())
+        bits = f_bits.result()  # decontam filter, broadcast twice
+        q = f_q.result()  # stage boundary: feeds dedup AND the census
+        rawc = f_rawc.result()  # |sources| rows, reused 6x
+
     exd = exact_dedup(q, key="text", id_col="doc_id").localCheckpoint()
     dropped = (
         jaccard_pairs(exd, "text", "doc_id", n=3, threshold=0.5)
@@ -2633,13 +2676,6 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fin = nd.join(flagged, "doc_id", "left_anti").localCheckpoint()
 
-    def census(df: DataFrame) -> DataFrame:
-        return df.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.size("toks")).cast("bigint").alias("tk"),
-        )
-
-    rawc = census(raw).localCheckpoint()  # |sources| rows, reused 6x
     srcs = rawc.select("source", F.col("n").alias("n_raw"))
 
     def stage_row(stage: int, name: str, c: DataFrame) -> DataFrame:
@@ -2659,8 +2695,6 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    finc = census(fin).localCheckpoint()  # feeds stages 4, 5 and 6
-
     # stage 5: one DoReMi multiplicative-weights step (q453 contract)
     st = (
         fin.select("source", F.explode("toks").alias("term"))
@@ -2675,7 +2709,7 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u_micro"
         ),
     )
-    srcx = (
+    srcx_plan = (
         st.join(u, "term")
         .groupBy("source")
         .agg(
@@ -2685,8 +2719,15 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("xent_micro"),
             F.sum(F.expr("m * u_micro")).alias("wsum"),
         )
-        .localCheckpoint()  # |sources| rows feed the scalar + the weights
     )
+    # Same §2.6 overlap as the stage-0 block: the decontam census and
+    # the DoReMi source-model frame both hang off the checkpointed
+    # `fin` and feed disjoint output rows — materialize concurrently.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_finc = pool.submit(lambda: census(fin).localCheckpoint())
+        f_srcx = pool.submit(lambda: srcx_plan.localCheckpoint())
+        finc = f_finc.result()  # feeds stages 4, 5 and 6
+        srcx = f_srcx.result()  # |sources| rows feed the scalar + weights
     tot = srcx.agg(
         F.sum("wsum").alias("wsum_all"), F.sum("toks_m").alias("toks_all")
     )
