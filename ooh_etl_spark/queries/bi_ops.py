@@ -1111,11 +1111,28 @@ def q373_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per row instead of a per-row DateTimeFormatter, and an 8-byte
     # shuffle key instead of a 7-char string. The 'yyyy-MM' string is
     # re-derived bijectively on the ~84 output rows only.
+    #
+    # r14 opt (guide §2.4 "share one exchange"): the eager (pk, month)
+    # checkpoint — profiled at 1.2-1.5s of the query's 2.2s in r13 —
+    # existed so three consumers (base-month scalar, base slice, current
+    # rows) would not each re-run the fact aggregate. Instead, ONE
+    # pk-keyed exchange now serves both the (pk, mo) aggregate AND a
+    # pk-partitioned window that attaches the base-month (spend, qty)
+    # in place of the broadcast self-join; the base-month scalar comes
+    # from a l_shipdate-only scan (column-pruned, no shuffle). No
+    # checkpoint job, no (pk,mo)->pk re-shuffle: the window reuses the
+    # repartition's partitioning (alias-aware output partitioning).
+    mo_of = F.year("l_shipdate") * 100 + F.month("l_shipdate")
+    mo0 = li.agg(F.min(mo_of).cast("int").alias("mo0"))
     pm = (
-        li.groupBy(
+        li.select(
             F.col("l_partkey").alias("pk"),
-            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("mo"),
+            mo_of.cast("int").alias("mo"),
+            "l_extendedprice",
+            "l_quantity",
         )
+        .repartition(F.col("pk"))
+        .groupBy("pk", "mo")
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
             .cast("bigint")
@@ -1124,23 +1141,29 @@ def q373_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qty"),
         )
-        .localCheckpoint()
     )
-    base_mo = pm.agg(F.min("mo").alias("mo0"))
-    base = (
-        pm.join(F.broadcast(base_mo), pm["mo"] == base_mo["mo0"])
+    wpk = Window.partitionBy("pk")
+    cur = (
+        pm.crossJoin(F.broadcast(mo0))
         .select(
-            "pk",
-            (F.col("spend_c") * 1.0 / F.col("qty")).alias("p0"),
-            F.col("qty").alias("q0"),
+            "mo",
+            "spend_c",
+            "qty",
+            F.max(F.when(F.col("mo") == F.col("mo0"), F.col("spend_c")))
+            .over(wpk)
+            .alias("spend0_c"),
+            F.max(F.when(F.col("mo") == F.col("mo0"), F.col("qty")))
+            .over(wpk)
+            .alias("q0"),
         )
-    )
-    cur = pm.join(F.broadcast(base), "pk").select(
-        "mo",
-        (F.col("spend_c") * 1.0 / F.col("qty")).alias("pt"),
-        F.col("qty").alias("qt"),
-        "p0",
-        "q0",
+        .filter(F.col("q0").isNotNull())
+        .select(
+            "mo",
+            (F.col("spend_c") * 1.0 / F.col("qty")).alias("pt"),
+            F.col("qty").alias("qt"),
+            (F.col("spend0_c") * 1.0 / F.col("q0")).alias("p0"),
+            "q0",
+        )
     )
     terms = cur.select(
         "mo",

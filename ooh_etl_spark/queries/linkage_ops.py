@@ -466,7 +466,21 @@ def q296_symspell_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     several deletions collide) rides the same aggregate. Hot variant
     keys (shared by thousands of names) are the skew risk — AQE
     splits them, or raise the deletion prefix length the way SymSpell
-    does for edit distance 2."""
+    does for edit distance 2.
+
+    r14 attempt, MEASURED SLOWER AND REVERTED (VERDICT r13 item 5):
+    keying the posting lists by the exact variant STRING makes the
+    pair stream globally unique (a levenshtein<=1 pair of distinct
+    names shares exactly ONE variant string — insertion pairs share
+    only {the shorter name}; substitution pairs' every (j,k) deletion
+    route collapses to the same a-minus-i string via the constant-run
+    argument), so the pair DISTINCT exchange could be dropped
+    outright (5 -> 4 exchanges). Interleaved A/B at sf0.1 (9
+    reps/arm, noop): old med 2.930s / min 2.620 vs new med 3.529s /
+    min 3.193 — ~20% SLOWER; the string-keyed hash aggregate costs
+    more than the (small) pair DISTINCT saves. Do not re-try without
+    evidence that the pair stream dominates (it may at 100 TB gram
+    cardinalities, but not here)."""
     cust = load_table(spark, sf_dir, "customer")
     members = (
         cust.select(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
+from pyspark import inheritable_thread_target
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2506,6 +2507,19 @@ _DUCK_CORPUS_FUNNEL = f"""
 """
 
 
+def _ckpt_submit(pool: ThreadPoolExecutor, spark: SparkSession, plan_fn):
+    """Submit an eager materialization as a concurrent driver job.
+
+    Wrapping the target in ``pyspark.inheritable_thread_target`` makes
+    the worker thread inherit the caller's JVM thread-local properties
+    under pinned-thread mode (the default since Spark 3.2): the job
+    group, job description, and scheduler pool — so a caller cancelling
+    the query via ``cancelJobGroup`` also cancels these checkpoint
+    jobs, and the pinned JVM thread is cleaned up when the Python
+    thread exits (ADVICE r13 item 1)."""
+    return pool.submit(inheritable_thread_target(spark)(plan_fn))
+
+
 @register("q479_corpus_build_funnel", _DUCK_CORPUS_FUNNEL)
 def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CORPUS-BUILD funnel over the modern operator set —
@@ -2637,20 +2651,44 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bit_set", F.lit(1))
     )
     with ThreadPoolExecutor(max_workers=3) as pool:
-        f_bits = pool.submit(lambda: bits_plan.localCheckpoint())
-        f_q = pool.submit(lambda: q_plan.localCheckpoint())
-        f_rawc = pool.submit(lambda: census(raw).localCheckpoint())
+        f_bits = _ckpt_submit(pool, spark, lambda: bits_plan.localCheckpoint())
+        f_q = _ckpt_submit(pool, spark, lambda: q_plan.localCheckpoint())
+        f_rawc = _ckpt_submit(pool, spark, lambda: census(raw).localCheckpoint())
         bits = f_bits.result()  # decontam filter, broadcast twice
         q = f_q.result()  # stage boundary: feeds dedup AND the census
         rawc = f_rawc.result()  # |sources| rows, reused 6x
 
-    exd = exact_dedup(q, key="text", id_col="doc_id").localCheckpoint()
-    dropped = (
-        jaccard_pairs(exd, "text", "doc_id", n=3, threshold=0.5)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    nd = exd.join(dropped, "doc_id", "left_anti").localCheckpoint()
+    # r14 opt (guide §2.6, the r13 pattern extended): each stage census
+    # is a tiny |sources|-row aggregate of an already-checkpointed
+    # frame, previously computed as a broadcast-build inside the FINAL
+    # job — i.e. serially, after every stage had finished. Submitting
+    # census(q)/census(exd)/census(nd) concurrently with the NEXT
+    # chain stage (exact dedup / near-dup / decontam respectively)
+    # hides each census in the idle tail of the much more expensive
+    # stage running beside it; contents and per-stage plans unchanged.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exd = _ckpt_submit(
+            pool,
+            spark,
+            lambda: exact_dedup(q, key="text", id_col="doc_id").localCheckpoint()
+        )
+        f_cq = _ckpt_submit(pool, spark, lambda: census(q).localCheckpoint())
+        exd = f_exd.result()
+        cq = f_cq.result()  # stage-1 census
+
+    def nd_plan() -> DataFrame:
+        dropped = (
+            jaccard_pairs(exd, "text", "doc_id", n=3, threshold=0.5)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        return exd.join(dropped, "doc_id", "left_anti")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_nd = _ckpt_submit(pool, spark, lambda: nd_plan().localCheckpoint())
+        f_cexd = _ckpt_submit(pool, spark, lambda: census(exd).localCheckpoint())
+        nd = f_nd.result()
+        cexd = f_cexd.result()  # stage-2 census
     cg = nd.select(
         "doc_id", F.explode_outer(_trigrams(F.col("toks"))).alias("gram")
     ).filter(F.col("gram").isNotNull())
@@ -2674,7 +2712,15 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hit") >= _MIN_SHARED)
         .select("doc_id")
     )
-    fin = nd.join(flagged, "doc_id", "left_anti").localCheckpoint()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fin = _ckpt_submit(
+            pool,
+            spark,
+            lambda: nd.join(flagged, "doc_id", "left_anti").localCheckpoint()
+        )
+        f_cnd = _ckpt_submit(pool, spark, lambda: census(nd).localCheckpoint())
+        fin = f_fin.result()
+        cnd = f_cnd.result()  # stage-3 census
 
     srcs = rawc.select("source", F.col("n").alias("n_raw"))
 
@@ -2723,9 +2769,23 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same §2.6 overlap as the stage-0 block: the decontam census and
     # the DoReMi source-model frame both hang off the checkpointed
     # `fin` and feed disjoint output rows — materialize concurrently.
+    # r14 opt (VERDICT r13 item 4b): the stage-6 packing census rides
+    # THIS aggregate as one more accumulator (sum of per-doc pad) —
+    # sum(size(toks)) is already here as tk, and pad_bp =
+    # (10000*pad_sum) div (tk + pad_sum) — so the separate
+    # fin.groupBy(source) pass and its broadcast build are gone.
+    pad_of_doc = F.expr(
+        f"((size(toks) + {_FUN_PACK_L - 1}) div {_FUN_PACK_L})"
+        f" * {_FUN_PACK_L} - size(toks)"
+    )
+    finc_plan = fin.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("toks")).cast("bigint").alias("tk"),
+        F.sum(pad_of_doc).cast("bigint").alias("pad_sum"),
+    )
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_finc = pool.submit(lambda: census(fin).localCheckpoint())
-        f_srcx = pool.submit(lambda: srcx_plan.localCheckpoint())
+        f_finc = _ckpt_submit(pool, spark, lambda: finc_plan.localCheckpoint())
+        f_srcx = _ckpt_submit(pool, spark, lambda: srcx_plan.localCheckpoint())
         finc = f_finc.result()  # feeds stages 4, 5 and 6
         srcx = f_srcx.result()  # |sources| rows feed the scalar + weights
     tot = srcx.agg(
@@ -2770,41 +2830,28 @@ def q479_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # stage 6: q445 pad-to-boundary waste on the final corpus
-    pad = (
-        F.expr(
-            f"((n + {_FUN_PACK_L - 1}) div {_FUN_PACK_L}) * {_FUN_PACK_L} - n"
-        )
-    )
-    pk = (
-        fin.select("source", F.size("toks").alias("n"))
-        .select("source", "n", pad.alias("pad"))
-        .groupBy("source")
-        .agg(
-            F.expr("(10000 * sum(pad)) div (sum(n) + sum(pad))")
-            .cast("bigint")
-            .alias("pad_bp")
-        )
-    )
+    # stage 6: q445 pad-to-boundary waste on the final corpus — served
+    # entirely from the finc accumulators (r14: no second fin pass).
     pack_row = (
         srcs.join(F.broadcast(finc), "source", "left")
-        .join(F.broadcast(pk), "source", "left")
         .select(
             F.lit(6).cast("bigint").alias("stage"),
             F.lit("packing").alias("stage_name"),
             "source",
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_docs"),
             F.coalesce(F.col("tk"), F.lit(0)).cast("bigint").alias("n_tokens"),
-            F.coalesce(F.col("pad_bp"), F.lit(0))
+            F.coalesce(
+                F.expr("(10000 * pad_sum) div (tk + pad_sum)"), F.lit(0)
+            )
             .cast("bigint")
             .alias("metric_bp"),
         )
     )
     return (
         stage_row(0, "raw", rawc)
-        .unionByName(stage_row(1, "quality", census(q)))
-        .unionByName(stage_row(2, "exact_dedup", census(exd)))
-        .unionByName(stage_row(3, "neardup", census(nd)))
+        .unionByName(stage_row(1, "quality", cq))
+        .unionByName(stage_row(2, "exact_dedup", cexd))
+        .unionByName(stage_row(3, "neardup", cnd))
         .unionByName(stage_row(4, "decontam", finc))
         .unionByName(mix_row)
         .unionByName(pack_row)

@@ -88,7 +88,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     if plans_tag:
         os.makedirs(plans_dir, exist_ok=True)
