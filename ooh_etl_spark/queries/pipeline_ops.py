@@ -537,18 +537,32 @@ def q433_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     d = docs.select("doc_id", "source", toks.alias("toks"))
-    bg = F.when(
-        F.size("toks") >= 2,
-        F.expr(
-            "transform(sequence(1, size(toks) - 1),"
-            " i -> concat(toks[i-1], ' ', toks[i]))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # r14 opt (guide §4.1, the r13 jaccard_pairs lesson): the bigram
+    # stream previously materialized a per-doc array via a
+    # transform(sequence(...)) higher-order function — HOF lambdas are
+    # CodegenFallback, so every bigram paid interpreted dispatch and
+    # each doc built its full bigram array as one row value before the
+    # explode. One posexplode Generate + a plain element_at keeps the
+    # whole expansion inside WholeStageCodegen and streams bigrams out
+    # of the Generate. posexplode_outer's 0-based i pairs (i, i+1) —
+    # the same multiset as the old 1-based (i-1, i); 0/1-token docs
+    # drop on the same null/size guards as before.
     dbc = (
         d.select(
             "doc_id",
             "source",
-            F.explode_outer(bg).alias("bg"),
+            "toks",
+            F.posexplode_outer("toks").alias("i", "t"),
+        )
+        .filter(
+            F.col("t").isNotNull() & (F.col("i") < F.size("toks") - 1)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.col("t"), F.lit(" "), F.element_at("toks", F.col("i") + 2)
+            ).alias("bg"),
         )
         .filter(F.col("bg").isNotNull())
         .select(

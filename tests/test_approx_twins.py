@@ -6,6 +6,13 @@ must agree with q149 EXACTLY (it is the same statistic, re-planned).
 
 from __future__ import annotations
 
+import pytest
+
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
+
 from ooh_etl_spark.queries import QUERIES
 from tests.conftest import SF_DIR
 

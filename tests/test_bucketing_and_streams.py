@@ -2,6 +2,12 @@
 
 from __future__ import annotations
 
+import pytest
+
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 import uuid
 
 from pyspark.sql import functions as F

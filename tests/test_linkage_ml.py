@@ -9,6 +9,10 @@ distortion bounds, calibration monotonicity — plus the plan shapes.
 from __future__ import annotations
 
 import pytest
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR, assert_matches_oracle

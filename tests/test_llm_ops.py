@@ -3,6 +3,12 @@ dedup, similarity, multimodal) beyond the oracle-differential checks."""
 
 from __future__ import annotations
 
+import pytest
+
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 import math
 
 from pyspark.sql import functions as F

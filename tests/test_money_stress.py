@@ -16,6 +16,10 @@ import os
 
 import duckdb
 import pytest
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 
 from ooh_etl_spark.tables import TABLE_NAMES
 from tests.conftest import assert_matches_oracle

@@ -9,6 +9,10 @@ import struct
 
 import numpy as np
 import pytest
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 
 from ooh_etl_spark.operators.multimodal import (
     decode_ppm,

@@ -11,6 +11,13 @@ from ooh_etl_spark.queries import QUERIES
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 
+# The full 495-query oracle replica is `slow` (see pytest.ini): the
+# driver's own correctness gate re-runs its 50-query oracle window
+# every round, and the round-close ritual runs tools/check_oracle.py
+# over the full registry at sf0.001 AND sf0.01 — this parametrization
+# triples that coverage at ~35 min of suite wall clock, which is what
+# pushed the r13 gate run past the driver's limit (VERDICT r13 item 2).
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, name)

@@ -2,6 +2,12 @@
 cure (VERDICT r9 item 3) and its funnel-discipline equality pins."""
 from __future__ import annotations
 
+import pytest
+
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 import sys
 
 import pandas as pd

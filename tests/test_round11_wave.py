@@ -3,6 +3,12 @@
 registered machine-checked cure of itself)."""
 from __future__ import annotations
 
+import pytest
+
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 import sys
 
 import numpy as np

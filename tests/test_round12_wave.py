@@ -5,6 +5,12 @@ alone cannot pin (monotonicity of the curves, closed-form identities,
 policy-divergence direction)."""
 from __future__ import annotations
 
+import pytest
+
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 import sys
 
 import numpy as np

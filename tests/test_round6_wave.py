@@ -4,6 +4,13 @@ advising, robust trend, and perceptual image dedup."""
 
 from __future__ import annotations
 
+import pytest
+
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
+
 from pyspark.sql import functions as F
 
 from ooh_etl_spark.queries import QUERIES

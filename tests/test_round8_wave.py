@@ -12,6 +12,10 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 
 from ooh_etl_spark.queries import QUERIES
 from tests.conftest import SF_DIR, assert_matches_oracle

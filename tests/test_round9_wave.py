@@ -6,6 +6,10 @@ import sys
 
 import pandas as pd
 import pytest
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 
 sys.path.insert(0, "/root/repo")
 

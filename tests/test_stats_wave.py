@@ -7,6 +7,12 @@ and pin the structural invariants each statistic must satisfy.
 
 from __future__ import annotations
 
+import pytest
+
+# Oracle-replica / deep-functional suite: excluded from the default
+# fast-core gate run (see pytest.ini); run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 import duckdb
 import pandas as pd
 

@@ -397,10 +397,81 @@ def old_q479(spark, sf_dir):
         .orderBy("stage", "source")
     )
 
+def old_q433(spark, sf_dir):
+    """r13 body: HOF transform(sequence) bigram array + explode."""
+    from ooh_etl_spark.queries.pipeline_ops import _DSIR_B, _DSIR_TARGET, _DSIR_TOP
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    d = docs.select("doc_id", "source", toks.alias("toks"))
+    bg = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(toks[i-1], ' ', toks[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dbc = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode_outer(bg).alias("bg"),
+        )
+        .filter(F.col("bg").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint")
+                % _DSIR_B
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    stats = dbc.groupBy("bucket").agg(
+        F.sum("cnt").alias("c_all"),
+        F.sum(
+            F.when(F.col("source").isin(*_DSIR_TARGET), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("c_tgt"),
+    )
+    tot = stats.agg(
+        F.sum("c_all").alias("n_all"), F.sum("c_tgt").alias("n_tgt")
+    )
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            1_000_000
+            * F.log(
+                ((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + _DSIR_B))
+                / ((F.col("c_all") + 1.0) / (F.col("n_all") + _DSIR_B))
+            )
+        )
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    return (
+        dbc.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("term_micro"))
+            .cast("bigint")
+            .alias("logratio_micro"),
+        )
+        .orderBy(F.desc("logratio_micro"), "doc_id")
+        .limit(_DSIR_TOP)
+    )
+
+
 ARMS = {
     "q373": (old_q373, q373_price_indices),
     "q296": (old_q296, q296_symspell_edit_join),
     "q479": (old_q479, q479_corpus_build_funnel),
+    "q433": (old_q433, q433_dsir_importance),
 }
 
 
