@@ -1101,10 +1101,13 @@ def q373_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     centi-cents BEFORE the month sums (associative integer pooling),
     and the index ratios touch doubles once at the end.
 
-    100 TB shape: ONE fact shuffle to the (part, month) aggregate
-    (map-side combined); the base-month slice is a part-bounded
-    broadcast; index arithmetic runs on |parts| x |months| rows. The
-    Fisher sqrt is a per-month scalar."""
+    100 TB shape (r14): ONE pk-keyed fact shuffle serves the
+    (part, month) aggregate AND the pk-partitioned window that
+    attaches the base-month values (no checkpoint, no broadcast of the
+    |parts|-row base slice — only the 1-row base-month scalar
+    broadcasts, derived from a shipdate-only scan); index arithmetic
+    runs on |parts| x |months| rows. The Fisher sqrt is a per-month
+    scalar."""
     li = load_table(spark, sf_dir, "lineitem")
     # r13 opt (guide §2.3 narrower types / §1.2 per-task work): group on
     # the INTEGER month key year*100+month — two cheap field extracts

@@ -214,6 +214,10 @@ def old_q475(spark, sf_dir):
     )
 
 
+# Intentionally FROZEN with the old-arm body (ADVICE r13 item 2):
+# the old arm must reproduce the r13-close pipeline byte-for-byte
+# even if quality_ops later changes its constant. quality_ops'
+# live value is imported by tools/ab_r14.py instead.
 _FUN_PACK_L = 128
 
 
@@ -478,7 +482,9 @@ def main():
                 ).save()
                 acc.append(time.time() - t0)
         spark.sparkContext.setJobDescription(None)
-        med = lambda xs: sorted(xs)[len(xs) // 2]
+        import statistics
+
+        med = statistics.median  # ADVICE r13 item 3: unbiased for even reps
         print(
             f"{name}: rows_equal={same} old med {med(olds):.3f}s min"
             f" {min(olds):.3f}s | new med {med(news):.3f}s min"
